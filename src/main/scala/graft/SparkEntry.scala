@@ -1,13 +1,438 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.operators.ScdMerge
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching ANSI-SQL oracle in [[oracleSql]]
+  * runnable by DuckDB over the same parquet fixture tables; column names are
+  * aligned on both sides, double aggregates go through the exact-decimal
+  * detour ([[graft.functions.Exact]]) so hashes are stable, and every result
+  * is totally ordered.
+  */
 object SparkEntry {
+
+  // Injected logical clock + batch ids (SURVEY.md §7.4 — uuid() and
+  // CURRENT_TIMESTAMP/CURRENT_DATE must be parameters for oracle parity).
+  private val ClockTsLit   = "2026-02-02 00:00:00"
+  private val ClockDateLit = "2026-02-02"
+  private def clockTs: Column   = lit(ClockTsLit).cast("timestamp")
+  private def clockDate: Column = lit(ClockDateLit).cast("date")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qEnrich(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- q1_agg
+  // SURVEY §2.6 A1/A2 + §2.7 F9/F10: grouped aggregation with per-row
+  // arithmetic — partial+final hash agg, no extra shuffle beyond the groupBy.
+  private def qPricingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        xsum(col("l_quantity"), 4).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_base_price"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        xavg(col("l_quantity")).as("avg_qty"),
+        xavg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val sqlPricingAgg: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity", 4)} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------ q2_filter_project
+  // SURVEY §2.3 P1-P6: projection + conjunctive predicates. The filter and
+  // the 5-column projection both reach the parquet scan (PushedFilters /
+  // ReadSchema in .explain).
+  private def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === lit("R") &&
+        col("l_discount") > lit(0.05) &&
+        col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"),
+        (col("l_extendedprice") * col("l_discount")).as("discount_amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val sqlFilterProject: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_extendedprice * l_discount AS discount_amount
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_discount > 0.05
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------- q3_enrich
+  // SURVEY §2.4 J5 + §2.7 F12: the declared currency-enrichment join
+  // (SQL/etl_world_banks.sql:317-318) re-expressed over customer×nation×
+  // region. Both dims are broadcast — no shuffle of the fact side.
+  private def qEnrich(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"),
+        col("c_acctbal"),
+        round(col("c_acctbal") * lit(0.783), 2).as("bal_gbp"),
+        round(col("c_acctbal") * lit(0.924), 2).as("bal_eur"),
+        round(col("c_acctbal") * lit(82.572), 2).as("bal_inr"))
+      .orderBy(col("c_custkey"))
+
+  private val sqlEnrich: String =
+    """SELECT c_custkey, c_name, n_name, r_name, c_acctbal,
+      |  ROUND(c_acctbal * 0.783, 2) AS bal_gbp,
+      |  ROUND(c_acctbal * 0.924, 2) AS bal_eur,
+      |  ROUND(c_acctbal * 82.572, 2) AS bal_inr
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ q4/q5 semi/anti
+  // SURVEY §2.4 J1/J2: the reference's per-row EXISTS probes (SQL:25-27,
+  // 191-194) as set-based semi/anti joins.
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val sqlSemiJoin: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val sqlAntiJoin: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------- q6/q7 SCD merge
+  // SURVEY §2.5 — the flagship compound operator, exercised over two
+  // deterministic slices of `orders` so every one of the five branches plus
+  // deactivation and the same-day/NULL shields is hit (FIXTURES.md A3).
+  //   k%8==0 → deactivate      k%8==1 → no_change   k%8==2 → update
+  //   k%8==3 → carry (NULL updated_at shield)       k%8==4 → reactivate
+  //   k%8==5 → version (+version_history)           k%8∈{6,7} → insert
+  private def scdFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, dir)
+    val m = col("o_orderkey") % 8
+    val target = o.filter(m <= 5).select(
+      col("o_orderkey").as("key"),
+      col("o_totalprice").as("value"),
+      lit("b0").as("batch_id"),
+      (m < 4).as("active"),
+      when(m === 3, lit(null).cast("timestamp"))
+        .otherwise(lit("2026-01-01 00:00:00").cast("timestamp"))
+        .as("updated_at"))
+    val incoming = o.filter(m.isin(1, 2, 4, 5, 6, 7)).select(
+      col("o_orderkey").as("key"),
+      when(m.isin(2, 5), col("o_totalprice") + lit(10.0))
+        .otherwise(col("o_totalprice")).as("value"),
+      lit("b1").as("batch_id"))
+    (incoming, target)
+  }
+
+  private val scdCfg = ScdMerge.Config(keys = Seq("key"), valueCol = "value")
+
+  private def qScdMerge(s: SparkSession, dir: String): DataFrame = {
+    val (incoming, target) = scdFixture(s, dir)
+    ScdMerge.merge(incoming, target, scdCfg, clockTs, clockDate, lit("b1"))
+      .orderBy(col("key"), col("change_type"))
+  }
+
+  private def qScdCounters(s: SparkSession, dir: String): DataFrame = {
+    val (incoming, target) = scdFixture(s, dir)
+    val merged = ScdMerge.merge(incoming, target, scdCfg, clockTs, clockDate,
+      lit("b1"))
+    ScdMerge.counters(merged, lit("b1"), "orders_scd")
+  }
+
+  /** Shared CTE prefix for the SCD oracle: fixture + join + classification. */
+  private val sqlScdCte: String =
+    s"""WITH target AS (
+       |  SELECT o_orderkey AS key, o_totalprice AS value, 'b0' AS batch_id,
+       |         (o_orderkey % 8) < 4 AS active,
+       |         CASE WHEN o_orderkey % 8 = 3 THEN NULL
+       |              ELSE TIMESTAMP '2026-01-01 00:00:00' END AS updated_at
+       |  FROM orders WHERE o_orderkey % 8 <= 5
+       |), incoming AS (
+       |  SELECT o_orderkey AS key,
+       |         CASE WHEN o_orderkey % 8 IN (2,5) THEN o_totalprice + 10.0
+       |              ELSE o_totalprice END AS value,
+       |         'b1' AS batch_id
+       |  FROM orders WHERE o_orderkey % 8 IN (1,2,4,5,6,7)
+       |), j AS (
+       |  SELECT t.key AS tkey, i.key AS ikey, t.value AS tvalue,
+       |         i.value AS ivalue, t.active AS tactive,
+       |         t.updated_at AS tupdated, t.batch_id AS tbatch,
+       |         i.batch_id AS ibatch
+       |  FROM target t FULL OUTER JOIN incoming i ON t.key = i.key
+       |), c AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN tkey IS NULL THEN 'insert'
+       |      WHEN ikey IS NULL AND tactive AND tupdated IS NOT NULL
+       |           AND tupdated < DATE '$ClockDateLit'
+       |           AND tbatch <> 'b1' THEN 'deactivate'
+       |      WHEN ikey IS NULL THEN 'carry'
+       |      WHEN tactive AND tvalue = ivalue THEN 'no_change'
+       |      WHEN tactive THEN 'update'
+       |      WHEN tvalue = ivalue THEN 'reactivate'
+       |      ELSE 'version'
+       |    END AS change_type
+       |  FROM j
+       |)""".stripMargin
+
+  private val sqlScdMerge: String =
+    s"""$sqlScdCte
+       |SELECT key, value, batch_id, active, updated_at, change_type FROM (
+       |  SELECT COALESCE(ikey, tkey) AS key,
+       |    CASE WHEN change_type IN ('insert','update','version') THEN ivalue
+       |         ELSE tvalue END AS value,
+       |    CASE WHEN change_type IN ('insert','update','reactivate','version')
+       |         THEN ibatch ELSE tbatch END AS batch_id,
+       |    CASE WHEN change_type = 'deactivate' THEN FALSE
+       |         WHEN change_type IN ('insert','update','no_change',
+       |                              'reactivate','version') THEN TRUE
+       |         ELSE tactive END AS active,
+       |    CASE WHEN change_type IN ('update','reactivate','deactivate')
+       |           THEN TIMESTAMP '$ClockTsLit'
+       |         WHEN change_type IN ('insert','version') THEN NULL
+       |         ELSE tupdated END AS updated_at,
+       |    change_type
+       |  FROM c
+       |  UNION ALL
+       |  SELECT tkey, tvalue, tbatch, FALSE, tupdated, 'version_history'
+       |  FROM c WHERE change_type = 'version'
+       |)
+       |ORDER BY key, change_type""".stripMargin
+
+  private val sqlScdCounters: String =
+    s"""$sqlScdCte
+       |SELECT
+       |  SUM(CASE WHEN change_type='no_change' THEN 1 ELSE 0 END) AS no_update_count,
+       |  SUM(CASE WHEN change_type='update' THEN 1 ELSE 0 END) AS update_count,
+       |  SUM(CASE WHEN change_type='insert' THEN 1 ELSE 0 END) AS new_inserts_count,
+       |  SUM(CASE WHEN change_type='reactivate' THEN 1 ELSE 0 END) AS reactivate_count,
+       |  SUM(CASE WHEN change_type='version' THEN 1 ELSE 0 END) AS version_count,
+       |  SUM(CASE WHEN change_type='deactivate' THEN 1 ELSE 0 END) AS deactivate_count,
+       |  'orders_scd' AS table_name, 'b1' AS batch_id
+       |FROM c""".stripMargin
+
+  // ------------------------------------------------------- q8 Type-1 upsert
+  // SURVEY §2.5 — the exchanges_rates variant (SQL:188-248): composite key,
+  // no active flag; branches no_change / update / insert / carry.
+  //   k%4==0 → carry   k%4==1 → no_change   k%4==2 → update   k%4==3 → insert
+  private def qUpsertType1(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val m = col("c_custkey") % 4
+    val target = c.filter(m <= 2).select(
+      col("c_custkey").as("key1"), col("c_mktsegment").as("key2"),
+      col("c_acctbal").as("value"), lit("b0").as("batch_id"))
+    val incoming = c.filter(m >= 1).select(
+      col("c_custkey").as("key1"), col("c_mktsegment").as("key2"),
+      when(m === 2, col("c_acctbal") + lit(5.0)).otherwise(col("c_acctbal"))
+        .as("value"),
+      lit("b1").as("batch_id"))
+    val cfg = ScdMerge.Config(keys = Seq("key1", "key2"), valueCol = "value",
+      scd2 = false)
+    ScdMerge.merge(incoming, target, cfg, clockTs, clockDate, lit("b1"))
+      .orderBy(col("key1"), col("key2"))
+  }
+
+  private val sqlUpsertType1: String =
+    """WITH target AS (
+      |  SELECT c_custkey AS key1, c_mktsegment AS key2, c_acctbal AS value,
+      |         'b0' AS batch_id
+      |  FROM customer WHERE c_custkey % 4 <= 2
+      |), incoming AS (
+      |  SELECT c_custkey AS key1, c_mktsegment AS key2,
+      |         CASE WHEN c_custkey % 4 = 2 THEN c_acctbal + 5.0
+      |              ELSE c_acctbal END AS value,
+      |         'b1' AS batch_id
+      |  FROM customer WHERE c_custkey % 4 >= 1
+      |), j AS (
+      |  SELECT t.key1 AS tk1, i.key1 AS ik1, t.key2 AS tk2, i.key2 AS ik2,
+      |         t.value AS tvalue, i.value AS ivalue,
+      |         t.batch_id AS tbatch, i.batch_id AS ibatch
+      |  FROM target t FULL OUTER JOIN incoming i
+      |    ON t.key1 = i.key1 AND t.key2 = i.key2
+      |), c AS (
+      |  SELECT *,
+      |    CASE WHEN tk1 IS NULL THEN 'insert'
+      |         WHEN ik1 IS NULL THEN 'carry'
+      |         WHEN tvalue = ivalue THEN 'no_change'
+      |         ELSE 'update' END AS change_type
+      |  FROM j
+      |)
+      |SELECT COALESCE(ik1, tk1) AS key1, COALESCE(ik2, tk2) AS key2,
+      |  CASE WHEN change_type IN ('insert','update') THEN ivalue
+      |       ELSE tvalue END AS value,
+      |  CASE WHEN change_type IN ('insert','update') THEN ibatch
+      |       ELSE tbatch END AS batch_id,
+      |  change_type
+      |FROM c
+      |ORDER BY key1, key2""".stripMargin
+
+  // ------------------------------------------------------------- q9_union
+  // SURVEY §2.8 U1/U2: union + distinct.
+  private def qUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    a.unionByName(b).distinct().orderBy(col("o_orderkey"))
+  }
+
+  private val sqlUnion: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F'
+      |UNION
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- q10_cleanse
+  // SURVEY §2.7 F1-F9 — the full ingestion/cleansing chain: trim,
+  // split-on-"on" lastmod parse (F2/F3, ipynb:89-90), date format (F4),
+  // year-end synth (F6, ipynb:143), string→double round trip (F9).
+  private def qCleanse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("lastmod_text",
+        concat(lit("  This page was last edited on "),
+          date_format(col("ts"), "d MMMM yyyy"), lit(", at 10:00  ")))
+      .select(
+        col("event_id"),
+        to_date(trim(element_at(
+          split(element_at(split(col("lastmod_text"), "on"), 2), ","), 1)),
+          "d MMMM yyyy").as("lastmod_date"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+        to_date(concat(lit("31-12-"), year(col("ts")).cast("string")),
+          "dd-MM-yyyy").as("year_end"),
+        col("value").cast("string").cast("double").as("value_roundtrip"))
+      .orderBy(col("event_id"))
+
+  private val sqlCleanse: String =
+    """SELECT event_id,
+      |  CAST(strptime(trim(
+      |    str_split(str_split(
+      |      '  This page was last edited on ' || strftime(ts, '%-d %B %Y')
+      |        || ', at 10:00  ',
+      |      'on')[2], ',')[1]), '%-d %B %Y') AS DATE) AS lastmod_date,
+      |  strftime(ts, '%Y-%m-%d') AS day_str,
+      |  CAST(strptime('31-12-' || CAST(year(ts) AS VARCHAR), '%d-%m-%Y')
+      |    AS DATE) AS year_end,
+      |  CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- q11_topk_window
+  // §2.11 extension (free from Spark): ranking window + top-k per group.
+  private def qTopkWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  private val sqlTopkWindow: String =
+    """SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer
+      |) WHERE rk <= 3
+      |ORDER BY c_nationkey, rk""".stripMargin
+
+  // --------------------------------------------------------- q12_log_stamp
+  // SURVEY §2.10 O1/O2 + §2.7 F11: process_logs-shaped summary rows with
+  // batch lineage stamp and printf-style message formatting.
+  private def qLogStamp(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("log_phase"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("log_phase"),
+        format_string("%s: %d rows processed", col("log_phase"), col("n"))
+          .as("message"),
+        clockTs.as("datetime"),
+        lit("b1").as("batch_id"))
+      .orderBy(col("log_phase"))
+
+  private val sqlLogStamp: String =
+    s"""SELECT event_type AS log_phase,
+       |  printf('%s: %d rows processed', event_type, COUNT(*)) AS message,
+       |  TIMESTAMP '$ClockTsLit' AS datetime,
+       |  'b1' AS batch_id
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY log_phase""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg"    -> qPricingAgg _,
+    "q2_filter_project" -> qFilterProject _,
+    "q3_enrich"         -> qEnrich _,
+    "q4_semi_join"      -> qSemiJoin _,
+    "q5_anti_join"      -> qAntiJoin _,
+    "q6_scd_merge"      -> qScdMerge _,
+    "q7_scd_counters"   -> qScdCounters _,
+    "q8_upsert_type1"   -> qUpsertType1 _,
+    "q9_union"          -> qUnion _,
+    "q10_cleanse"       -> qCleanse _,
+    "q11_topk_window"   -> qTopkWindow _,
+    "q12_log_stamp"     -> qLogStamp _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg"    -> sqlPricingAgg,
+    "q2_filter_project" -> sqlFilterProject,
+    "q3_enrich"         -> sqlEnrich,
+    "q4_semi_join"      -> sqlSemiJoin,
+    "q5_anti_join"      -> sqlAntiJoin,
+    "q6_scd_merge"      -> sqlScdMerge,
+    "q7_scd_counters"   -> sqlScdCounters,
+    "q8_upsert_type1"   -> sqlUpsertType1,
+    "q9_union"          -> sqlUnion,
+    "q10_cleanse"       -> sqlCleanse,
+    "q11_topk_window"   -> sqlTopkWindow,
+    "q12_log_stamp"     -> sqlLogStamp,
+  )
 }

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Registers every parquet in <sfDir> as a DuckDB view, runs each query from
+<verifyOutDir>/oracle_sql.json, and compares against the Spark result parquet
+written by graft.Verify — columns sorted by name, rows sorted by all columns,
+exact value equality.
+"""
+import duckdb, glob, json, sys, os
+import pandas as pd
+import numpy as np
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in sorted(glob.glob(f"{sf}/*.parquet")):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fails += 1
+        continue
+    try:
+        got = pd.concat([pd.read_parquet(p) for p in
+                         sorted(glob.glob(f"{out}/{name}/*.parquet"))],
+                        ignore_index=True)
+    except Exception as e:
+        print(f"FAIL {name}: spark result missing: {e}")
+        fails += 1
+        continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+        fails += 1
+        continue
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+        fails += 1
+        continue
+    ok = True
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if pd.api.types.is_datetime64_any_dtype(e) or pd.api.types.is_datetime64_any_dtype(g):
+            e = pd.to_datetime(e, utc=True).dt.tz_localize(None)
+            g = pd.to_datetime(g, utc=True).dt.tz_localize(None)
+        try:
+            same = (e.isna() & g.isna()) | (e == g)
+        except Exception:
+            same = e.astype(str) == g.astype(str)
+        if not bool(same.all()):
+            bad = (~same).to_numpy().nonzero()[0][:3]
+            print(f"FAIL {name}: col {c} mismatch at rows {bad.tolist()}:")
+            for i in bad:
+                print(f"    exp={exp[c].iloc[i]!r} got={got[c].iloc[i]!r}")
+            ok = False
+            fails += 1
+            break
+    if ok:
+        print(f"PASS {name} ({len(exp)} rows)")
+
+print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)
