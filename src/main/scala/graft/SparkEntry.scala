@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
-import graft.operators.ScdMerge
+import graft.operators.{Dedup, Multimodal, ScdMerge, Sessionize, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -406,6 +406,9 @@ object SparkEntry {
 
   // -------------------------------------------------------------- registry
 
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_agg"    -> qPricingAgg _,
     "q2_filter_project" -> qFilterProject _,
@@ -419,6 +422,20 @@ object SparkEntry {
     "q10_cleanse"       -> qCleanse _,
     "q11_topk_window"   -> qTopkWindow _,
     "q12_log_stamp"     -> qLogStamp _,
+    "q13_sessionize"    -> ((s, d) => Sessionize.sessions(Tables.events(s, d))),
+    "q14_tumbling"      -> ((s, d) => Sessionize.tumbling(Tables.events(s, d))),
+    "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
+    "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
+    "dedup_jaccard"     -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "dedup_embed"       -> ((s, d) => Similarity.embedNearDup(emb(s, d))),
+    "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
+    "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
+    "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
+    "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
+    "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
+    "text_fingerprint"  -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -434,5 +451,19 @@ object SparkEntry {
     "q10_cleanse"       -> sqlCleanse,
     "q11_topk_window"   -> sqlTopkWindow,
     "q12_log_stamp"     -> sqlLogStamp,
+    "q13_sessionize"    -> Sessionize.sqlSessions,
+    "q14_tumbling"      -> Sessionize.sqlTumbling,
+    "dedup_exact"       -> Dedup.sqlExact,
+    "dedup_minhash"     -> Dedup.sqlMinhashPairs,
+    "dedup_simhash"     -> Dedup.sqlSimhash,
+    "dedup_jaccard"     -> Dedup.sqlNgramJaccard,
+    "dedup_embed"       -> Similarity.sqlEmbedNearDup,
+    "sim_brute_topk"    -> Similarity.sqlBruteTopK,
+    "sim_ann_lsh"       -> Similarity.sqlAnnTopK,
+    "text_tokens"       -> TextOps.sqlTokenCounts,
+    "text_quality"      -> TextOps.sqlQuality,
+    "text_langid"       -> TextOps.sqlLangId,
+    "text_fingerprint"  -> TextOps.sqlFingerprint,
+    "mm_features"       -> Multimodal.sqlFeatures,
   )
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps.{sqlTokenHash, sqlWords, tokenHash, words}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Embedding-cosine near-dup lives in
+  * [[Similarity]].
+  *
+  * Scale design (100 TB): every variant reduces to hash-partitioned
+  * groupBy/join on a SMALL derived key (md5 of content, band signature,
+  * blocking bucket) — never a pairwise all-to-all. Candidate generation is
+  * per-bucket; only candidates pay the verification cost. Signatures are
+  * pure `Column` expressions computed map-side at scan speed.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+  /** Exact dedup by content hash: one hash-aggregate, shuffle key is the
+    * 32-hex md5, not the document body (at 100 TB the shuffle moves ~48
+    * bytes/doc, not the text).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  def sqlExact: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // ------------------------------------------------------------- shingles
+  /** Word k-shingles from a MATERIALIZED words column, 1-based positions
+    * (matches DuckDB list indexing). `concat` (not concat_ws) so
+    * out-of-range NULLs propagate identically.
+    *
+    * Callers must pass a bound column (`.withColumn("w", words(...))`), not
+    * a nested expression: Spark does no subexpression elimination inside
+    * lambda bodies, so an inline `split()` would re-run per array element —
+    * O(words²) per document.
+    */
+  def shingles(w: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(size(w) - (k - 1), lit(1))), i =>
+      concat((0 until k).flatMap(o =>
+        if (o == 0) Seq(element_at(w, i))
+        else Seq(lit(" "), element_at(w, i + o))): _*))
+
+  def sqlShingles(text: String, k: Int): String = {
+    val w = sqlWords(text)
+    val parts = (0 until k).map(o =>
+      if (o == 0) s"$w[i]" else s"$w[i+$o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($w) - ${k - 1}, 1) + 1), i -> $parts)"
+  }
+
+  // --------------------------------------------------------- MinHash + LSH
+  /** MinHash signature component j: min over shingles of md5("j|" + s).
+    * Using the md5 hex string itself as the hash value keeps both engines
+    * bit-identical (string min over identical hex).
+    */
+  def minhashSig(sh: Column, j: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$j|"), s))))
+  def sqlMinhashSig(sh: String, j: Int): String =
+    s"list_min(list_transform($sh, s -> md5('$j|' || s)))"
+
+  val MinhashK = 8      // signature length
+  val BandSize = 2      // rows per band → 4 bands
+  val ShingleK = 3      // words per shingle
+
+  /** LSH candidate pairs: docs sharing any band of their MinHash signature.
+    * Plan shape: map-side signature → explode to (band_idx, band_key) →
+    * hash-partitioned self-join on the band key → distinct pairs. Join input
+    * is |docs|·bands tiny rows; candidates only where signatures collide.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    // materialize words → shingles → signatures stage by stage: each is
+    // evaluated once per row (see shingles() scaladoc)
+    val sigCols = (0 until MinhashK).map(j =>
+      minhashSig(col("sh"), j).as(s"sig$j"))
+    val sigs = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), shingles(col("w"), ShingleK).as("sh"))
+      .select(col("doc_id") +: sigCols: _*)
+    val bands = (0 until MinhashK / BandSize).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat((b * BandSize until (b + 1) * BandSize)
+          .map(j => col(s"sig$j")): _*).as("band_key"))
+    }
+    val exploded = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def sqlMinhashPairs: String = {
+    val sh = sqlShingles("text", ShingleK)
+    val sigDefs = (0 until MinhashK).map(j =>
+      s"${sqlMinhashSig("sh", j)} AS sig$j").mkString(",\n    ")
+    val bandRows = (0 until MinhashK / BandSize).map { b =>
+      val key = (b * BandSize until (b + 1) * BandSize)
+        .map("sig" + _).mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH shingled AS (
+       |  SELECT doc_id, $sh AS sh FROM documents
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $sigDefs
+       |  FROM shingled
+       |), bands AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       | AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** 16-bit SimHash: per bit j, sign of Σ over tokens of ±1 by bit j of the
+    * token hash. One pass over the token array per document, no shuffle.
+    */
+  val SimhashBits = 16
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+    }
+    val sim = bitSums.zipWithIndex.map { case (s, j) =>
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), transform(col("w"), w => tokenHash(w)).as("hs"))
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def sqlSimhash: String = {
+    val hs = s"list_transform(${sqlWords("text")}, w -> ${sqlTokenHash("w")})"
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(hs, h -> CASE WHEN (h // ${1L << j}) % 2 = 1
+         |        THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS bs$j""".stripMargin
+    }.mkString(",\n    ")
+    val sim = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN bs$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, $sim AS simhash
+       |FROM (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM (SELECT doc_id, $hs AS hs FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+  /** Blocked n-gram Jaccard: candidates share (lang, length bucket); the
+    * distinct-shingle sets are intersected only inside blocks. Blocking key
+    * is the partition key — no all-pairs shuffle. Shingles are hashed to
+    * 32-bit longs before the pairwise intersect: set ops on fixed-width
+    * longs, not ~20-byte strings (same definition on both engines, so the
+    * oracle agrees bit-for-bit).
+    */
+  val JaccardBlockChars = 25
+  val JaccardThreshold = 0.05
+
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    // `div` (integer division) — Spark's double `/`+cast truncates while
+    // DuckDB's CAST(double AS BIGINT) rounds; `div` ↔ `//` agree exactly.
+    val withSets = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        shingles(col("w"), ShingleK).as("shs"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"n_chars div $JaccardBlockChars").as("bucket"),
+        array_distinct(transform(col("shs"), s => tokenHash(s))).as("sh"))
+    val a = withSets.alias("a")
+    val b = withSets.alias("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def sqlNgramJaccard: String = {
+    val sh = sqlShingles("text", ShingleK)
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    n_chars // $JaccardBlockChars AS bucket,
+       |    list_distinct(list_transform($sh, s -> ${sqlTokenHash("s")})) AS sh
+       |  FROM documents
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+       |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS ab
+       |  FROM s a JOIN s b ON a.lang = b.lang AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, i / (ab - i) AS jaccard
+       |FROM p WHERE i / (ab - i) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.{sqlSum, xsum}
+
+/** Event sessionization and time-window aggregation — the batch forms of the
+  * streaming pillar (the Structured Streaming variants run the same logic
+  * via `readStream`, see graft.streaming and StreamingSpec).
+  *
+  * Sessionize: gap-based sessions per user via lag + running conditional sum
+  * — two window functions over one hash-partition by user, then one
+  * aggregation. Time math is integer epoch-micros (`unix_micros` ↔
+  * `epoch_us`) so engines agree exactly.
+  *
+  * Scale: partition key is user_id (naturally high-cardinality); windows and
+  * the final groupBy share the same partitioning so Catalyst plans a single
+  * shuffle.
+  */
+object Sessionize {
+
+  val GapMicros: Long = 30L * 60 * 1000000 // 30 min session gap
+
+  def sessions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    val isNew = when(gap.isNull || gap > GapMicros, 1L).otherwise(0L)
+    events
+      .withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        xsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  def sqlSessions: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP))
+       |      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |), s AS (
+       |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > $GapMicros
+       |                     THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM g
+       |)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  ${sqlSum("value")} AS total_value
+       |FROM s GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Tumbling-window aggregation — identical logic feeds the streaming
+    * variant (`groupBy(window(ts, …))` under a watermark).
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        xsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  def sqlTumbling: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+       |  event_type, COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2, 3
+       |ORDER BY window_start, event_type""".stripMargin
+}

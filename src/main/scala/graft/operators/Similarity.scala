@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force
+  * cosine top-k as the exactness baseline, LSH-bucketed ANN as the scale
+  * path, and cosine near-duplicate pairs.
+  *
+  * Determinism across engines: elements are cast float→double BEFORE any
+  * arithmetic (exact widening), the dot product is a left-to-right fold with
+  * explicit 0.0 init (Spark `aggregate` ↔ DuckDB `list_reduce(list_prepend)`),
+  * and sqrt/division are single correctly-rounded IEEE ops — so cosine values
+  * are bit-identical and ranking never diverges. Scores are rounded only in
+  * the OUTPUT projection, after ranking.
+  *
+  * Scale notes: brute force is O(|Q|·N) — fine for a bounded query set but
+  * not for all-pairs; the ANN variant buckets by random-hyperplane signs so
+  * the join is hash-partitioned on the bucket key. At 100 TB the bucket key
+  * (and an IVF coarse quantizer as the next step) keeps each partition's
+  * candidate set memory-resident; the fold expression itself is codegen'd.
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def sqlDot(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${dim + 1}),
+       |        i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"""
+      .stripMargin
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def sqlCosine(a: String, b: String, dim: Int): String =
+    s"""(${sqlDot(a, b, dim)}
+       |  / (sqrt(${sqlDot(a, a, dim)})
+       |   * sqrt(${sqlDot(b, b, dim)})))""".stripMargin
+
+  val Dim = 64
+  val NQueries = 5      // query set: vec_id < NQueries
+  val TopK = 10
+
+  /** Norm is computed ONCE per vector (map-side, before any join) — per-pair
+    * cosine is then one dot + one multiply + one divide. sqrt(dot(v,v)) per
+    * row produces the identical double the per-pair form would, so oracles
+    * written either way agree.
+    */
+  def withNorm(df: DataFrame, v: String): DataFrame =
+    df.withColumn("norm", sqrt(dot(col(v), col(v))))
+
+  // ------------------------------------------------------- brute-force topk
+  def bruteTopK(emb: DataFrame): DataFrame = {
+    val q = withNorm(emb.filter(col("vec_id") < NQueries), "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val c = withNorm(emb, "embedding")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlBruteTopK: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
+       |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  // ------------------------------------------------------------ LSH ANN
+  /** Random-hyperplane LSH: hyperplane j has integer coefficients
+    * ((i*37 + j*101) mod 7) - 3 — deterministic, exactly representable, so
+    * the sign of the projection is bit-stable in every engine.
+    */
+  val NPlanes = 4
+  val AnnTopK = 5
+
+  private def planeCoef(i: Int, j: Int): Int = ((i * 37 + j * 101) % 7) - 3
+
+  /** Bucket id = bits of sign(v · r_j). */
+  def lshBucket(v: Column): Column =
+    (0 until NPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(v, array((0 until Dim).map(i => lit(planeCoef(i, j))): _*),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def sqlLshBucket(v: String): String =
+    (0 until NPlanes).map { j =>
+      val coefs = (0 until Dim).map(planeCoef(_, j)).mkString(", ")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, ${Dim + 1}),
+         |      i -> $v[i]::DOUBLE * ([$coefs][i])::DOUBLE)),
+         |    (x, y) -> x + y) >= 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+
+  def annTopK(emb: DataFrame): DataFrame = {
+    val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
+      col("embedding"), col("norm"), lshBucket(col("embedding")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("norm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlAnnTopK: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  // ----------------------------------------------------- cosine near-dup
+  /** Embedding near-duplicate pairs, blocked by label (demo blocking key —
+    * in production the LSH bucket serves). Threshold applied to the
+    * bit-stable unrounded cosine; rounding only in the projection.
+    */
+  val NearDupThreshold = 0.3
+
+  def embedNearDup(emb: DataFrame): DataFrame = {
+    val n = withNorm(emb, "embedding")
+    val a = n.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"), col("norm").as("na")).alias("a")
+    val b = n.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"), col("norm").as("nb")).alias("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def sqlEmbedNearDup: String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${sqlCosine("a.embedding", "b.embedding", Dim)} AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim
+       |FROM p WHERE cos >= $NearDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All per-document metrics are pure `Column` expressions (whole-stage
+  * codegen, no UDFs, no shuffle) — at 100 TB these run map-side at scan
+  * speed. Every op has a DuckDB-SQL mirror (`sql*`) built from the same
+  * constants so the oracle is definitionally in sync.
+  *
+  * Cross-engine determinism rules: word splitting is single-space `split`
+  * (identical in Spark and DuckDB), hashes are md5-derived (identical hex in
+  * both), folds are left-to-right with an explicit init (Spark `aggregate`
+  * ↔ DuckDB `list_reduce(list_prepend(init, …))`), and scores use only
+  * rational arithmetic (no transcendentals — libm implementations differ in
+  * the last ulp across engines).
+  */
+object TextOps {
+
+  /** 32-bit token hash: first 8 hex chars of md5, as a long. */
+  def tokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+  def sqlTokenHash(w: String): String =
+    s"CAST(('0x' || substr(md5($w), 1, 8)) AS BIGINT)"
+
+  def words(text: Column): Column = split(text, " ")
+  def sqlWords(text: String): String = s"string_split($text, ' ')"
+
+  // ------------------------------------------------------------ token count
+  /** Whitespace tokens + a BPE-ish regex segmentation (letter runs, digit
+    * runs, single other chars) — both countable at scan speed.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      length(col("text")).as("n_chars_computed"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as("bpe_tokens"))
+
+  def sqlTokenCounts: String =
+    s"""SELECT doc_id, length(text) AS n_chars_computed,
+       |  len(${sqlWords("text")}) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- quality score
+  /** Length / stopword / vocabulary-diversity ratios combined into a
+    * rational quality score (no logs — cross-engine exactness).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def quality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val nStop = size(filter(w, x => x.isInCollection(Stopwords))).cast("double")
+    val nDistinct = size(array_distinct(w)).cast("double")
+    docs.select(col("doc_id"),
+      (nStop / nWords).as("stopword_ratio"),
+      (nDistinct / nWords).as("distinct_ratio"),
+      (length(col("text")).cast("double") / nWords).as("avg_token_len"),
+      // rational quality blend: long docs with diverse non-stopword text win
+      ((nWords / (nWords + lit(100.0))) * (nDistinct / nWords)
+        * (lit(1.0) - nStop / nWords)).as("quality_score"))
+  }
+
+  def sqlQuality: String = {
+    val set = Stopwords.map(s => s"'$s'").mkString(", ")
+    val w = sqlWords("text")
+    s"""SELECT doc_id,
+       |  nstop / nwords AS stopword_ratio,
+       |  ndistinct / nwords AS distinct_ratio,
+       |  CAST(length(text) AS DOUBLE) / nwords AS avg_token_len,
+       |  (nwords / (nwords + 100.0)) * (ndistinct / nwords)
+       |    * (1.0 - nstop / nwords) AS quality_score
+       |FROM (
+       |  SELECT doc_id, text,
+       |    CAST(len($w) AS DOUBLE) AS nwords,
+       |    CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE) AS nstop,
+       |    CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ language ID
+  /** Marker-word voting heuristic: count hits per language profile, argmax
+    * with a fixed tie-break order. (The fixture vocabulary is synthetic, so
+    * profiles are synthetic too — the operator shape is what matters: N
+    * conditional counts per row, zero shuffles.)
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("table", "row", "column"),
+    "es" -> Seq("data", "query", "scan"),
+    "fr" -> Seq("filter", "sort", "merge"),
+    "zh" -> Seq("vector", "hash", "stream"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val scores = LangProfiles.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isInCollection(markers)))
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === mx && mx > 0, lit(lang)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"),
+      predicted.as("predicted_lang"),
+      (predicted === col("lang")).as("lang_match"))
+  }
+
+  def sqlLangId: String = {
+    val w = sqlWords("text")
+    val scoreDefs = LangProfiles.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter($w, x -> x IN ($set))) AS s_$lang"
+    }.mkString(",\n    ")
+    val mx = s"greatest(${LangProfiles.map("s_" + _._1).mkString(", ")})"
+    // foldRight in langId means earlier profiles win ties → first-match CASE
+    val cases = LangProfiles.map { case (lang, _) =>
+      s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cases ELSE 'und' END AS predicted_lang,
+       |  (CASE $cases ELSE 'und' END = lang) AS lang_match
+       |FROM (
+       |  SELECT *, $mx AS mx
+       |  FROM (SELECT doc_id, lang,
+       |    $scoreDefs
+       |  FROM documents)
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- fingerprinting
+  /** Rolling polynomial fingerprint over token hashes, mod a large prime —
+    * an order-sensitive document signature (unlike minhash, word order
+    * matters). Left-to-right fold with explicit 0 init on both engines.
+    */
+  val FpMod = 1000000007L
+  val FpBase = 31L
+
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val hashes = transform(words(col("text")), w => tokenHash(w))
+    val fp = aggregate(hashes, lit(0L),
+      (acc, h) => (acc * lit(FpBase) + h) % lit(FpMod))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  def sqlFingerprint: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(${sqlWords("text")},
+       |                     w -> ${sqlTokenHash("w")})),
+       |    (acc, h) -> (acc * $FpBase + h) % $FpMod) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming run-mode: the same event transforms as the batch
+  * operators ([[graft.operators.Sessionize]]), driven by `readStream`.
+  *
+  * Design for scale: state is keyed by user_id (hash-partitioned by the
+  * streaming aggregation itself); watermarks bound state growth; the batch
+  * and streaming paths share transform logic so correctness is established
+  * once by the batch oracle and the streaming tests only prove the
+  * plumbing (schema, watermark, state transitions, batch-boundary
+  * continuity).
+  */
+object Streams {
+
+  /** Explicit source schema — a streaming source cannot infer. `ts` arrives
+    * as raw TIMESTAMP(NANOS) parquet, read as long via the legacy flag and
+    * truncated to micros exactly like Tables.events.
+    */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** @param dir the fixture directory (a FileStreamSource path must be a
+    *             directory; the glob narrows it to the events table)
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation — streaming twin of
+    * Sessionize.tumbling.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // ------------------------------------------------ stateful sessionization
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      value: Double)
+  final case class SessionState(sessionSeq: Long, lastTsUs: Long,
+      n: Long, startUs: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+      n_events: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, total_value: Double)
+
+  val GapMicros: Long = graft.operators.Sessionize.GapMicros
+
+  /** Gap-based session assembly with explicit keyed state: closed sessions
+    * are emitted; the open session rides in `GroupState` across
+    * micro-batches (the continuity batch mode cannot provide).
+    */
+  def sessionFunc(userId: Long, rows: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    def toTs(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000)
+      t.setNanos((u % 1000000).toInt * 1000)
+      t
+    }
+    val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+    var cur = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = us(e.ts)
+      cur match {
+        case Some(s) if t - s.lastTsUs <= GapMicros =>
+          cur = Some(s.copy(lastTsUs = t, n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          out += SessionOut(userId, s.sessionSeq, s.n, toTs(s.startUs),
+            toTs(s.lastTsUs), s.total)
+          cur = Some(SessionState(s.sessionSeq + 1, t, 1, t, e.value))
+        case None =>
+          cur = Some(SessionState(1, t, 1, t, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    out.result().iterator
+  }
+
+  def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(sessionFunc)
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the collected table (local test harness path).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Semantic unit tests for the training-data operators on crafted inputs —
+  * properties the fixture oracle can't isolate (identity, symmetry,
+  * order sensitivity).
+  */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("minhash finds identical docs, skips disjoint docs") {
+    val d = docsOf(
+      (1, "the quick brown fox jumps over the lazy dog today"),
+      (2, "the quick brown fox jumps over the lazy dog today"),
+      (3, "completely different words appear here without any overlap at all"))
+    val pairs = Dedup.minhashPairs(d).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash identical for identical text, differs for disjoint text") {
+    val d = docsOf(
+      (1, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3, "one two three four five six seven eight nine ten"))
+    val m = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1) == m(2) && m(1) != m(3))
+  }
+
+  test("jaccard is 1.0 for identical docs in same block") {
+    val d = docsOf(
+      (1, "a b c d e f g h i j"),
+      (2, "a b c d e f g h i j"))
+    val out = Dedup.ngramJaccard(d).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("exact dedup collapses identical text to min doc_id") {
+    val d = docsOf((5, "x y z"), (3, "x y z"), (9, "p q r"))
+    val out = Dedup.exact(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((3L, 2L), (9L, 1L)))
+  }
+
+  test("cosine: identity 1, orthogonal 0, ranking correct") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cos = e.alias("a").join(e.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((0L, 1L)) == 1.0)
+    assert(cos((0L, 2L)) == 0.0)
+    assert(cos((0L, 3L)) > 0.9 && cos((0L, 3L)) < 1.0)
+  }
+
+  test("fingerprint is order-sensitive, unlike shingle sets") {
+    val d = docsOf((1, "alpha beta gamma"), (2, "gamma beta alpha"))
+    val fps = TextOps.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1) != fps(2))
+  }
+
+  test("token counts: whitespace vs bpe-ish segmentation") {
+    val d = docsOf((1, "hello world 42 ok"))
+    val r = TextOps.tokenCounts(d).collect().head
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    assert(r.getAs[Int]("bpe_tokens") == 4) // hello|world|42|ok
+  }
+
+  test("multimodal features: deterministic stub decode over binary column") {
+    val d = docsOf((1, "abcdefghij"), (2, "zz"))
+    val f = Multimodal.features(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("byte_len"), r.getAs[Long]("head_sum"))).toMap
+    assert(f(1) == ((10, "abcdefgh".map(_.toLong).sum)))
+    assert(f(2) == ((2, 'z'.toLong * 2)))
+    // content hash matches engine md5 of the text bytes
+    val hashes = Multimodal.features(spark, d)
+      .join(d.select(col("doc_id"), md5(col("text")).as("expect")), "doc_id")
+      .filter(col("content_hash") =!= col("expect")).count()
+    assert(hashes == 0)
+  }
+
+  test("lang id votes deterministically with fixed tie order") {
+    val d = docsOf(
+      (1, "the a of something"),          // en markers
+      (2, "table row column stuff"),      // de markers
+      (3, "nomatch words only here"))     // no markers -> und
+    val out = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}

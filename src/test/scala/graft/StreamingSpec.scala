@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Sessionize
+import graft.streaming.Streams
+
+/** Streaming twins vs batch truth: the tumbling window aggregation must
+  * match the batch operator on the same data; stateful sessionization must
+  * close sessions across micro-batch boundaries.
+  */
+class StreamingSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling counts match batch tumbling on same data") {
+    val streamed = Streams.runToMemory(
+      Streams.tumblingCounts(Streams.eventsStream(spark, dir)),
+      "tumbling_out", OutputMode.Complete())
+      .select("window_start", "event_type", "n_events")
+    val batch = Sessionize.tumbling(Tables.events(spark, dir))
+      .select("window_start", "event_type", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stateful sessionization closes sessions on gap and keeps state") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    // user 7: two events 10 min apart (one session), then a 2h gap
+    val evs = Seq(
+      Streams.Ev(1, ts(0), 7, 1.0),
+      Streams.Ev(2, ts(10), 7, 2.0),
+      Streams.Ev(3, ts(130), 7, 4.0),
+      Streams.Ev(4, ts(5), 9, 8.0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    mem.addData(evs)
+    val q = Streams.sessionizeStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sess_out").as[Streams.SessionOut].collect()
+    // only user 7's first session closed (2h gap); open sessions stay in state
+    assert(closed.toSeq == Seq(
+      Streams.SessionOut(7, 1, 2, ts(0), ts(10), 3.0)))
+  }
+
+  test("batch sessionize agrees with itself on fixture (structure)") {
+    val s = Sessionize.sessions(Tables.events(spark, dir))
+    val total = s.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, dir).count())
+  }
+}
