@@ -23,10 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right fold dot product of two float-array columns, in double. */
+  import graft.functions.VectorExprs
+
+  /** Left-to-right fold dot product of two float-array columns, in double —
+    * the built-in-composition reference form. The hot paths use the
+    * codegen'd native expression [[graft.functions.DotProductFloat]], which
+    * is bit-identical (same order, same widening) but loops over primitive
+    * arrays with no per-pair allocation.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Native-expression dot; requires VectorExprs.register on the session
+    * (public ops below do it).
+    */
+  private def ndot(a: Column, b: Column): Column = VectorExprs.dotF(a, b)
 
   def sqlDot(a: String, b: String, dim: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -51,8 +63,10 @@ object Similarity {
     * row produces the identical double the per-pair form would, so oracles
     * written either way agree.
     */
-  def withNorm(df: DataFrame, v: String): DataFrame =
-    df.withColumn("norm", sqrt(dot(col(v), col(v))))
+  def withNorm(df: DataFrame, v: String): DataFrame = {
+    VectorExprs.register(df.sparkSession)
+    df.withColumn("norm", sqrt(ndot(col(v), col(v))))
+  }
 
   // ------------------------------------------------------- brute-force topk
   def bruteTopK(emb: DataFrame): DataFrame = {
@@ -65,7 +79,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("cand_id"),
@@ -131,7 +145,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= AnnTopK)
       .select(col("query_id"), col("rk"), col("cand_id"),
@@ -174,7 +188,7 @@ object Similarity {
       col("embedding").as("eb"), col("norm").as("nb")).alias("b")
     a.join(b, col("a.label") === col("b.label") &&
         col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", ndot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -96,6 +96,19 @@ class OpsSpec extends SparkSuite {
     assert(hashes == 0)
   }
 
+  test("native dot expression is bit-identical to the fold form") {
+    graft.functions.VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = e.alias("a").join(e.alias("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val diff = pairs.select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("fold"),
+        graft.functions.VectorExprs.dotF(col("a.embedding"),
+          col("b.embedding")).as("native"))
+      .filter(col("fold") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
   test("lang id votes deterministically with fixed tie order") {
     val d = docsOf(
       (1, "the a of something"),          // en markers
