@@ -89,28 +89,31 @@ object ScdMerge {
     val inc = incoming
       .withColumn("__rn", row_number().over(incW))
       .filter(col("__rn") === 1).drop("__rn")
-      .select((keys :+ valueCol :+ batchCol).map(col): _*)
-      .withColumnRenamed(valueCol, "__i_value")
-      .withColumnRenamed(batchCol, "__i_batch")
+      .select(keys.map(kn => col(kn).as(s"__i_$kn")) ++ Seq(
+        col(valueCol).as("__i_value"), col(batchCol).as("__i_batch"),
+        lit(true).as("__i_present")): _*)
 
-    // Current-row selection on the target: the procedure probes the active
-    // row first (SQL:25-31), else the latest inactive one. History rows
-    // bypass the join entirely.
+    // Current-row flag on the target: the procedure probes the active row
+    // first (SQL:25-31), else the latest inactive one. History rows flow
+    // through the SAME join (the current-flag join condition never matches
+    // them) so the whole merge is ONE full-outer join — no Union branch
+    // recomputes it.
     val tgtN = if (scd2) target else
       target.withColumn(activeCol, lit(true))
         .withColumn(updatedAtCol, lit(null).cast("timestamp"))
     val tgtW = Window.partitionBy(k: _*)
       .orderBy(col(activeCol).desc, col(updatedAtCol).desc_nulls_last,
         col(valueCol).desc_nulls_last)
-    val tgt = tgtN.withColumn("__rn", row_number().over(tgtW))
-    val cur = tgt.filter(col("__rn") === 1).drop("__rn")
-    val history = tgt.filter(col("__rn") > 1).drop("__rn")
-      .withColumn(ChangeCol, lit("history"))
-
-    val joined = cur
+    val tgt = tgtN
+      .withColumn("__cur", row_number().over(tgtW) === 1)
       .withColumn("__t_present", lit(true))
-      .join(inc.withColumn("__i_present", lit(true)),
-        keys, "full_outer")
+
+    // Equi-join on the keys (drives partitioning — the window's hash
+    // exchange is reused) plus the current-flag predicate: history rows
+    // fall out as unmatched target-side rows.
+    val joinCond = keys.map(kn => tgt(kn) === inc(s"__i_$kn"))
+      .reduce(_ && _) && tgt("__cur") === lit(true)
+    val joined = tgt.join(inc, joinCond, "full_outer")
 
     val tPresent = col("__t_present") <=> lit(true)
     val iPresent = col("__i_present") <=> lit(true)
@@ -123,6 +126,7 @@ object ScdMerge {
       !(col(batchCol) <=> batchId)
     val ct =
       when(!tPresent, lit("insert"))
+        .when(!iPresent && !col("__cur"), lit("history"))
         .when(!iPresent && act && lit(scd2) && stale, lit("deactivate"))
         .when(!iPresent, lit("carry"))
         .when(act && tVal === iVal, lit("no_change"))
@@ -148,26 +152,29 @@ object ScdMerge {
         lit(null).cast("timestamp"))
       .otherwise(col(updatedAtCol))
 
-    val stateCols = keys.map(col) ++ Seq(
+    // One output row per input row — except the "version" branch, which
+    // keeps the superseded row inactive alongside the new one (SQL:72-91).
+    // A conditional explode emits both from the same joined row, so no
+    // second pass over the join.
+    val primary = struct(
       newVal.as(valueCol), newBatch.as(batchCol), newActive.as(activeCol),
-      newUpdated.as(updatedAtCol), col(ChangeCol))
+      newUpdated.as(updatedAtCol), col(ChangeCol).as(ChangeCol))
+    val supersededRow = struct(
+      tVal.as(valueCol), col(batchCol).as(batchCol),
+      lit(false).as(activeCol), col(updatedAtCol).as(updatedAtCol),
+      lit("version_history").as(ChangeCol))
+    val rows = when(col(ChangeCol) === "version",
+      array(primary, supersededRow)).otherwise(array(primary))
 
-    val newState = classified.select(stateCols: _*)
-
-    // The "version" branch keeps the superseded inactive row (SQL:72-91:
-    // the old row is retained as history and a brand-new active row is
-    // inserted).
-    val versionHistory = classified
-      .filter(col(ChangeCol) === "version")
+    val keyOut = keys.map(kn => coalesce(tgt(kn), inc(s"__i_$kn")).as(kn))
+    val full = classified
+      .select(keyOut :+ explode(rows).as("__r"): _*)
       .select(keys.map(col) ++ Seq(
-        col(valueCol), col(batchCol), lit(false).as(activeCol),
-        col(updatedAtCol), lit("version_history").as(ChangeCol)): _*)
-
-    val full = newState
-      .unionByName(versionHistory)
-      .unionByName(history.select(
-        keys.map(col) ++ Seq(col(valueCol), col(batchCol), col(activeCol),
-          col(updatedAtCol), col(ChangeCol)): _*))
+        col(s"__r.$valueCol").as(valueCol),
+        col(s"__r.$batchCol").as(batchCol),
+        col(s"__r.$activeCol").as(activeCol),
+        col(s"__r.$updatedAtCol").as(updatedAtCol),
+        col(s"__r.$ChangeCol").as(ChangeCol)): _*)
 
     if (scd2) full
     else full.filter(col(ChangeCol) =!= "deactivate")
