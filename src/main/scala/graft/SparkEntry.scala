@@ -404,6 +404,106 @@ object SparkEntry {
        |GROUP BY event_type
        |ORDER BY log_phase""".stripMargin
 
+  // ----------------------------------------------------- q15_enrich_pivot
+  // The declared currency-enrichment output (SQL:317-318) through the REAL
+  // pipeline stages: cleanseBanks → cleanseRates → pivot → broadcast cross
+  // join (graft.pipeline.WorldBanksPipeline). Testdata-shaped: customers as
+  // banks, nations as rate rows.
+  private def qEnrichPivot(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.WorldBanksPipeline
+    val rawBanks = Tables.customer(s, dir).select(
+      col("c_name").as("bank_name"),
+      col("c_acctbal").cast("string").as("market_cap_usd"),
+      lit("This page was last edited on 21 August 2024, at 10:30")
+        .as("lastmod_text"))
+    val rawRates = Tables.nation(s, dir).select(
+      col("n_name").as("country"),
+      element_at(array(lit("Pound"), lit("Euro"), lit("Rupee"), lit("Yen"),
+        lit("Franc")), (col("n_nationkey") % 5).cast("int") + 1).as("currency"),
+      (col("n_nationkey") * 7 + 3).cast("string").as("exchange_rate"))
+    WorldBanksPipeline.enrich(
+      WorldBanksPipeline.cleanseBanks(rawBanks, lit("b1")),
+      WorldBanksPipeline.cleanseRates(rawRates, "2024", lit("b1")))
+      .orderBy(col("bank_name"))
+  }
+
+  private val sqlEnrichPivot: String =
+    """WITH rates AS (
+      |  SELECT CASE CAST(n_nationkey % 5 AS INT)
+      |           WHEN 0 THEN 'Pound' WHEN 1 THEN 'Euro' WHEN 2 THEN 'Rupee'
+      |           WHEN 3 THEN 'Yen' ELSE 'Franc' END AS currency,
+      |         CAST(n_nationkey * 7 + 3 AS DOUBLE) AS exchange_rate
+      |  FROM nation
+      |), p AS (
+      |  SELECT MIN(CASE WHEN currency = 'Pound' THEN exchange_rate END) AS pound,
+      |         MIN(CASE WHEN currency = 'Euro' THEN exchange_rate END) AS euro,
+      |         MIN(CASE WHEN currency = 'Rupee' THEN exchange_rate END) AS rupee
+      |  FROM rates
+      |)
+      |SELECT c_name AS bank_name, c_acctbal AS market_cap_usd,
+      |  ROUND(c_acctbal * pound, 2) AS MC_GBP_Billion,
+      |  ROUND(c_acctbal * euro, 2) AS MC_EUR_Billion,
+      |  ROUND(c_acctbal * rupee, 2) AS MC_INR_Billion
+      |FROM customer, p
+      |ORDER BY bank_name""".stripMargin
+
+  // -------------------------------------------------- q16-q19 extension ops
+  // §2.11 families the reference lacks, provided by Spark built-ins:
+  // rollup, except, json scalar functions, distinct aggregation + top-n.
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val sqlRollup: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin
+
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val sqlExcept: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  private def qJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") % 10 === 3)
+      .orderBy(col("event_id"))
+
+  private val sqlJson: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 3
+      |ORDER BY event_id""".stripMargin
+
+  private def qTopN(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_lines"))
+      .orderBy(col("l_returnflag")).limit(2)
+
+  private val sqlTopN: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag LIMIT 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -424,6 +524,11 @@ object SparkEntry {
     "q12_log_stamp"     -> qLogStamp _,
     "q13_sessionize"    -> ((s, d) => Sessionize.sessions(Tables.events(s, d))),
     "q14_tumbling"      -> ((s, d) => Sessionize.tumbling(Tables.events(s, d))),
+    "q15_enrich_pivot"  -> qEnrichPivot _,
+    "q16_rollup"        -> qRollup _,
+    "q17_except"        -> qExcept _,
+    "q18_json"          -> qJson _,
+    "q19_distinct_topn" -> qTopN _,
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
@@ -453,6 +558,11 @@ object SparkEntry {
     "q12_log_stamp"     -> sqlLogStamp,
     "q13_sessionize"    -> Sessionize.sqlSessions,
     "q14_tumbling"      -> Sessionize.sqlTumbling,
+    "q15_enrich_pivot"  -> sqlEnrichPivot,
+    "q16_rollup"        -> sqlRollup,
+    "q17_except"        -> sqlExcept,
+    "q18_json"          -> sqlJson,
+    "q19_distinct_topn" -> sqlTopN,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,
     "dedup_simhash"     -> Dedup.sqlSimhash,

@@ -49,12 +49,18 @@ object ScdMerge {
     *
     * @param keys      merge key columns (present on both sides)
     * @param valueCol  change-detection column (both sides)
+    * @param payloads  non-key carry-along columns (both sides): written from
+    *                  the incoming row on insert/update/reactivate/version
+    *                  (the reference stamps last_modified_date on every
+    *                  write branch — SQL:47,66,85,105), kept from the target
+    *                  otherwise
     * @param scd2      true → five-branch active-flag variant (world_bank_data);
     *                  false → Type-1 upsert (exchanges_rates)
     */
   final case class Config(
       keys: Seq[String],
       valueCol: String,
+      payloads: Seq[String] = Nil,
       batchCol: String = "batch_id",
       activeCol: String = "active",
       updatedAtCol: String = "updated_at",
@@ -89,7 +95,8 @@ object ScdMerge {
     val inc = incoming
       .withColumn("__rn", row_number().over(incW))
       .filter(col("__rn") === 1).drop("__rn")
-      .select(keys.map(kn => col(kn).as(s"__i_$kn")) ++ Seq(
+      .select(keys.map(kn => col(kn).as(s"__i_$kn")) ++
+        payloads.map(p => col(p).as(s"__i_$p")) ++ Seq(
         col(valueCol).as("__i_value"), col(batchCol).as("__i_batch"),
         lit(true).as("__i_present")): _*)
 
@@ -152,25 +159,35 @@ object ScdMerge {
         lit(null).cast("timestamp"))
       .otherwise(col(updatedAtCol))
 
+    // Payload columns follow the write branches: incoming value on any
+    // branch that writes, target value otherwise.
+    val writes = col(ChangeCol).isin("insert", "update", "reactivate",
+      "version")
+    def newPayload(p: String): Column =
+      when(writes, col(s"__i_$p")).otherwise(col(p))
+
     // One output row per input row — except the "version" branch, which
     // keeps the superseded row inactive alongside the new one (SQL:72-91).
     // A conditional explode emits both from the same joined row, so no
     // second pass over the join.
     val primary = struct(
-      newVal.as(valueCol), newBatch.as(batchCol), newActive.as(activeCol),
-      newUpdated.as(updatedAtCol), col(ChangeCol).as(ChangeCol))
+      Seq(newVal.as(valueCol)) ++ payloads.map(p => newPayload(p).as(p)) ++
+        Seq(newBatch.as(batchCol), newActive.as(activeCol),
+          newUpdated.as(updatedAtCol), col(ChangeCol).as(ChangeCol)): _*)
     val supersededRow = struct(
-      tVal.as(valueCol), col(batchCol).as(batchCol),
-      lit(false).as(activeCol), col(updatedAtCol).as(updatedAtCol),
-      lit("version_history").as(ChangeCol))
+      Seq(tVal.as(valueCol)) ++ payloads.map(p => col(p).as(p)) ++
+        Seq(col(batchCol).as(batchCol), lit(false).as(activeCol),
+          col(updatedAtCol).as(updatedAtCol),
+          lit("version_history").as(ChangeCol)): _*)
     val rows = when(col(ChangeCol) === "version",
       array(primary, supersededRow)).otherwise(array(primary))
 
     val keyOut = keys.map(kn => coalesce(tgt(kn), inc(s"__i_$kn")).as(kn))
     val full = classified
       .select(keyOut :+ explode(rows).as("__r"): _*)
-      .select(keys.map(col) ++ Seq(
-        col(s"__r.$valueCol").as(valueCol),
+      .select(keys.map(col) ++
+        Seq(col(s"__r.$valueCol").as(valueCol)) ++
+        payloads.map(p => col(s"__r.$p").as(p)) ++ Seq(
         col(s"__r.$batchCol").as(batchCol),
         col(s"__r.$activeCol").as(activeCol),
         col(s"__r.$updatedAtCol").as(updatedAtCol),

@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScdMerge
+
+/** The reference's whole pipeline (`main()`, ipynb:318-341) re-expressed as
+  * composable Spark stages:
+  *
+  *   cleanse (F1-F9) → SCD load (§2.5) + counters (A2) + deactivation gate
+  *   (C4/J4) → enrichment (J5/F12) → structured logs (O1/O2)
+  *
+  * The reference crosses the client/server boundary 3×-per-row+2
+  * (SURVEY §3.3); here each stage is one declarative plan and the whole run
+  * is a handful of jobs regardless of row count.
+  *
+  * Determinism contract: batch id (`uuid()`, ipynb:20) and the clock
+  * (`CURRENT_TIMESTAMP`/`CURRENT_DATE`, SQL:5-6,135) are injected.
+  */
+object WorldBanksPipeline {
+
+  final case class Clock(ts: Column, date: Column)
+
+  /** Typed outputs of one pipeline run — the reference's five durable
+    * tables (SURVEY §1.1).
+    */
+  final case class Result(
+      worldBankData: DataFrame,
+      exchangeRates: DataFrame,
+      bankCounters: DataFrame,
+      rateCounters: DataFrame,
+      processLogs: DataFrame)
+
+  // ------------------------------------------------------------- cleansing
+  /** Bank-table cleansing (ipynb:79-102): trim scraped cells (F1), parse the
+    * footer lastmod text via the split-on-"on" quirk (F2/F3, ipynb:89-90),
+    * cast the market cap (F9), stamp the batch (P4/O2).
+    * Input columns: bank_name, market_cap_usd (string), lastmod_text.
+    */
+  def cleanseBanks(raw: DataFrame, batchId: Column): DataFrame =
+    raw.select(
+      trim(col("bank_name")).as("bank_name"),
+      trim(col("market_cap_usd")).cast("double").as("market_cap_usd"),
+      to_date(
+        trim(element_at(split(element_at(split(col("lastmod_text"), "on"), 2),
+          ","), 1)), "d MMMM yyyy").as("last_modified_date"),
+      batchId.as("batch_id"))
+
+  /** Rates-table cleansing (ipynb:127-166): trim (F1), cast (F9), synthesize
+    * the year-end date `31-12-<year>` (F6, ipynb:143), stamp the batch.
+    * Input columns: country, currency, exchange_rate (string); `year` comes
+    * from header sniffing ([[sniffYear]]) as in ipynb:131-139.
+    */
+  def cleanseRates(raw: DataFrame, year: String, batchId: Column): DataFrame =
+    raw.select(
+      trim(col("country")).as("country"),
+      trim(col("currency")).as("currency"),
+      trim(col("exchange_rate")).cast("double").as("exchange_rate"),
+      to_date(concat(lit("31-12-"), lit(year)), "dd-MM-yyyy").as("year"),
+      batchId.as("batch_id"))
+
+  /** Header year sniffing (F5, ipynb:131-139): first header that is a
+    * 4-digit number. Header rows are table metadata, so this is a driver-side
+    * scalar — exactly as in the reference.
+    */
+  def sniffYear(headers: Seq[String]): Option[String] =
+    headers.find(h => h.length == 4 && h.forall(_.isDigit))
+
+  // ----------------------------------------------------------------- load
+  val BankCfg: ScdMerge.Config = ScdMerge.Config(
+    keys = Seq("bank_name"), valueCol = "market_cap_usd",
+    payloads = Seq("last_modified_date"))
+  val RateCfg: ScdMerge.Config = ScdMerge.Config(
+    keys = Seq("country", "currency", "year"), valueCol = "exchange_rate",
+    scd2 = false)
+
+  /** Bank load: hybrid SCD merge with the deactivation gate (C4,
+    * ipynb:240-246) — the reference only deactivates when the batch actually
+    * carried rows; an empty extraction leaves the target untouched. The gate
+    * is genuine control flow in the reference, so it is a driver-side
+    * decision here too (one cheap `isEmpty` on the already-deduped batch).
+    */
+  def loadBanks(incoming: DataFrame, target: DataFrame, clock: Clock,
+      batchId: Column): DataFrame =
+    if (incoming.isEmpty) {
+      target.withColumn(ScdMerge.ChangeCol, lit("carry"))
+    } else {
+      ScdMerge.merge(incoming, target, BankCfg, clock.ts, clock.date, batchId)
+    }
+
+  def loadRates(incoming: DataFrame, target: DataFrame, clock: Clock,
+      batchId: Column): DataFrame =
+    ScdMerge.merge(incoming, target, RateCfg, clock.ts, clock.date, batchId)
+
+  // ----------------------------------------------------------- enrichment
+  /** The declared-but-unimplemented enrichment output
+    * (SQL/etl_world_banks.sql:317-318): MC_GBP/EUR/INR_Billion columns.
+    * Rates for the three currencies pivot to ONE broadcast row — the fact
+    * side never shuffles. `min` (not `first`) keeps the pivot deterministic
+    * under duplicate currency rows.
+    */
+  val EnrichCurrencies: Seq[String] = Seq("Pound", "Euro", "Rupee")
+
+  def enrich(banks: DataFrame, rates: DataFrame): DataFrame = {
+    val r = rates.filter(col("currency").isInCollection(EnrichCurrencies))
+      .groupBy().pivot("currency", EnrichCurrencies)
+      .agg(min(col("exchange_rate")))
+    banks.crossJoin(broadcast(r))
+      .select(col("bank_name"), col("market_cap_usd"),
+        round(col("market_cap_usd") * col("Pound"), 2).as("MC_GBP_Billion"),
+        round(col("market_cap_usd") * col("Euro"), 2).as("MC_EUR_Billion"),
+        round(col("market_cap_usd") * col("Rupee"), 2).as("MC_INR_Billion"))
+  }
+
+  // ----------------------------------------------------------------- logs
+  /** Structured progress log (O1, ipynb:51-56 / SQL:291-315): phase rows
+    * with the batch lineage stamp, one append-only frame per run.
+    */
+  def logFrame(spark: org.apache.spark.sql.SparkSession,
+      phases: Seq[(String, String)], clock: Clock,
+      batchId: Column): DataFrame = {
+    import spark.implicits._
+    phases.toDF("log_phase", "message")
+      .withColumn("datetime", clock.ts)
+      .withColumn("batch_id", batchId)
+  }
+
+  // ------------------------------------------------------------------ run
+  /** Full lifecycle over already-extracted raw frames (S1-S4 become fixture
+    * reads — SURVEY §7.5).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      rawBanks: DataFrame, rawRates: DataFrame, ratesYear: String,
+      bankTarget: DataFrame, rateTarget: DataFrame,
+      clock: Clock, batchId: Column): Result = {
+    val banks = cleanseBanks(rawBanks, batchId)
+    val rates = cleanseRates(rawRates, ratesYear, batchId)
+    val bankState = loadBanks(banks, bankTarget, clock, batchId)
+    val rateState = loadRates(rates, rateTarget, clock, batchId)
+    Result(
+      worldBankData = bankState,
+      exchangeRates = rateState,
+      bankCounters = ScdMerge.counters(bankState, batchId, "world_bank_data"),
+      rateCounters = ScdMerge.counters(rateState, batchId, "exchanges_rates"),
+      processLogs = logFrame(spark, Seq(
+        "extract" -> "scraped world bank + exchange rate tables",
+        "transform" -> "cleansed and typed incoming batches",
+        "load" -> "merged batches into durable state"), clock, batchId))
+  }
+}
