@@ -57,14 +57,23 @@ object Dedup {
   }
 
   // --------------------------------------------------------- MinHash + LSH
-  /** MinHash signature component j: min over shingles of md5("j|" + s).
-    * Using the md5 hex string itself as the hash value keeps both engines
-    * bit-identical (string min over identical hex).
+  /** MinHash via a universal hash family over ONE base hash per shingle:
+    * base = 32-bit md5-derived hash, reduced mod P; signature component j is
+    * min over shingles of (base·A_j + B_j) mod P. One md5 per shingle total
+    * (not one per shingle per hash function) — the k-way fan-out is two
+    * integer ops. All operands < 2^31 so the 64-bit products never overflow
+    * and both engines agree exactly.
     */
-  def minhashSig(sh: Column, j: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$j|"), s))))
-  def sqlMinhashSig(sh: String, j: Int): String =
-    s"list_min(list_transform($sh, s -> md5('$j|' || s)))"
+  val MinhashP = 2147483647L // 2^31 - 1, prime
+  private def hashA(j: Int): Long = 1000003L * (j + 1) + 12345L
+  private def hashB(j: Int): Long = 7919L * (j + 1) + 104729L
+
+  /** `hs` must be a materialized column of base hashes (mod P). */
+  def minhashSig(hs: Column, j: Int): Column =
+    array_min(transform(hs, h =>
+      (h * lit(hashA(j)) + lit(hashB(j))) % lit(MinhashP)))
+  def sqlMinhashSig(hs: String, j: Int): String =
+    s"list_min(list_transform($hs, h -> (h * ${hashA(j)} + ${hashB(j)}) % $MinhashP))"
 
   val MinhashK = 8      // signature length
   val BandSize = 2      // rows per band → 4 bands
@@ -76,18 +85,20 @@ object Dedup {
     * is |docs|·bands tiny rows; candidates only where signatures collide.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    // materialize words → shingles → signatures stage by stage: each is
-    // evaluated once per row (see shingles() scaladoc)
+    // materialize words → shingles → base hashes → signatures stage by
+    // stage: each is evaluated once per row (see shingles() scaladoc)
     val sigCols = (0 until MinhashK).map(j =>
-      minhashSig(col("sh"), j).as(s"sig$j"))
+      minhashSig(col("hs"), j).as(s"sig$j"))
     val sigs = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), shingles(col("w"), ShingleK).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => tokenHash(s) % lit(MinhashP)).as("hs"))
       .select(col("doc_id") +: sigCols: _*)
     val bands = (0 until MinhashK / BandSize).map { b =>
       struct(lit(b).as("band_idx"),
-        concat((b * BandSize until (b + 1) * BandSize)
-          .map(j => col(s"sig$j")): _*).as("band_key"))
+        concat_ws("|", (b * BandSize until (b + 1) * BandSize)
+          .map(j => col(s"sig$j").cast("string")): _*).as("band_key"))
     }
     val exploded = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("band"))
@@ -106,18 +117,22 @@ object Dedup {
   def sqlMinhashPairs: String = {
     val sh = sqlShingles("text", ShingleK)
     val sigDefs = (0 until MinhashK).map(j =>
-      s"${sqlMinhashSig("sh", j)} AS sig$j").mkString(",\n    ")
+      s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
     val bandRows = (0 until MinhashK / BandSize).map { b =>
       val key = (b * BandSize until (b + 1) * BandSize)
-        .map("sig" + _).mkString(" || ")
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH shingled AS (
        |  SELECT doc_id, $sh AS sh FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> ${sqlTokenHash("s")} % $MinhashP) AS hs
+       |  FROM shingled
        |), sigs AS (
        |  SELECT doc_id,
        |    $sigDefs
-       |  FROM shingled
+       |  FROM hashed
        |), bands AS (
        |  $bandRows
        |)
@@ -180,8 +195,12 @@ object Dedup {
   val JaccardThreshold = 0.05
 
   def ngramJaccard(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     // `div` (integer division) — Spark's double `/`+cast truncates while
     // DuckDB's CAST(double AS BIGINT) rounds; `div` ↔ `//` agree exactly.
+    // Shingle-hash sets are sorted ONCE per row so the per-pair intersection
+    // is a codegen'd linear merge walk (IntersectCountSorted) — no hash set
+    // or result-array allocation inside the pair loop.
     val withSets = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
         words(col("text")).as("w"))
@@ -189,10 +208,12 @@ object Dedup {
         shingles(col("w"), ShingleK).as("shs"))
       .select(col("doc_id"), col("lang"),
         expr(s"n_chars div $JaccardBlockChars").as("bucket"),
-        array_distinct(transform(col("shs"), s => tokenHash(s))).as("sh"))
+        array_sort(array_distinct(transform(col("shs"), s => tokenHash(s))))
+          .as("sh"))
     val a = withSets.alias("a")
     val b = withSets.alias("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val inter = graft.functions.VectorExprs
+      .intersectCountSorted(col("a.sh"), col("b.sh")).cast("double")
     val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
     a.join(b, col("a.lang") === col("b.lang") &&
         col("a.bucket") === col("b.bucket") &&
