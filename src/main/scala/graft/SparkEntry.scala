@@ -504,6 +504,47 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag LIMIT 2""".stripMargin
 
+  // ------------------------------------------------------------- q20_asof
+  // As-of join (operator Spark lacks — composed per AsOfJoin's scaladoc):
+  // each event picks the most recent order state on its key. Right side
+  // pre-aggregated unique per (key, time) for tie determinism.
+  private def qAsOf(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"), col("o_orderdate"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.operators.AsOfJoin.asOf(l, r, Seq("k"), "ts", "o_orderdate",
+      Seq("v"))
+      .select(col("event_id"), col("matched_time"), col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlAsOf: String =
+    """WITH l AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id % 20 AS k
+      |  FROM events
+      |), r AS (
+      |  SELECT o_custkey % 20 AS k, o_orderdate, MAX(o_totalprice) AS v
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT l.event_id, r.o_orderdate AS matched_time, r.v AS matched_value
+      |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------- sketch_distinct
+  // Distinct-count sketch (HLL++). No ANSI equivalent — deliberately has no
+  // oracle entry; the driver records the weaker rows-only check. The exact
+  // companion is q19_distinct_topn.
+  private def qSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // -------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -529,6 +570,8 @@ object SparkEntry {
     "q17_except"        -> qExcept _,
     "q18_json"          -> qJson _,
     "q19_distinct_topn" -> qTopN _,
+    "q20_asof"          -> qAsOf _,
+    "sketch_distinct"   -> qSketch _,
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
@@ -563,6 +606,7 @@ object SparkEntry {
     "q17_except"        -> sqlExcept,
     "q18_json"          -> sqlJson,
     "q19_distinct_topn" -> sqlTopN,
+    "q20_asof"          -> sqlAsOf,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,
     "dedup_simhash"     -> Dedup.sqlSimhash,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: each left row picks the latest right row with
+  * `rightTime <= leftTime` on the same key — the canonical
+  * enrich-events-with-most-recent-state operator.
+  *
+  * Spark has no ASOF join; the preference-order answer here is (a) compose
+  * built-ins: tag both sides, union, and take a running `last(..,
+  * ignoreNulls)` over one window per key ordered by time. This costs ONE
+  * hash shuffle of |L|+|R| rows — it never materializes the |L|×|R_key|
+  * range-join blowup a naive `t_r <= t_l` join condition produces, and it
+  * scales exactly like any keyed window at 100 TB.
+  *
+  * Tie semantics: a right row at the same instant as a left row IS visible
+  * (inclusive, right-sorts-first). Determinism: callers must make the right
+  * side unique per (key, time) — pre-aggregate duplicates — or the picked
+  * row among equal timestamps is undefined (the same caveat DuckDB's ASOF
+  * documents).
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns carried to the matched left row
+    * @return left rows that have a match, plus `matched_time` and valueCols
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
+        lit(null).cast("timestamp").as("__rt")) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)) ++
+        leftPayload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
+        col(rightTime).cast("timestamp").as("__rt")) ++
+        valueCols.map(col) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("matched_time", last(col("__rt"), ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(v =>
+        v -> last(col(v), ignoreNulls = true).over(w)).toMap)
+      .filter(col("__side") === 1 && col("matched_time").isNotNull)
+      .drop("__t", "__side", "__rt")
+  }
+}

@@ -110,4 +110,24 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Streaming SCD load (SURVEY §7.6): each micro-batch of incoming rows is
+    * merged into the durable target with the SAME set-based
+    * [[graft.operators.ScdMerge]] the batch pipeline uses, via
+    * `foreachBatch` + `Trigger.AvailableNow`. The batch id is the
+    * micro-batch id — the reference's per-run uuid maps onto it.
+    *
+    * `mergeAndSwap` owns the read-merge-write cycle of the durable state
+    * (at scale: an atomic table-format swap; here: versioned parquet dirs).
+    */
+  def scdLoadStream(incoming: DataFrame, cfg: graft.operators.ScdMerge.Config,
+      clockTs: org.apache.spark.sql.Column,
+      clockDate: org.apache.spark.sql.Column,
+      mergeAndSwap: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeAndSwap(batch, id)
+      }
 }

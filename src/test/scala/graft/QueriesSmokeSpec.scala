@@ -10,8 +10,11 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has a matching oracle") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("every query has a matching oracle (sketches rows-only by design)") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // non-SQL-expressible ops (sketch outputs) are the only rows-only checks
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
+      Set("sketch_distinct"))
   }
 
   for ((name, fn) <- SparkEntry.queries) {
