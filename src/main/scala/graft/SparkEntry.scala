@@ -168,6 +168,9 @@ object SparkEntry {
   private def qScdMerge(s: SparkSession, dir: String): DataFrame = {
     val (incoming, target) = scdFixture(s, dir)
     ScdMerge.merge(incoming, target, scdCfg, clockTs, clockDate, lit("b1"))
+      // NTZ output: fixture parquet is timestamp_ntz; constructed LTZ
+      // timestamps would write as UTC-adjusted and hash differently
+      .withColumn("updated_at", col("updated_at").cast("timestamp_ntz"))
       .orderBy(col("key"), col("change_type"))
   }
 
@@ -391,7 +394,7 @@ object SparkEntry {
       .select(col("log_phase"),
         format_string("%s: %d rows processed", col("log_phase"), col("n"))
           .as("message"),
-        clockTs.as("datetime"),
+        clockTs.cast("timestamp_ntz").as("datetime"),
         lit("b1").as("batch_id"))
       .orderBy(col("log_phase"))
 
@@ -518,7 +521,9 @@ object SparkEntry {
       .agg(max(col("o_totalprice")).as("v"))
     graft.operators.AsOfJoin.asOf(l, r, Seq("k"), "ts", "o_orderdate",
       Seq("v"))
-      .select(col("event_id"), col("matched_time"), col("v").as("matched_value"))
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
       .orderBy(col("event_id"))
   }
 

@@ -100,16 +100,24 @@ object Dedup {
         concat_ws("|", (b * BandSize until (b + 1) * BandSize)
           .map(j => col(s"sig$j").cast("string")): _*).as("band_key"))
     }
+    // Bucketize then pair-expand WITHIN buckets: signatures are computed
+    // once (a self-join would recompute the whole signature subtree per
+    // side — no exchange reuse), and the shuffle moves only
+    // (band_key, doc_id) pairs. Bucket pair expansion is quadratic per
+    // bucket — exactly the LSH contract (buckets are tiny unless the data
+    // really is near-duplicate-heavy).
     val exploded = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
-    val a = exploded.alias("a")
-    val b = exploded.alias("b")
-    a.join(b, col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    exploded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -210,16 +218,25 @@ object Dedup {
         expr(s"n_chars div $JaccardBlockChars").as("bucket"),
         array_sort(array_distinct(transform(col("shs"), s => tokenHash(s))))
           .as("sh"))
-    val a = withSets.alias("a")
-    val b = withSets.alias("b")
+    // Block-then-pair-expand (like minhashPairs): shingle sets are computed
+    // and shuffled once; pairs materialize only inside each block.
     val inter = graft.functions.VectorExprs
-      .intersectCountSorted(col("a.sh"), col("b.sh")).cast("double")
-    val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
-    a.join(b, col("a.lang") === col("b.lang") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (inter / uni).as("jaccard"))
+      .intersectCountSorted(col("ash"), col("bsh")).cast("double")
+    withSets
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.sh").as("ash"), col("p.b.sh").as("bsh"))
+      .withColumn("inter", inter)
+      .withColumn("uni",
+        (size(col("ash")) + size(col("bsh"))).cast("double") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -34,8 +34,8 @@ object Sessionize {
         sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
         xsum(col("value")).as("total_value"))
       .orderBy(col("user_id"), col("session_seq"))
   }
@@ -68,8 +68,8 @@ object Sessionize {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         xsum(col("value")).as("total_value"))
-      .select(col("w.start").as("window_start"),
-        col("w.end").as("window_end"), col("event_type"),
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("w.end").cast("timestamp_ntz").as("window_end"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 

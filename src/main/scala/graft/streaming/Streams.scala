@@ -48,7 +48,7 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
   // ------------------------------------------------ stateful sessionization
