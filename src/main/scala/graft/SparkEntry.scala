@@ -584,6 +584,7 @@ object SparkEntry {
     "dedup_embed"       -> ((s, d) => Similarity.embedNearDup(emb(s, d))),
     "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
     "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
+    "sim_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -619,6 +620,7 @@ object SparkEntry {
     "dedup_embed"       -> Similarity.sqlEmbedNearDup,
     "sim_brute_topk"    -> Similarity.sqlBruteTopK,
     "sim_ann_lsh"       -> Similarity.sqlAnnTopK,
+    "sim_ivf_topk"      -> Similarity.sqlIvfTopK,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

@@ -173,6 +173,82 @@ object Similarity {
        |FROM ranked WHERE rk <= $AnnTopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid (centroids here are a deterministic subset of the data —
+    * "training-free" IVF; in production, k-means centroids slot in without
+    * changing the plan); queries probe only their own cell.
+    *
+    * Plan shape at scale: centroid table is tiny → broadcast for the
+    * assignment pass (map-side, no shuffle of the big side); the candidate
+    * join is hash-partitioned on the cell id. nprobe>1 = explode the query's
+    * top-P cells — same join, P× candidate rows.
+    */
+  val NCentroids = 8
+
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cent_id").as("bucket"))
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+    val c = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("norm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlIvfTopK: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), sims AS (
+       |  SELECT n.vec_id, n.embedding, n.nrm, cents.cent_id,
+       |    ${sqlDot("n.embedding", "cents.cv", Dim)} / (n.nrm * cents.cnrm) AS sim
+       |  FROM n, cents
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS bucket FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cent_id) AS rn FROM sims
+       |  ) WHERE rn = 1
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${sqlDot("q.embedding", "c.embedding", Dim)} / (q.nrm * c.nrm) AS cos
+       |  FROM assigned q JOIN assigned c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+
   // ----------------------------------------------------- cosine near-dup
   /** Embedding near-duplicate pairs, blocked by label (demo blocking key —
     * in production the LSH bucket serves). Threshold applied to the

@@ -44,6 +44,31 @@ class ScaleOpsSpec extends SparkSuite {
     assert(after.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      Tables.lineitem(spark, dir)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), Seq("o_orderkey"))
+      val physical = joined.queryExecution.executedPlan.toString
+      // co-located: join consumes bucket layout directly, no Exchange
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$physical")
+      assert(joined.count() == Tables.lineitem(spark, dir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("streaming SCD load: foreachBatch merges micro-batches into state") {
     val stateDir = Files.createTempDirectory("graft_state").toString
     val cfg = ScdMerge.Config(keys = Seq("k"), valueCol = "v", scd2 = false)
