@@ -550,6 +550,30 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  // ------------------------------------------------- sketch_heavy_hitters
+  // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
+  // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
+  // so estimates are exact and the top-k hash-matches a plain
+  // count-group-sort oracle. At real scale the same plan holds with bounded
+  // state where the oracle's full groupBy would not.
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    Tables.documents(s, dir)
+      .select(explode(TextOps.words(col("text"))).as("token"))
+      .agg(call_function(graft.functions.VectorExprs.HeavyName,
+        col("token"), lit(10), lit(256)).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.est_count").as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
+  private val sqlHeavyHitters: String =
+    """SELECT token, COUNT(*) AS est_count
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY est_count DESC, token
+      |LIMIT 10""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -577,6 +601,7 @@ object SparkEntry {
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
     "sketch_distinct"   -> qSketch _,
+    "sketch_heavy_hitters" -> qHeavyHitters _,
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
@@ -613,6 +638,7 @@ object SparkEntry {
     "q18_json"          -> sqlJson,
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
+    "sketch_heavy_hitters" -> sqlHeavyHitters,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,
     "dedup_simhash"     -> Dedup.sqlSimhash,

@@ -136,6 +136,7 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 object VectorExprs {
   val DotName = "graft_dot_f"
   val IntersectName = "graft_intersect_count_sorted"
+  val HeavyName = "graft_heavy_hitters"
 
   /** Register the vector expressions in the session's function registry
     * (idempotent). Spark 4 hides Column↔Expression conversion behind
@@ -150,7 +151,19 @@ object VectorExprs {
     reg.createOrReplaceTempFunction(
       IntersectName, exprs => IntersectCountSorted(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      HeavyName, exprs => HeavyHitters(exprs(0),
+        k = foldInt(exprs(1)), capacity = foldInt(exprs(2)))
+        .toAggregateExpression(), "built-in")
   }
+
+  private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
 
   /** Column over the registered sorted-intersect-count expression. */
   def intersectCountSorted(a: Column, b: Column): Column =

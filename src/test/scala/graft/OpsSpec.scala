@@ -109,6 +109,25 @@ class OpsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("heavy-hitters sketch: exact under capacity, bounded over capacity") {
+    graft.functions.VectorExprs.register(spark)
+    val toks = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).map(Tuple1(_))
+    val df = toks.toDF("token")
+    val out = df.agg(call_function(graft.functions.VectorExprs.HeavyName,
+        col("token"), lit(3), lit(16)).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token"), col("h.est_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 5L), ("b", 3L), ("c", 2L)))
+    // over capacity: at most `capacity` candidates survive, never more
+    val wide = (1 to 100).map(i => Tuple1(s"t$i")).toDF("token")
+    val n = wide.agg(call_function(graft.functions.VectorExprs.HeavyName,
+        col("token"), lit(50), lit(8)).as("hh"))
+      .select(size(col("hh"))).collect().head.getInt(0)
+    assert(n <= 8)
+  }
+
   test("lang id votes deterministically with fixed tie order") {
     val d = docsOf(
       (1, "the a of something"),          // en markers
