@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, VectorExprs}
+
+/** `SparkSessionExtensions` entry point: sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) get the engine's custom
+  * expressions as SQL functions without any runtime registration call.
+  * `VectorExprs.register` remains the per-session runtime alternative.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.DotName),
+      new ExpressionInfo(classOf[DotProductFloat].getName,
+        VectorExprs.DotName),
+      exprs => DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.IntersectName),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName,
+        VectorExprs.IntersectName),
+      exprs => IntersectCountSorted(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.HeavyName),
+      new ExpressionInfo(classOf[HeavyHitters].getName,
+        VectorExprs.HeavyName),
+      exprs => HeavyHitters(exprs(0),
+        k = exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        capacity = exprs(2).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+  }
+}

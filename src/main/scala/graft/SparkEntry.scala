@@ -615,6 +615,7 @@ object SparkEntry {
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint"  -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
+    "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -652,5 +653,6 @@ object SparkEntry {
     "text_langid"       -> TextOps.sqlLangId,
     "text_fingerprint"  -> TextOps.sqlFingerprint,
     "mm_features"       -> Multimodal.sqlFeatures,
+    "mm_frames"         -> Multimodal.sqlFrameSamples(64),
   )
 }

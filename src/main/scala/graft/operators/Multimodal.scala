@@ -61,6 +61,37 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling plumbing: every `stride` bytes yields a "frame" row
+    * (offset + a deterministic fake feature from the byte at the offset).
+    * The real pipeline shape for video/audio: explode the payload into
+    * frame rows map-side, then per-frame feature stages downstream.
+    */
+  def frameSamples(docs: DataFrame, stride: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"), col("media"),
+        posexplode(sequence(lit(1), greatest(
+          expr(s"octet_length(media) div $stride"), lit(1))))
+          .as(Seq("frame_idx", "n")))
+      .select(col("doc_id"), col("frame_idx"),
+        ((col("n") - 1) * stride).as("byte_offset"),
+        // fake per-frame feature: code point of the byte at the offset
+        expr(s"ascii(cast(substr(media, (n - 1) * $stride + 1, 1) as string))")
+          .as("frame_feature"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  def sqlFrameSamples(stride: Int): String =
+    s"""SELECT doc_id, (n - 1) AS frame_idx, (n - 1) * $stride AS byte_offset,
+       |  ascii(substr(text, (n - 1) * $stride + 1, 1)) AS frame_feature
+       |FROM (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(length(text) // $stride, 1) + 1)) AS n
+       |  FROM documents
+       |)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Oracle mirror: the fixture text is ASCII, so byte-level features equal
     * char-level SQL (octet_length(encode(text)) == length(text), md5 of the
     * UTF-8 bytes == DuckDB md5(VARCHAR)).
