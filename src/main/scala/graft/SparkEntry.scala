@@ -602,6 +602,7 @@ object SparkEntry {
     "q20_asof"          -> qAsOf _,
     "sketch_distinct"   -> qSketch _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
+    "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
@@ -640,6 +641,7 @@ object SparkEntry {
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
+    "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,
     "dedup_simhash"     -> Dedup.sqlSimhash,

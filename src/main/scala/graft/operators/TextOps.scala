@@ -54,6 +54,17 @@ object TextOps {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** Rational quality blend over a words column: long docs with diverse
+    * non-stopword text win. Pure arithmetic — no transcendentals.
+    */
+  def qualityScore(w: Column): Column = {
+    val nWords = size(w).cast("double")
+    val nStop = size(filter(w, x => x.isInCollection(Stopwords))).cast("double")
+    val nDistinct = size(array_distinct(w)).cast("double")
+    (nWords / (nWords + lit(100.0))) * (nDistinct / nWords) *
+      (lit(1.0) - nStop / nWords)
+  }
+
   def quality(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w).cast("double")
@@ -63,9 +74,7 @@ object TextOps {
       (nStop / nWords).as("stopword_ratio"),
       (nDistinct / nWords).as("distinct_ratio"),
       (length(col("text")).cast("double") / nWords).as("avg_token_len"),
-      // rational quality blend: long docs with diverse non-stopword text win
-      ((nWords / (nWords + lit(100.0))) * (nDistinct / nWords)
-        * (lit(1.0) - nStop / nWords)).as("quality_score"))
+      qualityScore(w).as("quality_score"))
   }
 
   def sqlQuality: String = {
@@ -99,15 +108,19 @@ object TextOps {
     "fr" -> Seq("filter", "sort", "merge"),
     "zh" -> Seq("vector", "hash", "stream"))
 
-  def langId(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+  /** Marker-vote argmax with fixed tie order, over a words column. */
+  def predictedLang(w: Column): Column = {
     val scores = LangProfiles.map { case (lang, markers) =>
       lang -> size(filter(w, x => x.isInCollection(markers)))
     }
     val mx = greatest(scores.map(_._2): _*)
-    val predicted = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === mx && mx > 0, lit(lang)).otherwise(acc)
     }
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val predicted = predictedLang(words(col("text")))
     docs.select(col("doc_id"), col("lang"),
       predicted.as("predicted_lang"),
       (predicted === col("lang")).as("lang_match"))
