@@ -550,6 +550,25 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  // --------------------------------------------------------- q21_array_agg
+  // Array aggregation + array scalar functions: collect_set → sort → join
+  // (stringified output keeps the oracle compare list-free).
+  private def qArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        size(collect_set(col("l_linestatus"))).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  private val sqlArrayAgg: String =
+    """SELECT l_returnflag,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      |  len(list(DISTINCT l_linestatus)) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -600,6 +619,7 @@ object SparkEntry {
     "q18_json"          -> qJson _,
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
+    "q21_array_agg"     -> qArrayAgg _,
     "sketch_distinct"   -> qSketch _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
@@ -640,6 +660,7 @@ object SparkEntry {
     "q18_json"          -> sqlJson,
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
+    "q21_array_agg"     -> sqlArrayAgg,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,

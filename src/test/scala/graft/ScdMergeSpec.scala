@@ -119,6 +119,33 @@ class ScdMergeSpec extends SparkSuite {
     assert(out.length == 1 && out.head.getAs[Double]("cap") == 100.0)
   }
 
+  test("NULL value comparison routes to the changed branch (plpgsql 3VL)") {
+    // plpgsql `IF value = incoming` with NULL is not-true → ELSIF update
+    // branch (SQL:42-56); the when-chain must do the same
+    val tgt = Seq(("NullBank", Option.empty[Double], "b0", true, Some(t0)),
+      ("ValBank", Some(100.0), "b0", true, Some(t0)))
+      .toDF("bank_name", "cap", "batch_id", "active", "updated_at")
+    val inc = Seq(("NullBank", Some(50.0)), ("ValBank", Option.empty[Double]))
+      .toDF("bank_name", "cap").withColumn("batch_id", lit("b1"))
+    val out = ScdMerge.merge(inc, tgt, cfg, clockTs, clockDate, lit("b1"))
+      .collect().map(r => r.getAs[String]("bank_name") ->
+        r.getAs[String]("change_type")).toMap
+    assert(out == Map("NullBank" -> "update", "ValBank" -> "update"))
+  }
+
+  test("empty incoming: actives deactivate when stale, shields hold") {
+    val inc = incoming.limit(0)
+    val out = ScdMerge.merge(inc, target, cfg, clockTs, clockDate, lit("b1"))
+      .collect().map(r => r.getAs[String]("bank_name") ->
+        r.getAs[String]("change_type")).toMap
+    // all active+stale rows deactivate; inactive ones carry; shields hold
+    assert(out("SameBank") == "deactivate")
+    assert(out("GoneBank") == "deactivate")
+    assert(out("SleepyBank") == "carry")   // inactive — never deactivated
+    assert(out("TodayBank") == "carry")    // same-day shield
+    assert(out("FreshBank") == "carry")    // NULL updated_at shield
+  }
+
   test("Type-1 variant has no active/updated_at and never deactivates") {
     val t1cfg = cfg.copy(scd2 = false)
     val tgt = Seq(("A", 1.0, "b0"), ("B", 2.0, "b0"), ("C", 3.0, "b0"))
