@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regressions: the scan-pruning / join-strategy properties the
+  * engine's scale story depends on, asserted against the physical plans so
+  * a refactor can't silently lose them.
+  */
+class PlanShapeSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** formatted mode: full PushedFilters/ReadSchema lists (but nodes appear
+    * twice — tree + details), simple mode: one tree line per node.
+    */
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def planTree(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: predicates push down to the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p)
+  }
+
+  test("q1: scan reads only the referenced columns") {
+    val p = plan("q1_pricing_agg")
+    // 16-column lineitem pruned to the 7 referenced
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "pruned column still read:\n" + p)
+    assert(!p.contains("l_partkey"), "pruned column still read:\n" + p)
+  }
+
+  test("q3: dimension joins broadcast (fact side never shuffles)") {
+    val p = plan("q3_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q6: SCD merge is a single join with a single pair-expand") {
+    val p = planTree("q6_scd_merge")
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).size == 1,
+      "merge must be ONE join:\n" + p)
+    assert("Generate".r.findAllIn(p).size == 1,
+      "merge must have ONE explode:\n" + p)
+  }
+
+  test("q13: both windows and the aggregation share one hash exchange") {
+    val p = planTree("q13_sessionize")
+    // exchanges: one hashpartitioning(user_id) + the final rangepartitioning
+    // for the output ordering — anything more means a lost co-partitioning
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+  }
+}
