@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Misra–Gries heavy-hitters sketch as a `TypedImperativeAggregate` — the
+/** Misra–Gries heavy-hitters sketch (Misra & Gries, "Finding repeated
+  * elements", 1982) as a `TypedImperativeAggregate` — the
   * mutable-buffer custom-aggregate tier of the Catalyst extension surface
   * (alongside the scalar expressions in [[VectorExprs]]).
   *

@@ -57,7 +57,8 @@ object Dedup {
   }
 
   // --------------------------------------------------------- MinHash + LSH
-  /** MinHash via a universal hash family over ONE base hash per shingle:
+  /** MinHash (Broder, "On the resemblance and containment of documents",
+    * 1997) via a universal hash family over ONE base hash per shingle:
     * base = 32-bit md5-derived hash, reduced mod P; signature component j is
     * min over shingles of (base·A_j + B_j) mod P. One md5 per shingle total
     * (not one per shingle per hash function) — the k-way fan-out is two
@@ -152,7 +153,8 @@ object Dedup {
   }
 
   // --------------------------------------------------------------- SimHash
-  /** 16-bit SimHash: per bit j, sign of Σ over tokens of ±1 by bit j of the
+  /** 16-bit SimHash (Charikar, "Similarity estimation techniques from
+    * rounding algorithms", STOC 2002): per bit j, sign of Σ over tokens of ±1 by bit j of the
     * token hash. One pass over the token array per document, no shuffle.
     */
   val SimhashBits = 16

@@ -106,7 +106,8 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   // ------------------------------------------------------------ LSH ANN
-  /** Random-hyperplane LSH: hyperplane j has integer coefficients
+  /** Random-hyperplane LSH (Charikar 2002, SimHash family applied to
+    * real vectors): hyperplane j has integer coefficients
     * ((i*37 + j*101) mod 7) - 3 — deterministic, exactly representable, so
     * the sign of the projection is bit-stable in every engine.
     */
@@ -174,7 +175,9 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
 
   // ------------------------------------------------------------ IVF ANN
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+  /** IVF-style ANN (inverted-file index in the sense of Sivic & Zisserman
+    * "Video Google" 2003 / FAISS coarse quantization): a coarse quantizer
+    * assigns every vector to its nearest
     * centroid (centroids here are a deterministic subset of the data —
     * "training-free" IVF; in production, k-means centroids slot in without
     * changing the plan); queries probe only their own cell.

@@ -146,6 +146,18 @@ class ScdMergeSpec extends SparkSuite {
     assert(out("FreshBank") == "carry")    // NULL updated_at shield
   }
 
+  test("same-batch target rows never deactivate (batch_id shield, SQL:132)") {
+    // a stale active row already stamped with the CURRENT batch id must not
+    // be deactivated even when absent from the incoming frame
+    val tgt = Seq(("ReRunBank", 100.0, "b1", true, Some(t0)))
+      .toDF("bank_name", "cap", "batch_id", "active", "updated_at")
+    val inc = incoming.filter(col("bank_name") === "nope")
+    val out = ScdMerge.merge(inc, tgt, cfg, clockTs, clockDate, lit("b1"))
+      .collect().head
+    assert(out.getAs[String]("change_type") == "carry")
+    assert(out.getAs[Boolean]("active"))
+  }
+
   test("Type-1 variant has no active/updated_at and never deactivates") {
     val t1cfg = cfg.copy(scd2 = false)
     val tgt = Seq(("A", 1.0, "b0"), ("B", 2.0, "b0"), ("C", 3.0, "b0"))
