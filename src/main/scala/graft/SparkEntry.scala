@@ -569,6 +569,91 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- q22_string_funcs
+  // String-function battery over documents (upper/reverse/pad/translate/
+  // edit distance/regex extract/locate) — all codegen'd builtins.
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        upper(col("source")).as("src_upper"),
+        reverse(col("source")).as("src_rev"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("id_padded"),
+        translate(col("source"), "src", "xyz").as("src_translated"),
+        levenshtein(col("source"), lit("src1")).as("src_dist"),
+        instr(col("text"), "data").as("data_pos"),
+        regexp_extract(col("source"), "[0-9]+", 0).as("src_num"),
+        substring(col("text"), 1, 12).as("text_head"))
+      .orderBy(col("doc_id"))
+
+  private val sqlStringFuncs: String =
+    """SELECT doc_id,
+      |  upper(source) AS src_upper,
+      |  reverse(source) AS src_rev,
+      |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+      |  translate(source, 'src', 'xyz') AS src_translated,
+      |  levenshtein(source, 'src1') AS src_dist,
+      |  strpos(text, 'data') AS data_pos,
+      |  regexp_extract(source, '[0-9]+') AS src_num,
+      |  substr(text, 1, 12) AS text_head
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ q23_percentile
+  // Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+  // quantile_cont), rounded in the projection.
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"))
+      .orderBy(col("l_returnflag"))
+
+  private val sqlPercentile: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS qty_p25
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------- q24_sliding_window
+  // Sliding (hopping) windows: 1-hour windows every 30 minutes — each event
+  // lands in two windows. Oracle mirrors Spark's epoch-aligned window
+  // assignment with integer epoch-micros arithmetic.
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val sqlSlidingWindow: String =
+    s"""SELECT make_timestamp(
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 - j) * 1800000000)
+       |    AS window_start,
+       |  event_type, COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS total_value
+       |FROM events, (SELECT unnest(range(0, 2)) AS j)
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  // -------------------------------------------------------------- q25_cube
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val sqlCube: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -620,6 +705,10 @@ object SparkEntry {
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
     "q21_array_agg"     -> qArrayAgg _,
+    "q22_string_funcs"  -> qStringFuncs _,
+    "q23_percentile"    -> qPercentile _,
+    "q24_sliding"       -> qSlidingWindow _,
+    "q25_cube"          -> qCube _,
     "sketch_distinct"   -> qSketch _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
@@ -661,6 +750,10 @@ object SparkEntry {
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
     "q21_array_agg"     -> sqlArrayAgg,
+    "q22_string_funcs"  -> sqlStringFuncs,
+    "q23_percentile"    -> sqlPercentile,
+    "q24_sliding"       -> sqlSlidingWindow,
+    "q25_cube"          -> sqlCube,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,
