@@ -11,16 +11,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // pass 1 (untimed): per-query codegen compilation + JIT warmup, so the
-    // timed pass measures steady-state execution, not first-run compilation
-    names.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
-    // pass 2: timed steady state
-    val results = names.map { case (name, fn) =>
+    def timeAll(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    // two passes: the first also pays per-query codegen + JIT; report the
+    // per-query minimum (steady state, robust to transient machine load)
+    val p1 = timeAll()
+    val p2 = timeAll()
+    val results = names.map { case (name, _) =>
+      name -> math.min(p1(name), p2(name))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

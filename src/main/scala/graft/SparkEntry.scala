@@ -654,6 +654,29 @@ object SparkEntry {
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
       .stripMargin
 
+  // ------------------------------------------------------ q26_salted_join
+  // Skew-salted join under the oracle gate: salting is a pure physical
+  // rewrite, so the oracle is the PLAIN join — any semantic drift in the
+  // salt/explode mechanics hash-mismatches immediately.
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Skew
+      .saltedJoin(li, o, "l_orderkey", col("l_linenumber"), saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val sqlSaltedJoin: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("l_extendedprice")} AS total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -709,6 +732,7 @@ object SparkEntry {
     "q23_percentile"    -> qPercentile _,
     "q24_sliding"       -> qSlidingWindow _,
     "q25_cube"          -> qCube _,
+    "q26_salted_join"   -> qSaltedJoin _,
     "sketch_distinct"   -> qSketch _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
@@ -754,6 +778,7 @@ object SparkEntry {
     "q23_percentile"    -> sqlPercentile,
     "q24_sliding"       -> sqlSlidingWindow,
     "q25_cube"          -> sqlCube,
+    "q26_salted_join"   -> sqlSaltedJoin,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,

@@ -41,10 +41,15 @@ object WorldBanksPipeline {
   def cleanseBanks(raw: DataFrame, batchId: Column): DataFrame =
     raw.select(
       trim(col("bank_name")).as("bank_name"),
-      trim(col("market_cap_usd")).cast("double").as("market_cap_usd"),
-      to_date(
+      // try_cast: under ANSI a malformed scrape would kill the job; NULL +
+      // quarantine ([[splitQuarantine]]) mirrors the reference's behavior
+      // (Postgres raises on coercion, the EXCEPTION handler swallows the
+      // row — SQL:118-121) without losing the row silently
+      expr("try_cast(trim(market_cap_usd) AS DOUBLE)").as("market_cap_usd"),
+      try_to_timestamp(
         trim(element_at(split(element_at(split(col("lastmod_text"), "on"), 2),
-          ","), 1)), "d MMMM yyyy").as("last_modified_date"),
+          ","), 1)), lit("d MMMM yyyy")).cast("date")
+        .as("last_modified_date"),
       batchId.as("batch_id"))
 
   /** Rates-table cleansing (ipynb:127-166): trim (F1), cast (F9), synthesize
@@ -56,7 +61,7 @@ object WorldBanksPipeline {
     raw.select(
       trim(col("country")).as("country"),
       trim(col("currency")).as("currency"),
-      trim(col("exchange_rate")).cast("double").as("exchange_rate"),
+      expr("try_cast(trim(exchange_rate) AS DOUBLE)").as("exchange_rate"),
       to_date(concat(lit("31-12-"), lit(year)), "dd-MM-yyyy").as("year"),
       batchId.as("batch_id"))
 
@@ -66,6 +71,27 @@ object WorldBanksPipeline {
     */
   def sniffYear(headers: Seq[String]): Option[String] =
     headers.find(h => h.length == 4 && h.forall(_.isDigit))
+
+  /** Permissive-mode split (the engine's answer to the reference's
+    * swallow-into-NOTICE error handling, SQL:118-121 / SURVEY §2.9 C2): a
+    * cleansed batch is split into rows whose casts/parses all succeeded and
+    * a quarantine frame carrying the raw values plus a reason column. At
+    * scale the quarantine is an append-only sink reviewed out-of-band —
+    * errors neither kill the job (reference behavior) nor silently vanish
+    * (reference's actual failure mode).
+    */
+  def splitQuarantine(cleansed: DataFrame, raw: DataFrame,
+      requiredCols: Seq[String], joinKey: String)
+      : (DataFrame, DataFrame) = {
+    val bad = requiredCols.map(c => col(c).isNull).reduce(_ || _)
+    val good = cleansed.filter(!bad)
+    val reasons = concat_ws(",", requiredCols.map(c =>
+      when(col(c).isNull, lit(c))): _*)
+    val quarantined = cleansed.filter(bad)
+      .select(col(joinKey), reasons.as("null_fields"))
+      .join(raw, Seq(joinKey), "left")
+    (good, quarantined)
+  }
 
   // ----------------------------------------------------------------- load
   val BankCfg: ScdMerge.Config = ScdMerge.Config(

@@ -113,6 +113,25 @@ class PipelineSpec extends SparkSuite {
     assert(e.count() == 3)
   }
 
+  test("permissive mode quarantines rows with failed casts (C2)") {
+    val raw = Seq(
+      ("GoodBank", "100.5"),
+      ("BadCapBank", "not-a-number"),
+    ).toDF("bank_name", "market_cap_usd")
+      .withColumn("lastmod_text",
+        lit("This page was last edited on 21 August 2024, at 10:30"))
+    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"))
+    val (good, quarantined) = WorldBanksPipeline.splitQuarantine(
+      cleansed, raw, Seq("market_cap_usd", "last_modified_date"), "bank_name")
+    assert(good.count() == 1)
+    val q = quarantined.collect()
+    assert(q.length == 1)
+    assert(q.head.getAs[String]("bank_name") == "BadCapBank")
+    assert(q.head.getAs[String]("null_fields") == "market_cap_usd")
+    // raw value preserved for review
+    assert(q.head.getAs[String]("market_cap_usd") == "not-a-number")
+  }
+
   test("year sniffing picks the first 4-digit header (F5)") {
     assert(WorldBanksPipeline.sniffYear(
       Seq("Country", "Currency", "2024", "2023")).contains("2024"))
