@@ -677,6 +677,35 @@ object SparkEntry {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------- q27_unpivot
+  // Reshape: wide aggregate → long (measure, value) rows via stack/unpivot;
+  // oracle mirrors with UNION ALL.
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(xsum(col("l_quantity"), 4).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_price"),
+        xsum(col("l_discount"), 6).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  private val sqlUnpivot: String =
+    s"""WITH agg AS (
+       |  SELECT l_returnflag,
+       |    ${sqlSum("l_quantity", 4)} AS sum_qty,
+       |    ${sqlSum("l_extendedprice")} AS sum_price,
+       |    ${sqlSum("l_discount", 6)} AS sum_disc
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_price', sum_price FROM agg
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+       |ORDER BY l_returnflag, measure""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -733,6 +762,7 @@ object SparkEntry {
     "q24_sliding"       -> qSlidingWindow _,
     "q25_cube"          -> qCube _,
     "q26_salted_join"   -> qSaltedJoin _,
+    "q27_unpivot"       -> qUnpivot _,
     "sketch_distinct"   -> qSketch _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
@@ -779,6 +809,7 @@ object SparkEntry {
     "q24_sliding"       -> sqlSlidingWindow,
     "q25_cube"          -> sqlCube,
     "q26_salted_join"   -> sqlSaltedJoin,
+    "q27_unpivot"       -> sqlUnpivot,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,
