@@ -778,6 +778,8 @@ object SparkEntry {
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint"  -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
+    "text_langid_ngram" -> ((s, d) => TextOps.langIdNgram(docs(s, d)).orderBy(col("doc_id"))),
+    "text_winnow"       -> ((s, d) => TextOps.winnow(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
   )
@@ -824,6 +826,8 @@ object SparkEntry {
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,
     "text_fingerprint"  -> TextOps.sqlFingerprint,
+    "text_langid_ngram" -> TextOps.sqlLangIdNgram,
+    "text_winnow"       -> TextOps.sqlWinnow,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
   )

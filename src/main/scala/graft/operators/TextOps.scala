@@ -148,6 +148,60 @@ object TextOps {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- char-n-gram language ID
+  /** Character-trigram profile scoring — the classical n-gram language-ID
+    * heuristic (Cavnar & Trenkle 1994 family): score(language) = number of
+    * the document's char trigrams found in that language's profile set;
+    * argmax with the same fixed tie order as the word-marker variant.
+    * Profiles are synthetic (fixture text is synthetic) but the operator
+    * shape is real: per-doc trigram explosion + K set-membership counts,
+    * all map-side.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing"),
+    "de" -> Seq("tab", "row", "col", "umn"),
+    "es" -> Seq("dat", "que", "sca", "ery"),
+    "fr" -> Seq("fil", "sor", "mer", "ter"),
+    "zh" -> Seq("vec", "has", "str", "eam"))
+
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val tri = transform(sequence(lit(1), greatest(length(col("text")) - 2,
+      lit(1))), i => col("text").substr(i, lit(3)))
+    val scored = docs
+      .select(col("doc_id"), col("lang"), tri.as("tg"))
+    val scores = TrigramProfiles.map { case (lang, profile) =>
+      lang -> size(filter(col("tg"), t => t.isInCollection(profile)))
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === mx && mx > 0, lit(lang)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang"),
+      predicted.as("predicted_lang"))
+  }
+
+  def sqlLangIdNgram: String = {
+    val scoreDefs = TrigramProfiles.map { case (lang, profile) =>
+      val set = profile.map(p => s"'$p'").mkString(", ")
+      s"len(list_filter(tg, t -> t IN ($set))) AS s_$lang"
+    }.mkString(",\n    ")
+    val mx = s"greatest(${TrigramProfiles.map("s_" + _._1).mkString(", ")})"
+    val cases = TrigramProfiles.map { case (lang, _) =>
+      s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM (
+       |  SELECT *, $mx AS mx FROM (
+       |    SELECT doc_id, lang,
+       |      $scoreDefs
+       |    FROM (SELECT doc_id, lang,
+       |      list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+       |                     i -> substr(text, i, 3)) AS tg
+       |      FROM documents)
+       |  )
+       |) ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- fingerprinting
   /** Rolling polynomial fingerprint over token hashes, mod a large prime —
     * an order-sensitive document signature (unlike minhash, word order
@@ -171,4 +225,48 @@ object TextOps {
        |                     w -> ${sqlTokenHash("w")})),
        |    (acc, h) -> (acc * $FpBase + h) % $FpMod) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- winnowing
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * local algorithms for document fingerprinting", SIGMOD 2003): hash every
+    * word k-gram, slide a window of `WinnowWindow` hashes, keep each
+    * window's minimum — the selected set is position-robust (shared text
+    * regions select shared fingerprints regardless of offset) and its size
+    * is ~2/(w+1) of the k-gram count. Output: one row per distinct selected
+    * fingerprint per doc. Everything is per-row array math — no shuffle
+    * before the final explode.
+    */
+  val WinnowWindow = 4
+
+  def winnow(docs: DataFrame): DataFrame = {
+    val kgramHashes = transform(
+      Dedup.shingles(col("w"), Dedup.ShingleK), s => tokenHash(s))
+    val windowMins = transform(
+      sequence(lit(1), greatest(size(col("hs")) - (WinnowWindow - 1), lit(1))),
+      i => array_min(slice(col("hs"), i, lit(WinnowWindow))))
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), kgramHashes.as("hs"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(windowMins)).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+      .orderBy(col("doc_id"), col("fingerprint"))
+  }
+
+  def sqlWinnow: String = {
+    val sh = Dedup.sqlShingles("text", Dedup.ShingleK)
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($sh, s -> ${sqlTokenHash("s")}) AS hs
+       |  FROM documents
+       |), selected AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(
+       |      list_transform(range(1, greatest(len(hs) - ${WinnowWindow - 1}, 1) + 1),
+       |        i -> list_min(hs[i:i+${WinnowWindow - 1}])))) AS fps
+       |  FROM hashed
+       |)
+       |SELECT doc_id, unnest(fps) AS fingerprint FROM selected
+       |ORDER BY doc_id, fingerprint""".stripMargin
+  }
 }
