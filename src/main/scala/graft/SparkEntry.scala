@@ -547,6 +547,8 @@ object SparkEntry {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_p50"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
@@ -749,6 +751,7 @@ object SparkEntry {
     "q11_topk_window"   -> qTopkWindow _,
     "q12_log_stamp"     -> qLogStamp _,
     "q13_sessionize"    -> ((s, d) => Sessionize.sessions(Tables.events(s, d))),
+    "q28_session_window" -> ((s, d) => Sessionize.sessionsBuiltin(Tables.events(s, d))),
     "q14_tumbling"      -> ((s, d) => Sessionize.tumbling(Tables.events(s, d))),
     "q15_enrich_pivot"  -> qEnrichPivot _,
     "q16_rollup"        -> qRollup _,
@@ -798,6 +801,7 @@ object SparkEntry {
     "q11_topk_window"   -> sqlTopkWindow,
     "q12_log_stamp"     -> sqlLogStamp,
     "q13_sessionize"    -> Sessionize.sqlSessions,
+    "q28_session_window" -> Sessionize.sqlSessionsBuiltin,
     "q14_tumbling"      -> Sessionize.sqlTumbling,
     "q15_enrich_pivot"  -> sqlEnrichPivot,
     "q16_rollup"        -> sqlRollup,

@@ -60,6 +60,43 @@ object Sessionize {
        |FROM s GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Built-in session-window operator — same session semantics as
+    * [[sessions]] (gap-merge at 30 min) through `session_window` instead of
+    * the lag/cumsum formulation; both are verified against the same oracle,
+    * which is exactly the point: two plans, one truth. The built-in form is
+    * the one that transfers directly to Structured Streaming state.
+    */
+  def sessionsBuiltin(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        xsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  def sqlSessionsBuiltin: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP))
+       |      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |), s AS (
+       |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap >= $GapMicros
+       |                     THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM g
+       |)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  ${sqlSum("value")} AS total_value
+       |FROM s GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** Tumbling-window aggregation — identical logic feeds the streaming
     * variant (`groupBy(window(ts, …))` under a watermark).
     */
