@@ -22,7 +22,14 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
   final case class MediaFeatures(doc_id: Long, mime: String, byte_len: Int,
-      content_hash: String, head_sum: Long, frame_count: Int)
+      content_hash: String, head_sum: Long, frame_count: Int,
+      thumb_hash: String)
+
+  /** Resize stub: every `ResizeStride`-th byte — the deterministic stand-in
+    * for a real downscale; the hash of the "thumbnail" is the verifiable
+    * output.
+    */
+  val ResizeStride = 4
 
   /** Build the media table: text payload → binary column + metadata.
     * (In production this is the raw image/audio bytes column.)
@@ -48,8 +55,13 @@ object Multimodal {
         // STUB decode: deterministic byte-derived stand-ins for
         // (decoded frame count, content checksum, header bytes)
         val headSum = r.media.take(8).map(b => (b & 0xff).toLong).sum
+        // STUB resize: stride-subsampled "thumbnail", hashed
+        val thumb = r.media.zipWithIndex
+          .collect { case (b, i) if i % ResizeStride == 0 => b }
+        digest.reset()
+        val thumbHash = digest.digest(thumb).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.mime, r.media.length, hash, headSum,
-          r.media.length / 100 + 1)
+          r.media.length / 100 + 1, thumbHash)
       }
     }
   }
@@ -106,6 +118,9 @@ object Multimodal {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(range(1, 9), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
       |    (a, b) -> a + b) AS head_sum,
-      |  octet_length(encode(text)) // 100 + 1 AS frame_count
+      |  octet_length(encode(text)) // 100 + 1 AS frame_count,
+      |  md5(array_to_string(
+      |    list_transform(range(1, (length(text) - 1) // 4 + 2),
+      |                   i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS thumb_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 }

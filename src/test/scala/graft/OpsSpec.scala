@@ -96,6 +96,19 @@ class OpsSpec extends SparkSuite {
     assert(hashes == 0)
   }
 
+  test("winnowing: shared text regions select shared fingerprints") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docsOf(
+      (1, s"prefix words here $shared"),
+      (2, s"$shared and a different tail section"),
+      (3, "completely unrelated vocabulary everywhere in this document body"))
+    val fps = TextOps.winnow(d).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1) & fps(2)).nonEmpty)   // overlap from the shared region
+    assert((fps(1) & fps(3)).isEmpty)    // disjoint text → disjoint prints
+  }
+
   test("native dot expression is bit-identical to the fold form") {
     graft.functions.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
