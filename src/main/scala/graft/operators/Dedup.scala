@@ -34,20 +34,25 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
   // ------------------------------------------------------------- shingles
-  /** Word k-shingles from a MATERIALIZED words column, 1-based positions
-    * (matches DuckDB list indexing). `concat` (not concat_ws) so
-    * out-of-range NULLs propagate identically.
+  /** Word k-shingles via zip_with over shifted slices of the words array.
     *
-    * Callers must pass a bound column (`.withColumn("w", words(...))`), not
-    * a nested expression: Spark does no subexpression elimination inside
-    * lambda bodies, so an inline `split()` would re-run per array element —
-    * O(words²) per document.
+    * Never `transform(seq, i => element_at(w, i)…)`: an array referenced
+    * INSIDE a lambda body is re-evaluated per element (and CollapseProject
+    * may inline the producing split() into that reference), costing
+    * O(words²) per document. Here `w` appears only as zip_with/slice
+    * ARGUMENTS — one evaluation each per row.
+    *
+    * Semantics match the positional formulation exactly: zip_with pads the
+    * shorter side with NULLs and `concat` propagates them (like DuckDB `||`),
+    * and the final slice keeps the same greatest(n-k+1, 1) length.
     */
-  def shingles(w: Column, k: Int): Column =
-    transform(sequence(lit(1), greatest(size(w) - (k - 1), lit(1))), i =>
-      concat((0 until k).flatMap(o =>
-        if (o == 0) Seq(element_at(w, i))
-        else Seq(lit(" "), element_at(w, i + o))): _*))
+  def shingles(w: Column, k: Int): Column = {
+    val zipped = (1 until k).foldLeft(w) { (acc, o) =>
+      zip_with(acc, slice(w, lit(o + 1), size(w)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    slice(zipped, lit(1), greatest(size(w) - (k - 1), lit(1)))
+  }
 
   def sqlShingles(text: String, k: Int): String = {
     val w = sqlWords(text)

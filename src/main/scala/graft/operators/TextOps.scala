@@ -238,31 +238,63 @@ object TextOps {
     */
   val WinnowWindow = 4
 
+  /** Sliding-window minima as chained `zip_with` over shifted slices —
+    * NEVER as a lambda that indexes the hash array: a lambda-internal array
+    * reference is re-evaluated per element (and CollapseProject inlines a
+    * single-use alias straight into the lambda), turning the whole md5
+    * chain O(n²) per document. Here the array appears only as function
+    * ARGUMENTS (evaluated once per row), and its multiple references also
+    * stop CollapseProject from inlining the upstream stage.
+    */
+  val WinnowMod = Dedup.MinhashP
+  val WinnowBase = 31L
+
+  /** Relational formulation — the one that actually fits Spark's execution
+    * model. Array/HOF versions of winnowing fight the engine twice over:
+    * lambda-internal array references re-evaluate per element, and
+    * CollapseProject inlines the hash stage into every downstream reference
+    * (measured 50×+ slowdowns both ways). Exploding to one row per token
+    * and using window functions (lead for the k-gram polynomial, a bounded
+    * frame min for the winnow) keeps everything inside whole-stage codegen
+    * with exactly ONE hash evaluation per token and one shuffle by doc_id.
+    */
   def winnow(docs: DataFrame): DataFrame = {
-    val kgramHashes = transform(
-      Dedup.shingles(col("w"), Dedup.ShingleK), s => tokenHash(s))
-    val windowMins = transform(
-      sequence(lit(1), greatest(size(col("hs")) - (WinnowWindow - 1), lit(1))),
-      i => array_min(slice(col("hs"), i, lit(WinnowWindow))))
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ahead = byDoc.rowsBetween(Window.currentRow, WinnowWindow - 1)
+    val kh = ((col("h") * WinnowBase + lead(col("h"), 1).over(byDoc))
+      % WinnowMod * WinnowBase + lead(col("h"), 2).over(byDoc)) % WinnowMod
     docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), kgramHashes.as("hs"))
       .select(col("doc_id"),
-        array_sort(array_distinct(windowMins)).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+        posexplode(words(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"),
+        (tokenHash(col("word")) % WinnowMod).as("h"))
+      .withColumn("kh", kh)
+      .withColumn("wm", min(col("kh")).over(ahead))
+      .withColumn("n_in_window", count(col("kh")).over(ahead))
+      .filter(col("n_in_window") === WinnowWindow) // full windows only
+      .select(col("doc_id"), col("wm").as("fingerprint"))
+      .distinct()
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
   def sqlWinnow: String = {
-    val sh = Dedup.sqlShingles("text", Dedup.ShingleK)
-    s"""WITH hashed AS (
+    val k = Dedup.ShingleK
+    s"""WITH wh AS (
        |  SELECT doc_id,
-       |    list_transform($sh, s -> ${sqlTokenHash("s")}) AS hs
+       |    list_transform(${sqlWords("text")},
+       |                   w -> ${sqlTokenHash("w")} % $WinnowMod) AS wh
        |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(wh) - ${k - 1}, 1) + 1),
+       |      i -> ((wh[i] * $WinnowBase + wh[i+1]) % $WinnowMod
+       |            * $WinnowBase + wh[i+2]) % $WinnowMod) AS hs
+       |  FROM wh
        |), selected AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(
-       |      list_transform(range(1, greatest(len(hs) - ${WinnowWindow - 1}, 1) + 1),
+       |      list_transform(range(1, greatest(len(hs) - ${WinnowWindow - 1}, 0) + 1),
        |        i -> list_min(hs[i:i+${WinnowWindow - 1}])))) AS fps
        |  FROM hashed
        |)
