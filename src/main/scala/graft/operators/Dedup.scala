@@ -90,7 +90,11 @@ object Dedup {
     * hash-partitioned self-join on the band key → distinct pairs. Join input
     * is |docs|·bands tiny rows; candidates only where signatures collide.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** LSH band frame: (doc_id, band_idx, band_key) — the persistable
+    * signature state of a corpus (the streaming dedup keeps exactly this
+    * as its durable table).
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
     // materialize words → shingles → base hashes → signatures stage by
     // stage: each is evaluated once per row (see shingles() scaladoc)
     val sigCols = (0 until MinhashK).map(j =>
@@ -106,17 +110,20 @@ object Dedup {
         concat_ws("|", (b * BandSize until (b + 1) * BandSize)
           .map(j => col(s"sig$j").cast("string")): _*).as("band_key"))
     }
+    sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
     // Bucketize then pair-expand WITHIN buckets: signatures are computed
     // once (a self-join would recompute the whole signature subtree per
     // side — no exchange reuse), and the shuffle moves only
     // (band_key, doc_id) pairs. Bucket pair expansion is quadratic per
     // bucket — exactly the LSH contract (buckets are tiny unless the data
     // really is near-duplicate-heavy).
-    val exploded = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_key").as("band_key"))
-    exploded
+    minhashBands(docs)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -111,6 +111,29 @@ object Streams {
     df.sparkSession.table(name)
   }
 
+  /** Incremental near-dup dedup: admit only micro-batch documents that
+    * share no MinHash/LSH band with the already-admitted corpus (or with an
+    * earlier doc of the same batch); admitted docs' bands append to the
+    * durable state. The state is exactly [[graft.operators.Dedup.minhashBands]]
+    * — `(doc_id, band_idx, band_key)` — so corpus membership checks are one
+    * hash-partitioned semi-join per batch regardless of corpus size.
+    *
+    * @return (admitted docs, their bands to append to state)
+    */
+  def dedupBatch(newDocs: DataFrame, stateBands: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val newBands = graft.operators.Dedup.minhashBands(newDocs)
+    val dupOfState = newBands
+      .join(stateBands, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val dupWithinBatch = graft.operators.Dedup.minhashPairs(newDocs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val victims = dupOfState.unionByName(dupWithinBatch).distinct()
+    val admitted = newDocs.join(victims, Seq("doc_id"), "left_anti")
+    val admittedBands = newBands.join(victims, Seq("doc_id"), "left_anti")
+    (admitted, admittedBands)
+  }
+
   /** Streaming SCD load (SURVEY §7.6): each micro-batch of incoming rows is
     * merged into the durable target with the SAME set-based
     * [[graft.operators.ScdMerge]] the batch pipeline uses, via

@@ -69,6 +69,31 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup: cross-batch near-dups rejected, novel docs admitted") {
+    def docsOf(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val sharedText = "the quick brown fox jumps over the lazy dog again today"
+    // batch 1: two docs, one internal duplicate pair
+    val b1 = docsOf(
+      (1, sharedText),
+      (2, sharedText),
+      (3, "an entirely different first batch document with other words"))
+    val empty = graft.operators.Dedup.minhashBands(b1).limit(0)
+    val (adm1, bands1) = Streams.dedupBatch(b1, empty)
+    assert(adm1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L)) // doc 2 is an in-batch near-dup of doc 1
+    // batch 2: one near-dup of the admitted corpus, one novel doc
+    val b2 = docsOf(
+      (10, sharedText),
+      (11, "novel second batch content that matches nothing seen before ever"))
+    val (adm2, _) = Streams.dedupBatch(b2, bands1)
+    assert(adm2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L)) // doc 10 collides with doc 1's bands in state
+  }
+
   test("streaming SCD load: foreachBatch merges micro-batches into state") {
     val stateDir = Files.createTempDirectory("graft_state").toString
     val cfg = ScdMerge.Config(keys = Seq("k"), valueCol = "v", scd2 = false)
