@@ -480,6 +480,20 @@ object SparkEntry {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val sqlIntersect: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
   private def qJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_id"),
@@ -756,6 +770,7 @@ object SparkEntry {
     "q15_enrich_pivot"  -> qEnrichPivot _,
     "q16_rollup"        -> qRollup _,
     "q17_except"        -> qExcept _,
+    "q29_intersect"     -> qIntersect _,
     "q18_json"          -> qJson _,
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
@@ -806,6 +821,7 @@ object SparkEntry {
     "q15_enrich_pivot"  -> sqlEnrichPivot,
     "q16_rollup"        -> sqlRollup,
     "q17_except"        -> sqlExcept,
+    "q29_intersect"     -> sqlIntersect,
     "q18_json"          -> sqlJson,
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
