@@ -75,9 +75,17 @@ case class HeavyHitters(
       b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
     if (a.size > capacity) {
-      val keep = a.toSeq.sortBy { case (t, c) => (-c, t) }.take(capacity)
+      // standard mergeable-summaries trim (Agarwal et al., "Mergeable
+      // Summaries", PODS 2012): subtract the (capacity+1)-th largest count
+      // from every survivor so the merged sketch keeps the MG undercount
+      // bound N/(capacity+1); a plain drop-smallest would lose the dropped
+      // mass and break the guarantee.
+      val sorted = a.toSeq.sortBy { case (t, c) => (-c, t) }
+      val dec = sorted(capacity)._2
       a.clear()
-      keep.foreach { case (t, c) => a.update(t, c) }
+      sorted.take(capacity).foreach { case (t, c) =>
+        if (c - dec > 0) a.update(t, c - dec)
+      }
     }
     a
   }

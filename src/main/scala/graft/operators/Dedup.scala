@@ -99,8 +99,14 @@ object Dedup {
     // stage: each is evaluated once per row (see shingles() scaladoc)
     val sigCols = (0 until MinhashK).map(j =>
       minhashSig(col("hs"), j).as(s"sig$j"))
+    // Docs shorter than ShingleK words have no complete shingle: their
+    // signature components would be NULL, and Spark's concat_ws would fold
+    // every such doc into one hot "" band bucket (all-pairs candidates)
+    // while the oracle's NULL key never joins. Exclude them up front —
+    // identically on both engines.
     val sigs = docs
       .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
       .select(col("doc_id"), shingles(col("w"), ShingleK).as("sh"))
       .select(col("doc_id"),
         transform(col("sh"), s => tokenHash(s) % lit(MinhashP)).as("hs"))
@@ -146,6 +152,7 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH shingled AS (
        |  SELECT doc_id, $sh AS sh FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $ShingleK
        |), hashed AS (
        |  SELECT doc_id,
        |    list_transform(sh, s -> ${sqlTokenHash("s")} % $MinhashP) AS hs
@@ -226,6 +233,7 @@ object Dedup {
     val withSets = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
         words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK) // see minhashBands: no NULL shingles
       .select(col("doc_id"), col("lang"), col("n_chars"),
         shingles(col("w"), ShingleK).as("shs"))
       .select(col("doc_id"), col("lang"),
@@ -262,6 +270,7 @@ object Dedup {
        |    n_chars // $JaccardBlockChars AS bucket,
        |    list_distinct(list_transform($sh, s -> ${sqlTokenHash("s")})) AS sh
        |  FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $ShingleK
        |), p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,

@@ -54,7 +54,8 @@ object Sessionize {
        |          ROWS UNBOUNDED PRECEDING) AS session_seq
        |  FROM g
        |)
-       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  COUNT(*) AS n_events,
        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
        |  ${sqlSum("value")} AS total_value
        |FROM s GROUP BY user_id, session_seq

@@ -54,6 +54,17 @@ for name in sorted(oracle):
         if pd.api.types.is_datetime64_any_dtype(e) or pd.api.types.is_datetime64_any_dtype(g):
             e = pd.to_datetime(e, utc=True).dt.tz_localize(None)
             g = pd.to_datetime(g, utc=True).dt.tz_localize(None)
+        elif e.dtype.kind != g.dtype.kind:
+            # The driver's hash gate tolerates integer-width drift
+            # (int32 vs int64 passed in r1) but NOT kind drift: DuckDB
+            # HUGEINT (from SUM over INTEGER) lands as float64 in pandas
+            # while Spark emits int64, and the driver records
+            # hash_match:false even with equal values. Compare dtype
+            # *kind* (i/u/f/O/b) to surface exactly that class locally.
+            print(f"FAIL {name}: col {c} dtype drift: oracle={e.dtype} spark={g.dtype}")
+            ok = False
+            fails += 1
+            break
         try:
             same = (e.isna() & g.isna()) | (e == g)
         except Exception:
