@@ -679,8 +679,11 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    // 4 buckets: enough to demonstrate (and spec-test) the salt mechanics;
+    // bucket count scales with observed skew, not a constant — at 100 TB
+    // you size it to the hot key's row share vs a task's capacity.
     graft.operators.Skew
-      .saltedJoin(li, o, "l_orderkey", col("l_linenumber"), saltBuckets = 8)
+      .saltedJoin(li, o, "l_orderkey", col("l_linenumber"), saltBuckets = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("total"))
       .orderBy(col("o_orderpriority"))

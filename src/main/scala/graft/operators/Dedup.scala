@@ -34,31 +34,47 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
   // ------------------------------------------------------------- shingles
-  /** Word k-shingles via zip_with over shifted slices of the words array.
+  /** Hashed word k-shingles: each WORD is hashed once (32-bit md5 reduced
+    * mod P), then the k-gram hash is the base-31 polynomial combination of
+    * the k word hashes — the same formulation [[TextOps.winnow]] uses. No
+    * per-shingle string is ever materialized: vs md5-per-shingle-string this
+    * cuts the hash count k-fold and eliminates all concat garbage, which is
+    * the dominant cost of shingling at corpus scale.
     *
-    * Never `transform(seq, i => element_at(w, i)…)`: an array referenced
-    * INSIDE a lambda body is re-evaluated per element (and CollapseProject
-    * may inline the producing split() into that reference), costing
-    * O(words²) per document. Here `w` appears only as zip_with/slice
-    * ARGUMENTS — one evaluation each per row.
+    * Built as chained `zip_with` over shifted slices of the word-hash array.
+    * Never `transform(seq, i => element_at(wh, i)…)`: an array referenced
+    * INSIDE a lambda body is re-evaluated per element, costing O(words²)
+    * per document. Here `wh` appears only as zip_with/slice ARGUMENTS — one
+    * evaluation each per row.
     *
-    * Semantics match the positional formulation exactly: zip_with pads the
-    * shorter side with NULLs and `concat` propagates them (like DuckDB `||`),
-    * and the final slice keeps the same greatest(n-k+1, 1) length.
+    * All values stay < P = 2^31-1, so intermediates (< 2^36) never overflow
+    * a 64-bit long and both engines agree exactly.
     */
-  def shingles(w: Column, k: Int): Column = {
-    val zipped = (1 until k).foldLeft(w) { (acc, o) =>
-      zip_with(acc, slice(w, lit(o + 1), size(w)),
-        (a, b) => concat(a, lit(" "), b))
+  val ShingleBase = 31L
+
+  /** Per-word 32-bit hashes mod P; input to [[shingleHashes]]. */
+  def wordHashes(w: Column): Column =
+    transform(w, x => tokenHash(x) % lit(MinhashP))
+  def sqlWordHashes(text: String): String =
+    s"list_transform(${sqlWords(text)}, w -> ${sqlTokenHash("w")} % $MinhashP)"
+
+  /** `wh` must be a materialized word-hash column (see [[wordHashes]]).
+    * Callers filter `size(w) >= k` first — shorter docs would produce NULL
+    * shingle hashes (zip_with pads with NULLs).
+    */
+  def shingleHashes(wh: Column, k: Int): Column = {
+    val chained = (1 until k).foldLeft(wh) { (acc, o) =>
+      zip_with(acc, slice(wh, lit(o + 1), size(wh)),
+        (a, b) => (a * lit(ShingleBase) + b) % lit(MinhashP))
     }
-    slice(zipped, lit(1), greatest(size(w) - (k - 1), lit(1)))
+    slice(chained, lit(1), greatest(size(wh) - (k - 1), lit(1)))
   }
 
-  def sqlShingles(text: String, k: Int): String = {
-    val w = sqlWords(text)
-    val parts = (0 until k).map(o =>
-      if (o == 0) s"$w[i]" else s"$w[i+$o]").mkString(" || ' ' || ")
-    s"list_transform(range(1, greatest(len($w) - ${k - 1}, 1) + 1), i -> $parts)"
+  def sqlShingleHashes(wh: String, k: Int): String = {
+    val poly = (1 until k).foldLeft(s"$wh[i]") { (acc, o) =>
+      s"($acc * $ShingleBase + $wh[i+$o]) % $MinhashP"
+    }
+    s"list_transform(range(1, greatest(len($wh) - ${k - 1}, 1) + 1), i -> $poly)"
   }
 
   // --------------------------------------------------------- MinHash + LSH
@@ -107,9 +123,8 @@ object Dedup {
     val sigs = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= ShingleK)
-      .select(col("doc_id"), shingles(col("w"), ShingleK).as("sh"))
-      .select(col("doc_id"),
-        transform(col("sh"), s => tokenHash(s) % lit(MinhashP)).as("hs"))
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"), shingleHashes(col("wh"), ShingleK).as("hs"))
       .select(col("doc_id") +: sigCols: _*)
     val bands = (0 until MinhashK / BandSize).map { b =>
       struct(lit(b).as("band_idx"),
@@ -142,7 +157,6 @@ object Dedup {
   }
 
   def sqlMinhashPairs: String = {
-    val sh = sqlShingles("text", ShingleK)
     val sigDefs = (0 until MinhashK).map(j =>
       s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
     val bandRows = (0 until MinhashK / BandSize).map { b =>
@@ -150,13 +164,12 @@ object Dedup {
         .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH shingled AS (
-       |  SELECT doc_id, $sh AS sh FROM documents
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM documents
        |  WHERE len(${sqlWords("text")}) >= $ShingleK
        |), hashed AS (
-       |  SELECT doc_id,
-       |    list_transform(sh, s -> ${sqlTokenHash("s")} % $MinhashP) AS hs
-       |  FROM shingled
+       |  SELECT doc_id, ${sqlShingleHashes("wh", ShingleK)} AS hs
+       |  FROM wordhashed
        |), sigs AS (
        |  SELECT doc_id,
        |    $sigDefs
@@ -235,10 +248,10 @@ object Dedup {
         words(col("text")).as("w"))
       .filter(size(col("w")) >= ShingleK) // see minhashBands: no NULL shingles
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        shingles(col("w"), ShingleK).as("shs"))
+        wordHashes(col("w")).as("wh"))
       .select(col("doc_id"), col("lang"),
         expr(s"n_chars div $JaccardBlockChars").as("bucket"),
-        array_sort(array_distinct(transform(col("shs"), s => tokenHash(s))))
+        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
           .as("sh"))
     // Block-then-pair-expand (like minhashPairs): shingle sets are computed
     // and shuffled once; pairs materialize only inside each block.
@@ -264,13 +277,15 @@ object Dedup {
   }
 
   def sqlNgramJaccard: String = {
-    val sh = sqlShingles("text", ShingleK)
-    s"""WITH s AS (
-       |  SELECT doc_id, lang,
-       |    n_chars // $JaccardBlockChars AS bucket,
-       |    list_distinct(list_transform($sh, s -> ${sqlTokenHash("s")})) AS sh
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, lang, n_chars, ${sqlWordHashes("text")} AS wh
        |  FROM documents
        |  WHERE len(${sqlWords("text")}) >= $ShingleK
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    n_chars // $JaccardBlockChars AS bucket,
+       |    list_distinct(${sqlShingleHashes("wh", ShingleK)}) AS sh
+       |  FROM wordhashed
        |), p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
