@@ -553,6 +553,51 @@ object SparkEntry {
       |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- q31_range_join
+  // Bucketized point-in-interval join (operators.RangeJoin). Ranges are
+  // synthesized deterministically from orders (shifted into the events'
+  // 2024 window); the oracle is the PLAIN BETWEEN join — any drift in the
+  // bucket quantization/refinement mechanics hash-mismatches. Aggregated
+  // per event so the result stays bounded regardless of interval fan-out.
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = lit("2024-01-01 00:00:00").cast("timestamp")
+    val r = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select((col("o_custkey") % 20).as("k"),
+        timestamp_add("DAY", (col("o_orderkey") % 30).cast("int"), base)
+          .as("r_start"),
+        timestamp_add("DAY",
+          ((col("o_orderkey") % 30) + (col("o_orderkey") % 3) + 1).cast("int"),
+          base).as("r_end"),
+        col("o_totalprice").as("rv"))
+    val l = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), (col("user_id") % 20).as("k"))
+    graft.operators.RangeJoin
+      .pointInRange(l, r, Seq("k"), "ts", "r_start", "r_end",
+        bucketMicros = 86400L * 1000000) // 1 day ≈ median interval width
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_ranges"), xsum(col("rv")).as("total_rv"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlRangeJoin: String =
+    s"""WITH r AS (
+       |  SELECT o_custkey % 20 AS k,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + INTERVAL (o_orderkey % 30) DAY AS r_start,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + INTERVAL ((o_orderkey % 30) + (o_orderkey % 3) + 1) DAY AS r_end,
+       |    o_totalprice AS rv
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |), l AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id % 20 AS k
+       |  FROM events
+       |)
+       |SELECT l.event_id, COUNT(*) AS n_ranges, ${sqlSum("rv")} AS total_rv
+       |FROM l JOIN r ON l.k = r.k AND l.ts >= r.r_start AND l.ts <= r.r_end
+       |GROUP BY l.event_id
+       |ORDER BY l.event_id""".stripMargin
+
   // --------------------------------------------------- sketch_distinct
   // Distinct-count sketch (HLL++). No ANSI equivalent — deliberately has no
   // oracle entry; the driver records the weaker rows-only check. The exact
@@ -725,6 +770,38 @@ object SparkEntry {
        |SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
        |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ------------------------------------------------------- sketch_kmv
+  // KMV distinct sketch (operators.Sketch) — the oracle-checkable companion
+  // to sketch_distinct's HLL: same shared md5 hash on both engines, so the
+  // ESTIMATE itself hash-matches.
+  private def qKmv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketch.kmvDistinct(
+      Tables.lineitem(s, dir), "l_returnflag", "l_partkey")
+
+  private val sqlKmv: String =
+    graft.operators.Sketch.sqlKmvDistinct("lineitem", "l_returnflag", "l_partkey")
+
+  // ------------------------------------------------- q30_grouping_sets
+  // Explicit GROUPING SETS (beyond rollup/cube): per-status, per-priority,
+  // and grand-total groups in one pass — Spark 4 exposes this directly on
+  // Dataset, DuckDB mirrors with GROUP BY GROUPING SETS.
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val sqlGroupingSets: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -785,6 +862,9 @@ object SparkEntry {
     "q26_salted_join"   -> qSaltedJoin _,
     "q27_unpivot"       -> qUnpivot _,
     "sketch_distinct"   -> qSketch _,
+    "sketch_kmv"        -> qKmv _,
+    "q30_grouping_sets" -> qGroupingSets _,
+    "q31_range_join"    -> qRangeJoin _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -835,6 +915,9 @@ object SparkEntry {
     "q25_cube"          -> sqlCube,
     "q26_salted_join"   -> sqlSaltedJoin,
     "q27_unpivot"       -> sqlUnpivot,
+    "sketch_kmv"        -> sqlKmv,
+    "q30_grouping_sets" -> sqlGroupingSets,
+    "q31_range_join"    -> sqlRangeJoin,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join — an operator Spark has no native physical
+  * strategy for: a naive `l.ts BETWEEN r.start AND r.end` join plans as
+  * BroadcastNestedLoopJoin (all-pairs per key), which is quadratic and
+  * undistributable at scale.
+  *
+  * Bucketized formulation (the standard interval-join decomposition, as in
+  * Flink's interval join and Spark range-join hints in closed-source forks):
+  * quantize time into fixed-width buckets; each interval is exploded to the
+  * buckets it overlaps, each point maps to exactly one bucket; the join
+  * becomes a plain EQUI join on (keys…, bucket) — hash-partitioned, AQE- and
+  * codegen-friendly — with the exact `BETWEEN` as a post-join refinement
+  * filter.
+  *
+  * Scale properties: shuffle key is (key, bucket) so co-occurring intervals
+  * distribute; interval replication factor = ceil(width/bucket)+1, so pick
+  * `bucketMicros` near the median interval width (cost = replication ×
+  * bucket collision rate). Long outlier intervals should be capped or
+  * handled by a coarser second pass — replication is linear in their width.
+  */
+object RangeJoin {
+
+  /** Equi-keys + point-in-[start,end] join (inclusive both ends, matching
+    * ANSI BETWEEN). All of `pointCol`, `startCol`, `endCol` are timestamps;
+    * quantization is exact integer epoch-micros arithmetic.
+    */
+  def pointInRange(points: DataFrame, ranges: DataFrame, keys: Seq[String],
+      pointCol: String, startCol: String, endCol: String,
+      bucketMicros: Long): DataFrame = {
+    val pb = points.withColumn("__bucket",
+      expr(s"unix_micros($pointCol) div $bucketMicros"))
+    val rb = ranges.withColumn("__bucket",
+      explode(sequence(
+        expr(s"unix_micros($startCol) div $bucketMicros"),
+        expr(s"unix_micros($endCol) div $bucketMicros"))))
+    pb.join(rb, keys :+ "__bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

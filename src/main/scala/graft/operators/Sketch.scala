@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.{sqlTokenHash, tokenHash}
+
+/** Distinct-count sketching that is exactly reproducible across engines.
+  *
+  * `approx_count_distinct` (HLL++) has no cross-engine oracle — its estimate
+  * depends on Spark's private hash and register layout. The KMV (k-minimum
+  * values) estimator (Bar-Yossef et al., "Counting distinct elements in a
+  * data stream", RANDOM 2002; Beyer et al., SIGMOD 2007 for the unbiased
+  * form) is different: given a SHARED hash function, the k smallest distinct
+  * hash values — and therefore the estimate — are fully deterministic, so a
+  * DuckDB oracle hash-matches bit for bit. We use the same md5-derived
+  * 32-bit hash as the text operators.
+  *
+  * Estimator: with h_(k) the k-th smallest distinct hash mapped into (0,1],
+  * estimate = (k-1) / h_(k)  (the unbiased KMV estimator).
+  *
+  * Scale shape: one distinct-aggregate shuffle keyed by (group, hash) —
+  * partial map-side dedup applies — then a per-group top-k window over
+  * DISTINCT hashes only (≤ |distinct| rows, never the raw stream), then one
+  * tiny per-group aggregate. At 100 TB the heavy input never shuffles twice;
+  * only distinct hashes move. A TypedImperativeAggregate could keep a
+  * bounded k-heap per partition instead; the relational form is chosen
+  * because it stays inside whole-stage codegen and needs no new state
+  * format.
+  */
+object Sketch {
+
+  val K = 64
+  val HashSpace = 4294967296.0 // 2^32: tokenHash range is [0, 2^32)
+
+  /** Per-group KMV distinct estimate of `valueCol`, alongside the exact
+    * count for error inspection.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    df
+      .select(col(groupCol), tokenHash(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(byGroup))
+      .filter(col("rk") <= K)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      // fewer than K distinct values → sketch is exact (n_kept)
+      .select(col(groupCol),
+        when(col("n_kept") < K, col("n_kept").cast("double"))
+          .otherwise(round(
+            lit(K - 1) / ((col("hk") + lit(1L)).cast("double") / lit(HashSpace)),
+            4))
+          .as("kmv_estimate"))
+      .orderBy(col(groupCol))
+  }
+
+  def sqlKmvDistinct(table: String, groupCol: String, valueCol: String): String =
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT $groupCol, ${sqlTokenHash(s"CAST($valueCol AS VARCHAR)")} AS h
+       |  FROM $table
+       |), ranked AS (
+       |  SELECT $groupCol, h,
+       |    ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY h) AS rk
+       |  FROM hashes
+       |), kept AS (
+       |  SELECT $groupCol, COUNT(*) AS n_kept, MAX(h) AS hk
+       |  FROM ranked WHERE rk <= $K GROUP BY $groupCol
+       |)
+       |SELECT $groupCol,
+       |  CASE WHEN n_kept < $K THEN CAST(n_kept AS DOUBLE)
+       |       ELSE ROUND(($K - 1) / (CAST(hk + 1 AS DOUBLE) / $HashSpace), 4)
+       |  END AS kmv_estimate
+       |FROM kept
+       |ORDER BY $groupCol""".stripMargin
+}
