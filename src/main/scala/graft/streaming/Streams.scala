@@ -111,6 +111,30 @@ object Streams {
     df.sparkSession.table(name)
   }
 
+  /** Stream-stream interval join: every "view" pairs with the same user's
+    * "click" events landing within the following 30 minutes. Both sides are
+    * watermarked so the join state is BOUNDED: a buffered view can be
+    * dropped once the click-side watermark passes view_ts + 30 min, and
+    * vice versa — without the time bound the state would grow forever.
+    * State is hash-partitioned by user_id like every other keyed op here.
+    */
+  def viewClickJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Incremental near-dup dedup: admit only micro-batch documents that
     * share no MinHash/LSH band with the already-admitted corpus (or with an
     * earlier doc of the same batch); admitted docs' bands append to the

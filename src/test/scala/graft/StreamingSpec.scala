@@ -25,6 +25,16 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch join on same data") {
+    val streamed = Streams.runToMemory(
+      Streams.viewClickJoin(Streams.eventsStream(spark, dir)),
+      "vc_join_out", OutputMode.Append())
+    val batch = Streams.viewClickJoin(Tables.events(spark, dir))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful sessionization closes sessions on gap and keeps state") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
