@@ -14,6 +14,7 @@ import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, Vec
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     e.injectFunction((
       FunctionIdentifier(VectorExprs.DotName),
       new ExpressionInfo(classOf[DotProductFloat].getName,

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: rewrite naive point-in-interval joins into the
+  * bucketized equi-join form of [[graft.operators.RangeJoin]].
+  *
+  * A join whose ONLY cross-side condition is a time-range sandwich
+  *
+  * {{{ points JOIN ranges ON p.ts >= r.start AND p.ts <= r.end }}}
+  *
+  * has no equi key, so Spark plans BroadcastNestedLoopJoin — every point
+  * against every range, O(|P|·|R|), undistributable. This rule quantizes
+  * time into `spark.graft.rangeJoin.bucketMicros`-wide buckets (default
+  * 1 day), explodes each interval to the buckets it overlaps, stamps each
+  * point with its bucket, and joins on bucket equality with the original
+  * range predicates kept as exact refinement — the same decomposition the
+  * explicit operator offers, applied transparently to any matching query
+  * (SQL or DataFrame) in a session built with [[graft.GraftExtensions]].
+  *
+  * Scope guards:
+  *  - inner joins only, both sides batch (a streaming interval join must
+  *    keep its raw range condition — that is what bounds watermark state);
+  *  - fires only when NO cross-side equi conjunct exists: with an equi key
+  *    Spark already hash-partitions and the range is a cheap post-filter,
+  *    so rewriting there would only add explode fan-out (the keyed case
+  *    stays with the explicit operator, where bucket width is a per-call
+  *    decision);
+  *  - the rewritten join gains a bucket equi conjunct, so the rule is
+  *    idempotent under the optimizer's fixed-point batch.
+  *
+  * Interval replication is ceil(width/bucket)+1 rows — size the bucket conf
+  * near the median interval width; pathological wide intervals replicate
+  * linearly and deserve a coarser bucket or the explicit operator.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  val BucketConf = "spark.graft.rangeJoin.bucketMicros"
+  val DefaultBucketMicros: Long = 86400L * 1000000L // 1 day
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other     => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !left.isStreaming && !right.isStreaming =>
+      val conjs = splitConj(cond)
+      def fromLeft(e: Expression): Boolean =
+        e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+      def fromRight(e: Expression): Boolean =
+        e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+      val hasEqui = conjs.exists {
+        case EqualTo(a, b) =>
+          (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))
+        case _ => false
+      }
+      // normalize bounds to (point, bound) with point on the left side
+      val lowers = conjs.collect { // point >= start
+        case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) => (a, b)
+        case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b)    => (b, a)
+      }
+      val uppers = conjs.collect { // point <= end
+        case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b)    => (a, b)
+        case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) => (b, a)
+      }
+      val sandwich = (for {
+        (p1, s) <- lowers
+        (p2, e) <- uppers
+        if p1.semanticEquals(p2) && p1.dataType == TimestampType &&
+          s.dataType == TimestampType && e.dataType == TimestampType
+      } yield (p1, s, e)).headOption
+
+      sandwich match {
+        case Some((p, s, e)) if !hasEqui =>
+          val bucket = conf.getConfString(BucketConf,
+            DefaultBucketMicros.toString).toLong
+          def toBucket(x: Expression): Expression =
+            IntegralDivide(UnixMicros(x), Literal(bucket))
+          val pb = Alias(toBucket(p), "__graft_pb")()
+          val newLeft = Project(left.output :+ pb, left)
+          val rb = AttributeReference("__graft_rb", LongType,
+            nullable = false)()
+          // Sequence is TimeZoneAwareExpression: the analyzer's
+          // ResolveTimeZone already ran, so stamp the session zone here or
+          // the expression stays unresolved (plan-validation failure)
+          val gen = Generate(
+            Explode(Sequence(toBucket(s), toBucket(e), None,
+              Some(conf.sessionLocalTimeZone))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(rb), child = right)
+          val newCond = (conjs :+ EqualTo(pb.toAttribute, rb)).reduce(And)
+          Project(j.output, Join(newLeft, gen, Inner, Some(newCond), hint))
+        case _ => j
+      }
+  }
+}
