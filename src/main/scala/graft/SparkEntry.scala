@@ -598,6 +598,39 @@ object SparkEntry {
        |GROUP BY l.event_id
        |ORDER BY l.event_id""".stripMargin
 
+  // ------------------------------------------------- q32_range_frame
+  // Time-RANGE window frame (vs q24's fixed ROWS frames): per event, the
+  // running 30-minute trailing aggregate for the same user. Ordered by
+  // integer epoch-micros so the frame bound is exact on both engines; the
+  // windowed sum goes through the decimal detour because a double running
+  // sum would depend on the engines' frame-aggregation association order.
+  private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HalfHourUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-HalfHourUs, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("sum_30m",
+        sum(col("value").cast(graft.functions.Exact.Dec)).over(w)
+          .cast("decimal(38,6)").cast("double"))
+      .select(col("event_id"), col("n_30m"), col("sum_30m"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlRangeFrame: String =
+    """SELECT event_id,
+      |  COUNT(*) OVER w AS n_30m,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,12))) OVER w, 6) AS DOUBLE)
+      |    AS sum_30m
+      |FROM (SELECT event_id, user_id, value,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+      |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------- sketch_distinct
   // Distinct-count sketch (HLL++). No ANSI equivalent — deliberately has no
   // oracle entry; the driver records the weaker rows-only check. The exact
@@ -865,7 +898,10 @@ object SparkEntry {
     "sketch_kmv"        -> qKmv _,
     "q30_grouping_sets" -> qGroupingSets _,
     "q31_range_join"    -> qRangeJoin _,
+    "q32_range_frame"   -> qRangeFrame _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
+    "text_tfidf"        -> ((s, d) => TextOps.tfIdf(docs(s, d))),
+    "sim_centroids"     -> ((s, d) => Similarity.centroids(emb(s, d))),
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
@@ -918,6 +954,9 @@ object SparkEntry {
     "sketch_kmv"        -> sqlKmv,
     "q30_grouping_sets" -> sqlGroupingSets,
     "q31_range_join"    -> sqlRangeJoin,
+    "q32_range_frame"   -> sqlRangeFrame,
+    "text_tfidf"        -> TextOps.sqlTfIdf,
+    "sim_centroids"     -> Similarity.sqlCentroids,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,

@@ -252,6 +252,39 @@ object Similarity {
        |FROM ranked WHERE rk <= $AnnTopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ------------------------------------------------------------ centroids
+  /** Per-label centroid of the embedding column — element-wise mean across
+    * rows, i.e. one k-means-style update step (with labels as the
+    * assignment; swap in the IVF cell id and iterate for real k-means —
+    * the plan shape is identical).
+    *
+    * Relational formulation: posexplode to (label, dim, value) and hash-
+    * aggregate per (label, dim) with the exact-decimal sum — one shuffle
+    * keyed (label, dim), scales to any corpus × any dimension; no
+    * collect-and-average on the driver. Output is long-form rows (the
+    * oracle-friendly shape); `array_agg` the dims back if a vector column
+    * is needed.
+    */
+  def centroids(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact.xavg
+    emb
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+      .agg(round(xavg(col("v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  def sqlCentroids: String =
+    s"""SELECT label, i AS dim,
+       |  ROUND(${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")}, 6)
+       |    AS centroid,
+       |  COUNT(*) AS n_vectors
+       |FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |GROUP BY label, i
+       |ORDER BY label, dim""".stripMargin
+
   // ----------------------------------------------------- cosine near-dup
   /** Embedding near-duplicate pairs, blocked by label (demo blocking key —
     * in production the LSH bucket serves). Threshold applied to the

@@ -226,6 +226,61 @@ object TextOps {
        |    (acc, h) -> (acc * $FpBase + h) % $FpMod) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ tf-idf
+  /** TF-IDF top terms per document. The idf is the RATIONAL variant
+    * (N+1)/(df+1) — same ranking monotonicity as log-idf, but no
+    * transcendentals, so both engines produce bit-identical scores
+    * (ln() differs in the last ulp across libm implementations).
+    *
+    * Plan shape at scale: explode → one hash aggregation per (doc, term)
+    * for tf; term document frequencies are a second aggregation over the
+    * DISTINCT (doc, term) pairs already in hand; N is a broadcast scalar.
+    * Everything shuffles on term or (doc, term) — no all-pairs anywhere.
+    */
+  val TfIdfTopK = 3
+
+  def tfIdf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  def sqlTfIdf: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(${sqlWords("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+       |  FROM tf JOIN df USING (term), n
+       |), ranked AS (
+       |  SELECT doc_id, term, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, term) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, rk, term, ROUND(score, 6) AS score
+       |FROM ranked WHERE rk <= $TfIdfTopK
+       |ORDER BY doc_id, rk""".stripMargin
+
   // -------------------------------------------------------------- winnowing
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * local algorithms for document fingerprinting", SIGMOD 2003): hash every
