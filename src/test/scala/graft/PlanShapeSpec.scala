@@ -46,6 +46,17 @@ class PlanShapeSpec extends SparkSuite {
       "merge must have ONE explode:\n" + p)
   }
 
+  test("top-k rank filters run as WindowGroupLimit, not full window sort") {
+    // row_number + rk<=k must hit Spark's rank-limit pushdown: each
+    // partition keeps a k-bounded group state (partial) before the shuffle
+    // and again after (final) — the scale path for every top-k query here.
+    for (q <- Seq("q11_topk_window", "sim_brute_topk", "text_tfidf")) {
+      val p = planTree(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown:\n$p")
+    }
+  }
+
   test("q13: both windows and the aggregation share one hash exchange") {
     val p = planTree("q13_sessionize")
     // exchanges: one hashpartitioning(user_id) + the final rangepartitioning

@@ -35,6 +35,17 @@ class StreamingSpec extends SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dedup within watermark drops replayed event_ids") {
+    // built-in streaming dedup: state holds one entry per key only until
+    // the watermark passes — bounded state, the at-least-once-source answer
+    val events = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val out = Streams.runToMemory(events, "dedup_out", OutputMode.Append())
+    val batchDistinct = Tables.events(spark, dir).select("event_id").distinct()
+    assert(out.count() == batchDistinct.count())
+  }
+
   test("stateful sessionization closes sessions on gap and keeps state") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
