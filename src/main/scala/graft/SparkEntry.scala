@@ -631,6 +631,86 @@ object SparkEntry {
       |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- q33_quarantine
+  // Permissive-mode quarantine (SURVEY §2.9 C2) under the oracle gate:
+  // deterministically corrupted raw strings flow through the REAL
+  // cleanse + splitQuarantine path; output is the good rows plus the
+  // reject frame with its null_fields diagnosis. The reference swallows
+  // these errors into NOTICEs (and in the rates-update case, silently
+  // drops the row — the `update_at` typo bug); here every bad row is
+  // accounted for.
+  private def qQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.WorldBanksPipeline
+    val goodLastmod = "This page was last edited on 21 August 2024, at 10:30"
+    val raw = Tables.customer(s, dir).select(
+      col("c_name").as("bank_name"),
+      when(col("c_custkey") % 7 === 0, lit("N/A"))
+        .otherwise(col("c_acctbal").cast("string")).as("market_cap_usd"),
+      when(col("c_custkey") % 11 === 0, lit("garbage"))
+        .otherwise(lit(goodLastmod)).as("lastmod_text"))
+    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"))
+    val (good, quarantined) = WorldBanksPipeline.splitQuarantine(
+      cleansed, raw, Seq("market_cap_usd", "last_modified_date"), "bank_name")
+    good.select(col("bank_name"), col("market_cap_usd"),
+        col("last_modified_date"), lit("ok").as("status"),
+        lit("").as("null_fields"))
+      .unionByName(quarantined.select(col("bank_name"),
+        lit(null).cast("double").as("market_cap_usd"),
+        lit(null).cast("date").as("last_modified_date"),
+        lit("quarantined").as("status"), col("null_fields")))
+      .orderBy(col("bank_name"))
+  }
+
+  private val sqlQuarantine: String =
+    """WITH raw AS (
+      |  SELECT c_name AS bank_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'N/A'
+      |         ELSE CAST(c_acctbal AS VARCHAR) END AS market_cap_usd,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'garbage'
+      |         ELSE 'This page was last edited on 21 August 2024, at 10:30'
+      |    END AS lastmod_text
+      |  FROM customer
+      |), cleansed AS (
+      |  SELECT trim(bank_name) AS bank_name,
+      |    TRY_CAST(trim(market_cap_usd) AS DOUBLE) AS market_cap_usd,
+      |    CAST(try_strptime(trim(str_split(str_split(lastmod_text, 'on')[2],
+      |      ',')[1]), '%-d %B %Y') AS DATE) AS last_modified_date
+      |  FROM raw
+      |)
+      |SELECT bank_name, market_cap_usd, last_modified_date,
+      |  'ok' AS status, '' AS null_fields
+      |FROM cleansed
+      |WHERE market_cap_usd IS NOT NULL AND last_modified_date IS NOT NULL
+      |UNION ALL
+      |SELECT bank_name, NULL, NULL, 'quarantined',
+      |  concat_ws(',',
+      |    CASE WHEN market_cap_usd IS NULL THEN 'market_cap_usd' END,
+      |    CASE WHEN last_modified_date IS NULL THEN 'last_modified_date' END)
+      |FROM cleansed
+      |WHERE market_cap_usd IS NULL OR last_modified_date IS NULL
+      |ORDER BY bank_name""".stripMargin
+
+  // ------------------------------------------------- q34_profile
+  // Column profiling (operators.Profile): nulls / distincts / min / max per
+  // column in one shared-scan pass — the pre/post-stage data-quality
+  // report. Exercised over a projection with injected nulls so n_nulls is
+  // non-trivial.
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        when(col("l_quantity") > 45, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        col("l_shipdate")),
+      Seq("l_returnflag", "l_quantity", "l_shipdate"))
+
+  private val sqlProfile: String =
+    graft.operators.Profile.sqlProfile(
+      """(SELECT l_returnflag,
+        |  CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS l_quantity,
+        |  l_shipdate FROM lineitem)""".stripMargin,
+      Seq("l_returnflag", "l_quantity", "l_shipdate"))
+
   // --------------------------------------------------- sketch_distinct
   // Distinct-count sketch (HLL++). No ANSI equivalent — deliberately has no
   // oracle entry; the driver records the weaker rows-only check. The exact
@@ -899,6 +979,8 @@ object SparkEntry {
     "q30_grouping_sets" -> qGroupingSets _,
     "q31_range_join"    -> qRangeJoin _,
     "q32_range_frame"   -> qRangeFrame _,
+    "q33_quarantine"    -> qQuarantine _,
+    "q34_profile"       -> qProfile _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "text_tfidf"        -> ((s, d) => TextOps.tfIdf(docs(s, d))),
     "sim_centroids"     -> ((s, d) => Similarity.centroids(emb(s, d))),
@@ -955,6 +1037,8 @@ object SparkEntry {
     "q30_grouping_sets" -> sqlGroupingSets,
     "q31_range_join"    -> sqlRangeJoin,
     "q32_range_frame"   -> sqlRangeFrame,
+    "q33_quarantine"    -> sqlQuarantine,
+    "q34_profile"       -> sqlProfile,
     "text_tfidf"        -> TextOps.sqlTfIdf,
     "sim_centroids"     -> Similarity.sqlCentroids,
     "sketch_heavy_hitters" -> sqlHeavyHitters,

@@ -46,8 +46,12 @@ object WorldBanksPipeline {
       // (Postgres raises on coercion, the EXCEPTION handler swallows the
       // row — SQL:118-121) without losing the row silently
       expr("try_cast(trim(market_cap_usd) AS DOUBLE)").as("market_cap_usd"),
+      // try_element_at: text without "on" yields a 1-element split and a
+      // plain element_at(2) THROWS under ANSI — a malformed page must land
+      // in quarantine, not kill the job
       try_to_timestamp(
-        trim(element_at(split(element_at(split(col("lastmod_text"), "on"), 2),
+        trim(element_at(split(
+          try_element_at(split(col("lastmod_text"), "on"), lit(2)),
           ","), 1)), lit("d MMMM yyyy")).cast("date")
         .as("last_modified_date"),
       batchId.as("batch_id"))
