@@ -40,8 +40,11 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("h"))
     df
+      // dedup BEFORE hashing: the distinct shuffles cheap raw values with
+      // map-side partial dedup, and md5 runs once per distinct value — not
+      // once per input row
+      .select(col(groupCol), col(valueCol)).distinct()
       .select(col(groupCol), tokenHash(col(valueCol).cast("string")).as("h"))
-      .distinct()
       .withColumn("rk", row_number().over(byGroup))
       .filter(col("rk") <= K)
       .groupBy(col(groupCol))
@@ -58,8 +61,8 @@ object Sketch {
 
   def sqlKmvDistinct(table: String, groupCol: String, valueCol: String): String =
     s"""WITH hashes AS (
-       |  SELECT DISTINCT $groupCol, ${sqlTokenHash(s"CAST($valueCol AS VARCHAR)")} AS h
-       |  FROM $table
+       |  SELECT $groupCol, ${sqlTokenHash(s"CAST($valueCol AS VARCHAR)")} AS h
+       |  FROM (SELECT DISTINCT $groupCol, $valueCol FROM $table)
        |), ranked AS (
        |  SELECT $groupCol, h,
        |    ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY h) AS rk

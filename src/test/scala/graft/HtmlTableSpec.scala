@@ -75,6 +75,21 @@ class HtmlTableSpec extends SparkSuite {
     assert(parsed.toString == "2024-08-21")
   }
 
+  test("DataSource V2 form: format(\"graft-html\") scans a page directory in parallel") {
+    val dir = Files.createTempDirectory("graft_html_v2")
+    Files.write(dir.resolve("page_a.html"), wikiHtml.getBytes("UTF-8"))
+    Files.write(dir.resolve("page_b.html"),
+      wikiHtml.replace("JPMorgan Chase", "Goldman Sachs").getBytes("UTF-8"))
+    val df = spark.read.format("graft-html").option("tbody", 2)
+      .load(dir.toString)
+    assert(df.schema == graft.sources.v2.HtmlTableProvider.Schema)
+    assert(df.count() == 6) // 3 data rows per page, header rows dropped
+    assert(df.rdd.getNumPartitions == 2) // one task per page file
+    val names = df.filter(col("row_idx") === 1)
+      .select(element_at(col("cells"), 2)).collect().map(_.getString(0)).toSet
+    assert(names == Set("JPMorgan Chase", "Goldman Sachs"))
+  }
+
   test("extract composes into cleanse -> enrich (S2 + ipynb projection + J5)") {
     val banksPath = write("banks.html", wikiHtml)
     val ratesPath = write("rates.html", irsHtml)
