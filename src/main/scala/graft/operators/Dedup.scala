@@ -254,9 +254,11 @@ object Dedup {
         array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
           .as("sh"))
     // Block-then-pair-expand (like minhashPairs): shingle sets are computed
-    // and shuffled once; pairs materialize only inside each block.
-    val inter = graft.functions.VectorExprs
-      .intersectCountSorted(col("ash"), col("bsh")).cast("double")
+    // and shuffled once; pairs materialize only inside each block. The
+    // intersection is computed INSIDE the pair-expansion lambda so only
+    // (doc_a, doc_b, inter, sizes) ever escapes into materialized rows —
+    // exploding struct pairs first would copy both signature arrays into
+    // every generated row.
     withSets
       .groupBy(col("lang"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
@@ -264,14 +266,14 @@ object Dedup {
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.sh").as("ash"), col("p.b.sh").as("bsh"))
-      .withColumn("inter", inter)
-      .withColumn("uni",
-        (size(col("ash")) + size(col("bsh"))).cast("double") - col("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter") / col("uni")).as("jaccard"))
+          struct(x("doc_id").as("doc_a"), y("doc_id").as("doc_b"),
+            graft.functions.VectorExprs
+              .intersectCountSorted(x("sh"), y("sh")).cast("double")
+              .as("inter"),
+            (size(x("sh")) + size(y("sh"))).cast("double").as("sz")
+          ))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        (col("p.inter") / (col("p.sz") - col("p.inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
