@@ -915,6 +915,97 @@ object SparkEntry {
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
       .stripMargin
 
+  // ------------------------------------------------- corpus_sample
+  // Deterministic stratified sampling — every training-data pipeline ends
+  // with "take N per stratum". Rank within each language by a hash of the
+  // doc id (a reproducible uniform shuffle — rand() would differ across
+  // task retries) and keep the top N. Runs as WindowGroupLimit: bounded
+  // per-partition state, no full sort.
+  private val SamplePerStratum = 20
+
+  private def qCorpusSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = TextOps.tokenHash(concat(col("doc_id").cast("string"),
+      lit(":sample-salt")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rnd"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), rnd.as("rnd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SamplePerStratum)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val sqlCorpusSample: String =
+    s"""SELECT lang, rk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+       |      ${TextOps.sqlTokenHash("CAST(doc_id AS VARCHAR) || ':sample-salt'")},
+       |      doc_id) AS rk
+       |  FROM documents
+       |) WHERE rk <= $SamplePerStratum
+       |ORDER BY lang, rk""".stripMargin
+
+  // ------------------------------------------------- text_bigrams
+  // Corpus-level n-gram statistics: top word bigrams with counts — the
+  // exact companion to the Misra-Gries sketch (sketch_heavy_hitters covers
+  // the bounded-state path; this is the full groupBy truth). Bigrams form
+  // map-side via zip_with over the shifted words array; one hash agg.
+  private val BigramTopK = 20
+
+  private def qBigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val bigrams = slice(
+      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(BigramTopK)
+  }
+
+  private val sqlBigrams: String = {
+    val words = TextOps.sqlWords("text")
+    s"""SELECT bigram, COUNT(*) AS n FROM (
+       |  SELECT unnest(list_transform(
+       |    range(1, greatest(len(w) - 1, 0) + 1),
+       |    i -> w[i] || ' ' || w[i+1])) AS bigram
+       |  FROM (SELECT $words AS w FROM documents)
+       |)
+       |GROUP BY bigram
+       |ORDER BY n DESC, bigram LIMIT $BigramTopK""".stripMargin
+  }
+
+  // ------------------------------------------------- q35_ntile
+  // NTILE quantile bucketing: balance-decile profile per market segment —
+  // the feature-binning window op (deterministic under the unique
+  // (acctbal, custkey) order).
+  private def qNtile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  private val sqlNtile: String =
+    """SELECT c_mktsegment, decile, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+      |FROM (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    NTILE(10) OVER (PARTITION BY c_mktsegment
+      |                    ORDER BY c_acctbal, c_custkey) AS decile
+      |  FROM customer
+      |)
+      |GROUP BY c_mktsegment, decile
+      |ORDER BY c_mktsegment, decile""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -981,6 +1072,9 @@ object SparkEntry {
     "q32_range_frame"   -> qRangeFrame _,
     "q33_quarantine"    -> qQuarantine _,
     "q34_profile"       -> qProfile _,
+    "q35_ntile"         -> qNtile _,
+    "corpus_sample"     -> qCorpusSample _,
+    "text_bigrams"      -> qBigrams _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
     "text_tfidf"        -> ((s, d) => TextOps.tfIdf(docs(s, d))),
     "sim_centroids"     -> ((s, d) => Similarity.centroids(emb(s, d))),
@@ -1039,6 +1133,9 @@ object SparkEntry {
     "q32_range_frame"   -> sqlRangeFrame,
     "q33_quarantine"    -> sqlQuarantine,
     "q34_profile"       -> sqlProfile,
+    "q35_ntile"         -> sqlNtile,
+    "corpus_sample"     -> sqlCorpusSample,
+    "text_bigrams"      -> sqlBigrams,
     "text_tfidf"        -> TextOps.sqlTfIdf,
     "sim_centroids"     -> Similarity.sqlCentroids,
     "sketch_heavy_hitters" -> sqlHeavyHitters,

@@ -57,6 +57,13 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q31: range join runs as equi join, never nested-loop") {
+    val p = planTree("q31_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to all-pairs:\n" + p)
+    assert(p.contains("Generate"), "no interval bucket explode:\n" + p)
+  }
+
   test("q13: both windows and the aggregation share one hash exchange") {
     val p = planTree("q13_sessionize")
     // exchanges: one hashpartitioning(user_id) + the final rangepartitioning
