@@ -1081,6 +1081,8 @@ object SparkEntry {
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
+    "dedup_components"  -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.minhashPairs(docs(s, d)))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
     "dedup_jaccard"     -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_embed"       -> ((s, d) => Similarity.embedNearDup(emb(s, d))),
@@ -1142,6 +1144,7 @@ object SparkEntry {
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,
+    "dedup_components"  -> Dedup.sqlConnectedComponents(Dedup.sqlMinhashPairs),
     "dedup_simhash"     -> Dedup.sqlSimhash,
     "dedup_jaccard"     -> Dedup.sqlNgramJaccard,
     "dedup_embed"       -> Similarity.sqlEmbedNearDup,

@@ -184,6 +184,71 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------- connected components
+  /** Duplicate-cluster assembly: near-dup PAIRS are not clusters — picking
+    * a representative needs the transitive closure (A~B, B~C ⇒ {A,B,C}
+    * keep one). Min-label propagation: every node starts labeled with its
+    * own id; each round, a node adopts the minimum label among itself and
+    * its neighbors; converged labels = component id (the component's
+    * minimum doc id — a deterministic representative "keep" choice).
+    *
+    * Scale shape: each round is one hash-partitioned join + aggregate on
+    * the edge list; rounds needed = graph diameter (near-dup clusters are
+    * shallow — a handful). `localCheckpoint` after every round cuts the
+    * exponentially-growing join lineage, which is what actually kills
+    * iterative dataframe algorithms at scale. (The big-graph refinement —
+    * large-star/small-star of Kiveris et al., "Connected Components in
+    * MapReduce", SoCC 2014 — drops in without changing the contract.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // pairs plan is reused every round — pin it
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var round = 0
+    var converged = false
+    while (round < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true) // cut per-round lineage growth
+      converged = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: transitive closure as a recursive CTE — component id =
+    * min(id, min reachable id), which is exactly the converged min-label.
+    */
+  def sqlConnectedComponents(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id, least(src, MIN(dst)) AS component
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- SimHash
   /** 16-bit SimHash (Charikar, "Similarity estimation techniques from
     * rounding algorithms", STOC 2002): per bit j, sign of Σ over tokens of ±1 by bit j of the

@@ -26,6 +26,15 @@ class OpsSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3 (via 2), pair 7-9, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash identical for identical text, differs for disjoint text") {
     val d = docsOf(
       (1, "alpha beta gamma delta epsilon zeta eta theta"),
