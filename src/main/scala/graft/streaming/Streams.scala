@@ -158,6 +158,43 @@ object Streams {
     (admitted, admittedBands)
   }
 
+  // ---------------------------------------------- incremental KMV sketch
+  final case class KmvIn(grp: String, value: Long)
+  final case class KmvEstimate(grp: String, estimate: Double)
+
+  /** Incremental distinct-count estimation per group: keyed state holds the
+    * k minimum distinct hashes ([[graft.operators.Sketch]]'s KMV, same
+    * md5-derived hash), updated as micro-batches arrive; each batch emits
+    * the group's refreshed estimate. State is k longs per group FOREVER —
+    * the streaming answer to "distinct users per event type so far"
+    * without unbounded dropDuplicates state.
+    */
+  def kmvFunc(grp: String, rows: Iterator[KmvIn],
+      state: GroupState[Seq[Long]]): Iterator[KmvEstimate] = {
+    import graft.operators.Sketch.{HashSpace, K}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(v: Long): Long = {
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val merged = (state.getOption.getOrElse(Seq.empty) ++
+      rows.map(r => h(r.value))).distinct.sorted.take(K)
+    state.update(merged)
+    val est =
+      if (merged.size < K) merged.size.toDouble
+      else BigDecimal((K - 1) / ((merged.last + 1).toDouble / HashSpace))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // = round(x, 4)
+    Iterator(KmvEstimate(grp, est))
+  }
+
+  def kmvStream(in: Dataset[KmvIn]): Dataset[KmvEstimate] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(kmvFunc)
+  }
+
   /** Streaming SCD load (SURVEY §7.6): each micro-batch of incoming rows is
     * merged into the durable target with the SAME set-based
     * [[graft.operators.ScdMerge]] the batch pipeline uses, via

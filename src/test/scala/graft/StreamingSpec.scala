@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() == batchDistinct.count())
   }
 
+  test("incremental KMV estimate converges to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1L to 60L).map(v => Streams.KmvIn("a", v)) ++
+      (1L to 6L).map(v => Streams.KmvIn("b", v))
+    val batch2 = (30L to 100L).map(v => Streams.KmvIn("a", v)) ++
+      (5L to 10L).map(v => Streams.KmvIn("b", v))
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.KmvIn]
+    val q = Streams.kmvStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("kmv_out").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // last emitted estimate per group (memory sink appends in batch order)
+    val streamed = spark.table("kmv_out").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap // last wins per key
+    val expected = graft.operators.Sketch.kmvDistinct(
+      (batch1 ++ batch2).toDF("grp", "value"), "grp", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == expected)
+  }
+
   test("stateful sessionization closes sessions on gap and keeps state") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
