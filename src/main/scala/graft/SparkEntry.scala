@@ -1006,6 +1006,54 @@ object SparkEntry {
       |GROUP BY c_mktsegment, decile
       |ORDER BY c_mktsegment, decile""".stripMargin
 
+  // ------------------------------------------------- q36_funnel
+  // Conversion funnel: users who viewed, then clicked AFTER their first
+  // view, then purchased AFTER that first click — each stage is a
+  // first-event aggregate joined against the previous stage (strictly
+  // ordered chaining, not mere co-occurrence). All joins are
+  // hash-partitioned on user_id; at scale the three stage frames are tiny
+  // relative to the event stream.
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.select(lit("1_view").as("stage"), lit(1).as("one"))
+      .unionByName(c.select(lit("2_click_after_view").as("stage"), lit(1).as("one")))
+      .unionByName(p.select(lit("3_purchase_after_click").as("stage"), lit(1).as("one")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val sqlFunnel: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      |  GROUP BY 1
+      |)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT '2_click_after_view', COUNT(*) FROM c
+      |  UNION ALL
+      |  SELECT '3_purchase_after_click', COUNT(*) FROM p
+      |)
+      |ORDER BY stage""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -1073,6 +1121,7 @@ object SparkEntry {
     "q33_quarantine"    -> qQuarantine _,
     "q34_profile"       -> qProfile _,
     "q35_ntile"         -> qNtile _,
+    "q36_funnel"        -> qFunnel _,
     "corpus_sample"     -> qCorpusSample _,
     "text_bigrams"      -> qBigrams _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
@@ -1136,6 +1185,7 @@ object SparkEntry {
     "q33_quarantine"    -> sqlQuarantine,
     "q34_profile"       -> sqlProfile,
     "q35_ntile"         -> sqlNtile,
+    "q36_funnel"        -> sqlFunnel,
     "corpus_sample"     -> sqlCorpusSample,
     "text_bigrams"      -> sqlBigrams,
     "text_tfidf"        -> TextOps.sqlTfIdf,
