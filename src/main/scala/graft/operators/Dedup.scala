@@ -213,17 +213,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // the changed flag rides INSIDE the checkpointed frame: convergence
+      // detection is then a scan of the materialized partitions, not a
+      // second join job per round
+      val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")))
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+        .select(col("id"), newLabel.as("new_label"),
+          (newLabel =!= col("label")).as("chg"))
         .localCheckpoint(true) // cut per-round lineage growth
-      converged = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("chg")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label"))
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("component"))

@@ -26,6 +26,16 @@ class OpsSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("KMV estimate lands within the theoretical error band") {
+    import spark.implicits._
+    // 2000 distinct values, K=64 → relative standard error ~1/sqrt(K-2) ≈ 13%
+    val df = (1L to 2000L).map(v => ("g", v)).toDF("grp", "v")
+    val est = graft.operators.Sketch.kmvDistinct(df, "grp", "v")
+      .head().getDouble(1)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4,
+      s"KMV estimate $est too far from 2000")
+  }
+
   test("connected components merge transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3 (via 2), pair 7-9, singleton edges only
