@@ -1133,6 +1133,7 @@ object SparkEntry {
     "dedup_components"  -> ((s, d) =>
       Dedup.connectedComponents(Dedup.minhashPairs(docs(s, d)))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "dedup_jaccard"     -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_embed"       -> ((s, d) => Similarity.embedNearDup(emb(s, d))),
     "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
@@ -1196,6 +1197,7 @@ object SparkEntry {
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,
     "dedup_components"  -> Dedup.sqlConnectedComponents(Dedup.sqlMinhashPairs),
     "dedup_simhash"     -> Dedup.sqlSimhash,
+    "dedup_simhash_pairs" -> Dedup.sqlSimhashPairs,
     "dedup_jaccard"     -> Dedup.sqlNgramJaccard,
     "dedup_embed"       -> Similarity.sqlEmbedNearDup,
     "sim_brute_topk"    -> Similarity.sqlBruteTopK,

@@ -290,6 +290,96 @@ object Dedup {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- SimHash near-dup pairs
+  /** SimHash pair detection via the pigeonhole principle (Manku, Jain &
+    * Das Sarma, "Detecting near-duplicates for web crawling", WWW 2007):
+    * two 60-bit signatures within Hamming distance ≤ `SimhashHammingMax`(3)
+    * must agree EXACTLY on at least one of 4 disjoint 15-bit chunks — so
+    * candidates come from a hash-partitioned self-bucket on (chunk index,
+    * chunk value) and only candidates pay the popcount verification.
+    *
+    * 60 bits, not 64: the sign bit would make the signature sum overflow a
+    * DuckDB BIGINT (1<<63 has no positive BIGINT form), and 15-bit chunks
+    * (32768 values) keep buckets sparse at corpus scale.
+    */
+  val SimhashPairBits = 60
+  val SimhashChunks = 4
+  val SimhashChunkBits: Int = SimhashPairBits / SimhashChunks // 15
+  val SimhashHammingMax = 3
+
+  private def simhashOf(hs: Column, bits: Int): Column = {
+    val bitSums = (0 until bits).map { j =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), transform(col("w"), w => tokenHash(w)).as("hs"))
+      .select(col("doc_id"), simhashOf(col("hs"), SimhashPairBits).as("sim"))
+    val chunks = (0 until SimhashChunks).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("sim"), c * SimhashChunkBits)
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk_val"))
+    }
+    val hamming = bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim")))
+    sigs
+      .select(col("doc_id"), col("sim"),
+        explode(array(chunks: _*)).as("chunk"))
+      .groupBy(col("chunk.chunk_idx"), col("chunk.chunk_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(hamming <= SimhashHammingMax)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def sqlSimhashPairs: String = {
+    val hs = s"list_transform(${sqlWords("text")}, w -> ${sqlTokenHash("w")})"
+    val bitSums = (0 until SimhashPairBits).map { j =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(hs, h -> CASE WHEN (h // ${1L << j}) % 2 = 1
+         |        THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS bs$j""".stripMargin
+    }.mkString(",\n    ")
+    val sim = (0 until SimhashPairBits)
+      .map(j => s"(CASE WHEN bs$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val chunkRows = (0 until SimhashChunks).map { c =>
+      s"""SELECT doc_id, sim, $c AS chunk_idx,
+         |    (sim >> ${c * SimhashChunkBits}) & ${(1L << SimhashChunkBits) - 1}
+         |      AS chunk_val FROM sigs""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sim AS sim FROM (
+       |    SELECT doc_id,
+       |    $bitSums
+       |    FROM (SELECT doc_id, $hs AS hs FROM documents)
+       |  )
+       |), chunks AS (
+       |  $chunkRows
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.sim, b.sim)) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
   /** Blocked n-gram Jaccard: candidates share (lang, length bucket); the
     * distinct-shingle sets are intersected only inside blocks. Blocking key
