@@ -307,22 +307,34 @@ object Dedup {
   val SimhashChunkBits: Int = SimhashPairBits / SimhashChunks // 15
   val SimhashHammingMax = 3
 
-  private def simhashOf(hs: Column, bits: Int): Column = {
-    val bitSums = (0 until bits).map { j =>
-      aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-    }
-    bitSums.zipWithIndex.map { case (s, j) =>
-      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Buckets bigger than this are skipped: a chunk value shared by a large
+    * fraction of the corpus carries no near-dup signal (templated text
+    * makes simhash chunks collide corpus-wide — the known simhash failure
+    * mode), and pair-expanding it is quadratic. Production simhash
+    * dedup (Manku et al. §3) bounds candidate lists the same way.
+    */
+  val SimhashMaxBucket = 100
 
   def simhashPairs(docs: DataFrame): DataFrame = {
+    // RELATIONAL bit sums, not 60 aggregate() folds over the token array:
+    // an array fold per bit re-evaluates (and CollapseProject re-inlines)
+    // the token-hash transform per fold — measured 15x slower. Exploding
+    // to one row per token costs one md5 per token and ONE codegen'd hash
+    // aggregate with 60 conditional sums; the groupBy(doc_id) shuffle is
+    // already satisfied by the doc-spread partitioning.
+    val bitSums = (0 until SimhashPairBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"bs$j")
+    }
+    val sim = (0 until SimhashPairBits).map { j =>
+      when(col(s"bs$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val sigs = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), transform(col("w"), w => tokenHash(w)).as("hs"))
-      .select(col("doc_id"), simhashOf(col("hs"), SimhashPairBits).as("sim"))
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), tokenHash(col("word")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("sim"))
     val chunks = (0 until SimhashChunks).map { c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sim"), c * SimhashChunkBits)
@@ -335,7 +347,7 @@ object Dedup {
       .groupBy(col("chunk.chunk_idx"), col("chunk.chunk_val"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
         .as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= SimhashMaxBucket)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
@@ -368,8 +380,13 @@ object Dedup {
        |    $bitSums
        |    FROM (SELECT doc_id, $hs AS hs FROM documents)
        |  )
-       |), chunks AS (
+       |), chunks0 AS (
        |  $chunkRows
+       |), chunks AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bsz
+       |    FROM chunks0
+       |  ) WHERE bsz <= $SimhashMaxBucket
        |)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  bit_count(xor(a.sim, b.sim)) AS hamming
