@@ -8,25 +8,35 @@ import org.apache.spark.sql.functions._
   * count, and min/max (stringified so heterogeneous column types share one
   * output schema, the standard profile-report shape).
   *
-  * One pass per column over the same scan; each is a partial+final hash
-  * aggregate, so profiling N columns of a 100 TB table is N parallel
-  * single-shuffle aggregations over one shared scan (Spark reuses the scan
-  * via exchange reuse when the plans are identical). `countDistinct` is
-  * exact here — swap in [[Sketch.kmvDistinct]] or HLL when the profile only
-  * needs estimates.
+  * ONE aggregation pass for all columns: every metric is a column of a
+  * single global `agg`, then the 1-row wide result explodes into
+  * per-column report rows — the 100 TB table is scanned once, not once
+  * per profiled column. (Multiple `countDistinct`s plan via Expand — an
+  * N-way row multiplication before the aggregate — which is still one
+  * scan and the standard Spark multi-distinct shape.) `countDistinct` is
+  * exact here — swap in [[Sketch.kmvDistinct]] or HLL when the profile
+  * only needs estimates.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      df.agg(
-        count(when(col(c).isNull, 1)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
-          col("min_value"), col("max_value"))
-    }.reduce(_.unionByName(_)).orderBy(col("col_name"))
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_value"),
+          col(s"${c}__max").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
 
   def sqlProfile(table: String, cols: Seq[String]): String =
     cols.map { c =>
