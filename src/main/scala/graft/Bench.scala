@@ -4,9 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,12 +22,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // two passes: the first also pays per-query codegen + JIT; report the
-    // per-query minimum (steady state, robust to transient machine load)
-    val p1 = timeAll()
-    val p2 = timeAll()
+    // three passes: the first also pays per-query codegen + JIT; report the
+    // per-query minimum (steady state, robust to transient machine load).
+    // An explicit GC between passes drops the previous pass's broadcast
+    // blocks + codegen garbage so later passes aren't taxed for it.
+    val passes = (1 to 3).map { _ =>
+      val t = timeAll(); System.gc(); t
+    }
     val results = names.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> passes.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
