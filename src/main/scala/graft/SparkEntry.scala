@@ -1054,6 +1054,75 @@ object SparkEntry {
       |)
       |ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------- q37_correlated
+  // Correlated scalar subquery through the SQL surface: Catalyst
+  // decorrelates the per-row COUNT into a left outer aggregate join (no
+  // per-row re-execution — the plan is the same set-based join the
+  // DataFrame API would write). DuckDB evaluates the identical semantics.
+  private def qCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c_custkey, c_acctbal,
+        (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderstatus = 'F') AS n_final_orders
+      FROM customer_v c
+      WHERE c_custkey <= 500
+      ORDER BY c_custkey""")
+  }
+
+  private val sqlCorrelated: String =
+    """SELECT c_custkey, c_acctbal,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_orderstatus = 'F') AS n_final_orders
+      |FROM customer c
+      |WHERE c_custkey <= 500
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------- q38_resample
+  // Gap-filled resampling: a dense 1-hour grid per event type over the
+  // observed span, zero-filling silent hours — the time-series
+  // normalization step before any windowed model sees the data. Grid =
+  // sequence + explode (map-side); one left join against the hourly
+  // aggregate.
+  private def qResample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val hourly = e
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val span = e.groupBy(col("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour").cast("timestamp_ntz").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val sqlResample: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |  FROM e GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, date_trunc('hour', MIN(ts)) AS h0,
+      |         date_trunc('hour', MAX(ts)) AS h1
+      |  FROM e GROUP BY 1
+      |), grid AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS hour
+      |  FROM span
+      |)
+      |SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n_events
+      |FROM grid g LEFT JOIN hourly h
+      |  ON g.event_type = h.event_type AND g.hour = h.hour
+      |ORDER BY g.event_type, g.hour""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -1122,6 +1191,8 @@ object SparkEntry {
     "q34_profile"       -> qProfile _,
     "q35_ntile"         -> qNtile _,
     "q36_funnel"        -> qFunnel _,
+    "q37_correlated"    -> qCorrelated _,
+    "q38_resample"      -> qResample _,
     "corpus_sample"     -> qCorpusSample _,
     "text_bigrams"      -> qBigrams _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
@@ -1187,6 +1258,8 @@ object SparkEntry {
     "q34_profile"       -> sqlProfile,
     "q35_ntile"         -> sqlNtile,
     "q36_funnel"        -> sqlFunnel,
+    "q37_correlated"    -> sqlCorrelated,
+    "q38_resample"      -> sqlResample,
     "corpus_sample"     -> sqlCorpusSample,
     "text_bigrams"      -> sqlBigrams,
     "text_tfidf"        -> TextOps.sqlTfIdf,
