@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, VectorExprs}
+import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, PairExpand, VectorExprs}
 
 /** `SparkSessionExtensions` entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectCountSorted].getName,
         VectorExprs.IntersectName),
       exprs => IntersectCountSorted(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.PairName),
+      new ExpressionInfo(classOf[PairExpand].getName, VectorExprs.PairName),
+      exprs => PairExpand(exprs(0))))
     e.injectFunction((
       FunctionIdentifier(VectorExprs.HeavyName),
       new ExpressionInfo(classOf[HeavyHitters].getName,

@@ -137,6 +137,7 @@ object VectorExprs {
   val DotName = "graft_dot_f"
   val IntersectName = "graft_intersect_count_sorted"
   val HeavyName = "graft_heavy_hitters"
+  val PairName = "graft_pair_expand"
 
   /** Register the vector expressions in the session's function registry
     * (idempotent). Spark 4 hides Column↔Expression conversion behind
@@ -155,6 +156,8 @@ object VectorExprs {
       HeavyName, exprs => HeavyHitters(exprs(0),
         k = foldInt(exprs(1)), capacity = foldInt(exprs(2)))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      PairName, exprs => PairExpand(exprs(0)), "built-in")
   }
 
   private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -174,4 +177,10 @@ object VectorExprs {
     */
   def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Lazy (a, b) pair generator over a sorted array column — use in a
+    * `select` like `explode`; see [[PairExpand]].
+    */
+  def pairExpand(arr: Column): Column =
+    org.apache.spark.sql.functions.call_function(PairName, arr)
 }

@@ -142,16 +142,16 @@ object Dedup {
     // once (a self-join would recompute the whole signature subtree per
     // side — no exchange reuse), and the shuffle moves only
     // (band_key, doc_id) pairs. Bucket pair expansion is quadratic per
-    // bucket — exactly the LSH contract (buckets are tiny unless the data
-    // really is near-duplicate-heavy).
+    // bucket — exactly the LSH contract — and runs through the LAZY
+    // [[graft.functions.PairExpand]] generator, so a hot bucket costs
+    // O(n) memory, never an O(n²) materialized pair array.
+    graft.functions.VectorExprs.register(docs.sparkSession)
     minhashBands(docs)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(graft.functions.VectorExprs.pairExpand(col("ids"))
+        .as(Seq("doc_a", "doc_b")))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -340,7 +340,8 @@ object Dedup {
         shiftright(col("sim"), c * SimhashChunkBits)
           .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk_val"))
     }
-    val hamming = bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim")))
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val hamming = bit_count(col("pa.sim").bitwiseXOR(col("pb.sim")))
     sigs
       .select(col("doc_id"), col("sim"),
         explode(array(chunks: _*)).as("chunk"))
@@ -348,11 +349,10 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
         .as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= SimhashMaxBucket)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(graft.functions.VectorExprs.pairExpand(col("ds"))
+        .as(Seq("pa", "pb"))) // lazy generator — no O(n²) pair buffer
       .filter(hamming <= SimhashHammingMax)
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
         hamming.as("hamming"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
