@@ -26,6 +26,17 @@ class OpsSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("pair_expand emits ordered i<j pairs, lazily, nothing for size<2") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val got = Seq(Seq(3L, 5L, 9L), Seq(1L), Seq.empty[Long])
+      .toDF("ids")
+      .select(graft.functions.VectorExprs.pairExpand(col("ids"))
+        .as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 5L), (3L, 9L), (5L, 9L)))
+  }
+
   test("KMV estimate lands within the theoretical error band") {
     import spark.implicits._
     // 2000 distinct values, K=64 → relative standard error ~1/sqrt(K-2) ≈ 13%
