@@ -711,6 +711,46 @@ object SparkEntry {
         |  l_shipdate FROM lineitem)""".stripMargin,
       Seq("l_returnflag", "l_quantity", "l_shipdate"))
 
+  // ------------------------------------------------- q39_asof_forward
+  // Forward as-of: each even-slice order picks the NEXT odd-slice order
+  // state on its key — same union+window plan as q20 with time reversed.
+  // Oracle: correlated MIN over the future side + join back on the matched
+  // instant (DuckDB ASOF is backward-only).
+  private def qAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("lts"),
+        (col("o_custkey") % 20).as("k"))
+    val r = o.filter(col("o_orderkey") % 2 === 1)
+      .select((col("o_custkey") % 20).as("k"), col("o_orderdate"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.operators.AsOfJoin.asOfForward(l, r, Seq("k"), "lts",
+      "o_orderdate", Seq("v"))
+      .select(col("o_orderkey"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val sqlAsOfForward: String =
+    """WITH l AS (
+      |  SELECT o_orderkey, o_orderdate AS lts, o_custkey % 20 AS k
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), r AS (
+      |  SELECT o_custkey % 20 AS k, o_orderdate, MAX(o_totalprice) AS v
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1, 2
+      |), m AS (
+      |  SELECT l.o_orderkey, l.k,
+      |    (SELECT MIN(r.o_orderdate) FROM r
+      |     WHERE r.k = l.k AND r.o_orderdate >= l.lts) AS matched_time
+      |  FROM l
+      |)
+      |SELECT m.o_orderkey, m.matched_time, r.v AS matched_value
+      |FROM m JOIN r ON r.k = m.k AND r.o_orderdate = m.matched_time
+      |ORDER BY m.o_orderkey""".stripMargin
+
   // --------------------------------------------------- sketch_distinct
   // Distinct-count sketch (HLL++). No ANSI equivalent — deliberately has no
   // oracle entry; the driver records the weaker rows-only check. The exact
@@ -1175,6 +1215,7 @@ object SparkEntry {
     "q18_json"          -> qJson _,
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
+    "q39_asof_forward"  -> qAsOfForward _,
     "q21_array_agg"     -> qArrayAgg _,
     "q22_string_funcs"  -> qStringFuncs _,
     "q23_percentile"    -> qPercentile _,
@@ -1243,6 +1284,7 @@ object SparkEntry {
     "q18_json"          -> sqlJson,
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
+    "q39_asof_forward"  -> sqlAsOfForward,
     "q21_array_agg"     -> sqlArrayAgg,
     "q22_string_funcs"  -> sqlStringFuncs,
     "q23_percentile"    -> sqlPercentile,

@@ -54,4 +54,39 @@ object AsOfJoin {
       .filter(col("__side") === 1 && col("matched_time").isNotNull)
       .drop("__t", "__side", "__rt")
   }
+
+  /** Forward as-of: each left row picks the EARLIEST right row with
+    * `rightTime >= leftTime` — "next state change after this event". Same
+    * single-shuffle union-window plan as [[asOf]] with the time order
+    * reversed; a right row at the same instant is visible (inclusive), so
+    * at equal times the right row still sorts before the left row.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
+        lit(null).cast("timestamp").as("__rt")) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)) ++
+        leftPayload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
+        col(rightTime).cast("timestamp").as("__rt")) ++
+        valueCols.map(col) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("matched_time", last(col("__rt"), ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(v =>
+        v -> last(col(v), ignoreNulls = true).over(w)).toMap)
+      .filter(col("__side") === 1 && col("matched_time").isNotNull)
+      .drop("__t", "__side", "__rt")
+  }
 }
