@@ -22,10 +22,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // three passes: the first also pays per-query codegen + JIT; report the
-    // per-query minimum (steady state, robust to transient machine load).
-    // An explicit GC between passes drops the previous pass's broadcast
-    // blocks + codegen garbage so later passes aren't taxed for it.
+    // three passes: the first pays per-query codegen + JIT, so the min is
+    // taken over two steady-state samples (one sample is not enough — a
+    // GC or compile tail in it inflates the whole suite). An explicit GC
+    // between passes drops the previous pass's broadcast blocks + codegen
+    // garbage so later passes aren't taxed for it.
     val passes = (1 to 3).map { _ =>
       val t = timeAll(); System.gc(); t
     }
