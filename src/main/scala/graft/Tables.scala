@@ -41,11 +41,20 @@ object Tables {
     *   deterministic predicates and projections through
     *   RepartitionByExpression, so only surviving rows/columns shuffle.
     */
+  private val spreadCatalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   private def spread(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
-      df.repartition(org.apache.spark.sql.functions.col(key))
-    else df
+    // .rdd forces physical planning of the scan to learn its split count —
+    // cache the decision per (session, plan, key) so repeated loads don't
+    // re-plan
+    spreadCatalog.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.logical.toString, key),
+      _ =>
+        if (df.rdd.getNumPartitions < target)
+          df.repartition(org.apache.spark.sql.functions.col(key))
+        else df)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
