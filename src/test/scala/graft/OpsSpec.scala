@@ -26,6 +26,33 @@ class OpsSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("Misra-Gries merged partials keep the N/(capacity+1) undercount bound") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    // 2600 tokens, >capacity distinct, forced through multiple partials:
+    // the merge trim must subtract dropped mass, not just drop entries
+    val tokens =
+      Seq.fill(800)("alpha") ++ Seq.fill(600)("beta") ++
+        Seq.fill(400)("gamma") ++ (1 to 800).map(i => s"noise${i % 40}")
+    val n = tokens.size
+    val cap = 8
+    val est = tokens.toDF("token").repartition(4)
+      .agg(call_function(graft.functions.VectorExprs.HeavyName,
+        col("token"), lit(3), lit(cap)).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token"), col("h.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("alpha" -> 800L, "beta" -> 600L, "gamma" -> 400L)
+    // top tokens survive and estimates obey the MG guarantee:
+    // truth - N/(cap+1) <= est <= truth
+    val slack = n / (cap + 1)
+    for ((t, c) <- truth) {
+      assert(est.contains(t), s"$t missing from top-k: $est")
+      assert(est(t) <= c && est(t) >= c - slack,
+        s"$t est=${est(t)} outside [${c - slack}, $c]")
+    }
+  }
+
   test("pair_expand emits ordered i<j pairs, lazily, nothing for size<2") {
     import spark.implicits._
     graft.functions.VectorExprs.register(spark)
