@@ -1,24 +1,28 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queryName...]
 
 Registers every parquet in <sfDir> as a DuckDB view, runs each query from
-<verifyOutDir>/oracle_sql.json, and compares against the Spark result parquet
-written by graft.Verify — columns sorted by name, rows sorted by all columns,
-exact value equality.
+<verifyOutDir>/oracle_sql.json (optionally only the named ones), and
+compares against the Spark result parquet written by graft.Verify —
+columns sorted by name, rows sorted by all columns, exact value equality,
+and dtype-kind equality (mirrors the driver's hash sensitivity).
 """
 import duckdb, glob, json, sys, os
 import pandas as pd
 import numpy as np
 
 sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
 for f in sorted(glob.glob(f"{sf}/*.parquet")):
     name = os.path.basename(f).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
