@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import TextOps.{sqlTokenHash, sqlWords, tokenHash, words}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, and n-gram Jaccard. Embedding-cosine near-dup lives in
-  * [[Similarity]].
+  * SimHash (signatures + pigeonhole pair detection), n-gram Jaccard, and
+  * duplicate-cluster assembly via connected components. Embedding-cosine
+  * near-dup lives in [[Similarity]]; the incremental/streaming admission
+  * path in [[graft.streaming.Streams]].
   *
   * Scale design (100 TB): every variant reduces to hash-partitioned
   * groupBy/join on a SMALL derived key (md5 of content, band signature,
