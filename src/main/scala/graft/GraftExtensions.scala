@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, PairExpand, VectorExprs}
+import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, PairExpand, QuantileSketch, VectorExprs}
 
 /** `SparkSessionExtensions` entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.PairName),
       new ExpressionInfo(classOf[PairExpand].getName, VectorExprs.PairName),
       exprs => PairExpand(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.QuantileName),
+      new ExpressionInfo(classOf[QuantileSketch].getName,
+        VectorExprs.QuantileName),
+      exprs => QuantileSketch(exprs(0),
+        percentages = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq,
+        capacity = exprs(2).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier(VectorExprs.HeavyName),
       new ExpressionInfo(classOf[HeavyHitters].getName,

@@ -1163,6 +1163,30 @@ object SparkEntry {
       |  ON g.event_type = h.event_type AND g.hour = h.hour
       |ORDER BY g.event_type, g.hour""".stripMargin
 
+  // ------------------------------------------------- sketch_percentile
+  // Bounded-state quantile sketch (functions.QuantileSketch): exact under
+  // capacity — the sf0.01 oracle regime, where it reproduces quantile_cont
+  // interpolation bit for bit — and KLL-style compacted beyond (the sf0.1
+  // bench regime exercises the approximate path).
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(call_function(graft.functions.VectorExprs.QuantileName,
+        col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(16384))
+        .as("qs"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val sqlQuantileSketch: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------- sketch_heavy_hitters
   // Misra–Gries heavy hitters (TypedImperativeAggregate) over document
   // tokens. The fixture vocabulary (31 tokens) is under the sketch capacity,
@@ -1237,6 +1261,7 @@ object SparkEntry {
     "corpus_sample"     -> qCorpusSample _,
     "text_bigrams"      -> qBigrams _,
     "sketch_heavy_hitters" -> qHeavyHitters _,
+    "sketch_percentile" -> qQuantileSketch _,
     "text_tfidf"        -> ((s, d) => TextOps.tfIdf(docs(s, d))),
     "sim_centroids"     -> ((s, d) => Similarity.centroids(emb(s, d))),
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
@@ -1307,6 +1332,7 @@ object SparkEntry {
     "text_tfidf"        -> TextOps.sqlTfIdf,
     "sim_centroids"     -> Similarity.sqlCentroids,
     "sketch_heavy_hitters" -> sqlHeavyHitters,
+    "sketch_percentile" -> sqlQuantileSketch,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs,

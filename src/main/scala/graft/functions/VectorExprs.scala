@@ -138,6 +138,7 @@ object VectorExprs {
   val IntersectName = "graft_intersect_count_sorted"
   val HeavyName = "graft_heavy_hitters"
   val PairName = "graft_pair_expand"
+  val QuantileName = "graft_quantile_sketch"
 
   /** Register the vector expressions in the session's function registry
     * (idempotent). Spark 4 hides Column↔Expression conversion behind
@@ -158,7 +159,19 @@ object VectorExprs {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
       PairName, exprs => PairExpand(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      QuantileName, exprs => QuantileSketch(exprs(0),
+        percentages = foldDoubles(exprs(1)), capacity = foldInt(exprs(2)))
+        .toAggregateExpression(), "built-in")
   }
+
+  private def foldDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] =
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"expected array<double> literal, got $other")
+    }
 
   private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval(null) match {

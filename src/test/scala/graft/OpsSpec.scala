@@ -26,6 +26,26 @@ class OpsSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("quantile sketch: exact under capacity, rank-bounded when compacted") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    def sketch(cap: Int) = (1 to 1000).map(_.toDouble).toDF("v")
+      .repartition(4)
+      .agg(call_function(graft.functions.VectorExprs.QuantileName,
+        col("v"), array(lit(0.5), lit(0.9)), lit(cap)).as("qs"))
+      .select(element_at(col("qs"), 1), element_at(col("qs"), 2))
+      .head()
+    // capacity > n: exact interpolation — p*(n-1) positions over 1..1000
+    val exact = sketch(4096)
+    assert(exact.getDouble(0) == 500.5 && exact.getDouble(1) == 900.1)
+    // capacity << n: compacted — within the coarse rank error band
+    val approx = sketch(64)
+    assert(math.abs(approx.getDouble(0) - 500.5) < 100,
+      s"p50 ${approx.getDouble(0)}")
+    assert(math.abs(approx.getDouble(1) - 900.1) < 100,
+      s"p90 ${approx.getDouble(1)}")
+  }
+
   test("Misra-Gries merged partials keep the N/(capacity+1) undercount bound") {
     import spark.implicits._
     graft.functions.VectorExprs.register(spark)
