@@ -1276,12 +1276,14 @@ object SparkEntry {
     "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
     "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
     "sim_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint"  -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid_ngram" -> ((s, d) => TextOps.langIdNgram(docs(s, d)).orderBy(col("doc_id"))),
     "text_winnow"       -> ((s, d) => TextOps.winnow(docs(s, d))),
+    "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
   )
@@ -1344,12 +1346,14 @@ object SparkEntry {
     "sim_brute_topk"    -> Similarity.sqlBruteTopK,
     "sim_ann_lsh"       -> Similarity.sqlAnnTopK,
     "sim_ivf_topk"      -> Similarity.sqlIvfTopK,
+    "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,
     "text_fingerprint"  -> TextOps.sqlFingerprint,
     "text_langid_ngram" -> TextOps.sqlLangIdNgram,
     "text_winnow"       -> TextOps.sqlWinnow,
+    "text_winnow_pairs" -> TextOps.sqlWinnowPairs,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
   )

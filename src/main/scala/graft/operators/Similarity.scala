@@ -219,6 +219,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multiprobe IVF: queries probe their top-`nprobe` cells (candidates
+    * stay in their own cell) — recall grows with nprobe at linear candidate
+    * cost, same hash-partitioned join. This is the knob a 100 TB ANN
+    * deployment tunes instead of changing the plan.
+    */
+  def ivfTopKProbe(emb: DataFrame, nprobe: Int): DataFrame = {
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val ranked = n.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+      .withColumn("rn", row_number().over(aw))
+    val cands = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
+        col("norm").as("cn"), col("cent_id").as("bucket"))
+    val q = ranked.filter(col("rn") <= nprobe && col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("cent_id").as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(cands, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlIvfTopKProbe(nprobe: Int): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cent_id) AS rn FROM (
+       |    SELECT n.vec_id, n.embedding, n.nrm, cents.cent_id,
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)} / (n.nrm * cents.cnrm) AS sim
+       |    FROM n, cents
+       |  )
+       |), cands AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv2, nrm AS cn,
+       |         cent_id AS bucket
+       |  FROM ranked WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+       |         cent_id AS bucket
+       |  FROM ranked WHERE rn <= $nprobe AND vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, c.cand_id,
+       |    ${sqlDot("q.qv", "c.cv2", Dim)} / (q.qn * c.cn) AS cos
+       |  FROM q JOIN cands c ON q.bucket = c.bucket AND q.query_id <> c.cand_id
+       |), rk AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM rk WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+
   def sqlIvfTopK: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding,

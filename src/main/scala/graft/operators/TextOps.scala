@@ -333,6 +333,47 @@ object TextOps {
       .orderBy(col("doc_id"), col("fingerprint"))
   }
 
+  /** Winnow-fingerprint document pairs — the detection half of the
+    * winnowing scheme (Schleimer et al. §5: documents sharing selected
+    * fingerprints share text regions). Pairs come from fingerprint
+    * buckets via the lazy pair generator; fingerprints shared by more
+    * than [[WinnowMaxBucket]] docs are boilerplate, not evidence, and are
+    * skipped (same non-discriminative-bucket rule as SimHash chunks);
+    * pairs must share ≥ [[WinnowSharedMin]] fingerprints.
+    */
+  val WinnowMaxBucket = 50
+  val WinnowSharedMin = 2
+
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    winnow(docs)
+      .groupBy(col("fingerprint"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= WinnowMaxBucket)
+      .select(graft.functions.VectorExprs.pairExpand(col("ids"))
+        .as(Seq("doc_a", "doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowSharedMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def sqlWinnowPairs: String =
+    s"""WITH w AS (
+       |  ${sqlWinnow.linesIterator.mkString("\n  ")}
+       |), sized AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY fingerprint) AS bsz FROM w
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sized a JOIN sized b
+       |    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |  WHERE a.bsz BETWEEN 2 AND $WinnowMaxBucket
+       |)
+       |SELECT doc_a, doc_b, COUNT(*) AS n_shared
+       |FROM p GROUP BY doc_a, doc_b
+       |HAVING COUNT(*) >= $WinnowSharedMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def sqlWinnow: String = {
     val k = Dedup.ShingleK
     s"""WITH wh AS (

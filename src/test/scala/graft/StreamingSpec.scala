@@ -46,6 +46,23 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() == batchDistinct.count())
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    // the streaming form of q3's dimension enrichment: static dim is
+    // broadcast once, each micro-batch map-side joins — no stream state
+    val dim = Tables.nation(spark, dir)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n_key", col("user_id") % 25)
+      .join(broadcast(dim), col("n_key") === col("n_nationkey"))
+      .select(col("event_id"), col("n_name"))
+    val streamed = Streams.runToMemory(
+      shape(Streams.eventsStream(spark, dir)), "ss_enrich_out",
+      OutputMode.Append())
+    val batch = shape(Tables.events(spark, dir))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("incremental KMV estimate converges to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
