@@ -215,14 +215,23 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val l1 = least(col("label"), coalesce(col("nlabel"), col("label")))
+      val m = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), l1.as("l1"), col("label").as("l0"))
+      // pointer jump (label := label(label)): labels decrease monotonically
+      // and every label IS a node id, so following one hop of the label map
+      // compounds the propagation — rounds needed drop from the component
+      // diameter to ~log2(diameter)
+      val jump = m.select(col("id").as("jid"), col("l1").as("jl"))
+      val newLabel = least(col("l1"), coalesce(col("jl"), col("l1")))
       // the changed flag rides INSIDE the checkpointed frame: convergence
       // detection is then a scan of the materialized partitions, not a
       // second join job per round
-      val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val updated = m
+        .join(jump, m("l1") === jump("jid"), "left")
         .select(col("id"), newLabel.as("new_label"),
-          (newLabel =!= col("label")).as("chg"))
+          (newLabel =!= col("l0")).as("chg"))
         .localCheckpoint(true) // cut per-round lineage growth
       converged = updated.filter(col("chg")).isEmpty
       labels = updated.select(col("id"), col("new_label").as("label"))
