@@ -39,6 +39,19 @@ class SqlSurfaceSpec extends SparkSuite {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("quantile sketch and pair expand from SQL") {
+    graft.functions.VectorExprs.register(spark)
+    val q = spark.sql(
+      """SELECT graft_quantile_sketch(v, array(0.5D), 100) AS qs
+        |FROM (SELECT explode(sequence(1, 9)) AS v)""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(q == Seq(5.0))
+    val pairs = spark.sql(
+      "SELECT graft_pair_expand(array(1L, 2L, 3L)) AS (a, b)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("intersect_count_sorted from SQL") {
     graft.functions.VectorExprs.register(spark)
     val out = spark.sql(
