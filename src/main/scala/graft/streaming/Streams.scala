@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** Structured Streaming run-mode: the same event transforms as the batch
-  * operators ([[graft.operators.Sessionize]]), driven by `readStream`.
+/** Structured Streaming run-mode: watermarked window aggregation, stateful
+  * sessionization, stream-stream interval join, incremental near-dup
+  * admission, incremental KMV distinct estimation, and the `foreachBatch`
+  * SCD load — the streaming twins of the batch operators
+  * ([[graft.operators.Sessionize]], [[graft.operators.Dedup]],
+  * [[graft.operators.Sketch]], [[graft.operators.ScdMerge]]).
   *
-  * Design for scale: state is keyed by user_id (hash-partitioned by the
-  * streaming aggregation itself); watermarks bound state growth; the batch
-  * and streaming paths share transform logic so correctness is established
-  * once by the batch oracle and the streaming tests only prove the
-  * plumbing (schema, watermark, state transitions, batch-boundary
-  * continuity).
+  * Design for scale: state is keyed (hash-partitioned by the streaming
+  * aggregation itself) and BOUNDED — watermarks bound window/join state,
+  * the dedup state is one band row per admitted doc, the KMV state is k
+  * longs per group. Batch and streaming paths share transform logic so
+  * correctness is established once by the batch oracle and the streaming
+  * tests prove the plumbing (schema, watermark, state transitions,
+  * batch-boundary continuity, streaming-equals-batch).
   */
 object Streams {
 
