@@ -337,19 +337,24 @@ object Similarity {
     */
   def centroids(emb: DataFrame): DataFrame = {
     import graft.functions.Exact.xavg
+    // NO round() after the division: rounding an IEEE quotient at a fixed
+    // decimal scale diverges across engines exactly at decimal ties
+    // (Spark HALF_UPs the shortest decimal representation, DuckDB rounds
+    // in binary — observed on a 56-vector average). The raw quotient of
+    // the exact rescaled sum is bit-identical everywhere, like every
+    // other xavg output in the suite.
     emb
       .select(col("label"),
         posexplode(col("embedding")).as(Seq("dim0", "v")))
       .groupBy(col("label"), (col("dim0") + 1).as("dim"))
-      .agg(round(xavg(col("v").cast("double")), 6).as("centroid"),
+      .agg(xavg(col("v").cast("double")).as("centroid"),
         count(lit(1)).as("n_vectors"))
       .orderBy(col("label"), col("dim"))
   }
 
   def sqlCentroids: String =
     s"""SELECT label, i AS dim,
-       |  ROUND(${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")}, 6)
-       |    AS centroid,
+       |  ${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")} AS centroid,
        |  COUNT(*) AS n_vectors
        |FROM embeddings, range(1, ${Dim + 1}) t(i)
        |GROUP BY label, i
