@@ -254,8 +254,10 @@ object TextOps {
         (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TfIdfTopK)
-      .select(col("doc_id"), col("rk"), col("term"),
-        round(col("score"), 6).as("score"))
+      // raw quotient, no round(): tf·(N+1)/(df+1) is a small-denominator
+      // rational, exactly the shape where fixed-scale rounding of a double
+      // hits cross-engine decimal ties (see Similarity.centroids)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
@@ -277,7 +279,7 @@ object TextOps {
        |                       ORDER BY score DESC, term) AS rk
        |  FROM scored
        |)
-       |SELECT doc_id, rk, term, ROUND(score, 6) AS score
+       |SELECT doc_id, rk, term, score
        |FROM ranked WHERE rk <= $TfIdfTopK
        |ORDER BY doc_id, rk""".stripMargin
 
