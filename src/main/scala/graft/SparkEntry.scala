@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
-import graft.operators.{Dedup, Multimodal, ScdMerge, Sessionize, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, ScdMerge, Sessionize, Similarity, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -999,8 +999,15 @@ object SparkEntry {
     val bigrams = slice(
       zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
       lit(1), greatest(size(w) - 1, lit(0)))
+    // explode_outer + null-drop on the OUTPUT attribute, not plain explode:
+    // explode makes Catalyst infer `size(bigrams) > 0` below the Generate
+    // and pushdown re-inlines the whole zip_with chain (non-codegen HOF, no
+    // subexpression elimination) into that Filter — re-evaluating it per
+    // row. The isNotNull filter on the generated column is equivalent
+    // (empty-array rows yield NULL) and costs one attribute check.
     Tables.documents(s, dir)
-      .select(explode(bigrams).as("bigram"))
+      .select(explode_outer(bigrams).as("bigram"))
+      .filter(col("bigram").isNotNull)
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(BigramTopK)
   }
@@ -1196,7 +1203,10 @@ object SparkEntry {
   private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
     Tables.documents(s, dir)
-      .select(explode(TextOps.words(col("text"))).as("token"))
+      // _outer: split() never yields an empty/null array, so this is
+      // explode minus the inferred size(...)>0 filter (which would
+      // re-evaluate split once more below the Generate).
+      .select(explode_outer(TextOps.words(col("text"))).as("token"))
       .agg(call_function(graft.functions.VectorExprs.HeavyName,
         col("token"), lit(10), lit(256)).as("hh"))
       .select(explode(col("hh")).as("h"))
@@ -1286,6 +1296,12 @@ object SparkEntry {
     "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
+    "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
+    "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
+    "corpus_mix"        -> ((s, d) => TrainingData.mixture(docs(s, d))),
+    "text_repetition"   -> ((s, d) => TrainingData.repetition(docs(s, d))),
+    "events_redact"     -> ((s, d) => TrainingData.redact(Tables.events(s, d))),
+    "decon_overlap"     -> ((s, d) => TrainingData.decontaminate(docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1356,5 +1372,11 @@ object SparkEntry {
     "text_winnow_pairs" -> TextOps.sqlWinnowPairs,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
+    "corpus_split"      -> TrainingData.sqlSplitStats,
+    "corpus_pack"       -> TrainingData.sqlPack,
+    "corpus_mix"        -> TrainingData.sqlMixture,
+    "text_repetition"   -> TrainingData.sqlRepetition,
+    "events_redact"     -> TrainingData.sqlRedact,
+    "decon_overlap"     -> TrainingData.sqlDecontaminate,
   )
 }

@@ -341,7 +341,9 @@ object Dedup {
       when(col(s"bs$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      // _outer: words() never empty/null — explode minus the inferred
+      // size>0 filter (which would re-run the split below the Generate).
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("word"))
       .select(col("doc_id"), tokenHash(col("word")).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)

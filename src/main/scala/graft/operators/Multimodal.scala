@@ -83,7 +83,9 @@ object Multimodal {
     docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .select(col("doc_id"), col("media"),
-        posexplode(sequence(lit(1), greatest(
+        // _outer: greatest(…, 1) guarantees ≥1 frame per doc — same rows,
+        // minus the inferred size>0 filter recomputing the sequence.
+        posexplode_outer(sequence(lit(1), greatest(
           expr(s"octet_length(media) div $stride"), lit(1))))
           .as(Seq("frame_idx", "n")))
       .select(col("doc_id"), col("frame_idx"),

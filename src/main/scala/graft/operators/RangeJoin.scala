@@ -33,8 +33,12 @@ object RangeJoin {
       bucketMicros: Long): DataFrame = {
     val pb = points.withColumn("__bucket",
       expr(s"unix_micros($pointCol) div $bucketMicros"))
+    // _outer: a [start,end] range always spans ≥1 bucket, so the inferred
+    // size>0 filter of a plain explode only re-evaluates the sequence()
+    // below the Generate; a NULL bucket (null bounds) can't survive the
+    // inner equi-join either way.
     val rb = ranges.withColumn("__bucket",
-      explode(sequence(
+      explode_outer(sequence(
         expr(s"unix_micros($startCol) div $bucketMicros"),
         expr(s"unix_micros($endCol) div $bucketMicros"))))
     pb.join(rb, keys :+ "__bucket")

@@ -242,7 +242,10 @@ object TextOps {
   def tfIdf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      // _outer: words() never yields an empty/null array — identical rows,
+      // minus the inferred size>0 pre-Generate filter that would compute
+      // the split twice.
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -323,7 +326,9 @@ object TextOps {
       % WinnowMod * WinnowBase + lead(col("h"), 2).over(byDoc)) % WinnowMod
     docs
       .select(col("doc_id"),
-        posexplode(words(col("text"))).as(Seq("pos", "word")))
+        // _outer: words() never empty/null — same rows, no inferred
+        // size>0 filter re-evaluating the split below the Generate.
+        posexplode_outer(words(col("text"))).as(Seq("pos", "word")))
       .select(col("doc_id"), col("pos"),
         (tokenHash(col("word")) % WinnowMod).as("h"))
       .withColumn("kh", kh)

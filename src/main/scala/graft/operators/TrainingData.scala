@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.{sqlTokenHash, sqlWords, tokenHash, words}
+
+/** Training-data pipeline operators beyond per-document analysis: corpus
+  * splitting, sequence packing, repetition-based quality (Gopher-style),
+  * source-mixture weighting, PII-style redaction, and benchmark
+  * decontamination.
+  *
+  * Like the rest of the corpus suite these are deterministic (hash-derived
+  * randomness, no RNG), expressed as declarative DataFrame plans (codegen'd
+  * map-side work + hash-partitioned shuffles only where semantics require),
+  * and each has a DuckDB-SQL mirror built from the same constants.
+  */
+object TrainingData {
+
+  // ------------------------------------------------------------ hash split
+  /** Deterministic train/val/test assignment: md5-derived bucket of the
+    * salted document id. Properties that matter at 100 TB:
+    *   - stable under re-runs, re-partitioning, and corpus growth (a doc's
+    *     split never depends on other rows — pure map-side, no shuffle);
+    *   - salt swaps give independent re-splits without touching data;
+    *   - downstream filters (`split = 'train'`) are ordinary predicates,
+    *     so Catalyst pushes them into scans of a split-partitioned copy.
+    */
+  val SplitSalt = "graft"
+  val TrainPct = 80
+  val ValPct   = 10 // test gets the remainder
+
+  def withSplit(docs: DataFrame): DataFrame = {
+    val bucket = tokenHash(
+      concat(lit(SplitSalt), lit(":"), col("doc_id").cast("string"))) % 100
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < TrainPct, lit("train"))
+          .when(col("bucket") < TrainPct + ValPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Per-split corpus accounting (doc/char/token totals) — the numbers a
+    * training run's data card reports.
+    */
+  def splitStats(docs: DataFrame): DataFrame =
+    withSplit(docs)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(words(col("text"))).cast("long")).as("sum_tokens"))
+      .orderBy(col("split"))
+
+  def sqlSplitStats: String = {
+    val bucket =
+      s"${sqlTokenHash(s"'$SplitSalt:' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT CASE WHEN $bucket < $TrainPct THEN 'train'
+       |            WHEN $bucket < ${TrainPct + ValPct} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(len(${sqlWords("text")})) AS BIGINT) AS sum_tokens
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  // ------------------------------------------------------ sequence packing
+  /** Concat-and-chop sequence packing: lay every document's tokens end to
+    * end in doc_id order and chop the stream into fixed `CtxLen` windows;
+    * emit each document's global token offset and the pack range it lands
+    * in. This is the standard LLM pretraining batch layout (documents
+    * concatenated, split into context-length rows).
+    *
+    * The global running offset is a distributed PREFIX SUM, not a global
+    * window: a single `Window.orderBy(doc_id)` would funnel the whole
+    * corpus through ONE partition. Instead:
+    *   1. bucket docs by `doc_id div BucketW` (range-contiguous buckets);
+    *   2. per-bucket local cumulative sums (hash-partitioned window);
+    *   3. one tiny aggregate of per-bucket totals → running bucket offsets
+    *     (a window over n/BucketW rows — at 100 TB pick BucketW so this
+    *     stays millions of rows, itself recursable if ever needed);
+    *   4. broadcast the bucket offsets back; offset = bucket base + local.
+    */
+  val CtxLen  = 256
+  val BucketW = 64
+
+  def pack(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $BucketW").as("bkt"))
+    val local = base.withColumn("cum_in_bkt",
+      sum(col("n_tokens")).over(Window.partitionBy("bkt").orderBy("doc_id")))
+    val bucketOffsets = base.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tot"))
+      .withColumn("bkt_off",
+        coalesce(sum(col("bkt_tot")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    local.join(broadcast(bucketOffsets), "bkt")
+      .withColumn("tok_offset",
+        col("bkt_off") + col("cum_in_bkt") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $CtxLen").as("pack_first"),
+        expr(s"(tok_offset + n_tokens - 1) div $CtxLen").as("pack_last"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlPack: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(${sqlWords("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS tok_offset
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, tok_offset,
+       |  tok_offset // $CtxLen AS pack_first,
+       |  (tok_offset + n_tokens - 1) // $CtxLen AS pack_last,
+       |  (tok_offset + n_tokens - 1) // $CtxLen
+       |    - tok_offset // $CtxLen + 1 AS n_packs
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- repetition (quality)
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 — the duplicate-fraction family): fraction of tokens in
+    * the most-common word, fraction of tokens belonging to words that
+    * occur 2+ times, and the top bigram's share. High values flag
+    * boilerplate/spam documents for filtering.
+    *
+    * Relational formulation on purpose: explode → two hash aggregations,
+    * all count arithmetic map-side partial-agged. Array/HOF per-document
+    * counting re-evaluates the producing array per element (see
+    * [[Dedup.shingleHashes]] scaladoc) — measured 50×+ slower on this
+    * corpus shape. Fractions are raw IEEE quotients (never rounded — see
+    * the round-after-division hazard in [[graft.functions.Exact]]).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    // _outer: words() never yields an empty/null array — identical rows,
+    // without the inferred size>0 filter re-evaluating the split.
+    val tok = docs.select(col("doc_id"),
+      posexplode_outer(words(col("text"))).as(Seq("pos", "word")))
+    val wc = tok.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val perDocWords = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      max(col("c")).as("top_c"),
+      sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_c"))
+    val bigrams = tok
+      .withColumn("nxt",
+        lead(col("word"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("gram"))
+    val perDocBigrams = bigrams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_c"))
+    perDocWords.join(perDocBigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("top_c").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        (col("dup_c").cast("double") / col("n_words").cast("double"))
+          .as("dup_word_frac"),
+        (col("top2_c").cast("double") / (col("n_words") - 1).cast("double"))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlRepetition: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, ${sqlWords("text")} AS w FROM documents
+       |), wcount AS (
+       |  SELECT doc_id, word, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM ws) GROUP BY 1, 2
+       |), perw AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    MAX(c) AS top_c,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+       |  FROM wcount GROUP BY 1
+       |), bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+       |      AS gram
+       |  FROM ws
+       |), perb AS (
+       |  SELECT doc_id, MAX(c) AS top2_c
+       |  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+       |  GROUP BY 1
+       |)
+       |SELECT perw.doc_id, n_words,
+       |  CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       |  CAST(dup_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       |  CAST(top2_c AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+       |    AS top_bigram_frac
+       |FROM perw JOIN perb ON perw.doc_id = perb.doc_id
+       |ORDER BY perw.doc_id""".stripMargin
+
+  // ------------------------------------------------------- mixture weights
+  /** Source-mixture accounting: each source's token share and the weight
+    * that would rebalance sampling to a uniform mixture (weight > 1 ⇒
+    * upsample). One hash aggregation; the share/weight normalization is a
+    * window over |sources| rows (tiny by construction — sources are
+    * domains/crawls, not documents).
+    */
+  def mixture(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy() // single frame over |sources| rows
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("tot", sum(col("n_tokens")).over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot").cast("double"))
+          .as("token_share"),
+        (col("tot").cast("double") /
+          (col("n_sources") * col("n_tokens")).cast("double"))
+          .as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
+  def sqlMixture: String =
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(${sqlWords("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+       |    AS token_share,
+       |  CAST(SUM(n_tokens) OVER () AS DOUBLE)
+       |    / CAST(COUNT(*) OVER () * n_tokens AS DOUBLE) AS uniform_weight
+       |FROM per ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- redaction
+  /** PII-style scrubbing: replace every digit run in the payload with a
+    * mask and count the replacements. Pure map-side regex (codegen'd, no
+    * shuffle) — the pattern set extends to emails/phones/keys without
+    * changing the plan shape. Run over `events.props` (the fixture's only
+    * column with sensitive-shaped content).
+    */
+  val RedactPattern = "[0-9]+"
+  val RedactMask    = "#"
+
+  def redact(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("props"),
+      size(regexp_extract_all(col("props"), lit(RedactPattern), lit(0)))
+        .as("n_redacted"),
+      regexp_replace(col("props"), RedactPattern, RedactMask).as("redacted"))
+      .orderBy(col("event_id"))
+
+  def sqlRedact: String =
+    s"""SELECT event_id, props,
+       |  len(regexp_extract_all(props, '$RedactPattern')) AS n_redacted,
+       |  regexp_replace(props, '$RedactPattern', '$RedactMask', 'g')
+       |    AS redacted
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- decontamination scan
+  /** Benchmark decontamination: find training documents sharing word
+    * k-grams with a held-out evaluation set (the n-gram-collision test used
+    * for pretraining-set decontamination; k-gram machinery shared with
+    * [[Dedup]]). The fixture's "benchmark" is the deterministic doc_id
+    * mod-[[EvalMod]] slice.
+    *
+    * Scale shape: the eval side is SMALL by nature (benchmarks, not
+    * corpora) — its exploded k-gram hash set is broadcast, so the 100 TB
+    * training side never shuffles: hash, probe, partial-count map-side,
+    * then aggregate only the (rare) colliding pairs. Output containment =
+    * |overlap| / |eval k-grams| is the decision metric (containment ≥
+    * threshold ⇒ drop the training doc).
+    */
+  val DeconK     = 5
+  val EvalMod    = 5
+  val MinOverlap = 2
+
+  /** Distinct k-gram hash set per document (≥ DeconK words — shorter docs
+    * have no complete k-gram on either engine).
+    */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= DeconK)
+      .select(col("doc_id"), Dedup.wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingleHashes(col("wh"), DeconK)).as("hs"))
+
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
+    // explode_outer, NOT explode: for plain explode Catalyst infers a
+    // `size(hs) > 0 AND isnotnull(hs)` filter below the Generate, and
+    // predicate pushdown re-inlines the whole shingle chain into that
+    // Filter — higher-order functions don't codegen, so no subexpression
+    // elimination applies and the chain re-evaluates ~10× per document
+    // (measured 3× query slowdown). The ≥ DeconK word filter already
+    // guarantees non-empty arrays, so outer ≡ inner here.
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), explode_outer(col("hs")).as("h"))
+    val eval = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), size(col("hs")).as("eval_n"),
+        explode_outer(col("hs")).as("h"))
+    train.join(broadcast(eval), "h")
+      .groupBy(col("train_id"), col("eval_id"), col("eval_n"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= MinOverlap)
+      .select(col("train_id"), col("eval_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("eval_n").cast("double"))
+          .as("containment"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  def sqlDecontaminate: String =
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${Dedup.sqlWordHashes("text")} AS wh FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $DeconK
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(${Dedup.sqlShingleHashes("wh", DeconK)}) AS hs
+       |  FROM wordhashed
+       |), ex AS (
+       |  SELECT doc_id, len(hs) AS nsh, unnest(hs) AS h FROM sh
+       |), tr AS (SELECT * FROM ex WHERE doc_id % $EvalMod <> 0),
+       |   ev AS (SELECT * FROM ex WHERE doc_id % $EvalMod = 0)
+       |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       |  COUNT(*) AS n_overlap,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(ev.nsh AS DOUBLE) AS containment
+       |FROM tr JOIN ev USING (h)
+       |GROUP BY 1, 2, ev.nsh
+       |HAVING COUNT(*) >= $MinOverlap
+       |ORDER BY train_id, eval_id""".stripMargin
+}
