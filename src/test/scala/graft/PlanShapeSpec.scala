@@ -71,4 +71,34 @@ class PlanShapeSpec extends SparkSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
   }
+
+  test("corpus_pack: corpus rows never funnel through one partition") {
+    val p = planTree("corpus_pack")
+    // the per-doc cumulative sum must be a hash-partitioned window (by
+    // bucket); the only SinglePartition work is the tiny bucket-totals
+    // frame, which must join back via broadcast
+    assert(p.contains("Exchange hashpartitioning(bkt"),
+      "per-bucket window lost its hash partitioning:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast, not shuffle the corpus:\n" + p)
+  }
+
+  test("decon: eval side broadcasts; no shingle chain inside a Filter") {
+    val p = planTree("decon_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval k-gram set must broadcast:\n" + p)
+    // the InferFiltersFromGenerate regression: a plain explode re-inlines
+    // the zip_with shingle chain into a pre-Generate Filter (no codegen,
+    // no subexpression elimination → measured 4× slower)
+    assert(!"Filter [^\\n]*zip_with".r.findFirstIn(p).isDefined,
+      "shingle chain re-evaluated inside a Filter:\n" + p)
+  }
+
+  test("corpus_split: split assignment is map-side (no pre-agg shuffle)") {
+    val p = planTree("corpus_split")
+    // one exchange for the groupBy(split) + the output range sort; the
+    // hash-split assignment itself must add none
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"hash split added shuffles ($n):\n$p")
+  }
 }
