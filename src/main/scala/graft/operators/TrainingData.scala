@@ -311,6 +311,34 @@ object TrainingData {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Reusable eval-set k-gram index: one row per (eval_id, eval_n, h).
+    * Built ONCE from the benchmark corpus, persisted, and broadcast into
+    * every admission check — the static side of a stream-static join.
+    */
+  def evalIndex(evalDocs: DataFrame): DataFrame =
+    shingleSets(evalDocs)
+      .select(col("doc_id").as("eval_id"), size(col("hs")).as("eval_n"),
+        explode_outer(col("hs")).as("h"))
+
+  /** Admission filter: drop candidate documents whose k-gram containment
+    * against any eval doc reaches `maxContainment`. Works identically on a
+    * batch frame or inside `foreachBatch` (the eval index is static —
+    * Structured Streaming's stream-static broadcast join shape).
+    */
+  val MaxContainment = 0.5
+
+  def admit(candidates: DataFrame, index: DataFrame): DataFrame = {
+    val candEx = shingleSets(candidates)
+      .select(col("doc_id").as("cand_id"), explode_outer(col("hs")).as("h"))
+    val contaminated = candEx.join(broadcast(index), "h")
+      .groupBy(col("cand_id"), col("eval_id"), col("eval_n"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap").cast("double") / col("eval_n").cast("double")
+        >= MaxContainment)
+      .select(col("cand_id").as("doc_id")).distinct()
+    candidates.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   def sqlDecontaminate: String =
     s"""WITH wordhashed AS (
        |  SELECT doc_id, ${Dedup.sqlWordHashes("text")} AS wh FROM documents

@@ -90,6 +90,19 @@ class TrainingDataSpec extends SparkSuite {
     assert(out(1).getString(3) == "no digits")
   }
 
+  test("admission drops contaminated candidates, keeps the rest") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val eval = Seq((100L, text)).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, text),                                    // full containment: drop
+      (2L, "uno dos tres cuatro cinco seis siete")). // disjoint: keep
+      toDF("doc_id", "text")
+    val admitted = graft.operators.TrainingData
+      .admit(cands, graft.operators.TrainingData.evalIndex(eval))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L))
+  }
+
   test("decontamination flags a planted train/eval duplicate at containment 1") {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val filler = (0 until 10).map(i =>
