@@ -15,6 +15,12 @@ import TextOps.{sqlTokenHash, sqlWords, tokenHash, words}
   * randomness, no RNG), expressed as declarative DataFrame plans (codegen'd
   * map-side work + hash-partitioned shuffles only where semantics require),
   * and each has a DuckDB-SQL mirror built from the same constants.
+  *
+  * Oracle pairing contract (same as every `queries` entry): output column
+  * names/aliases match the SQL mirror exactly, integer aggregates that
+  * DuckDB would widen to HUGEINT are CAST back to BIGINT in the mirror,
+  * fractions are raw IEEE quotients (never rounded after a division), and
+  * every result carries a total order.
   */
 object TrainingData {
 
