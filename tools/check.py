@@ -8,6 +8,12 @@ Registers every parquet in <sfDir> as a DuckDB view, runs each query from
 compares against the Spark result parquet written by graft.Verify —
 columns sorted by name, rows sorted by all columns, exact value equality,
 and dtype-kind equality (mirrors the driver's hash sensitivity).
+
+Run the audit at BOTH sf0.001 and sf0.01 before declaring a query done:
+some divergence classes (round-at-a-tie after division, short-document
+edge cases) only materialize under one fixture's value distribution.
+Always rm -rf the verify out dir first — stale parquet from a previously
+passing run silently masks a now-failing query.
 """
 import duckdb, glob, json, sys, os
 import pandas as pd
