@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextOps.{sqlTokenHash, sqlWords, tokenHash, words}
@@ -237,6 +238,17 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       round += 1
     }
+    // Never return silently-unconverged labels: a graph whose diameter
+    // exceeds what maxIter pointer-jumping rounds can cover (≈2^maxIter
+    // hops) would otherwise yield WRONG component ids that look valid.
+    // The check reads the already-checkpointed flag column — no extra
+    // join job, one scan of materialized partitions.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          s"(labels still changing — graph diameter > ~2^$maxIter). " +
+          "Raise maxIter, or switch to the large-star/small-star variant " +
+          "(Kiveris et al., SoCC 2014) for deep graphs.")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
   }
@@ -421,6 +433,20 @@ object Dedup {
   val JaccardBlockChars = 25
   val JaccardThreshold = 0.05
 
+  /** Blocks above this size are SUB-SPLIT, not pair-expanded whole: a
+    * popular (lang, length-bucket) block grows O(corpus) — at 100 TB an
+    * (en, bucket≈40) block holds millions of docs and quadratic expansion
+    * inside it is the last all-pairs blow-up. Oversized blocks get a
+    * MinHash band appended to the blocking key (same signature family as
+    * [[minhashPairs]], bands 0–1), which keeps high-Jaccard pairs together
+    * — near-identical shingle sets collide on the band with the usual LSH
+    * probability — while slicing the block population by signature.
+    * Sub-blocks STILL above the cap are dropped, the same fail-safe as
+    * [[SimhashMaxBucket]]: text so templated that one band value dominates
+    * a corpus carries no pair signal worth a quadratic expansion.
+    */
+  val JaccardMaxBlock = 100
+
   def ngramJaccard(docs: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     // `div` (integer division) — Spark's double `/`+cast truncates while
@@ -438,6 +464,15 @@ object Dedup {
         expr(s"n_chars div $JaccardBlockChars").as("bucket"),
         array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
           .as("sh"))
+    // Oversized-block sub-split (see JaccardMaxBlock): block sizes come
+    // from ONE window count over the same (lang, bucket) key the groupBy
+    // shuffles on; rows in oversized blocks swap in a minhash band as the
+    // sub-key. The band is derived from `sh`, which is already the mod-P
+    // hash domain minhashSig expects — computed map-side, no extra pass.
+    val band = concat_ws("|",
+      minhashSig(col("sh"), 0).cast("string"),
+      minhashSig(col("sh"), 1).cast("string"))
+    val blockW = Window.partitionBy(col("lang"), col("bucket"))
     // Block-then-pair-expand (like minhashPairs): shingle sets are computed
     // and shuffled once; pairs materialize only inside each block. The
     // intersection is computed INSIDE the pair-expansion lambda so only
@@ -445,10 +480,13 @@ object Dedup {
     // exploding struct pairs first would copy both signature arrays into
     // every generated row.
     withSets
-      .groupBy(col("lang"), col("bucket"))
+      .withColumn("bsz", count(lit(1)).over(blockW))
+      .withColumn("sub",
+        when(col("bsz") > JaccardMaxBlock, band).otherwise(lit("")))
+      .groupBy(col("lang"), col("bucket"), col("sub"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
         .as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= JaccardMaxBlock)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
           struct(x("doc_id").as("doc_a"), y("doc_id").as("doc_b"),
@@ -473,11 +511,26 @@ object Dedup {
        |    n_chars // $JaccardBlockChars AS bucket,
        |    list_distinct(${sqlShingleHashes("wh", ShingleK)}) AS sh
        |  FROM wordhashed
+       |), sized AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY lang, bucket) AS bsz,
+       |    CAST(${sqlMinhashSig("sh", 0)} AS VARCHAR) || '|' ||
+       |      CAST(${sqlMinhashSig("sh", 1)} AS VARCHAR) AS band
+       |  FROM s
+       |), sub AS (
+       |  SELECT doc_id, lang, bucket, sh,
+       |    CASE WHEN bsz > $JaccardMaxBlock THEN band ELSE '' END AS sub
+       |  FROM sized
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY lang, bucket, sub) AS sbsz
+       |    FROM sub
+       |  ) WHERE sbsz <= $JaccardMaxBlock
        |), p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS ab
-       |  FROM s a JOIN s b ON a.lang = b.lang AND a.bucket = b.bucket
+       |  FROM capped a JOIN capped b
+       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.sub = b.sub
        |    AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b, i / (ab - i) AS jaccard

@@ -361,20 +361,28 @@ object Similarity {
        |ORDER BY label, dim""".stripMargin
 
   // ----------------------------------------------------- cosine near-dup
-  /** Embedding near-duplicate pairs, blocked by label (demo blocking key —
-    * in production the LSH bucket serves). Threshold applied to the
+  /** Embedding near-duplicate pairs, blocked by the random-hyperplane LSH
+    * bucket ([[lshBucket]]): the candidate join is hash-partitioned on the
+    * bucket key, and per-bucket population is a tunable fraction of the
+    * corpus — raise `NPlanes` ≈ log2(N / target bucket size) as the corpus
+    * grows, which shrinks buckets geometrically without changing the plan.
+    * (Blocking by a fixed-cardinality attribute like `label` would leave
+    * within-block pairs O(corpus²/|labels|) — the key must DERIVE from the
+    * vector, as LSH buckets do.) Missing a cross-bucket pair is the
+    * standard LSH recall trade-off; multi-band probing slots in exactly as
+    * in [[graft.operators.Dedup.minhashPairs]]. Threshold applied to the
     * bit-stable unrounded cosine; rounding only in the projection.
     */
   val NearDupThreshold = 0.3
 
   def embedNearDup(emb: DataFrame): DataFrame = {
     val n = withNorm(emb, "embedding")
-    val a = n.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"), col("norm").as("na")).alias("a")
-    val b = n.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"), col("norm").as("nb")).alias("b")
-    a.join(b, col("a.label") === col("b.label") &&
-        col("vec_a") < col("vec_b"))
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val a = n.select(col("vec_id").as("vec_a"), col("bucket"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("bucket"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", ndot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
@@ -382,11 +390,15 @@ object Similarity {
   }
 
   def sqlEmbedNearDup: String =
-    s"""WITH p AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    ${sqlCosine("a.embedding", "b.embedding", Dim)} AS cos
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |    ${sqlCosine("a.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b a JOIN b c
+       |    ON a.bucket = c.bucket AND a.vec_id < c.vec_id
        |)
        |SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim
        |FROM p WHERE cos >= $NearDupThreshold

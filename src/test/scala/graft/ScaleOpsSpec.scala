@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ScdMerge, Skew}
+import graft.operators.{Dedup, ScdMerge, Skew}
 import graft.streaming.Streams
 
 /** Scale-machinery tests: salted join equivalence, partitioned sinks,
@@ -67,6 +67,47 @@ class ScaleOpsSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
+  }
+
+  test("jaccard oversized blocks are sub-split by minhash band, not expanded") {
+    def block(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("t"))
+        // pin every doc into ONE (lang, length-bucket) block regardless of
+        // actual text length — isolates the cap behavior
+        .withColumn("n_chars", lit(50L))
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+
+    // (a) fail-safe: a block of 120 IDENTICAL docs sub-splits into one
+    // band sub-block of 120 > JaccardMaxBlock — dropped, zero pairs (the
+    // quadratic expansion never happens)
+    val uniform = block((1L to 120L).map(i => (i, textA)): _*)
+    assert(Dedup.ngramJaccard(uniform).count() == 0)
+
+    // (b) signal preserved: 60 A + 60 B in the same oversized block split
+    // into two band sub-blocks of 60 ≤ cap; all within-group pairs survive
+    val mixed = block((1L to 120L).map(i =>
+      (i, if (i % 2 == 0) textA else textB)): _*)
+    val pairs = Dedup.ngramJaccard(mixed).collect()
+    assert(pairs.length == 2 * (60 * 59 / 2), s"got ${pairs.length}")
+    assert(pairs.forall(r => r.getDouble(2) == 1.0)) // no cross-text pair
+
+    // (c) small blocks keep the plain (lang, bucket) key — all pairs
+    val small = block((1L to 20L).map(i => (i, textA)): _*)
+    assert(Dedup.ngramJaccard(small).count() == 20 * 19 / 2)
+  }
+
+  test("connected components fail loudly when maxIter can't cover the diameter") {
+    // 64-node path: diameter 63 needs ~log2(63)+1 ≈ 7 pointer-jump rounds
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2)
+    }
+    val ok = Dedup.connectedComponents(path, maxIter = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(ok == Set(0L)) // one component labeled by the min node
   }
 
   test("incremental dedup: cross-batch near-dups rejected, novel docs admitted") {
