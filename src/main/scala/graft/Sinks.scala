@@ -37,35 +37,91 @@ object Sinks {
     * (SURVEY §1.2).
     *
     * Executor-side JDBC (`foreachPartition`) rather than `df.write.jdbc`
-    * because plain mode("append") cannot express upsert; the statement is
-    * built once per partition and reused. Zero-egress harness has no
-    * database, so this surface is exercised by the merged-frame parquet
-    * twins above and left deliberately dependency-free (java.sql only).
+    * because plain mode("append") cannot express upsert; statements are
+    * built once per partition, reused across batches, and closed before
+    * the connection. Dependency-free (java.sql only); `SinksSpec` executes
+    * the path for real against embedded Derby (on Spark's own classpath)
+    * via the [[UpdateThenInsert]] dialect and checks it reproduces the
+    * ScdMerge Type-1 state.
     */
+  /** ANSI-quote an identifier — reserved words and mixed-case column names
+    * must survive the round trip into generated SQL.
+    */
+  private def q(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+
+  /** How the target database expresses "insert or update". */
+  sealed trait UpsertDialect extends Serializable
+  /** PostgreSQL `INSERT … ON CONFLICT DO UPDATE` — one statement, one round
+    * trip per batch. The reference's deployment target (`SQL:20-122`).
+    */
+  case object PostgresOnConflict extends UpsertDialect
+  /** Batched `UPDATE` of existing keys + batched conditional `INSERT` of
+    * absent keys, for engines without a single-statement upsert (Derby —
+    * the embedded engine the round-trip test runs — DB2, older targets).
+    * Two round trips per batch; equivalent to upsert for unique-keyed
+    * frames without concurrent writers — exactly the ScdMerge output
+    * contract. `dual` is the 1-row system table the conditional INSERT
+    * selects from (Derby/DB2: SYSIBM.SYSDUMMY1).
+    */
+  final case class UpdateThenInsert(dual: String = "SYSIBM.SYSDUMMY1")
+    extends UpsertDialect
+
   def jdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], props: java.util.Properties,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      dialect: UpsertDialect = PostgresOnConflict): Unit = {
     val cols = df.columns.toSeq
-    val updates = cols.filterNot(keyCols.contains)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    val sql = s"""INSERT INTO $table (${cols.mkString(", ")})
-                 |VALUES (${cols.map(_ => "?").mkString(", ")})
-                 |ON CONFLICT (${keyCols.mkString(", ")})
-                 |DO UPDATE SET $updates""".stripMargin
+    val nonKey = cols.filterNot(keyCols.contains)
+    val qt = q(table)
+    type Binder = org.apache.spark.sql.Row => Seq[Any]
+    val statements: Seq[(String, Binder)] = dialect match {
+      case PostgresOnConflict =>
+        val action =
+          if (nonKey.isEmpty) "DO NOTHING"
+          else "DO UPDATE SET " +
+            nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        val sql = s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
+                     |VALUES (${cols.map(_ => "?").mkString(", ")})
+                     |ON CONFLICT (${keyCols.map(q).mkString(", ")})
+                     |$action""".stripMargin
+        Seq(sql -> ((r: org.apache.spark.sql.Row) => cols.indices.map(r.get)))
+      case UpdateThenInsert(dual) =>
+        val where = keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")
+        val upd: Option[(String, Binder)] =
+          if (nonKey.isEmpty) None
+          else Some(
+            s"UPDATE $qt SET ${nonKey.map(c => s"${q(c)} = ?").mkString(", ")}" +
+              s" WHERE $where" ->
+              ((r: org.apache.spark.sql.Row) =>
+                (nonKey ++ keyCols).map(c => r.get(r.fieldIndex(c)))))
+        val ins: (String, Binder) =
+          s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
+             |SELECT ${cols.map(_ => "?").mkString(", ")} FROM $dual
+             |WHERE NOT EXISTS (SELECT 1 FROM $qt WHERE $where)""".stripMargin ->
+            ((r: org.apache.spark.sql.Row) =>
+              cols.indices.map(r.get) ++ keyCols.map(c => r.get(r.fieldIndex(c))))
+        upd.toSeq :+ ins
+    }
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
-        val st = conn.prepareStatement(sql)
-        var n = 0
-        rows.foreach { r =>
-          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-          st.addBatch()
-          n += 1
-          if (n % batchSize == 0) st.executeBatch()
-        }
-        st.executeBatch()
-        conn.commit()
+        val sts = statements.map { case (sql, b) => conn.prepareStatement(sql) -> b }
+        try {
+          var n = 0
+          rows.foreach { r =>
+            sts.foreach { case (st, bind) =>
+              bind(r).zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
+              st.addBatch()
+            }
+            n += 1
+            // statement ORDER matters per flush: updates (no-ops on new
+            // keys) before conditional inserts (no-ops on existing keys)
+            if (n % batchSize == 0) sts.foreach(_._1.executeBatch())
+          }
+          sts.foreach(_._1.executeBatch())
+          conn.commit()
+        } finally sts.foreach(_._1.close())
       } finally conn.close()
     }
   }

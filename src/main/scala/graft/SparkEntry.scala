@@ -752,8 +752,10 @@ object SparkEntry {
       |ORDER BY m.o_orderkey""".stripMargin
 
   // --------------------------------------------------- sketch_distinct
-  // Distinct-count sketch (HLL++). No ANSI equivalent — deliberately has no
-  // oracle entry; the driver records the weaker rows-only check. The exact
+  // Distinct-count sketch (HLL++). PERMANENT rows-only waiver: HLL
+  // register layouts differ across engines, so no hash oracle can exist —
+  // by design, not a gap. The oracle-exact twin is sketch_kmv (same
+  // distinct-count task, cross-engine-identical KMV estimator); the exact
   // companion is q19_distinct_topn.
   private def qSketch(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1182,16 +1184,20 @@ object SparkEntry {
       .agg(call_function(graft.functions.VectorExprs.QuantileName,
         col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(16384))
         .as("qs"))
+      // RAW interpolated doubles, no ROUND: rounding an IEEE quotient at a
+      // fixed decimal scale diverges across engines exactly at decimal
+      // ties (Spark HALF_UPs the shortest-decimal repr, DuckDB rounds in
+      // binary) — the suite's no-round-after-division convention.
       .select(col("l_returnflag"),
-        round(element_at(col("qs"), 1), 4).as("p50"),
-        round(element_at(col("qs"), 2), 4).as("p90"))
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"))
       .orderBy(col("l_returnflag"))
   }
 
   private val sqlQuantileSketch: String =
     """SELECT l_returnflag,
-      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------- sketch_heavy_hitters
@@ -1287,6 +1293,7 @@ object SparkEntry {
     "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
     "sim_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
+    "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -1363,6 +1370,7 @@ object SparkEntry {
     "sim_ann_lsh"       -> Similarity.sqlAnnTopK,
     "sim_ivf_topk"      -> Similarity.sqlIvfTopK,
     "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
+    "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

@@ -16,13 +16,38 @@ object Tables {
     * files and re-reading parquet footers for schema inference — per-query
     * constant cost that adds up across a 48-query suite. This caches only
     * the *plan* (file index + schema), never row data.
+    *
+    * Lifecycle: a cached plan pins its file LISTING for as long as the
+    * entry lives — a fixture directory rewritten mid-session must be
+    * [[invalidate]]d or reads hit deleted files / miss new ones. Entries
+    * for STOPPED sessions are swept on every access (cheap — the map holds
+    * a handful of table plans), so long-lived library use across many
+    * sessions doesn't accumulate dead plans. (A WeakHashMap wouldn't work
+    * here: the cached DataFrame strongly references its own SparkSession,
+    * which would pin the weak key forever.)
     */
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def sweepStopped(): Unit = {
+    catalog.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    spreadCatalog.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  }
+
+  /** Drop every cached plan for `spark` — call after rewriting a fixture
+    * directory the session already read, or before discarding a session
+    * that should release its plans early.
+    */
+  def invalidate(spark: SparkSession): Unit = {
+    catalog.keySet.removeIf(k => k._1 eq spark)
+    spreadCatalog.keySet.removeIf(k => k._1 eq spark)
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    sweepStopped()
     catalog.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, path) => s.read.parquet(path) })
+  }
 
   /** Rebalance a scan that has fewer partitions than the session's
     * parallelism — the small-file / single-row-group case, where every

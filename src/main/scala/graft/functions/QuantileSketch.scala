@@ -87,13 +87,16 @@ case class QuantileSketch(
     val exact = sorted.forall(_._2 == 1L)
     val out = percentages.map { p =>
       if (exact) {
-        // same interpolation as percentile / quantile_cont
+        // DuckDB quantile_cont's exact expression, lo*(1-f) + hi*f — NOT
+        // the algebraically-equal lo + f*(hi-lo), which rounds differently
+        // (observed one-ulp divergence at a frac≈0.1 interpolation). The
+        // suite emits these doubles raw, so the bits must match.
         val n = sorted.length
         val pos = p * (n - 1)
         val lo = pos.toInt
         val hi = math.min(lo + 1, n - 1)
         val frac = pos - lo
-        sorted(lo)._1 + frac * (sorted(hi)._1 - sorted(lo)._1)
+        sorted(lo)._1 * (1 - frac) + sorted(hi)._1 * frac
       } else {
         // weighted nearest-rank over the compacted samples
         val total = sorted.map(_._2).sum

@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * scales exactly like any keyed window at 100 TB.
   *
   * Tie semantics: a right row at the same instant as a left row IS visible
-  * (inclusive, right-sorts-first). Determinism: callers must make the right
-  * side unique per (key, time) — pre-aggregate duplicates — or the picked
-  * row among equal timestamps is undefined (the same caveat DuckDB's ASOF
-  * documents).
+  * (inclusive, right-sorts-first). Determinism: when the right side has
+  * several rows at the same (key, time), the window order breaks the tie on
+  * the value columns themselves (ascending), so the picked row is always
+  * the one with the greatest value tuple — stable across retries and
+  * engines, never partition-order-dependent. (DuckDB's ASOF leaves this
+  * undefined; pre-aggregating the right side to unique (key, time) remains
+  * the recommended contract, and is what the oracle queries do. valueCols
+  * must be orderable types for the tiebreak — true of every column kind an
+  * as-of enrichment carries.)
   */
 object AsOfJoin {
 
@@ -43,8 +48,13 @@ object AsOfJoin {
         valueCols.map(col) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    // valueCols as final sort keys: deterministic pick among right rows
+    // sharing (key, time) — left rows sort after right at equal __t via
+    // __side and contribute only ignored NULLs, so the extra keys are
+    // inert for them (see object scaladoc).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +:
+        valueCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
@@ -78,8 +88,11 @@ object AsOfJoin {
         valueCols.map(col) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    // same deterministic tiebreak as asOf: equal-(key, time) right rows
+    // order by value columns, so last() always lands on the greatest tuple
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc, col("__side").asc)
+      .orderBy(col("__t").desc +: col("__side").asc +:
+        valueCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

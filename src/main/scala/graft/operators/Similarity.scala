@@ -360,6 +360,122 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
+  // -------------------------------------------------------- k-means IVF
+  /** Lloyd's-iterated IVF coarse quantizer (Lloyd 1982; the FAISS-style
+    * trained replacement for [[ivfTopK]]'s training-free seed): start from
+    * the deterministic seed centroids (vec_id < NCentroids), run `iters`
+    * assignment→update rounds, return the FINAL cell assignment — the
+    * inverted-file index a trained IVF deployment queries against.
+    *
+    * Plan shape per round, at 100 TB: the centroid table is K rows →
+    * broadcast, so assignment is MAP-SIDE (no shuffle of the corpus); the
+    * update is one hash aggregate keyed (cell, dim) — K·Dim groups — plus a
+    * K-row rollup into centroid arrays. `localCheckpoint` on the (tiny)
+    * centroid frame each round cuts the iterative-lineage growth, the same
+    * discipline as [[graft.operators.Dedup.connectedComponents]].
+    *
+    * Cross-engine determinism: all arithmetic in double (floats widened
+    * exactly, once, up front); dot products are left-to-right folds;
+    * per-cell means use the exact-decimal [[graft.functions.Exact.xavg]];
+    * centroid arrays are assembled in dim order on both engines (sorted
+    * struct collect ↔ `list(... ORDER BY dim)`). Ties in the nearest-
+    * centroid ranking break by cent_id. Output is integer-only.
+    */
+  val KmeansIters = 2
+
+  /** Left-to-right fold dot of two DOUBLE-array columns. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def sqlDotD(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  /** Nearest-centroid assignment of `n` (vec_id, v, nrm) against a
+    * broadcast centroid frame (cent_id, cv, cnrm).
+    */
+  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    n.crossJoin(broadcast(cents))
+      .withColumn("sim", dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("bucket"))
+  }
+
+  /** Centroid update: exact per-(cell, dim) mean, re-assembled into a
+    * dim-ordered double array with its norm.
+    */
+  private def updateCents(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("bucket"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy(col("bucket"), col("dim0"))
+      .agg(graft.functions.Exact.xavg(col("x")).as("cval"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("dim0"), col("cval"))))
+        .as("p"))
+      .select(col("bucket").as("cent_id"),
+        transform(col("p"), s => s("cval")).as("cv"))
+      .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
+
+  def ivfKmeans(emb: DataFrame, iters: Int = KmeansIters): DataFrame = {
+    val n = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    var cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    for (_ <- 1 to iters)
+      cents = updateCents(assignCells(n, cents)).localCheckpoint(true)
+    assignCells(n, cents)
+      .select(col("vec_id"), col("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle: the Lloyd's rounds unrolled as CTE pairs (a_k, c_k). */
+  def sqlIvfKmeans(iters: Int = KmeansIters): String = {
+    def assign(nCte: String, cCte: String): String =
+      s"""SELECT vec_id, v, nrm, cent_id AS bucket FROM (
+         |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cent_id) AS rn FROM (
+         |      SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+         |        ${sqlDotD("n.v", "c.cv")} / (n.nrm * c.cnrm) AS sim
+         |      FROM $nCte n, $cCte c
+         |    ) s
+         |  ) WHERE rn = 1""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  ${assign("n2", s"c${k - 1}")}
+         |), c$k AS (
+         |  SELECT bucket AS cent_id, cv,
+         |    sqrt(${sqlDotD("cv", "cv")}) AS cnrm FROM (
+         |    SELECT bucket, list(cval ORDER BY dim0) AS cv FROM (
+         |      SELECT bucket, i AS dim0,
+         |        ${graft.functions.Exact.sqlAvg("v[i]")} AS cval
+         |      FROM a$k, range(1, ${Dim + 1}) t(i) GROUP BY bucket, i
+         |    ) GROUP BY bucket
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), n2 AS (
+       |  SELECT vec_id, v, sqrt(${sqlDotD("v", "v")}) AS nrm FROM n
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+       |  FROM n2 WHERE vec_id < $NCentroids
+       |),
+       |$rounds,
+       |fin AS (
+       |  ${assign("n2", s"c$iters")}
+       |)
+       |SELECT vec_id, bucket FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------- cosine near-dup
   /** Embedding near-duplicate pairs, blocked by the random-hyperplane LSH
     * bucket ([[lshBucket]]): the candidate join is hash-partitioned on the

@@ -69,29 +69,63 @@ private[v2] class HtmlTableScan(options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = HtmlTableProvider.Schema
   override def toBatch: Batch = this
 
+  // The SESSION's Hadoop conf, not `new Configuration()`: a bare conf
+  // silently drops configured filesystem settings (object-store
+  // credentials, defaultFS, timeouts) that every file-based reader in the
+  // session honors — the difference between "works on local paths" and
+  // "works on the cluster's actual storage".
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-html requires a load path"))
-    val fs = new Path(path).getFileSystem(new Configuration())
-    val files = fs.listStatus(new Path(path))
-      .filter(_.isFile).map(_.getPath.toString).sorted
-    files.map(f => HtmlFilePartition(f): InputPartition)
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    // glob expansion first (crawl dirs arrive as /data/pages/2026-*/ at
+    // scale), then RECURSIVE file listing under each match — a nested
+    // crawl tree scans as one flat file set, one InputPartition per page
+    val roots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (roots.isEmpty)
+      throw new IllegalArgumentException(s"graft-html: no input matches $path")
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    val files = roots.flatMap { st =>
+      if (st.isFile) Seq(st.getPath.toString)
+      else {
+        val it = fs.listFiles(st.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && visible(f.getPath.getName))
+            buf += f.getPath.toString
+        }
+        buf.toSeq
+      }
+    }.distinct.sorted
+    files.map(f => HtmlFilePartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new HtmlReaderFactory(
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // executors have no SparkSession — ship the session conf with the
+    // factory via the standard serializable wrapper
+    val conf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    new HtmlReaderFactory(conf,
       Option(options.get("tbody")).map(_.toInt).getOrElse(0))
+  }
 }
 
 private[v2] case class HtmlFilePartition(file: String) extends InputPartition
 
-private[v2] class HtmlReaderFactory(tbodyIndex: Int)
+private[v2] class HtmlReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration, tbodyIndex: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new HtmlPartitionReader(p.asInstanceOf[HtmlFilePartition].file, tbodyIndex)
+    new HtmlPartitionReader(p.asInstanceOf[HtmlFilePartition].file,
+      tbodyIndex, conf.value)
 }
 
-private[v2] class HtmlPartitionReader(file: String, tbodyIndex: Int)
+private[v2] class HtmlPartitionReader(file: String, tbodyIndex: Int,
+    hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
   // same grammar as graft.sources.HtmlTable
   private val Tbody = "(?s)<tbody[^>]*>(.*?)</tbody>".r
@@ -100,7 +134,7 @@ private[v2] class HtmlPartitionReader(file: String, tbodyIndex: Int)
   private val Tag = "<[^>]*>".r
 
   private val rows: Iterator[InternalRow] = {
-    val fs = new Path(file).getFileSystem(new Configuration())
+    val fs = new Path(file).getFileSystem(hadoopConf)
     val in = fs.open(new Path(file))
     val html =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString

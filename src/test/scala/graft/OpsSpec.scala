@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 
 /** Semantic unit tests for the training-data operators on crafted inputs —
   * properties the fixture oracle can't isolate (identity, symmetry,
@@ -119,6 +119,25 @@ class OpsSpec extends SparkSuite {
       (2, "a b c d e f g h i j"))
     val out = Dedup.ngramJaccard(d).collect()
     assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("as-of join: duplicate right timestamps pick the max value tuple") {
+    val right = Seq(
+      ("k1", "2026-01-01 00:00:00", 1.0),
+      ("k1", "2026-01-01 00:00:00", 7.0),
+      ("k1", "2026-01-01 00:00:00", 3.0)).toDF("k", "rt", "v")
+      .withColumn("rt", col("rt").cast("timestamp"))
+      .repartition(4) // scramble partition order — the pick must not care
+    val after = Seq(("k1", "2026-01-02 00:00:00")).toDF("k", "lt")
+      .withColumn("lt", col("lt").cast("timestamp"))
+    val back = AsOfJoin.asOf(after, right, Seq("k"), "lt", "rt", Seq("v"))
+      .collect()
+    assert(back.length == 1 && back.head.getAs[Double]("v") == 7.0)
+    val before = Seq(("k1", "2025-12-31 00:00:00")).toDF("k", "lt")
+      .withColumn("lt", col("lt").cast("timestamp"))
+    val fwd = AsOfJoin.asOfForward(before, right, Seq("k"), "lt", "rt",
+      Seq("v")).collect()
+    assert(fwd.length == 1 && fwd.head.getAs[Double]("v") == 7.0)
   }
 
   test("exact dedup collapses identical text to min doc_id") {
