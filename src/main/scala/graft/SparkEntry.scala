@@ -1294,6 +1294,12 @@ object SparkEntry {
     "sim_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
     "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
+    // streaming twins driven to their FINAL state over real micro-batches
+    // (file source, AvailableNow/processAllAvailable) — the returned frame
+    // is the durable state, hash-checked against a batch oracle
+    "stream_scd_state"   -> graft.streaming.StreamOracles.scdState _,
+    "stream_dedup_state" -> graft.streaming.StreamOracles.dedupState _,
+    "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -1371,6 +1377,9 @@ object SparkEntry {
     "sim_ivf_topk"      -> Similarity.sqlIvfTopK,
     "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
     "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
+    "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
+    "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
+    "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

@@ -1,0 +1,260 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, ScdMerge, Sketch}
+
+/** Oracle-checkable STREAMING queries: each drives a real Structured
+  * Streaming pipeline (file source split into ordered micro-batch files,
+  * `Trigger.AvailableNow` + `maxFilesPerTrigger=1`) to completion and
+  * returns the FINAL state — which must hash-match a batch-SQL oracle over
+  * the same fixture table. This closes the gap between the ScalaTest-only
+  * streaming coverage and the DuckDB hash gate: the batch/stream twins
+  * prove the TRANSFORMS agree; these prove the incremental state machinery
+  * (micro-batch boundaries, durable state swap, cross-batch continuity)
+  * reaches the same fixpoint the one-shot batch answer describes.
+  *
+  * Micro-batch construction: fixture rows are split by a DETERMINISTIC
+  * function (year, key mod N) into one parquet file per batch, with
+  * strictly increasing fixed modification times — FileStreamSource orders
+  * by mtime, so batch order is reproducible and the oracle can mirror it
+  * (`ORDER BY batch DESC` picks the same "last write" the stream applied).
+  */
+object StreamOracles {
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+  private val BaseMtime = 1700000000000L
+
+  /** Write `df` as ONE parquet file named for `idx` with a fixed,
+    * idx-ordered mtime — the unit of streaming ingestion.
+    */
+  private def writeBatchFile(df: DataFrame, dst: Path, idx: Int): Unit = {
+    val staging = Files.createTempDirectory("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $staging"))
+    val tgt = dst.resolve(f"b$idx%03d.parquet")
+    Files.move(part, tgt)
+    Files.setLastModifiedTime(tgt, FileTime.fromMillis(BaseMtime + idx * 60000L))
+    Files.walk(staging).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+  }
+
+  private def streamFiles(spark: SparkSession, src: Path,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+
+  // ------------------------------------------------------ stream_scd_state
+  /** Orders split into one micro-batch per order YEAR (ascending); each
+    * batch Type-1-merges (o_custkey → max o_totalprice of the batch, the
+    * ScdMerge dedup policy) into versioned parquet state via the real
+    * [[Streams.scdLoadStream]] foreachBatch path. Final state per key =
+    * the value from the LAST year the key appears in — which is exactly
+    * what the batch oracle's `ROW_NUMBER() OVER (ORDER BY y DESC)` picks.
+    */
+  def scdState(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v"),
+        year(col("o_orderdate")).as("y"))
+    val years = orders.select(col("y")).distinct().orderBy(col("y"))
+      .collect().map(_.getInt(0)) // handful of years — driver control flow
+    val src = Files.createTempDirectory("graft_scd_src")
+    years.zipWithIndex.foreach { case (y, i) =>
+      writeBatchFile(orders.filter(col("y") === y).select(col("k"), col("v")),
+        src, i)
+    }
+    val stateBase = Files.createTempDirectory("graft_scd_state").toString
+    val cfg = ScdMerge.Config(keys = Seq("k"), valueCol = "v", scd2 = false)
+    val clockTs = lit("2026-01-01 00:00:00").cast("timestamp")
+    val clockDate = lit("2026-01-01").cast("date")
+    val emptyState = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType),
+        StructField("batch_id", StringType))))
+    // versioned state dirs: each batch reads v(n-1) and writes v(n) — never
+    // overwrites what it is lazily reading (the scaladoc'd swap discipline)
+    var current: Option[String] = None
+    val writer = Streams.scdLoadStream(
+      streamFiles(spark, src, StructType(Seq(
+        StructField("k", LongType), StructField("v", DoubleType)))),
+      cfg, clockTs, clockDate,
+      mergeAndSwap = (batch, id) => {
+        val target = current.map(spark.read.parquet(_)).getOrElse(emptyState)
+        val merged = ScdMerge.merge(
+          batch.withColumn("batch_id", lit(s"stream-$id")),
+          target, cfg, clockTs, clockDate, lit(s"stream-$id"))
+          .drop(ScdMerge.ChangeCol)
+        val next = s"$stateBase/v$id"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+      })
+    val q = writer.start()
+    try q.awaitTermination(300000) finally if (q.isActive) q.stop()
+    spark.read.parquet(current.getOrElse(sys.error("no micro-batch ran")))
+      .select(col("k"), col("v")).orderBy(col("k"))
+  }
+
+  /** Batch oracle: per (key, year) the merge's dedup keeps the max value;
+    * across years, last write wins.
+    */
+  val sqlScdState: String =
+    """WITH pb AS (
+      |  SELECT o_custkey AS k, year(o_orderdate) AS y,
+      |    max(o_totalprice) AS v
+      |  FROM orders GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY y DESC) AS rn
+      |  FROM pb
+      |)
+      |SELECT k, v FROM fin WHERE rn = 1 ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------- stream_dedup_state
+  /** Documents split into `DedupBatches` micro-batches by `doc_id mod N`;
+    * each batch runs the incremental [[Streams.dedupBatch]] admission
+    * against the accumulated band state. The admission rule is sequential
+    * — a doc is rejected iff it band-collides with an ADMITTED doc of an
+    * earlier batch, or with ANY lower-id doc of its own batch — so the
+    * oracle unrolls the batches as chained CTE rounds over the same static
+    * band-share relation.
+    */
+  val DedupBatches = 4
+
+  def dedupState(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val src = Files.createTempDirectory("graft_dedup_src")
+    (0 until DedupBatches).foreach { i =>
+      writeBatchFile(docs.filter(col("doc_id") % DedupBatches === i), src, i)
+    }
+    val stateBase = Files.createTempDirectory("graft_dedup_state").toString
+    var bandsDir: Option[String] = None
+    val admittedDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = streamFiles(spark, src, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val state = bandsDir.map(spark.read.parquet(_))
+          .getOrElse(Dedup.minhashBands(batch).limit(0))
+        val (admitted, newBands) = Streams.dedupBatch(batch, state)
+        val admDir = s"$stateBase/adm$id"
+        admitted.select(col("doc_id")).write.mode("overwrite").parquet(admDir)
+        admittedDirs += admDir
+        val nextBands = s"$stateBase/bands$id"
+        state.unionByName(newBands).write.mode("overwrite").parquet(nextBands)
+        bandsDir = Some(nextBands)
+      }
+      .start()
+    try q.awaitTermination(300000) finally if (q.isActive) q.stop()
+    spark.read.parquet(admittedDirs.toSeq: _*)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** The band-share relation is [[Dedup.sqlMinhashPairs]]'s bands CTE made
+    * symmetric; admission rounds unroll per batch.
+    */
+  def sqlDedupState: String = {
+    import Dedup.{BandSize, MinhashK, ShingleK, sqlMinhashSig, sqlShingleHashes, sqlWordHashes}
+    import graft.operators.TextOps.sqlWords
+    val sigDefs = (0 until MinhashK).map(j =>
+      s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
+    val bandRows = (0 until MinhashK / BandSize).map { b =>
+      val key = (b * BandSize until (b + 1) * BandSize)
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val rounds = (0 until DedupBatches).map { b =>
+      val stateRejected =
+        if (b == 0) ""
+        else s"""AND NOT EXISTS (
+                 |    SELECT 1 FROM share s JOIN prev$b p ON s.da = p.doc_id
+                 |    WHERE s.db = x.doc_id)
+                 |  """.stripMargin
+      val adm =
+        s"""adm$b AS (
+           |  SELECT x.doc_id FROM dd x WHERE x.b = $b
+           |  ${stateRejected}AND NOT EXISTS (
+           |    SELECT 1 FROM share s JOIN dd e ON s.da = e.doc_id
+           |    WHERE s.db = x.doc_id AND e.b = $b AND e.doc_id < x.doc_id)
+           |)""".stripMargin
+      val prev =
+        if (b == DedupBatches - 1) adm
+        else adm + s""",
+           |prev${b + 1} AS (
+           |  ${(0 to b).map(i => s"SELECT doc_id FROM adm$i")
+                .mkString("\n  UNION ALL\n  ")}
+           |)""".stripMargin
+      prev
+    }.mkString(",\n")
+    val unionAll = (0 until DedupBatches)
+      .map(b => s"SELECT doc_id FROM adm$b").mkString("\n  UNION ALL\n  ")
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $ShingleK
+       |), hashed AS (
+       |  SELECT doc_id, ${sqlShingleHashes("wh", ShingleK)} AS hs
+       |  FROM wordhashed
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $sigDefs
+       |  FROM hashed
+       |), bands AS (
+       |  $bandRows
+       |), share AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id <> b.doc_id
+       |), dd AS (
+       |  SELECT doc_id, doc_id % $DedupBatches AS b FROM documents
+       |),
+       |$rounds
+       |SELECT doc_id FROM (
+       |  $unionAll
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ stream_kmv_state
+  /** Lineitem (returnflag, partkey) split into 3 micro-batches by key mod
+    * 3, run through the incremental keyed-state KMV ([[Streams.kmvStream]]).
+    * KMV state merge is associative and commutative (min-k of distinct
+    * hashes), so the final estimate equals the one-shot batch sketch no
+    * matter how the stream was batched — the oracle IS the batch KMV SQL.
+    */
+  def kmvState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("grp"), col("l_partkey").as("value"))
+    val src = Files.createTempDirectory("graft_kmv_src")
+    (0 until 3).foreach { i =>
+      writeBatchFile(li.filter(col("value") % 3 === i), src, i)
+    }
+    val in = streamFiles(spark, src, StructType(Seq(
+      StructField("grp", StringType), StructField("value", LongType))))
+      .as[Streams.KmvIn]
+    val name = s"graft_stream_kmv_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(
+      Streams.kmvStream(in).toDF(), name, OutputMode.Append())
+    val w = Window.partitionBy(col("grp")).orderBy(col("updates").desc)
+    out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("grp").as("l_returnflag"),
+        col("estimate").as("kmv_estimate"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val sqlKmvState: String =
+    Sketch.sqlKmvDistinct("lineitem", "l_returnflag", "l_partkey")
+}

@@ -165,17 +165,21 @@ object Streams {
 
   // ---------------------------------------------- incremental KMV sketch
   final case class KmvIn(grp: String, value: Long)
-  final case class KmvEstimate(grp: String, estimate: Double)
+  final case class KmvState(hashes: Seq[Long], updates: Long)
+  final case class KmvEstimate(grp: String, updates: Long, estimate: Double)
 
   /** Incremental distinct-count estimation per group: keyed state holds the
     * k minimum distinct hashes ([[graft.operators.Sketch]]'s KMV, same
-    * md5-derived hash), updated as micro-batches arrive; each batch emits
-    * the group's refreshed estimate. State is k longs per group FOREVER —
-    * the streaming answer to "distinct users per event type so far"
-    * without unbounded dropDuplicates state.
+    * md5-derived hash) plus a monotone update counter, updated as
+    * micro-batches arrive; each batch emits the group's refreshed estimate
+    * tagged with the counter, so "the FINAL estimate" is selectable from an
+    * append-mode sink (max updates per group — [[StreamOracles.kmvState]]
+    * hash-checks it against the batch oracle). State is k longs + one long
+    * per group FOREVER — the streaming answer to "distinct users per event
+    * type so far" without unbounded dropDuplicates state.
     */
   def kmvFunc(grp: String, rows: Iterator[KmvIn],
-      state: GroupState[Seq[Long]]): Iterator[KmvEstimate] = {
+      state: GroupState[KmvState]): Iterator[KmvEstimate] = {
     import graft.operators.Sketch.{HashSpace, K}
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(v: Long): Long = {
@@ -183,14 +187,16 @@ object Streams {
         .take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16)
     }
-    val merged = (state.getOption.getOrElse(Seq.empty) ++
-      rows.map(r => h(r.value))).distinct.sorted.take(K)
-    state.update(merged)
+    val prev = state.getOption.getOrElse(KmvState(Seq.empty, 0L))
+    val merged = (prev.hashes ++ rows.map(r => h(r.value)))
+      .distinct.sorted.take(K)
+    val updates = prev.updates + 1
+    state.update(KmvState(merged, updates))
     val est =
       if (merged.size < K) merged.size.toDouble
       else BigDecimal((K - 1) / ((merged.last + 1).toDouble / HashSpace))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // = round(x, 4)
-    Iterator(KmvEstimate(grp, est))
+    Iterator(KmvEstimate(grp, updates, est))
   }
 
   def kmvStream(in: Dataset[KmvIn]): Dataset[KmvEstimate] = {

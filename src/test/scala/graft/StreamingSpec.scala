@@ -78,9 +78,12 @@ class StreamingSpec extends SparkSuite {
       mem.addData(batch1); q.processAllAvailable()
       mem.addData(batch2); q.processAllAvailable()
     } finally q.stop()
-    // last emitted estimate per group (memory sink appends in batch order)
+    // final estimate per group = the row with the max update counter
     val streamed = spark.table("kmv_out").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap // last wins per key
+      .groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        g -> rs.maxBy(_.getAs[Long]("updates")).getAs[Double]("estimate")
+      }
     val expected = graft.operators.Sketch.kmvDistinct(
       (batch1 ++ batch2).toDF("grp", "value"), "grp", "value").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
