@@ -1172,6 +1172,104 @@ object SparkEntry {
       |  ON g.event_type = h.event_type AND g.hour = h.hour
       |ORDER BY g.event_type, g.hour""".stripMargin
 
+  // ------------------------------------------------- q40_gap_fill
+  /** Time-series gap fill with LINEAR INTERPOLATION — q38's count-resample
+    * fills gaps with zero; a value series needs the interpolated estimate
+    * between the surrounding observations (the standard `interpolate`
+    * of time-series stores). Per user: hourly exact-mean series on a dense
+    * hourly grid; missing hours get
+    * `prev + (next - prev) * elapsed/gap_width`.
+    *
+    * Plan shape: grid explode is per-user (no global sequence); the four
+    * carry-forward/backward values come from TWO frame-complement windows
+    * over ONE (user_id, hour) sort — Spark computes all four in a single
+    * Window exchange+sort pair (✦ the sessionize single-exchange
+    * property). Interpolation itself is three IEEE ops, identically
+    * parenthesized in the oracle — bit-identical without any rounding.
+    * Endpoints never interpolate: the grid spans the user's own min/max
+    * event hours, so every gap has observations on both sides.
+    */
+  private val GapFillUsers = 50
+
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).filter(col("user_id") < GapFillUsers)
+    val hourly = e
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(xavg(col("value")).as("v"))
+    val span = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dh = expr("CAST(timestampdiff(HOUR, ph, hour) AS DOUBLE)")
+    val dt = expr("CAST(timestampdiff(HOUR, ph, nh) AS DOUBLE)")
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph",
+        last(when(col("v").isNotNull, col("hour")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh",
+        first(when(col("v").isNotNull, col("hour")), ignoreNulls = true)
+          .over(wNext))
+      .select(col("user_id"), col("hour").cast("timestamp_ntz").as("hour"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) * (dh / dt))
+          .as("value_filled"),
+        col("v").isNull.as("interpolated"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  private val sqlGapFill: String = {
+    val pw = "PARTITION BY user_id ORDER BY hour " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val nw = "PARTITION BY user_id ORDER BY hour " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+       |  WHERE user_id < $GapFillUsers
+       |), hourly AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS hour,
+       |    ${sqlAvg("value")} AS v
+       |  FROM e GROUP BY 1, 2
+       |), span AS (
+       |  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+       |         date_trunc('hour', MAX(ts)) AS h1
+       |  FROM e GROUP BY 1
+       |), grid AS (
+       |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+       |    AS hour
+       |  FROM span
+       |), j AS (
+       |  SELECT g.user_id, g.hour, h.v
+       |  FROM grid g LEFT JOIN hourly h
+       |    ON g.user_id = h.user_id AND g.hour = h.hour
+       |), f AS (
+       |  SELECT *,
+       |    last_value(v IGNORE NULLS) OVER ($pw) AS pv,
+       |    last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+       |      OVER ($pw) AS ph,
+       |    first_value(v IGNORE NULLS) OVER ($nw) AS nv,
+       |    first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+       |      OVER ($nw) AS nh
+       |  FROM j
+       |)
+       |SELECT user_id, hour,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       ELSE pv + (nv - pv)
+       |         * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+       |          / CAST(date_diff('hour', ph, nh) AS DOUBLE)) END
+       |    AS value_filled,
+       |  v IS NULL AS interpolated
+       |FROM f ORDER BY user_id, hour""".stripMargin
+  }
+
   // ------------------------------------------------- sketch_percentile
   // Bounded-state quantile sketch (functions.QuantileSketch): exact under
   // capacity — the sf0.01 oracle regime, where it reproduces quantile_cont
@@ -1315,6 +1413,14 @@ object SparkEntry {
     "text_repetition"   -> ((s, d) => TrainingData.repetition(docs(s, d))),
     "events_redact"     -> ((s, d) => TrainingData.redact(Tables.events(s, d))),
     "decon_overlap"     -> ((s, d) => TrainingData.decontaminate(docs(s, d))),
+    "decon_bloom"       -> ((s, d) => TrainingData.bloomDecon(docs(s, d))),
+    "dedup_canonical"   -> ((s, d) => Dedup.canonical(docs(s, d))),
+    "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
+    "layout_zorder"     -> ((s, d) =>
+      graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
+    "graph_pagerank"    -> ((s, d) =>
+      graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q40_gap_fill"      -> qGapFill _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1395,5 +1501,11 @@ object SparkEntry {
     "text_repetition"   -> TrainingData.sqlRepetition,
     "events_redact"     -> TrainingData.sqlRedact,
     "decon_overlap"     -> TrainingData.sqlDecontaminate,
+    "decon_bloom"       -> TrainingData.sqlBloomDecon,
+    "dedup_canonical"   -> Dedup.sqlCanonical,
+    "sim_pq_topk"       -> Similarity.sqlPqTopK,
+    "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
+    "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
+    "q40_gap_fill"      -> sqlGapFill,
   )
 }

@@ -272,6 +272,65 @@ object Dedup {
        |FROM reach GROUP BY src
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- canonical selection
+  /** End-of-pipeline canonical-document selection: near-dup pairs →
+    * connected components → ONE representative per cluster, longest doc
+    * wins (ties by doc_id) — the "keep" policy production dedup applies
+    * after clustering (e.g. Gopher/MassiveText keep-one-per-cluster, Rae
+    * et al. 2021 §A.2). Docs in no pair keep themselves.
+    *
+    * Scale shape: the component frame is |clustered docs| rows (tiny vs
+    * corpus); the left join back to the corpus is hash-partitioned on
+    * doc_id, and the per-component argmax is one window over the
+    * component key — no second shuffle of the corpus (component ⊂ doc_id
+    * co-partitioning is not assumed; the window repartitions only the
+    * clustered slice... the full frame windows on `component`, which
+    * after the coalesce is corpus-wide — one exchange, same as any
+    * groupBy(component)).
+    */
+  def canonical(docs: DataFrame): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs))
+    val withComp = docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val byLen = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val whole = Window.partitionBy(col("component"))
+    withComp
+      .withColumn("keep_id", first(col("doc_id")).over(byLen))
+      .withColumn("n_docs", count(lit(1)).over(whole))
+      .select(col("doc_id"), col("component"), col("keep_id"),
+        col("n_docs"), (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlCanonical: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${sqlMinhashPairs.linesIterator.mkString("\n  ")}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS doc_id, least(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), withcomp AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |)
+       |SELECT doc_id, component,
+       |  FIRST_VALUE(doc_id) OVER (PARTITION BY component
+       |    ORDER BY n_chars DESC, doc_id) AS keep_id,
+       |  COUNT(*) OVER (PARTITION BY component) AS n_docs,
+       |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY component
+       |    ORDER BY n_chars DESC, doc_id) AS kept
+       |FROM withcomp ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- SimHash
   /** 16-bit SimHash (Charikar, "Similarity estimation techniques from
     * rounding algorithms", STOC 2002): per bit j, sign of Σ over tokens of ±1 by bit j of the

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for the 100 TB lake: multi-dimensional clustering
+  * via Z-order (Morton) keys, so scans filtered on EITHER dimension prune
+  * most files. The reference stores its tables as unindexed heaps
+  * (`SQL/etl_world_banks.sql:4-7` — SERIAL PK only, every probe a
+  * sequential scan); at lake scale the engine's substitute for indexes is
+  * file-level min/max pruning, and pruning quality is decided by the
+  * physical sort order this operator produces.
+  *
+  * Z-ordering (Morton 1966; the interleaved-bit space-filling curve used
+  * by analytic stores for multi-dimensional clustering): quantize each
+  * dimension ORDER-PRESERVINGLY to [[BitsPerDim]] bits, then interleave
+  * the bits so ranges of the combined key are small rectangles in (x, y)
+  * space. Sorting by ONE dimension gives perfect min/max bounds on that
+  * dimension and useless bounds on the other; sorting by the Z-key gives
+  * tight bounds on BOTH. Quantization must be monotone (linear min/max
+  * scaling, NOT `mod`) — a mod-reduction clusters by low bits and the
+  * per-file min/max footer bounds on the original values stay as wide as
+  * the whole domain, which defeats pruning.
+  *
+  * Scale shape: dimension min/max is one tiny all-to-one aggregate
+  * (broadcast back); quantization + interleave are then pure map-side
+  * integer expressions (codegen'd, no shuffle of the fact table). File
+  * assignment here uses FIXED equal-width Z-ranges (`zkey div width`),
+  * also map-side. A production writer swaps in
+  * `repartitionByRange($"zkey")` + per-partition files — same key, one
+  * range shuffle, balanced file sizes; the fixed-width form keeps the
+  * oracle deterministic and shuffle-free. The output is the layout AUDIT:
+  * per-file row counts and min/max bounds per dimension — exactly the
+  * footer statistics a scan planner prunes on.
+  */
+object Layout {
+
+  /** Bits per dimension after quantization. 16 bits ↔ 65536 cells per dim;
+    * `(x - min) * 2^BitsPerDim` must stay under 2^63, so dimension SPANS up
+    * to ~2^46 are safe — wider domains pre-scale (`x div 2^k`) first.
+    */
+  val BitsPerDim = 16
+  val NFiles = 16
+
+  /** Morton interleave of two already-quantized BitsPerDim-bit keys: bit j
+    * of x lands at position 2j, bit j of y at 2j+1. Pure shifts/masks/adds
+    * — identical on any engine, all inside whole-stage codegen.
+    */
+  def zkey(x: Column, y: Column): Column =
+    (0 until BitsPerDim).map { j =>
+      (shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
+        (shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
+    }.reduce(_ + _)
+
+  def sqlZkey(x: String, y: String): String =
+    (0 until BitsPerDim).map { j =>
+      s"(($x // ${1L << j}) % 2) * ${1L << (2 * j)}" +
+        s" + (($y // ${1L << j}) % 2) * ${1L << (2 * j + 1)}"
+    }.mkString("(", ")\n  + (", ")")
+
+  /** Layout audit over lineitem clustered on (l_partkey, l_suppkey): assign
+    * each row to a fixed Z-range file, then report per-file bounds. Tight
+    * per-file (min,max) rectangles on BOTH dimensions = the clustering
+    * works; a scan with `l_partkey = k` or `l_suppkey = s` prunes by the
+    * same footer stats.
+    */
+  def zorderAudit(lineitem: DataFrame): DataFrame = {
+    val width = (1L << (2 * BitsPerDim)) / NFiles
+    val bounds = lineitem.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("qx", expr(
+        s"((l_partkey - pmin) * ${1L << BitsPerDim}) div (pmax - pmin + 1)"))
+      .withColumn("qy", expr(
+        s"((l_suppkey - smin) * ${1L << BitsPerDim}) div (smax - smin + 1)"))
+      .withColumn("zkey", zkey(col("qx"), col("qy")))
+      // `div` (integer division) ↔ DuckDB `//` — never `/`+cast, whose
+      // double detour truncates differently from floor division.
+      .groupBy(expr(s"zkey div $width").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("part_min"),
+        max(col("l_partkey")).as("part_max"),
+        min(col("l_suppkey")).as("supp_min"),
+        max(col("l_suppkey")).as("supp_max"))
+      .orderBy(col("file_id"))
+  }
+
+  def sqlZorderAudit: String = {
+    val width = (1L << (2 * BitsPerDim)) / NFiles
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+       |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - pmin) * ${1L << BitsPerDim}) // (pmax - pmin + 1) AS qx,
+       |    ((l_suppkey - smin) * ${1L << BitsPerDim}) // (smax - smin + 1) AS qy
+       |  FROM lineitem, b
+       |), z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${sqlZkey("qx", "qy")} AS zkey
+       |  FROM q
+       |)
+       |SELECT zkey // $width AS file_id, COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+       |  MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+}

@@ -476,6 +476,129 @@ object Similarity {
        |SELECT vec_id, bucket FROM fin ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------- product quantization
+  /** PQ / ADC top-k (Jégou, Douze & Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011): split the vector into
+    * [[PqM]] subspaces, quantize each subvector to its nearest codebook
+    * entry (codebook = the deterministic seed vectors' subvectors, the
+    * same training-free convention as [[ivfTopK]]; a trained codebook
+    * from [[ivfKmeans]]-style Lloyd's rounds slots in unchanged), and
+    * score query↔candidate via Asymmetric Distance Computation: the exact
+    * query subvector against the candidate's CODE — a lookup-table sum,
+    * never the candidate's full vector.
+    *
+    * Why it matters at 100 TB: the candidate side stores M bytes of codes
+    * per vector instead of 4·Dim bytes (here 4×1 codes vs 256 floats);
+    * the scoring join touches only (cand_id, m, code) rows plus a
+    * broadcast LUT of |Q|·M·K partial dots. The corpus is scanned once to
+    * encode (map-side after a codebook broadcast); scoring shuffles
+    * nothing but code rows.
+    *
+    * Determinism: subspace assignment minimizes the L2 surrogate
+    * |c|² − 2·v·c (single IEEE ops, ties by code id); the M partial-dot
+    * addends go through the exact-decimal sum ([[graft.functions.Exact]])
+    * so ADC scores are bit-identical across engines; ranking ties break
+    * by cand_id; the raw double score is emitted unrounded (suite
+    * convention: never ROUND after a division/rescale).
+    */
+  val PqM = 4
+  val PqSubDim: Int = Dim / PqM // 16
+  val PqK = NCentroids          // 8 codes per subspace
+
+  /** (id, m, sv): double subvectors, one row per subspace. */
+  private def subvectors(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(col("vec_id").as(idCol),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col(idCol), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*))
+        .as("sub"))
+      .select(col(idCol), col("sub.m").as("m"), col("sub.sv").as("sv"))
+
+  /** Per-subspace nearest-code assignment by the L2 surrogate. */
+  private def encode(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("m"))
+      .orderBy(col("d2"), col("code"))
+    subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", dotD(col("cv"), col("cv"))
+        - lit(2.0) * dotD(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("m"), col("code"))
+  }
+
+  def pqTopK(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val subs = subvectors(emb, "id")
+    val codebook = subs.filter(col("id") < PqK)
+      .select(col("m"), col("id").cast("int").as("code"),
+        col("sv").as("cv"))
+    val codes = encode(subs, codebook)
+    // LUT: exact query subvector · every codebook entry (|Q|·M·K rows)
+    val lut = subs.filter(col("id") < NQueries)
+      .select(col("id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dotD(col("sv"), col("cv")).as("pdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    codes.select(col("id").as("cand_id"), col("m"), col("code"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(Exact.xsum(col("pdot"), 9).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlPqTopK: String = {
+    import graft.functions.Exact
+    val subDefs = (0 until PqM).map { m =>
+      s"SELECT vec_id AS id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv"
+    }.mkString("\n  UNION ALL\n  ")
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), subs AS (
+       |  $subDefs
+       |), codebook AS (
+       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+       |  FROM subs WHERE id < $PqK
+       |), codes AS (
+       |  SELECT id, m, code FROM (
+       |    SELECT s.id, s.m, c.code, ROW_NUMBER() OVER (
+       |      PARTITION BY s.id, s.m
+       |      ORDER BY ${dotSub("c.cv", "c.cv")}
+       |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+       |    ) AS rn
+       |    FROM subs s JOIN codebook c ON s.m = c.m
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT s.id AS query_id, s.m, c.code,
+       |    ${dotSub("s.sv", "c.cv")} AS pdot
+       |  FROM subs s JOIN codebook c ON s.m = c.m
+       |  WHERE s.id < $NQueries
+       |), scored AS (
+       |  SELECT l.query_id, co.id AS cand_id,
+       |    ${Exact.sqlSum("l.pdot", 9)} AS adc
+       |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+       |  WHERE l.query_id <> co.id
+       |  GROUP BY l.query_id, co.id
+       |)
+       |SELECT query_id, rk, cand_id, adc FROM (
+       |  SELECT query_id, cand_id, adc, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   // ----------------------------------------------------- cosine near-dup
   /** Embedding near-duplicate pairs, blocked by the random-hyperplane LSH
     * bucket ([[lshBucket]]): the candidate join is hash-partitioned on the

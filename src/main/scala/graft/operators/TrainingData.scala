@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -343,6 +343,133 @@ object TrainingData {
         >= MaxContainment)
       .select(col("cand_id").as("doc_id")).distinct()
     candidates.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  // ------------------------------------------------- Bloom-filter decon
+  /** Bloom-filter pre-screen for decontamination (Bloom, "Space/time
+    * trade-offs in hash coding with allowable errors", CACM 1970 — the
+    * same structure CCNet/Dolma-class pipelines use to screen test-set
+    * n-grams out of web corpora): the EVAL side compresses to an m-bit
+    * filter (here m = 2^16 bits packed into 32-bit words → a table of at
+    * most [[BloomWords]] (word, bits) rows, ~8 KB); the 100 TB TRAIN side
+    * probes it map-side after a broadcast — no shuffle of the corpus, no
+    * eval k-gram index join. Docs the filter clears are definitively
+    * clean; flagged docs go to the exact [[decontaminate]] join, which
+    * then runs over a tiny candidate slice. The output pairs the bloom
+    * verdict with the exact overlap count, so the query itself audits the
+    * false-positive rate.
+    *
+    * Everything is integer arithmetic on BIGINTs: positions come from the
+    * same universal hash family as MinHash (h·A + B mod P, then mod m);
+    * bits pack 32 per word (bit 63 is never set, and a word's bit pattern
+    * is assembled as a SUM of DISTINCT single-bit masks — exactly OR, and
+    * exact in DuckDB's 128-bit SUM too). Bit-identical across engines.
+    */
+  val BloomBits = 65536       // m = 2^16
+  val BloomHashes = 3         // k
+  val BloomWordBits = 32
+  val BloomWords: Int = BloomBits / BloomWordBits
+
+  private def bloomA(j: Int): Long = 1000003L * (j + 101) + 12345L
+  private def bloomB(j: Int): Long = 7919L * (j + 101) + 104729L
+
+  /** Bit position j of k-gram hash `h` (a Column in [0, P)). */
+  private def bloomPos(h: Column, j: Int): Column =
+    (h * lit(bloomA(j)) + lit(bloomB(j))) % lit(Dedup.MinhashP) % lit(BloomBits.toLong)
+  private def sqlBloomPos(h: String, j: Int): String =
+    s"(($h * ${bloomA(j)} + ${bloomB(j)}) % ${Dedup.MinhashP} % $BloomBits)"
+
+  def bloomDecon(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
+    val evalGrams = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(explode_outer(col("hs")).as("h")).distinct()
+    // filter build: distinct positions → distinct single-bit masks per
+    // word → SUM == OR (each mask appears once; bits < 2^32 so no sign
+    // games and DuckDB's HUGEINT sum casts back exactly)
+    val bits = evalGrams
+      .select(explode(array((0 until BloomHashes).map(j =>
+        bloomPos(col("h"), j)): _*)).as("pos")).distinct()
+      .groupBy(expr(s"pos div $BloomWordBits").as("word"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))"))
+        .as("bits"))
+    // train probe: a k-gram is flagged iff ALL k probed bits are set; the
+    // bits table joins broadcast (≤ BloomWords rows)
+    val probes = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), size(col("hs")).as("n_kgrams"),
+        explode_outer(col("hs")).as("h"))
+      .select(col("train_id"), col("n_kgrams"), col("h"),
+        explode(array((0 until BloomHashes).map(j =>
+          bloomPos(col("h"), j)): _*)).as("pos"))
+      .join(broadcast(bits), expr(s"pos div $BloomWordBits") === col("word"),
+        "left")
+      .select(col("train_id"), col("n_kgrams"), col("h"),
+        (coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))"))
+          =!= 0L).cast("long").as("hit"))
+      .groupBy(col("train_id"), col("n_kgrams"), col("h"))
+      .agg((sum(col("hit")) === BloomHashes).as("maybe"))
+    // exact verification side-by-side: bloom positives vs true overlap
+    val flagged = probes.groupBy(col("train_id"), col("n_kgrams"))
+      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
+      .filter(col("n_maybe") > 0)
+    val exact = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), explode_outer(col("hs")).as("h"))
+      .join(evalGrams, Seq("h"), "left_semi")
+      .groupBy(col("train_id")).agg(count(lit(1)).as("n_exact"))
+    flagged.join(exact, Seq("train_id"), "left")
+      .select(col("train_id"), col("n_kgrams"), col("n_maybe"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .orderBy(col("train_id"))
+  }
+
+  def sqlBloomDecon: String = {
+    val posRows = (0 until BloomHashes)
+      .map(j => s"SELECT ${sqlBloomPos("h", j)} AS pos FROM evalgrams")
+      .mkString("\n  UNION\n  ")
+    val probeRows = (0 until BloomHashes)
+      .map(j => s"""SELECT train_id, n_kgrams, h, ${sqlBloomPos("h", j)} AS pos
+                   |  FROM trgrams""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${Dedup.sqlWordHashes("text")} AS wh FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $DeconK
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(${Dedup.sqlShingleHashes("wh", DeconK)}) AS hs
+       |  FROM wordhashed
+       |), evalgrams AS (
+       |  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % $EvalMod = 0
+       |), positions AS (
+       |  $posRows
+       |), bits AS (
+       |  SELECT pos // $BloomWordBits AS word,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INTEGER))
+       |      AS BIGINT) AS bits
+       |  FROM positions GROUP BY 1
+       |), trgrams AS (
+       |  SELECT doc_id AS train_id, len(hs) AS n_kgrams, unnest(hs) AS h
+       |  FROM sh WHERE doc_id % $EvalMod <> 0
+       |), probes AS (
+       |  $probeRows
+       |), grams AS (
+       |  SELECT train_id, n_kgrams, h,
+       |    SUM(CASE WHEN (COALESCE(b.bits, 0)
+       |      & (CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INTEGER)))
+       |      <> 0 THEN 1 ELSE 0 END) = $BloomHashes AS maybe
+       |  FROM probes LEFT JOIN bits b ON pos // $BloomWordBits = b.word
+       |  GROUP BY train_id, n_kgrams, h
+       |), flagged AS (
+       |  SELECT train_id, n_kgrams,
+       |    CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+       |  FROM grams GROUP BY 1, 2 HAVING n_maybe > 0
+       |), exact AS (
+       |  SELECT train_id, COUNT(*) AS n_exact FROM trgrams
+       |  WHERE h IN (SELECT h FROM evalgrams) GROUP BY 1
+       |)
+       |SELECT f.train_id, f.n_kgrams, f.n_maybe,
+       |  COALESCE(e.n_exact, 0) AS n_exact
+       |FROM flagged f LEFT JOIN exact e USING (train_id)
+       |ORDER BY train_id""".stripMargin
   }
 
   def sqlDecontaminate: String =

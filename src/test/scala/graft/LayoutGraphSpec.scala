@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Layout, Similarity, TrainingData}
+
+/** Round-3 additions: Z-order layout, PageRank, canonical dedup selection,
+  * Bloom decon pre-screen, PQ/ADC ANN. Semantic properties beyond the
+  * oracle hash gate.
+  */
+class LayoutGraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("zorder: files partition the table and bound both dimensions") {
+    val li = Tables.lineitem(spark, dir)
+    val audit = Layout.zorderAudit(li).collect()
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == li.count())
+    assert(audit.length > 1 && audit.length <= Layout.NFiles)
+    // every file's rectangle is a strict sub-range on at least one
+    // dimension (the whole point of multi-dim clustering: no file spans
+    // the full domain in BOTH dims)
+    val (pmin, pmax, smin, smax) = li
+      .agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey"))
+      .as[(Long, Long, Long, Long)].head()
+    audit.foreach { r =>
+      val fullPart = r.getAs[Long]("part_min") == pmin &&
+        r.getAs[Long]("part_max") == pmax
+      val fullSupp = r.getAs[Long]("supp_min") == smin &&
+        r.getAs[Long]("supp_max") == smax
+      assert(!(fullPart && fullSupp),
+        s"file ${r.getAs[Long]("file_id")} spans the full domain in both dims")
+    }
+  }
+
+  test("zkey interleaves bits correctly on known values") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("x", "y")
+      .withColumn("z", Layout.zkey(col("x"), col("y")))
+    // morton(3,5) = x bits {0,1} -> {0,2}; y bits {0,2} -> {1,5} = 1+4+2+32
+    assert(df.select("z").as[Long].collect().toSeq == Seq(0L, 1L, 2L, 39L))
+  }
+
+  test("pagerank mass is conserved and ranks are positive") {
+    val pr = Graph.pagerank(Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+    val rows = pr.collect()
+    assert(rows.length == Graph.PrTopK)
+    assert(rows.forall(_.getAs[Double]("rank") > 0))
+    // rk is 1..k in rank-descending order
+    val ranks = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("rank"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("pagerank on a known 2x1 bipartite graph") {
+    // customers 1,2 both buy from supplier 7 — symmetric walk:
+    // after any number of rounds supplier holds more mass than either
+    // customer, and the two customers tie exactly.
+    val orders = Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 7L), (20L, 7L)).toDF("l_orderkey", "l_suppkey")
+    val pr = Graph.pagerank(orders, lineitem).collect()
+    val bySupplier = pr.find(_.getAs[Long]("node_id") == Graph.SuppBase + 7L).get
+    assert(bySupplier.getAs[Int]("rk") == 1)
+    val custRanks = pr.filter(_.getAs[Long]("node_id") < Graph.SuppBase)
+      .map(_.getAs[Double]("rank"))
+    assert(custRanks.length == 2 && custRanks.distinct.length == 1)
+  }
+
+  test("canonical keeps the longest doc per cluster and all docs appear") {
+    val docs = Tables.documents(spark, dir)
+    val can = Dedup.canonical(docs)
+    assert(can.count() == docs.count())
+    // keep_id belongs to the same component and has the component's max
+    // n_chars (ties by doc_id): verify via self-join
+    val chars = docs.select(col("doc_id").as("keep_id"),
+      col("n_chars").as("keep_chars"))
+    val bad = can.join(chars, "keep_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > col("keep_chars"))
+    assert(bad.count() == 0)
+    // exactly one kept doc per component
+    val perComp = can.filter(col("kept"))
+      .groupBy("component").count().filter(col("count") =!= 1)
+    assert(perComp.count() == 0)
+  }
+
+  test("bloom decon never misses a true overlap (no false negatives)") {
+    val out = TrainingData.bloomDecon(Tables.documents(spark, dir))
+    // every kgram counted by the exact path must also be bloom-flagged:
+    // n_maybe >= n_exact row-wise, and no doc with n_exact>0 is absent
+    assert(out.filter(col("n_maybe") < col("n_exact")).count() == 0)
+    val exactIds = TrainingData.decontaminate(Tables.documents(spark, dir))
+      .select(col("train_id")).distinct()
+    val missed = exactIds.join(out.select("train_id"), Seq("train_id"),
+      "left_anti")
+    assert(missed.count() == 0)
+  }
+
+  test("pq codes quantize every vector and ADC ranks full AnnTopK") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.pqTopK(emb).collect()
+    assert(out.length == Similarity.NQueries * Similarity.AnnTopK)
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.forall(_._2.map(_.getAs[Int]("rk")).sorted.toSeq ==
+      (1 to Similarity.AnnTopK)))
+  }
+}
