@@ -1421,6 +1421,11 @@ object SparkEntry {
     "graph_pagerank"    -> ((s, d) =>
       graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q40_gap_fill"      -> qGapFill _,
+    "dedup_substring"   -> ((s, d) => Dedup.substringDup(docs(s, d))),
+    "dedup_edit"        -> ((s, d) => Dedup.editPairs(docs(s, d))),
+    "dedup_semantic"    -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
+    "corpus_chunk"      -> ((s, d) => TrainingData.chunk(docs(s, d))),
+    "corpus_wsample"    -> ((s, d) => TrainingData.weightedSample(docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1507,5 +1512,10 @@ object SparkEntry {
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "q40_gap_fill"      -> sqlGapFill,
+    "dedup_substring"   -> Dedup.sqlSubstringDup,
+    "dedup_edit"        -> Dedup.sqlEditPairs,
+    "dedup_semantic"    -> Similarity.sqlSemanticDedup,
+    "corpus_chunk"      -> TrainingData.sqlChunk,
+    "corpus_wsample"    -> TrainingData.sqlWeightedSample,
   )
 }

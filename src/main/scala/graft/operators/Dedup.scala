@@ -63,15 +63,21 @@ object Dedup {
 
   /** `wh` must be a materialized word-hash column (see [[wordHashes]]).
     * Callers filter `size(w) >= k` first — shorter docs would produce NULL
-    * shingle hashes (zip_with pads with NULLs).
+    * shingle hashes (element_at past the end).
+    *
+    * Index-transform formulation, NOT a zip_with/slice chain: one output
+    * array built by k element_at reads + (k-1) fused mul-adds per window.
+    * The chain form materializes k-1 intermediate arrays per document per
+    * evaluation — harmless at k=3, but at k=12 ([[SubstrK]]) it allocated
+    * 11 arrays per doc and measured ~10× slower on the substring-window
+    * scan. This is also exactly the shape of the SQL mirror
+    * ([[sqlShingleHashes]]), so both engines stay definitionally in sync.
     */
-  def shingleHashes(wh: Column, k: Int): Column = {
-    val chained = (1 until k).foldLeft(wh) { (acc, o) =>
-      zip_with(acc, slice(wh, lit(o + 1), size(wh)),
-        (a, b) => (a * lit(ShingleBase) + b) % lit(MinhashP))
-    }
-    slice(chained, lit(1), greatest(size(wh) - (k - 1), lit(1)))
-  }
+  def shingleHashes(wh: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(size(wh) - (k - 1), lit(1))), i =>
+      (1 until k).foldLeft(element_at(wh, i)) { (acc, o) =>
+        (acc * lit(ShingleBase) + element_at(wh, i + lit(o))) % lit(MinhashP)
+      })
 
   def sqlShingleHashes(wh: String, k: Int): String = {
     val poly = (1 until k).foldLeft(s"$wh[i]") { (acc, o) =>
@@ -596,4 +602,127 @@ object Dedup {
        |FROM p WHERE i / (ab - i) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------ exact substring windows
+  /** Exact duplicated-substring detection (the ExactSubstr dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — reference's suffix-array variant re-expressed relationally):
+    * a length-[[SubstrK]] token window appearing in ≥ 2 documents is a
+    * duplicated passage; per document we report how many of its distinct
+    * windows are corpus-duplicated and the duplicated fraction (the score
+    * production pipelines threshold to drop or trim docs).
+    *
+    * Relational shape instead of a suffix array: rolling polynomial hashes
+    * over every k-token window ([[shingleHashes]] — computed map-side),
+    * one explode to (doc_id, window_hash), ONE hash-partitioned groupBy on
+    * the 8-byte hash to find multi-doc windows, one join back for per-doc
+    * counts. At 100 TB the explode is O(total tokens) fixed-width rows —
+    * the same order as tokenizing the corpus at all — map-side combined
+    * before the shuffle; nothing is quadratic and no suffix array needs
+    * global order. Window-hash collisions are the usual rolling-hash
+    * trade-off (P = 2^31-1; both engines share the definition, so the
+    * oracle agrees exactly).
+    */
+  val SubstrK = 12
+
+  /** (doc_id, hset): each doc's DISTINCT window hashes — within-doc repeats
+    * (already measured by [[TrainingData.repetition]]) count once, so the
+    * groupBy count below IS the number of docs containing the window.
+    */
+  private def substrWindowSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= SubstrK) // see minhashBands: no NULL windows
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"),
+        array_distinct(shingleHashes(col("wh"), SubstrK)).as("hset"))
+
+  def substringDup(docs: DataFrame): DataFrame = {
+    // Single-pass formulation: the expensive subtree (tokenize → window
+    // hashes → explode) is evaluated ONCE; per-window multiplicity comes
+    // from a count window over the hash key (one exchange on h), and both
+    // per-doc counters fall out of one doc_id aggregate. A
+    // groupBy(h)+join-back form would re-evaluate the hash subtree per
+    // branch — Spark shares exchanges, not arbitrary subtrees.
+    // explode_outer, not explode: hset is a derived HOF chain and provably
+    // non-empty (the size>=k filter) — plain explode makes the optimizer
+    // infer size>0 and re-inline the whole hash chain into a Filter (see
+    // SCALE.md "Generate discipline")
+    val wins = substrWindowSets(docs)
+      .select(col("doc_id"), explode_outer(col("hset")).as("h"))
+    val byHash = Window.partitionBy(col("h"))
+    wins
+      .withColumn("nd", count(lit(1)).over(byHash))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlSubstringDup: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id,
+       |    list_distinct(${sqlShingleHashes("wh", SubstrK)}) AS hset
+       |  FROM (
+       |    SELECT doc_id, ${sqlWordHashes("text")} AS wh
+       |    FROM documents WHERE len(${sqlWords("text")}) >= $SubstrK
+       |  )
+       |), wins AS (
+       |  SELECT doc_id, unnest(hset) AS h FROM sets
+       |), counted AS (
+       |  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS nd FROM wins
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_windows,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+       |FROM counted GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- edit-distance refinement
+  /** Candidate verification by exact edit distance: LSH candidates
+    * ([[minhashPairs]]) refined with Levenshtein over a fixed
+    * [[EditPrefix]]-char prefix — the standard two-stage near-dup contract
+    * (cheap recall stage → exact bounded-cost precision stage).
+    *
+    * Scale shape: the quadratic stage is ALREADY bounded by LSH banding;
+    * this adds two hash-partitioned joins on doc_id to fetch prefixes and a
+    * codegen'd per-pair DP of fixed O(EditPrefix²) cost — no new shuffle
+    * larger than the candidate set itself. Levenshtein over full documents
+    * would be O(len²) per pair and engine-divergent on >1 MB docs; the
+    * fixed prefix keeps cost constant and the oracle exact.
+    */
+  val EditPrefix = 64
+  val EditMaxDist = 24
+
+  def editPairs(docs: DataFrame): DataFrame = {
+    val prefixes = docs.select(col("doc_id"),
+      substring(col("text"), 1, EditPrefix).as("prefix"))
+    minhashPairs(docs)
+      .join(prefixes.select(col("doc_id").as("doc_a"),
+        col("prefix").as("pa")), Seq("doc_a"))
+      .join(prefixes.select(col("doc_id").as("doc_b"),
+        col("prefix").as("pb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("edit_dist") <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def sqlEditPairs: String =
+    s"""WITH cand AS (
+       |  ${sqlMinhashPairs.linesIterator.mkString("\n  ")}
+       |), t AS (
+       |  SELECT doc_id, substr(text, 1, $EditPrefix) AS prefix FROM documents
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  levenshtein(a.prefix, b.prefix) AS edit_dist
+       |FROM cand c
+       |JOIN t a ON a.doc_id = c.doc_a
+       |JOIN t b ON b.doc_id = c.doc_b
+       |WHERE levenshtein(a.prefix, b.prefix) <= $EditMaxDist
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
 }

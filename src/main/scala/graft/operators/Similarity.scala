@@ -642,4 +642,111 @@ object Similarity {
        |SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim
        |FROM p WHERE cos >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -------------------------------------------------------- semantic dedup
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space with the coarse quantizer, find within-cluster pairs
+    * above a cosine threshold, connect them into duplicate groups, and
+    * keep ONE representative per group (here: min vec_id — deterministic;
+    * the paper's keep-farthest-from-centroid policy is a one-column swap
+    * in the keep window).
+    *
+    * Scale shape: cluster assignment is the broadcast-centroid map-side
+    * pass of [[ivfTopK]]; the quadratic stage is confined to cells. The
+    * paper's own scaling rule applies: cluster count grows ∝ corpus
+    * (50 k clusters for LAION) so cell population stays bounded — k is a
+    * knob, not a plan change. A cell that still outgrows the bound takes
+    * an LSH sub-key exactly as [[graft.operators.Dedup.ngramJaccard]]
+    * sub-splits oversized blocks ([[lshBucket]] composes as the sub-key
+    * unchanged). Components run on the pair set (tiny vs corpus) via
+    * [[graft.operators.Dedup.connectedComponents]].
+    */
+  val SemThreshold = 0.5
+
+  /** Within-cell near-dup candidate pairs — the quadratic stage of
+    * [[semanticDedup]], exposed on its own (like
+    * [[graft.operators.Dedup.minhashPairs]]) so the pair frame can be
+    * persisted/audited and its plan shape pinned by test.
+    */
+  def semanticPairs(emb: DataFrame): DataFrame = {
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cent_id").as("bucket"))
+    val a = assigned.select(col("vec_id").as("doc_a"), col("bucket"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = assigned.select(col("vec_id").as("doc_b"), col("bucket"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", ndot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= SemThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  def semanticDedup(emb: DataFrame): DataFrame = {
+    val comp = graft.operators.Dedup.connectedComponents(semanticPairs(emb))
+      .select(col("doc_id").as("vec_id"), col("component"))
+    val whole = Window.partitionBy(col("component"))
+    emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn("n_dups", count(lit(1)).over(whole))
+      .withColumn("kept", col("vec_id") === col("component"))
+      .select(col("vec_id"), col("component"), col("n_dups"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  def sqlSemanticDedup: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS bucket FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cent_id) AS rn FROM (
+       |      SELECT n.vec_id, n.embedding, n.nrm, cents.cent_id,
+       |        ${sqlDot("n.embedding", "cents.cv", Dim)}
+       |          / (n.nrm * cents.cnrm) AS sim
+       |      FROM n, cents
+       |    )
+       |  ) WHERE rn = 1
+       |), pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${sqlDot("a.embedding", "b.embedding", Dim)}
+       |          / (a.nrm * b.nrm) >= $SemThreshold
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS vec_id, least(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), joined AS (
+       |  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
+       |  FROM embeddings e LEFT JOIN comp c USING (vec_id)
+       |)
+       |SELECT vec_id, component,
+       |  COUNT(*) OVER (PARTITION BY component) AS n_dups,
+       |  vec_id = component AS kept
+       |FROM joined ORDER BY vec_id""".stripMargin
 }

@@ -491,4 +491,103 @@ object TrainingData {
        |GROUP BY 1, 2, ev.nsh
        |HAVING COUNT(*) >= $MinOverlap
        |ORDER BY train_id, eval_id""".stripMargin
+
+  // ------------------------------------------------------- overlap chunking
+  /** Fixed-length token chunks with overlap — the RAG / context-window
+    * preparation step: windows of [[ChunkLen]] tokens at stride
+    * `ChunkLen - ChunkOverlap`, the final chunk keeping whatever remains.
+    * Chunk count per doc is `max(ceil((n - overlap) / stride), 1)` so every
+    * token lands in ≥ 1 chunk and every doc emits ≥ 1 chunk.
+    *
+    * Scale shape: pure map-side — one `sequence` + `explode` per document,
+    * no shuffle anywhere (the ORDER BY is the harness's total-order dump,
+    * not part of the operator). Chunk text is a `slice` of the already-split
+    * token array; nothing re-tokenizes per chunk.
+    */
+  val ChunkLen     = 32
+  val ChunkOverlap = 8
+
+  def chunk(docs: DataFrame): DataFrame = {
+    val stride = ChunkLen - ChunkOverlap
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_chunks", greatest(
+        expr(s"(n_tokens - $ChunkOverlap + ${stride - 1}) div $stride"),
+        lit(1L)))
+      .select(col("doc_id"), col("n_tokens"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("chunk_tokens",
+        least(lit(ChunkLen.toLong), col("n_tokens") - col("tok_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("w"), (col("tok_start") + 1).cast("int"),
+          lit(ChunkLen)), " "))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("chunk_tokens"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def sqlChunk: String = {
+    val stride = ChunkLen - ChunkOverlap
+    s"""WITH t AS (
+       |  SELECT doc_id, ${sqlWords("text")} AS w,
+       |    CAST(len(${sqlWords("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, w, n_tokens,
+       |    unnest(range(0, greatest(
+       |      (n_tokens - $ChunkOverlap + ${stride - 1}) // $stride, 1)))
+       |      AS chunk_idx
+       |  FROM t
+       |)
+       |SELECT doc_id, chunk_idx, chunk_idx * $stride AS tok_start,
+       |  least($ChunkLen, n_tokens - chunk_idx * $stride) AS chunk_tokens,
+       |  array_to_string(list_slice(w, chunk_idx * $stride + 1,
+       |    chunk_idx * $stride + $ChunkLen), ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ------------------------------------------------ weighted priority sample
+  /** Weighted sample without replacement via priority sampling (Duffield,
+    * Lund & Thorup, "Priority sampling for estimation of arbitrary subset
+    * sums", JACM 2007): each doc gets priority w / u with u uniform from
+    * its salted hash, and the top-[[WSampleK]] by priority form the
+    * sample — inclusion probability ∝ weight (here n_chars: longer docs
+    * proportionally likelier, the usual token-budget sampling).
+    *
+    * Determinism: u = (hash + 1) ∈ [1, 2^32] exactly; priority =
+    * double(w · 2^32) / double(h + 1) — the integer product is exact
+    * (< 2^53), each cast is exact, the single division is one
+    * correctly-rounded IEEE op, so priorities (and the ranking) are
+    * bit-identical across engines. No RNG state anywhere — re-runs,
+    * retries, and re-partitions agree; swap the salt for an independent
+    * redraw.
+    *
+    * Scale shape: priorities are map-side; global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    * never a full sort shuffle.
+    */
+  val WSampleSalt = "wsample"
+  val WSampleK    = 50
+
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val u = tokenHash(
+      concat(lit(WSampleSalt), lit(":"), col("doc_id").cast("string"))) + 1L
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        ((col("n_chars") * lit(4294967296L)).cast("double") /
+          u.cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WSampleK)
+  }
+
+  def sqlWeightedSample: String = {
+    val h = sqlTokenHash(s"'$WSampleSalt:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, n_chars,
+       |  CAST(n_chars * 4294967296 AS DOUBLE)
+       |    / CAST(($h) + 1 AS DOUBLE) AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id LIMIT $WSampleK""".stripMargin
+  }
 }

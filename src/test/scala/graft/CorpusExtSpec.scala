@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TrainingData}
+
+/** Round-3 additions, part 2: exact substring-window dedup, edit-distance
+  * candidate refinement, SemDeDup-style semantic dedup, overlap chunking,
+  * and weighted priority sampling. Semantic properties beyond the oracle
+  * hash gate.
+  */
+class CorpusExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docFrame(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("substringDup: exact clones are fully duplicated, unique docs zero") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = docFrame(Seq(
+      (1L, shared), (2L, shared),
+      (3L, (100 to 130).map(i => s"only$i").mkString(" "))))
+    val out = Dedup.substringDup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(2L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(3L).getAs[Double]("dup_frac") == 0.0)
+    // 20 words, k=12 -> 9 windows, all distinct
+    assert(out(1L).getAs[Long]("n_windows") == 9L)
+  }
+
+  test("substringDup: a shared passage inside distinct docs is detected") {
+    val passage = (1 to Dedup.SubstrK).map(i => s"quote$i").mkString(" ")
+    val docs = docFrame(Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"one two three four five $passage six seven"),
+      (3L, "unrelated words only nothing shared here at all " +
+        "padding padding2 padding3 padding4 padding5")))
+    val out = Dedup.substringDup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows"))
+      .toMap
+    // exactly one window (the passage itself) collides between docs 1 and 2
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 0L)
+  }
+
+  test("editPairs: subset of LSH candidates, zero distance for clones") {
+    val docs = Tables.documents(spark, dir)
+    val cand = Dedup.minhashPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Dedup.editPairs(docs).collect()
+    assert(refined.nonEmpty)
+    refined.foreach { r =>
+      assert(cand((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+      assert(r.getAs[Int]("edit_dist") <= Dedup.EditMaxDist)
+    }
+    // identical texts => candidate pair with edit distance exactly 0
+    val clones = docFrame(Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" "))))
+    val out = Dedup.editPairs(clones).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("edit_dist") == 0)
+  }
+
+  test("chunk: every token covered, stride respected, text matches slice") {
+    val docs = Tables.documents(spark, dir)
+    val stride = TrainingData.ChunkLen - TrainingData.ChunkOverlap
+    val chunks = TrainingData.chunk(docs)
+    // per doc: chunk_idx is 0..n-1, tok_start = idx*stride, and the last
+    // chunk reaches exactly n_tokens
+    val cover = chunks.groupBy("doc_id")
+      .agg(max(col("tok_start") + col("chunk_tokens")).as("covered"),
+        count(lit(1)).as("n"),
+        max("chunk_idx").as("maxidx"))
+    val tok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    assert(cover.join(tok, "doc_id")
+      .filter(col("covered") =!= col("n_tokens")).count() == 0)
+    assert(cover.filter(col("n") =!= col("maxidx") + 1).count() == 0)
+    assert(chunks.filter(col("tok_start") =!= col("chunk_idx") * stride)
+      .count() == 0)
+    // chunk_text really is the chunk's tokens
+    assert(chunks
+      .filter(size(split(col("chunk_text"), " ")) =!= col("chunk_tokens"))
+      .count() == 0)
+    // overlap: consecutive chunks share ChunkOverlap tokens when full-length
+    assert(stride < TrainingData.ChunkLen)
+  }
+
+  test("chunk: short doc yields exactly one chunk") {
+    val docs = docFrame(Seq((1L, "a b c")))
+    val out = TrainingData.chunk(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("chunk_tokens") == 3L)
+    assert(out.head.getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("weightedSample: top-k by the documented priority, deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val out = TrainingData.weightedSample(docs).collect()
+    assert(out.length == TrainingData.WSampleK)
+    val pr = out.map(_.getAs[Double]("priority"))
+    assert(pr.zip(pr.tail).forall { case (a, b) => a >= b })
+    // brute-force the same priorities locally and compare the selection
+    val all = docs.select("doc_id", "n_chars").collect().map { r =>
+      val id = r.getLong(0); val w = r.getLong(1)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsample:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md5, 16) + 1L
+      (id, (w * 4294967296L).toDouble / u.toDouble)
+    }
+    val expect = all.sortBy { case (id, p) => (-p, id) }
+      .take(TrainingData.WSampleK).map(_._1).toSeq
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == expect)
+  }
+
+  test("semanticDedup: partition into clusters with one representative") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.semanticDedup(emb)
+    assert(out.count() == emb.count())
+    // component is the min member (kept row) and appears exactly once kept
+    val badKeep = out.groupBy("component")
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("nk"),
+        min("vec_id").as("mn"), first("component").as("c"))
+      .filter(col("nk") =!= 1 || col("mn") =!= col("c"))
+    assert(badKeep.count() == 0)
+    // n_dups is the true component size
+    val sz = out.groupBy("component").count()
+    assert(out.join(sz, "component")
+      .filter(col("n_dups") =!= col("count")).count() == 0)
+  }
+}

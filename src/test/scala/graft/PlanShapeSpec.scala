@@ -101,4 +101,48 @@ class PlanShapeSpec extends SparkSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n <= 2, s"hash split added shuffles ($n):\n$p")
   }
+
+  test("corpus_wsample: global top-k is TakeOrdered, never a full sort") {
+    val p = planTree("corpus_wsample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample lost the top-k plan:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "weighted sample full-sorts the corpus:\n" + p)
+  }
+
+  /** Operator-induced shuffles only: the documents/embeddings loader adds
+    * one deliberate REPARTITION_BY_COL spread exchange on under-split
+    * fixture files (see Tables.spread) — not the operator's doing.
+    */
+  private def inducedShuffles(p: String): Int =
+    "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
+
+  test("corpus_chunk: chunk expansion is map-side (zero hash exchange)") {
+    val p = planTree("corpus_chunk")
+    assert(inducedShuffles(p) == 0, "chunking must not shuffle:\n" + p)
+    assert(p.contains("Generate"), "no chunk explode:\n" + p)
+  }
+
+  test("dedup_substring: one window-hash pass, one exchange per key") {
+    val p = planTree("dedup_substring")
+    // single-pass formulation: exactly TWO induced hash exchanges (window
+    // on h, aggregate on doc_id) and ONE Generate — a groupBy+join-back
+    // form would re-evaluate the tokenize/hash subtree per branch
+    assert("Generate".r.findAllIn(p).size == 1,
+      "window-hash subtree evaluated more than once:\n" + p)
+    val n = inducedShuffles(p)
+    assert(n == 2, s"expected 2 induced hash exchanges, got $n:\n$p")
+  }
+
+  test("semanticPairs: centroid assignment broadcasts, pairs join on cell") {
+    // asserted on the pair stage directly: semanticDedup's component pass
+    // checkpoints eagerly, which hides the upstream plan from the final tree
+    val p = graft.operators.Similarity
+      .semanticPairs(Tables.embeddings(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid table must broadcast for the assignment pass:\n" + p)
+    assert(p.contains("hashpartitioning(bucket"),
+      "pair join must hash-partition on the cell key:\n" + p)
+  }
 }
