@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
-import graft.operators.{Dedup, Multimodal, ScdMerge, Sessionize, Similarity, TextOps, TrainingData}
+import graft.operators.{Dedup, Multimodal, Profile, ScdMerge, Sessionize, Similarity, TextOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1426,6 +1426,9 @@ object SparkEntry {
     "dedup_semantic"    -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
     "corpus_chunk"      -> ((s, d) => TrainingData.chunk(docs(s, d))),
     "corpus_wsample"    -> ((s, d) => TrainingData.weightedSample(docs(s, d))),
+    "text_bpe_merges"   -> ((s, d) => TextOps.bpeMerges(docs(s, d))),
+    "q41_histogram"     -> ((s, d) =>
+      Profile.histogram(Tables.lineitem(s, d), "l_extendedprice")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1517,5 +1520,7 @@ object SparkEntry {
     "dedup_semantic"    -> Similarity.sqlSemanticDedup,
     "corpus_chunk"      -> TrainingData.sqlChunk,
     "corpus_wsample"    -> TrainingData.sqlWeightedSample,
+    "text_bpe_merges"   -> TextOps.sqlBpeMerges(),
+    "q41_histogram"     -> Profile.sqlHistogram("lineitem", "l_extendedprice"),
   )
 }

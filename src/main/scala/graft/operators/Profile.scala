@@ -47,4 +47,50 @@ object Profile {
          |  CAST(MAX($c) AS VARCHAR) AS max_value
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+
+  // ------------------------------------------------- equi-width histogram
+  /** Equi-width histogram of a numeric column — the distribution half of a
+    * profile report (min/max/nulls above tell you the range; this tells
+    * you the shape, which drives partition sizing, skew detection, and
+    * quantile sanity checks).
+    *
+    * Two scans total, both full-parallel: one tiny (min, max) aggregate
+    * whose 1-row result BROADCASTS back (never a scalar collect, never a
+    * single-partition window), then one map-side bucket assignment + hash
+    * aggregate. Bucket arithmetic is the identical IEEE expression tree on
+    * both engines — width computed once, floor of one division — and
+    * `floor` is CAST to BIGINT explicitly (Spark floor(double) is already
+    * BIGINT; DuckDB's stays DOUBLE).
+    */
+  val HistBuckets = 20
+
+  def histogram(df: DataFrame, valueCol: String): DataFrame = {
+    val stats = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", (col("mx") - col("mn")) / HistBuckets)
+      .withColumn("bucket",
+        least(floor((col("v") - col("mn")) / col("w")),
+          lit(HistBuckets - 1L)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        (first(col("mn")) + col("bucket") * first(col("w"))).as("bucket_lo"))
+      .select(col("bucket"), col("bucket_lo"), col("n_items"))
+      .orderBy(col("bucket"))
+  }
+
+  def sqlHistogram(table: String, valueCol: String): String =
+    s"""WITH stats AS (
+       |  SELECT MIN($valueCol) AS mn, MAX($valueCol) AS mx FROM $table
+       |), b AS (
+       |  SELECT least(CAST(floor((CAST($valueCol AS DOUBLE) - mn)
+       |      / ((mx - mn) / $HistBuckets)) AS BIGINT),
+       |      ${HistBuckets - 1}) AS bucket,
+       |    mn, (mx - mn) / $HistBuckets AS w
+       |  FROM $table, stats
+       |)
+       |SELECT bucket, mn + bucket * w AS bucket_lo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM b GROUP BY bucket, mn, w
+       |ORDER BY bucket""".stripMargin
 }

@@ -404,4 +404,161 @@ object TextOps {
        |SELECT doc_id, unnest(fps) AS fingerprint FROM selected
        |ORDER BY doc_id, fingerprint""".stripMargin
   }
+
+  // ----------------------------------------------------- BPE merge induction
+  /** Byte-pair-encoding tokenizer induction (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units", ACL
+    * 2016): start from characters, repeatedly count adjacent symbol pairs
+    * over the word-frequency table and merge the most frequent pair —
+    * the merge list IS the tokenizer. [[BpeRounds]] rounds, each one:
+    *   1. pair counts: explode adjacent (sym[i], sym[i+1]) weighted by word
+    *      frequency — ONE hash aggregate;
+    *   2. winner: top-1 by (count desc, pair asc) — TakeOrdered, broadcast
+    *      back (never collected to the driver);
+    *   3. rewrite: greedy LEFT-TO-RIGHT non-overlapping replacement inside
+    *      each symbol array. Non-overlap is a parity rule, not a loop: in a
+    *      maximal run of consecutive matches, positions at odd distance
+    *      from the run head merge. All HOF arithmetic on ≤ word-length
+    *      arrays — identical in both engines (strings + integers, nothing
+    *      floating).
+    *
+    * Scale shape: rounds iterate over the DISTINCT-WORD frequency table,
+    * which is vocabulary-sized (Heaps' law: sublinear in the corpus), not
+    * corpus-sized — the corpus is touched exactly once to build it. Each
+    * round is one map-side explode + one hash agg + a broadcast join of a
+    * 1-row frame; `localCheckpoint` per round cuts the iterative lineage
+    * like every other iterated operator here.
+    */
+  val BpeRounds = 4
+
+  /** start-flag array over the match array `m` (1 where pair matches at i):
+    * start(i) ⇔ m(i)=1 ∧ (i − lastZeroBefore(i)) is odd.
+    */
+  private def bpeStarts(m: Column): Column = {
+    val nm = size(m)
+    val z = (i: Column) => when(i === 1, lit(0)).otherwise(
+      array_max(transform(sequence(lit(1), i - 1), j =>
+        when(element_at(m, j) === 0, j).otherwise(lit(0)))))
+    // sequence(1, 0) counts DOWN in Spark — guard the empty case explicitly
+    when(nm === 0, array().cast("array<boolean>")).otherwise(
+      transform(sequence(lit(1), nm), i =>
+        element_at(m, i) === 1 && (i - z(i)) % 2 === 1))
+  }
+
+  /** One greedy non-overlapping L2R replacement of (pa, pb) → pa||pb. */
+  private def bpeRewrite(sym: Column, pa: Column, pb: Column): Column = {
+    val n = size(sym)
+    // m built from two shifted slices (empty-safe at n = 1)
+    val m = zip_with(
+      slice(sym, lit(1), greatest(n - 1, lit(0))),
+      slice(sym, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => when(x === pa && y === pb, 1).otherwise(0))
+    val st = bpeStarts(m)
+    // try_element_at: i runs to n but st has n-1 entries — the ANSI-safe
+    // read past the end is the "no pair can start at the last symbol" case
+    val startAt = (i: Column) => coalesce(try_element_at(st, i), lit(false))
+    filter(
+      transform(sequence(lit(1), n), i =>
+        when(startAt(i), concat(pa, pb))
+          .when(i > 1 && startAt(i - 1), lit(null).cast("string"))
+          .otherwise(element_at(sym, i))),
+      x => x.isNotNull)
+  }
+
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val vocab = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var syms = vocab.select(col("freq"),
+      regexp_extract_all(col("word"), lit("."), lit(0)).as("sym"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val pairs = syms
+        .select(col("freq"), explode(zip_with(
+          slice(col("sym"), lit(1), greatest(size(col("sym")) - 1, lit(0))),
+          slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+          (a, b) => struct(a.as("sym_a"), b.as("sym_b")))).as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(sum(col("freq")).as("pair_count"))
+      val top = pairs
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(1)
+        .select(lit(r).as("merge_rank"), col("sym_a"), col("sym_b"),
+          col("pair_count"))
+        .localCheckpoint(true) // 1 row; pins the winner for the rewrite
+      syms = syms.crossJoin(broadcast(
+          top.select(col("sym_a").as("pa"), col("sym_b").as("pb"))))
+        .select(col("freq"),
+          bpeRewrite(col("sym"), col("pa"), col("pb")).as("sym"))
+        .localCheckpoint(true) // cut per-round lineage growth
+      top
+    }
+    merges.reduce((a, b) => a.unionByName(b)).orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB oracle: the rounds unrolled as (s_k → p_k → t_k) CTE chains —
+    * the same construction as [[graft.operators.Similarity.sqlIvfKmeans]].
+    */
+  def sqlBpeMerges(rounds: Int = BpeRounds): String = {
+    // scalar range() + zipped unnest — the TABLE range() function rejects
+    // lateral column bounds like len(sym)
+    def pairCte(k: Int) =
+      s"""p$k AS (
+         |  SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(sym)), i -> sym[i]))
+         |        AS sym_a,
+         |      unnest(list_transform(range(1, len(sym)), i -> sym[i+1]))
+         |        AS sym_b
+         |    FROM s${k - 1}
+         |  ) GROUP BY 1, 2
+         |), t$k AS (
+         |  SELECT $k AS merge_rank, sym_a, sym_b, pair_count FROM p$k
+         |  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+         |)""".stripMargin
+    // m[i]=1 where the pair matches; start ⇔ m[i]=1 and the distance to the
+    // last zero before i is odd; merged-away positions filter to NULL
+    def rewriteCte(k: Int) =
+      s"""s$k AS (
+         |  SELECT freq, list_filter(
+         |    list_transform(range(1, len(sym) + 1), i ->
+         |      CASE WHEN m[i] = 1
+         |             AND (i - coalesce(list_max(list_transform(
+         |               range(1, i), j ->
+         |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
+         |           THEN t.sym_a || t.sym_b
+         |           WHEN i > 1 AND m[i-1] = 1
+         |             AND ((i-1) - coalesce(list_max(list_transform(
+         |               range(1, i - 1), j ->
+         |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
+         |           THEN NULL
+         |           ELSE sym[i] END),
+         |    x -> x IS NOT NULL) AS sym
+         |  FROM (
+         |    SELECT freq, sym,
+         |      list_transform(range(1, len(sym)), i ->
+         |        CASE WHEN sym[i] = t.sym_a AND sym[i+1] = t.sym_b
+         |             THEN 1 ELSE 0 END) AS m
+         |    FROM s${k - 1}, t$k t
+         |  ) s, t$k t
+         |)""".stripMargin
+    val chain = (1 to rounds).map { k =>
+      if (k == rounds) pairCte(k) else pairCte(k) + ",\n" + rewriteCte(k)
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(k => s"SELECT * FROM t$k").mkString("\n  UNION ALL\n  ")
+    s"""WITH vocab AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(${sqlWords("text")}) AS word FROM documents
+       |  ) WHERE length(word) > 0 GROUP BY word
+       |), s0 AS (
+       |  SELECT freq, regexp_extract_all(word, '.') AS sym FROM vocab
+       |),
+       |$chain
+       |SELECT merge_rank, sym_a, sym_b, pair_count FROM (
+       |  $union
+       |) ORDER BY merge_rank""".stripMargin
+  }
 }

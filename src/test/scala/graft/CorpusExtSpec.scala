@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TrainingData}
+import graft.operators.{Dedup, Similarity, TextOps, TrainingData}
 
 /** Round-3 additions, part 2: exact substring-window dedup, edit-distance
   * candidate refinement, SemDeDup-style semantic dedup, overlap chunking,
@@ -116,6 +116,40 @@ class CorpusExtSpec extends SparkSuite {
     val expect = all.sortBy { case (id, p) => (-p, id) }
       .take(TrainingData.WSampleK).map(_._1).toSeq
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == expect)
+  }
+
+  test("bpeMerges: textbook low/lower corpus learns the expected merges") {
+    // vocab {low:2, lower:1}; pairs l-o:3, o-w:3, w-e:1, e-r:1
+    // round 1: tie (l,o)/(o,w) → sym_a tiebreak picks (l,o)
+    // round 2: (lo,w):3; round 3: tie (e,r)/(low,e) → (e,r); round 4: (low,er)
+    val docs = docFrame(Seq((1L, "low low lower")))
+    val out = TextOps.bpeMerges(docs).collect().map(r =>
+      (r.getAs[Int]("merge_rank"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[Long]("pair_count")))
+    assert(out.toSeq == Seq(
+      (1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 1L), (4, "low", "er", 1L)))
+  }
+
+  test("bpeMerges: overlapping runs merge greedily left-to-right") {
+    // "aaaa": pairs (a,a) ×3 → round 1 rewrites to [aa, aa] (parity rule:
+    // positions 1 and 3 start, position 2 is consumed); round 2 merges
+    // (aa,aa) once
+    val docs = docFrame(Seq((1L, "aaaa")))
+    val out = TextOps.bpeMerges(docs, rounds = 2).collect().map(r =>
+      (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
+        r.getAs[Long]("pair_count")))
+    assert(out.toSeq == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
+  test("histogram: buckets cover all rows with monotone bounds") {
+    val li = Tables.lineitem(spark, dir)
+    val h = graft.operators.Profile.histogram(li, "l_extendedprice").collect()
+    assert(h.map(_.getAs[Long]("n_items")).sum == li.count())
+    val buckets = h.map(_.getAs[Long]("bucket"))
+    assert(buckets.forall(b => b >= 0 && b < graft.operators.Profile.HistBuckets))
+    val lo = h.map(_.getAs[Double]("bucket_lo"))
+    assert(lo.zip(lo.tail).forall { case (a, b) => a < b })
   }
 
   test("semanticDedup: partition into clusters with one representative") {
