@@ -69,9 +69,11 @@ object Profile {
     df.select(col(valueCol).cast("double").as("v"))
       .crossJoin(broadcast(stats))
       .withColumn("w", (col("mx") - col("mn")) / HistBuckets)
+      // constant column ⇒ width 0 ⇒ 0/0 = NaN: everything lands in bucket 0
       .withColumn("bucket",
-        least(floor((col("v") - col("mn")) / col("w")),
-          lit(HistBuckets - 1L)).cast("long"))
+        when(col("w") === 0, lit(0L)).otherwise(
+          least(floor((col("v") - col("mn")) / col("w")),
+            lit(HistBuckets - 1L))).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_items"),
         (first(col("mn")) + col("bucket") * first(col("w"))).as("bucket_lo"))
@@ -83,9 +85,10 @@ object Profile {
     s"""WITH stats AS (
        |  SELECT MIN($valueCol) AS mn, MAX($valueCol) AS mx FROM $table
        |), b AS (
-       |  SELECT least(CAST(floor((CAST($valueCol AS DOUBLE) - mn)
+       |  SELECT CASE WHEN (mx - mn) / $HistBuckets = 0 THEN 0
+       |    ELSE least(CAST(floor((CAST($valueCol AS DOUBLE) - mn)
        |      / ((mx - mn) / $HistBuckets)) AS BIGINT),
-       |      ${HistBuckets - 1}) AS bucket,
+       |      ${HistBuckets - 1}) END AS bucket,
        |    mn, (mx - mn) / $HistBuckets AS w
        |  FROM $table, stats
        |)

@@ -152,6 +152,14 @@ class CorpusExtSpec extends SparkSuite {
     assert(lo.zip(lo.tail).forall { case (a, b) => a < b })
   }
 
+  test("histogram: constant column collapses to bucket 0, no NaN") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val h = graft.operators.Profile.histogram(df, "v").collect()
+    assert(h.length == 1)
+    assert(h.head.getAs[Long]("bucket") == 0L)
+    assert(h.head.getAs[Long]("n_items") == 3L)
+  }
+
   test("semanticDedup: partition into clusters with one representative") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.semanticDedup(emb)
