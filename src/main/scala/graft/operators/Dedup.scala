@@ -44,11 +44,12 @@ object Dedup {
     * cuts the hash count k-fold and eliminates all concat garbage, which is
     * the dominant cost of shingling at corpus scale.
     *
-    * Built as chained `zip_with` over shifted slices of the word-hash array.
-    * Never `transform(seq, i => element_at(wh, i)…)`: an array referenced
-    * INSIDE a lambda body is re-evaluated per element, costing O(words²)
-    * per document. Here `wh` appears only as zip_with/slice ARGUMENTS — one
-    * evaluation each per row.
+    * Built as an index transform over a MATERIALIZED word-hash column (see
+    * [[shingleHashes]] for the formulation and the one hazard that shape
+    * carries: `element_at` over a DERIVED array expression — not a plain
+    * attribute — re-evaluates the producing expression per element,
+    * O(words²) per document; callers therefore materialize `wh` with its
+    * own select first).
     *
     * All values stay < P = 2^31-1, so intermediates (< 2^36) never overflow
     * a 64-bit long and both engines agree exactly.
@@ -72,6 +73,11 @@ object Dedup {
     * 11 arrays per doc and measured ~10× slower on the substring-window
     * scan. This is also exactly the shape of the SQL mirror
     * ([[sqlShingleHashes]]), so both engines stay definitionally in sync.
+    *
+    * The one constraint the index form carries: `wh` MUST be a plain
+    * attribute. `element_at` over a DERIVED array (a HOF chain inlined
+    * here) re-evaluates the producing expression per element — O(n²) per
+    * document, the hazard [[TrainingData.repetition]]'s scaladoc cites.
     */
   def shingleHashes(wh: Column, k: Int): Column =
     transform(sequence(lit(1), greatest(size(wh) - (k - 1), lit(1))), i =>

@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Supplier node ids are offset into their own range so the bipartite
-    * node set lives in one BIGINT id space.
+    * node set lives in one BIGINT id space. 10^12, NOT a "big enough"
+    * million: TPC-H custkeys reach 150 000·SF (1.5·10^10 at the 100 TB
+    * scale point) and a too-small offset silently MERGES a customer with
+    * a supplier node — wrong degrees and ranks that no shared-constant
+    * oracle can catch. 10^12 keeps both ranges disjoint past SF 10^6
+    * while dst = supp + SuppBase stays far under 2^63.
     */
-  val SuppBase = 1000000L
+  val SuppBase = 1000000000000L
   val Damping = 0.85
   val PrIters = 2
   val PrTopK = 20

@@ -66,7 +66,11 @@ object Profile {
 
   def histogram(df: DataFrame, valueCol: String): DataFrame = {
     val stats = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    // NULLs are excluded, not binned: least(NULL, k) is k in BOTH engines,
+    // so without the filter every NULL lands silently in the top bucket.
+    // Null accounting belongs to profile()'s n_nulls, not the histogram.
     df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .crossJoin(broadcast(stats))
       .withColumn("w", (col("mx") - col("mn")) / HistBuckets)
       // constant column ⇒ width 0 ⇒ 0/0 = NaN: everything lands in bucket 0
@@ -91,6 +95,7 @@ object Profile {
        |      ${HistBuckets - 1}) END AS bucket,
        |    mn, (mx - mn) / $HistBuckets AS w
        |  FROM $table, stats
+       |  WHERE $valueCol IS NOT NULL
        |)
        |SELECT bucket, mn + bucket * w AS bucket_lo,
        |  CAST(COUNT(*) AS BIGINT) AS n_items

@@ -515,17 +515,23 @@ object Similarity {
         .as("sub"))
       .select(col(idCol), col("sub.m").as("m"), col("sub.sv").as("sv"))
 
-  /** Per-subspace nearest-code assignment by the L2 surrogate. */
-  private def encode(subs: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("m"))
-      .orderBy(col("d2"), col("code"))
+  /** Per-subspace nearest-code assignment by the L2 surrogate.
+    *
+    * groupBy + min(struct(d2, code)), NOT a row_number window: the window
+    * form shuffles |V|·M·K rows each CARRYING the 16-double subvector to
+    * sort them per (id, m) — the full corpus-wide exchange the "encode
+    * map-side" contract forbids. The struct-min is the same deterministic
+    * argmin (d2, then code id) but partial-aggregates map-side and
+    * shuffles one thin row per (id, m). The oracle's ROW_NUMBER picks the
+    * identical row, so results are unchanged.
+    */
+  private def encode(subs: DataFrame, codebook: DataFrame): DataFrame =
     subs.join(broadcast(codebook), Seq("m"))
       .withColumn("d2", dotD(col("cv"), col("cv"))
         - lit(2.0) * dotD(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("m"), col("code"))
-  }
+      .groupBy(col("id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("id"), col("m"), col("best.code").as("code"))
 
   def pqTopK(emb: DataFrame): DataFrame = {
     import graft.functions.Exact

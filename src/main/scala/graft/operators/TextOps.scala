@@ -528,7 +528,7 @@ object TextOps {
          |             AND (i - coalesce(list_max(list_transform(
          |               range(1, i), j ->
          |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
-         |           THEN t.sym_a || t.sym_b
+         |           THEN pa || pb
          |           WHEN i > 1 AND m[i-1] = 1
          |             AND ((i-1) - coalesce(list_max(list_transform(
          |               range(1, i - 1), j ->
@@ -537,12 +537,12 @@ object TextOps {
          |           ELSE sym[i] END),
          |    x -> x IS NOT NULL) AS sym
          |  FROM (
-         |    SELECT freq, sym,
+         |    SELECT freq, sym, t.sym_a AS pa, t.sym_b AS pb,
          |      list_transform(range(1, len(sym)), i ->
          |        CASE WHEN sym[i] = t.sym_a AND sym[i+1] = t.sym_b
          |             THEN 1 ELSE 0 END) AS m
          |    FROM s${k - 1}, t$k t
-         |  ) s, t$k t
+         |  )
          |)""".stripMargin
     val chain = (1 to rounds).map { k =>
       if (k == rounds) pairCte(k) else pairCte(k) + ",\n" + rewriteCte(k)

@@ -365,6 +365,15 @@ object TrainingData {
     * is assembled as a SUM of DISTINCT single-bit masks — exactly OR, and
     * exact in DuckDB's 128-bit SUM too). Bit-identical across engines.
     */
+  /** Filter width. SIZING RULE: m ≈ 16 bits per DISTINCT eval k-gram keeps
+    * the false-positive rate ~0.5% at k=3; an undersized filter saturates
+    * (every probe hits) and the "definitively clean" fast path never
+    * fires. 2^16 fits this fixture's ~4 k eval k-grams. In production the
+    * eval side is a BENCHMARK SUITE — bounded by construction, not a
+    * corpus fraction (the doc_id%5 split here is the fixture's stand-in)
+    * — so m is a per-deployment constant: 10^7 eval k-grams → 2^28 bits
+    * = 32 MB of (word, bits) rows, still a broadcast.
+    */
   val BloomBits = 65536       // m = 2^16
   val BloomHashes = 3         // k
   val BloomWordBits = 32
@@ -408,12 +417,21 @@ object TrainingData {
           =!= 0L).cast("long").as("hit"))
       .groupBy(col("train_id"), col("n_kgrams"), col("h"))
       .agg((sum(col("hit")) === BloomHashes).as("maybe"))
-    // exact verification side-by-side: bloom positives vs true overlap
+    // exact verification side-by-side: bloom positives vs true overlap.
+    // The exact join runs ONLY over the flagged slice — that confinement
+    // IS the operator's point (the pre-screen exists so the 100 TB train
+    // side never meets the exact join). Bloom has no false negatives, so
+    // restricting to flagged docs loses nothing. `flagged` is tiny and
+    // used twice (semi-join + final join) → pinned with localCheckpoint
+    // like every reused subtree here.
     val flagged = probes.groupBy(col("train_id"), col("n_kgrams"))
       .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
       .filter(col("n_maybe") > 0)
+      .localCheckpoint(true)
     val exact = sh.filter(col("doc_id") % EvalMod =!= 0)
-      .select(col("doc_id").as("train_id"), explode_outer(col("hs")).as("h"))
+      .select(col("doc_id").as("train_id"), col("hs"))
+      .join(flagged.select(col("train_id")), Seq("train_id"), "left_semi")
+      .select(col("train_id"), explode_outer(col("hs")).as("h"))
       .join(evalGrams, Seq("h"), "left_semi")
       .groupBy(col("train_id")).agg(count(lit(1)).as("n_exact"))
     flagged.join(exact, Seq("train_id"), "left")
@@ -464,7 +482,9 @@ object TrainingData {
        |  FROM grams GROUP BY 1, 2 HAVING n_maybe > 0
        |), exact AS (
        |  SELECT train_id, COUNT(*) AS n_exact FROM trgrams
-       |  WHERE h IN (SELECT h FROM evalgrams) GROUP BY 1
+       |  WHERE h IN (SELECT h FROM evalgrams)
+       |    AND train_id IN (SELECT train_id FROM flagged)
+       |  GROUP BY 1
        |)
        |SELECT f.train_id, f.n_kgrams, f.n_maybe,
        |  COALESCE(e.n_exact, 0) AS n_exact

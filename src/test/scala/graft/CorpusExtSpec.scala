@@ -152,6 +152,15 @@ class CorpusExtSpec extends SparkSuite {
     assert(lo.zip(lo.tail).forall { case (a, b) => a < b })
   }
 
+  test("histogram: NULLs are excluded, not binned into the top bucket") {
+    val df = Seq(Some(0.0), Some(10.0), None, None).toDF("v")
+    val h = graft.operators.Profile.histogram(df, "v").collect()
+    assert(h.map(_.getAs[Long]("n_items")).sum == 2L)
+    assert(!h.exists(r => r.getAs[Long]("bucket") ==
+      graft.operators.Profile.HistBuckets - 1L &&
+      r.getAs[Long]("n_items") > 1L))
+  }
+
   test("histogram: constant column collapses to bucket 0, no NaN") {
     val df = Seq(5.0, 5.0, 5.0).toDF("v")
     val h = graft.operators.Profile.histogram(df, "v").collect()
