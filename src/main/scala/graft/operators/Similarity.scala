@@ -518,12 +518,14 @@ object Similarity {
   /** Per-subspace nearest-code assignment by the L2 surrogate.
     *
     * groupBy + min(struct(d2, code)), NOT a row_number window: the window
-    * form shuffles |V|·M·K rows each CARRYING the 16-double subvector to
-    * sort them per (id, m) — the full corpus-wide exchange the "encode
-    * map-side" contract forbids. The struct-min is the same deterministic
-    * argmin (d2, then code id) but partial-aggregates map-side and
-    * shuffles one thin row per (id, m). The oracle's ROW_NUMBER picks the
-    * identical row, so results are unchanged.
+    * form shuffles ALL |V|·M·K scored candidate rows (column pruning does
+    * drop the subvector payloads, but every row still moves) and sorts
+    * them per (id, m). The struct-min is the same deterministic argmin
+    * (d2, then code id) but PARTIAL-aggregates map-side — the exchange
+    * carries ~|V|·M thin rows, K× fewer — which is what the "corpus is
+    * encoded map-side after a codebook broadcast" contract means in plan
+    * terms. The oracle's ROW_NUMBER picks the identical row, so results
+    * are unchanged.
     */
   private def encode(subs: DataFrame, codebook: DataFrame): DataFrame =
     subs.join(broadcast(codebook), Seq("m"))
