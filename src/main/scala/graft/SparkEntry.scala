@@ -1197,9 +1197,11 @@ object SparkEntry {
     val hourly = e
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(xavg(col("value")).as("v"))
-    val span = e.groupBy(col("user_id"))
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+    // span from the ALREADY-aggregated hourly frame, not a second pass
+    // over raw events: date_trunc is monotone, so min/max(hour) equal
+    // date_trunc(min/max(ts)) — one events scan total
+    val span = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val grid = span.select(col("user_id"),
       explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
@@ -1239,9 +1241,8 @@ object SparkEntry {
        |    ${sqlAvg("value")} AS v
        |  FROM e GROUP BY 1, 2
        |), span AS (
-       |  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
-       |         date_trunc('hour', MAX(ts)) AS h1
-       |  FROM e GROUP BY 1
+       |  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+       |  FROM hourly GROUP BY 1
        |), grid AS (
        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
        |    AS hour

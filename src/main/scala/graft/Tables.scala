@@ -41,6 +41,9 @@ object Tables {
   def invalidate(spark: SparkSession): Unit = {
     catalog.keySet.removeIf(k => k._1 eq spark)
     spreadCatalog.keySet.removeIf(k => k._1 eq spark)
+    // the streaming oracles memoize fixture SPLITS of these same dirs —
+    // stale splits would stream the old corpus against a new batch oracle
+    graft.streaming.StreamOracles.invalidateSources()
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

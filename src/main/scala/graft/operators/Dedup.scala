@@ -80,9 +80,14 @@ object Dedup {
     * document, the hazard [[TrainingData.repetition]]'s scaladoc cites.
     */
   def shingleHashes(wh: Column, k: Int): Column =
+    // try_element_at, not element_at: under Spark 4's default ANSI mode a
+    // past-the-end read THROWS — try_ keeps the documented contract that
+    // a doc shorter than k words yields NULL hashes instead of failing
+    // the whole query for callers that skip the size filter
     transform(sequence(lit(1), greatest(size(wh) - (k - 1), lit(1))), i =>
-      (1 until k).foldLeft(element_at(wh, i)) { (acc, o) =>
-        (acc * lit(ShingleBase) + element_at(wh, i + lit(o))) % lit(MinhashP)
+      (1 until k).foldLeft(try_element_at(wh, i)) { (acc, o) =>
+        (acc * lit(ShingleBase) + try_element_at(wh, i + lit(o))) %
+          lit(MinhashP)
       })
 
   def sqlShingleHashes(wh: String, k: Int): String = {
@@ -265,13 +270,16 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB oracle: transitive closure as a recursive CTE — component id =
-    * min(id, min reachable id), which is exactly the converged min-label.
+  /** Shared transitive-closure CTE fragment: expects a `pairs` CTE with
+    * (doc_a, doc_b) in scope, defines `edges`/`reach`/`comp` where comp =
+    * (doc_id, component), component = min(id, min reachable id) — exactly
+    * the converged min-label. ONE definition for every components oracle
+    * ([[sqlConnectedComponents]], [[sqlCanonical]],
+    * [[graft.operators.Similarity.sqlSemanticDedup]]) so a closure change
+    * can never drift between them.
     */
-  def sqlConnectedComponents(pairsSql: String): String =
-    s"""WITH RECURSIVE pairs AS (
-       |  ${pairsSql.linesIterator.mkString("\n  ")}
-       |), edges AS (
+  def sqlComponentsCtes: String =
+    s"""edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION
        |  SELECT doc_b, doc_a FROM pairs
@@ -279,9 +287,18 @@ object Dedup {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT src AS doc_id, least(src, MIN(dst)) AS component
-       |FROM reach GROUP BY src
+       |), comp AS (
+       |  SELECT src AS doc_id, least(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
+  /** DuckDB oracle: transitive closure as a recursive CTE. */
+  def sqlConnectedComponents(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |),
+       |$sqlComponentsCtes
+       |SELECT doc_id, component FROM comp
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- canonical selection
@@ -319,18 +336,9 @@ object Dedup {
   def sqlCanonical: String =
     s"""WITH RECURSIVE pairs AS (
        |  ${sqlMinhashPairs.linesIterator.mkString("\n  ")}
-       |), edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM pairs
-       |), reach(src, dst) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |), comp AS (
-       |  SELECT src AS doc_id, least(src, MIN(dst)) AS component
-       |  FROM reach GROUP BY src
-       |), withcomp AS (
+       |),
+       |$sqlComponentsCtes,
+       |withcomp AS (
        |  SELECT d.doc_id, d.n_chars,
        |    COALESCE(c.component, d.doc_id) AS component
        |  FROM documents d LEFT JOIN comp c USING (doc_id)
@@ -620,14 +628,18 @@ object Dedup {
     *
     * Relational shape instead of a suffix array: rolling polynomial hashes
     * over every k-token window ([[shingleHashes]] — computed map-side),
-    * one explode to (doc_id, window_hash), ONE hash-partitioned groupBy on
-    * the 8-byte hash to find multi-doc windows, one join back for per-doc
-    * counts. At 100 TB the explode is O(total tokens) fixed-width rows —
-    * the same order as tokenizing the corpus at all — map-side combined
-    * before the shuffle; nothing is quadratic and no suffix array needs
-    * global order. Window-hash collisions are the usual rolling-hash
-    * trade-off (P = 2^31-1; both engines share the definition, so the
-    * oracle agrees exactly).
+    * one explode to (doc_id, window_hash), ONE exchange keyed by the
+    * 8-byte hash (a count window — every exploded row crosses it; there
+    * is no map-side combine because per-(doc, window) rows are themselves
+    * the output unit), then one doc_id aggregate. At 100 TB the exchange
+    * is O(total tokens) fixed-width rows — the same order as tokenizing
+    * the corpus at all; nothing is quadratic and no suffix array needs
+    * global order. (A groupBy(h)+join-back would combine the count
+    * map-side but re-shuffles the same exploded rows as the join probe —
+    * same exchange volume, one more operator; see the in-function note.)
+    * Window-hash collisions are the usual rolling-hash trade-off
+    * (P = 2^31-1; both engines share the definition, so the oracle agrees
+    * exactly).
     */
   val SubstrK = 12
 

@@ -189,20 +189,34 @@ object Similarity {
     */
   val NCentroids = 8
 
+  /** Nearest-cell id per vector from a (vec_id, sim, cent_id) scored
+    * frame: thin argmax AGGREGATE + join back, never a row_number window.
+    * The window form shuffles and sorts all |V|·K scored rows (with every
+    * payload column riding through the exchange); the argmax
+    * partial-aggregates map-side and exchanges ONE thin row per vector —
+    * the same K-fold cut as [[encode]]. Ties break to the smallest
+    * cent_id via max(struct(sim, −cent_id)) — exactly the
+    * (sim DESC, cent_id) order the oracles' ROW_NUMBER uses, so results
+    * are unchanged. (sim is never −0.0: IEEE cancellation rounds to +0.0,
+    * so the double ordering agrees with the window's.)
+    */
+  private def nearestCell(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("negc"))).as("b"))
+      .select(col("vec_id"), (-col("b.negc")).as("bucket"))
+
   def ivfTopK(emb: DataFrame): DataFrame = {
     val n = withNorm(emb, "embedding")
     val cents = n.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("norm").as("cnrm"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("cent_id").as("bucket"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val assigned = n.join(nearestCell(scored), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
     val q = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("norm").as("qn"), col("bucket"))
@@ -229,16 +243,23 @@ object Similarity {
     val cents = n.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("norm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val cands = n.join(nearestCell(scored), Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
+        col("norm").as("cn"), col("bucket"))
+    // the top-P probe ranking needs a real rank, but only for the BOUNDED
+    // query slice — the window runs over |Q|·K rows, never the corpus
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cent_id"))
-    val ranked = n.crossJoin(broadcast(cents))
+    val q = n.filter(col("vec_id") < NQueries).crossJoin(broadcast(cents))
       .withColumn("sim",
         ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
       .withColumn("rn", row_number().over(aw))
-    val cands = ranked.filter(col("rn") === 1)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
-        col("norm").as("cn"), col("cent_id").as("bucket"))
-    val q = ranked.filter(col("rn") <= nprobe && col("vec_id") < NQueries)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("norm").as("qn"), col("cent_id").as("bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -396,13 +417,12 @@ object Similarity {
     * broadcast centroid frame (cent_id, cv, cnrm).
     */
   private def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
-    n.crossJoin(broadcast(cents))
-      .withColumn("sim", dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("bucket"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"),
+        col("cent_id"))
+    n.join(nearestCell(scored), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
   }
 
   /** Centroid update: exact per-(cell, dim) mean, re-assembled into a
@@ -488,7 +508,8 @@ object Similarity {
     * never the candidate's full vector.
     *
     * Why it matters at 100 TB: the candidate side stores M bytes of codes
-    * per vector instead of 4·Dim bytes (here 4×1 codes vs 256 floats);
+    * per vector instead of 4·Dim bytes (here 4 one-byte codes vs 64
+    * floats = 256 bytes, a 64× cut);
     * the scoring join touches only (cand_id, m, code) rows plus a
     * broadcast LUT of |Q|·M·K partial dots. The corpus is scanned once to
     * encode (map-side after a codebook broadcast); scoring shuffles
@@ -682,15 +703,13 @@ object Similarity {
     val cents = n.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("norm").as("cnrm"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("cent_id").as("bucket"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val assigned = n.join(nearestCell(scored), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
     val a = assigned.select(col("vec_id").as("doc_a"), col("bucket"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = assigned.select(col("vec_id").as("doc_b"), col("bucket"),
@@ -738,20 +757,11 @@ object Similarity {
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE ${sqlDot("a.embedding", "b.embedding", Dim)}
        |          / (a.nrm * b.nrm) >= $SemThreshold
-       |), edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM pairs
-       |), reach(src, dst) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |), comp AS (
-       |  SELECT src AS vec_id, least(src, MIN(dst)) AS component
-       |  FROM reach GROUP BY src
-       |), joined AS (
+       |),
+       |${graft.operators.Dedup.sqlComponentsCtes},
+       |joined AS (
        |  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
-       |  FROM embeddings e LEFT JOIN comp c USING (vec_id)
+       |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id
        |)
        |SELECT vec_id, component,
        |  COUNT(*) OVER (PARTITION BY component) AS n_dups,

@@ -431,8 +431,32 @@ object TextOps {
     */
   val BpeRounds = 4
 
+  /** Words longer than this are excluded from the vocabulary (identically
+    * on both engines): an unbroken multi-kB token (URL, base64, minified
+    * code) is not subword signal, and the per-word start-flag construction
+    * is O(len²) — the cap bounds it, as production BPE trainers do.
+    */
+  val BpeMaxWordLen = 64
+
+  /** Match array: 1 where (sym[i], sym[i+1]) = (pa, pb). Built from two
+    * shifted slices (empty-safe at n = 1).
+    */
+  private def bpeMatch(sym: Column, pa: Column, pb: Column): Column = {
+    val n = size(sym)
+    zip_with(
+      slice(sym, lit(1), greatest(n - 1, lit(0))),
+      slice(sym, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => when(x === pa && y === pb, 1).otherwise(0))
+  }
+
   /** start-flag array over the match array `m` (1 where pair matches at i):
     * start(i) ⇔ m(i)=1 ∧ (i − lastZeroBefore(i)) is odd.
+    *
+    * `m` MUST be a materialized attribute, not an inline expression: the
+    * per-i reads inside the lambdas would otherwise re-evaluate the
+    * producing chain per element (the derived-array hazard in
+    * [[Dedup.shingleHashes]]'s scaladoc) — [[bpeMerges]] stages it with
+    * its own select for exactly this reason.
     */
   private def bpeStarts(m: Column): Column = {
     val nm = size(m)
@@ -445,20 +469,16 @@ object TextOps {
         element_at(m, i) === 1 && (i - z(i)) % 2 === 1))
   }
 
-  /** One greedy non-overlapping L2R replacement of (pa, pb) → pa||pb. */
-  private def bpeRewrite(sym: Column, pa: Column, pb: Column): Column = {
-    val n = size(sym)
-    // m built from two shifted slices (empty-safe at n = 1)
-    val m = zip_with(
-      slice(sym, lit(1), greatest(n - 1, lit(0))),
-      slice(sym, lit(2), greatest(n - 1, lit(0))),
-      (x, y) => when(x === pa && y === pb, 1).otherwise(0))
-    val st = bpeStarts(m)
+  /** One greedy non-overlapping L2R replacement of (pa, pb) → pa||pb,
+    * reading a materialized start-flag attribute `st` (see [[bpeStarts]]).
+    */
+  private def bpeApply(sym: Column, pa: Column, pb: Column,
+      st: Column): Column = {
     // try_element_at: i runs to n but st has n-1 entries — the ANSI-safe
     // read past the end is the "no pair can start at the last symbol" case
     val startAt = (i: Column) => coalesce(try_element_at(st, i), lit(false))
     filter(
-      transform(sequence(lit(1), n), i =>
+      transform(sequence(lit(1), size(sym)), i =>
         when(startAt(i), concat(pa, pb))
           .when(i > 1 && startAt(i - 1), lit(null).cast("string"))
           .otherwise(element_at(sym, i))),
@@ -468,7 +488,8 @@ object TextOps {
   def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
     val vocab = docs
       .select(explode(words(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 &&
+        length(col("word")) <= BpeMaxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var syms = vocab.select(col("freq"),
       regexp_extract_all(col("word"), lit("."), lit(0)).as("sym"))
@@ -487,10 +508,19 @@ object TextOps {
         .select(lit(r).as("merge_rank"), col("sym_a"), col("sym_b"),
           col("pair_count"))
         .localCheckpoint(true) // 1 row; pins the winner for the rewrite
+      // m and st are STAGED through their own selects so each is a plain
+      // attribute where the next stage's lambdas read it element-wise —
+      // inlined, element_at(derived, i) re-evaluates the producing chain
+      // per element (O(len²)→O(len³) per word). Multiple references to a
+      // non-cheap expression also stop CollapseProject from re-inlining.
       syms = syms.crossJoin(broadcast(
           top.select(col("sym_a").as("pa"), col("sym_b").as("pb"))))
+        .select(col("freq"), col("sym"), col("pa"), col("pb"),
+          bpeMatch(col("sym"), col("pa"), col("pb")).as("m"))
+        .select(col("freq"), col("sym"), col("pa"), col("pb"),
+          bpeStarts(col("m")).as("st"))
         .select(col("freq"),
-          bpeRewrite(col("sym"), col("pa"), col("pb")).as("sym"))
+          bpeApply(col("sym"), col("pa"), col("pb"), col("st")).as("sym"))
         .localCheckpoint(true) // cut per-round lineage growth
       top
     }
@@ -552,7 +582,8 @@ object TextOps {
     s"""WITH vocab AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(${sqlWords("text")}) AS word FROM documents
-       |  ) WHERE length(word) > 0 GROUP BY word
+       |  ) WHERE length(word) > 0 AND length(word) <= $BpeMaxWordLen
+       |  GROUP BY word
        |), s0 AS (
        |  SELECT freq, regexp_extract_all(word, '.') AS sym FROM vocab
        |),

@@ -51,6 +51,20 @@ object StreamOracles {
       d
     })
 
+  /** Drop (and delete) every cached source split — the streaming twin of
+    * [[graft.Tables.invalidate]]: a fixture dir rewritten in-JVM would
+    * otherwise keep serving the OLD corpus's micro-batches while the
+    * batch oracle reads the new one.
+    */
+  def invalidateSources(): Unit = {
+    val dirs = srcCache.values().iterator()
+    srcCache.clear()
+    dirs.forEachRemaining { d =>
+      Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Write `df` as ONE parquet file named for `idx` with a fixed,
     * idx-ordered mtime — the unit of streaming ingestion.
     */
