@@ -131,6 +131,16 @@ class CorpusExtSpec extends SparkSuite {
       (3, "e", "r", 1L), (4, "low", "er", 1L)))
   }
 
+  test("bpeMerges: overlong unbroken tokens are excluded from the vocab") {
+    // a 100-char token contributes no pairs (capped); the short word does
+    val long = "x" * 100
+    val docs = docFrame(Seq((1L, s"$long ab ab")))
+    val out = TextOps.bpeMerges(docs, rounds = 1).collect()
+    assert(out.length == 1)
+    assert((out.head.getAs[String]("sym_a"), out.head.getAs[String]("sym_b"))
+      == ("a", "b"))
+  }
+
   test("bpeMerges: overlapping runs merge greedily left-to-right") {
     // "aaaa": pairs (a,a) ×3 → round 1 rewrites to [aa, aa] (parity rule:
     // positions 1 and 3 start, position 2 is consumed); round 2 merges
