@@ -73,7 +73,29 @@ object Sinks {
     val cols = df.columns.toSeq
     val nonKey = cols.filterNot(keyCols.contains)
     val qt = q(table)
-    type Binder = org.apache.spark.sql.Row => Seq[Any]
+    // JDBC type per column, derived from the frame schema: NULLs must bind
+    // as setNull(i, type) — untyped setObject(i, null) raises 22005
+    // ("cannot infer type") on Derby/DB2, and SCD output legitimately
+    // carries NULL updated_at on every insert/version row.
+    val sqlType: Map[String, Int] = {
+      import org.apache.spark.sql.types._
+      df.schema.fields.map { f =>
+        f.name -> (f.dataType match {
+          case LongType        => java.sql.Types.BIGINT
+          case IntegerType     => java.sql.Types.INTEGER
+          case ShortType       => java.sql.Types.SMALLINT
+          case DoubleType      => java.sql.Types.DOUBLE
+          case FloatType       => java.sql.Types.REAL
+          case BooleanType     => java.sql.Types.BOOLEAN
+          case DateType        => java.sql.Types.DATE
+          case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+          case _: DecimalType  => java.sql.Types.DECIMAL
+          case _               => java.sql.Types.VARCHAR
+        })
+      }.toMap
+    }
+    // a "binder" is the column-name bind order of one prepared statement
+    type Binder = Seq[String]
     val statements: Seq[(String, Binder)] = dialect match {
       case PostgresOnConflict =>
         val action =
@@ -84,22 +106,19 @@ object Sinks {
                      |VALUES (${cols.map(_ => "?").mkString(", ")})
                      |ON CONFLICT (${keyCols.map(q).mkString(", ")})
                      |$action""".stripMargin
-        Seq(sql -> ((r: org.apache.spark.sql.Row) => cols.indices.map(r.get)))
+        Seq(sql -> cols)
       case UpdateThenInsert(dual) =>
         val where = keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")
         val upd: Option[(String, Binder)] =
           if (nonKey.isEmpty) None
           else Some(
             s"UPDATE $qt SET ${nonKey.map(c => s"${q(c)} = ?").mkString(", ")}" +
-              s" WHERE $where" ->
-              ((r: org.apache.spark.sql.Row) =>
-                (nonKey ++ keyCols).map(c => r.get(r.fieldIndex(c)))))
+              s" WHERE $where" -> (nonKey ++ keyCols))
         val ins: (String, Binder) =
           s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
              |SELECT ${cols.map(_ => "?").mkString(", ")} FROM $dual
              |WHERE NOT EXISTS (SELECT 1 FROM $qt WHERE $where)""".stripMargin ->
-            ((r: org.apache.spark.sql.Row) =>
-              cols.indices.map(r.get) ++ keyCols.map(c => r.get(r.fieldIndex(c))))
+            (cols ++ keyCols)
         upd.toSeq :+ ins
     }
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -110,8 +129,12 @@ object Sinks {
         try {
           var n = 0
           rows.foreach { r =>
-            sts.foreach { case (st, bind) =>
-              bind(r).zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
+            sts.foreach { case (st, names) =>
+              names.zipWithIndex.foreach { case (cn, i) =>
+                val v = r.get(r.fieldIndex(cn))
+                if (v == null) st.setNull(i + 1, sqlType(cn))
+                else st.setObject(i + 1, v)
+              }
               st.addBatch()
             }
             n += 1

@@ -244,12 +244,12 @@ object SparkEntry {
   private val sqlScdCounters: String =
     s"""$sqlScdCte
        |SELECT
-       |  CAST(SUM(CASE WHEN change_type='no_change' THEN 1 ELSE 0 END) AS BIGINT) AS no_update_count,
-       |  CAST(SUM(CASE WHEN change_type='update' THEN 1 ELSE 0 END) AS BIGINT) AS update_count,
-       |  CAST(SUM(CASE WHEN change_type='insert' THEN 1 ELSE 0 END) AS BIGINT) AS new_inserts_count,
-       |  CAST(SUM(CASE WHEN change_type='reactivate' THEN 1 ELSE 0 END) AS BIGINT) AS reactivate_count,
-       |  CAST(SUM(CASE WHEN change_type='version' THEN 1 ELSE 0 END) AS BIGINT) AS version_count,
-       |  CAST(SUM(CASE WHEN change_type='deactivate' THEN 1 ELSE 0 END) AS BIGINT) AS deactivate_count,
+       |  CAST(COALESCE(SUM(CASE WHEN change_type='no_change' THEN 1 ELSE 0 END), 0) AS BIGINT) AS no_update_count,
+       |  CAST(COALESCE(SUM(CASE WHEN change_type='update' THEN 1 ELSE 0 END), 0) AS BIGINT) AS update_count,
+       |  CAST(COALESCE(SUM(CASE WHEN change_type='insert' THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_inserts_count,
+       |  CAST(COALESCE(SUM(CASE WHEN change_type='reactivate' THEN 1 ELSE 0 END), 0) AS BIGINT) AS reactivate_count,
+       |  CAST(COALESCE(SUM(CASE WHEN change_type='version' THEN 1 ELSE 0 END), 0) AS BIGINT) AS version_count,
+       |  CAST(COALESCE(SUM(CASE WHEN change_type='deactivate' THEN 1 ELSE 0 END), 0) AS BIGINT) AS deactivate_count,
        |  'orders_scd' AS table_name, 'b1' AS batch_id
        |FROM c""".stripMargin
 

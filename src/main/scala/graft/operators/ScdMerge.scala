@@ -90,8 +90,11 @@ object ScdMerge {
 
     // Dedup policy for duplicate incoming keys (the plpgsql scalar subquery
     // would *error* on them — SURVEY.md §7.4): keep the max value per key,
-    // deterministically.
-    val incW = Window.partitionBy(k: _*).orderBy(col(valueCol).desc_nulls_last)
+    // deterministically — payload columns are final tiebreakers so rows
+    // tied on value still resolve the same way every run/partitioning.
+    val incW = Window.partitionBy(k: _*).orderBy(
+      col(valueCol).desc_nulls_last +:
+        payloads.map(p => col(p).desc_nulls_last): _*)
     val inc = incoming
       .withColumn("__rn", row_number().over(incW))
       .filter(col("__rn") === 1).drop("__rn")
@@ -109,8 +112,9 @@ object ScdMerge {
       target.withColumn(activeCol, lit(true))
         .withColumn(updatedAtCol, lit(null).cast("timestamp"))
     val tgtW = Window.partitionBy(k: _*)
-      .orderBy(col(activeCol).desc, col(updatedAtCol).desc_nulls_last,
-        col(valueCol).desc_nulls_last)
+      .orderBy(Seq(col(activeCol).desc, col(updatedAtCol).desc_nulls_last,
+        col(valueCol).desc_nulls_last) ++
+        payloads.map(p => col(p).desc_nulls_last): _*)
     val tgt = tgtN
       .withColumn("__cur", row_number().over(tgtW) === 1)
       .withColumn("__t_present", lit(true))
@@ -204,8 +208,12 @@ object ScdMerge {
     * One partial+final hash aggregation over the merge output.
     */
   def counters(merged: DataFrame, batchId: Column, tableName: String): DataFrame = {
+    // coalesce: sum() over an EMPTY merge (first run, empty batch) is NULL,
+    // but the reference zero-initializes log_counts per batch
+    // (ipynb:191-196) — and a NULL here NPEs any getAs[Long] consumer
     def cnt(tag: String): Column =
-      sum(when(col(ChangeCol) === tag, 1).otherwise(0)).cast("long")
+      coalesce(sum(when(col(ChangeCol) === tag, 1).otherwise(0)), lit(0))
+        .cast("long")
     // Faithful to the reference: only the no-op / update / insert branches
     // bump counters (SQL:38-40,52-54,112-114); reactivate and version only
     // RAISE NOTICE (SQL:58-91), so they get their own informational columns.

@@ -91,9 +91,15 @@ object WorldBanksPipeline {
     val good = cleansed.filter(!bad)
     val reasons = concat_ws(",", requiredCols.map(c =>
       when(col(c).isNull, lit(c))): _*)
+    // Join back to raw on the TRIMMED raw key, null-safely: the cleansed
+    // key is trim()'d (F1), so an equi-join on the raw key would miss
+    // exactly the whitespace-padded scraped rows quarantine exists for —
+    // and a NULL key never equi-joins at all.
+    val rawK = raw.withColumn("__qk", trim(col(joinKey))).drop(joinKey)
     val quarantined = cleansed.filter(bad)
       .select(col(joinKey), reasons.as("null_fields"))
-      .join(raw, Seq(joinKey), "left")
+      .join(rawK, col(joinKey) <=> col("__qk"), "left")
+      .drop("__qk")
     (good, quarantined)
   }
 
@@ -166,8 +172,13 @@ object WorldBanksPipeline {
       clock: Clock, batchId: Column): Result = {
     val banks = cleanseBanks(rawBanks, batchId)
     val rates = cleanseRates(rawRates, ratesYear, batchId)
-    val bankState = loadBanks(banks, bankTarget, clock, batchId)
-    val rateState = loadRates(rates, rateTarget, clock, batchId)
+    // persist: the merge output feeds TWO consumers (state write +
+    // counters) — uncached, each action re-runs the full-outer join,
+    // windows, and explode; at scale that is a whole extra pass. Lazy
+    // persist (not checkpoint) so a caller consuming only one output pays
+    // only one evaluation; callers may unpersist after the batch commits.
+    val bankState = loadBanks(banks, bankTarget, clock, batchId).persist()
+    val rateState = loadRates(rates, rateTarget, clock, batchId).persist()
     Result(
       worldBankData = bankState,
       exchangeRates = rateState,

@@ -42,9 +42,12 @@ object HtmlTable {
     * (`ipynb:98`).
     */
   def scanPositional(spark: SparkSession, path: String, tbodyIndex: Int): DataFrame =
+    // try_element_at: a malformed/short page (fewer tbodys than expected)
+    // yields NULL → zero rows for THAT file, instead of an ANSI
+    // INVALID_ARRAY_INDEX that kills the scan of the whole crawl directory
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("src_file"),
-        element_at(innerAll(col("value"), "tbody"), tbodyIndex + 1)
+        try_element_at(innerAll(col("value"), "tbody"), lit(tbodyIndex + 1))
           .as("tbody"))
       .select(col("src_file"),
         posexplode(innerAll(col("tbody"), "tr")).as(Seq("row_idx", "tr")))
@@ -56,21 +59,32 @@ object HtmlTable {
     * the `<th>` texts of the first `<thead>` row, data rows from the first
     * `<tbody>`. Header extraction is a 1-row collect — schema discovery,
     * the same boundary as CSV header inference.
+    *
+    * CONTRACT: `path` is ONE page (the reference parses a single page per
+    * call, ipynb:127). Pointed at a directory, the header row would come
+    * from an arbitrary file while data rows from all files merge with
+    * colliding row_idx and no provenance — use [[scanPositional]] (which
+    * carries `src_file`) for multi-page directories, or the `graft-html`
+    * DSv2 source for per-file parallel scans.
     */
   def scanFirst(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("wholetext", "true").text(path)
     val headers = raw
-      .select(element_at(innerAll(col("value"), "thead"), 1).as("thead"))
+      .select(try_element_at(innerAll(col("value"), "thead"), lit(1))
+        .as("thead"))
       .select(transform(innerAll(col("thead"), "th"), cellText(_)).as("hs"))
       .head().getSeq[String](0)
     val rows = raw
-      .select(element_at(innerAll(col("value"), "tbody"), 1).as("tbody"))
+      .select(try_element_at(innerAll(col("value"), "tbody"), lit(1))
+        .as("tbody"))
       .select(posexplode(innerAll(col("tbody"), "tr")).as(Seq("row_idx", "tr")))
       .select(col("row_idx"),
         transform(innerAll(col("tr"), "td"), cellText(_)).as("cells"))
       .filter(size(col("cells")) > 0)
+    // try_element_at: a data row with fewer <td>s than headers yields NULL
+    // cells (quarantine them downstream) instead of failing the scan
     headers.zipWithIndex.foldLeft(rows) { case (df, (h, i)) =>
-      df.withColumn(h, element_at(col("cells"), i + 1))
+      df.withColumn(h, try_element_at(col("cells"), lit(i + 1)))
     }.drop("cells")
   }
 

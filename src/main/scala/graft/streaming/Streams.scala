@@ -36,6 +36,12 @@ object Streams {
 
   /** @param dir the fixture directory (a FileStreamSource path must be a
     *             directory; the glob narrows it to the events table)
+    *
+    * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` for the
+    * session (the flag must hold for every micro-batch read, so it cannot
+    * be scoped to this call) — the same session-wide choice
+    * [[graft.Tables.events]] makes for the batch path. Any OTHER
+    * TIMESTAMP(NANOS) parquet read in the session will also see longs.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -86,7 +92,13 @@ object Streams {
       val t = us(e.ts)
       cur match {
         case Some(s) if t - s.lastTsUs <= GapMicros =>
-          cur = Some(s.copy(lastTsUs = t, n = s.n + 1, total = s.total + e.value))
+          // max/min, never plain assignment: batches are sorted internally
+          // but a LATER micro-batch can deliver an event older than the
+          // carried state — rewinding lastTsUs would make the next event
+          // see a phantom gap and falsely split the session
+          cur = Some(s.copy(lastTsUs = math.max(s.lastTsUs, t),
+            startUs = math.min(s.startUs, t),
+            n = s.n + 1, total = s.total + e.value))
         case Some(s) =>
           out += SessionOut(userId, s.sessionSeq, s.n, toTs(s.startUs),
             toTs(s.lastTsUs), s.total)
@@ -155,7 +167,18 @@ object Streams {
     val dupOfState = newBands
       .join(stateBands, Seq("band_idx", "band_key"), "left_semi")
       .select(col("doc_id")).distinct()
-    val dupWithinBatch = graft.operators.Dedup.minhashPairs(newDocs)
+    // within-batch collisions from the SAME band frame — calling
+    // minhashPairs(newDocs) here would recompute the whole signature
+    // pipeline a second time per micro-batch and drag in its global
+    // orderBy; the victim set is every doc colliding with a lower-id doc
+    // (doc_b of each a<b pair), exactly what pairExpand emits
+    graft.functions.VectorExprs.register(newDocs.sparkSession)
+    val dupWithinBatch = newBands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(graft.functions.VectorExprs.pairExpand(col("ids"))
+        .as(Seq("doc_a", "doc_b")))
       .select(col("doc_b").as("doc_id")).distinct()
     val victims = dupOfState.unionByName(dupWithinBatch).distinct()
     val admitted = newDocs.join(victims, Seq("doc_id"), "left_anti")

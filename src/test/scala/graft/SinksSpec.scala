@@ -70,4 +70,32 @@ class SinksSpec extends SparkSuite {
     Sinks.jdbcUpsert(merged, url, "rates", Seq("k"), props, dialect = dialect)
     assert(tableRows() == expected)
   }
+
+  test("jdbcUpsert binds NULL values with their JDBC type (Derby 22005)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_upsert_null;create=true"
+    val conn = DriverManager.getConnection(url)
+    // NULLable value + timestamp — SCD output carries NULL updated_at on
+    // every insert/version row, so the sink must bind typed nulls
+    try conn.createStatement().execute(
+      """CREATE TABLE "state" ("k" VARCHAR(32) NOT NULL PRIMARY KEY,
+        |  "v" DOUBLE, "updated_at" TIMESTAMP)""".stripMargin)
+    finally conn.close()
+    val df = Seq(("a", Some(1.0)), ("b", None))
+      .toDF("k", "v")
+      .withColumn("updated_at", lit(null).cast("timestamp"))
+    Sinks.jdbcUpsert(df, url, "state", Seq("k"), new Properties(),
+      dialect = Sinks.UpdateThenInsert())
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        """SELECT "k", "v", "updated_at" FROM "state" ORDER BY "k"""")
+      rs.next()
+      assert(rs.getString(1) == "a" && rs.getDouble(2) == 1.0)
+      rs.next()
+      assert(rs.getString(1) == "b")
+      rs.getDouble(2); assert(rs.wasNull())
+      assert(rs.getTimestamp(3) == null)
+    } finally c.close()
+  }
 }
