@@ -33,9 +33,12 @@ object Exact {
   def xsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(Dec)).cast(DecimalType(38, scale)).cast("double")
 
-  /** Deterministic average: exact rescaled sum / count, divided in double. */
+  /** Deterministic average: exact rescaled sum / count, divided in double.
+    * count(c), not count(*): xsum skips NULLs, so the divisor must too or
+    * a nullable column gets a silently deflated mean (AVG semantics).
+    */
   def xavg(c: Column, scale: Int = 6): Column =
-    xsum(c, scale) / count(lit(1))
+    xsum(c, scale) / count(c)
 
   /** DuckDB-SQL mirror of [[xsum]] for oracle queries. DuckDB's
     * decimal→decimal downscale cast truncates; `ROUND(decimal, n)` rounds
@@ -44,7 +47,7 @@ object Exact {
   def sqlSum(e: String, scale: Int = 2): String =
     s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(28,12))), $scale) AS DOUBLE)"
 
-  /** DuckDB-SQL mirror of [[xavg]]. */
+  /** DuckDB-SQL mirror of [[xavg]] (COUNT(expr) skips NULLs, like xavg). */
   def sqlAvg(e: String, scale: Int = 6): String =
-    s"(${sqlSum(e, scale)} / COUNT(*))"
+    s"(${sqlSum(e, scale)} / COUNT($e))"
 }

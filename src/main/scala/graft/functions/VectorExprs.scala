@@ -27,6 +27,12 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL when lengths differ or any compared element is NULL — exactly the
+  // zip_with(pads-with-null) + fold(null-propagates) behavior the
+  // equivalence above promises. Reading a null slot via getFloat would
+  // silently yield 0.0f and a finite WRONG product.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -42,10 +48,12 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,13 +65,16 @@ case class DotProductFloat(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -95,12 +106,15 @@ case class IntersectCountSorted(left: Expression, right: Expression)
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 
+  // NULL elements sort LAST (array_sort) and equal nothing, so reaching
+  // one ends the meaningful merge region — stop there instead of reading
+  // the slot as garbage 0L.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (n, m) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
-    while (i < n && j < m) {
+    while (i < n && j < m && !x.isNullAt(i) && !y.isNullAt(j)) {
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -118,7 +132,8 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       s"""
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $n && $j < $m) {
+         |while ($i < $n && $j < $m
+         |       && !$a.isNullAt($i) && !$b.isNullAt($j)) {
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }
          |  else if ($xv > $yv) { $j++; }

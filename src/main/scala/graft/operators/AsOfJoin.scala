@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 /** As-of (point-in-time) join: each left row picks the latest right row with
   * `rightTime <= leftTime` on the same key — the canonical
@@ -15,55 +16,75 @@ import org.apache.spark.sql.functions._
   * range-join blowup a naive `t_r <= t_l` join condition produces, and it
   * scales exactly like any keyed window at 100 TB.
   *
+  * The matched right row rides the window as ONE struct, so the picked
+  * (matched_time, valueCols) tuple is always an ACTUAL right row — a NULL
+  * inside a genuine right row's value column stays NULL in the output.
+  * (Per-column `last(v, ignoreNulls)` would skip the real NULL and pull
+  * that column from an OLDER row, emitting a value combination that exists
+  * nowhere on the right.)
+  *
   * Tie semantics: a right row at the same instant as a left row IS visible
   * (inclusive, right-sorts-first). Determinism: when the right side has
   * several rows at the same (key, time), the window order breaks the tie on
-  * the value columns themselves (ascending), so the picked row is always
-  * the one with the greatest value tuple — stable across retries and
-  * engines, never partition-order-dependent. (DuckDB's ASOF leaves this
-  * undefined; pre-aggregating the right side to unique (key, time) remains
-  * the recommended contract, and is what the oracle queries do. valueCols
-  * must be orderable types for the tiebreak — true of every column kind an
+  * the whole match struct (ascending), so the picked row is always the one
+  * with the greatest value tuple — stable across retries and engines, never
+  * partition-order-dependent. (DuckDB's ASOF leaves this undefined;
+  * pre-aggregating the right side to unique (key, time) remains the
+  * recommended contract, and is what the oracle queries do. valueCols must
+  * be orderable types for the tiebreak — true of every column kind an
   * as-of enrichment carries.)
+  *
+  * Left rows with a NULL time never match (both directions — without the
+  * explicit guard the descending forward order would sort them last and
+  * hand them a frame spanning every right row).
   */
 object AsOfJoin {
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+    val mType = StructType(
+      StructField("__rt", TimestampType) +:
+        valueCols.map(v => StructField(v, right.schema(v).dataType)))
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
+        lit(null).cast(mType).as("__m")) ++
+        leftPayload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
+        struct(col(rightTime).cast("timestamp").as("__rt") +:
+          valueCols.map(col): _*).as("__m")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // __side orders right before left at equal __t (inclusive visibility);
+    // __m as the final sort key is the deterministic tiebreak among right
+    // rows sharing (key, time) — left rows all carry NULL __m and tie.
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(timeOrd, col("__side").asc, col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      // the NULL-left-time guard: no otherwise() → NULL → filtered below
+      .withColumn("__matched", when(col("__t").isNotNull,
+        last(col("__m"), ignoreNulls = true).over(w)))
+      .filter(col("__side") === 1 && col("__matched").isNotNull)
+      .withColumn("matched_time", col("__matched")("__rt"))
+      .withColumns(valueCols.map(v => v -> col("__matched")(v)).toMap)
+      .drop("__t", "__side", "__m", "__matched")
+  }
 
   /** @param valueCols right-side columns carried to the matched left row
     * @return left rows that have a match, plus `matched_time` and valueCols
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      valueCols: Seq[String]): DataFrame = {
-    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
-    val l = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
-        lit(null).cast("timestamp").as("__rt")) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)) ++
-        leftPayload.map(col): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
-        col(rightTime).cast("timestamp").as("__rt")) ++
-        valueCols.map(col) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-
-    // valueCols as final sort keys: deterministic pick among right rows
-    // sharing (key, time) — left rows sort after right at equal __t via
-    // __side and contribute only ignored NULLs, so the extra keys are
-    // inert for them (see object scaladoc).
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc +: col("__side").asc +:
-        valueCols.map(col(_).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    l.unionByName(r)
-      .withColumn("matched_time", last(col("__rt"), ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(v =>
-        v -> last(col(v), ignoreNulls = true).over(w)).toMap)
-      .filter(col("__side") === 1 && col("matched_time").isNotNull)
-      .drop("__t", "__side", "__rt")
-  }
+      valueCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, valueCols,
+      forward = false)
 
   /** Forward as-of: each left row picks the EARLIEST right row with
     * `rightTime >= leftTime` — "next state change after this event". Same
@@ -73,33 +94,7 @@ object AsOfJoin {
     */
   def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      valueCols: Seq[String]): DataFrame = {
-    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
-    val l = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
-        lit(null).cast("timestamp").as("__rt")) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)) ++
-        leftPayload.map(col): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
-        col(rightTime).cast("timestamp").as("__rt")) ++
-        valueCols.map(col) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-
-    // same deterministic tiebreak as asOf: equal-(key, time) right rows
-    // order by value columns, so last() always lands on the greatest tuple
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc +: col("__side").asc +:
-        valueCols.map(col(_).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    l.unionByName(r)
-      .withColumn("matched_time", last(col("__rt"), ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(v =>
-        v -> last(col(v), ignoreNulls = true).over(w)).toMap)
-      .filter(col("__side") === 1 && col("matched_time").isNotNull)
-      .drop("__t", "__side", "__rt")
-  }
+      valueCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, valueCols,
+      forward = true)
 }

@@ -55,9 +55,12 @@ object Multimodal {
         // STUB decode: deterministic byte-derived stand-ins for
         // (decoded frame count, content checksum, header bytes)
         val headSum = r.media.take(8).map(b => (b & 0xff).toLong).sum
-        // STUB resize: stride-subsampled "thumbnail", hashed
-        val thumb = r.media.zipWithIndex
-          .collect { case (b, i) if i % ResizeStride == 0 => b }
+        // STUB resize: stride-subsampled "thumbnail", hashed. Index-stride
+        // loop, not zipWithIndex.collect — the tuple form boxes an
+        // N-element Array[(Byte, Int)] per row, tens of MB of garbage on a
+        // multi-MB payload
+        val thumb = Array.range(0, r.media.length, ResizeStride)
+          .map(r.media)
         digest.reset()
         val thumbHash = digest.digest(thumb).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.mime, r.media.length, hash, headSum,

@@ -40,6 +40,11 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("h"))
     df
+      // NULLs are not counted (COUNT DISTINCT semantics) — and unfiltered
+      // they would hash to NULL, which ranks FIRST in Spark's asc window
+      // but LAST in DuckDB's, silently evicting a real k-th hash on one
+      // engine only
+      .filter(col(valueCol).isNotNull)
       // dedup BEFORE hashing: the distinct shuffles cheap raw values with
       // map-side partial dedup, and md5 runs once per distinct value — not
       // once per input row
@@ -62,7 +67,8 @@ object Sketch {
   def sqlKmvDistinct(table: String, groupCol: String, valueCol: String): String =
     s"""WITH hashes AS (
        |  SELECT $groupCol, ${sqlTokenHash(s"CAST($valueCol AS VARCHAR)")} AS h
-       |  FROM (SELECT DISTINCT $groupCol, $valueCol FROM $table)
+       |  FROM (SELECT DISTINCT $groupCol, $valueCol FROM $table
+       |        WHERE $valueCol IS NOT NULL)
        |), ranked AS (
        |  SELECT $groupCol, h,
        |    ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY h) AS rk

@@ -60,42 +60,61 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))
         case _ => false
       }
-      // normalize bounds to (point, bound) with point on the left side
-      val lowers = conjs.collect { // point >= start
-        case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) => (a, b)
-        case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b)    => (b, a)
+      // normalize bounds to (point, start, end); BOTH orientations — the
+      // point relation may be either join child ("points JOIN ranges" or
+      // "ranges JOIN points"), and the un-rewritten mirror would silently
+      // stay a BroadcastNestedLoopJoin
+      def findSandwich(pFrom: Expression => Boolean,
+          bFrom: Expression => Boolean): Option[(Expression, Expression, Expression)] = {
+        val lowers = conjs.collect { // point >= start
+          case GreaterThanOrEqual(a, b) if pFrom(a) && bFrom(b) => (a, b)
+          case LessThanOrEqual(a, b) if bFrom(a) && pFrom(b)    => (b, a)
+        }
+        val uppers = conjs.collect { // point <= end
+          case LessThanOrEqual(a, b) if pFrom(a) && bFrom(b)    => (a, b)
+          case GreaterThanOrEqual(a, b) if bFrom(a) && pFrom(b) => (b, a)
+        }
+        (for {
+          (p1, s) <- lowers
+          (p2, e) <- uppers
+          if p1.semanticEquals(p2) && p1.dataType == TimestampType &&
+            s.dataType == TimestampType && e.dataType == TimestampType
+        } yield (p1, s, e)).headOption
       }
-      val uppers = conjs.collect { // point <= end
-        case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b)    => (a, b)
-        case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) => (b, a)
-      }
-      val sandwich = (for {
-        (p1, s) <- lowers
-        (p2, e) <- uppers
-        if p1.semanticEquals(p2) && p1.dataType == TimestampType &&
-          s.dataType == TimestampType && e.dataType == TimestampType
-      } yield (p1, s, e)).headOption
+      val sandwichL = findSandwich(fromLeft, fromRight)
+      val sandwichR =
+        if (sandwichL.isDefined) None else findSandwich(fromRight, fromLeft)
 
-      sandwich match {
-        case Some((p, s, e)) if !hasEqui =>
-          val bucket = conf.getConfString(BucketConf,
-            DefaultBucketMicros.toString).toLong
-          def toBucket(x: Expression): Expression =
-            IntegralDivide(UnixMicros(x), Literal(bucket))
-          val pb = Alias(toBucket(p), "__graft_pb")()
-          val newLeft = Project(left.output :+ pb, left)
-          val rb = AttributeReference("__graft_rb", LongType,
-            nullable = false)()
-          // Sequence is TimeZoneAwareExpression: the analyzer's
-          // ResolveTimeZone already ran, so stamp the session zone here or
-          // the expression stays unresolved (plan-validation failure)
-          val gen = Generate(
-            Explode(Sequence(toBucket(s), toBucket(e), None,
-              Some(conf.sessionLocalTimeZone))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(rb), child = right)
-          val newCond = (conjs :+ EqualTo(pb.toAttribute, rb)).reduce(And)
-          Project(j.output, Join(newLeft, gen, Inner, Some(newCond), hint))
+      def rewrite(p: Expression, s: Expression, e: Expression,
+          pointsLeft: Boolean): LogicalPlan = {
+        val bucket = conf.getConfString(BucketConf,
+          DefaultBucketMicros.toString).toLong
+        def toBucket(x: Expression): Expression =
+          IntegralDivide(UnixMicros(x), Literal(bucket))
+        val pb = Alias(toBucket(p), "__graft_pb")()
+        val rb = AttributeReference("__graft_rb", LongType,
+          nullable = false)()
+        val pointSide = if (pointsLeft) left else right
+        val rangeSide = if (pointsLeft) right else left
+        val newPoints = Project(pointSide.output :+ pb, pointSide)
+        // Sequence is TimeZoneAwareExpression: the analyzer's
+        // ResolveTimeZone already ran, so stamp the session zone here or
+        // the expression stays unresolved (plan-validation failure)
+        val gen = Generate(
+          Explode(Sequence(toBucket(s), toBucket(e), None,
+            Some(conf.sessionLocalTimeZone))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(rb), child = rangeSide)
+        val newCond = (conjs :+ EqualTo(pb.toAttribute, rb)).reduce(And)
+        val rewritten =
+          if (pointsLeft) Join(newPoints, gen, Inner, Some(newCond), hint)
+          else Join(gen, newPoints, Inner, Some(newCond), hint)
+        Project(j.output, rewritten)
+      }
+
+      (sandwichL, sandwichR) match {
+        case (Some((p, s, e)), _) if !hasEqui => rewrite(p, s, e, pointsLeft = true)
+        case (None, Some((p, s, e))) if !hasEqui => rewrite(p, s, e, pointsLeft = false)
         case _ => j
       }
   }

@@ -59,6 +59,19 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L)))
   }
 
+  test("mirrored orientation (ranges JOIN points) rewrites too") {
+    val (points, ranges) = fixture
+    val joined = ranges.join(points,
+      col("p_ts") >= col("r_start") && col("p_ts") <= col("r_end"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "rule did not fire on the mirrored orientation:\n" + plan)
+    assert(plan.contains("Generate"), "no interval explode:\n" + plan)
+    val got = joined.select(col("pid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L)))
+  }
+
   test("equi-keyed interval join is left untouched") {
     val (points, ranges) = fixture
     val joined = points.withColumn("k", col("pid") % 2)
