@@ -45,15 +45,25 @@ case class DotProductFloat(left: Expression, right: Expression)
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 
+  /** Schema-guaranteed non-null elements on BOTH sides → the per-element
+    * null branch can be compiled out of the hot loop entirely.
+    */
+  private def elementsNeverNull: Boolean =
+    Seq(left, right).forall(_.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = !elementsNeverNull
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -66,12 +76,15 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elementsNeverNull) ""
+        else s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
       s"""
          |int $n = $a.numElements();
          |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; !$bad && $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  $nullCheck
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
