@@ -17,10 +17,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a failed query records -1, never its elapsed-until-crash time — a
+    // near-zero "success" would hide the failure in the suite total
     def timeAll(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = try { fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      name -> t
     }.toMap
     // three passes: the first pays per-query codegen + JIT, so the min is
     // taken over two steady-state samples (one sample is not enough — a

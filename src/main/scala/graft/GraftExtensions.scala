@@ -34,18 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantileSketch].getName,
         VectorExprs.QuantileName),
       exprs => QuantileSketch(exprs(0),
-        percentages = exprs(1).eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray().toSeq,
-        capacity = exprs(2).eval(null).asInstanceOf[Number].intValue())
+        percentages = VectorExprs.foldDoubles(exprs(1)),
+        capacity = VectorExprs.foldInt(exprs(2)))
         .toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier(VectorExprs.HeavyName),
       new ExpressionInfo(classOf[HeavyHitters].getName,
         VectorExprs.HeavyName),
       exprs => HeavyHitters(exprs(0),
-        k = exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        capacity = exprs(2).eval(null).asInstanceOf[Number].intValue())
+        k = VectorExprs.foldInt(exprs(1)),
+        capacity = VectorExprs.foldInt(exprs(2)))
         .toAggregateExpression()))
   }
 }

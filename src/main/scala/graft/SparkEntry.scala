@@ -1481,8 +1481,8 @@ object SparkEntry {
     "sketch_percentile" -> sqlQuantileSketch,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
     "dedup_exact"       -> Dedup.sqlExact,
-    "dedup_minhash"     -> Dedup.sqlMinhashPairs,
-    "dedup_components"  -> Dedup.sqlConnectedComponents(Dedup.sqlMinhashPairs),
+    "dedup_minhash"     -> Dedup.sqlMinhashPairs(),
+    "dedup_components"  -> Dedup.sqlConnectedComponents(Dedup.sqlMinhashPairs()),
     "dedup_simhash"     -> Dedup.sqlSimhash,
     "dedup_simhash_pairs" -> Dedup.sqlSimhashPairs,
     "dedup_jaccard"     -> Dedup.sqlNgramJaccard,

@@ -99,8 +99,10 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
     * rejects. Read nanos as long (legacy flag) and truncate to micros with
-    * exact integer division (`div`, not `/` — a double round-trip of an
-    * epoch-nanos value loses precision). Oracles must mirror with
+    * exact FLOOR integer division (a double round-trip of an epoch-nanos
+    * value loses precision, and `div` truncates toward zero — a pre-epoch
+    * nanosecond would round the WRONG way vs DuckDB's flooring
+    * `CAST(TIMESTAMP_NS AS TIMESTAMP)`). Oracles must mirror with
     * `CAST(ts AS TIMESTAMP)` when they output the raw timestamp.
     */
   def events(s: SparkSession, d: String): DataFrame = {
@@ -108,7 +110,9 @@ object Tables {
     // user_id, not event_id: sessionization/windows partition by user, so
     // the spread exchange IS the window exchange (co-partitioning reuse).
     spread(apply(s, d, "events"), "user_id").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      org.apache.spark.sql.functions.expr(
+        // floor division: (ts - nonneg remainder) div 1000
+        "timestamp_micros((ts - ((ts % 1000 + 1000) % 1000)) div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame =
     spread(apply(s, d, "documents"), "doc_id")

@@ -48,10 +48,15 @@ case class PairExpand(child: Expression)
     else {
       val arr = data.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      // copy() once: ArrayData.get may return views into a shared buffer
+      // copy() once: ArrayData.get may return VIEWS into a shared buffer —
+      // rows, arrays, maps AND strings (UTF8String wraps the backing
+      // bytes); buffered views would be corrupted by the time later pairs
+      // are yielded
       val items = (0 until n).map(i => arr.get(i, elementType) match {
         case r: InternalRow => r.copy()
         case a: ArrayData   => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case s: org.apache.spark.unsafe.types.UTF8String   => s.clone()
         case other          => other
       })
       for {

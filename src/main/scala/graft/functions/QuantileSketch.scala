@@ -85,6 +85,8 @@ case class QuantileSketch(
       return new GenericArrayData(percentages.map(_ => null).toArray[Any])
     val sorted = buf.sortBy(_._1)
     val exact = sorted.forall(_._2 == 1L)
+    // hoisted: one O(n) pass, not one per requested percentage
+    val totalWeight = sorted.iterator.map(_._2).sum
     val out = percentages.map { p =>
       if (exact) {
         // DuckDB quantile_cont's exact expression, lo*(1-f) + hi*f — NOT
@@ -99,8 +101,7 @@ case class QuantileSketch(
         sorted(lo)._1 * (1 - frac) + sorted(hi)._1 * frac
       } else {
         // weighted nearest-rank over the compacted samples
-        val total = sorted.map(_._2).sum
-        val target = p * (total - 1)
+        val target = p * (totalWeight - 1)
         var acc = 0L
         var i = 0
         while (i < sorted.length - 1 && acc + sorted(i)._2 <= target) {

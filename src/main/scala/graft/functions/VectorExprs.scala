@@ -193,7 +193,7 @@ object VectorExprs {
         .toAggregateExpression(), "built-in")
   }
 
-  private def foldDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] =
+  private[graft] def foldDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] =
     e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         a.toDoubleArray().toSeq
@@ -201,7 +201,7 @@ object VectorExprs {
         s"expected array<double> literal, got $other")
     }
 
-  private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+  private[graft] def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt

@@ -35,10 +35,16 @@ object CorpusClean {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
       .select(col("keep_id"))
-    val nearDupVictims = Dedup.minhashPairs(docs)
-      .select(col("doc_b").as("victim")).distinct()
-    kept
+    val survivors = kept
       .join(exactKeep, col("doc_id") === col("keep_id"), "left_semi")
+    // near-dup pairs over the SURVIVORS, per the documented stage order —
+    // pairing the raw corpus would let a quality-REJECTED doc victimize
+    // its kept near-duplicate (both copies of the content vanish), and
+    // wastes signatures on docs already filtered out
+    val nearDupVictims = Dedup
+      .minhashPairs(survivors.select(col("doc_id"), col("text")))
+      .select(col("doc_b").as("victim")).distinct()
+    survivors
       .join(nearDupVictims, col("doc_id") === col("victim"), "left_anti")
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
         col("n_tokens"), col("quality_score"))
@@ -76,15 +82,17 @@ object CorpusClean {
        |  FROM m1 WHERE quality_score >= $QualityThreshold
        |), exact_keep AS (
        |  SELECT MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)
+       |), survivors AS (
+       |  SELECT * FROM kept
+       |  WHERE doc_id IN (SELECT keep_id FROM exact_keep)
        |), victims AS (
        |  SELECT DISTINCT doc_b AS victim FROM (
-       |    ${Dedup.sqlMinhashPairs.linesIterator.mkString("\n    ")}
+       |    ${Dedup.sqlMinhashPairs("survivors").linesIterator.mkString("\n    ")}
        |  )
        |)
        |SELECT doc_id, lang, predicted_lang, n_tokens, quality_score
-       |FROM kept
-       |WHERE doc_id IN (SELECT keep_id FROM exact_keep)
-       |  AND doc_id NOT IN (SELECT victim FROM victims)
+       |FROM survivors
+       |WHERE doc_id NOT IN (SELECT victim FROM victims)
        |ORDER BY doc_id""".stripMargin
   }
 }

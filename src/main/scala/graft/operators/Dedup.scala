@@ -176,7 +176,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def sqlMinhashPairs: String = {
+  /** @param table the (doc_id, text) relation to pair — a CTE name works
+    *               (the oracle composers pass their survivors CTE)
+    */
+  def sqlMinhashPairs(table: String = "documents"): String = {
     val sigDefs = (0 until MinhashK).map(j =>
       s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
     val bandRows = (0 until MinhashK / BandSize).map { b =>
@@ -185,7 +188,7 @@ object Dedup {
       s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH wordhashed AS (
-       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM documents
+       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM $table
        |  WHERE len(${sqlWords("text")}) >= $ShingleK
        |), hashed AS (
        |  SELECT doc_id, ${sqlShingleHashes("wh", ShingleK)} AS hs
@@ -335,7 +338,7 @@ object Dedup {
 
   def sqlCanonical: String =
     s"""WITH RECURSIVE pairs AS (
-       |  ${sqlMinhashPairs.linesIterator.mkString("\n  ")}
+       |  ${sqlMinhashPairs().linesIterator.mkString("\n  ")}
        |),
        |$sqlComponentsCtes,
        |withcomp AS (
@@ -732,7 +735,7 @@ object Dedup {
 
   def sqlEditPairs: String =
     s"""WITH cand AS (
-       |  ${sqlMinhashPairs.linesIterator.mkString("\n  ")}
+       |  ${sqlMinhashPairs().linesIterator.mkString("\n  ")}
        |), t AS (
        |  SELECT doc_id, substr(text, 1, $EditPrefix) AS prefix FROM documents
        |)

@@ -61,11 +61,17 @@ object Sessionize {
        |FROM s GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
-  /** Built-in session-window operator — same session semantics as
-    * [[sessions]] (gap-merge at 30 min) through `session_window` instead of
-    * the lag/cumsum formulation; both are verified against the same oracle,
-    * which is exactly the point: two plans, one truth. The built-in form is
-    * the one that transfers directly to Structured Streaming state.
+  /** Built-in session-window operator — gap-merge sessions through
+    * `session_window` instead of the lag/cumsum formulation. The built-in
+    * form is the one that transfers directly to Structured Streaming
+    * state.
+    *
+    * BOUNDARY CAVEAT vs [[sessions]]: `session_window` is end-EXCLUSIVE —
+    * two events exactly `GapMicros` apart start a NEW session here
+    * (oracle: `gap >= GapMicros`), while [[sessions]] keeps them together
+    * (`gap > GapMicros`). Each operator has its own oracle encoding its
+    * own rule; swapping one for the other shifts counts at the exact
+    * boundary.
     */
   def sessionsBuiltin(events: DataFrame): DataFrame =
     events

@@ -25,6 +25,16 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltSource: Column, saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // small side is replicated saltBuckets× — join types that preserve
+    // UNMATCHED small rows (right/full) would emit each of them
+    // saltBuckets times; big-side-preserving types are safe
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
+        s"small-side rows $saltBuckets times (the small side is exploded " +
+        "per salt bucket); use an inner/left-preserving join type")
     val salted = big.withColumn("__salt",
       pmod(hash(saltSource), lit(saltBuckets)))
     val expanded = small.withColumn("__salt",

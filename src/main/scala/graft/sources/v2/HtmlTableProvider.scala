@@ -88,15 +88,32 @@ private[v2] class HtmlTableScan(options: CaseInsensitiveStringMap)
     val roots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     if (roots.isEmpty)
       throw new IllegalArgumentException(s"graft-html: no input matches $path")
-    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // hidden-path rule matches Spark's InMemoryFileIndex: exclude a file
+    // if any path segment BELOW the listed root starts with _ or . (job
+    // leftovers live under _temporary/attempt_*/...), and apply it to
+    // glob-matched files too — load("dir/*") must not parse _SUCCESS as a
+    // page. Segments above the root are the user's base path and exempt.
+    def visibleUnder(root: org.apache.hadoop.fs.Path,
+        p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     val files = roots.flatMap { st =>
-      if (st.isFile) Seq(st.getPath.toString)
-      else {
+      if (st.isFile) {
+        if (visibleUnder(st.getPath.getParent, st.getPath))
+          Seq(st.getPath.toString)
+        else Seq.empty
+      } else {
         val it = fs.listFiles(st.getPath, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && visible(f.getPath.getName))
+          if (f.isFile && visibleUnder(st.getPath, f.getPath))
             buf += f.getPath.toString
         }
         buf.toSeq
