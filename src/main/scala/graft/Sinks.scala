@@ -84,6 +84,8 @@ object Sinks {
           case LongType        => java.sql.Types.BIGINT
           case IntegerType     => java.sql.Types.INTEGER
           case ShortType       => java.sql.Types.SMALLINT
+          case ByteType        => java.sql.Types.TINYINT
+          case BinaryType      => java.sql.Types.VARBINARY
           case DoubleType      => java.sql.Types.DOUBLE
           case FloatType       => java.sql.Types.REAL
           case BooleanType     => java.sql.Types.BOOLEAN
@@ -121,19 +123,30 @@ object Sinks {
             (cols ++ keyCols)
         upd.toSeq :+ ins
     }
+    // resolve each statement's bind order to (row position, jdbc type)
+    // ONCE on the driver — the per-row loop then binds positionally
+    // instead of doing a schema-map lookup per row × column × statement
+    val fieldIdx = df.schema.fieldNames.zipWithIndex.toMap
+    val binds: Seq[(String, Array[(Int, Int)])] = statements.map {
+      case (sql, names) =>
+        sql -> names.map(cn => (fieldIdx(cn), sqlType(cn))).toArray
+    }
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
-        val sts = statements.map { case (sql, b) => conn.prepareStatement(sql) -> b }
+        val sts = binds.map { case (sql, b) => conn.prepareStatement(sql) -> b }
         try {
           var n = 0
           rows.foreach { r =>
-            sts.foreach { case (st, names) =>
-              names.zipWithIndex.foreach { case (cn, i) =>
-                val v = r.get(r.fieldIndex(cn))
-                if (v == null) st.setNull(i + 1, sqlType(cn))
+            sts.foreach { case (st, bs) =>
+              var i = 0
+              while (i < bs.length) {
+                val (pos, tpe) = bs(i)
+                val v = r.get(pos)
+                if (v == null) st.setNull(i + 1, tpe)
                 else st.setObject(i + 1, v)
+                i += 1
               }
               st.addBatch()
             }

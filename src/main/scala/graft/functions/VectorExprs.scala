@@ -203,8 +203,10 @@ object VectorExprs {
 
   private[graft] def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
+      // one Number case covers every boxed integral width (a SQL
+      // CAST(... AS SMALLINT/TINYINT) arrives as Short/Byte)
+      case n: java.lang.Number => n.intValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
       case other => throw new IllegalArgumentException(
         s"expected integer literal, got $other")
     }

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   *
   * Left rows with a NULL time never match (both directions — without the
   * explicit guard the descending forward order would sort them last and
-  * hand them a frame spanning every right row).
+  * hand them a frame spanning every right row). Right rows with a NULL
+  * time are dropped before the union for the mirror reason.
   */
 object AsOfJoin {
 
@@ -58,6 +59,11 @@ object AsOfJoin {
         struct(col(rightTime).cast("timestamp").as("__rt") +:
           valueCols.map(col): _*).as("__m")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      // NULL-time right rows can never legitimately match, but their __m
+      // struct is NON-null (a struct of NULL fields), so left unfiltered
+      // they would sort NULLS-FIRST into every frame and surface as
+      // phantom matches with matched_time = NULL
+      .filter(col("__t").isNotNull)
 
     // __side orders right before left at equal __t (inclusive visibility);
     // __m as the final sort key is the deterministic tiebreak among right

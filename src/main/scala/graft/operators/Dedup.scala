@@ -165,15 +165,27 @@ object Dedup {
     // bucket — exactly the LSH contract — and runs through the LAZY
     // [[graft.functions.PairExpand]] generator, so a hot bucket costs
     // O(n) memory, never an O(n²) materialized pair array.
-    graft.functions.VectorExprs.register(docs.sparkSession)
-    minhashBands(docs)
+    bandCollisionPairs(minhashBands(docs))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Expand a precomputed (doc_id, band_idx, band_key) frame into the
+    * (doc_a < doc_b) pairs colliding in at least one band — the shared
+    * bands→pairs step of [[minhashPairs]] and the streaming
+    * [[graft.streaming.Streams.dedupBatch]] (which reuses its own bands
+    * frame across the state probe and this expansion). One definition so
+    * the batch and streaming victim policies can never diverge. Output is
+    * NOT deduplicated: callers that need unique pairs apply `.distinct()`.
+    */
+  def bandCollisionPairs(bands: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(bands.sparkSession)
+    bands
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(graft.functions.VectorExprs.pairExpand(col("ids"))
         .as(Seq("doc_a", "doc_b")))
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** @param table the (doc_id, text) relation to pair — a CTE name works

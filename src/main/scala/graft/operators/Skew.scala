@@ -27,11 +27,12 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     // small side is replicated saltBuckets× — join types that preserve
     // UNMATCHED small rows (right/full) would emit each of them
-    // saltBuckets times; big-side-preserving types are safe
-    val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
-    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
-      allowed.contains(joinType.toLowerCase),
+    // saltBuckets times; big-side-preserving types are safe. The set
+    // holds the underscore-squashed forms of every Spark alias,
+    // including the bare "semi"/"anti" spellings.
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
         s"small-side rows $saltBuckets times (the small side is exploded " +
         "per salt bucket); use an inner/left-preserving join type")

@@ -30,7 +30,18 @@ object WorldBanksPipeline {
       exchangeRates: DataFrame,
       bankCounters: DataFrame,
       rateCounters: DataFrame,
-      processLogs: DataFrame)
+      processLogs: DataFrame) {
+    /** Release the cached merge outputs once the batch's writes commit.
+      * [[run]] persists both state frames (each feeds two consumers);
+      * a long-lived session looping over batches without this call
+      * accumulates two cached frames per batch until the block manager
+      * starts evicting.
+      */
+    def unpersist(): Unit = {
+      worldBankData.unpersist()
+      exchangeRates.unpersist()
+    }
+  }
 
   // ------------------------------------------------------------- cleansing
   /** Bank-table cleansing (ipynb:79-102): trim scraped cells (F1), parse the
@@ -94,8 +105,17 @@ object WorldBanksPipeline {
     // Join back to raw on the TRIMMED raw key, null-safely: the cleansed
     // key is trim()'d (F1), so an equi-join on the raw key would miss
     // exactly the whitespace-padded scraped rows quarantine exists for —
-    // and a NULL key never equi-joins at all.
-    val rawK = raw.withColumn("__qk", trim(col(joinKey))).drop(joinKey)
+    // and a NULL key never equi-joins at all. The raw side is first
+    // reduced to ONE deterministic representative per key (min over the
+    // whole attribute struct): raw scrapes can carry duplicate — or, for
+    // NULL keys, indistinguishable — rows, and a many-to-many join would
+    // fan each quarantined row out across ALL of them (N NULL-key rows →
+    // N×N quarantine records). One attribution per reject is the contract.
+    val rawCols = raw.columns.toSeq.filterNot(_ == joinKey)
+    val rawK = raw.withColumn("__qk", trim(col(joinKey)))
+      .groupBy(col("__qk"))
+      .agg(min(struct(rawCols.map(col): _*)).as("__r"))
+      .select(col("__qk") +: rawCols.map(c => col(s"__r.$c").as(c)): _*)
     val quarantined = cleansed.filter(bad)
       .select(col(joinKey), reasons.as("null_fields"))
       .join(rawK, col(joinKey) <=> col("__qk"), "left")
@@ -176,7 +196,7 @@ object WorldBanksPipeline {
     // counters) — uncached, each action re-runs the full-outer join,
     // windows, and explode; at scale that is a whole extra pass. Lazy
     // persist (not checkpoint) so a caller consuming only one output pays
-    // only one evaluation; callers may unpersist after the batch commits.
+    // only one evaluation; call Result.unpersist() after the batch commits.
     val bankState = loadBanks(banks, bankTarget, clock, batchId).persist()
     val rateState = loadRates(rates, rateTarget, clock, batchId).persist()
     Result(

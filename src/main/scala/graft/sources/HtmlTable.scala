@@ -69,11 +69,15 @@ object HtmlTable {
     */
   def scanFirst(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("wholetext", "true").text(path)
-    val headers = raw
+    val headers = Option(raw
       .select(try_element_at(innerAll(col("value"), "thead"), lit(1))
         .as("thead"))
       .select(transform(innerAll(col("thead"), "th"), cellText(_)).as("hs"))
-      .head().getSeq[String](0)
+      .head().getSeq[String](0)).getOrElse(Seq.empty)
+    // fail with file context, not a bare NPE/empty schema: a page without
+    // a <thead> (or with an empty one) has no named columns to discover
+    require(headers.nonEmpty,
+      s"graft-html scanFirst: no <thead> with <th> cells found in $path")
     val rows = raw
       .select(try_element_at(innerAll(col("value"), "tbody"), lit(1))
         .as("tbody"))

@@ -171,14 +171,8 @@ object Streams {
     // minhashPairs(newDocs) here would recompute the whole signature
     // pipeline a second time per micro-batch and drag in its global
     // orderBy; the victim set is every doc colliding with a lower-id doc
-    // (doc_b of each a<b pair), exactly what pairExpand emits
-    graft.functions.VectorExprs.register(newDocs.sparkSession)
-    val dupWithinBatch = newBands
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(graft.functions.VectorExprs.pairExpand(col("ids"))
-        .as(Seq("doc_a", "doc_b")))
+    // (doc_b of each a<b pair), exactly what the shared expansion emits
+    val dupWithinBatch = graft.operators.Dedup.bandCollisionPairs(newBands)
       .select(col("doc_b").as("doc_id")).distinct()
     val victims = dupOfState.unionByName(dupWithinBatch).distinct()
     val admitted = newDocs.join(victims, Seq("doc_id"), "left_anti")

@@ -90,6 +90,16 @@ class HtmlTableSpec extends SparkSuite {
     assert(names == Set("JPMorgan Chase", "Goldman Sachs"))
   }
 
+  test("scanFirst on a page without <thead> fails with the file path") {
+    val path = write("nohead.html",
+      "<html><body><table><tbody><tr><td>1</td></tr></tbody></table></body></html>")
+    val ex = intercept[IllegalArgumentException] {
+      HtmlTable.scanFirst(spark, path)
+    }
+    assert(ex.getMessage.contains("no <thead>") &&
+      ex.getMessage.contains("nohead.html"))
+  }
+
   test("extract composes into cleanse -> enrich (S2 + ipynb projection + J5)") {
     val banksPath = write("banks.html", wikiHtml)
     val ratesPath = write("rates.html", irsHtml)

@@ -140,6 +140,27 @@ class OpsSpec extends SparkSuite {
     assert(fwd.length == 1 && fwd.head.getAs[Double]("v") == 7.0)
   }
 
+  test("as-of join: NULL right timestamps never match (no phantom rows)") {
+    val right = Seq(
+      ("k1", null.asInstanceOf[String], 9.0),
+      ("k1", "2026-01-01 00:00:00", 7.0),
+      ("k2", null.asInstanceOf[String], 5.0)).toDF("k", "rt", "v")
+      .withColumn("rt", col("rt").cast("timestamp"))
+    val left = Seq(
+      ("k1", "2026-01-02 00:00:00"),
+      ("k2", "2026-01-02 00:00:00")).toDF("k", "lt")
+      .withColumn("lt", col("lt").cast("timestamp"))
+    // k1 matches its one real row; k2's only candidate has a NULL time —
+    // it must vanish, not surface as a matched_time = NULL row
+    val back = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .collect()
+    assert(back.length == 1 && back.head.getAs[String]("k") == "k1" &&
+      back.head.getAs[Double]("v") == 7.0)
+    val fwd = AsOfJoin.asOfForward(left, right, Seq("k"), "lt", "rt",
+      Seq("v")).collect()
+    assert(fwd.isEmpty) // no right row at-or-after either left time
+  }
+
   test("exact dedup collapses identical text to min doc_id") {
     val d = docsOf((5, "x y z"), (3, "x y z"), (9, "p q r"))
     val out = Dedup.exact(d).collect()

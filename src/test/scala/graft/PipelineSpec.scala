@@ -132,6 +132,26 @@ class PipelineSpec extends SparkSuite {
     assert(q.head.getAs[String]("market_cap_usd") == "not-a-number")
   }
 
+  test("quarantine: duplicate/NULL raw keys attribute once, never fan out") {
+    // two NULL-key raw rows: the null-safe join key matches BOTH raw rows
+    // for EACH quarantined row — without the representative reduction the
+    // output would be 2×2 = 4 quarantine records
+    val raw = Seq(
+      (null.asInstanceOf[String], "x"),
+      (null.asInstanceOf[String], "y"),
+    ).toDF("bank_name", "market_cap_usd")
+      .withColumn("lastmod_text",
+        lit("This page was last edited on 21 August 2024, at 10:30"))
+    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"))
+    val (good, quarantined) = WorldBanksPipeline.splitQuarantine(
+      cleansed, raw, Seq("market_cap_usd"), "bank_name")
+    assert(good.count() == 0)
+    val q = quarantined.collect()
+    assert(q.length == 2)
+    // deterministic representative: min over the raw attribute struct
+    assert(q.forall(_.getAs[String]("market_cap_usd") == "x"))
+  }
+
   test("year sniffing picks the first 4-digit header (F5)") {
     assert(WorldBanksPipeline.sniffYear(
       Seq("Country", "Currency", "2024", "2023")).contains("2024"))

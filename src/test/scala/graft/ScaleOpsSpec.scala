@@ -28,6 +28,20 @@ class ScaleOpsSpec extends SparkSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("salted join: accepts the bare semi alias, rejects right-preserving") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val semi = Skew.saltedJoin(li, o, "l_orderkey",
+      col("l_linenumber"), saltBuckets = 4, joinType = "semi")
+    assert(semi.count() == li.join(o, Seq("l_orderkey"), "semi").count())
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(li, o, "l_orderkey", col("l_linenumber"), 4, "right")
+    }
+    assert(ex.getMessage.contains("duplicate unmatched"))
+  }
+
   test("batch-partitioned sink: dynamic overwrite touches only new batches") {
     val base = Files.createTempDirectory("graft_sink").toString
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
