@@ -1384,6 +1384,7 @@ object SparkEntry {
     "dedup_minhash"     -> ((s, d) => Dedup.minhashPairs(docs(s, d))),
     "dedup_components"  -> ((s, d) =>
       Dedup.connectedComponents(Dedup.minhashPairs(docs(s, d)))),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(docs(s, d))),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "dedup_jaccard"     -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
@@ -1406,11 +1407,13 @@ object SparkEntry {
     "text_langid_ngram" -> ((s, d) => TextOps.langIdNgram(docs(s, d)).orderBy(col("doc_id"))),
     "text_winnow"       -> ((s, d) => TextOps.winnow(docs(s, d))),
     "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d))),
+    "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
     "corpus_mix"        -> ((s, d) => TrainingData.mixture(docs(s, d))),
+    "corpus_mix_temp"   -> ((s, d) => TrainingData.mixtureTemperature(docs(s, d))),
     "text_repetition"   -> ((s, d) => TrainingData.repetition(docs(s, d))),
     "events_redact"     -> ((s, d) => TrainingData.redact(Tables.events(s, d))),
     "decon_overlap"     -> ((s, d) => TrainingData.decontaminate(docs(s, d))),
@@ -1483,6 +1486,7 @@ object SparkEntry {
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs(),
     "dedup_components"  -> Dedup.sqlConnectedComponents(Dedup.sqlMinhashPairs()),
+    "dedup_cluster_stats" -> Dedup.sqlClusterStats,
     "dedup_simhash"     -> Dedup.sqlSimhash,
     "dedup_simhash_pairs" -> Dedup.sqlSimhashPairs,
     "dedup_jaccard"     -> Dedup.sqlNgramJaccard,
@@ -1502,11 +1506,13 @@ object SparkEntry {
     "text_langid_ngram" -> TextOps.sqlLangIdNgram,
     "text_winnow"       -> TextOps.sqlWinnow,
     "text_winnow_pairs" -> TextOps.sqlWinnowPairs,
+    "text_source_overlap" -> TextOps.sqlSourceOverlap,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_pack"       -> TrainingData.sqlPack,
     "corpus_mix"        -> TrainingData.sqlMixture,
+    "corpus_mix_temp"   -> TrainingData.sqlMixtureTemperature,
     "text_repetition"   -> TrainingData.sqlRepetition,
     "events_redact"     -> TrainingData.sqlRedact,
     "decon_overlap"     -> TrainingData.sqlDecontaminate,

@@ -316,6 +316,38 @@ object Dedup {
        |SELECT doc_id, component FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-cluster size profile: for each cluster size, how many
+    * near-duplicate clusters of that size the corpus carries — the
+    * one-page answer to "is duplication a few giant boilerplate clusters
+    * or a long tail of pairs?", which decides whether canonical selection
+    * ([[canonical]]) or plain victim-dropping is the right keep policy.
+    * Composes [[connectedComponents]] over [[minhashPairs]]; only docs
+    * that appear in some pair are clustered (singletons are not
+    * "clusters of 1" here, matching the components contract).
+    *
+    * Scale shape: the component frame is |clustered docs| rows — tiny
+    * versus the corpus — and both follow-up aggregations are integer-only
+    * hash aggs over it (no float, no window, no new corpus pass).
+    */
+  def clusterStats(docs: DataFrame): DataFrame =
+    connectedComponents(minhashPairs(docs))
+      .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("csize"))
+
+  def sqlClusterStats: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${sqlMinhashPairs().linesIterator.mkString("\n  ")}
+       |),
+       |$sqlComponentsCtes,
+       |sizes AS (
+       |  SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM comp GROUP BY component
+       |)
+       |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY csize
+       |ORDER BY csize""".stripMargin
+
   // ------------------------------------------------- canonical selection
   /** End-of-pipeline canonical-document selection: near-dup pairs →
     * connected components → ONE representative per cluster, longest doc

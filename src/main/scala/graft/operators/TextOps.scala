@@ -365,6 +365,51 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source content overlap: for each source pair, the number of
+    * distinct winnow fingerprints present in BOTH sources — the
+    * provenance-leakage measure a corpus audit wants before mixing
+    * crawls ("how much of source B is already in source A?"), per the
+    * fingerprint-sharing rationale of Schleimer et al. §5.
+    *
+    * Scale shape: [[winnow]]'s per-token window is the only corpus-scale
+    * stage; fingerprints then collapse to DISTINCT (source, fingerprint)
+    * — bounded by |fingerprint vocabulary| × |sources| — and the
+    * per-fingerprint source lists expand through the lazy pair generator
+    * with at most C(|sources|, 2) pairs per fingerprint. |sources| is
+    * domains/crawls (hundreds), never documents, so no bucket cap is
+    * needed: the blow-up factor is a constant of the catalog, not of
+    * corpus size.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    winnow(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("fingerprint")).distinct()
+      .groupBy(col("fingerprint"))
+      .agg(sort_array(collect_list(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(graft.functions.VectorExprs.pairExpand(col("ss"))
+        .as(Seq("src_a", "src_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sqlSourceOverlap: String =
+    s"""WITH w AS (
+       |  ${sqlWinnow.linesIterator.mkString("\n  ")}
+       |), sf AS (
+       |  SELECT DISTINCT d.source, w.fingerprint
+       |  FROM w JOIN documents d ON w.doc_id = d.doc_id
+       |), p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM sf a JOIN sf b
+       |    ON a.fingerprint = b.fingerprint AND a.source < b.source
+       |)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+       |FROM p GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   def sqlWinnowPairs: String =
     s"""WITH w AS (
        |  ${sqlWinnow.linesIterator.mkString("\n  ")}

@@ -241,6 +241,54 @@ object TrainingData {
        |    / CAST(COUNT(*) OVER () * n_tokens AS DOUBLE) AS uniform_weight
        |FROM per ORDER BY source""".stripMargin
 
+  /** Temperature-scaled source mixture at alpha = 1/2: multilingual /
+    * multi-source LM training samples source i proportionally to
+    * share_i^alpha (Conneau & Lample 2019 §3.1 introduced the scheme;
+    * mT5 and XLM-R tune alpha in [0.2, 0.7]), flattening the mixture so
+    * dominant sources shrink and tail sources surface. alpha = 1/2 is the
+    * one exponent with a cross-engine-exact implementation: IEEE 754
+    * requires sqrt correctly rounded (Spark's Math.sqrt and DuckDB's
+    * libm agree bit-for-bit), while a pow(share, 0.3) is transcendental
+    * and diverges in the last ulp — the same reason TF-IDF emits a
+    * rational idf. The boost column (temp_share / token_share, the
+    * upsampling factor relative to proportional sampling) is emitted
+    * UNNORMALIZED: the normalizing constant is a float sum whose addend
+    * order the engines would not agree on, and it cancels anyway when
+    * sources are compared.
+    *
+    * Scale shape: identical to [[mixture]] — one hash aggregation over
+    * the corpus; everything after runs on |sources| rows.
+    */
+  def mixtureTemperature(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy() // |sources| rows, not the corpus
+    docs.groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("tot", sum(col("n_tokens")).over(all)) // exact: integer
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("temp_share", sqrt(col("token_share")))
+      .select(col("source"), col("n_tokens"), col("token_share"),
+        col("temp_share"),
+        (col("temp_share") / col("token_share")).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  def sqlMixtureTemperature: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(SUM(len(${sqlWords("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), t AS (
+       |  SELECT source, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+       |      AS token_share
+       |  FROM per
+       |)
+       |SELECT source, n_tokens, token_share,
+       |  sqrt(token_share) AS temp_share,
+       |  sqrt(token_share) / token_share AS boost
+       |FROM t ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- redaction
   /** PII-style scrubbing: replace every digit run in the payload with a
     * mask and count the replacements. Pure map-side regex (codegen'd, no

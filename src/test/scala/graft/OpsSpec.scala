@@ -140,6 +140,53 @@ class OpsSpec extends SparkSuite {
     assert(fwd.length == 1 && fwd.head.getAs[Double]("v") == 7.0)
   }
 
+  test("cluster stats profile matches hand-built duplicate clusters") {
+    // {1,2,3} identical (one cluster of 3), {7,8} identical (one of 2),
+    // 9 unique (not clustered at all)
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtB = "one two three four five six seven eight nine ten eleven"
+    val d = docsOf((1, txtA), (2, txtA), (3, txtA),
+      (7, txtB), (8, txtB), (9, "totally unrelated content lives here now"))
+    val stats = Dedup.clusterStats(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(2L -> 1L, 3L -> 1L))
+  }
+
+  test("temperature mixture: sqrt flattening boosts tail sources more") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a a a a a a a", "big"),
+      (2L, "b b b b b b b b b b b b b b b b", "big"),
+      (3L, "c c c c", "small")).toDF("doc_id", "text", "source")
+    val m = graft.operators.TrainingData.mixtureTemperature(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val big = m("big"); val small = m("small")
+    // shares: 32/36 vs 4/36; temp_share = sqrt(share)
+    assert(big.getAs[Double]("token_share") > small.getAs[Double]("token_share"))
+    assert(small.getAs[Double]("boost") > big.getAs[Double]("boost"))
+    // sqrt really is the exponent: temp_share² recovers token_share
+    assert(math.abs(math.pow(big.getAs[Double]("temp_share"), 2) -
+      big.getAs[Double]("token_share")) < 1e-12)
+    // dominant sources are DOWN-weighted relative to proportional (<1 is
+    // impossible unnormalized — boost = 1/sqrt(share) ≥ 1 — so compare)
+    assert(math.abs(small.getAs[Double]("boost") / big.getAs[Double]("boost") -
+      math.sqrt((32.0 / 36) / (4.0 / 36))) < 1e-12)
+  }
+
+  test("source overlap counts shared fingerprints once per source pair") {
+    val shared = "the winnowing scheme selects minimum hashes from every " +
+      "window of consecutive kgram hashes producing stable fingerprints"
+    val d = Seq(
+      (1L, shared + " plus some extra words in source one", "sA"),
+      (2L, shared + " and different trailing content here too", "sB"),
+      (3L, "nothing in common with the others at all whatsoever really", "sC"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("src_a") == "sA" && r.getAs[String]("src_b") == "sB")
+    assert(r.getAs[Long]("n_shared_fp") >= 1)
+  }
+
   test("as-of join: NULL right timestamps never match (no phantom rows)") {
     val right = Seq(
       ("k1", null.asInstanceOf[String], 9.0),
