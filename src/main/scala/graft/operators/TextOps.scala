@@ -384,9 +384,12 @@ object TextOps {
     graft.functions.VectorExprs.register(docs.sparkSession)
     winnow(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("fingerprint")).distinct()
+      // collect_set, not distinct-then-collect_list: the set dedups
+      // (source, fingerprint) INSIDE the partial aggregate, so one hash
+      // exchange on fingerprint does the work of two (a distinct would
+      // shuffle on both columns first); sort_array restores determinism
       .groupBy(col("fingerprint"))
-      .agg(sort_array(collect_list(col("source"))).as("ss"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(graft.functions.VectorExprs.pairExpand(col("ss"))
         .as(Seq("src_a", "src_b")))

@@ -134,6 +134,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(n == 2, s"expected 2 induced hash exchanges, got $n:\n$p")
   }
 
+  test("text_source_overlap: set-dedup inside ONE fingerprint exchange") {
+    val p = planTree("text_source_overlap")
+    // the (source, fingerprint) dedup must happen inside collect_set's
+    // partial aggregate — a separate distinct would add an exchange
+    // partitioned on BOTH columns before the fingerprint aggregation
+    assert(!p.contains("hashpartitioning(source"),
+      "distinct-style source+fingerprint exchange crept back in:\n" + p)
+    assert(p.contains("collect_set"), p)
+  }
+
   test("semanticPairs: centroid assignment broadcasts, pairs join on cell") {
     // asserted on the pair stage directly: semanticDedup's component pass
     // checkpoints eagerly, which hides the upstream plan from the final tree
