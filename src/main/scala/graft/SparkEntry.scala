@@ -648,9 +648,10 @@ object SparkEntry {
         .otherwise(col("c_acctbal").cast("string")).as("market_cap_usd"),
       when(col("c_custkey") % 11 === 0, lit("garbage"))
         .otherwise(lit(goodLastmod)).as("lastmod_text"))
-    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"))
+    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"),
+      keepRaw = true)
     val (good, quarantined) = WorldBanksPipeline.splitQuarantine(
-      cleansed, raw, Seq("market_cap_usd", "last_modified_date"), "bank_name")
+      cleansed, Seq("market_cap_usd", "last_modified_date"), "bank_name")
     good.select(col("bank_name"), col("market_cap_usd"),
         col("last_modified_date"), lit("ok").as("status"),
         lit("").as("null_fields"))

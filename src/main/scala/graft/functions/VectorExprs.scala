@@ -203,10 +203,15 @@ object VectorExprs {
 
   private[graft] def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval(null) match {
-      // one Number case covers every boxed integral width (a SQL
-      // CAST(... AS SMALLINT/TINYINT) arrives as Short/Byte)
-      case n: java.lang.Number => n.intValue()
-      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      // integral widths only (a SQL CAST(... AS SMALLINT/TINYINT)
+      // arrives as Short/Byte) — a bare Number case would also match
+      // Double/Decimal and silently TRUNCATE a fractional k or capacity
+      case b: java.lang.Byte    => b.intValue()
+      case s: java.lang.Short   => s.intValue()
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long    => l.intValue()
+      case d: org.apache.spark.sql.types.Decimal
+        if d.toBigDecimal.isWhole => d.toInt
       case other => throw new IllegalArgumentException(
         s"expected integer literal, got $other")
     }

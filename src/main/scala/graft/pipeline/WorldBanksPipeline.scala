@@ -49,8 +49,9 @@ object WorldBanksPipeline {
     * cast the market cap (F9), stamp the batch (P4/O2).
     * Input columns: bank_name, market_cap_usd (string), lastmod_text.
     */
-  def cleanseBanks(raw: DataFrame, batchId: Column): DataFrame =
-    raw.select(
+  def cleanseBanks(raw: DataFrame, batchId: Column,
+      keepRaw: Boolean = false): DataFrame =
+    raw.select(Seq(
       trim(col("bank_name")).as("bank_name"),
       // try_cast: under ANSI a malformed scrape would kill the job; NULL +
       // quarantine ([[splitQuarantine]]) mirrors the reference's behavior
@@ -65,20 +66,30 @@ object WorldBanksPipeline {
           try_element_at(split(col("lastmod_text"), "on"), lit(2)),
           ","), 1)), lit("d MMMM yyyy")).cast("date")
         .as("last_modified_date"),
-      batchId.as("batch_id"))
+      batchId.as("batch_id")) ++ rawCarry(raw, keepRaw): _*)
+
+  /** keepRaw = true carries every raw input column as `raw_<name>` beside
+    * its cleansed form — the shape [[splitQuarantine]] consumes so each
+    * rejected row is attributed its OWN raw payload (a join-back on a
+    * non-unique key cannot do that: duplicate or NULL keys would either
+    * fan out or attribute a different row's — possibly parseable — value).
+    */
+  private def rawCarry(raw: DataFrame, keepRaw: Boolean): Seq[Column] =
+    if (keepRaw) raw.columns.toSeq.map(c => col(c).as(s"raw_$c")) else Nil
 
   /** Rates-table cleansing (ipynb:127-166): trim (F1), cast (F9), synthesize
     * the year-end date `31-12-<year>` (F6, ipynb:143), stamp the batch.
     * Input columns: country, currency, exchange_rate (string); `year` comes
     * from header sniffing ([[sniffYear]]) as in ipynb:131-139.
     */
-  def cleanseRates(raw: DataFrame, year: String, batchId: Column): DataFrame =
-    raw.select(
+  def cleanseRates(raw: DataFrame, year: String, batchId: Column,
+      keepRaw: Boolean = false): DataFrame =
+    raw.select(Seq(
       trim(col("country")).as("country"),
       trim(col("currency")).as("currency"),
       expr("try_cast(trim(exchange_rate) AS DOUBLE)").as("exchange_rate"),
       to_date(concat(lit("31-12-"), lit(year)), "dd-MM-yyyy").as("year"),
-      batchId.as("batch_id"))
+      batchId.as("batch_id")) ++ rawCarry(raw, keepRaw): _*)
 
   /** Header year sniffing (F5, ipynb:131-139): first header that is a
     * 4-digit number. Header rows are table metadata, so this is a driver-side
@@ -95,31 +106,26 @@ object WorldBanksPipeline {
     * errors neither kill the job (reference behavior) nor silently vanish
     * (reference's actual failure mode).
     */
-  def splitQuarantine(cleansed: DataFrame, raw: DataFrame,
+  def splitQuarantine(cleansed: DataFrame,
       requiredCols: Seq[String], joinKey: String)
       : (DataFrame, DataFrame) = {
+    // exact per-row attribution: the cleansed frame CARRIES its raw
+    // columns (cleanse with keepRaw = true), so no join back to the raw
+    // frame is needed — a key join cannot attribute exactly when keys
+    // are NULL or duplicated (fan-out, or a different — possibly
+    // parseable — row's payload shown for a failed row)
+    val carried = cleansed.columns.filter(_.startsWith("raw_")).toSeq
+    require(carried.nonEmpty,
+      "splitQuarantine needs a cleanse(keepRaw = true) frame: no raw_* " +
+        "columns to attribute rejects from")
     val bad = requiredCols.map(c => col(c).isNull).reduce(_ || _)
-    val good = cleansed.filter(!bad)
+    val good = cleansed.filter(!bad).drop(carried: _*)
     val reasons = concat_ws(",", requiredCols.map(c =>
       when(col(c).isNull, lit(c))): _*)
-    // Join back to raw on the TRIMMED raw key, null-safely: the cleansed
-    // key is trim()'d (F1), so an equi-join on the raw key would miss
-    // exactly the whitespace-padded scraped rows quarantine exists for —
-    // and a NULL key never equi-joins at all. The raw side is first
-    // reduced to ONE deterministic representative per key (min over the
-    // whole attribute struct): raw scrapes can carry duplicate — or, for
-    // NULL keys, indistinguishable — rows, and a many-to-many join would
-    // fan each quarantined row out across ALL of them (N NULL-key rows →
-    // N×N quarantine records). One attribution per reject is the contract.
-    val rawCols = raw.columns.toSeq.filterNot(_ == joinKey)
-    val rawK = raw.withColumn("__qk", trim(col(joinKey)))
-      .groupBy(col("__qk"))
-      .agg(min(struct(rawCols.map(col): _*)).as("__r"))
-      .select(col("__qk") +: rawCols.map(c => col(s"__r.$c").as(c)): _*)
     val quarantined = cleansed.filter(bad)
-      .select(col(joinKey), reasons.as("null_fields"))
-      .join(rawK, col(joinKey) <=> col("__qk"), "left")
-      .drop("__qk")
+      .select(col(joinKey) +: reasons.as("null_fields") +:
+        carried.filterNot(_ == s"raw_$joinKey")
+          .map(c => col(c).as(c.stripPrefix("raw_"))): _*)
     (good, quarantined)
   }
 

@@ -85,9 +85,21 @@ object HtmlTable {
       .select(col("row_idx"),
         transform(innerAll(col("tr"), "td"), cellText(_)).as("cells"))
       .filter(size(col("cells")) > 0)
+    // Uniquify header names before the fold: withColumn REPLACES an
+    // existing column, so a page with duplicate <th> texts (two empty
+    // headers is common in layout tables) would silently drop a column —
+    // and a header literally named "cells"/"row_idx" would clobber the
+    // working columns mid-fold. Duplicates get _2, _3, ... suffixes.
+    val reserved = scala.collection.mutable.Set("cells", "row_idx")
+    val unique = headers.map { h =>
+      val name = if (!reserved(h)) h
+        else Iterator.from(2).map(n => s"${h}_$n").find(!reserved(_)).get
+      reserved += name
+      name
+    }
     // try_element_at: a data row with fewer <td>s than headers yields NULL
     // cells (quarantine them downstream) instead of failing the scan
-    headers.zipWithIndex.foldLeft(rows) { case (df, (h, i)) =>
+    unique.zipWithIndex.foldLeft(rows) { case (df, (h, i)) =>
       df.withColumn(h, try_element_at(col("cells"), lit(i + 1)))
     }.drop("cells")
   }

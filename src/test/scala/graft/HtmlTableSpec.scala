@@ -90,6 +90,21 @@ class HtmlTableSpec extends SparkSuite {
     assert(names == Set("JPMorgan Chase", "Goldman Sachs"))
   }
 
+  test("scanFirst uniquifies duplicate and reserved header names") {
+    val path = write("dupheads.html",
+      """<html><body><table>
+        |<thead><tr><th>Name</th><th>Name</th><th>cells</th></tr></thead>
+        |<tbody><tr><td>a</td><td>b</td><td>c</td></tr></tbody>
+        |</table></body></html>""".stripMargin)
+    val df = HtmlTable.scanFirst(spark, path)
+    // withColumn would silently REPLACE a duplicate — both positions must
+    // survive, and a header named like the working column must not clash
+    assert(df.columns.toSeq == Seq("row_idx", "Name", "Name_2", "cells_2"))
+    val r = df.collect().head
+    assert(r.getAs[String]("Name") == "a" && r.getAs[String]("Name_2") == "b"
+      && r.getAs[String]("cells_2") == "c")
+  }
+
   test("scanFirst on a page without <thead> fails with the file path") {
     val path = write("nohead.html",
       "<html><body><table><tbody><tr><td>1</td></tr></tbody></table></body></html>")

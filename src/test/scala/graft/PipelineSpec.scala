@@ -120,9 +120,10 @@ class PipelineSpec extends SparkSuite {
     ).toDF("bank_name", "market_cap_usd")
       .withColumn("lastmod_text",
         lit("This page was last edited on 21 August 2024, at 10:30"))
-    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"))
+    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"),
+      keepRaw = true)
     val (good, quarantined) = WorldBanksPipeline.splitQuarantine(
-      cleansed, raw, Seq("market_cap_usd", "last_modified_date"), "bank_name")
+      cleansed, Seq("market_cap_usd", "last_modified_date"), "bank_name")
     assert(good.count() == 1)
     val q = quarantined.collect()
     assert(q.length == 1)
@@ -132,24 +133,28 @@ class PipelineSpec extends SparkSuite {
     assert(q.head.getAs[String]("market_cap_usd") == "not-a-number")
   }
 
-  test("quarantine: duplicate/NULL raw keys attribute once, never fan out") {
-    // two NULL-key raw rows: the null-safe join key matches BOTH raw rows
-    // for EACH quarantined row — without the representative reduction the
-    // output would be 2×2 = 4 quarantine records
+  test("quarantine: NULL/duplicate keys attribute each reject its OWN raw") {
+    // two NULL-key raw rows plus a duplicate-key pair where only one row
+    // fails: a key join-back would fan out (NULL <=> NULL matches both)
+    // or attribute the FAILED row the parseable sibling's payload; the
+    // carried raw columns keep attribution exact per row
     val raw = Seq(
       (null.asInstanceOf[String], "x"),
       (null.asInstanceOf[String], "y"),
+      ("Bank A", "1000.5"),
+      ("Bank A", "n/a"),
     ).toDF("bank_name", "market_cap_usd")
       .withColumn("lastmod_text",
         lit("This page was last edited on 21 August 2024, at 10:30"))
-    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"))
+    val cleansed = WorldBanksPipeline.cleanseBanks(raw, lit("b1"),
+      keepRaw = true)
     val (good, quarantined) = WorldBanksPipeline.splitQuarantine(
-      cleansed, raw, Seq("market_cap_usd"), "bank_name")
-    assert(good.count() == 0)
+      cleansed, Seq("market_cap_usd"), "bank_name")
+    assert(good.count() == 1) // the parseable Bank A row
     val q = quarantined.collect()
-    assert(q.length == 2)
-    // deterministic representative: min over the raw attribute struct
-    assert(q.forall(_.getAs[String]("market_cap_usd") == "x"))
+    assert(q.length == 3) // no fan-out: one record per rejected row
+    assert(q.map(_.getAs[String]("market_cap_usd")).toSet ==
+      Set("x", "y", "n/a")) // each reject shows ITS offending value
   }
 
   test("year sniffing picks the first 4-digit header (F5)") {
