@@ -1393,6 +1393,8 @@ object SparkEntry {
     "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
     "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
     "sim_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    "sim_recall"        -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d)), Similarity.ivfTopK(emb(s, d)))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
     "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
     // streaming twins driven to their FINAL state over real micro-batches
@@ -1495,6 +1497,8 @@ object SparkEntry {
     "sim_brute_topk"    -> Similarity.sqlBruteTopK,
     "sim_ann_lsh"       -> Similarity.sqlAnnTopK,
     "sim_ivf_topk"      -> Similarity.sqlIvfTopK,
+    "sim_recall"        -> Similarity.sqlRecall(
+      Similarity.sqlBruteTopK, Similarity.sqlIvfTopK),
     "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
     "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,

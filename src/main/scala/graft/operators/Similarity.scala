@@ -105,6 +105,41 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * metric an ANN index is tuned by (raise nprobe / planes until recall
+    * clears the target). Both inputs are (query_id, cand_id, ...) top-k
+    * frames; output is the hit fraction per query. The division is ONE
+    * exact-int-over-exact-int double op, so the oracle hash-matches
+    * (suite convention: never ROUND after a division).
+    *
+    * Scale shape: both sides are |Q| × k rows (the bounded query set,
+    * not the corpus) — the join and aggregate are negligible next to
+    * producing either ranking.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+
+  def sqlRecall(exactSql: String, approxSql: String): String =
+    s"""WITH exact_r AS (
+       |  ${exactSql.linesIterator.mkString("\n  ")}
+       |), approx_r AS (
+       |  ${approxSql.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT e.query_id,
+       |  CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM exact_r e LEFT JOIN approx_r a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
+
   // ------------------------------------------------------------ LSH ANN
   /** Random-hyperplane LSH (Charikar 2002, SimHash family applied to
     * real vectors): hyperplane j has integer coefficients

@@ -140,6 +140,18 @@ class OpsSpec extends SparkSuite {
     assert(fwd.length == 1 && fwd.head.getAs[Double]("v") == 7.0)
   }
 
+  test("recall@k: 1.0 on identical rankings, counts partial hits") {
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("query_id", "cand_id")
+    assert(Similarity.recallAtK(exact, exact).collect()
+      .forall(_.getAs[Double]("recall") == 1.0))
+    val approx = Seq((0L, 1L), (0L, 9L), (1L, 8L), (1L, 7L))
+      .toDF("query_id", "cand_id") // q0 hits 1 of 2, q1 hits none
+    val r = Similarity.recallAtK(exact, approx).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(0L -> 0.5, 1L -> 0.0))
+  }
+
   test("cluster stats profile matches hand-built duplicate clusters") {
     // {1,2,3} identical (one cluster of 3), {7,8} identical (one of 2),
     // 9 unique (not clustered at all)
