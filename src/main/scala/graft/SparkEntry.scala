@@ -1272,6 +1272,43 @@ object SparkEntry {
        |FROM f ORDER BY user_id, hour""".stripMargin
   }
 
+  // ------------------------------------------------- q42_ohlc
+  // OHLC bars per (event_type, hour): open/close are thin-argmax picks —
+  // min/max over struct(ts, event_id, value), the suite's
+  // argmax-not-window convention (one hash agg, no per-group sort; the
+  // event_id tiebreak makes duplicate timestamps deterministic) — high/
+  // low/count ride the SAME aggregate. One scan, one exchange.
+  private def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("hour").cast("timestamp_ntz").as("hour"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  // struct comparison is positional-lexicographic in both engines, and
+  // (ts, event_id) is unique, so the value field never drives the compare
+  private val sqlOhlc: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events
+      |)
+      |SELECT event_type, date_trunc('hour', ts) AS hour,
+      |  (min(struct_pack(t := ts, e := event_id, v := value))).v AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  (max(struct_pack(t := ts, e := event_id, v := value))).v AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM e GROUP BY 1, 2
+      |ORDER BY event_type, hour""".stripMargin
+
   // ------------------------------------------------- sketch_percentile
   // Bounded-state quantile sketch (functions.QuantileSketch): exact under
   // capacity — the sf0.01 oracle regime, where it reproduces quantile_cont
@@ -1428,6 +1465,7 @@ object SparkEntry {
     "graph_pagerank"    -> ((s, d) =>
       graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q40_gap_fill"      -> qGapFill _,
+    "q42_ohlc"          -> qOhlc _,
     "dedup_substring"   -> ((s, d) => Dedup.substringDup(docs(s, d))),
     "dedup_edit"        -> ((s, d) => Dedup.editPairs(docs(s, d))),
     "dedup_semantic"    -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
@@ -1527,6 +1565,7 @@ object SparkEntry {
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "q40_gap_fill"      -> sqlGapFill,
+    "q42_ohlc"          -> sqlOhlc,
     "dedup_substring"   -> Dedup.sqlSubstringDup,
     "dedup_edit"        -> Dedup.sqlEditPairs,
     "dedup_semantic"    -> Similarity.sqlSemanticDedup,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.AsOfJoin
+
+/** Property-based as-of join checks: the windowed single-shuffle
+  * formulation must agree row-for-row with a brute-force reference
+  * (per left row: filter eligible right rows, pick per the documented
+  * tiebreak) over random inputs that include NULL times on both sides,
+  * duplicate timestamps, duplicate whole rows, and keys present on only
+  * one side — exactly the edge classes where windowed rewrites break.
+  */
+class AsOfProperties extends SparkSuite {
+  import spark.implicits._
+
+  // tuples, not nested case classes — Spark cannot encode an inner class
+  private type L = (String, Option[Int], Int) // (k, lt, pay)
+  private type R = (String, Option[Int], Int) // (k, rt, v)
+
+  private val keys = Gen.oneOf("a", "b", "c")
+  private val times = Gen.option(Gen.chooseNum(0, 12))
+  private val lGen = Gen.listOfN(10, Gen.zip(keys, times, Gen.chooseNum(0, 99)))
+  private val rGen = Gen.listOfN(10, Gen.zip(keys, times, Gen.chooseNum(0, 9)))
+
+  private def sample[A](g: Gen[List[A]], seed: Long): List[A] =
+    g(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+
+  /** (k, lt, pay, matched_rt, v) per matched left ROW (duplicates kept). */
+  private def brute(ls: List[L], rs: List[R], forward: Boolean) =
+    ls.flatMap { case (lk, lt, pay) =>
+      lt.flatMap { t =>
+        val cands = rs.filter { case (rk, rt, _) => rk == lk &&
+          rt.exists(x => if (forward) x >= t else x <= t) }
+        if (cands.isEmpty) None
+        else {
+          // contract: nearest time wins; among equal times, the greatest
+          // (time, value) tuple — the deterministic struct tiebreak
+          val rts = cands.map(_._2.get)
+          val nearest = if (forward) rts.min else rts.max
+          val best = cands.filter(_._2.get == nearest).maxBy(_._3)
+          Some((lk, t, pay, best._2.get, best._3))
+        }
+      }
+    }.sorted
+
+  private def run(ls: List[L], rs: List[R], forward: Boolean) = {
+    val ldf = ls.toDF("k", "lt_s", "pay")
+      .withColumn("lt", col("lt_s").cast("timestamp"))
+    val rdf = rs.toDF("k", "rt_s", "v")
+      .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+    val out = if (forward)
+      AsOfJoin.asOfForward(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"))
+    else AsOfJoin.asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"))
+    out.select(col("k"), col("lt_s"), col("pay"),
+        (col("matched_time").cast("long")).cast("int").as("mt"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+      .toList.sorted
+  }
+
+  test("property: backward as-of equals the brute-force reference") {
+    for (seed <- 1L to 12L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      assert(run(ls, rs, forward = false) == brute(ls, rs, forward = false),
+        s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
+  test("property: forward as-of equals the brute-force reference") {
+    for (seed <- 21L to 32L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      assert(run(ls, rs, forward = true) == brute(ls, rs, forward = true),
+        s"seed=$seed left=$ls right=$rs")
+    }
+  }
+}
