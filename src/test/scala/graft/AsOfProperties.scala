@@ -77,4 +77,38 @@ class AsOfProperties extends SparkSuite {
         s"seed=$seed left=$ls right=$rs")
     }
   }
+
+  // ------------------------------------------------- range join property
+  // Same treatment for the bucket-explode range join: the rewrite must
+  // emit exactly the naive filter-join's rows, including ranges that span
+  // many buckets, zero-length ranges, inverted (empty) ranges, and
+  // duplicate points — for every bucket width relative to range lengths.
+  private val pGen = Gen.listOfN(12,
+    Gen.zip(keys, Gen.chooseNum(0, 120), Gen.chooseNum(0, 99)))
+  private val rangeGen = Gen.listOfN(8,
+    Gen.zip(keys, Gen.chooseNum(0, 120), Gen.chooseNum(-10, 60)))
+
+  test("property: bucketed range join equals the naive filter join") {
+    for (seed <- 41L to 50L; bucketSec <- Seq(1L, 7L, 1000L)) {
+      val ps = sample(pGen, seed)
+      val rgs = sample(rangeGen, seed + 100)
+        .map { case (k, s, len) => (k, s, s + len) } // len<0 ⇒ empty range
+      val pdf = ps.toDF("k", "p_s", "pay")
+        .withColumn("p", col("p_s").cast("timestamp"))
+      val rdf = rgs.toDF("k", "s_s", "e_s")
+        .withColumn("s", col("s_s").cast("timestamp"))
+        .withColumn("e", col("e_s").cast("timestamp"))
+      val got = graft.operators.RangeJoin.pointInRange(
+        pdf, rdf, Seq("k"), "p", "s", "e", bucketSec * 1000000L)
+        .select(col("k"), col("p_s"), col("pay"), col("s_s"), col("e_s"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4))).toList.sorted
+      val want = (for {
+        (pk, pt, pay) <- ps
+        (rk, s, e) <- rgs
+        if pk == rk && pt >= s && pt <= e
+      } yield (pk, pt, pay, s, e)).sorted
+      assert(got == want, s"seed=$seed bucket=${bucketSec}s")
+    }
+  }
 }
