@@ -1309,6 +1309,47 @@ object SparkEntry {
       |FROM e GROUP BY 1, 2
       |ORDER BY event_type, hour""".stripMargin
 
+  // ------------------------------------------------- q43_retention
+  // Cohort retention matrix: users grouped by first-seen week, counted
+  // once per (cohort, weeks-since-cohort) they were active in — THE
+  // product-analytics staple. Shape: per-user first week is one hash agg
+  // over the user-spread partitioning ([[Tables.events]] pre-spreads on
+  // user_id, so the agg reuses that exchange); distinct activity is a
+  // second agg on the same key; the user-keyed join co-locates on
+  // user_id; the final matrix agg runs on |users| × |weeks| rows. No
+  // window, no self-join of the raw events.
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = e.distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast("int").as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("weeks_since"), col("n_active"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  private val sqlRetention: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+      |  FROM events
+      |), first_seen AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+      |)
+      |SELECT f.cohort_week,
+      |  CAST(date_diff('day', f.cohort_week, e.week) / 7 AS INT)
+      |    AS weeks_since,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM e JOIN first_seen f ON e.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   // ------------------------------------------------- sketch_percentile
   // Bounded-state quantile sketch (functions.QuantileSketch): exact under
   // capacity — the sf0.01 oracle regime, where it reproduces quantile_cont
@@ -1466,6 +1507,7 @@ object SparkEntry {
       graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q40_gap_fill"      -> qGapFill _,
     "q42_ohlc"          -> qOhlc _,
+    "q43_retention"     -> qRetention _,
     "dedup_substring"   -> ((s, d) => Dedup.substringDup(docs(s, d))),
     "dedup_edit"        -> ((s, d) => Dedup.editPairs(docs(s, d))),
     "dedup_semantic"    -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
@@ -1566,6 +1608,7 @@ object SparkEntry {
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "q40_gap_fill"      -> sqlGapFill,
     "q42_ohlc"          -> sqlOhlc,
+    "q43_retention"     -> sqlRetention,
     "dedup_substring"   -> Dedup.sqlSubstringDup,
     "dedup_edit"        -> Dedup.sqlEditPairs,
     "dedup_semantic"    -> Similarity.sqlSemanticDedup,
