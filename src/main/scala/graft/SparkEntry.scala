@@ -1312,19 +1312,20 @@ object SparkEntry {
   // ------------------------------------------------- q43_retention
   // Cohort retention matrix: users grouped by first-seen week, counted
   // once per (cohort, weeks-since-cohort) they were active in — THE
-  // product-analytics staple. Shape: per-user first week is one hash agg
-  // over the user-spread partitioning ([[Tables.events]] pre-spreads on
-  // user_id, so the agg reuses that exchange); distinct activity is a
-  // second agg on the same key; the user-keyed join co-locates on
-  // user_id; the final matrix agg runs on |users| × |weeks| rows. No
-  // window, no self-join of the raw events.
+  // product-analytics staple. Shape: ONE scan, ONE user-keyed agg
+  // (collect_set of active weeks — bounded by the observed span in
+  // weeks, a catalog constant, never by event count), cohort = first of
+  // the sorted set, explode, then the |users|×|weeks|-row matrix agg.
+  // The naive first-seen-join formulation scans the 100 TB event stream
+  // TWICE and shuffles it for a join this version never does; the plan
+  // test pins the 2-exchange shape (user spread + matrix grouping).
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-    val firstSeen = e.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    val active = e.distinct()
-    active.join(firstSeen, Seq("user_id"))
+    e.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("week"))).as("weeks"))
+      .select(element_at(col("weeks"), 1).as("cohort_week"),
+        explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7)
           .cast("int").as("weeks_since"))

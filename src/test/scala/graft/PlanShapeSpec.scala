@@ -72,6 +72,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
   }
 
+  test("q42: OHLC is ONE aggregate pass — no window, no self-join") {
+    val p = planTree("q42_ohlc")
+    // a window/sort-per-group formulation would show Window or extra
+    // exchanges; thin argmax keeps it at the grouping exchange (plus the
+    // fixture-parallelism spread the events accessor applies)
+    assert(!p.contains("Window"), s"window crept into OHLC:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 hash exchanges, got $n:\n$p")
+  }
+
+  test("q43: retention is one scan, no join — 2 exchanges total") {
+    val p = planTree("q43_retention")
+    // collect_set formulation: user spread + matrix grouping. The
+    // first-seen-join version scanned events twice and showed a third
+    // exchange; a regression here means the single-pass shape was lost.
+    assert(!p.contains("Join"), s"join crept into retention:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 hash exchanges, got $n:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"events scanned more than once:\n$p")
+  }
+
   test("corpus_pack: corpus rows never funnel through one partition") {
     val p = planTree("corpus_pack")
     // the per-doc cumulative sum must be a hash-partitioned window (by
