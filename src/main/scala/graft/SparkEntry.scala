@@ -1058,25 +1058,38 @@ object SparkEntry {
 
   // ------------------------------------------------- q36_funnel
   // Conversion funnel: users who viewed, then clicked AFTER their first
-  // view, then purchased AFTER that first click — each stage is a
-  // first-event aggregate joined against the previous stage (strictly
-  // ordered chaining, not mere co-occurrence). All joins are
-  // hash-partitioned on user_id; at scale the three stage frames are tiny
-  // relative to the event stream.
+  // view, then purchased AFTER that first click (strictly ordered
+  // chaining, not mere co-occurrence). ONE scan, ONE user_id exchange:
+  // each stage's first-qualifying time is a windowed conditional min
+  // over the SAME user partition, referencing the previous stage's
+  // result — the join-per-stage formulation scanned the 100 TB event
+  // stream once PER STAGE (6 scans, 7 exchanges in the audit) for the
+  // identical answer. The final stage stack runs on 3 scalar counts.
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    v.select(lit("1_view").as("stage"), lit(1).as("one"))
-      .unionByName(c.select(lit("2_click_after_view").as("stage"), lit(1).as("one")))
-      .unionByName(p.select(lit("3_purchase_after_click").as("stage"), lit(1).as("one")))
-      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+    perUser
+      .agg(count(col("v_ts")).as("v"), count(col("c_ts")).as("c"),
+        count(col("p_ts")).as("p"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("v").as("n_users")),
+        struct(lit("2_click_after_view").as("stage"), col("c").as("n_users")),
+        struct(lit("3_purchase_after_click").as("stage"),
+          col("p").as("n_users")))).as("s"))
+      .select(col("s.stage"), col("s.n_users"))
       .orderBy(col("stage"))
   }
 
@@ -1141,9 +1154,16 @@ object SparkEntry {
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
-    val span = e.groupBy(col("event_type"))
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+    // span derives from HOURLY (min/max of truncated hours = truncated
+    // min/max ts). Physically Catalyst COLLAPSES this to a direct
+    // min/max over a second column-pruned scan — RemoveRedundantAggregates
+    // sees through the intermediate grouping, and the differing pushed
+    // filters then block exchange reuse. That is the right call without a
+    // cache (a 3-column min/max scan beats materializing the hourly
+    // shuffle); a deployment replaying many grids over one input would
+    // persist `hourly` instead.
+    val span = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val grid = span.select(col("event_type"),
       explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
@@ -1198,9 +1218,11 @@ object SparkEntry {
     val hourly = e
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(xavg(col("value")).as("v"))
-    // span from the ALREADY-aggregated hourly frame, not a second pass
-    // over raw events: date_trunc is monotone, so min/max(hour) equal
-    // date_trunc(min/max(ts)) — one events scan total
+    // span from the hourly frame (date_trunc is monotone, so min/max of
+    // hours = truncated min/max ts). NB the optimizer collapses this to a
+    // direct min/max over a second pruned scan rather than reusing the
+    // hourly exchange — cheaper without a cache; persist `hourly` when
+    // the input is remote and re-read cost dominates.
     val span = hourly.groupBy(col("user_id"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
     val grid = span.select(col("user_id"),
