@@ -1342,14 +1342,22 @@ object SparkEntry {
   // TWICE and shuffles it for a join this version never does; the plan
   // test pins the 2-exchange shape (user spread + matrix grouping).
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    // NULL-ts events carry no cohort signal and are dropped up front —
+    // without the filter, a user whose EVERY ts is NULL yields an empty
+    // collect_set and element_at(., 1) dies under ANSI (the fixtures
+    // have no NULL ts; a deployment's stream may)
     val e = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .filter(col("week").isNotNull)
     e.groupBy(col("user_id"))
       .agg(sort_array(collect_set(col("week"))).as("weeks"))
       .select(element_at(col("weeks"), 1).as("cohort_week"),
         explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"),
-        (datediff(col("week"), col("cohort_week")) / 7)
+        // div, not `/7 + cast`: the suite's integer-division rule — a
+        // fractional day diff would truncate in Spark but ROUND in
+        // DuckDB's CAST; div ↔ // is exact on both sides
+        expr("datediff(week, cohort_week) div 7")
           .cast("int").as("weeks_since"))
       .agg(count(lit(1)).as("n_active"))
       .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
@@ -1361,12 +1369,12 @@ object SparkEntry {
     """WITH e AS (
       |  SELECT DISTINCT user_id,
       |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
-      |  FROM events
+      |  FROM events WHERE ts IS NOT NULL
       |), first_seen AS (
       |  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
       |)
       |SELECT f.cohort_week,
-      |  CAST(date_diff('day', f.cohort_week, e.week) / 7 AS INT)
+      |  CAST(date_diff('day', f.cohort_week, e.week) // 7 AS INT)
       |    AS weeks_since,
       |  CAST(COUNT(*) AS BIGINT) AS n_active
       |FROM e JOIN first_seen f ON e.user_id = f.user_id
@@ -1494,8 +1502,13 @@ object SparkEntry {
     "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
     "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
     "sim_ivf_topk"      -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    // exact side truncated to the SAME k as the ANN side — recall@k over
+    // mismatched depths is structurally capped at k_approx/k_exact and
+    // can never reach its target
     "sim_recall"        -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d)), Similarity.ivfTopK(emb(s, d)))),
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.ivfTopK(emb(s, d)))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
     "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
     // streaming twins driven to their FINAL state over real micro-batches
@@ -1601,7 +1614,9 @@ object SparkEntry {
     "sim_ann_lsh"       -> Similarity.sqlAnnTopK,
     "sim_ivf_topk"      -> Similarity.sqlIvfTopK,
     "sim_recall"        -> Similarity.sqlRecall(
-      Similarity.sqlBruteTopK, Similarity.sqlIvfTopK),
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlIvfTopK),
     "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
     "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,

@@ -209,11 +209,14 @@ object VectorExprs {
       case b: java.lang.Byte    => b.intValue()
       case s: java.lang.Short   => s.intValue()
       case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long    => l.intValue()
+      // range-checked, not intValue(): a Long/Decimal outside Int range
+      // must reject loudly, not wrap (2^32+1 silently becoming 1 would
+      // hand a sketch a garbage capacity)
+      case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
       case d: org.apache.spark.sql.types.Decimal
-        if d.toBigDecimal.isWhole => d.toInt
+        if d.toBigDecimal.isWhole && d.toBigDecimal.isValidInt => d.toInt
       case other => throw new IllegalArgumentException(
-        s"expected integer literal, got $other")
+        s"expected integer literal in Int range, got $other")
     }
 
   /** Column over the registered sorted-intersect-count expression. */

@@ -90,11 +90,15 @@ object HtmlTable {
     // headers is common in layout tables) would silently drop a column —
     // and a header literally named "cells"/"row_idx" would clobber the
     // working columns mid-fold. Duplicates get _2, _3, ... suffixes.
+    // case-INSENSITIVE shadow set: withColumn resolves names per
+    // spark.sql.caseSensitive=false, so "NAME" replaces "Name" and
+    // "Cells" clobbers the working column just as the exact spellings do
     val reserved = scala.collection.mutable.Set("cells", "row_idx")
     val unique = headers.map { h =>
-      val name = if (!reserved(h)) h
-        else Iterator.from(2).map(n => s"${h}_$n").find(!reserved(_)).get
-      reserved += name
+      val name = if (!reserved(h.toLowerCase)) h
+        else Iterator.from(2).map(n => s"${h}_$n")
+          .find(c => !reserved(c.toLowerCase)).get
+      reserved += name.toLowerCase
       name
     }
     // try_element_at: a data row with fewer <td>s than headers yields NULL

@@ -19,7 +19,6 @@ class AuditSpec extends SparkSuite {
           val ii = full.indexOf("== Initial Plan ==")
           if (fi >= 0 && ii > fi) full.substring(fi, ii) else full
         }
-        val scans = "FileScan parquet \\[[^\\]]*\\] Batched".r.findAllIn(p).size
         val fullScans = "FileScan parquet".r.findAllIn(p).size
         val ex = "Exchange hashpartitioning".r.findAllIn(p).size
         // table names per scan

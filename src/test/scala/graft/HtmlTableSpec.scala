@@ -105,6 +105,21 @@ class HtmlTableSpec extends SparkSuite {
       && r.getAs[String]("cells_2") == "c")
   }
 
+  test("scanFirst header clash detection is case-insensitive like Spark") {
+    // withColumn resolves case-insensitively (spark.sql.caseSensitive is
+    // false), so "NAME" would replace "Name" and "Cells" the working col
+    val path = write("caseheads.html",
+      """<html><body><table>
+        |<thead><tr><th>Name</th><th>NAME</th><th>Cells</th></tr></thead>
+        |<tbody><tr><td>a</td><td>b</td><td>c</td></tr></tbody>
+        |</table></body></html>""".stripMargin)
+    val df = HtmlTable.scanFirst(spark, path)
+    assert(df.columns.toSeq == Seq("row_idx", "Name", "NAME_2", "Cells_2"))
+    val r = df.collect().head
+    assert(r.getAs[String]("Name") == "a" && r.getAs[String]("NAME_2") == "b"
+      && r.getAs[String]("Cells_2") == "c")
+  }
+
   test("scanFirst on a page without <thead> fails with the file path") {
     val path = write("nohead.html",
       "<html><body><table><tbody><tr><td>1</td></tr></tbody></table></body></html>")
