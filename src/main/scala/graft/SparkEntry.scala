@@ -1552,6 +1552,12 @@ object SparkEntry {
     "text_bpe_merges"   -> ((s, d) => TextOps.bpeMerges(docs(s, d))),
     "q41_histogram"     -> ((s, d) =>
       Profile.histogram(Tables.lineitem(s, d), "l_extendedprice")),
+    "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
+    "text_simpson"      -> ((s, d) => TextOps.simpson(docs(s, d))),
+    "text_postings"     -> ((s, d) => TextOps.postings(docs(s, d))),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
+    "sketch_countmin"   -> ((s, d) =>
+      graft.operators.Sketch.countMin(Tables.events(s, d), "user_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1654,5 +1660,11 @@ object SparkEntry {
     "corpus_wsample"    -> TrainingData.sqlWeightedSample,
     "text_bpe_merges"   -> TextOps.sqlBpeMerges(),
     "q41_histogram"     -> Profile.sqlHistogram("lineitem", "l_extendedprice"),
+    "text_gopher"       -> TextOps.sqlGopher,
+    "text_simpson"      -> TextOps.sqlSimpson,
+    "text_postings"     -> TextOps.sqlPostings,
+    "dedup_containment" -> Dedup.sqlContainmentPairs,
+    "sketch_countmin"   ->
+      graft.operators.Sketch.sqlCountMin("events", "user_id"),
   )
 }

@@ -664,6 +664,128 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------- prefix-filtered containment
+  /** Containment (sub-document) near-dup pairs via a PREFIX-FILTERED
+    * overlap self-join — the set-similarity-join family (Chaudhuri et al.,
+    * "A Primitive Operator for Similarity Joins", ICDE 2006; Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW 2008).
+    * Containment C(A→B) = |A∩B| / |A| with |A| ≤ |B| catches a short
+    * document embedded in a long one — exactly the pair class BOTH
+    * length-bucketed Jaccard blocking (cross-bucket pairs never meet) and
+    * MinHash (Jaccard of a strict subset is small) systematically miss.
+    *
+    * Prefix-filter lemma: if |A∩B| ≥ ⌈t·|A|⌉, the first
+    * |A| − ⌈t·|A|⌉ + 1 elements of A (any fixed total order — we use
+    * ascending shingle hash) must contain a common element: were all
+    * common elements outside that prefix, they would have to fit in the
+    * remaining ⌈t·|A|⌉ − 1 slots. The threshold bounds only the SMALLER
+    * side, so only the probe side takes a prefix cut; the larger side is
+    * indexed in full (the classical asymmetric containment index).
+    *
+    * Scale shape: index explosion is O(corpus tokens) fixed-width rows —
+    * the same order as tokenizing the corpus; candidates come from ONE
+    * hash-partitioned equi join on the shingle hash. Shingles with
+    * document frequency > [[ContainMaxPosting]] are dropped from candidate
+    * generation on BOTH sides (boilerplate shingles carry no containment
+    * signal and expand quadratically — the same hot-key discipline as
+    * [[SimhashMaxBucket]]); the pair itself still qualifies through any of
+    * its non-hot shared shingles. Verification touches only distinct
+    * candidate pairs: two doc_id-keyed joins pull the pre-sorted shingle
+    * arrays and [[graft.functions.VectorExprs.intersectCountSorted]] walks
+    * them codegen'd, allocation-free.
+    */
+  val ContainThreshold = 0.6
+  val ContainMaxPosting = 100
+
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
+          .as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    // explode_outer, not explode: `sh` is a derived HOF chain and provably
+    // non-empty (size(w) >= ShingleK above) — plain explode makes the
+    // optimizer infer `size(sh) > 0` and push it below the staging
+    // projections, inlining the whole shingle pipeline into a per-row
+    // Filter whose element_at re-evaluates the derived word-hash array per
+    // element: O(words²) md5 calls per document (measured 38 s → 4 s at
+    // sf0.1 for this one Generate). Same discipline as [[substrWindows]].
+    val idx = sets.select(col("doc_id"), col("sz"),
+      explode_outer(col("sh")).as("h"))
+    // hot-shingle cap: global df over the FULL index explosion
+    val dfOk = idx.groupBy(col("h")).count()
+      .filter(col("count") <= ContainMaxPosting).select(col("h"))
+    val idxc = idx.join(dfOk, "h")
+    // ⌈0.6·sz⌉ in exact integer arithmetic: (3·sz + 4) div 5
+    val probe = sets
+      .select(col("doc_id"), col("sz"),
+        explode_outer(slice(col("sh"), lit(1),
+          expr("sz - ((3*sz + 4) div 5) + 1"))).as("h"))
+      .join(dfOk, "h")
+    val cand = probe.alias("p")
+      .join(idxc.alias("i"),
+        col("p.h") === col("i.h") &&
+          (col("p.sz") < col("i.sz") ||
+            (col("p.sz") === col("i.sz") &&
+              col("p.doc_id") < col("i.doc_id"))))
+      .select(col("p.doc_id").as("doc_small"), col("i.doc_id").as("doc_large"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("doc_small"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = sets.select(col("doc_id").as("doc_large"), col("sh").as("sh_b"))
+    cand.join(a, "doc_small").join(b, "doc_large")
+      .select(col("doc_small"), col("doc_large"),
+        (graft.functions.VectorExprs
+          .intersectCountSorted(col("sh_a"), col("sh_b")).cast("double") /
+          col("sz_a").cast("double")).as("containment"))
+      .filter(col("containment") >= ContainThreshold)
+      .orderBy(col("doc_small"), col("doc_large"))
+  }
+
+  def sqlContainmentPairs: String =
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh
+       |  FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $ShingleK
+       |), sets AS (
+       |  SELECT doc_id, sh, len(sh) AS sz FROM (
+       |    SELECT doc_id,
+       |      list_sort(list_distinct(${sqlShingleHashes("wh", ShingleK)}))
+       |        AS sh
+       |    FROM wordhashed
+       |  )
+       |), idx AS (
+       |  SELECT doc_id, sz, unnest(sh) AS h FROM sets
+       |), dfok AS (
+       |  SELECT h FROM idx GROUP BY h
+       |  HAVING COUNT(*) <= $ContainMaxPosting
+       |), idxc AS (
+       |  SELECT idx.* FROM idx JOIN dfok USING (h)
+       |), probe AS (
+       |  SELECT p.* FROM (
+       |    SELECT doc_id, sz,
+       |      unnest(list_slice(sh, 1, sz - (3*sz + 4)//5 + 1)) AS h
+       |    FROM sets
+       |  ) p JOIN dfok USING (h)
+       |), cand AS (
+       |  SELECT DISTINCT p.doc_id AS doc_small, i.doc_id AS doc_large
+       |  FROM probe p JOIN idxc i ON p.h = i.h
+       |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id < i.doc_id))
+       |)
+       |SELECT doc_small, doc_large, containment FROM (
+       |  SELECT c.doc_small, c.doc_large,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(a.sz AS DOUBLE) AS containment
+       |  FROM cand c
+       |  JOIN sets a ON a.doc_id = c.doc_small
+       |  JOIN sets b ON b.doc_id = c.doc_large
+       |) WHERE containment >= $ContainThreshold
+       |ORDER BY doc_small, doc_large""".stripMargin
+
   // ------------------------------------------------ exact substring windows
   /** Exact duplicated-substring detection (the ExactSubstr dedup of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better", ACL

@@ -83,4 +83,82 @@ object Sketch {
        |  END AS kmv_estimate
        |FROM kept
        |ORDER BY $groupCol""".stripMargin
+
+  // ----------------------------------------------------- Count-Min sketch
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications", J.
+    * Algorithms 2005) in its relational form, plus a per-key audit of the
+    * one-sided error: depth × width counter matrix where
+    * cell(j, b) = COUNT of rows whose j-th hash lands in bucket b; the
+    * frequency estimate for a key is min_j cell(j, hash_j(key)) ≥ true
+    * count, with overestimate bounded by collisions in its best row.
+    *
+    * Like [[kmvDistinct]], the hash family is md5-derived with an explicit
+    * row-index salt, so a DuckDB oracle reproduces every cell and every
+    * estimate bit for bit — `approx_count_distinct`-style engine-private
+    * sketches have no such oracle.
+    *
+    * Scale shape: the sketch build is a [[CmsDepth]]×-fanout explode
+    * followed by ONE hash aggregation onto [[CmsDepth]]·[[CmsWidth]] cells
+    * — partial aggregation collapses each map task to ≤ 1024 rows before
+    * the exchange, so the shuffle is O(partitions), not O(rows); this is
+    * precisely why CMS works as a streaming/distributed summary. The
+    * estimate probe broadcasts the tiny cell table. The exact side (one
+    * groupBy on the key) exists to AUDIT the estimate in the oracle gate —
+    * production consumers read the sketch alone.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256L
+
+  def cmsHash(j: Int, v: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+  def sqlCmsHash(j: Int, v: String): String =
+    s"CAST(('0x' || substr(md5('$j:' || CAST($v AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth"
+
+  def countMin(df: DataFrame, keyCol: String): DataFrame = {
+    def probes(key: Column) = explode(array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("row_j"), cmsHash(j, key).as("bucket"))): _*))
+    val sketch = df
+      .select(probes(col(keyCol)).as("rb"))
+      .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
+      .select(col(keyCol), col("exact_cnt"), probes(col(keyCol)).as("rb"))
+      .select(col(keyCol), col("exact_cnt"),
+        col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row_j", "bucket"))
+      .groupBy(col(keyCol), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .select(col(keyCol), col("exact_cnt"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col(keyCol))
+  }
+
+  def sqlCountMin(table: String, keyCol: String): String = {
+    val sketchRows = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS row_j, ${sqlCmsHash(j, keyCol)} AS bucket FROM $table")
+      .mkString("\n  UNION ALL\n  ")
+    val probeRows = (0 until CmsDepth).map(j =>
+      s"SELECT $keyCol, exact_cnt, $j AS row_j, ${sqlCmsHash(j, keyCol)} AS bucket FROM exact")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cells AS (
+       |  SELECT row_j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  $sketchRows
+       |  ) GROUP BY row_j, bucket
+       |), exact AS (
+       |  SELECT $keyCol, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       |  FROM $table GROUP BY $keyCol
+       |), probes AS (
+       |  $probeRows
+       |)
+       |SELECT $keyCol, exact_cnt, cms_estimate,
+       |  cms_estimate - exact_cnt AS overestimate
+       |FROM (
+       |  SELECT p.$keyCol, p.exact_cnt, MIN(c.cnt) AS cms_estimate
+       |  FROM probes p JOIN cells c
+       |    ON p.row_j = c.row_j AND p.bucket = c.bucket
+       |  GROUP BY p.$keyCol, p.exact_cnt
+       |) ORDER BY $keyCol""".stripMargin
+  }
 }

@@ -640,4 +640,187 @@ object TextOps {
        |  $union
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  // -------------------------------------------- Gopher-style quality rules
+  /** Composite rule-based document filter in the style of the Gopher data
+    * pipeline (Rae et al., "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", 2021, §A.1.1): a document is kept only
+    * if it passes EVERY threshold rule. Thresholds are adapted to the
+    * synthetic fixture's distributions (the published ones key on natural
+    * prose); the operator shape is the real one — a handful of per-document
+    * ratio tests, all pure `Column` arithmetic, evaluated map-side at scan
+    * speed with zero shuffles. At 100 TB this is the cheapest possible
+    * corpus pass: each rule is a codegen'd expression over the text column,
+    * and the scan's column pruning keeps everything else on disk.
+    *
+    * Rules (flag TRUE = rule passed):
+    *  - r_word_count:  GopherMinWords ≤ n_words ≤ GopherMaxWords
+    *  - r_mean_len:    mean word length in [GopherMinMeanLen, GopherMaxMeanLen]
+    *  - r_stopwords:   ≥ GopherMinStop stopword OCCURRENCES (not distinct)
+    *  - r_distinct:    distinct-word ratio ≥ GopherMinDistinct
+    *  - r_top_freq:    most frequent word ≤ GopherMaxTopFreq of all words
+    *    (the "repetition" family of Gopher rules collapsed to its
+    *    single-token form; line-level variants need line structure the
+    *    single-line fixture lacks)
+    */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinStop = 2L
+  val GopherMinDistinct = 0.3
+  val GopherMaxTopFreq = 0.2
+
+  def gopher(docs: DataFrame): DataFrame = {
+    // Stage the words array (and the distinct-token counts array derived
+    // from it) through their own projections: lambda bodies then read
+    // attributes, not re-evaluated split/distinct subtrees (the
+    // derived-array O(n²) hazard).
+    val staged = docs
+      .select(col("doc_id"), col("n_chars"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("n_chars"), col("w"),
+        array_distinct(col("w")).as("dw"))
+      .select(col("doc_id"), col("n_chars"), col("w"), col("dw"),
+        transform(col("dw"), t => size(filter(col("w"), x => x === t)))
+          .as("cnts"))
+    val nw = size(col("w")).cast("double")
+    val nwL = size(col("w")).cast("long")
+    // chars-per-word over the text body excluding separators: a doc with
+    // k words has k-1 single-space separators
+    val meanLen = (col("n_chars").cast("double") - nw + lit(1.0)) / nw
+    val nStop = size(filter(col("w"), x => x.isInCollection(Stopwords)))
+      .cast("long")
+    val distinctRatio = size(col("dw")).cast("double") / nw
+    val topFreq = array_max(col("cnts")).cast("double") / nw
+    val flags = Seq(
+      (nwL >= GopherMinWords && nwL <= GopherMaxWords).as("r_word_count"),
+      (meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen)
+        .as("r_mean_len"),
+      (nStop >= GopherMinStop).as("r_stopwords"),
+      (distinctRatio >= GopherMinDistinct).as("r_distinct"),
+      (topFreq <= GopherMaxTopFreq).as("r_top_freq"))
+    staged.select(col("doc_id") +: flags: _*)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_stopwords") &&
+          col("r_distinct") && col("r_top_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlGopher: String = {
+    val set = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, r_word_count, r_mean_len, r_stopwords, r_distinct,
+       |  r_top_freq,
+       |  (r_word_count AND r_mean_len AND r_stopwords AND r_distinct
+       |    AND r_top_freq) AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    (nwl >= $GopherMinWords AND nwl <= $GopherMaxWords)
+       |      AS r_word_count,
+       |    (mean_len >= $GopherMinMeanLen AND mean_len <= $GopherMaxMeanLen)
+       |      AS r_mean_len,
+       |    (nstop >= $GopherMinStop) AS r_stopwords,
+       |    (ndw / nw >= $GopherMinDistinct) AS r_distinct,
+       |    (topcnt / nw <= $GopherMaxTopFreq) AS r_top_freq
+       |  FROM (
+       |    SELECT doc_id, len(w) AS nwl, CAST(len(w) AS DOUBLE) AS nw,
+       |      (CAST(n_chars AS DOUBLE) - CAST(len(w) AS DOUBLE) + 1.0)
+       |        / CAST(len(w) AS DOUBLE) AS mean_len,
+       |      len(list_filter(w, x -> x IN ($set))) AS nstop,
+       |      CAST(len(dw) AS DOUBLE) AS ndw,
+       |      CAST(list_max(list_transform(dw,
+       |        t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) AS topcnt
+       |    FROM (
+       |      SELECT doc_id, n_chars, ${sqlWords("text")} AS w,
+       |        list_distinct(${sqlWords("text")}) AS dw
+       |      FROM documents
+       |    )
+       |  )
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ Simpson token diversity
+  /** Per-document lexical diversity as the Simpson/Gini index
+    * 1 − Σ_t (c_t / n)² over the token frequency distribution — a RATIONAL
+    * diversity measure (Shannon entropy needs log, which is not
+    * cross-engine-exact; Simpson's index carries the same signal for
+    * quality filtering: ≈0 for a document that repeats one token, →1 for
+    * all-distinct tokens). The numerator Σ c_t² is computed in integer
+    * arithmetic and divided once, so both engines emit the identical IEEE
+    * double. Pure map-side: per-doc HOF over the (bounded-length) token
+    * array, zero shuffles at any corpus size.
+    */
+  def simpson(docs: DataFrame): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), array_distinct(col("w")).as("dw"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        size(col("dw")).as("n_distinct"),
+        transform(col("dw"), t => size(filter(col("w"), x => x === t)))
+          .as("cnts"))
+    val n = col("n_tokens").cast("double")
+    staged
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) -
+          aggregate(col("cnts"), lit(0L), (a, c) => a + c.cast("long") * c)
+            .cast("double") / (n * n)).as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlSimpson: String =
+    s"""SELECT doc_id, n_tokens, n_distinct,
+       |  1.0 - CAST(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(cnts, c -> CAST(c AS BIGINT) * c)),
+       |      (a, c) -> a + c) AS DOUBLE)
+       |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+       |    AS simpson
+       |FROM (
+       |  SELECT doc_id, len(w) AS n_tokens, len(dw) AS n_distinct,
+       |    list_transform(dw, t -> len(list_filter(w, x -> x = t))) AS cnts
+       |  FROM (
+       |    SELECT doc_id, ${sqlWords("text")} AS w,
+       |      list_distinct(${sqlWords("text")}) AS dw
+       |    FROM documents
+       |  )
+       |) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- inverted index
+  /** Term → postings inverted index over the corpus: document frequency,
+    * corpus frequency, and the sorted posting list — the retrieval-side
+    * data structure a dedup/search pipeline materializes next to the
+    * corpus. Posting lists are emitted only for terms with
+    * df ≤ PostingsCap; hotter terms (stopword-class) keep their exact
+    * df/cf but a NULL postings array — at 100 TB a stopword's posting list
+    * IS the corpus and no consumer wants it materialized per term.
+    *
+    * Scale shape: one explode + one hash aggregation keyed by term.
+    * count/collect_set partial-aggregate map-side, and the cap bounds
+    * every emitted array. The aggregation shuffles (term, doc_id) pairs
+    * only — never text.
+    */
+  val PostingsCap = 20
+
+  def postings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"),
+        sort_array(collect_set(col("doc_id"))).as("postings_raw"))
+      .select(col("term"), col("df"), col("cf"),
+        when(col("df") <= PostingsCap, col("postings_raw")).as("postings"))
+      .orderBy(col("term"))
+
+  def sqlPostings: String =
+    s"""SELECT term, df, cf,
+       |  CASE WHEN df <= $PostingsCap THEN postings_raw END AS postings
+       |FROM (
+       |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |    CAST(COUNT(*) AS BIGINT) AS cf,
+       |    list_sort(list(DISTINCT doc_id)) AS postings_raw
+       |  FROM (
+       |    SELECT doc_id, unnest(${sqlWords("text")}) AS term
+       |    FROM documents
+       |  ) GROUP BY term
+       |) ORDER BY term""".stripMargin
 }

@@ -194,4 +194,40 @@ class CorpusExtSpec extends SparkSuite {
     assert(out.join(sz, "component")
       .filter(col("n_dups") =!= col("count")).count() == 0)
   }
+
+  test("containment: a short doc embedded in a long one scores 1.0") {
+    val passage = (1 to 10).map(i => s"quote$i").mkString(" ")
+    val docs = docFrame(Seq(
+      (1L, passage), // every shingle of 1 appears in 2
+      (2L, s"intro words here $passage closing words after"),
+      (3L, (1 to 20).map(i => s"other$i").mkString(" "))))
+    val out = Dedup.containmentPairs(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_small") == 1L)
+    assert(out.head.getAs[Long]("doc_large") == 2L)
+    assert(out.head.getAs[Double]("containment") == 1.0)
+  }
+
+  test("containment: catches the cross-length pair Jaccard blocking misses") {
+    val passage = (1 to 12).map(i => s"core$i").mkString(" ")
+    val long = s"${(1 to 40).map(i => s"pad$i").mkString(" ")} $passage"
+    val docs = docFrame(Seq((1L, passage), (2L, long)))
+    // lengths differ ~4x: different (lang, n_chars div 25) blocks, so the
+    // Jaccard path structurally cannot pair them...
+    assert(Dedup.ngramJaccard(docs).count() == 0)
+    // ...but the containment join does, at full score
+    val c = Dedup.containmentPairs(docs).collect()
+    assert(c.length == 1 && c.head.getAs[Double]("containment") == 1.0)
+  }
+
+  test("containment: sub-threshold overlap produces no pair") {
+    // 3 of 10 shingles shared (< 0.6 threshold)
+    val docs = docFrame(Seq(
+      (1L, ((1 to 5).map(i => s"sh$i") ++ (1 to 7).map(i => s"x$i"))
+        .mkString(" ")),
+      (2L, ((1 to 5).map(i => s"sh$i") ++ (1 to 30).map(i => s"y$i"))
+        .mkString(" "))))
+    val out = Dedup.containmentPairs(docs).collect()
+    assert(out.forall(_.getAs[Double]("containment") >= Dedup.ContainThreshold))
+  }
 }

@@ -326,4 +326,24 @@ class OpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("count-min: estimate is one-sided (>= exact) and tight when sparse") {
+    import graft.operators.Sketch
+    // few distinct keys vs 4x256 cells: collisions are possible but the
+    // min over 4 independent rows must stay >= exact for every key
+    val df = ((1 to 50).map(i => i.toLong % 7) ++ Seq.fill(40)(99L))
+      .map(Tuple1(_)).toDF("k")
+    val out = Sketch.countMin(df, "k").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("cms_estimate") - r.getAs[Long]("exact_cnt"))
+    }
+    // hot key dominates its own buckets: estimate for 99 is exactly 40
+    // unless another of the 8 keys collides in ALL 4 rows (impossible here:
+    // 7 other keys, 4 independent rows of width 256)
+    val hot = out.find(_.getAs[Long]("k") == 99L).get
+    assert(hot.getAs[Long]("cms_estimate") == 40L)
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.TextOps
+
+/** Round-3 additions, part 3: Gopher-style rule filter, Simpson token
+  * diversity, and the inverted-index postings operator. Semantic properties
+  * beyond the oracle hash gate.
+  */
+class TextExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docFrame(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val goodText =
+    ((1 to 30).map(i => s"word$i") ++ Seq("the", "a", "of")).mkString(" ")
+
+  test("gopher: a well-formed doc passes every rule") {
+    val out = TextOps.gopher(docFrame(Seq((1L, goodText)))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Boolean]("keep"))
+  }
+
+  test("gopher: each rule fails on its targeted pathology") {
+    val docs = docFrame(Seq(
+      // too short (< GopherMinWords words)
+      (1L, "the a of tiny doc"),
+      // mean word length out of range (single-char words + stopword pad)
+      (2L, (Seq.fill(30)("x") ++ Seq("the", "a")).mkString(" ")),
+      // no stopwords at all
+      (3L, (1 to 30).map(i => s"word$i").mkString(" ")),
+      // one token repeated: distinct ratio and top-freq both collapse
+      (4L, (Seq.fill(40)("spam") ++ Seq("the", "a")).mkString(" "))))
+    val out = TextOps.gopher(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("r_word_count"))
+    assert(!out(2L).getAs[Boolean]("r_mean_len"))
+    assert(!out(3L).getAs[Boolean]("r_stopwords"))
+    assert(out(3L).getAs[Boolean]("r_word_count")) // rules are independent
+    assert(!out(4L).getAs[Boolean]("r_distinct"))
+    assert(!out(4L).getAs[Boolean]("r_top_freq"))
+    assert(out.values.forall(!_.getAs[Boolean]("keep")))
+  }
+
+  test("simpson: 0 for a one-token doc, 1 - 1/n for all-distinct") {
+    val docs = docFrame(Seq(
+      (1L, Seq.fill(8)("same").mkString(" ")),
+      (2L, (1 to 10).map(i => s"tok$i").mkString(" "))))
+    val out = TextOps.simpson(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("simpson")).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 1.0 - 1.0 / 10.0)
+  }
+
+  test("postings: df/cf exact, lists sorted, hot terms keep stats only") {
+    // "hot" appears in PostingsCap+1 docs -> stats kept, postings NULL
+    val hotDocs = (100L to 100L + TextOps.PostingsCap)
+      .map(i => (i, s"hot filler$i"))
+    val docs = docFrame(hotDocs ++ Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma")))
+    val out = TextOps.postings(docs).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(out("alpha").getAs[Long]("df") == 1L)
+    assert(out("alpha").getAs[Long]("cf") == 2L)
+    assert(out("alpha").getAs[collection.Seq[Long]]("postings").toSeq == Seq(1L))
+    assert(out("beta").getAs[collection.Seq[Long]]("postings").toSeq == Seq(1L, 2L))
+    assert(out("hot").getAs[Long]("df") == TextOps.PostingsCap + 1L)
+    assert(out("hot").getAs[Row]("postings") == null) // capped: NULL list
+  }
+
+  test("fixture: gopher keeps a strict majority but drops real documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val byKeep = TextOps.gopher(docs).groupBy("keep").count().collect()
+      .map(r => r.getAs[Boolean]("keep") -> r.getAs[Long]("count")).toMap
+    assert(byKeep.getOrElse(true, 0L) > 0L)
+    assert(byKeep.getOrElse(false, 0L) > 0L)
+  }
+}
