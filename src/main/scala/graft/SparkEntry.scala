@@ -1558,6 +1558,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
     "sketch_countmin"   -> ((s, d) =>
       graft.operators.Sketch.countMin(Tables.events(s, d), "user_id")),
+    "text_bpe_encode"   -> ((s, d) => TextOps.bpeEncode(docs(s, d))),
+    "text_quality_rank" -> ((s, d) => TextOps.qualityRank(docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1666,5 +1668,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.sqlContainmentPairs,
     "sketch_countmin"   ->
       graft.operators.Sketch.sqlCountMin("events", "user_id"),
+    "text_bpe_encode"   -> TextOps.sqlBpeEncode(),
+    "text_quality_rank" -> TextOps.sqlQualityRank,
   )
 }

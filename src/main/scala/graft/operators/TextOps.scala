@@ -95,6 +95,80 @@ object TextOps {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- per-language quality rank
+  /** Exact per-language quality rank and percentile — the CCNet-style
+    * "keep the top quality fraction per language" gate (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2020, does this with perplexity terciles; the operator is the
+    * same once a score exists). Rank 1 = best; pct_rank = (rank−1)/(n−1)
+    * is rational, so both engines emit the identical double.
+    *
+    * Scale shape — the naive formulation is ONE window partitioned by
+    * lang, which funnels the entire corpus-dominant language ("en" is
+    * most of a web corpus) through a single partition's sort. Instead the
+    * same distributed-prefix-sum construction as
+    * [[TrainingData.pack]]: map-side score BUCKETS (floor(score·64) —
+    * score is the identical double in both engines, so the bucket is
+    * too), a (lang, bucket) count table that is tiny (|langs| × 65) and
+    * broadcast back with higher-bucket prefix offsets, and a row_number
+    * window partitioned by (lang, bucket) — parallelism |langs|·|buckets|
+    * instead of |langs|. global rank = offset + within-bucket rank, with
+    * ties broken by doc_id for a total order.
+    */
+  def qualityRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("w")).as("score"))
+      .withColumn("bucket", floor(col("score") * lit(64.0)).cast("long"))
+    val offsets = scored.groupBy(col("lang"), col("bucket")).count()
+      .withColumn("offset", coalesce(
+        sum(col("count")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lang_total",
+        sum(col("count")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("bucket"), col("offset"), col("lang_total"))
+    scored.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("rank", col("offset") +
+        row_number().over(Window.partitionBy(col("lang"), col("bucket"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("score"), col("rank"),
+        when(col("lang_total") === 1, lit(0.0)).otherwise(
+          (col("rank") - 1).cast("double") /
+            (col("lang_total") - 1).cast("double")).as("pct_rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def sqlQualityRank: String = {
+    val set = Stopwords.map(s => s"'$s'").mkString(", ")
+    val w = sqlWords("text")
+    s"""SELECT doc_id, lang, score, rank,
+       |  CASE WHEN lang_total = 1 THEN 0.0
+       |       ELSE CAST(rank - 1 AS DOUBLE) / CAST(lang_total - 1 AS DOUBLE)
+       |  END AS pct_rank
+       |FROM (
+       |  SELECT doc_id, lang, score,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |                       ORDER BY score DESC, doc_id) AS rank,
+       |    COUNT(*) OVER (PARTITION BY lang) AS lang_total
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      (nwords / (nwords + 100.0)) * (ndistinct / nwords)
+       |        * (1.0 - nstop / nwords) AS score
+       |    FROM (
+       |      SELECT doc_id, lang,
+       |        CAST(len($w) AS DOUBLE) AS nwords,
+       |        CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE)
+       |          AS nstop,
+       |        CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
+       |      FROM documents
+       |    )
+       |  )
+       |) ORDER BY lang, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ language ID
   /** Marker-word voting heuristic: count hits per language profile, argmax
     * with a fixed tie-break order. (The fixture vocabulary is synthetic, so
@@ -533,13 +607,20 @@ object TextOps {
       x => x.isNotNull)
   }
 
-  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+  /** Shared BPE iteration: the per-round winning merges AND the final
+    * rewritten vocabulary (word, freq, sym after every merge applied).
+    * [[bpeMerges]] keeps the merge list; [[bpeEncode]] keeps the encoded
+    * vocabulary. The `word` column rides through the checkpoints so the
+    * encoder can join the corpus back — vocabulary-sized, negligible.
+    */
+  private def bpeIterate(docs: DataFrame, rounds: Int)
+      : (Seq[DataFrame], DataFrame) = {
     val vocab = docs
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0 &&
         length(col("word")) <= BpeMaxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var syms = vocab.select(col("freq"),
+    var syms = vocab.select(col("word"), col("freq"),
       regexp_extract_all(col("word"), lit("."), lit(0)).as("sym"))
       .localCheckpoint(true)
     val merges = (1 to rounds).map { r =>
@@ -563,82 +644,151 @@ object TextOps {
       // non-cheap expression also stop CollapseProject from re-inlining.
       syms = syms.crossJoin(broadcast(
           top.select(col("sym_a").as("pa"), col("sym_b").as("pb"))))
-        .select(col("freq"), col("sym"), col("pa"), col("pb"),
+        .select(col("word"), col("freq"), col("sym"), col("pa"), col("pb"),
           bpeMatch(col("sym"), col("pa"), col("pb")).as("m"))
-        .select(col("freq"), col("sym"), col("pa"), col("pb"),
+        .select(col("word"), col("freq"), col("sym"), col("pa"), col("pb"),
           bpeStarts(col("m")).as("st"))
-        .select(col("freq"),
+        .select(col("word"), col("freq"),
           bpeApply(col("sym"), col("pa"), col("pb"), col("st")).as("sym"))
         .localCheckpoint(true) // cut per-round lineage growth
       top
     }
+    (merges, syms)
+  }
+
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val (merges, _) = bpeIterate(docs, rounds)
     merges.reduce((a, b) => a.unionByName(b)).orderBy(col("merge_rank"))
   }
 
-  /** DuckDB oracle: the rounds unrolled as (s_k → p_k → t_k) CTE chains —
-    * the same construction as [[graft.operators.Similarity.sqlIvfKmeans]].
+  /** Encode the corpus with the tokenizer [[bpeIterate]] just learned:
+    * per-document whitespace-token and BPE-token counts — the number a
+    * training pipeline actually budgets by (sequence packing, mixture
+    * weights, and cost models all run on post-tokenizer counts, not word
+    * counts). Words the trainer excluded ([[BpeMaxWordLen]]) fall back to
+    * their character count (fully unmerged), mirroring a byte-level
+    * tokenizer's behavior on junk tokens.
+    *
+    * Scale shape: the corpus is touched twice, both embarrassingly
+    * parallel — once to build the word-frequency table (one hash agg,
+    * vocabulary-sized output by Heaps' law), once to explode and join
+    * tokens against the encoded vocabulary (hash join keyed by word; the
+    * build side is the vocabulary, not the corpus) followed by ONE
+    * doc-keyed count/sum aggregation that partial-aggregates map-side.
+    * The iterative merge learning itself never touches the corpus again.
+    * Caveat: `rounds` must stay below the corpus's productive merge count
+    * (a fully-merged vocabulary would leave later rounds with an empty
+    * pair table) — real corpora support thousands of rounds; the constant
+    * here is [[BpeRounds]].
     */
-  def sqlBpeMerges(rounds: Int = BpeRounds): String = {
-    // scalar range() + zipped unnest — the TABLE range() function rejects
-    // lateral column bounds like len(sym)
-    def pairCte(k: Int) =
-      s"""p$k AS (
-         |  SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_count
-         |  FROM (
-         |    SELECT freq,
-         |      unnest(list_transform(range(1, len(sym)), i -> sym[i]))
-         |        AS sym_a,
-         |      unnest(list_transform(range(1, len(sym)), i -> sym[i+1]))
-         |        AS sym_b
-         |    FROM s${k - 1}
-         |  ) GROUP BY 1, 2
-         |), t$k AS (
-         |  SELECT $k AS merge_rank, sym_a, sym_b, pair_count FROM p$k
-         |  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
-         |)""".stripMargin
-    // m[i]=1 where the pair matches; start ⇔ m[i]=1 and the distance to the
-    // last zero before i is odd; merged-away positions filter to NULL
-    def rewriteCte(k: Int) =
-      s"""s$k AS (
-         |  SELECT freq, list_filter(
-         |    list_transform(range(1, len(sym) + 1), i ->
-         |      CASE WHEN m[i] = 1
-         |             AND (i - coalesce(list_max(list_transform(
-         |               range(1, i), j ->
-         |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
-         |           THEN pa || pb
-         |           WHEN i > 1 AND m[i-1] = 1
-         |             AND ((i-1) - coalesce(list_max(list_transform(
-         |               range(1, i - 1), j ->
-         |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
-         |           THEN NULL
-         |           ELSE sym[i] END),
-         |    x -> x IS NOT NULL) AS sym
-         |  FROM (
-         |    SELECT freq, sym, t.sym_a AS pa, t.sym_b AS pb,
-         |      list_transform(range(1, len(sym)), i ->
-         |        CASE WHEN sym[i] = t.sym_a AND sym[i+1] = t.sym_b
-         |             THEN 1 ELSE 0 END) AS m
-         |    FROM s${k - 1}, t$k t
-         |  )
-         |)""".stripMargin
-    val chain = (1 to rounds).map { k =>
-      if (k == rounds) pairCte(k) else pairCte(k) + ",\n" + rewriteCte(k)
-    }.mkString(",\n")
-    val union = (1 to rounds)
-      .map(k => s"SELECT * FROM t$k").mkString("\n  UNION ALL\n  ")
-    s"""WITH vocab AS (
+  def bpeEncode(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val (_, syms) = bpeIterate(docs, rounds)
+    val enc = syms.select(col("word"), size(col("sym")).as("n_sym"))
+    // explode_outer: words() output is derived and the inferred
+    // size(...) > 0 filter is pure overhead (see line ~482)
+    docs.select(col("doc_id"), explode_outer(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(enc, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(coalesce(col("n_sym"), length(col("word"))).cast("long"))
+          .as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // scalar range() + zipped unnest — the TABLE range() function rejects
+  // lateral column bounds like len(sym)
+  private def sqlBpePairCte(k: Int) =
+    s"""p$k AS (
+       |  SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_count
+       |  FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(1, len(sym)), i -> sym[i]))
+       |        AS sym_a,
+       |      unnest(list_transform(range(1, len(sym)), i -> sym[i+1]))
+       |        AS sym_b
+       |    FROM s${k - 1}
+       |  ) GROUP BY 1, 2
+       |), t$k AS (
+       |  SELECT $k AS merge_rank, sym_a, sym_b, pair_count FROM p$k
+       |  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+       |)""".stripMargin
+
+  // m[i]=1 where the pair matches; start ⇔ m[i]=1 and the distance to the
+  // last zero before i is odd; merged-away positions filter to NULL
+  private def sqlBpeRewriteCte(k: Int) =
+    s"""s$k AS (
+       |  SELECT word, freq, list_filter(
+       |    list_transform(range(1, len(sym) + 1), i ->
+       |      CASE WHEN m[i] = 1
+       |             AND (i - coalesce(list_max(list_transform(
+       |               range(1, i), j ->
+       |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
+       |           THEN pa || pb
+       |           WHEN i > 1 AND m[i-1] = 1
+       |             AND ((i-1) - coalesce(list_max(list_transform(
+       |               range(1, i - 1), j ->
+       |               CASE WHEN m[j] = 0 THEN j ELSE 0 END)), 0)) % 2 = 1
+       |           THEN NULL
+       |           ELSE sym[i] END),
+       |    x -> x IS NOT NULL) AS sym
+       |  FROM (
+       |    SELECT word, freq, sym, t.sym_a AS pa, t.sym_b AS pb,
+       |      list_transform(range(1, len(sym)), i ->
+       |        CASE WHEN sym[i] = t.sym_a AND sym[i+1] = t.sym_b
+       |             THEN 1 ELSE 0 END) AS m
+       |    FROM s${k - 1}, t$k t
+       |  )
+       |)""".stripMargin
+
+  private def sqlBpeVocabCtes: String =
+    s"""vocab AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(${sqlWords("text")}) AS word FROM documents
        |  ) WHERE length(word) > 0 AND length(word) <= $BpeMaxWordLen
        |  GROUP BY word
        |), s0 AS (
-       |  SELECT freq, regexp_extract_all(word, '.') AS sym FROM vocab
-       |),
+       |  SELECT word, freq, regexp_extract_all(word, '.') AS sym FROM vocab
+       |)""".stripMargin
+
+  /** DuckDB oracle: the rounds unrolled as (s_k → p_k → t_k) CTE chains —
+    * the same construction as [[graft.operators.Similarity.sqlIvfKmeans]].
+    */
+  def sqlBpeMerges(rounds: Int = BpeRounds): String = {
+    val chain = (1 to rounds).map { k =>
+      if (k == rounds) sqlBpePairCte(k)
+      else sqlBpePairCte(k) + ",\n" + sqlBpeRewriteCte(k)
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(k => s"SELECT * FROM t$k").mkString("\n  UNION ALL\n  ")
+    s"""WITH $sqlBpeVocabCtes,
        |$chain
        |SELECT merge_rank, sym_a, sym_b, pair_count FROM (
        |  $union
        |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Same chain, but every round keeps its rewrite and the tail reads the
+    * final vocabulary s_rounds instead of the merge list.
+    */
+  def sqlBpeEncode(rounds: Int = BpeRounds): String = {
+    val chain = (1 to rounds)
+      .map(k => sqlBpePairCte(k) + ",\n" + sqlBpeRewriteCte(k))
+      .mkString(",\n")
+    s"""WITH $sqlBpeVocabCtes,
+       |$chain,
+       |enc AS (
+       |  SELECT word, len(sym) AS n_sym FROM s$rounds
+       |), tok AS (
+       |  SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(coalesce(n_sym, length(word))) AS BIGINT) AS bpe_tokens
+       |FROM (
+       |  SELECT t.doc_id, t.word, e.n_sym FROM tok t
+       |  LEFT JOIN enc e USING (word)
+       |  WHERE length(t.word) > 0
+       |) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------------------------- Gopher-style quality rules

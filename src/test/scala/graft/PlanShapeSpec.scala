@@ -166,6 +166,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("collect_set"), p)
   }
 
+  test("text_quality_rank: corpus window keys on (lang, bucket), not lang") {
+    val p = planTree("text_quality_rank")
+    // the corpus-side row_number must partition on (lang, bucket) — a
+    // lang-only window funnels the dominant language into one partition
+    assert(p.contains("hashpartitioning(lang") && p.contains("bucket"),
+      "bucketed window key lost:\n" + p)
+    // the tiny (lang, bucket) offset table joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("semanticPairs: centroid assignment broadcasts, pairs join on cell") {
     // asserted on the pair stage directly: semanticDedup's component pass
     // checkpoints eagerly, which hides the upstream plan from the final tree

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps
 
@@ -70,6 +71,64 @@ class TextExtSpec extends SparkSuite {
     assert(out("beta").getAs[collection.Seq[Long]]("postings").toSeq == Seq(1L, 2L))
     assert(out("hot").getAs[Long]("df") == TextOps.PostingsCap + 1L)
     assert(out("hot").getAs[Row]("postings") == null) // capped: NULL list
+  }
+
+  test("bpe encode: merged words cost fewer tokens; excluded words fall back") {
+    // corpus engineered so 4 rounds stay productive: "abab" dominates, so
+    // (a,b) then (ab,ab) merge early and "abab" encodes to 1 symbol
+    val docs = docFrame(Seq(
+      (1L, Seq.fill(20)("abab").mkString(" ")),
+      (2L, "abab xyzw abab"),
+      (3L, "qq rr ss tt uu vv ww")))
+    val out = TextOps.bpeEncode(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))).toMap
+    assert(out(1L)._1 == 20L)
+    assert(out(1L)._2 < 20L * 4) // merges fired: cheaper than characters
+    assert(out(2L)._1 == 3L)
+    // every doc costs at most its character count, at least its word count
+    out.values.foreach { case (ws, bpe) => assert(bpe >= ws) }
+  }
+
+  test("bpe encode: doc token cost is the sum of its words' encoded sizes") {
+    val docs = docFrame(Seq(
+      (1L, "aa bb"), (2L, "aa"), (3L, "bb bb aa")))
+    val out = TextOps.bpeEncode(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
+    // whatever the learned merges are, per-word costs must be consistent:
+    // cost(1) = cost(aa) + cost(bb), cost(3) = 2*cost(bb) + cost(aa)
+    val aa = out(2L)
+    val bb = out(1L) - aa
+    assert(out(3L) == 2 * bb + aa)
+  }
+
+  test("quality rank: bucketed rank equals the naive per-lang window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextOps.qualityRank(docs)
+      .select(col("doc_id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = docs
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(TextOps.words(col("text"))).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
+  test("quality rank: pct_rank spans [0,1] per language") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.qualityRank(docs)
+    val bounds = out.groupBy(col("lang"))
+      .agg(min(col("pct_rank")).as("lo"), max(col("pct_rank")).as("hi"),
+        count(lit(1)).as("n")).collect()
+    bounds.foreach { r =>
+      assert(r.getAs[Double]("lo") == 0.0)
+      if (r.getAs[Long]("n") > 1) assert(r.getAs[Double]("hi") == 1.0)
+    }
   }
 
   test("fixture: gopher keeps a strict majority but drops real documents") {
