@@ -1560,6 +1560,7 @@ object SparkEntry {
       graft.operators.Sketch.countMin(Tables.events(s, d), "user_id")),
     "text_bpe_encode"   -> ((s, d) => TextOps.bpeEncode(docs(s, d))),
     "text_quality_rank" -> ((s, d) => TextOps.qualityRank(docs(s, d))),
+    "dedup_weights"     -> ((s, d) => Dedup.softWeights(docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1670,5 +1671,6 @@ object SparkEntry {
       graft.operators.Sketch.sqlCountMin("events", "user_id"),
     "text_bpe_encode"   -> TextOps.sqlBpeEncode(),
     "text_quality_rank" -> TextOps.sqlQualityRank,
+    "dedup_weights"     -> Dedup.sqlSoftWeights,
   )
 }

@@ -398,6 +398,51 @@ object Dedup {
        |    ORDER BY n_chars DESC, doc_id) AS kept
        |FROM withcomp ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- soft dedup weighting
+  /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —
+    * every document in a duplicate cluster of size n gets sampling weight
+    * 1/n, so the cluster contributes one document's worth of training
+    * mass while keeping its (possibly differently-noised) variants
+    * available. This is the keep-policy alternative to [[canonical]] for
+    * corpora where duplicates carry complementary signal; the weight
+    * column feeds [[graft.operators.TrainingData.weightedSample]]
+    * directly. Docs in no pair form their own cluster (weight 1.0).
+    *
+    * Scale shape: identical to [[canonical]] — the component frame is
+    * |clustered docs| rows, the corpus joins it hash-partitioned on
+    * doc_id, and the cluster-size count is one window exchange keyed by
+    * component. Weight is 1/n in exact double arithmetic (integer
+    * operands — both engines emit the identical quotient).
+    */
+  def softWeights(docs: DataFrame): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component"), col("n_dups"),
+        (lit(1.0) / col("n_dups").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlSoftWeights: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${sqlMinhashPairs().linesIterator.mkString("\n  ")}
+       |),
+       |$sqlComponentsCtes,
+       |withcomp AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |)
+       |SELECT doc_id, component, n_dups,
+       |  CAST(1 AS DOUBLE) / CAST(n_dups AS DOUBLE) AS weight
+       |FROM (
+       |  SELECT doc_id, component,
+       |    COUNT(*) OVER (PARTITION BY component) AS n_dups
+       |  FROM withcomp
+       |) ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- SimHash
   /** 16-bit SimHash (Charikar, "Similarity estimation techniques from
     * rounding algorithms", STOC 2002): per bit j, sign of Σ over tokens of ±1 by bit j of the

@@ -195,6 +195,22 @@ class CorpusExtSpec extends SparkSuite {
       .filter(col("n_dups") =!= col("count")).count() == 0)
   }
 
+  test("soft weights: cluster members split one unit of mass; singletons keep 1.0") {
+    val body = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = docFrame(Seq(
+      (1L, body), (2L, body), (3L, body), // one cluster of 3
+      (4L, (1 to 30).map(i => s"solo$i").mkString(" "))))
+    val out = Dedup.softWeights(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dups"), r.getAs[Double]("weight"))).toMap
+    assert(out(1L) == (3L, 1.0 / 3.0))
+    assert(out(2L) == (3L, 1.0 / 3.0))
+    assert(out(3L) == (3L, 1.0 / 3.0))
+    assert(out(4L) == (1L, 1.0))
+    // total mass = number of effective documents (clusters)
+    assert(out.values.map(_._2).sum == 2.0)
+  }
+
   test("containment: a short doc embedded in a long one scores 1.0") {
     val passage = (1 to 10).map(i => s"quote$i").mkString(" ")
     val docs = docFrame(Seq(
