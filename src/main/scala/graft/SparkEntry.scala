@@ -1561,6 +1561,9 @@ object SparkEntry {
     "text_bpe_encode"   -> ((s, d) => TextOps.bpeEncode(docs(s, d))),
     "text_quality_rank" -> ((s, d) => TextOps.qualityRank(docs(s, d))),
     "dedup_weights"     -> ((s, d) => Dedup.softWeights(docs(s, d))),
+    "sim_knn_graph"     -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d))),
+    "corpus_budget"     -> ((s, d) => TrainingData.budgetSelect(docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1672,5 +1675,7 @@ object SparkEntry {
     "text_bpe_encode"   -> TextOps.sqlBpeEncode(),
     "text_quality_rank" -> TextOps.sqlQualityRank,
     "dedup_weights"     -> Dedup.sqlSoftWeights,
+    "sim_knn_graph"     -> Similarity.sqlKnnGraph,
+    "corpus_budget"     -> TrainingData.sqlBudgetSelect,
   )
 }

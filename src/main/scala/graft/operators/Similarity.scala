@@ -209,6 +209,70 @@ object Similarity {
        |FROM ranked WHERE rk <= $AnnTopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ----------------------------------------------------------- k-NN graph
+  /** Approximate k-NN graph over the WHOLE collection — every vector's
+    * [[KnnGraphK]] nearest within-bucket neighbors plus a `mutual` flag
+    * (edge reciprocated in the other direction). The k-NN graph is the
+    * input structure for graph-based semantic clustering and for
+    * NN-Descent-style refinement (Dong et al., "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures",
+    * WWW 2011); [[semanticDedup]] is the thresholded special case.
+    *
+    * Scale shape: identical to [[annTopK]] with the query side widened to
+    * the full collection — candidate generation stays within LSH buckets
+    * (ONE hash-partitioned equi join, never all-pairs), norms are
+    * computed once map-side, the per-src top-k runs as a rank-filter
+    * window (WindowGroupLimit pushes the cut before the final sort), and
+    * the mutual flag is one self-join of the k·N edge list on its
+    * reversed key — edge-list-sized, not candidate-sized.
+    */
+  val KnnGraphK = 3
+
+  def knnGraph(emb: DataFrame): DataFrame = {
+    val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
+      col("embedding"), col("norm"), lshBucket(col("embedding")).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("src"), col("embedding").as("av"),
+      col("norm").as("an"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("dst"), col("embedding").as("bv"),
+      col("norm").as("bn"), col("bucket"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val edges = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnGraphK)
+      .select(col("src"), col("rk"), col("dst"), col("cos"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("rev"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("rk"), col("dst"),
+        col("cos").as("cos_sim"),
+        coalesce(col("rev"), lit(false)).as("mutual"))
+      .orderBy(col("src"), col("rk"))
+  }
+
+  def sqlKnnGraph: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), edges AS (
+       |  SELECT src, rk, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= $KnnGraphK
+       |)
+       |SELECT e.src, e.rk, e.dst, e.cos AS cos_sim,
+       |  (r.src IS NOT NULL) AS mutual
+       |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+       |ORDER BY e.src, e.rk""".stripMargin
+
   // ------------------------------------------------------------ IVF ANN
   /** IVF-style ANN (inverted-file index in the sense of Sivic & Zisserman
     * "Video Google" 2003 / FAISS coarse quantization): a coarse quantizer

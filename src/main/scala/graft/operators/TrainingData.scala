@@ -658,4 +658,70 @@ object TrainingData {
        |FROM documents
        |ORDER BY priority DESC, doc_id LIMIT $WSampleK""".stripMargin
   }
+
+  // ------------------------------------------- token-budget data selection
+  /** Data selection under a token budget: walk documents in quality order
+    * (best first, doc_id tiebreak) and mark everything whose cumulative
+    * token count still fits [[TokenBudget]] — the "given a budget of N
+    * tokens, which documents train?" operator (quality-threshold selection
+    * as practiced since at least Brown et al. 2020's quality-filtered
+    * CommonCrawl, but with the budget explicit instead of a score cutoff).
+    *
+    * Scale shape: a global running sum in score order is the classic
+    * single-partition window trap; this is the SAME distributed prefix sum
+    * as [[pack]] and [[TextOps.qualityRank]] — map-side score buckets, a
+    * tiny per-bucket token-sum table whose higher-bucket prefix offsets
+    * broadcast back, and a within-(bucket) running-sum window. Selection
+    * is then a map-side comparison; no corpus-wide sort happens until the
+    * harness's total ORDER BY (production writes the `selected` filter,
+    * not an ordered dump).
+    */
+  val TokenBudget = 10000L
+
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), TextOps.qualityScore(col("w")).as("score"),
+        size(col("w")).cast("long").as("n_tok"))
+      .withColumn("bucket", floor(col("score") * lit(64.0)).cast("long"))
+    val offsets = scored.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
+      .withColumn("offset", coalesce(
+        sum(col("btok")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    scored.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("offset") +
+        sum(col("n_tok")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tokens"),
+        (col("cum_tokens") <= TokenBudget).as("selected"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  def sqlBudgetSelect: String = {
+    val set = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    val w = sqlWords("text")
+    s"""SELECT doc_id, score, n_tok, cum_tokens,
+       |  cum_tokens <= $TokenBudget AS selected
+       |FROM (
+       |  SELECT doc_id, score, n_tok,
+       |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id,
+       |      (nwords / (nwords + 100.0)) * (ndistinct / nwords)
+       |        * (1.0 - nstop / nwords) AS score,
+       |      CAST(nwl AS BIGINT) AS n_tok
+       |    FROM (
+       |      SELECT doc_id, len($w) AS nwl,
+       |        CAST(len($w) AS DOUBLE) AS nwords,
+       |        CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE)
+       |          AS nstop,
+       |        CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
+       |      FROM documents
+       |    )
+       |  )
+       |) ORDER BY score DESC, doc_id""".stripMargin
+  }
 }

@@ -195,6 +195,25 @@ class CorpusExtSpec extends SparkSuite {
       .filter(col("n_dups") =!= col("count")).count() == 0)
   }
 
+  test("budget select: quality-prefix property and exact running sum") {
+    val docs = Tables.documents(spark, dir)
+    val out = TrainingData.budgetSelect(docs).collect()
+    // rows arrive in (score desc, doc_id) order; cum_tokens must be the
+    // exact running sum and `selected` a prefix of that order
+    var running = 0L
+    var stillSelected = true
+    out.foreach { r =>
+      running += r.getAs[Long]("n_tok")
+      assert(r.getAs[Long]("cum_tokens") == running)
+      val sel = r.getAs[Boolean]("selected")
+      assert(sel == (running <= TrainingData.TokenBudget))
+      if (!sel) stillSelected = false
+      else assert(stillSelected, "selected row after an unselected one")
+    }
+    val nSel = out.count(_.getAs[Boolean]("selected"))
+    assert(nSel > 0 && nSel < out.length, s"budget not discriminating: $nSel")
+  }
+
   test("soft weights: cluster members split one unit of mass; singletons keep 1.0") {
     val body = (1 to 30).map(i => s"dup$i").mkString(" ")
     val docs = docFrame(Seq(

@@ -152,6 +152,28 @@ class OpsSpec extends SparkSuite {
     assert(r == Map(0L -> 0.5, 1L -> 0.0))
   }
 
+  test("knn graph: k edges per vector, mutual flags are symmetric") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val g = Similarity.knnGraph(e).collect()
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    bySrc.values.foreach { edges =>
+      assert(edges.length <= Similarity.KnnGraphK)
+      // ranks are 1..k and cosine is non-increasing in rank
+      val sorted = edges.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to edges.length))
+      val cs = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // mutual(a→b) ⇔ the reversed edge exists; and then b→a is mutual too
+    val edgeSet = g.map(r =>
+      (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    g.foreach { r =>
+      val (s, d) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      assert(r.getAs[Boolean]("mutual") == edgeSet.contains((d, s)))
+    }
+    assert(g.exists(_.getAs[Boolean]("mutual")), "fixture has no mutual pair")
+  }
+
   test("cluster stats profile matches hand-built duplicate clusters") {
     // {1,2,3} identical (one cluster of 3), {7,8} identical (one of 2),
     // 9 unique (not clustered at all)
