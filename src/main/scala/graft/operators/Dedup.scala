@@ -752,6 +752,11 @@ object Dedup {
         array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
           .as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+      // sets feeds FIVE subtrees (idx→dfOk, idxc, probe, verify a, verify
+      // b) that ReuseExchange cannot dedup — checkpoint so the md5-heavy
+      // shingle pipeline runs once, not five times (the same eager
+      // materialization as connectedComponents/bpeIterate)
+      .localCheckpoint(true)
     // explode_outer, not explode: `sh` is a derived HOF chain and provably
     // non-empty (size(w) >= ShingleK above) — plain explode makes the
     // optimizer infer `size(sh) > 0` and push it below the staging

@@ -242,6 +242,10 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnGraphK)
       .select(col("src"), col("rk"), col("dst"), col("cos"))
+      // both sides of the mutual self-join read this k·N edge list;
+      // without materialization the bucket join + scoring + rank window
+      // execute twice (ReuseExchange dedups at most the shuffle)
+      .localCheckpoint(true)
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       lit(true).as("rev"))
     edges.join(rev, Seq("src", "dst"), "left")

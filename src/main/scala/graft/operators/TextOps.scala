@@ -77,23 +77,35 @@ object TextOps {
       qualityScore(w).as("quality_score"))
   }
 
-  def sqlQuality: String = {
+  /** Shared oracle fragments for everything scoring documents by
+    * [[qualityScore]] — ONE definition so [[sqlQuality]],
+    * [[sqlQualityRank]] and [[TrainingData.sqlBudgetSelect]] can never
+    * drift from each other (or from the Scala blend).
+    * [[sqlWordStats]] emits per-doc nwl/nwords/nstop/ndistinct plus any
+    * passthrough columns; [[SqlScoreExpr]] is the blend over them.
+    */
+  val SqlScoreExpr: String =
+    "(nwords / (nwords + 100.0)) * (ndistinct / nwords) * (1.0 - nstop / nwords)"
+
+  def sqlWordStats(extraCols: String = ""): String = {
     val set = Stopwords.map(s => s"'$s'").mkString(", ")
     val w = sqlWords("text")
+    s"""SELECT doc_id$extraCols, len($w) AS nwl,
+       |    CAST(len($w) AS DOUBLE) AS nwords,
+       |    CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE) AS nstop,
+       |    CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
+       |  FROM documents""".stripMargin
+  }
+
+  def sqlQuality: String =
     s"""SELECT doc_id,
        |  nstop / nwords AS stopword_ratio,
        |  ndistinct / nwords AS distinct_ratio,
        |  CAST(length(text) AS DOUBLE) / nwords AS avg_token_len,
-       |  (nwords / (nwords + 100.0)) * (ndistinct / nwords)
-       |    * (1.0 - nstop / nwords) AS quality_score
+       |  $SqlScoreExpr AS quality_score
        |FROM (
-       |  SELECT doc_id, text,
-       |    CAST(len($w) AS DOUBLE) AS nwords,
-       |    CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE) AS nstop,
-       |    CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
-       |  FROM documents
+       |  ${sqlWordStats(", text")}
        |) ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------- per-language quality rank
   /** Exact per-language quality rank and percentile — the CCNet-style
@@ -141,9 +153,7 @@ object TextOps {
       .orderBy(col("lang"), col("rank"))
   }
 
-  def sqlQualityRank: String = {
-    val set = Stopwords.map(s => s"'$s'").mkString(", ")
-    val w = sqlWords("text")
+  def sqlQualityRank: String =
     s"""SELECT doc_id, lang, score, rank,
        |  CASE WHEN lang_total = 1 THEN 0.0
        |       ELSE CAST(rank - 1 AS DOUBLE) / CAST(lang_total - 1 AS DOUBLE)
@@ -154,20 +164,12 @@ object TextOps {
        |                       ORDER BY score DESC, doc_id) AS rank,
        |    COUNT(*) OVER (PARTITION BY lang) AS lang_total
        |  FROM (
-       |    SELECT doc_id, lang,
-       |      (nwords / (nwords + 100.0)) * (ndistinct / nwords)
-       |        * (1.0 - nstop / nwords) AS score
+       |    SELECT doc_id, lang, $SqlScoreExpr AS score
        |    FROM (
-       |      SELECT doc_id, lang,
-       |        CAST(len($w) AS DOUBLE) AS nwords,
-       |        CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE)
-       |          AS nstop,
-       |        CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
-       |      FROM documents
+       |      ${sqlWordStats(", lang")}
        |    )
        |  )
        |) ORDER BY lang, rank""".stripMargin
-  }
 
   // ------------------------------------------------------------ language ID
   /** Marker-word voting heuristic: count hits per language profile, argmax
@@ -642,8 +644,15 @@ object TextOps {
       // inlined, element_at(derived, i) re-evaluates the producing chain
       // per element (O(len²)→O(len³) per word). Multiple references to a
       // non-cheap expression also stop CollapseProject from re-inlining.
-      syms = syms.crossJoin(broadcast(
-          top.select(col("sym_a").as("pa"), col("sym_b").as("pb"))))
+      // left join on TRUE, not crossJoin: when a round's pair table is
+      // EMPTY (vocabulary fully merged before `rounds`), a cross join
+      // would wipe syms to zero rows and silently discard every learned
+      // merge; with the left join the null pa/pb make bpeMatch all-zero
+      // and the round becomes a no-op. The oracle mirrors with
+      // LEFT JOIN ... ON TRUE.
+      syms = syms.join(broadcast(
+          top.select(col("sym_a").as("pa"), col("sym_b").as("pb"))),
+          lit(true), "left")
         .select(col("word"), col("freq"), col("sym"), col("pa"), col("pb"),
           bpeMatch(col("sym"), col("pa"), col("pb")).as("m"))
         .select(col("word"), col("freq"), col("sym"), col("pa"), col("pb"),
@@ -737,7 +746,7 @@ object TextOps {
        |      list_transform(range(1, len(sym)), i ->
        |        CASE WHEN sym[i] = t.sym_a AND sym[i+1] = t.sym_b
        |             THEN 1 ELSE 0 END) AS m
-       |    FROM s${k - 1}, t$k t
+       |    FROM s${k - 1} LEFT JOIN t$k t ON TRUE
        |  )
        |)""".stripMargin
 
@@ -943,23 +952,34 @@ object TextOps {
     * df/cf but a NULL postings array — at 100 TB a stopword's posting list
     * IS the corpus and no consumer wants it materialized per term.
     *
-    * Scale shape: one explode + one hash aggregation keyed by term.
-    * count/collect_set partial-aggregate map-side, and the cap bounds
-    * every emitted array. The aggregation shuffles (term, doc_id) pairs
-    * only — never text.
+    * Scale shape: df/cf aggregate FIRST (counts partial-aggregate
+    * map-side to fixed-width rows), and only terms already under the cap
+    * join back to the pair stream for list collection — a hot term's
+    * doc_ids never enter a collect_set buffer, map-side or reduce-side
+    * (the same aggregate-then-admit discipline as
+    * [[Dedup.ContainMaxPosting]]'s dfOk). Every collected list is bounded
+    * by the cap; the extra term-keyed join is pair-stream-sized but
+    * fixed-width. The aggregations shuffle (term, doc_id) pairs only —
+    * never text.
     */
   val PostingsCap = 20
 
-  def postings(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+  def postings(docs: DataFrame): DataFrame = {
+    // explode_outer: words() is derived and provably non-empty — plain
+    // explode makes InferFiltersFromGenerate re-run the split per row as
+    // a filter (see the Generate discipline in SCALE.md)
+    val pairs = docs
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("term"))
+    val stats = pairs.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+    val small = stats.filter(col("df") <= PostingsCap).select(col("term"))
+    val posts = pairs.join(small, "term")
       .groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("cf"),
-        sort_array(collect_set(col("doc_id"))).as("postings_raw"))
-      .select(col("term"), col("df"), col("cf"),
-        when(col("df") <= PostingsCap, col("postings_raw")).as("postings"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+    stats.join(posts, Seq("term"), "left")
+      .select(col("term"), col("df"), col("cf"), col("postings"))
       .orderBy(col("term"))
+  }
 
   def sqlPostings: String =
     s"""SELECT term, df, cf,

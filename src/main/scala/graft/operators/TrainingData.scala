@@ -699,9 +699,7 @@ object TrainingData {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
-  def sqlBudgetSelect: String = {
-    val set = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
-    val w = sqlWords("text")
+  def sqlBudgetSelect: String =
     s"""SELECT doc_id, score, n_tok, cum_tokens,
        |  cum_tokens <= $TokenBudget AS selected
        |FROM (
@@ -709,19 +707,11 @@ object TrainingData {
        |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
        |  FROM (
-       |    SELECT doc_id,
-       |      (nwords / (nwords + 100.0)) * (ndistinct / nwords)
-       |        * (1.0 - nstop / nwords) AS score,
+       |    SELECT doc_id, ${TextOps.SqlScoreExpr} AS score,
        |      CAST(nwl AS BIGINT) AS n_tok
        |    FROM (
-       |      SELECT doc_id, len($w) AS nwl,
-       |        CAST(len($w) AS DOUBLE) AS nwords,
-       |        CAST(len(list_filter($w, x -> x IN ($set))) AS DOUBLE)
-       |          AS nstop,
-       |        CAST(len(list_distinct($w)) AS DOUBLE) AS ndistinct
-       |      FROM documents
+       |      ${TextOps.sqlWordStats()}
        |    )
        |  )
        |) ORDER BY score DESC, doc_id""".stripMargin
-  }
 }

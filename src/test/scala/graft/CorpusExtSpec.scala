@@ -226,8 +226,9 @@ class CorpusExtSpec extends SparkSuite {
     assert(out(2L) == (3L, 1.0 / 3.0))
     assert(out(3L) == (3L, 1.0 / 3.0))
     assert(out(4L) == (1L, 1.0))
-    // total mass = number of effective documents (clusters)
-    assert(out.values.map(_._2).sum == 2.0)
+    // total mass = number of effective documents (clusters); summed with a
+    // tolerance — 3×(1/3) only hits 1.0 exactly in some addition orders
+    assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-12)
   }
 
   test("containment: a short doc embedded in a long one scores 1.0") {
@@ -262,7 +263,6 @@ class CorpusExtSpec extends SparkSuite {
         .mkString(" ")),
       (2L, ((1 to 5).map(i => s"sh$i") ++ (1 to 30).map(i => s"y$i"))
         .mkString(" "))))
-    val out = Dedup.containmentPairs(docs).collect()
-    assert(out.forall(_.getAs[Double]("containment") >= Dedup.ContainThreshold))
+    assert(Dedup.containmentPairs(docs).isEmpty)
   }
 }

@@ -102,6 +102,17 @@ class TextExtSpec extends SparkSuite {
     assert(out(3L) == 2 * bb + aa)
   }
 
+  test("bpe encode: rounds past vocabulary saturation are no-ops, not wipes") {
+    // merges saturate at round 2 ((a,a) then (b,b)); rounds 3 and 4 see an
+    // EMPTY pair table — learned merges must survive (a cross join with the
+    // empty winner frame would wipe the vocabulary and bill characters)
+    val docs = docFrame(Seq((1L, "aa bb"), (2L, "aa")))
+    val out = TextOps.bpeEncode(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
+    assert(out(2L) == 1L, s"aa should encode to 1 merged symbol: $out")
+    assert(out(1L) == 2L, s"aa bb should encode to 2 merged symbols: $out")
+  }
+
   test("quality rank: bucketed rank equals the naive per-lang window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
