@@ -1564,6 +1564,9 @@ object SparkEntry {
     "sim_knn_graph"     -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d))),
     "corpus_budget"     -> ((s, d) => TrainingData.budgetSelect(docs(s, d))),
+    "sim_rrf"           -> ((s, d) => Similarity.rrf(Tables.embeddings(s, d))),
+    "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
+      Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1677,5 +1680,8 @@ object SparkEntry {
     "dedup_weights"     -> Dedup.sqlSoftWeights,
     "sim_knn_graph"     -> Similarity.sqlKnnGraph,
     "corpus_budget"     -> TrainingData.sqlBudgetSelect,
+    "sim_rrf"           -> Similarity.sqlRrf,
+    "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
+      "customer", "c_custkey", "orders", "o_custkey"),
   )
 }

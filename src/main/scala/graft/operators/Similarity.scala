@@ -277,6 +277,68 @@ object Similarity {
        |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
        |ORDER BY e.src, e.rk""".stripMargin
 
+  // ------------------------------------------------ reciprocal rank fusion
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal rank
+    * fusion outperforms Condorcet and individual rank learning methods",
+    * SIGIR 2009) of two retrieval rankings — here the exact brute-force
+    * cosine ranking and the LSH ANN ranking, the standard two-retriever
+    * shape (fuse a slow-exact and a fast-approximate pass, or BM25 +
+    * dense). score(d) = Σ_r 1/(RrfFuseK + rank_r(d)) over the rankings
+    * that returned d; candidates missing from one ranking contribute only
+    * the other term. Pure rational arithmetic over integer ranks — both
+    * engines emit identical doubles, no similarity scores are compared
+    * across retrievers (RRF's whole point).
+    *
+    * Scale shape: inputs are already top-k rankings (k·|Q| rows each);
+    * fusion is ONE full-outer join on (query, candidate) + a per-query
+    * rank window over ≤ 2k candidates — ranking-sized, the corpus is
+    * never touched again.
+    */
+  val RrfFuseK = 60
+
+  def rrf(emb: DataFrame): DataFrame = {
+    val bt = bruteTopK(emb)
+      .select(col("query_id"), col("cand_id"), col("rk").as("rk_exact"))
+    val at = annTopK(emb)
+      .select(col("query_id"), col("cand_id"), col("rk").as("rk_ann"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("cand_id"))
+    bt.join(at, Seq("query_id", "cand_id"), "full")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfFuseK) + col("rk_exact")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfFuseK) + col("rk_ann")), lit(0.0)))
+      .withColumn("rrf_rank", row_number().over(w))
+      .select(col("query_id"), col("rrf_rank"), col("cand_id"),
+        col("rrf_score"))
+      .orderBy(col("query_id"), col("rrf_rank"))
+  }
+
+  def sqlRrf: String =
+    s"""WITH bt AS (
+       |  SELECT query_id, cand_id, rk FROM (
+       |    ${sqlBruteTopK.linesIterator.mkString("\n    ")}
+       |  )
+       |), at AS (
+       |  SELECT query_id, cand_id, rk FROM (
+       |    ${sqlAnnTopK.linesIterator.mkString("\n    ")}
+       |  )
+       |)
+       |SELECT query_id, rrf_rank, cand_id, rrf_score FROM (
+       |  SELECT query_id, cand_id, rrf_score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_score DESC, cand_id) AS rrf_rank
+       |  FROM (
+       |    SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+       |      COALESCE(b.cand_id, a.cand_id) AS cand_id,
+       |      COALESCE(CAST(1 AS DOUBLE) / ($RrfFuseK + b.rk),
+       |               CAST(0 AS DOUBLE))
+       |        + COALESCE(CAST(1 AS DOUBLE) / ($RrfFuseK + a.rk),
+       |                   CAST(0 AS DOUBLE)) AS rrf_score
+       |    FROM bt b FULL JOIN at a
+       |      ON b.query_id = a.query_id AND b.cand_id = a.cand_id
+       |  )
+       |) ORDER BY query_id, rrf_rank""".stripMargin
+
   // ------------------------------------------------------------ IVF ANN
   /** IVF-style ANN (inverted-file index in the sense of Sivic & Zisserman
     * "Video Google" 2003 / FAISS coarse quantization): a coarse quantizer

@@ -84,6 +84,111 @@ object Sketch {
        |FROM kept
        |ORDER BY $groupCol""".stripMargin
 
+  // ------------------------------------------- KMV join-size estimation
+  /** Join-cardinality estimation from KMV sketches (Beyer et al., "On
+    * synopses for distinct-value estimation under multiset operations",
+    * SIGMOD 2007): the k smallest key hashes of each join side are a
+    * uniform sample of the DISTINCT-key space, so the union sketch (k
+    * smallest of the merged sets) estimates |A∪B|, the fraction of union
+    * survivors present in BOTH sketches estimates the Jaccard, and their
+    * product estimates the distinct-key overlap |A∩B| — the number a
+    * planner wants before committing to a join strategy at 100 TB.
+    * Exact counts ride along as the audit columns (the [[countMin]]
+    * pattern); production reads the sketch side alone.
+    *
+    * Scale shape: per side, ONE distinct-aggregate over raw keys
+    * (map-side partial dedup) followed by a TakeOrdered top-k of the
+    * hashes — never a full sort; everything after is ≤ k-row frames
+    * cross-joined into one output row. The two sides never join each
+    * other except through their sketches (the exact audit join is the
+    * oracle's job, dropped in production).
+    */
+  def kmvJoinEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    def sketch(df: DataFrame, key: String) = df
+      .filter(col(key).isNotNull)
+      .select(col(key)).distinct()
+      .select(tokenHash(col(key).cast("string")).as("h"))
+      .orderBy(col("h")).limit(K)
+    def est(k: Column, hk: Column) =
+      when(k < K, k.cast("double")).otherwise(
+        lit(K - 1) / ((hk + lit(1L)).cast("double") / lit(HashSpace)))
+    val sa = sketch(a, aKey).localCheckpoint(true) // 3 consumers: stats, union, common
+    val sb = sketch(b, bKey).localCheckpoint(true)
+    val su = sa.union(sb).distinct().orderBy(col("h")).limit(K)
+      .localCheckpoint(true)
+    val aStats = sa.agg(count(lit(1)).as("ka"), max(col("h")).as("hka"))
+    val bStats = sb.agg(count(lit(1)).as("kb"), max(col("h")).as("hkb"))
+    val uStats = su.agg(count(lit(1)).as("ku"), max(col("h")).as("hku"))
+    val common = su.join(sa, "h").join(sb, "h").agg(count(lit(1)).as("c"))
+    val aExact = a.filter(col(aKey).isNotNull).select(col(aKey)).distinct()
+      .agg(count(lit(1)).as("a_exact"))
+    val bExact = b.filter(col(bKey).isNotNull).select(col(bKey)).distinct()
+      .agg(count(lit(1)).as("b_exact"))
+    val iExact = a.select(col(aKey).as("k")).distinct()
+      .join(b.select(col(bKey).as("k")).distinct(), "k")
+      .agg(count(lit(1)).as("intersect_exact"))
+    aStats.crossJoin(bStats).crossJoin(uStats).crossJoin(common)
+      .crossJoin(aExact).crossJoin(bExact).crossJoin(iExact)
+      .select(
+        est(col("ka"), col("hka")).as("a_distinct_est"),
+        est(col("kb"), col("hkb")).as("b_distinct_est"),
+        est(col("ku"), col("hku")).as("union_est"),
+        (col("c").cast("double") / col("ku").cast("double"))
+          .as("jaccard_est"),
+        ((col("c").cast("double") / col("ku").cast("double")) *
+          est(col("ku"), col("hku"))).as("intersect_est"),
+        col("a_exact"), col("b_exact"), col("intersect_exact"))
+  }
+
+  def sqlKmvJoinEstimate(aTable: String, aKey: String,
+      bTable: String, bKey: String): String = {
+    def sketchCte(name: String, table: String, key: String) =
+      s"""$name AS (
+         |  SELECT ${sqlTokenHash(s"CAST($key AS VARCHAR)")} AS h
+         |  FROM (SELECT DISTINCT $key FROM $table WHERE $key IS NOT NULL)
+         |  ORDER BY h LIMIT $K
+         |)""".stripMargin
+    def est(k: String, hk: String) =
+      s"""CASE WHEN $k < $K THEN CAST($k AS DOUBLE)
+         |       ELSE ($K - 1) / (CAST($hk + 1 AS DOUBLE) / $HashSpace)
+         |  END""".stripMargin
+    s"""WITH ${sketchCte("sa", aTable, aKey)},
+       |${sketchCte("sb", bTable, bKey)},
+       |su AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM (
+       |    SELECT h FROM sa UNION ALL SELECT h FROM sb
+       |  )) ORDER BY h LIMIT $K
+       |), astats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS ka, MAX(h) AS hka FROM sa
+       |), bstats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS kb, MAX(h) AS hkb FROM sb
+       |), ustats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS ku, MAX(h) AS hku FROM su
+       |), common AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM su JOIN sa USING (h) JOIN sb USING (h)
+       |), aexact AS (
+       |  SELECT CAST(COUNT(DISTINCT $aKey) AS BIGINT) AS a_exact
+       |  FROM $aTable WHERE $aKey IS NOT NULL
+       |), bexact AS (
+       |  SELECT CAST(COUNT(DISTINCT $bKey) AS BIGINT) AS b_exact
+       |  FROM $bTable WHERE $bKey IS NOT NULL
+       |), iexact AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS intersect_exact FROM
+       |    (SELECT DISTINCT $aKey AS k FROM $aTable) x
+       |    JOIN (SELECT DISTINCT $bKey AS k FROM $bTable) y USING (k)
+       |)
+       |SELECT ${est("ka", "hka")} AS a_distinct_est,
+       |  ${est("kb", "hkb")} AS b_distinct_est,
+       |  ${est("ku", "hku")} AS union_est,
+       |  CAST(c AS DOUBLE) / CAST(ku AS DOUBLE) AS jaccard_est,
+       |  (CAST(c AS DOUBLE) / CAST(ku AS DOUBLE)) * ${est("ku", "hku")}
+       |    AS intersect_est,
+       |  a_exact, b_exact, intersect_exact
+       |FROM astats, bstats, ustats, common, aexact, bexact, iexact""".stripMargin
+  }
+
   // ----------------------------------------------------- Count-Min sketch
   /** Count-Min frequency sketch (Cormode & Muthukrishnan, "An improved data
     * stream summary: the count-min sketch and its applications", J.

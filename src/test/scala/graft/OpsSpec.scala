@@ -174,6 +174,50 @@ class OpsSpec extends SparkSuite {
     assert(g.exists(_.getAs[Boolean]("mutual")), "fixture has no mutual pair")
   }
 
+  test("rrf: doubly-retrieved candidates outrank single-ranking ones") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fused = Similarity.rrf(e).collect()
+    val brute = Similarity.bruteTopK(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Int]("rk")).toMap
+    val ann = Similarity.annTopK(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Int]("rk")).toMap
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      val expected =
+        brute.get(key).map(rk => 1.0 / (Similarity.RrfFuseK + rk))
+          .getOrElse(0.0) +
+        ann.get(key).map(rk => 1.0 / (Similarity.RrfFuseK + rk))
+          .getOrElse(0.0)
+      assert(r.getAs[Double]("rrf_score") == expected)
+    }
+    // every fused candidate came from at least one ranking
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(brute.contains(key) || ann.contains(key))
+    }
+  }
+
+  test("kmv join estimate: exact under K distinct; disjoint keys give zero overlap") {
+    import graft.operators.Sketch
+    val a = (1L to 40L).map(Tuple1(_)).toDF("k")
+    val b = (21L to 60L).map(Tuple1(_)).toDF("k")
+    val r = Sketch.kmvJoinEstimate(a, "k", b, "k").collect().head
+    // 40, 40, 60 distinct — all under K=64, so every estimate is exact
+    assert(r.getAs[Double]("a_distinct_est") == 40.0)
+    assert(r.getAs[Double]("b_distinct_est") == 40.0)
+    assert(r.getAs[Double]("union_est") == 60.0)
+    assert(r.getAs[Double]("jaccard_est") == 20.0 / 60.0)
+    assert(r.getAs[Double]("intersect_est") == (20.0 / 60.0) * 60.0)
+    assert(r.getAs[Long]("intersect_exact") == 20L)
+    val disj = Sketch.kmvJoinEstimate(
+      (1L to 30L).map(Tuple1(_)).toDF("k"), "k",
+      (100L to 130L).map(Tuple1(_)).toDF("k"), "k").collect().head
+    assert(disj.getAs[Double]("jaccard_est") == 0.0)
+    assert(disj.getAs[Double]("intersect_est") == 0.0)
+  }
+
   test("cluster stats profile matches hand-built duplicate clusters") {
     // {1,2,3} identical (one cluster of 3), {7,8} identical (one of 2),
     // 9 unique (not clustered at all)

@@ -176,6 +176,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup_containment: candidate generation stays equi-join, no nested loop") {
+    val p = planTree("dedup_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("semanticPairs: centroid assignment broadcasts, pairs join on cell") {
     // asserted on the pair stage directly: semanticDedup's component pass
     // checkpoints eagerly, which hides the upstream plan from the final tree
