@@ -1331,6 +1331,44 @@ object SparkEntry {
       |FROM e GROUP BY 1, 2
       |ORDER BY event_type, hour""".stripMargin
 
+  // ------------------------------------------------- events_compact
+  // CDC log compaction: materialize the LATEST state per (user_id,
+  // event_type) from the append-only change log — the log→snapshot step
+  // every incremental pipeline runs. Same thin-argmax convention as
+  // q42_ohlc: max over struct(ts, event_id, value) partial-aggregates
+  // map-side (each task emits one candidate per key), so the 100 TB log
+  // shuffles |keys| rows, never events — the ROW_NUMBER()-per-key
+  // formulation would sort the whole stream inside one window exchange.
+  // (ts, event_id) is unique, so the tiebreak is deterministic and the
+  // value field never drives the compare.
+  private def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts").cast("timestamp_ntz").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"), col("n_changes"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val sqlCompact: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_id, value
+      |  FROM events
+      |)
+      |SELECT user_id, event_type,
+      |  (max(struct_pack(t := ts, e := event_id, v := value))).t AS last_ts,
+      |  (max(struct_pack(t := ts, e := event_id, v := value))).e
+      |    AS last_event_id,
+      |  (max(struct_pack(t := ts, e := event_id, v := value))).v
+      |    AS last_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n_changes
+      |FROM e GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------- q43_retention
   // Cohort retention matrix: users grouped by first-seen week, counted
   // once per (cohort, weeks-since-cohort) they were active in — THE
@@ -1565,6 +1603,7 @@ object SparkEntry {
       Similarity.knnGraph(Tables.embeddings(s, d))),
     "corpus_budget"     -> ((s, d) => TrainingData.budgetSelect(docs(s, d))),
     "sim_rrf"           -> ((s, d) => Similarity.rrf(Tables.embeddings(s, d))),
+    "events_compact"    -> qCompact _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
   )
@@ -1681,6 +1720,7 @@ object SparkEntry {
     "sim_knn_graph"     -> Similarity.sqlKnnGraph,
     "corpus_budget"     -> TrainingData.sqlBudgetSelect,
     "sim_rrf"           -> Similarity.sqlRrf,
+    "events_compact"    -> sqlCompact,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
   )

@@ -176,6 +176,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("events_compact: log compaction is one aggregate — no window sort") {
+    val p = planTree("events_compact")
+    assert(!p.contains("Window"), "argmax degraded to a window:\n" + p)
+    // one hash exchange for the (user, type) agg; the tail sort is the dump
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup_containment: candidate generation stays equi-join, no nested loop") {
     val p = planTree("dedup_containment")
     assert(!p.contains("CartesianProduct"), p)
