@@ -752,6 +752,58 @@ object SparkEntry {
       |FROM m JOIN r ON r.k = m.k AND r.o_orderdate = m.matched_time
       |ORDER BY m.o_orderkey""".stripMargin
 
+  // ------------------------------------------------- q44_asof_nearest
+  // Nearest as-of: each event picks the closest order state in EITHER
+  // direction (distance ties → backward). One union + one keyed sort;
+  // the backward-last and forward-first frames share the single hash
+  // exchange. Oracle: both correlated extremes + epoch-microsecond pick
+  // (DuckDB ASOF is backward-only).
+  private def qAsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"), col("o_orderdate"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.operators.AsOfJoin.asOfNearest(l, r, Seq("k"), "ts",
+      "o_orderdate", Seq("v"))
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("matched_dir"), col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlAsOfNearest: String =
+    """WITH l AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id % 20 AS k
+      |  FROM events
+      |), r AS (
+      |  SELECT o_custkey % 20 AS k, o_orderdate, MAX(o_totalprice) AS v
+      |  FROM orders GROUP BY 1, 2
+      |), m AS (
+      |  SELECT l.event_id, l.k, l.ts,
+      |    (SELECT MAX(r.o_orderdate) FROM r
+      |     WHERE r.k = l.k AND r.o_orderdate <= l.ts) AS bt,
+      |    (SELECT MIN(r.o_orderdate) FROM r
+      |     WHERE r.k = l.k AND r.o_orderdate >= l.ts) AS ft
+      |  FROM l
+      |), pick AS (
+      |  SELECT event_id, k, ts,
+      |    CASE WHEN bt IS NULL THEN ft
+      |         WHEN ft IS NULL THEN bt
+      |         WHEN epoch_us(ft) - epoch_us(ts)
+      |            < epoch_us(ts) - epoch_us(bt) THEN ft
+      |         ELSE bt END AS matched_time
+      |  FROM m WHERE bt IS NOT NULL OR ft IS NOT NULL
+      |)
+      |SELECT p.event_id, p.matched_time,
+      |  CASE WHEN p.matched_time <= p.ts THEN 'backward'
+      |       ELSE 'forward' END AS matched_dir,
+      |  r.v AS matched_value
+      |FROM pick p JOIN r ON r.k = p.k AND r.o_orderdate = p.matched_time
+      |ORDER BY p.event_id""".stripMargin
+
   // --------------------------------------------------- sketch_distinct
   // Distinct-count sketch (HLL++). PERMANENT rows-only waiver: HLL
   // register layouts differ across engines, so no hash oracle can exist —
@@ -1604,6 +1656,7 @@ object SparkEntry {
     "corpus_budget"     -> ((s, d) => TrainingData.budgetSelect(docs(s, d))),
     "sim_rrf"           -> ((s, d) => Similarity.rrf(Tables.embeddings(s, d))),
     "events_compact"    -> qCompact _,
+    "q44_asof_nearest"  -> qAsOfNearest _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
   )
@@ -1721,6 +1774,7 @@ object SparkEntry {
     "corpus_budget"     -> TrainingData.sqlBudgetSelect,
     "sim_rrf"           -> Similarity.sqlRrf,
     "events_compact"    -> sqlCompact,
+    "q44_asof_nearest"  -> sqlAsOfNearest,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
   )

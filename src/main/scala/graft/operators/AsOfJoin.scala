@@ -103,4 +103,74 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame =
     asOfImpl(left, right, keys, leftTime, rightTime, valueCols,
       forward = true)
+
+  /** Nearest as-of: each left row picks whichever right row is closest in
+    * time in EITHER direction; an exact tie in distance goes to the
+    * backward match (the state that already existed — the conservative
+    * enrichment choice). Left rows with no right row on their key drop
+    * (inner semantics, as both directional variants).
+    *
+    * ONE union + ONE keyed sort + TWO frames over the same window spec —
+    * the running backward `last` and the running forward `first` share a
+    * single hash exchange (the q13-sessionize discipline), so nearest
+    * costs the same shuffle as one directional pass, never two. The
+    * distance compare runs on epoch microseconds (integer — exact in both
+    * engines). A right row at the same instant is captured by the
+    * backward frame at distance 0, which the tie rule prefers, so the
+    * forward frame's equal-time exclusion (right sorts before left in
+    * ascending order) can never change the answer.
+    *
+    * Same-instant duplicates on the right: both candidate picks are
+    * deterministic (never partition-order-dependent), but the shared
+    * ascending sort makes them ASYMMETRIC — the backward candidate is the
+    * greatest (time, value) tuple at its instant (`last` ascending), the
+    * forward candidate the least (`first` ascending). Pre-aggregate the
+    * right side to unique (keys, rightTime) — the contract the
+    * directional variants already recommend — and the asymmetry is moot;
+    * the property suite pins both behaviors.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+    val mType = StructType(
+      StructField("__rt", TimestampType) +:
+        valueCols.map(v => StructField(v, right.schema(v).dataType)))
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
+        lit(null).cast(mType).as("__m")) ++
+        leftPayload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
+        struct(col(rightTime).cast("timestamp").as("__rt") +:
+          valueCols.map(col): _*).as("__m")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .filter(col("__t").isNotNull)
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__m").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val db = unix_micros(col("__t")) - unix_micros(col("__b")("__rt"))
+    val df = unix_micros(col("__f")("__rt")) - unix_micros(col("__t"))
+    l.unionByName(r)
+      .withColumn("__b", when(col("__t").isNotNull,
+        last(col("__m"), ignoreNulls = true).over(wb)))
+      .withColumn("__f", when(col("__t").isNotNull,
+        first(col("__m"), ignoreNulls = true).over(wf)))
+      .filter(col("__side") === 1 &&
+        (col("__b").isNotNull || col("__f").isNotNull))
+      .withColumn("__matched",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(df < db, col("__f"))
+          .otherwise(col("__b")))
+      .withColumn("matched_time", col("__matched")("__rt"))
+      .withColumn("matched_dir",
+        when(col("__matched")("__rt") <= col("__t"), lit("backward"))
+          .otherwise(lit("forward")))
+      .withColumns(valueCols.map(v => v -> col("__matched")(v)).toMap)
+      .drop("__t", "__side", "__m", "__b", "__f", "__matched")
+  }
 }

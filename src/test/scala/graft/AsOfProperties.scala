@@ -78,6 +78,47 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  /** Nearest reference: per the documented contract — backward candidate
+    * is the greatest (time, value) tuple at its instant, forward the
+    * least; closer side wins, distance ties go backward.
+    */
+  private def bruteNearest(ls: List[L], rs: List[R]) =
+    ls.flatMap { case (lk, lt, pay) =>
+      lt.flatMap { t =>
+        val back = rs.filter(r => r._1 == lk && r._2.exists(_ <= t))
+        val fwd = rs.filter(r => r._1 == lk && r._2.exists(_ >= t))
+        val bc = back.map(_._2.get).maxOption.map(bt =>
+          (bt, back.filter(_._2.get == bt).map(_._3).max))
+        val fc = fwd.map(_._2.get).minOption.map(ft =>
+          (ft, fwd.filter(_._2.get == ft).map(_._3).min))
+        ((bc, fc) match {
+          case (Some(b), None) => Some(b)
+          case (None, Some(f)) => Some(f)
+          case (Some(b), Some(f)) =>
+            Some(if ((f._1 - t) < (t - b._1)) f else b)
+          case _ => None
+        }).map { case (mt, v) => (lk, t, pay, mt, v) }
+      }
+    }.sorted
+
+  test("property: nearest as-of equals the brute-force reference") {
+    for (seed <- 61L to 72L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val got = AsOfJoin.asOfNearest(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"))
+        .select(col("k"), col("lt_s"), col("pay"),
+          (col("matched_time").cast("long")).cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toList.sorted
+      assert(got == bruteNearest(ls, rs), s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
   // ------------------------------------------------- range join property
   // Same treatment for the bucket-explode range join: the rewrite must
   // emit exactly the naive filter-join's rows, including ranges that span
