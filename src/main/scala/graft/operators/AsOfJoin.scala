@@ -41,9 +41,17 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   */
 object AsOfJoin {
 
-  private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, valueCols: Seq[String],
-      forward: Boolean): DataFrame = {
+  /** Tagged union all three variants window over: left rows carry their
+    * payload and a NULL match struct, right rows carry
+    * struct(__rt, valueCols) as `__m`. Right rows with a NULL time are
+    * pre-dropped — they can never legitimately match, but their __m
+    * struct is NON-null (a struct of NULL fields), so left unfiltered
+    * they would sort NULLS-FIRST into every frame and surface as phantom
+    * matches with matched_time = NULL.
+    */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
     val leftPayload = left.columns.toSeq.filterNot(keys.contains)
     val mType = StructType(
       StructField("__rt", TimestampType) +:
@@ -59,12 +67,13 @@ object AsOfJoin {
         struct(col(rightTime).cast("timestamp").as("__rt") +:
           valueCols.map(col): _*).as("__m")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-      // NULL-time right rows can never legitimately match, but their __m
-      // struct is NON-null (a struct of NULL fields), so left unfiltered
-      // they would sort NULLS-FIRST into every frame and surface as
-      // phantom matches with matched_time = NULL
       .filter(col("__t").isNotNull)
+    l.unionByName(r)
+  }
 
+  private def asOfImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     // __side orders right before left at equal __t (inclusive visibility);
     // __m as the final sort key is the deterministic tiebreak among right
     // rows sharing (key, time) — left rows all carry NULL __m and tie.
@@ -73,7 +82,7 @@ object AsOfJoin {
       .orderBy(timeOrd, col("__side").asc, col("__m").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
       // the NULL-left-time guard: no otherwise() → NULL → filtered below
       .withColumn("__matched", when(col("__t").isNotNull,
         last(col("__m"), ignoreNulls = true).over(w)))
@@ -132,29 +141,13 @@ object AsOfJoin {
   def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       valueCols: Seq[String]): DataFrame = {
-    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
-    val mType = StructType(
-      StructField("__rt", TimestampType) +:
-        valueCols.map(v => StructField(v, right.schema(v).dataType)))
-    val l = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side"),
-        lit(null).cast(mType).as("__m")) ++
-        leftPayload.map(col): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side"),
-        struct(col(rightTime).cast("timestamp").as("__rt") +:
-          valueCols.map(col): _*).as("__m")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-      .filter(col("__t").isNotNull)
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__m").asc)
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val db = unix_micros(col("__t")) - unix_micros(col("__b")("__rt"))
     val df = unix_micros(col("__f")("__rt")) - unix_micros(col("__t"))
-    l.unionByName(r)
+    taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
       .withColumn("__b", when(col("__t").isNotNull,
         last(col("__m"), ignoreNulls = true).over(wb)))
       .withColumn("__f", when(col("__t").isNotNull,

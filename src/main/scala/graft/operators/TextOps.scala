@@ -830,18 +830,23 @@ object TextOps {
   val GopherMinDistinct = 0.3
   val GopherMaxTopFreq = 0.2
 
+  /** Shared staging for token-distribution metrics ([[gopher]],
+    * [[simpson]]): words array, distinct tokens, and per-distinct-token
+    * occurrence counts — each staged through its OWN projection so HOF
+    * lambda bodies read attributes, not re-evaluated split/distinct
+    * subtrees (the derived-array O(n²) hazard). Unused columns prune away
+    * per consumer.
+    */
+  private def stagedTokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("n_chars"), words(col("text")).as("w"))
+    .select(col("doc_id"), col("n_chars"), col("w"),
+      array_distinct(col("w")).as("dw"))
+    .select(col("doc_id"), col("n_chars"), col("w"), col("dw"),
+      transform(col("dw"), t => size(filter(col("w"), x => x === t)))
+        .as("cnts"))
+
   def gopher(docs: DataFrame): DataFrame = {
-    // Stage the words array (and the distinct-token counts array derived
-    // from it) through their own projections: lambda bodies then read
-    // attributes, not re-evaluated split/distinct subtrees (the
-    // derived-array O(n²) hazard).
-    val staged = docs
-      .select(col("doc_id"), col("n_chars"), words(col("text")).as("w"))
-      .select(col("doc_id"), col("n_chars"), col("w"),
-        array_distinct(col("w")).as("dw"))
-      .select(col("doc_id"), col("n_chars"), col("w"), col("dw"),
-        transform(col("dw"), t => size(filter(col("w"), x => x === t)))
-          .as("cnts"))
+    val staged = stagedTokenCounts(docs)
     val nw = size(col("w")).cast("double")
     val nwL = size(col("w")).cast("long")
     // chars-per-word over the text body excluding separators: a doc with
@@ -909,13 +914,9 @@ object TextOps {
     * array, zero shuffles at any corpus size.
     */
   def simpson(docs: DataFrame): DataFrame = {
-    val staged = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), array_distinct(col("w")).as("dw"))
+    val staged = stagedTokenCounts(docs)
       .select(col("doc_id"), size(col("w")).as("n_tokens"),
-        size(col("dw")).as("n_distinct"),
-        transform(col("dw"), t => size(filter(col("w"), x => x === t)))
-          .as("cnts"))
+        size(col("dw")).as("n_distinct"), col("cnts"))
     val n = col("n_tokens").cast("double")
     staged
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
