@@ -1607,6 +1607,7 @@ object SparkEntry {
     "stream_scd_state"   -> graft.streaming.StreamOracles.scdState _,
     "stream_dedup_state" -> graft.streaming.StreamOracles.dedupState _,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
+    "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -1729,6 +1730,7 @@ object SparkEntry {
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
+    "stream_cms_state"   -> graft.streaming.StreamOracles.sqlCmsState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

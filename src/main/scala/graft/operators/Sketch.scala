@@ -221,15 +221,24 @@ object Sketch {
   def sqlCmsHash(j: Int, v: String): String =
     s"CAST(('0x' || substr(md5('$j:' || CAST($v AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth"
 
-  def countMin(df: DataFrame, keyCol: String): DataFrame = {
-    def probes(key: Column) = explode(array((0 until CmsDepth).map(j =>
+  private def cmsProbes(key: Column): Column =
+    explode(array((0 until CmsDepth).map(j =>
       struct(lit(j).as("row_j"), cmsHash(j, key).as("bucket"))): _*))
-    val sketch = df
-      .select(probes(col(keyCol)).as("rb"))
-      .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+
+  /** The sketch proper: the depth×width cell table. Works unchanged over
+    * a STREAMING DataFrame (explode + groupBy-count is an incrementally
+    * maintainable aggregation — see `stream_cms_state`), which is the
+    * whole point of CMS as a distributed/streaming summary.
+    */
+  def cells(df: DataFrame, keyCol: String): DataFrame = df
+    .select(cmsProbes(col(keyCol)).as("rb"))
+    .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+    .agg(count(lit(1)).as("cnt"))
+
+  def countMin(df: DataFrame, keyCol: String): DataFrame = {
+    val sketch = cells(df, keyCol)
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
-      .select(col(keyCol), col("exact_cnt"), probes(col(keyCol)).as("rb"))
+      .select(col(keyCol), col("exact_cnt"), cmsProbes(col(keyCol)).as("rb"))
       .select(col(keyCol), col("exact_cnt"),
         col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("row_j", "bucket"))
@@ -240,17 +249,23 @@ object Sketch {
       .orderBy(col(keyCol))
   }
 
-  def sqlCountMin(table: String, keyCol: String): String = {
+  /** The cell-table SQL shared by the batch oracle and the streaming
+    * final-state oracle. */
+  def sqlCells(table: String, keyCol: String): String = {
     val sketchRows = (0 until CmsDepth).map(j =>
       s"SELECT $j AS row_j, ${sqlCmsHash(j, keyCol)} AS bucket FROM $table")
       .mkString("\n  UNION ALL\n  ")
+    s"""SELECT row_j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  $sketchRows
+       |  ) GROUP BY row_j, bucket""".stripMargin
+  }
+
+  def sqlCountMin(table: String, keyCol: String): String = {
     val probeRows = (0 until CmsDepth).map(j =>
       s"SELECT $keyCol, exact_cnt, $j AS row_j, ${sqlCmsHash(j, keyCol)} AS bucket FROM exact")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH cells AS (
-       |  SELECT row_j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-       |  $sketchRows
-       |  ) GROUP BY row_j, bucket
+       |  ${sqlCells(table, keyCol).linesIterator.mkString("\n  ")}
        |), exact AS (
        |  SELECT $keyCol, CAST(COUNT(*) AS BIGINT) AS exact_cnt
        |  FROM $table GROUP BY $keyCol

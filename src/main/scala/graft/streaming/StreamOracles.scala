@@ -291,4 +291,36 @@ object StreamOracles {
 
   val sqlKmvState: String =
     Sketch.sqlKmvDistinct("lineitem", "l_returnflag", "l_partkey")
+
+  // ------------------------------------------------------ stream_cms_state
+  /** Events split into 3 micro-batches by user_id residue; the Count-Min
+    * cell table is maintained as a STREAMING aggregation (Complete mode —
+    * each micro-batch increments the depth×width counters in the state
+    * store, which is exactly how CMS runs as a production stream summary).
+    * The final complete output must hash-equal the batch-built sketch of
+    * the whole fixture — CMS's defining merge property (cell-wise sums),
+    * checked against the DuckDB batch oracle.
+    */
+  def cmsState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).select(col("user_id"))
+    val src = cachedSrc(s"cms|$dir") { d =>
+      (0 until 3).foreach { i =>
+        writeBatchFile(ev.filter(col("user_id") % 3 === i), d, i)
+      }
+    }
+    val in = streamFiles(spark, src,
+      StructType(Seq(StructField("user_id", LongType))))
+    val name = s"graft_stream_cms_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(
+      Sketch.cells(in, "user_id"), name, OutputMode.Complete())
+    out.select(col("row_j"), col("bucket"), col("cnt"))
+      .orderBy(col("row_j"), col("bucket"))
+  }
+
+  val sqlCmsState: String =
+    s"""WITH cells AS (
+       |  ${Sketch.sqlCells("events", "user_id").linesIterator.mkString("\n  ")}
+       |)
+       |SELECT row_j, bucket, cnt FROM cells
+       |ORDER BY row_j, bucket""".stripMargin
 }
