@@ -1660,6 +1660,10 @@ object SparkEntry {
     "q44_asof_nearest"  -> qAsOfNearest _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
+    "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
+    "corpus_shard"      -> ((s, d) => TrainingData.shard(docs(s, d))),
+    "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
+    "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1779,5 +1783,9 @@ object SparkEntry {
     "q44_asof_nearest"  -> sqlAsOfNearest,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
+    "dedup_spans"       -> Dedup.sqlSpanClean,
+    "corpus_shard"      -> TrainingData.sqlShard,
+    "text_classifier"   -> TextOps.sqlClassifierScore,
+    "embed_outliers"    -> Similarity.sqlEmbedOutliers,
   )
 }

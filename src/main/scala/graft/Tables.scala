@@ -97,22 +97,34 @@ object Tables {
   // only when per-row compute (hashing, dot products) dominates.
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy flag) and truncate to micros with
-    * exact FLOOR integer division (a double round-trip of an epoch-nanos
-    * value loses precision, and `div` truncates toward zero — a pre-epoch
-    * nanosecond would round the WRONG way vs DuckDB's flooring
-    * `CAST(TIMESTAMP_NS AS TIMESTAMP)`). Oracles must mirror with
+  /** `events.ts` normalization, adaptive to the fixture's physical type —
+    * the harness has shipped this column as TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects → read nanos as long via the legacy flag and
+    * FLOOR-truncate to micros) and as TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ → cast to TIMESTAMP; the
+    * session is pinned UTC so wall-clock reinterpretation is the identity).
+    * The nanos truncation is exact integer floor division: a double
+    * round-trip of epoch-nanos loses precision, and `div` truncates toward
+    * zero — a pre-epoch nanosecond would round the WRONG way vs DuckDB's
+    * flooring `CAST(TIMESTAMP_NS AS TIMESTAMP)`. Oracles mirror with
     * `CAST(ts AS TIMESTAMP)` when they output the raw timestamp.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // user_id, not event_id: sessionization/windows partition by user, so
     // the spread exchange IS the window exchange (co-partitioning reuse).
-    spread(apply(s, d, "events"), "user_id").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        // floor division: (ts - nonneg remainder) div 1000
-        "timestamp_micros((ts - ((ts % 1000 + 1000) % 1000)) div 1000)"))
+    val raw = spread(apply(s, d, "events"), "user_id")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            // floor division: (ts - nonneg remainder) div 1000
+            "timestamp_micros((ts - ((ts % 1000 + 1000) % 1000)) div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     spread(apply(s, d, "documents"), "doc_id")

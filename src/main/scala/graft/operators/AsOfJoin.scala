@@ -144,14 +144,26 @@ object AsOfJoin {
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__m").asc)
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The forward pick is expressed as a PRECEDING frame over the REVERSED
+    // sort, not `first(...).over(currentRow → unboundedFollowing)`: Spark's
+    // UnboundedFollowingWindowFunctionFrame re-scans current→end for every
+    // row — O(rows²) per key partition (measured 27 s vs 0.5 s for the
+    // directional as-ofs at sf0.1). The reversed-preceding form is the
+    // identical sequence scanned from the other end (equal-time rows:
+    // side desc keeps right rows OUT of the forward frame, exactly like
+    // the asc form's currentRow start; __m desc picks the same minimal
+    // tiebreak row), costs one extra in-partition sort, and shares the
+    // ONE hash exchange.
+    val ordRev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").desc, col("__m").desc)
+    val wf = ordRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val db = unix_micros(col("__t")) - unix_micros(col("__b")("__rt"))
     val df = unix_micros(col("__f")("__rt")) - unix_micros(col("__t"))
     taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
       .withColumn("__b", when(col("__t").isNotNull,
         last(col("__m"), ignoreNulls = true).over(wb)))
       .withColumn("__f", when(col("__t").isNotNull,
-        first(col("__m"), ignoreNulls = true).over(wf)))
+        last(col("__m"), ignoreNulls = true).over(wf)))
       .filter(col("__side") === 1 &&
         (col("__b").isNotNull || col("__f").isNotNull))
       .withColumn("__matched",

@@ -962,4 +962,93 @@ object Dedup {
        |JOIN t b ON b.doc_id = c.doc_b
        |WHERE levenshtein(a.prefix, b.prefix) <= $EditMaxDist
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  // ------------------------------------------------ span-level dedup + clean
+  /** C4-style duplicate-span removal WITH document reassembly (Raffel et al.
+    * 2020 §2.2 deduplicate "three-sentence spans"; the fixture corpus has no
+    * sentence boundaries, so the span unit is [[SpanLen]] consecutive words).
+    * Every span that occurs more than once corpus-wide is kept only at its
+    * first occurrence — (doc_id, span_idx)-minimal — and removed everywhere
+    * else; documents are rebuilt from their surviving spans in order.
+    *
+    * Scale shape: the span-hash shuffle carries ONLY (doc_id, span_idx,
+    * 32-hex md5) — never span text (at 100 TB the text is the corpus; the
+    * hash stream is ~50 bytes/span). Both the occurrence count and the
+    * first-occurrence key come from one window exchange on h (the
+    * [[substringDup]] single-pass discipline). The drop-lists then flow back
+    * to the documents on a doc_id-keyed join — only docs that actually lose
+    * a span appear on the build side, so the common case broadcasts — and
+    * reassembly is a pure map-side HOF re-derivation (filter surviving span
+    * indexes, re-slice the word array): document text moves through ZERO
+    * wide exchanges end-to-end.
+    */
+  val SpanLen = 10
+  /** Encodes (doc_id, span_idx) as one orderable key; spans/doc << 10^6. */
+  val SpanKey = 1000000L
+
+  def spanClean(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_spans", expr(s"(n_words + ${SpanLen - 1}) div $SpanLen"))
+    val spans = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+          i => array_join(
+            slice(col("w"), (i * SpanLen + 1).cast("int"), lit(SpanLen)), " ")))
+          .as(Seq("pos0", "span_text")))
+      .select(col("doc_id"), col("pos0").cast("long").as("span_idx"),
+        md5(col("span_text")).as("h"))
+    val byHash = Window.partitionBy(col("h"))
+    val drops = spans
+      .withColumn("occ", count(lit(1)).over(byHash))
+      .withColumn("keep",
+        min(col("doc_id") * SpanKey + col("span_idx")).over(byHash))
+      .filter(col("occ") > 1 &&
+        col("doc_id") * SpanKey + col("span_idx") =!= col("keep"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("span_idx"))).as("drop_idx"))
+    base.join(drops, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(sequence(lit(0L), col("n_spans") - 1),
+          i => col("drop_idx").isNull || !array_contains(col("drop_idx"), i)))
+      .withColumn("clean_text", array_join(flatten(transform(col("kept"),
+        i => slice(col("w"), (i * SpanLen + 1).cast("int"), lit(SpanLen)))), " "))
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_dropped"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlSpanClean: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    (CAST(len(string_split(text, ' ')) AS BIGINT) + ${SpanLen - 1})
+       |      // $SpanLen AS n_spans
+       |  FROM documents
+       |), sp AS (
+       |  SELECT doc_id, i,
+       |    md5(array_to_string(
+       |      list_slice(w, i * $SpanLen + 1, i * $SpanLen + $SpanLen), ' '))
+       |      AS h
+       |  FROM (SELECT doc_id, w, unnest(range(0, n_spans)) AS i FROM b)
+       |), k AS (
+       |  SELECT doc_id, i,
+       |    COUNT(*) OVER (PARTITION BY h) AS occ,
+       |    MIN(doc_id * $SpanKey + i) OVER (PARTITION BY h) AS keep
+       |  FROM sp
+       |), dl AS (
+       |  SELECT doc_id, list_sort(list(i)) AS drop_idx
+       |  FROM k WHERE occ > 1 AND doc_id * $SpanKey + i <> keep
+       |  GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_spans,
+       |  CAST(coalesce(len(drop_idx), 0) AS BIGINT) AS n_dropped,
+       |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+       |  -- array_join([]) is '' — a fully-deduplicated doc must agree
+       |  coalesce(array_to_string(flatten(list_transform(
+       |    list_filter(range(0, b.n_spans),
+       |      i -> drop_idx IS NULL OR NOT list_contains(drop_idx, i)),
+       |    i -> list_slice(w, i * $SpanLen + 1, i * $SpanLen + $SpanLen))),
+       |    ' '), '') AS clean_text
+       |FROM b LEFT JOIN dl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -932,4 +932,69 @@ object Similarity {
        |  COUNT(*) OVER (PARTITION BY component) AS n_dups,
        |  vec_id = component AS kept
        |FROM joined ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------- centroid-distance QC
+  /** Embedding-space outlier detection for corpus QC: the [[OutlierK]]
+    * vectors farthest (squared euclidean) from their label's centroid —
+    * mislabeled / corrupted / off-distribution points, the embedding-space
+    * twin of the text-side quality gates.
+    *
+    * Scale shape: centroids come from the exact per-(label, dim) aggregation
+    * ([[centroids]] — order-independent decimal sums, so the centroid
+    * doubles are bit-identical across engines); the per-label centroid
+    * arrays are a tiny broadcast (|labels| rows). Distance is a map-side
+    * left-to-right fold over dims (deterministic order ⇒ cross-engine-exact
+    * doubles, emitted raw — no round-after-division). Top-k per label is a
+    * rank window that Spark executes as WindowGroupLimit (per-partition
+    * partial top-k), never a full per-label sort.
+    */
+  val OutlierK = 5
+
+  def embedOutliers(emb: DataFrame): DataFrame = {
+    val cArr = centroids(emb)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("dc"))
+      .select(col("label"), expr("transform(dc, x -> x.centroid)").as("cvec"))
+    val dist2 = aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) => {
+      val diff = element_at(col("embedding"), i).cast("double") -
+        element_at(col("cvec"), i)
+      acc + diff * diff
+    })
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    emb.join(broadcast(cArr), Seq("label"))
+      .withColumn("dist2", dist2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= OutlierK)
+      .select(col("label"), col("rk"), col("vec_id"), col("dist2"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  def sqlEmbedOutliers: String =
+    s"""WITH cent AS (
+       |  SELECT label, i AS dim,
+       |    ${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")} AS centroid
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY label, i
+       |), carr AS (
+       |  SELECT label, list(centroid ORDER BY dim) AS cvec
+       |  FROM cent GROUP BY label
+       |), scored AS (
+       |  SELECT e.label, e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (e.embedding[i]::DOUBLE - cvec[i])
+       |           * (e.embedding[i]::DOUBLE - cvec[i]))),
+       |      (x, y) -> x + y) AS dist2
+       |  FROM embeddings e JOIN carr USING (label)
+       |), ranked AS (
+       |  SELECT label, vec_id, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY label
+       |                       ORDER BY dist2 DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT label, rk, vec_id, dist2
+       |FROM ranked WHERE rk <= $OutlierK
+       |ORDER BY label, rk""".stripMargin
 }

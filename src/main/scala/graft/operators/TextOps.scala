@@ -994,4 +994,66 @@ object TextOps {
        |    FROM documents
        |  ) GROUP BY term
        |) ORDER BY term""".stripMargin
+
+  // --------------------------------------------- linear classifier scoring
+  /** Fasttext-style linear text classifier scoring at corpus scale: a
+    * bag-of-words model — the [[ClsVocab]] most frequent corpus words, each
+    * with a fixed weight — scored over every document as the mean weight of
+    * its in-vocabulary tokens (Joulin et al. 2016's inference step; the
+    * harness derives deterministic integer milliweights from a salted hash
+    * so the oracle can check the exact arithmetic — a trained model plugs in
+    * as the same (word, weight) table).
+    *
+    * Scale shape: the model is a broadcast table (vocabulary is fixed-size
+    * by construction); scoring is one map-side broadcast join over the
+    * exploded tokens plus ONE doc-keyed hash aggregation. Weights are
+    * integer millis summed as BIGINT — exact under Spark's
+    * nondeterministic partial-aggregation order — with the single
+    * double division applied once at the end (cross-engine bit-identical).
+    * The raw logit is emitted, never a sigmoid: monotone thresholding
+    * downstream doesn't need the transcendental, and the oracle stays
+    * exact.
+    */
+  val ClsVocab = 256
+  val ClsSalt = "clsw"
+
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(ClsVocab)
+      .select(col("word"),
+        (tokenHash(concat(lit(ClsSalt), lit(":"), col("word"))) % 2001
+          - 1000).as("w_milli"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("w_milli")), lit(0L)).as("logit_milli"),
+        sum(when(col("w_milli").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("logit",
+        col("logit_milli").cast("double") /
+          (col("n_tokens") * 1000L).cast("double"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        col("logit_milli"), col("logit"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlClassifierScore: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents
+       |), vocab AS (
+       |  SELECT word,
+       |    ${sqlTokenHash(s"'$ClsSalt:' || word")} % 2001 - 1000 AS w_milli
+       |  FROM (
+       |    SELECT word, COUNT(*) AS cnt FROM toks
+       |    GROUP BY word ORDER BY cnt DESC, word LIMIT $ClsVocab
+       |  )
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN w_milli IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(COALESCE(SUM(w_milli), 0) AS BIGINT) AS logit_milli,
+       |  CAST(COALESCE(SUM(w_milli), 0) AS DOUBLE)
+       |    / CAST(COUNT(*) * 1000 AS DOUBLE) AS logit
+       |FROM toks t LEFT JOIN vocab v USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -714,4 +714,66 @@ object TrainingData {
        |    )
        |  )
        |) ORDER BY score DESC, doc_id""".stripMargin
+
+  // ------------------------------------------------- global shuffle → shards
+  /** Deterministic global shuffle of the corpus into [[NShards]] training
+    * shards: every doc gets a shard and an exact position within it, ordered
+    * by a salted md5 — the "shuffle the corpus once before training" step,
+    * reproducible across retries (pure hash, no rand()).
+    *
+    * Scale shape: positions come from the [[pack]] distributed-prefix-sum
+    * discipline, NOT a per-shard global window — rank windows partition by
+    * (shard, sub-bucket) (NShards × [[ShardBuckets]] concurrent partitions),
+    * and each bucket's start offset is a broadcast of the tiny
+    * (shard, bucket) → count cumsum. A per-shard ROW_NUMBER window would
+    * funnel corpus/NShards rows through one partition each at 100 TB; this
+    * form never materializes a partition larger than corpus/(NShards ×
+    * ShardBuckets). The oracle's per-shard ROW_NUMBER over (bucket, h) is
+    * provably the same total order.
+    */
+  val NShards = 8
+  val ShardBuckets = 32
+  val ShardSalt = "shard1"
+
+  def shard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+        md5(concat(lit(ShardSalt), lit(":"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % NShards)
+          .cast("int"))
+      .withColumn("bkt",
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long") % ShardBuckets)
+    val local = base.withColumn("rk", row_number().over(
+      Window.partitionBy(col("shard"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))))
+    val offsets = base.groupBy(col("shard"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.partitionBy(col("shard"))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("shard", "bkt"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("rk") - 1).as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def sqlShard: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, h,
+       |    CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % $NShards AS INT)
+       |      AS shard,
+       |    CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % $ShardBuckets AS bkt
+       |  FROM (
+       |    SELECT doc_id,
+       |      md5('$ShardSalt:' || CAST(doc_id AS VARCHAR)) AS h
+       |    FROM documents
+       |  )
+       |)
+       |SELECT doc_id, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY bkt, h, doc_id) - 1
+       |    AS pos
+       |FROM b ORDER BY shard, pos""".stripMargin
 }

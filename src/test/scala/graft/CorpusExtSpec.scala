@@ -265,4 +265,53 @@ class CorpusExtSpec extends SparkSuite {
         .mkString(" "))))
     assert(Dedup.containmentPairs(docs).isEmpty)
   }
+
+  test("spanClean: repeated span removed everywhere but first occurrence") {
+    val span = (1 to Dedup.SpanLen).map(i => s"rep$i").mkString(" ")
+    val tail1 = (1 to Dedup.SpanLen).map(i => s"a$i").mkString(" ")
+    val tail2 = (1 to Dedup.SpanLen).map(i => s"b$i").mkString(" ")
+    val docs = docFrame(Seq(
+      (1L, s"$span $tail1"),   // first occurrence: keeps the span
+      (2L, s"$span $tail2"),   // later occurrence: loses it
+      (3L, span)))             // exact dup of the span only: fully dropped
+    val out = Dedup.spanClean(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_dropped") == 0L)
+    assert(out(1L).getAs[String]("clean_text") == s"$span $tail1")
+    assert(out(2L).getAs[Long]("n_dropped") == 1L)
+    assert(out(2L).getAs[String]("clean_text") == tail2)
+    assert(out(3L).getAs[Long]("n_dropped") == 1L)
+    assert(out(3L).getAs[String]("clean_text") == "")
+  }
+
+  test("spanClean: unique corpus passes through unchanged") {
+    val docs = docFrame(Seq(
+      (1L, (1 to 25).map(i => s"u$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"v$i").mkString(" "))))
+    val out = Dedup.spanClean(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ==
+      (1 to 25).map(i => s"u$i").mkString(" "))
+    assert(out(1L).getAs[Long]("n_spans") == 3L)
+    assert(out(2L).getAs[String]("clean_text") ==
+      (1 to 7).map(i => s"v$i").mkString(" "))
+    assert(out.values.forall(_.getAs[Long]("n_dropped") == 0L))
+  }
+
+  test("shard: every shard is a gapless 0..n-1 position range") {
+    val docs = Tables.documents(spark, dir)
+    val out = TrainingData.shard(docs).collect()
+    assert(out.length == docs.count())
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet.subsetOf((0 until TrainingData.NShards).toSet))
+    byShard.foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.head == 0L && pos.last == pos.length - 1L &&
+        pos.distinct.length == pos.length)
+    }
+    // deterministic across re-runs (pure hash, no rand())
+    val again = TrainingData.shard(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
 }

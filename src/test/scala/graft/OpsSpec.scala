@@ -412,4 +412,33 @@ class OpsSpec extends SparkSuite {
     val hot = out.find(_.getAs[Long]("k") == 99L).get
     assert(hot.getAs[Long]("cms_estimate") == 40L)
   }
+
+  test("embedOutliers: planted far-out vector ranks first for its label") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // one tight cluster near the origin plus one far-out point per label
+    val dim = graft.operators.Similarity.Dim
+    val rows = (0 until 2).flatMap { label =>
+      val cluster = (0 until 10).map { i =>
+        Row(label * 100L + i, Array.fill(dim)(0.01f * (i % 3)).toSeq, label)
+      }
+      val outlier = Row(label * 100L + 99L, Array.fill(dim)(5.0f).toSeq, label)
+      cluster :+ outlier
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.Similarity.embedOutliers(emb).collect()
+    val top = out.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("vec_id")).toMap
+    assert(top == Map(0 -> 99L, 1 -> 199L))
+    // distances are non-negative and non-increasing within each label
+    out.groupBy(_.getAs[Int]("label")).values.foreach { rs =>
+      val d = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("dist2"))
+      assert(d.forall(_ >= 0.0) && d.zip(d.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

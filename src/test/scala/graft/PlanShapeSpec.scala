@@ -200,4 +200,46 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("hashpartitioning(bucket"),
       "pair join must hash-partition on the cell key:\n" + p)
   }
+
+  test("q44: nearest as-of never uses an UnboundedFollowing frame") {
+    // first(...) over (currentRow → unboundedFollowing) executes as
+    // UnboundedFollowingWindowFunctionFrame — a per-row re-scan to the
+    // partition end, O(rows²) per key (measured 27 s vs 0.5 s for the
+    // directional as-ofs at sf0.1). The forward pick must be the
+    // reversed-sort preceding frame instead.
+    val p = planTree("q44_asof_nearest").toLowerCase
+    assert(!p.contains("unboundedfollowing"),
+      "forward pick must be a reversed-sort PRECEDING frame:\n" + p)
+    assert(p.sliding("hashpartitioning(k".length)
+      .count(_ == "hashpartitioning(k") >= 1,
+      "union frame must key-partition once:\n" + p)
+  }
+
+  test("embed_outliers: top-k per label runs as WindowGroupLimit") {
+    val p = planTree("embed_outliers")
+    assert(p.contains("WindowGroupLimit"),
+      "per-label top-k must be a partial top-k, not a full sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "centroid arrays must broadcast:\n" + p)
+  }
+
+  test("text_classifier: model join broadcasts; one doc-keyed aggregate") {
+    val p = planTree("text_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab/weight table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "token scoring must never sort-merge:\n" + p)
+  }
+
+  test("dedup_spans: document text never rides the span-hash exchange") {
+    val p = planTree("dedup_spans")
+    // the window exchange on the span hash must move only ids + hash:
+    // no span_text / w (word array) attribute in any exchange above it
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning(h"))
+      .mkString("\n")
+    assert(exch.nonEmpty, "expected a hash exchange on the span hash:\n" + p)
+    assert(!exch.contains("span_text") && !exch.contains("w#"),
+      "span text must be dropped before the hash shuffle:\n" + exch)
+  }
 }

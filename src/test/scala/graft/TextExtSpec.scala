@@ -149,4 +149,39 @@ class TextExtSpec extends SparkSuite {
     assert(byKeep.getOrElse(true, 0L) > 0L)
     assert(byKeep.getOrElse(false, 0L) > 0L)
   }
+
+  test("classifierScore: logit is the mean milliweight of vocab hits") {
+    // tiny corpus: vocabulary is every distinct word (< ClsVocab of them)
+    val docs = docFrame(Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "zeta zeta zeta")))
+    val out = TextOps.classifierScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every token is in-vocabulary here
+    assert(out.values.forall(r =>
+      r.getAs[Long]("n_hits") == r.getAs[Long]("n_tokens")))
+    // logit == logit_milli / (1000 * n_tokens), exactly
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("logit") ==
+        r.getAs[Long]("logit_milli").toDouble /
+          (1000.0 * r.getAs[Long]("n_tokens")))
+    }
+    // same word ⇒ same weight: doc3 logit_milli is 3 × the zeta weight
+    assert(out(3L).getAs[Long]("logit_milli") % 3 == 0L)
+  }
+
+  test("classifierScore: out-of-vocabulary tokens contribute zero") {
+    // 300 distinct filler words occupy the vocab by frequency; the probe
+    // doc's rare words fall outside the top-256 cut
+    val filler = (1 to 300).flatMap(i => Seq.fill(3)(s"common$i"))
+    val docs = docFrame(Seq(
+      (1L, filler.mkString(" ")),
+      (2L, "rareword1 rareword2")))
+    val out = TextOps.classifierScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Long]("n_hits") == 0L)
+    assert(out(2L).getAs[Long]("logit_milli") == 0L)
+    assert(out(2L).getAs[Double]("logit") == 0.0)
+  }
 }
