@@ -1421,6 +1421,89 @@ object SparkEntry {
       |FROM e GROUP BY 1, 2
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------- events_winsorize
+  // Robust outlier clipping: per-event-type p01/p99 bounds (exact
+  // interpolated percentile — Spark `percentile` ↔ DuckDB quantile_cont,
+  // emitted RAW, no round-after-interpolation), then a map-side clamp
+  // against the broadcast bounds table. The clipped value is SELECTED
+  // (value, lo, or hi), never recomputed, so no new float arithmetic can
+  // diverge. Scale shape: the percentile aggregate is one hash agg over
+  // |event_types| groups; the clip pass is a broadcast join + pure
+  // projection — the 100 TB event stream never shuffles.
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.01)").as("lo"),
+      expr("percentile(value, 0.99)").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")).as("clipped"),
+        (col("value") < col("lo") || col("value") > col("hi"))
+          .as("was_clipped"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlWinsorize: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.01) AS lo,
+      |    quantile_cont(value, 0.99) AS hi
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CASE WHEN e.value < lo THEN lo
+      |       WHEN e.value > hi THEN hi
+      |       ELSE e.value END AS clipped,
+      |  (e.value < lo OR e.value > hi) AS was_clipped
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------- events_anomaly
+  // Robust anomaly detection: per-event-type median/MAD z-score
+  // (Hampel-style — median and MAD are immune to the outliers they
+  // flag, unlike mean/stddev), global top-20 by |score|. Two broadcast
+  // percentile passes (median, then median absolute deviation), the
+  // score division once per row, and the top-k planned as
+  // TakeOrderedAndProject — never a global sort of the event stream.
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), // constant per group
+        expr("percentile(adev, 0.5)").as("mad"))
+      .filter(col("mad") > 0.0)
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("score", (col("value") - col("med")) / col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("score"))
+      .orderBy(abs(col("score")).desc, col("event_id"))
+      .limit(20)
+  }
+
+  private val sqlAnomaly: String =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type
+      |), d AS (
+      |  SELECT e.event_type, med,
+      |    quantile_cont(abs(e.value - med), 0.5) AS mad
+      |  FROM events e JOIN m USING (event_type)
+      |  GROUP BY e.event_type, med
+      |)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - med) / mad AS score
+      |FROM events e JOIN d USING (event_type)
+      |WHERE mad > 0
+      |ORDER BY abs((e.value - med) / mad) DESC, e.event_id
+      |LIMIT 20""".stripMargin
+
   // ------------------------------------------------- q43_retention
   // Cohort retention matrix: users grouped by first-seen week, counted
   // once per (cohort, weeks-since-cohort) they were active in — THE
@@ -1664,6 +1747,10 @@ object SparkEntry {
     "corpus_shard"      -> ((s, d) => TrainingData.shard(docs(s, d))),
     "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
+    "events_winsorize"  -> qWinsorize _,
+    "events_anomaly"    -> qAnomaly _,
+    "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
+    "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1787,5 +1874,9 @@ object SparkEntry {
     "corpus_shard"      -> TrainingData.sqlShard,
     "text_classifier"   -> TextOps.sqlClassifierScore,
     "embed_outliers"    -> Similarity.sqlEmbedOutliers,
+    "events_winsorize"  -> sqlWinsorize,
+    "events_anomaly"    -> sqlAnomaly,
+    "text_rarity"       -> TextOps.sqlRarity,
+    "embed_drift"       -> Similarity.sqlEmbedDrift,
   )
 }

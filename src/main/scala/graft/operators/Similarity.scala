@@ -971,6 +971,70 @@ object Similarity {
       .orderBy(col("label"), col("rk"))
   }
 
+  /** Embedding-distribution drift per label: cosine between each label's
+    * centroid and the global centroid — the dataset-shift monitor (a label
+    * whose centroid swings away from the corpus mean changed distribution).
+    * Centroids are the exact per-(label/global, dim) aggregates
+    * (order-independent decimal sums → bit-identical doubles); the cosine
+    * is a fold in dim order over two tiny arrays, emitted raw. Output is
+    * |labels| rows — everything after the two centroid aggregations is
+    * driver-trivial broadcast work.
+    */
+  def embedDrift(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact.xavg
+    val ca = centroids(emb)
+      .groupBy(col("label"))
+      .agg(max(col("n_vectors")).as("n_vectors"),
+        array_sort(collect_list(struct(col("dim"), col("centroid"))))
+          .as("dc"))
+      .select(col("label"), col("n_vectors"),
+        expr("transform(dc, x -> x.centroid)").as("cvec"))
+    val ga = emb
+      .select(posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy((col("dim0") + 1).as("dim"))
+      .agg(xavg(col("v").cast("double")).as("g"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("g")))).as("dg"))
+      .select(expr("transform(dg, x -> x.g)").as("gvec"))
+    def fdot(a: String, b: String): Column =
+      expr(s"aggregate(sequence(1, $Dim), cast(0.0 as double), " +
+        s"(acc, i) -> acc + element_at($a, i) * element_at($b, i))")
+    ca.crossJoin(broadcast(ga))
+      .withColumn("cos_to_global", fdot("cvec", "gvec") /
+        (sqrt(fdot("cvec", "cvec")) * sqrt(fdot("gvec", "gvec"))))
+      .select(col("label"), col("n_vectors"), col("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
+  def sqlEmbedDrift: String = {
+    def d(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${Dim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT label, i AS dim,
+       |    ${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")} AS centroid,
+       |    COUNT(*) AS n_vectors
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY label, i
+       |), ca AS (
+       |  SELECT label, MAX(n_vectors) AS n_vectors,
+       |    list(centroid ORDER BY dim) AS cvec
+       |  FROM cent GROUP BY label
+       |), g AS (
+       |  SELECT i AS dim,
+       |    ${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")} AS gc
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY i
+       |), ga AS (
+       |  SELECT list(gc ORDER BY dim) AS gvec FROM g
+       |)
+       |SELECT label, n_vectors,
+       |  ${d("cvec", "gvec")}
+       |    / (sqrt(${d("cvec", "cvec")}) * sqrt(${d("gvec", "gvec")}))
+       |    AS cos_to_global
+       |FROM ca, ga ORDER BY label""".stripMargin
+  }
+
   def sqlEmbedOutliers: String =
     s"""WITH cent AS (
        |  SELECT label, i AS dim,

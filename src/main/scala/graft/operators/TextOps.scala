@@ -1056,4 +1056,49 @@ object TextOps {
        |    / CAST(COUNT(*) * 1000 AS DOUBLE) AS logit
        |FROM toks t LEFT JOIN vocab v USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- rare-token scoring
+  /** Corpus-frequency rarity score — the transcendental-free stand-in for
+    * n-gram LM surprisal (the CCNet/KenLM quality signal): per document,
+    * the mean INVERSE corpus frequency of its tokens. A doc of common
+    * words scores near 0; a doc of corpus-unique words scores near 1.
+    * Inverse frequencies are integer-quantized ([[InvScale]] div cf — both
+    * engines floor), so the per-doc sum is an exact BIGINT under any
+    * aggregation order, and the single double division lands once per doc.
+    *
+    * Scale shape: the corpus-frequency table is vocabulary-sized (Heaps'
+    * law — sublinear in corpus) and broadcasts; scoring is the map-side
+    * join over exploded tokens + ONE doc-keyed aggregate, the
+    * [[classifierScore]] plan with a corpus-derived (not fixed-size) model
+    * table. At true 100 TB vocabulary the broadcast degrades to a
+    * hash-partitioned join on the token — same plan Catalyst picks when
+    * the stats outgrow the broadcast threshold.
+    */
+  val InvScale = 1000000000L
+
+  def rarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val cf = toks.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    toks.join(broadcast(cf), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr(s"$InvScale div cf")).as("inv_sum"))
+      .withColumn("rarity", col("inv_sum").cast("double") /
+        (col("n_tokens") * InvScale).cast("double"))
+      .select(col("doc_id"), col("n_tokens"), col("inv_sum"), col("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlRarity: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM documents
+       |), cf AS (
+       |  SELECT word, COUNT(*) AS cf FROM toks GROUP BY word
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM($InvScale // cf) AS BIGINT) AS inv_sum,
+       |  CAST(SUM($InvScale // cf) AS DOUBLE)
+       |    / CAST(COUNT(*) * $InvScale AS DOUBLE) AS rarity
+       |FROM toks JOIN cf USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -441,4 +441,50 @@ class OpsSpec extends SparkSuite {
       assert(d.forall(_ >= 0.0) && d.zip(d.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("events_winsorize: clipped values sit inside the per-type bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("events_winsorize")(spark, dir).collect()
+    out.foreach { r =>
+      val (v, c, flagged) = (r.getAs[Double]("value"),
+        r.getAs[Double]("clipped"), r.getAs[Boolean]("was_clipped"))
+      assert(flagged == (c != v))
+    }
+    // per type: clamping narrows the range, and every flagged row lands on
+    // one of exactly two bound values (the lo / hi quantiles)
+    out.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      val values = rs.map(_.getAs[Double]("value"))
+      val clipped = rs.map(_.getAs[Double]("clipped"))
+      assert(clipped.min >= values.min && clipped.max <= values.max)
+      val bounds = rs.filter(_.getAs[Boolean]("was_clipped"))
+        .map(_.getAs[Double]("clipped")).distinct
+      assert(bounds.length <= 2)
+    }
+    assert(out.exists(_.getAs[Boolean]("was_clipped")))
+  }
+
+  test("events_anomaly: scores are the extreme deviants, sorted by |score|") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("events_anomaly")(spark, dir).collect()
+    assert(out.length <= 20)
+    val scores = out.map(r => math.abs(r.getAs[Double]("score")))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("embed_drift: single-label corpus drifts nowhere (cos == 1)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dim = graft.operators.Similarity.Dim
+    val rows = (0 until 8).map(i =>
+      Row(i.toLong, Array.tabulate(dim)(d => 0.1f * ((i + d) % 5)).toSeq, 0))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.Similarity.embedDrift(emb).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("cos_to_global") - 1.0) < 1e-12)
+    assert(out.head.getAs[Long]("n_vectors") == 8L)
+  }
 }

@@ -184,4 +184,20 @@ class TextExtSpec extends SparkSuite {
     assert(out(2L).getAs[Long]("logit_milli") == 0L)
     assert(out(2L).getAs[Double]("logit") == 0.0)
   }
+
+  test("rarity: corpus-unique words score exactly 1, shared words 1/df") {
+    val docs = docFrame(Seq(
+      (1L, "only1 only2 only3"),        // every token corpus-unique
+      (2L, "shared shared shared"),      // cf=4 incl. doc 3's copy
+      (3L, "shared unique9")))
+    val out = TextOps.rarity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("rarity") == 1.0)
+    // doc 2: three tokens of cf=4 → mean inverse frequency exactly 1/4
+    assert(out(2L).getAs[Double]("rarity") == 0.25)
+    // doc 3: (1/4 + 1)/2 = 0.625
+    assert(out(3L).getAs[Double]("rarity") == 0.625)
+    // monotone: the all-common doc scores strictly below the unique one
+    assert(out(2L).getAs[Double]("rarity") < out(1L).getAs[Double]("rarity"))
+  }
 }
