@@ -1751,6 +1751,7 @@ object SparkEntry {
     "events_anomaly"    -> qAnomaly _,
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
+    "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1878,5 +1879,6 @@ object SparkEntry {
     "events_anomaly"    -> sqlAnomaly,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
+    "text_fertility"    -> TextOps.sqlFertility,
   )
 }

@@ -1101,4 +1101,35 @@ object TextOps {
        |    / CAST(COUNT(*) * $InvScale AS DOUBLE) AS rarity
        |FROM toks JOIN cf USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- tokenizer fertility
+  /** Tokenizer fertility per language: subword (BPE-ish regex) tokens per
+    * whitespace word — THE tokenizer-efficiency metric when budgeting a
+    * multilingual training mix (a language at fertility 2× consumes twice
+    * the context window per word; cf. the fertility tables in the XLM-R /
+    * mBERT analyses). Pure map-side counting + one tiny hash aggregate over
+    * |languages| groups; the ratio is a single double division of exact
+    * BIGINT sums.
+    */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(words(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .orderBy(col("lang"))
+
+  def sqlFertility: String =
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(${sqlWords("text")})) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$BpePattern')))
+       |    AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$BpePattern'))) AS DOUBLE)
+       |    / CAST(SUM(len(${sqlWords("text")})) AS DOUBLE) AS fertility
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

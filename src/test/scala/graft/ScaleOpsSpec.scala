@@ -186,4 +186,36 @@ class ScaleOpsSpec extends SparkSuite {
       ("b", 5.0, "stream-0"),      // updated by the micro-batch
       ("c", 3.0, "stream-0")))     // inserted
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB the fact-side scan of a selective fact⋈dim shuffle join
+    // should be pre-filtered by a runtime bloom filter built from the dim
+    // side — rows that cannot match never enter the exchange. Spark's
+    // InjectRuntimeFilter does this when the creation side is small and
+    // the application side is scan-heavy; the size thresholds are tuned
+    // for real lakes, so the fixture test pins the MECHANISM by lowering
+    // the application-side threshold (a no-op flip on a real cluster).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val restore = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10GB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val sel = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000.0)
+      val j = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .groupBy().count()
+      val op = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(op.contains("might_contain"),
+        "expected a runtime bloom filter on the fact side:\n" + op.take(2000))
+      // and it must not change the answer
+      val expected = li.join(sel.hint("broadcast"),
+        li("l_orderkey") === sel("o_orderkey")).count()
+      assert(j.collect().head.getLong(0) == expected)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
