@@ -22,20 +22,28 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Explicit source schema — a streaming source cannot infer. `ts` arrives
-    * as raw TIMESTAMP(NANOS) parquet, read as long via the legacy flag and
-    * truncated to micros exactly like Tables.events.
+  /** Explicit source schema — a streaming source cannot infer. `ts`'s
+    * physical type follows the fixture (see [[graft.Tables.events]]):
+    * TIMESTAMP(NANOS) parquet arrives as long via the legacy flag and is
+    * floor-truncated to micros; TIMESTAMP(MICROS)/NTZ parquet is cast to
+    * TIMESTAMP under the UTC session.
     */
-  val EventsSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+  val EventsSchema: StructType = eventsSchema(LongType)
 
   /** @param dir the fixture directory (a FileStreamSource path must be a
     *             directory; the glob narrows it to the events table)
+    *
+    * The `ts` physical type is sniffed from the batch footer ONCE (streaming
+    * sources cannot infer), then every micro-batch reads with the matching
+    * declared schema — the streaming twin of [[graft.Tables.events]]'s
+    * adaptation.
     *
     * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` for the
     * session (the flag must hold for every micro-batch read, so it cannot
@@ -45,10 +53,17 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventsSchema)
+    val tsType = graft.Tables(spark, dir, "events").schema("ts").dataType
+    val raw = spark.readStream.schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts",
+        // floor division, exactly like Tables.events
+        expr("timestamp_micros((ts - ((ts % 1000 + 1000) % 1000)) div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation — streaming twin of

@@ -201,6 +201,18 @@ class PlanShapeSpec extends SparkSuite {
       "pair join must hash-partition on the cell key:\n" + p)
   }
 
+  test("corpus_shard: rank windows key on (shard, bucket), offsets broadcast") {
+    val p = planTree("corpus_shard")
+    // within-shard positions must come from the distributed prefix sum —
+    // a (shard, bucket)-keyed rank window plus a broadcast of the tiny
+    // offset table — never a per-shard (let alone global) sort partition
+    assert(p.contains("Exchange hashpartitioning(shard") &&
+      p.contains("bkt"),
+      "rank window lost its (shard, bucket) partitioning:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast, not shuffle the corpus:\n" + p)
+  }
+
   test("q44: nearest as-of never uses an UnboundedFollowing frame") {
     // first(...) over (currentRow → unboundedFollowing) executes as
     // UnboundedFollowingWindowFunctionFrame — a per-row re-scan to the
