@@ -1752,6 +1752,15 @@ object SparkEntry {
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
     "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
+    // batch form of the incremental admission gate: every third doc is the
+    // "new crawl", the rest the existing corpus; one dedupBatch round
+    "dedup_admit"       -> ((s, d) => {
+      val all = docs(s, d)
+      val (admitted, _) = graft.streaming.Streams.dedupBatch(
+        all.filter(col("doc_id") % 3 === 0),
+        Dedup.minhashBands(all.filter(col("doc_id") % 3 =!= 0)))
+      admitted.select(col("doc_id")).orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1880,5 +1889,6 @@ object SparkEntry {
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
     "text_fertility"    -> TextOps.sqlFertility,
+    "dedup_admit"       -> Dedup.sqlAdmitBatch(id => s"$id % 3 = 0"),
   )
 }

@@ -1018,6 +1018,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle for the BATCH form of the incremental admission gate
+    * ([[graft.streaming.Streams.dedupBatch]] run once): documents matching
+    * `batchPred` are the new batch, the rest are the existing corpus. A
+    * batch doc is admitted iff no LSH band of its MinHash signature
+    * collides with any corpus doc's band, nor with any LOWER-id batch
+    * doc's (the deterministic first-wins policy the streaming oracle
+    * unrolls per micro-batch). Docs too short to sign (< ShingleK words)
+    * carry no bands and are admitted — identical in both engines.
+    */
+  def sqlAdmitBatch(batchPred: String => String): String = {
+    val sigDefs = (0 until MinhashK).map(j =>
+      s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
+    val bandRows = (0 until MinhashK / BandSize).map { b =>
+      val key = (b * BandSize until (b + 1) * BandSize)
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $ShingleK
+       |), hashed AS (
+       |  SELECT doc_id, ${sqlShingleHashes("wh", ShingleK)} AS hs
+       |  FROM wordhashed
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $sigDefs
+       |  FROM hashed
+       |), bands AS (
+       |  $bandRows
+       |), share AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id <> b.doc_id
+       |)
+       |SELECT d.doc_id FROM documents d
+       |WHERE ${batchPred("d.doc_id")}
+       |  AND NOT EXISTS (SELECT 1 FROM share s
+       |    WHERE s.db = d.doc_id AND NOT ${batchPred("s.da")})
+       |  AND NOT EXISTS (SELECT 1 FROM share s
+       |    WHERE s.db = d.doc_id AND ${batchPred("s.da")}
+       |      AND s.da < d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def sqlSpanClean: String =
     s"""WITH b AS (
        |  SELECT doc_id, string_split(text, ' ') AS w,

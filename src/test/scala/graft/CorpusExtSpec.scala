@@ -298,6 +298,26 @@ class CorpusExtSpec extends SparkSuite {
     assert(out.values.forall(_.getAs[Long]("n_dropped") == 0L))
   }
 
+  test("dedupBatch admission: state dups rejected, first-in-batch wins") {
+    import graft.streaming.Streams
+    val cloneA = (1 to 20).map(i => s"sa$i").mkString(" ")
+    val cloneB = (1 to 20).map(i => s"sb$i").mkString(" ")
+    val fresh = (1 to 20).map(i => s"fr$i").mkString(" ")
+    val state = docFrame(Seq((1L, cloneA), (2L, (1 to 20).map(i => s"st$i").mkString(" "))))
+    val batch = docFrame(Seq(
+      (10L, cloneA),   // duplicates state doc 1 → rejected
+      (11L, cloneB),   // first occurrence of B in batch → admitted
+      (12L, cloneB),   // duplicates lower-id batch doc 11 → rejected
+      (13L, fresh)))   // unique → admitted
+    val (admitted, bands) =
+      Streams.dedupBatch(batch, Dedup.minhashBands(state))
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(11L, 13L))
+    // carried-forward state covers exactly the admitted docs
+    assert(bands.select("doc_id").distinct().collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(11L, 13L))
+  }
+
   test("shard: every shard is a gapless 0..n-1 position range") {
     val docs = Tables.documents(spark, dir)
     val out = TrainingData.shard(docs).collect()
