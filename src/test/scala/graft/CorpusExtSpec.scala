@@ -298,6 +298,38 @@ class CorpusExtSpec extends SparkSuite {
     assert(out.values.forall(_.getAs[Long]("n_dropped") == 0L))
   }
 
+  test("property: spanClean keeps exactly one occurrence per distinct span") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet + span-aligned doc lengths make cross-doc span
+    // collisions common; span texts are the 10-word slices themselves
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 4).flatMap(ns =>
+      Gen.listOfN(ns * Dedup.SpanLen, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, docGen))
+    for (seed <- 1L to 8L) {
+      val texts = corpusGen(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val docs = docFrame(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      val out = Dedup.spanClean(docs).collect()
+      val keptTotal = out.map(r =>
+        r.getAs[Long]("n_spans") - r.getAs[Long]("n_dropped")).sum
+      val distinctSpans = texts.flatMap(t =>
+        t.split(" ").grouped(Dedup.SpanLen).map(_.mkString(" "))).distinct.size
+      assert(keptTotal == distinctSpans.toLong, s"seed=$seed")
+      // every doc's clean text is its surviving spans in original order —
+      // re-derive the expectation with a global first-occurrence sweep
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").grouped(Dedup.SpanLen).map(_.mkString(" "))
+          .filter(sp => seen.add(sp)).mkString(" ")
+      }.toMap
+      out.foreach { r =>
+        assert(r.getAs[String]("clean_text") ==
+          expected(r.getAs[Long]("doc_id")), s"seed=$seed")
+      }
+    }
+  }
+
   test("dedupBatch admission: state dups rejected, first-in-batch wins") {
     import graft.streaming.Streams
     val cloneA = (1 to 20).map(i => s"sa$i").mkString(" ")
