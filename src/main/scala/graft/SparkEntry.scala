@@ -1504,6 +1504,107 @@ object SparkEntry {
       |ORDER BY abs((e.value - med) / mad) DESC, e.event_id
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- events_cooccur
+  // Market-basket co-occurrence with support/lift: which event types
+  // appear together in the same user's history more than independence
+  // predicts. Shape: distinct (user, type) pairs once; the self-join
+  // keys on user_id, so per-user pair fan-out is bounded by the
+  // event-type CARDINALITY (a catalog constant), never by event count —
+  // the classic a-priori first pass, safe at any user count. Supports
+  // and lifts are single divisions of exact BIGINT counts.
+  private def qCooccur(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.alias("a")
+      .join(ut.alias("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(tc.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (col("n_both").cast("double") / col("n_users").cast("double"))
+          .as("support"),
+        ((col("n_both") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val sqlCooccur: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), n AS (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+      |), tc AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      |  FROM ut GROUP BY event_type
+      |), p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+      |  CAST(n_both * n_users AS DOUBLE)
+      |    / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+      |FROM p
+      |JOIN tc ta ON ta.event_type = p.type_a
+      |JOIN tc tb ON tb.event_type = p.type_b, n
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ------------------------------------------------- events_transitions
+  // Next-event transition matrix (first-order Markov over the event
+  // stream): one user-keyed lead window + one pair aggregate; the
+  // per-source row share is a single division of exact counts. The lead
+  // window shares the events table's user-keyed spread exchange.
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = t.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    t.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double"))
+          .as("share"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val sqlTransitions: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events WHERE ts IS NOT NULL
+      |), t AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), ft AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM t GROUP BY from_type
+      |)
+      |SELECT t.from_type, t.to_type, t.n,
+      |  CAST(t.n AS DOUBLE) / CAST(ft.n_from AS DOUBLE) AS share
+      |FROM t JOIN ft USING (from_type)
+      |ORDER BY t.from_type, t.to_type""".stripMargin
+
   // ------------------------------------------------- q43_retention
   // Cohort retention matrix: users grouped by first-seen week, counted
   // once per (cohort, weeks-since-cohort) they were active in — THE
@@ -1749,6 +1850,8 @@ object SparkEntry {
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
     "events_winsorize"  -> qWinsorize _,
     "events_anomaly"    -> qAnomaly _,
+    "events_cooccur"    -> qCooccur _,
+    "events_transitions" -> qTransitions _,
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
     "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
@@ -1886,6 +1989,8 @@ object SparkEntry {
     "embed_outliers"    -> Similarity.sqlEmbedOutliers,
     "events_winsorize"  -> sqlWinsorize,
     "events_anomaly"    -> sqlAnomaly,
+    "events_cooccur"    -> sqlCooccur,
+    "events_transitions" -> sqlTransitions,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
     "text_fertility"    -> TextOps.sqlFertility,
