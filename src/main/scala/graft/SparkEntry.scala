@@ -1910,6 +1910,7 @@ object SparkEntry {
     "events_cooccur"    -> qCooccur _,
     "events_transitions" -> qTransitions _,
     "events_debounce"   -> qDebounce _,
+    "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
     "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
@@ -2050,6 +2051,7 @@ object SparkEntry {
     "events_cooccur"    -> sqlCooccur,
     "events_transitions" -> sqlTransitions,
     "events_debounce"   -> sqlDebounce,
+    "embed_quantize"    -> Similarity.sqlQuantize,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
     "text_fertility"    -> TextOps.sqlFertility,

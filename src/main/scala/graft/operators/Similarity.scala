@@ -1035,6 +1035,63 @@ object Similarity {
        |FROM ca, ga ORDER BY label""".stripMargin
   }
 
+  /** Int8 scalar quantization of the embedding table — the 4× storage
+    * compression step for a 100 TB vector corpus (keep codes hot, full
+    * floats cold). Per-dim [min, max] ranges come from ONE exact
+    * aggregation (min/max carry no float-summation order hazard), pivot to
+    * a 1-row broadcast, and encoding is a pure map-side fold:
+    * code = floor((x − lo)·255 / (hi − lo)) — floor, never round: a
+    * half-way round after division is exactly the cross-engine divergence
+    * the suite bans, while floor of the identical IEEE quotient is
+    * bit-stable in both engines. Constant dims encode 0.
+    */
+  def quantize(emb: DataFrame): DataFrame = {
+    val ranges = emb
+      .select(posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy((col("dim0") + 1).as("dim"))
+      .agg(min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo")))).as("dl"),
+        array_sort(collect_list(struct(col("dim"), col("hi")))).as("dh"))
+      .select(expr("transform(dl, x -> x.lo)").as("los"),
+        expr("transform(dh, x -> x.hi)").as("his"))
+    // codes are emitted comma-joined: the harness compare sorts rows by
+    // every column and pandas cannot order raw array cells — the string
+    // form is byte-exact and costs nothing (a consumer re-splits)
+    emb.crossJoin(broadcast(ranges))
+      .withColumn("codes", expr(
+        s"""array_join(transform(sequence(1, $Dim), i ->
+           |  CASE WHEN element_at(his, i) = element_at(los, i) THEN 0
+           |  ELSE CAST(least(255.0, floor(
+           |    (cast(element_at(embedding, i) as double) - element_at(los, i))
+           |      * 255.0
+           |      / (element_at(his, i) - element_at(los, i)))) AS INT)
+           |  END), ',')""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  def sqlQuantize: String =
+    s"""WITH r AS (
+       |  SELECT i AS dim,
+       |    MIN(embedding[i]::DOUBLE) AS lo,
+       |    MAX(embedding[i]::DOUBLE) AS hi
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY i
+       |), ra AS (
+       |  SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+       |  FROM r
+       |)
+       |SELECT vec_id,
+       |  array_to_string(list_transform(range(1, ${Dim + 1}), i ->
+       |    CASE WHEN his[i] = los[i] THEN 0
+       |    ELSE CAST(least(255.0, floor(
+       |      (embedding[i]::DOUBLE - los[i]) * 255.0 / (his[i] - los[i])))
+       |      AS INT)
+       |    END), ',') AS codes
+       |FROM embeddings, ra
+       |ORDER BY vec_id""".stripMargin
+
   def sqlEmbedOutliers: String =
     s"""WITH cent AS (
        |  SELECT label, i AS dim,

@@ -471,6 +471,21 @@ class OpsSpec extends SparkSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("quantize: codes span 0..255 with min→0 and max→255 per dim") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val out = graft.operators.Similarity.quantize(emb).collect()
+    val codes = out.map(r => r.getAs[String]("codes").split(",").map(_.toInt))
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    val dim = graft.operators.Similarity.Dim
+    assert(codes.forall(_.length == dim))
+    // per dim, the corpus minimum must encode 0 and the maximum 255
+    (0 until dim).foreach { d =>
+      val col = codes.map(_(d))
+      assert(col.min == 0 && col.max == 255, s"dim=$d")
+    }
+  }
+
   test("embed_drift: single-label corpus drifts nowhere (cos == 1)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
