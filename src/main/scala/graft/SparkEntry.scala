@@ -1513,16 +1513,25 @@ object SparkEntry {
   // the classic a-priori first pass, safe at any user count. Supports
   // and lifts are single divisions of exact BIGINT counts.
   private def qCooccur(s: SparkSession, dir: String): DataFrame = {
-    val ut = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type")).distinct()
-    val nUsers = ut.select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("n_users"))
-    val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
-    val pairs = ut.alias("a")
-      .join(ut.alias("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    // ONE user-keyed set aggregation feeds all three branches (per-type
+    // counts, pair counts, user count): the identical exchange+aggregate
+    // subtree is deduplicated by ReuseExchange, so the event stream is
+    // scanned and shuffled ONCE — the distinct-self-join form scanned it
+    // three times. Pair expansion is a map-side HOF over the SORTED
+    // per-user type set (a < b by construction), bounded by type
+    // cardinality, never event count.
+    val sets = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+    val nUsers = sets.agg(count(lit(1)).as("n_users"))
+    val tc = sets.select(explode(col("tset")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(tset, (a, i) ->
+          |  transform(slice(tset, i + 2, size(tset)),
+          |    b -> struct(a, b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs
       .join(broadcast(tc.select(col("event_type").as("type_a"),
