@@ -213,6 +213,21 @@ class PlanShapeSpec extends SparkSuite {
       "bucket offsets must broadcast, not shuffle the corpus:\n" + p)
   }
 
+  test("events_debounce: all three window functions share one exchange") {
+    val p = planTree("events_debounce")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"debounce must run off ONE (user, type) exchange, saw $exchanges:\n" + p)
+  }
+
+  test("events_cooccur: no sort-merge join touches the event stream") {
+    // the set-aggregate feeds every branch; the only joins are the tiny
+    // broadcast stat tables at the end
+    val p = planTree("events_cooccur")
+    assert(!p.contains("SortMergeJoin"),
+      "co-occurrence must not shuffle-join the stream:\n" + p)
+  }
+
   test("q44: nearest as-of never uses an UnboundedFollowing frame") {
     // first(...) over (currentRow → unboundedFollowing) executes as
     // UnboundedFollowingWindowFunctionFrame — a per-row re-scan to the
