@@ -1616,60 +1616,28 @@ object SparkEntry {
 
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
-  // FIRST event of every burst (a burst ends when the gap to the next
-  // event exceeds DebounceMicros). True debounce needs the last-KEPT
-  // timestamp, which plain lag can't express — the relational form is
-  // gap-sessionize then first-per-burst: lag → new-burst flag → running
-  // burst id → row_number. The burst-id rank partitions by (user, type,
-  // burst) — a superset of the exchange keys — so hashpartitioning(user,
-  // type) already satisfies its distribution: ONE exchange total, with
-  // only an extra in-partition sort for the burst sub-key.
+  // FIRST event of every burst (new burst = gap from the previous event
+  // exceeds DebounceMicros). First-of-burst IS the new-burst lag flag,
+  // so the operator is one lag window + filter — ONE exchange, one
+  // in-partition sort (see Sessionize.debounce).
   private val DebounceMicros = 600000000L // 10 min
-  private def qDebounce(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    val wc = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.events(s, dir)
-      .filter(col("ts").isNotNull)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .withColumn("is_new", when(lag(col("ts"), 1).over(w).isNull ||
-        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-          > DebounceMicros, 1L).otherwise(0L))
-      .withColumn("burst", sum(col("is_new")).over(wc))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("event_type"), col("burst"))
-          .orderBy(col("ts"), col("event_id"))))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts").cast("timestamp_ntz").as("ts"))
-      .orderBy(col("event_id"))
-  }
+  private def qDebounce(s: SparkSession, dir: String): DataFrame =
+    Sessionize.debounce(Tables.events(s, dir), DebounceMicros)
 
   private val sqlDebounce: String =
     s"""WITH e AS (
       |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
       |  FROM events WHERE ts IS NOT NULL
       |), s AS (
-      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
-      |    THEN 1 ELSE 0 END AS is_new
+      |  SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+      |                          ORDER BY ts, event_id) AS prev_ts
       |  FROM e
-      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-      |), g AS (
-      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id, event_type
-      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
-      |  FROM s
-      |), k AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst
-      |    ORDER BY ts, event_id) AS rn
-      |  FROM g
       |)
       |SELECT event_id, user_id, event_type, ts
-      |FROM k WHERE rn = 1 ORDER BY event_id""".stripMargin
+      |FROM s
+      |WHERE prev_ts IS NULL
+      |   OR epoch_us(ts) - epoch_us(prev_ts) > $DebounceMicros
+      |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------- q43_retention
   // Cohort retention matrix: users grouped by first-seen week, counted

@@ -125,4 +125,28 @@ object Sessionize {
        |FROM events
        |GROUP BY 1, 2, 3
        |ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------------------- debounce
+  /** Telemetry debounce: within each (user, type) stream keep only the
+    * FIRST event of every burst, where a new burst starts when the gap
+    * from the PREVIOUS event exceeds `gapMicros`. First-of-burst is
+    * exactly the new-burst flag itself, so the whole operator is one lag
+    * window + a filter — ONE exchange, one in-partition sort, no rank
+    * stage. (The alternative "gap from last KEPT event" rate-limit
+    * semantics needs running state — that is the streaming
+    * `flatMapGroupsWithState` territory, not a window.)
+    */
+  def debounce(events: DataFrame, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      .orderBy(col("event_id"))
+  }
 }

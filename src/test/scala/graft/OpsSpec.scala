@@ -486,6 +486,35 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("property: debounce matches the sequential first-of-burst reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import java.sql.Timestamp
+    // random single-user single-type streams with gaps straddling the
+    // 10-min threshold; compare against the obvious sequential sweep
+    val gapGen = Gen.listOfN(12, Gen.chooseNum(1L, 1200L)) // seconds
+    for (seed <- 1L to 6L) {
+      val gaps = gapGen(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val times = gaps.scanLeft(0L)(_ + _) // cumulative seconds
+      val rows = times.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new Timestamp(1700000000000L + t * 1000L), 1L, "click",
+          0.0, "{}")
+      }
+      import spark.implicits._
+      val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      // sequential reference: keep iff gap from the PREVIOUS event > 600 s
+      // (first event always kept)
+      val expected = times.zipWithIndex.collect {
+        case (t, 0) => 0L
+        case (t, i) if t - times(i - 1) > 600 => i.toLong
+      }
+      val got = graft.operators.Sessionize.debounce(ev, 600000000L)
+        .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(got == expected, s"seed=$seed times=$times")
+    }
+  }
+
   test("embed_drift: single-label corpus drifts nowhere (cos == 1)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
