@@ -66,13 +66,53 @@ object Sinks {
   final case class UpdateThenInsert(dual: String = "SYSIBM.SYSDUMMY1")
     extends UpsertDialect
 
+  /** The upsert statement text + bind order a dialect generates, exposed
+    * separately from execution so the GRAMMAR itself is testable: the
+    * Postgres `ON CONFLICT` text is executed for real against DuckDB
+    * (which speaks the same clause) by `tools/check_pg.py` over the
+    * [[PgDialect]] dump — Derby in `SinksSpec` only ever parses the
+    * [[UpdateThenInsert]] form, so without this the reference target's
+    * actual statement would never be parsed by any engine.
+    *
+    * Each element is (statement SQL, bind column order); statements must
+    * be executed per batch in sequence order.
+    */
+  def upsertStatements(cols: Seq[String], keyCols: Seq[String],
+      table: String, dialect: UpsertDialect): Seq[(String, Seq[String])] = {
+    val nonKey = cols.filterNot(keyCols.contains)
+    val qt = q(table)
+    dialect match {
+      case PostgresOnConflict =>
+        val action =
+          if (nonKey.isEmpty) "DO NOTHING"
+          else "DO UPDATE SET " +
+            nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        val sql = s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
+                     |VALUES (${cols.map(_ => "?").mkString(", ")})
+                     |ON CONFLICT (${keyCols.map(q).mkString(", ")})
+                     |$action""".stripMargin
+        Seq(sql -> cols)
+      case UpdateThenInsert(dual) =>
+        val where = keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")
+        val upd: Option[(String, Seq[String])] =
+          if (nonKey.isEmpty) None
+          else Some(
+            s"UPDATE $qt SET ${nonKey.map(c => s"${q(c)} = ?").mkString(", ")}" +
+              s" WHERE $where" -> (nonKey ++ keyCols))
+        val ins: (String, Seq[String]) =
+          s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
+             |SELECT ${cols.map(_ => "?").mkString(", ")} FROM $dual
+             |WHERE NOT EXISTS (SELECT 1 FROM $qt WHERE $where)""".stripMargin ->
+            (cols ++ keyCols)
+        upd.toSeq :+ ins
+    }
+  }
+
   def jdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], props: java.util.Properties,
       batchSize: Int = 1000,
       dialect: UpsertDialect = PostgresOnConflict): Unit = {
     val cols = df.columns.toSeq
-    val nonKey = cols.filterNot(keyCols.contains)
-    val qt = q(table)
     // JDBC type per column, derived from the frame schema: NULLs must bind
     // as setNull(i, type) — untyped setObject(i, null) raises 22005
     // ("cannot infer type") on Derby/DB2, and SCD output legitimately
@@ -96,33 +136,8 @@ object Sinks {
         })
       }.toMap
     }
-    // a "binder" is the column-name bind order of one prepared statement
-    type Binder = Seq[String]
-    val statements: Seq[(String, Binder)] = dialect match {
-      case PostgresOnConflict =>
-        val action =
-          if (nonKey.isEmpty) "DO NOTHING"
-          else "DO UPDATE SET " +
-            nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
-        val sql = s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
-                     |VALUES (${cols.map(_ => "?").mkString(", ")})
-                     |ON CONFLICT (${keyCols.map(q).mkString(", ")})
-                     |$action""".stripMargin
-        Seq(sql -> cols)
-      case UpdateThenInsert(dual) =>
-        val where = keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")
-        val upd: Option[(String, Binder)] =
-          if (nonKey.isEmpty) None
-          else Some(
-            s"UPDATE $qt SET ${nonKey.map(c => s"${q(c)} = ?").mkString(", ")}" +
-              s" WHERE $where" -> (nonKey ++ keyCols))
-        val ins: (String, Binder) =
-          s"""INSERT INTO $qt (${cols.map(q).mkString(", ")})
-             |SELECT ${cols.map(_ => "?").mkString(", ")} FROM $dual
-             |WHERE NOT EXISTS (SELECT 1 FROM $qt WHERE $where)""".stripMargin ->
-            (cols ++ keyCols)
-        upd.toSeq :+ ins
-    }
+    val statements: Seq[(String, Seq[String])] =
+      upsertStatements(cols, keyCols, table, dialect)
     // resolve each statement's bind order to (row position, jdbc type)
     // ONCE on the driver — the per-row loop then binds positionally
     // instead of doing a schema-map lookup per row × column × statement

@@ -1520,7 +1520,13 @@ object SparkEntry {
     // three times. Pair expansion is a map-side HOF over the SORTED
     // per-user type set (a < b by construction), bounded by type
     // cardinality, never event count.
+    // NULL discipline mirrored in the oracle: a NULL user is not a basket
+    // and a NULL type is not an item. Without the explicit filter the two
+    // engines diverge on NULL-bearing fixtures (collect_set drops NULL
+    // types while DISTINCT keeps them; count-of-groups counts a NULL-user
+    // group while COUNT(DISTINCT user_id) excludes it).
     val sets = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .groupBy(col("user_id"))
       .agg(sort_array(collect_set(col("event_type"))).as("tset"))
     val nUsers = sets.agg(count(lit(1)).as("n_users"))
@@ -1550,6 +1556,7 @@ object SparkEntry {
   private val sqlCooccur: String =
     """WITH ut AS (
       |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
       |), n AS (
       |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
       |), tc AS (
@@ -1600,7 +1607,7 @@ object SparkEntry {
     """WITH seq AS (
       |  SELECT user_id, event_type AS from_type,
       |    LEAD(event_type) OVER (PARTITION BY user_id
-      |                           ORDER BY ts, event_id) AS to_type
+      |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
       |  FROM events WHERE ts IS NOT NULL
       |), t AS (
       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n

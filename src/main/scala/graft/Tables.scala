@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Parquet loaders for the shared fixture tables (repo TESTDATA.md).
   *
@@ -85,49 +86,149 @@ object Tables {
         else df)
   }
 
-  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  // ------------------------------------------------------------------
+  // Declared LOGICAL schema per fixture table. The driver regenerates
+  // /root/testdata between rounds and PHYSICAL types have drifted before
+  // (events.ts: TIMESTAMP(NANOS) in rounds 1-2 → TIMESTAMP(MICROS)/NTZ in
+  // round 3 — which broke 20 queries at analysis time while the unit suite
+  // stayed green). Every loader therefore normalizes the on-disk schema to
+  // this declared contract, and THROWS naming the table+column on any
+  // drift it cannot adapt — one loud failure instead of 20 downstream
+  // analysis errors.
+  // ------------------------------------------------------------------
+  private val logicalSchemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  /** The declared logical schema a loader guarantees (nullability ignored). */
+  def logicalSchema(table: String): StructType = logicalSchemas(table)
+
+  private val numericTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+  /** One column's adaptation from the on-disk physical type to the declared
+    * logical type. Handled drift classes (each has shipped, or plausibly
+    * ships, from a fixture regeneration):
+    *  - integer-width / float-width drift → cast (ANSI mode makes a
+    *    narrowing overflow throw rather than wrap);
+    *  - TIMESTAMP stored as NTZ (isAdjustedToUTC=false) → cast; the session
+    *    is pinned UTC so the wall-clock reinterpretation is the identity;
+    *  - TIMESTAMP(NANOS) surfaced as long via the nanosAsLong legacy flag →
+    *    exact integer FLOOR-division to micros. A double round-trip of
+    *    epoch-nanos loses precision, and `div` truncates toward zero — a
+    *    pre-epoch nanosecond would round the WRONG way vs DuckDB's flooring
+    *    `CAST(TIMESTAMP_NS AS TIMESTAMP)`;
+    *  - numeric array element drift → elementwise cast.
+    * Anything else throws, naming the table and column — the fail-fast the
+    * adaptive reader exists for (a silent fall-through would run every
+    * query on an unnormalized column instead).
+    */
+  private def adapt(table: String, name: String,
+      have: DataType, want: DataType): Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    (have, want) match {
+      case (h, w) if h == w => col(name)
+      case (LongType, TimestampType) =>
+        // floor division: (ts - nonneg remainder) div 1000
+        expr(s"timestamp_micros(($name - (($name % 1000 + 1000) % 1000)) div 1000)")
+          .as(name)
+      case (TimestampNTZType, TimestampType) => col(name).cast(want).as(name)
+      case (h, w) if numericTypes(h) && numericTypes(w) =>
+        col(name).cast(want).as(name)
+      case (ArrayType(h, _), ArrayType(w, _)) if numericTypes(h) && numericTypes(w) =>
+        col(name).cast(want).as(name)
+      case (h, w) =>
+        throw new IllegalStateException(
+          s"fixture drift: $table.$name is $h on disk; no adaptation to declared $w")
+    }
+  }
+
+  /** Project the raw scan onto the declared logical schema, adapting each
+    * column. Missing columns throw with the table name; extra on-disk
+    * columns are dropped (the contract is the declared schema). The select
+    * is a plain projection, so column pruning and predicate pushdown still
+    * reach the parquet scan.
+    */
+  private def normalize(table: String, df: DataFrame): DataFrame = {
+    val want = logicalSchemas(table)
+    val onDisk = df.schema.map(f => f.name -> f.dataType).toMap
+    val cols = want.fields.map { f =>
+      val have = onDisk.getOrElse(f.name, throw new IllegalStateException(
+        s"fixture drift: $table.${f.name} missing on disk; " +
+          s"have ${df.schema.simpleString}"))
+      adapt(table, f.name, have, f.dataType)
+    }
+    if (want.fields.forall(f => onDisk.get(f.name).contains(f.dataType)) &&
+        df.schema.length == want.length) df  // no drift: keep the raw scan plan
+    else df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def load(s: SparkSession, d: String, name: String): DataFrame =
+    normalize(name, apply(s, d, name))
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   // orders/lineitem are NOT spread: their queries aggregate or join right
   // away, and partial aggregation before the first exchange is already the
   // correct parallel plan — measured, an up-front shuffle of the raw rows
   // costs more than the single-core map phase it saves. Spread pays off
   // only when per-row compute (hashing, dot products) dominates.
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` normalization, adaptive to the fixture's physical type —
-    * the harness has shipped this column as TIMESTAMP(NANOS) (which Spark's
-    * vectorized reader rejects → read nanos as long via the legacy flag and
-    * FLOOR-truncate to micros) and as TIMESTAMP(MICROS) with
-    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ → cast to TIMESTAMP; the
-    * session is pinned UTC so wall-clock reinterpretation is the identity).
-    * The nanos truncation is exact integer floor division: a double
-    * round-trip of epoch-nanos loses precision, and `div` truncates toward
-    * zero — a pre-epoch nanosecond would round the WRONG way vs DuckDB's
-    * flooring `CAST(TIMESTAMP_NS AS TIMESTAMP)`. Oracles mirror with
-    * `CAST(ts AS TIMESTAMP)` when they output the raw timestamp.
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events` with the full drift normalization (see [[adapt]]) — the
+    * nanosAsLong flag must be set BEFORE the first read so a
+    * TIMESTAMP(NANOS) fixture (which Spark's vectorized reader rejects)
+    * surfaces as long and takes the floor-division path. Oracles mirror
+    * with `CAST(ts AS TIMESTAMP)` when they output the raw timestamp.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // user_id, not event_id: sessionization/windows partition by user, so
     // the spread exchange IS the window exchange (co-partitioning reuse).
-    val raw = spread(apply(s, d, "events"), "user_id")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            // floor division: (ts - nonneg remainder) div 1000
-            "timestamp_micros((ts - ((ts % 1000 + 1000) % 1000)) div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    normalize("events", spread(apply(s, d, "events"), "user_id"))
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(apply(s, d, "documents"), "doc_id")
+    normalize("documents", spread(apply(s, d, "documents"), "doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(apply(s, d, "embeddings"), "vec_id")
+    normalize("embeddings", spread(apply(s, d, "embeddings"), "vec_id"))
 }

@@ -229,7 +229,7 @@ object Dedup {
     *
     * Scale shape: each round is one hash-partitioned join + aggregate on
     * the edge list; rounds needed = graph diameter (near-dup clusters are
-    * shallow — a handful). `localCheckpoint` after every round cuts the
+    * shallow — a handful). `Iterate.pin` after every round cuts the
     * exponentially-growing join lineage, which is what actually kills
     * iterative dataframe algorithms at scale. (The big-graph refinement —
     * large-star/small-star of Kiveris et al., "Connected Components in
@@ -239,7 +239,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // pairs plan is reused every round — pin it
+      .transform(Iterate.pin) // pairs plan is reused every round — pin it
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var round = 0
@@ -265,7 +265,7 @@ object Dedup {
         .join(jump, m("l1") === jump("jid"), "left")
         .select(col("id"), newLabel.as("new_label"),
           (newLabel =!= col("l0")).as("chg"))
-        .localCheckpoint(true) // cut per-round lineage growth
+        .transform(Iterate.pin) // cut per-round lineage growth
       converged = updated.filter(col("chg")).isEmpty
       labels = updated.select(col("id"), col("new_label").as("label"))
       round += 1
@@ -756,7 +756,7 @@ object Dedup {
       // b) that ReuseExchange cannot dedup — checkpoint so the md5-heavy
       // shingle pipeline runs once, not five times (the same eager
       // materialization as connectedComponents/bpeIterate)
-      .localCheckpoint(true)
+      .transform(Iterate.pin)
     // explode_outer, not explode: `sh` is a derived HOF chain and provably
     // non-empty (size(w) >= ShingleK above) — plain explode makes the
     // optimizer infer `size(sh) > 0` and push it below the staging
@@ -983,8 +983,6 @@ object Dedup {
     * wide exchanges end-to-end.
     */
   val SpanLen = 10
-  /** Encodes (doc_id, span_idx) as one orderable key; spans/doc << 10^6. */
-  val SpanKey = 1000000L
 
   def spanClean(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("w"))
@@ -998,12 +996,15 @@ object Dedup {
       .select(col("doc_id"), col("pos0").cast("long").as("span_idx"),
         md5(col("span_text")).as("h"))
     val byHash = Window.partitionBy(col("h"))
+    // first occurrence = lexicographic min of (doc_id, span_idx) — a struct
+    // min, not an arithmetic encoding, so no silent overflow for documents
+    // with pathologically many spans
     val drops = spans
       .withColumn("occ", count(lit(1)).over(byHash))
       .withColumn("keep",
-        min(col("doc_id") * SpanKey + col("span_idx")).over(byHash))
+        min(struct(col("doc_id"), col("span_idx"))).over(byHash))
       .filter(col("occ") > 1 &&
-        col("doc_id") * SpanKey + col("span_idx") =!= col("keep"))
+        struct(col("doc_id"), col("span_idx")) =!= col("keep"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("span_idx"))).as("drop_idx"))
     base.join(drops, Seq("doc_id"), "left")
@@ -1078,11 +1079,13 @@ object Dedup {
        |), k AS (
        |  SELECT doc_id, i,
        |    COUNT(*) OVER (PARTITION BY h) AS occ,
-       |    MIN(doc_id * $SpanKey + i) OVER (PARTITION BY h) AS keep
+       |    -- rn = 1 <=> lexicographic-min (doc_id, i): mirrors the Spark
+       |    -- side's min(struct(doc_id, span_idx)) first-occurrence key
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
        |  FROM sp
        |), dl AS (
        |  SELECT doc_id, list_sort(list(i)) AS drop_idx
-       |  FROM k WHERE occ > 1 AND doc_id * $SpanKey + i <> keep
+       |  FROM k WHERE occ > 1 AND rn > 1
        |  GROUP BY doc_id
        |)
        |SELECT b.doc_id, b.n_spans,

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * + ONE hash aggregate (incoming mass per dst) — the standard
   * edge-partitioned PageRank; no driver-side state, no collect. The edge
   * list is checkpointed once and reused every round; the rank frame is
-  * `localCheckpoint`ed per round to cut iterative-lineage growth (same
+  * `Iterate.pin`ned per round to cut iterative-lineage growth (same
   * discipline as connectedComponents and ivfKmeans). At 100 TB the edge
   * join and the mass aggregate share the same src/dst hash partitioning,
   * and AQE handles the power-law skew of hub nodes (or pre-split hubs with
@@ -65,7 +65,7 @@ object Graph {
       .select(col("cust").as("src"), (col("supp") + SuppBase).as("dst"))
       .unionByName(e0.select((col("supp") + SuppBase).as("src"),
         col("cust").as("dst")))
-      .localCheckpoint(true) // reused every round — pin the join input
+      .transform(Iterate.pin) // reused every round — pin the join input
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
     // |V| rides along as a column (broadcast 1-row aggregate) — the plan
@@ -84,7 +84,7 @@ object Graph {
           (lit(1.0 - Damping) / col("n")
             + lit(Damping) * coalesce(col("s"), lit(0.0))).as("rank"),
           col("deg"), col("n"))
-        .localCheckpoint(true) // cut per-round lineage growth
+        .transform(Iterate.pin) // cut per-round lineage growth
     }
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("rank").desc, col("id"))

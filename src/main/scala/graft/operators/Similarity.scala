@@ -245,7 +245,7 @@ object Similarity {
       // both sides of the mutual self-join read this k·N edge list;
       // without materialization the bucket join + scoring + rank window
       // execute twice (ReuseExchange dedups at most the shuffle)
-      .localCheckpoint(true)
+      .transform(Iterate.pin)
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       lit(true).as("rev"))
     edges.join(rev, Seq("src", "dst"), "left")
@@ -556,7 +556,7 @@ object Similarity {
     * Plan shape per round, at 100 TB: the centroid table is K rows →
     * broadcast, so assignment is MAP-SIDE (no shuffle of the corpus); the
     * update is one hash aggregate keyed (cell, dim) — K·Dim groups — plus a
-    * K-row rollup into centroid arrays. `localCheckpoint` on the (tiny)
+    * K-row rollup into centroid arrays. `Iterate.pin` on the (tiny)
     * centroid frame each round cuts the iterative-lineage growth, the same
     * discipline as [[graft.operators.Dedup.connectedComponents]].
     *
@@ -614,7 +614,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     for (_ <- 1 to iters)
-      cents = updateCents(assignCells(n, cents)).localCheckpoint(true)
+      cents = updateCents(assignCells(n, cents)).transform(Iterate.pin)
     assignCells(n, cents)
       .select(col("vec_id"), col("bucket"))
       .orderBy(col("vec_id"))

@@ -113,10 +113,10 @@ object Sketch {
     def est(k: Column, hk: Column) =
       when(k < K, k.cast("double")).otherwise(
         lit(K - 1) / ((hk + lit(1L)).cast("double") / lit(HashSpace)))
-    val sa = sketch(a, aKey).localCheckpoint(true) // 3 consumers: stats, union, common
-    val sb = sketch(b, bKey).localCheckpoint(true)
+    val sa = sketch(a, aKey).transform(Iterate.pin) // 3 consumers: stats, union, common
+    val sb = sketch(b, bKey).transform(Iterate.pin)
     val su = sa.union(sb).distinct().orderBy(col("h")).limit(K)
-      .localCheckpoint(true)
+      .transform(Iterate.pin)
     val aStats = sa.agg(count(lit(1)).as("ka"), max(col("h")).as("hka"))
     val bStats = sb.agg(count(lit(1)).as("kb"), max(col("h")).as("hkb"))
     val uStats = su.agg(count(lit(1)).as("ku"), max(col("h")).as("hku"))

@@ -550,7 +550,7 @@ object TextOps {
     * which is vocabulary-sized (Heaps' law: sublinear in the corpus), not
     * corpus-sized — the corpus is touched exactly once to build it. Each
     * round is one map-side explode + one hash agg + a broadcast join of a
-    * 1-row frame; `localCheckpoint` per round cuts the iterative lineage
+    * 1-row frame; `Iterate.pin` per round cuts the iterative lineage
     * like every other iterated operator here.
     */
   val BpeRounds = 4
@@ -624,7 +624,7 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var syms = vocab.select(col("word"), col("freq"),
       regexp_extract_all(col("word"), lit("."), lit(0)).as("sym"))
-      .localCheckpoint(true)
+      .transform(Iterate.pin)
     val merges = (1 to rounds).map { r =>
       val pairs = syms
         .select(col("freq"), explode(zip_with(
@@ -638,7 +638,7 @@ object TextOps {
         .limit(1)
         .select(lit(r).as("merge_rank"), col("sym_a"), col("sym_b"),
           col("pair_count"))
-        .localCheckpoint(true) // 1 row; pins the winner for the rewrite
+        .transform(Iterate.pin) // 1 row; pins the winner for the rewrite
       // m and st are STAGED through their own selects so each is a plain
       // attribute where the next stage's lambdas read it element-wise —
       // inlined, element_at(derived, i) re-evaluates the producing chain
@@ -659,7 +659,7 @@ object TextOps {
           bpeStarts(col("m")).as("st"))
         .select(col("word"), col("freq"),
           bpeApply(col("sym"), col("pa"), col("pb"), col("st")).as("sym"))
-        .localCheckpoint(true) // cut per-round lineage growth
+        .transform(Iterate.pin) // cut per-round lineage growth
       top
     }
     (merges, syms)

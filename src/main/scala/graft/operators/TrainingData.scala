@@ -470,12 +470,12 @@ object TrainingData {
     // IS the operator's point (the pre-screen exists so the 100 TB train
     // side never meets the exact join). Bloom has no false negatives, so
     // restricting to flagged docs loses nothing. `flagged` is tiny and
-    // used twice (semi-join + final join) → pinned with localCheckpoint
+    // used twice (semi-join + final join) → pinned with Iterate.pin
     // like every reused subtree here.
     val flagged = probes.groupBy(col("train_id"), col("n_kgrams"))
       .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
       .filter(col("n_maybe") > 0)
-      .localCheckpoint(true)
+      .transform(Iterate.pin)
     val exact = sh.filter(col("doc_id") % EvalMod =!= 0)
       .select(col("doc_id").as("train_id"), col("hs"))
       .join(flagged.select(col("train_id")), Seq("train_id"), "left_semi")

@@ -124,6 +124,23 @@ class ScaleOpsSpec extends SparkSuite {
     assert(ok == Set(0L)) // one component labeled by the min node
   }
 
+  test("iterative pin goes through reliable checkpoint when a dir is set") {
+    // With a checkpoint dir configured, every Iterate.pin cut must write
+    // durable checkpoint files there (executor-loss-safe at cluster
+    // scale) instead of executor-local blocks — and the iterative result
+    // must be unchanged.
+    val ckDir = Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val path = (0L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val comp = Dedup.connectedComponents(path, maxIter = 10)
+      assert(comp.collect().map(_.getLong(1)).toSet == Set(0L))
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => p.toFile.isFile).count()
+      assert(files > 0, s"no reliable checkpoint files landed under $ckDir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("incremental dedup: cross-batch near-dups rejected, novel docs admitted") {
     def docsOf(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")

@@ -98,4 +98,23 @@ class SinksSpec extends SparkSuite {
       assert(rs.getTimestamp(3) == null)
     } finally c.close()
   }
+
+  test("Postgres dialect emits the ON CONFLICT grammar with full-row binds") {
+    // The text itself is EXECUTED for real (DuckDB speaks the same
+    // clause) by tools/check_pg.py over the graft.PgDialect dump,
+    // idempotent-replay included; this pins the generated grammar and
+    // bind order so a refactor can't silently change what that gate runs.
+    val Seq((sql, bind)) = Sinks.upsertStatements(
+      Seq("key1", "key2", "value", "batch_id"), Seq("key1", "key2"),
+      "rates", Sinks.PostgresOnConflict)
+    assert(sql.contains("""INSERT INTO "rates" ("key1", "key2", "value", "batch_id")"""), sql)
+    assert(sql.contains("""ON CONFLICT ("key1", "key2")"""), sql)
+    assert(sql.contains(
+      """DO UPDATE SET "value" = EXCLUDED."value", "batch_id" = EXCLUDED."batch_id""""), sql)
+    assert(bind == Seq("key1", "key2", "value", "batch_id"))
+    // key-only frame degrades to DO NOTHING (no non-key columns to set)
+    val Seq((keyOnly, _)) = Sinks.upsertStatements(
+      Seq("k"), Seq("k"), "t", Sinks.PostgresOnConflict)
+    assert(keyOnly.contains("DO NOTHING"), keyOnly)
+  }
 }
