@@ -45,6 +45,8 @@ object Tables {
     // the streaming oracles memoize fixture SPLITS of these same dirs —
     // stale splits would stream the old corpus against a new batch oracle
     graft.streaming.StreamOracles.invalidateSources()
+    // likewise the shared cluster artifacts pin corpus-derived blocks
+    graft.operators.Dedup.invalidateArtifacts(spark)
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -274,14 +274,87 @@ object Dedup {
     // exceeds what maxIter pointer-jumping rounds can cover (≈2^maxIter
     // hops) would otherwise yield WRONG component ids that look valid.
     // The check reads the already-checkpointed flag column — no extra
-    // join job, one scan of materialized partitions.
+    // join job, one scan of materialized partitions. Instead of asking
+    // the caller to raise maxIter, fall back to the large-star/small-star
+    // rounds ([[starComponents]]), whose convergence bound depends on
+    // component SIZE, not diameter — the adversarial long-path case.
+    if (!converged) starComponents(pairs)
+    else labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi & Vassilvitskii, "Connected Components in MapReduce
+    * and Beyond", SoCC 2014, Alg. 3 "Two-Phase") — the deep-graph fallback
+    * behind [[connectedComponents]]. Each round:
+    *
+    *  - '''large-star''': every node attaches its strictly-LARGER
+    *    neighbors to the minimum of its closed neighborhood;
+    *  - '''small-star''': every node re-points itself and its smaller
+    *    neighbors at the minimum of them.
+    *
+    * The edge set monotonically contracts toward one star per component,
+    * rooted at the component's minimum id — the same (doc_id, component =
+    * min reachable id) contract as min-label propagation. Convergence is
+    * O(log² n) rounds in component size n regardless of diameter, where
+    * pointer jumping needs log₂(diameter) rounds — a 10⁶-node path
+    * converges here in tens of rounds vs maxIter-busting for propagation.
+    * Per-round cost is one aggregate + one join per phase over the
+    * (shrinking) edge list, every frame [[Iterate.pin]]ned.
+    */
+  def starComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+      .transform(Iterate.pin)
+    // directed child→parent edges, child > parent (self-loops dropped)
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .transform(Iterate.pin)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // large-star over the UNDIRECTED neighborhood: m(u) = min(Γ(u)∪{u});
+      // emit (v, m(u)) for every neighbor v > u
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbrs.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .transform(Iterate.pin)
+      // small-star over the child→parent edges: m(u) = min of u's parents;
+      // re-point u and each of its other parents at m(u)
+      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mSmall, "u")
+        .select(explode(array(
+          struct(col("u").as("c"), col("m").as("p")),
+          struct(col("v").as("c"), col("m").as("p")))).as("e"))
+        .select(col("e.c").as("u"), col("e.p").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .transform(Iterate.pin)
+      // fixpoint: the canonical directed edge set stopped changing (equal
+      // cardinality + one-sided difference empty ⇒ set equality)
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      round += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents: not converged after $maxIter rounds " +
-          s"(labels still changing — graph diameter > ~2^$maxIter). " +
-          "Raise maxIter, or switch to the large-star/small-star variant " +
-          "(Kiveris et al., SoCC 2014) for deep graphs.")
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+        s"starComponents: not converged after $maxRounds rounds — " +
+          "monotone contraction should converge in O(log^2 n); " +
+          "this indicates a bug, not an adversarial input.")
+    // converged edges are stars (child → component-min root); roots and
+    // isolated-in-pairs nodes label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("root")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("component"))
       .orderBy(col("doc_id"))
   }
 
@@ -316,6 +389,55 @@ object Dedup {
        |SELECT doc_id, component FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- shared cluster artifacts
+  /** The reusable products of near-dup clustering, computed ONCE per
+    * corpus: the LSH band table (the durable signature state), the
+    * candidate pairs, and the connected components. Every cluster-policy
+    * operator (representative selection, soft weights, size profile,
+    * incremental admission) derives from these three frames — a real
+    * pipeline computes them once and fans out, instead of re-running
+    * minhash + the component iteration per policy (which, as library
+    * composition, each single-shot entry point otherwise does).
+    *
+    * All three frames are [[Iterate.pin]]ned: consumers re-read
+    * materialized blocks (or the reliable checkpoint at cluster scale) —
+    * the signature subtree and the component iteration never re-execute.
+    */
+  final case class ClusterArtifacts(bands: DataFrame, pairs: DataFrame,
+      components: DataFrame)
+
+  /** Compute [[ClusterArtifacts]] for a corpus. `pairs` is unordered
+    * (stable input to clustering); order at the consumption edge.
+    */
+  def clusterArtifacts(docs: DataFrame): ClusterArtifacts = {
+    val bands = Iterate.pin(minhashBands(docs))
+    val pairs = Iterate.pin(bandCollisionPairs(bands).distinct())
+    // connectedComponents pins its own per-round state; the returned
+    // frame already reads from pinned blocks
+    ClusterArtifacts(bands, pairs, connectedComponents(pairs))
+  }
+
+  /** Per-(session, key) memo of [[clusterArtifacts]] — the composition
+    * cache that lets independent query entry points (components, stats,
+    * canonical, weights, admission — each independently oracled) share
+    * one clustering pass, mirroring how a production pipeline would
+    * materialize the artifacts once. Entries for stopped sessions are
+    * swept on every access; [[invalidateArtifacts]] drops a session's
+    * entries after a fixture rewrite (the pinned blocks would otherwise
+    * serve stale data).
+    */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ClusterArtifacts]()
+
+  def clusterArtifactsCached(docs: DataFrame, cacheKey: String): ClusterArtifacts = {
+    artifactCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    artifactCache.computeIfAbsent((docs.sparkSession, cacheKey),
+      _ => clusterArtifacts(docs))
+  }
+
+  def invalidateArtifacts(spark: SparkSession): Unit =
+    artifactCache.keySet.removeIf(_._1 eq spark)
+
   /** Duplicate-cluster size profile: for each cluster size, how many
     * near-duplicate clusters of that size the corpus carries — the
     * one-page answer to "is duplication a few giant boilerplate clusters
@@ -330,7 +452,13 @@ object Dedup {
     * hash aggs over it (no float, no window, no new corpus pass).
     */
   def clusterStats(docs: DataFrame): DataFrame =
-    connectedComponents(minhashPairs(docs))
+    clusterStatsFrom(connectedComponents(minhashPairs(docs)))
+
+  /** [[clusterStats]] over an already-computed (doc_id, component) frame —
+    * the [[ClusterArtifacts]] composition point.
+    */
+  def clusterStatsFrom(comp: DataFrame): DataFrame =
+    comp
       .groupBy(col("component")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("csize"))
@@ -364,8 +492,13 @@ object Dedup {
     * after the coalesce is corpus-wide — one exchange, same as any
     * groupBy(component)).
     */
-  def canonical(docs: DataFrame): DataFrame = {
-    val comp = connectedComponents(minhashPairs(docs))
+  def canonical(docs: DataFrame): DataFrame =
+    canonicalFrom(docs, connectedComponents(minhashPairs(docs)))
+
+  /** [[canonical]] over an already-computed (doc_id, component) frame —
+    * the [[ClusterArtifacts]] composition point.
+    */
+  def canonicalFrom(docs: DataFrame, comp: DataFrame): DataFrame = {
     val withComp = docs.select(col("doc_id"), col("n_chars"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
@@ -414,8 +547,13 @@ object Dedup {
     * component. Weight is 1/n in exact double arithmetic (integer
     * operands — both engines emit the identical quotient).
     */
-  def softWeights(docs: DataFrame): DataFrame = {
-    val comp = connectedComponents(minhashPairs(docs))
+  def softWeights(docs: DataFrame): DataFrame =
+    softWeightsFrom(docs, connectedComponents(minhashPairs(docs)))
+
+  /** [[softWeights]] over an already-computed (doc_id, component) frame —
+    * the [[ClusterArtifacts]] composition point.
+    */
+  def softWeightsFrom(docs: DataFrame, comp: DataFrame): DataFrame = {
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))

@@ -113,15 +113,46 @@ class ScaleOpsSpec extends SparkSuite {
     assert(Dedup.ngramJaccard(small).count() == 20 * 19 / 2)
   }
 
-  test("connected components fail loudly when maxIter can't cover the diameter") {
-    // 64-node path: diameter 63 needs ~log2(63)+1 ≈ 7 pointer-jump rounds
+  test("connected components fall back to star rounds past the maxIter bound") {
+    // 64-node path: diameter 63 needs ~log2(63)+1 ≈ 7 pointer-jump rounds;
+    // maxIter=2 can't cover it, so the large-star/small-star fallback must
+    // produce the SAME labels instead of raising
     val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIter = 2)
-    }
-    val ok = Dedup.connectedComponents(path, maxIter = 10)
-      .collect().map(_.getLong(1)).toSet
-    assert(ok == Set(0L)) // one component labeled by the min node
+    val viaFallback = Dedup.connectedComponents(path, maxIter = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFallback.length == 64)
+    assert(viaFallback.forall(_._2 == 0L)) // one component, min-node label
+    val direct = Dedup.connectedComponents(path, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFallback.sorted.sameElements(direct.sorted))
+  }
+
+  test("adversarial diameter ≫ 2^10: components converge at default maxIter") {
+    // a 2500-node path (diameter 2499) exceeds what 10 pointer-jumping
+    // rounds can cover (~2^10 hops); the star fallback's round bound
+    // depends on component size, not diameter, so the DEFAULT maxIter
+    // must still converge to the exact labels
+    val path = (0L until 2499L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(path).collect()
+    assert(comp.length == 2500)
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("star components agree with pointer jumping on multi-cluster graphs") {
+    // three components with shuffled, non-contiguous ids + a cycle — the
+    // two algorithms must emit identical (doc_id, min-id label) frames
+    val edges = Seq(
+      (907L, 3L), (3L, 512L), (512L, 44L), (44L, 907L), // cycle, min 3
+      (200L, 150L), (150L, 180L),                       // path, min 150
+      (999L, 998L))                                     // pair, min 998
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.starComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val prop = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(star.sameElements(prop))
+    assert(star.toMap == Map(907L -> 3L, 3L -> 3L, 512L -> 3L, 44L -> 3L,
+      200L -> 150L, 150L -> 150L, 180L -> 150L, 999L -> 998L, 998L -> 998L))
   }
 
   test("iterative pin goes through reliable checkpoint when a dir is set") {
