@@ -1,20 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query and prints ONE JSON line.
+  *
+  * The line records the PRIMARY config (driver env: SPARK_GRAFT_CPUS /
+  * SPARK_GRAFT_SHUFFLE) and — unless disabled or redundant — a
+  * `gate_config` object for the driver's correctness-gate shape
+  * (local[4], shuffle=4), measured by stopping the context and re-running
+  * the suite under that master in the same JVM. Both anchors then live in
+  * the same BENCH artifact instead of one of them existing only as README
+  * prose. Set SPARK_GRAFT_GATE_CONFIG=off (or a query subset via
+  * SPARK_GRAFT_BENCH_ONLY) to skip the second run.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+
+  private final case class SuiteRun(total: Double, queries: Map[String, Double])
+
+  /** Run the full (or filtered) suite under one master/shuffle config:
+    * `passes` timed passes per query, min over the non-first samples when
+    * possible (the first pays codegen + JIT).
+    */
+  private def runSuite(cpus: String, shuffle: String, sfDir: String,
+      only: Option[Set[String]], passes: Int): SuiteRun = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Optional comma-separated subset for local profiling (driver leaves
-    // this unset → full suite).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // a failed query records -1, never its elapsed-until-crash time — a
@@ -26,21 +40,43 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       name -> t
     }.toMap
-    // three passes: the first pays per-query codegen + JIT, so the min is
-    // taken over two steady-state samples (one sample is not enough — a
-    // GC or compile tail in it inflates the whole suite). An explicit GC
-    // between passes drops the previous pass's broadcast blocks + codegen
-    // garbage so later passes aren't taxed for it.
-    val passes = (1 to 3).map { _ =>
+    // multiple passes: the first pays per-query codegen + JIT, so the min
+    // is taken over the later steady-state samples (one sample is not
+    // enough — a GC or compile tail in it inflates the whole suite). An
+    // explicit GC between passes drops the previous pass's broadcast
+    // blocks + codegen garbage so later passes aren't taxed for it.
+    val sampled = (1 to passes).map { _ =>
       val t = timeAll(); System.gc(); t
     }
+    val steady = if (sampled.length > 1) sampled.tail else sampled
     val results = names.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      name -> steady.map(_(name)).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    SuiteRun(if (results.nonEmpty) results.values.sum else 0.0, results)
+  }
+
+  private def queriesJson(qs: Map[String, Double]): String =
+    qs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Optional comma-separated subset for local profiling (driver leaves
+    // this unset → full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val primary = runSuite(cpus, shuffle, sfDir, only, passes = 3)
+    // the gate-shape anchor: skipped for subsets, when disabled, or when
+    // the primary IS the gate shape already
+    val gate =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_GATE_CONFIG").contains("off")
+          || (cpus == "4" && shuffle == "4")) None
+      else Some(runSuite("4", "4", sfDir, only, passes = 2))
+    val gateJson = gate.map(g =>
+      s""","gate_config":{"cpus":4,"shuffle":4,"value":${g.total},"unit":"sec","queries":${queriesJson(g.queries)}}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":${primary.total},"unit":"sec","queries":${queriesJson(primary.queries)},"sf":"$sfDir","cpus":$cpus,"shuffle":$shuffle$gateJson}""")
   }
 }

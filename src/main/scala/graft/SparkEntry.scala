@@ -1855,6 +1855,7 @@ object SparkEntry {
     "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
+    "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
     "corpus_mix"        -> ((s, d) => TrainingData.mixture(docs(s, d))),
@@ -2004,6 +2005,7 @@ object SparkEntry {
     "text_source_overlap" -> TextOps.sqlSourceOverlap,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
+    "mm_decode"         -> Multimodal.sqlDecode,
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_pack"       -> TrainingData.sqlPack,
     "corpus_mix"        -> TrainingData.sqlMixture,

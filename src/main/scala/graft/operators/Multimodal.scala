@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, and a partition-batched feature-extraction stage.
   *
-  * The decode step is a STUB — image/audio codecs are not in this
-  * environment — replaced by a deterministic byte-derived fake. What is real
-  * and load-bearing for a 100 TB pipeline:
+  * Two decode tiers. HEADER decode is REAL: [[decodePng]]/[[decodeJpeg]]
+  * structurally parse genuine PNG chunk streams and JPEG marker segments
+  * (geometry, bit depth, channels) — see `mm_decode` and MultimodalSpec's
+  * external-ground-truth pins. PIXEL decode in the feature stage remains a
+  * declared STUB (image/audio codecs are not in this environment),
+  * replaced by a deterministic byte-derived fake. What is real and
+  * load-bearing for a 100 TB pipeline:
   *  - the schema contract (binary payload + typed metadata columns);
   *  - `mapPartitions` batch shape: the decoder amortizes per-partition init
   *    (model load, codec context) across the partition's rows, which is
@@ -98,6 +102,184 @@ object Multimodal {
           .as("frame_feature"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  // ------------------------------------------------- real header decode
+  /** What `mm_decode` proves REAL (vs the declared feature-stage stub):
+    * actual PNG and JPEG structural parsing — signature check, chunk walk,
+    * marker-segment walk — over genuine spec-conformant bytes, in the same
+    * partition-batched stage a production decoder runs in. Only pixel
+    * decode stays out (no codecs in this environment); header geometry is
+    * pure byte structure and needs none.
+    */
+  final case class MediaBin(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(doc_id: Long, fmt: String, width: Int,
+      height: Int, bit_depth: Int, channels: Int)
+
+  private def be32(w: Int): Array[Byte] = Array(
+    (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte)
+  private def be16(w: Int): Array[Byte] = Array((w >>> 8).toByte, w.toByte)
+
+  /** A spec-conformant PNG: 8-byte signature, IHDR with real CRC32, IEND.
+    * (PNG spec: ISO/IEC 15948 §5.3 chunk layout, §11.2.2 IHDR.)
+    */
+  def pngBytes(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty)
+  }
+
+  /** A spec-conformant JFIF header stream: SOI, APP0, a COM segment of
+    * caller-chosen length (so SOF sits at a VARIABLE offset — the decoder
+    * must genuinely walk segments, not slice a fixed position), SOF0, EOI.
+    * (JPEG/JFIF: ITU-T T.81 §B.2 marker segment layout.)
+    */
+  def jpegBytes(width: Int, height: Int, nComponents: Int,
+      comLen: Int): Array[Byte] = {
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val com = Array(0xff, 0xfe).map(_.toByte) ++ be16(2 + comLen) ++
+      Array.fill(comLen)('x'.toByte)
+    val sof = Array(0xff, 0xc0).map(_.toByte) ++ be16(8 + 3 * nComponents) ++
+      Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](nComponents.toByte) ++
+      (1 to nComponents).flatMap(i =>
+        Array(i.toByte, 0x11.toByte, 0.toByte)).toArray
+    Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ com ++ sof ++
+      Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  /** Deterministic media fixtures over the documents table: even doc ids
+    * carry a PNG (color type cycling gray / RGB / gray+alpha / RGBA), odd
+    * ids a JFIF whose COM padding varies the SOF offset per row. Geometry
+    * derives from (doc_id, n_chars), so the DuckDB oracle states the
+    * expected decode arithmetically and the gate checks decode∘encode = id
+    * over real byte structures.
+    */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaBin] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        val w = (id % 300 + 1).toInt
+        val h = (nc % 200 + 1).toInt
+        val media =
+          if (id % 2 == 0)
+            pngBytes(w, h, Array(0, 2, 4, 6)(((id / 2) % 4).toInt))
+          else jpegBytes(w, h, if (id % 3 == 0) 1 else 3,
+            comLen = (id % 7 + 4).toInt)
+        MediaBin(id, media)
+      }
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def beInt(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def beShort(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Parse PNG geometry by walking chunks to IHDR (not slicing offset 16
+    * blind — a malformed or extension-prefixed stream must fail, not
+    * return garbage). Channels per color type: 0 gray, 2 RGB, 3 palette,
+    * 4 gray+alpha, 6 RGBA.
+    */
+  def decodePng(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 8 || (0 until 8).exists(i => u8(b, i) != PngSig(i)))
+      return None
+    var pos = 8
+    while (pos + 8 <= b.length) {
+      val len = beInt(b, pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      if (typ == "IHDR") {
+        if (pos + 8 + 13 > b.length) return None
+        val channels = u8(b, pos + 17) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => return None
+        }
+        return Some((beInt(b, pos + 8), beInt(b, pos + 12),
+          u8(b, pos + 16), channels))
+      }
+      pos += 12 + len // len + type + data + crc
+    }
+    None
+  }
+
+  /** Parse JPEG geometry by walking marker segments to the first SOF
+    * (C0–C3, baseline/extended/progressive/lossless) — APPn/COM/DQT/DHT
+    * segments are skipped by their declared lengths, so the frame header
+    * is found wherever it sits.
+    */
+  def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if (u8(b, pos) != 0xff) return None
+      val marker = u8(b, pos + 1)
+      if (marker >= 0xc0 && marker <= 0xc3) {
+        if (pos + 10 > b.length) return None
+        return Some((beShort(b, pos + 7), beShort(b, pos + 5),
+          u8(b, pos + 4), u8(b, pos + 9)))
+      }
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / scan data
+      pos += 2 + beShort(b, pos + 2)
+    }
+    None
+  }
+
+  /** The REAL batched decode stage: per-partition init (here: none needed —
+    * the parsers are allocation-free walks), per-row structural parse.
+    * Unparseable payloads fail loudly: a silent skip would make a corrupt
+    * 100 TB batch look clean.
+    */
+  def decodeHeaders(media: Dataset[MediaBin]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodePng(r.media).map { case (w, h, d, c) =>
+          MediaMeta(r.doc_id, "png", w, h, d, c) }
+          .orElse(decodeJpeg(r.media).map { case (w, h, d, c) =>
+            MediaMeta(r.doc_id, "jpeg", w, h, d, c) })
+          .getOrElse(throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is neither PNG nor JPEG"))
+      }
+    }
+  }
+
+  /** End-to-end decode query: deterministic media fixtures → structural
+    * header parse → (fmt, width, height, bit_depth, channels).
+    */
+  def decode(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    decodeHeaders(syntheticMedia(docs)).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the encode parameters restated arithmetically — the gate then
+    * asserts the byte-level decode inverts the byte-level encode. (The
+    * parsers' agreement with EXTERNAL ground truth — a canonical 1×1 RGBA
+    * PNG — is pinned in MultimodalSpec.)
+    */
+  val sqlDecode: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |  CAST(doc_id % 300 + 1 AS INT) AS width,
+      |  CAST(n_chars % 200 + 1 AS INT) AS height,
+      |  CAST(8 AS INT) AS bit_depth,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |         CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+      |              WHEN 2 THEN 2 ELSE 4 END
+      |       ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+      |  END AS INT) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   def sqlFrameSamples(stride: Int): String =
     s"""SELECT doc_id, (n - 1) AS frame_idx, (n - 1) * $stride AS byte_offset,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -178,7 +178,12 @@ object Streams {
     */
   def dedupBatch(newDocs: DataFrame, stateBands: DataFrame)
       : (DataFrame, DataFrame) = {
-    val newBands = graft.operators.Dedup.minhashBands(newDocs)
+    // pin the batch's band frame: BOTH returned frames derive from it and
+    // a caller consuming them with separate actions (write admitted docs,
+    // write state bands — the foreachBatch shape) would otherwise run the
+    // whole signature subtree once per action
+    val newBands = graft.operators.Iterate.pin(
+      graft.operators.Dedup.minhashBands(newDocs))
     val dupOfState = newBands
       .join(stateBands, Seq("band_idx", "band_key"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -189,16 +194,43 @@ object Streams {
     // (doc_b of each a<b pair), exactly what the shared expansion emits
     val dupWithinBatch = graft.operators.Dedup.bandCollisionPairs(newBands)
       .select(col("doc_b").as("doc_id")).distinct()
-    val victims = dupOfState.unionByName(dupWithinBatch).distinct()
+    // pinned for the same two-consumer reason (docs anti-join + bands
+    // anti-join); the victim set is a tiny id frame
+    val victims = graft.operators.Iterate.pin(
+      dupOfState.unionByName(dupWithinBatch).distinct())
     val admitted = newDocs.join(victims, Seq("doc_id"), "left_anti")
     val admittedBands = newBands.join(victims, Seq("doc_id"), "left_anti")
     (admitted, admittedBands)
   }
 
   // ---------------------------------------------- incremental KMV sketch
-  final case class KmvIn(grp: String, value: Long)
+  /** `h` is the PRE-HASHED value: [[kmvHash]] as a codegen'd map-side
+    * expression (or [[kmvHashJvm]] for object inputs). Hashing upstream of
+    * `groupByKey` is the scale shape — the group count may be tiny (3
+    * returnflags), and hashing inside the state function would serialize
+    * the whole stream's md5 work onto |groups| state tasks.
+    */
+  final case class KmvIn(grp: String, h: Long)
   final case class KmvState(hashes: Seq[Long], updates: Long)
   final case class KmvEstimate(grp: String, updates: Long, estimate: Double)
+
+  /** The KMV hash as a map-side Column: [[graft.operators.Sketch]]'s
+    * md5-derived `tokenHash` over the value's string form — identical to
+    * the batch sketch's hash, so the streamed estimate is comparable.
+    */
+  def kmvHash(value: Column): Column =
+    graft.operators.TextOps.tokenHash(value.cast("string"))
+
+  /** JVM twin of [[kmvHash]] for constructing typed inputs (tests, object
+    * streams): first 4 md5 bytes big-endian — the same [0, 2^32) value the
+    * expression computes.
+    */
+  def kmvHashJvm(value: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.toString.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
   /** Incremental distinct-count estimation per group: keyed state holds the
     * k minimum distinct hashes ([[graft.operators.Sketch]]'s KMV, same
@@ -208,20 +240,20 @@ object Streams {
     * append-mode sink (max updates per group — [[StreamOracles.kmvState]]
     * hash-checks it against the batch oracle). State is k longs + one long
     * per group FOREVER — the streaming answer to "distinct users per event
-    * type so far" without unbounded dropDuplicates state.
+    * type so far" without unbounded dropDuplicates state. The per-batch
+    * merge is a bounded k-set walk (O(n log k)), never a sort of the
+    * batch's raw values.
     */
   def kmvFunc(grp: String, rows: Iterator[KmvIn],
       state: GroupState[KmvState]): Iterator[KmvEstimate] = {
     import graft.operators.Sketch.{HashSpace, K}
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h(v: Long): Long = {
-      val hex = md.digest(v.toString.getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
     val prev = state.getOption.getOrElse(KmvState(Seq.empty, 0L))
-    val merged = (prev.hashes ++ rows.map(r => h(r.value)))
-      .distinct.sorted.take(K)
+    val set = scala.collection.mutable.TreeSet.from(prev.hashes)
+    rows.foreach { r =>
+      if (set.size < K) set += r.h
+      else if (r.h < set.last) { set += r.h; if (set.size > K) set -= set.last }
+    }
+    val merged = set.toSeq
     val updates = prev.updates + 1
     state.update(KmvState(merged, updates))
     val est =
@@ -231,9 +263,33 @@ object Streams {
     Iterator(KmvEstimate(grp, updates, est))
   }
 
+  /** Map-side combine for the KMV stream: each input partition keeps only
+    * its k smallest distinct hashes per group, so the stateful stage's
+    * shuffle moves ≤ partitions·groups·k rows per micro-batch instead of
+    * the raw stream — the k-heap-per-partition shape the batch sketch's
+    * scaladoc describes, done here because `groupByKey(_.grp)` funnels
+    * everything onto |groups| state tasks (3 returnflags) otherwise.
+    * Stateless, so it composes legally ahead of flatMapGroupsWithState.
+    */
+  private def kmvPartial(in: Dataset[KmvIn]): Dataset[KmvIn] = {
+    import in.sparkSession.implicits._
+    import graft.operators.Sketch.K
+    in.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.TreeSet[Long]]
+      it.foreach { r =>
+        val s = m.getOrElseUpdate(r.grp,
+          scala.collection.mutable.TreeSet.empty[Long])
+        if (s.size < K) s += r.h
+        else if (r.h < s.last) { s += r.h; if (s.size > K) s -= s.last }
+      }
+      m.iterator.flatMap { case (g, s) => s.iterator.map(KmvIn(g, _)) }
+    }
+  }
+
   def kmvStream(in: Dataset[KmvIn]): Dataset[KmvEstimate] = {
     import in.sparkSession.implicits._
-    in.groupByKey(_.grp)
+    kmvPartial(in).groupByKey(_.grp)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(kmvFunc)
   }

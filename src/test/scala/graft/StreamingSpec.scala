@@ -66,10 +66,12 @@ class StreamingSpec extends SparkSuite {
   test("incremental KMV estimate converges to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val batch1 = (1L to 60L).map(v => Streams.KmvIn("a", v)) ++
-      (1L to 6L).map(v => Streams.KmvIn("b", v))
-    val batch2 = (30L to 100L).map(v => Streams.KmvIn("a", v)) ++
-      (5L to 10L).map(v => Streams.KmvIn("b", v))
+    // inputs are pre-hashed (the map-side contract); kmvHashJvm must equal
+    // the kmvHash expression for the batch comparison below to hold
+    val batch1 = (1L to 60L).map(v => Streams.KmvIn("a", Streams.kmvHashJvm(v))) ++
+      (1L to 6L).map(v => Streams.KmvIn("b", Streams.kmvHashJvm(v)))
+    val batch2 = (30L to 100L).map(v => Streams.KmvIn("a", Streams.kmvHashJvm(v))) ++
+      (5L to 10L).map(v => Streams.KmvIn("b", Streams.kmvHashJvm(v)))
     val mem =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.KmvIn]
     val q = Streams.kmvStream(mem.toDS()).writeStream
@@ -84,8 +86,12 @@ class StreamingSpec extends SparkSuite {
       .map { case (g, rs) =>
         g -> rs.maxBy(_.getAs[Long]("updates")).getAs[Double]("estimate")
       }
+    // batch sketch over the RAW values — the streamed path hashed them
+    // map-side with the identical hash, so the estimates must agree
+    val raw = (1L to 60L).map(("a", _)) ++ (1L to 6L).map(("b", _)) ++
+      (30L to 100L).map(("a", _)) ++ (5L to 10L).map(("b", _))
     val expected = graft.operators.Sketch.kmvDistinct(
-      (batch1 ++ batch2).toDF("grp", "value"), "grp", "value").collect()
+      raw.toDF("grp", "value"), "grp", "value").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(streamed == expected)
   }
