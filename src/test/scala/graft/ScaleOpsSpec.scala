@@ -138,6 +138,50 @@ class ScaleOpsSpec extends SparkSuite {
     assert(comp.forall(_.getLong(1) == 0L))
   }
 
+  test("property: star components equal a union-find reference on random graphs") {
+    // 10 seeded random graphs, both algorithms vs a sequential union-find
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val n = 30 + rnd.nextInt(40)
+      val ids = new scala.util.Random(trial * 131L)
+        .shuffle((0 until n).map(_ * 17L + 3))
+      val edges = (1 until n).flatMap { i =>
+        if (rnd.nextInt(3) == 0) None // drop some edges → multiple components
+        else {
+          val j = rnd.nextInt(i)
+          Some((math.min(ids(i), ids(j)), math.max(ids(i), ids(j))))
+        }
+      }
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth (min id as representative)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo }
+        }
+        val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).sorted
+        val star = Dedup.starComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        assert(star.sameElements(expect), s"trial=$trial n=$n")
+      }
+    }
+  }
+
+  test("cluster artifacts memo returns the same computed frames per (session, key)") {
+    val docs = Tables.documents(spark, dir)
+    val a = Dedup.clusterArtifactsCached(docs, s"$dir#memoTest")
+    val b = Dedup.clusterArtifactsCached(docs, s"$dir#memoTest")
+    assert(a.pairs eq b.pairs)
+    assert(a.components eq b.components)
+    assert(a.bands eq b.bands)
+  }
+
   test("star components agree with pointer jumping on multi-cluster graphs") {
     // three components with shuffled, non-contiguous ids + a cycle — the
     // two algorithms must emit identical (doc_id, min-id label) frames
