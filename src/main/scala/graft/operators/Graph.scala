@@ -60,12 +60,14 @@ object Graph {
   def pagerank(orders: DataFrame, lineitem: DataFrame,
                iters: Int = PrIters): DataFrame = {
     import graft.functions.Exact
-    val e0 = custSuppEdges(orders, lineitem)
+    // pin the DISTINCT pair set (the orders⋈lineitem heavy subtree) and
+    // derive both directions from the pinned blocks — pinning after the
+    // union would run the join+distinct once per union branch first
+    val e0 = Iterate.pin(custSuppEdges(orders, lineitem))
     val edges = e0
       .select(col("cust").as("src"), (col("supp") + SuppBase).as("dst"))
       .unionByName(e0.select((col("supp") + SuppBase).as("src"),
         col("cust").as("dst")))
-      .transform(Iterate.pin) // reused every round — pin the join input
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
     // |V| rides along as a column (broadcast 1-row aggregate) — the plan
