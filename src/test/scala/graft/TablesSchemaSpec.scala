@@ -43,6 +43,26 @@ class TablesSchemaSpec extends SparkSuite {
     assert(adapted.count() === Tables.customer(spark, dir).count())
   }
 
+  test("predicate pushdown reaches the scan through the drift projection") {
+    // normalization is a plain projection, so a filter on an unadapted
+    // column must still land in the parquet scan's PushedFilters even
+    // when a sibling column is being width-cast — the scale property the
+    // adaptive reader must not cost
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_pd").toString
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("int").as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val q = Tables.customer(spark, tmp)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
   test("unadaptable drift fails fast, naming the table and column") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift2").toString
