@@ -1894,6 +1894,8 @@ object SparkEntry {
       Dedup.softWeightsFrom(docs(s, d), arts(s, d).components)),
     "sim_knn_graph"     -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d))),
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))),
     "corpus_budget"     -> ((s, d) => TrainingData.budgetSelect(docs(s, d))),
     "sim_rrf"           -> ((s, d) => Similarity.rrf(Tables.embeddings(s, d))),
     "events_compact"    -> qCompact _,
@@ -2038,6 +2040,7 @@ object SparkEntry {
     "text_quality_rank" -> TextOps.sqlQualityRank,
     "dedup_weights"     -> Dedup.sqlSoftWeights,
     "sim_knn_graph"     -> Similarity.sqlKnnGraph,
+    "sim_hard_negatives" -> Similarity.sqlHardNegatives,
     "corpus_budget"     -> TrainingData.sqlBudgetSelect,
     "sim_rrf"           -> Similarity.sqlRrf,
     "events_compact"    -> sqlCompact,

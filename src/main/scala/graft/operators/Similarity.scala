@@ -277,6 +277,63 @@ object Similarity {
        |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
        |ORDER BY e.src, e.rk""".stripMargin
 
+  // ------------------------------------------------ hard-negative mining
+  /** Hard-negative mining for contrastive training (Karpukhin et al.,
+    * "Dense Passage Retrieval for Open-Domain Question Answering", EMNLP
+    * 2020 §5.2): for every anchor vector, the top-k most-similar vectors
+    * carrying a DIFFERENT label — the negatives the model currently
+    * confuses, which train a far sharper boundary than random negatives.
+    *
+    * Scale shape: identical to [[knnGraph]] — LSH-bucketed candidates
+    * (never all-pairs), the label exclusion rides IN the join condition so
+    * same-label pairs are dropped before the dot product is ever
+    * evaluated, and the per-anchor top-k is a WindowGroupLimit-pruned
+    * rank. Output is ranking-sized (≤ k rows per anchor).
+    */
+  val HardNegK = 3
+
+  def hardNegatives(emb: DataFrame): DataFrame = {
+    val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
+      col("label"), col("embedding"), col("norm"),
+      lshBucket(col("embedding")).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), col("embedding").as("av"),
+      col("norm").as("an"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("embedding").as("bv"),
+      col("norm").as("bn"), col("bucket"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    a.join(b, a("bucket") === b("bucket") &&
+        col("anchor_label") =!= col("neg_label"))
+      .withColumn("cos", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HardNegK)
+      .select(col("anchor_id"), col("rk"), col("neg_id"),
+        col("neg_label"), col("cos").as("cos_sim"))
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
+  def sqlHardNegatives: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+       |    c.label AS neg_label,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b q JOIN b c
+       |    ON q.bucket = c.bucket AND q.label <> c.label
+       |)
+       |SELECT anchor_id, rk, neg_id, neg_label, cos AS cos_sim FROM (
+       |  SELECT anchor_id, neg_id, neg_label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |                       ORDER BY cos DESC, neg_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= $HardNegK
+       |ORDER BY anchor_id, rk""".stripMargin
+
   // ------------------------------------------------ reciprocal rank fusion
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal rank
     * fusion outperforms Condorcet and individual rank learning methods",

@@ -50,7 +50,8 @@ class PlanShapeSpec extends SparkSuite {
     // row_number + rk<=k must hit Spark's rank-limit pushdown: each
     // partition keeps a k-bounded group state (partial) before the shuffle
     // and again after (final) — the scale path for every top-k query here.
-    for (q <- Seq("q11_topk_window", "sim_brute_topk", "text_tfidf")) {
+    for (q <- Seq("q11_topk_window", "sim_brute_topk", "text_tfidf",
+        "sim_hard_negatives")) {
       val p = planTree(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the rank-limit pushdown:\n$p")
