@@ -553,6 +553,48 @@ object SparkEntry {
       |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- q45_asof_tolerance
+  // Bounded backward as-of (merge_asof tolerance): right-side state times
+  // are synthesized INTO the events window (q31's shift trick) so the
+  // 7-day bound genuinely splits matches — some enriched, stale ones
+  // dropped. The oracle is DuckDB's native ASOF JOIN plus the same
+  // integer epoch-micros bound.
+  private val AsOfToleranceMicros = 7L * 86400L * 1000000L
+  private def qAsOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    val base = lit("2024-01-01 00:00:00").cast("timestamp")
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"),
+        timestamp_add("DAY", (col("o_orderkey") % 365).cast("int"), base)
+          .as("rt"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_totalprice")).as("v"))
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    graft.operators.AsOfJoin.asOfTolerance(l, r, Seq("k"), "ts", "rt",
+        Seq("v"), AsOfToleranceMicros)
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlAsOfTolerance: String =
+    s"""WITH l AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id % 20 AS k
+       |  FROM events
+       |), r AS (
+       |  SELECT o_custkey % 20 AS k,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + INTERVAL (o_orderkey % 365) DAY AS rt,
+       |    MAX(o_totalprice) AS v
+       |  FROM orders GROUP BY 1, 2
+       |)
+       |SELECT l.event_id, r.rt AS matched_time, r.v AS matched_value
+       |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.rt
+       |WHERE epoch_us(l.ts) - epoch_us(r.rt) <= $AsOfToleranceMicros
+       |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------- q31_range_join
   // Bucketized point-in-interval join (operators.RangeJoin). Ranges are
   // synthesized deterministically from orders (shifted into the events'
@@ -1900,6 +1942,7 @@ object SparkEntry {
     "sim_rrf"           -> ((s, d) => Similarity.rrf(Tables.embeddings(s, d))),
     "events_compact"    -> qCompact _,
     "q44_asof_nearest"  -> qAsOfNearest _,
+    "q45_asof_tolerance" -> qAsOfTolerance _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
     "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
@@ -2045,6 +2088,7 @@ object SparkEntry {
     "sim_rrf"           -> Similarity.sqlRrf,
     "events_compact"    -> sqlCompact,
     "q44_asof_nearest"  -> sqlAsOfNearest,
+    "q45_asof_tolerance" -> sqlAsOfTolerance,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
     "dedup_spans"       -> Dedup.sqlSpanClean,

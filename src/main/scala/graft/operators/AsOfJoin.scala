@@ -101,6 +101,22 @@ object AsOfJoin {
     asOfImpl(left, right, keys, leftTime, rightTime, valueCols,
       forward = false)
 
+  /** Bounded backward as-of — pandas `merge_asof(tolerance=...)`
+    * semantics: the most-recent state match only counts if it is no older
+    * than `toleranceMicros`; staler matches drop (inner semantics, like
+    * every variant here). "Enrich with current state, but never with
+    * state so stale it is wrong" — the production guard for slowly-
+    * updating dimensions. Same single-shuffle union-window plan as
+    * [[asOf]] plus one integer epoch-micros post-filter (exact in both
+    * engines).
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      toleranceMicros: Long): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, valueCols)
+      .filter(unix_micros(col(leftTime).cast("timestamp")) -
+        unix_micros(col("matched_time")) <= toleranceMicros)
+
   /** Forward as-of: each left row picks the EARLIEST right row with
     * `rightTime >= leftTime` — "next state change after this event". Same
     * single-shuffle union-window plan as [[asOf]] with the time order

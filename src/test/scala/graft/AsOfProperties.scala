@@ -119,6 +119,28 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: tolerance as-of = backward reference filtered by distance") {
+    val TolSec = 4
+    for (seed <- 81L to 92L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val expect = brute(ls, rs, forward = false)
+        .filter { case (_, t, _, mt, _) => t - mt <= TolSec }
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val got = AsOfJoin.asOfTolerance(ldf, rdf, Seq("k"), "lt", "rt",
+          Seq("v"), TolSec * 1000000L)
+        .select(col("k"), col("lt_s"), col("pay"),
+          (col("matched_time").cast("long")).cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toList.sorted
+      assert(got == expect, s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
   // ------------------------------------------------- range join property
   // Same treatment for the bucket-explode range join: the rewrite must
   // emit exactly the naive filter-join's rows, including ranges that span
