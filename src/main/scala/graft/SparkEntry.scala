@@ -1663,6 +1663,43 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_sequences
+  // Per-user bounded event sequences — the "user history → fixed-length
+  // training example" exporter behind behavioral/session models. Shape:
+  // ONE user-keyed exchange shared by the rank window and the aggregate;
+  // the collect carries AT MOST SeqMaxLen structs per user (rows past the
+  // rank bound enter the aggregate as NULL, which collect_list skips), so
+  // per-group state is bounded no matter how hot a user is — a bare
+  // collect_list-then-slice would buffer the whole history first.
+  private val SeqMaxLen = 8
+  private def qSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(when(col("rn") <= SeqMaxLen,
+          struct(col("rn"), col("event_type"))))).as("evs"))
+      .select(col("user_id"), col("n_events"),
+        array_join(transform(col("evs"), e => e.getField("event_type")), ",")
+          .as("seq"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlSequences: String =
+    s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  array_to_string(list_slice(
+       |    list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id),
+       |    1, $SeqMaxLen), ',') AS seq
+       |FROM events
+       |WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |  AND event_type IS NOT NULL
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
   // FIRST event of every burst (new burst = gap from the previous event
@@ -1954,6 +1991,7 @@ object SparkEntry {
     "events_cooccur"    -> qCooccur _,
     "events_transitions" -> qTransitions _,
     "events_debounce"   -> qDebounce _,
+    "events_sequences"  -> qSequences _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
@@ -2100,6 +2138,7 @@ object SparkEntry {
     "events_cooccur"    -> sqlCooccur,
     "events_transitions" -> sqlTransitions,
     "events_debounce"   -> sqlDebounce,
+    "events_sequences"  -> sqlSequences,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,

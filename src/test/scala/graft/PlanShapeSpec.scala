@@ -73,6 +73,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
   }
 
+  test("events_sequences: rank window and aggregate share one user exchange") {
+    val p = planTree("events_sequences")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+  }
+
   test("q42: OHLC is ONE aggregate pass — no window, no self-join") {
     val p = planTree("q42_ohlc")
     // a window/sort-per-group formulation would show Window or extra
