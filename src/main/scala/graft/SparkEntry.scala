@@ -1961,6 +1961,8 @@ object SparkEntry {
     "text_bpe_merges"   -> ((s, d) => TextOps.bpeMerges(docs(s, d))),
     "q41_histogram"     -> ((s, d) =>
       Profile.histogram(Tables.lineitem(s, d), "l_extendedprice")),
+    "profile_skew"      -> ((s, d) =>
+      Profile.keySkew(Tables.lineitem(s, d), "l_partkey")),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
     "text_simpson"      -> ((s, d) => TextOps.simpson(docs(s, d))),
     "text_postings"     -> ((s, d) => TextOps.postings(docs(s, d))),
@@ -2111,6 +2113,7 @@ object SparkEntry {
     "corpus_wsample"    -> TrainingData.sqlWeightedSample,
     "text_bpe_merges"   -> TextOps.sqlBpeMerges(),
     "q41_histogram"     -> Profile.sqlHistogram("lineitem", "l_extendedprice"),
+    "profile_skew"      -> Profile.sqlKeySkew("lineitem", "l_partkey"),
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,
     "text_postings"     -> TextOps.sqlPostings,

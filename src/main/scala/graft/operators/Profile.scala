@@ -85,6 +85,65 @@ object Profile {
       .orderBy(col("bucket"))
   }
 
+  // ------------------------------------------------- join-key skew report
+  /** Join/shuffle-key skew report — the DETECT side of the skew story
+    * ([[Skew.saltedJoin]] is the fix): the top-k hottest keys with their
+    * row share and cumulative share. `share` near 1/partitions for the top
+    * key means a balanced shuffle; a top key carrying several partitions'
+    * worth of rows is the salting/AQE-skew-join trigger.
+    *
+    * Scale shape: ONE hash aggregate over the table (count per key), then
+    * ranking over the |keys|-sized count frame — the global window obeys
+    * the "key-sized frames only" discipline, and WindowGroupLimit prunes
+    * it per partition before the final ranking. Shares are single
+    * divisions of exact BIGINTs (cumulative sum is integer before the one
+    * division), so both engines emit identical doubles. NULL keys are
+    * excluded (their ordering position differs between engines; count
+    * them in [[profile]]'s n_nulls instead).
+    */
+  val SkewTopK = 10
+
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("total"))
+    val byCnt = Window.orderBy(col("n_rows").desc, col("key_value"))
+    val cum = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rk", row_number().over(byCnt))
+      .filter(col("rk") <= SkewTopK)
+      .crossJoin(broadcast(total))
+      .withColumn("cum_rows", sum(col("n_rows")).over(cum))
+      .select(col("rk"), col("key_value"), col("n_rows"),
+        (col("n_rows").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("cum_rows").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlKeySkew(table: String, keyCol: String): String =
+    s"""WITH kc AS (
+       |  SELECT CAST($keyCol AS VARCHAR) AS key_value,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM kc
+       |), r AS (
+       |  SELECT key_value, n_rows,
+       |    ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS rk
+       |  FROM kc
+       |)
+       |SELECT rk, key_value, n_rows,
+       |  CAST(n_rows AS DOUBLE) / total AS share,
+       |  CAST(SUM(n_rows) OVER (ORDER BY rk
+       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+       |FROM r, t WHERE rk <= $SkewTopK
+       |ORDER BY rk""".stripMargin
+
   def sqlHistogram(table: String, valueCol: String): String =
     s"""WITH stats AS (
        |  SELECT MIN($valueCol) AS mn, MAX($valueCol) AS mx FROM $table

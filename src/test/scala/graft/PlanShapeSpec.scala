@@ -73,6 +73,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
   }
 
+  test("profile_skew: global top-k plans as TakeOrderedAndProject") {
+    // a GLOBAL rank window's limit pushes into TakeOrderedAndProject
+    // (per-partition top-k, merge of k·partitions rows) — even stronger
+    // than WindowGroupLimit: the |keys| frame never single-partitions
+    // before the limit
+    val p = planTree("profile_skew")
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+  }
+
   test("events_sequences: rank window and aggregate share one user exchange") {
     val p = planTree("events_sequences")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
