@@ -18,7 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // sorted, not Map order: adding a query to the immutable Map reshuffles
+    // its iteration order, which changes the ORDER session state is
+    // exercised in between rounds — sorted execution keeps the gate's
+    // run order stable as the suite grows
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
