@@ -1663,6 +1663,61 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- corpus_curriculum
+  // Curriculum staging: bucket the corpus into quality quartiles for
+  // staged training (ascending-quality curricula train low→high). Scale
+  // shape: the cut points are ONE tiny percentile aggregate broadcast
+  // back (never a global ntile window over the corpus — at 100 TB a
+  // |docs|-sized global sort is the wrong plan); stage assignment is then
+  // map-side, and the report is one 4-group hash agg. The interpolated
+  // percentile doubles are emitted by the identical expression in both
+  // engines (the sketch_percentile discipline), so the <= comparisons
+  // agree bit-for-bit.
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.quality(Tables.documents(s, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val cuts = scored.agg(
+      expr("percentile(quality_score, array(0.25, 0.5, 0.75))").as("cuts"))
+    scored
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        when(col("quality_score") <= col("cuts")(0), 0)
+          .when(col("quality_score") <= col("cuts")(1), 1)
+          .when(col("quality_score") <= col("cuts")(2), 2)
+          .otherwise(3))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .orderBy(col("stage"))
+  }
+
+  private val sqlCurriculum: String =
+    s"""WITH ws AS (
+       |  ${TextOps.sqlWordStats().linesIterator.mkString("\n  ")}
+       |), q AS (
+       |  SELECT doc_id, ${TextOps.SqlScoreExpr} AS quality_score FROM ws
+       |), c AS (
+       |  SELECT quantile_cont(quality_score, 0.25) AS q1,
+       |    quantile_cont(quality_score, 0.5) AS q2,
+       |    quantile_cont(quality_score, 0.75) AS q3
+       |  FROM q
+       |), staged AS (
+       |  SELECT d.n_chars, q.quality_score,
+       |    CASE WHEN quality_score <= q1 THEN 0
+       |         WHEN quality_score <= q2 THEN 1
+       |         WHEN quality_score <= q3 THEN 2
+       |         ELSE 3 END AS stage
+       |  FROM q JOIN documents d USING (doc_id), c
+       |)
+       |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(quality_score) AS min_score, MAX(quality_score) AS max_score
+       |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
+
   // ------------------------------------------------- events_sequences
   // Per-user bounded event sequences — the "user history → fixed-length
   // training example" exporter behind behavioral/session models. Shape:
@@ -1994,6 +2049,7 @@ object SparkEntry {
     "events_transitions" -> qTransitions _,
     "events_debounce"   -> qDebounce _,
     "events_sequences"  -> qSequences _,
+    "corpus_curriculum" -> qCurriculum _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
@@ -2142,6 +2198,7 @@ object SparkEntry {
     "events_transitions" -> sqlTransitions,
     "events_debounce"   -> sqlDebounce,
     "events_sequences"  -> sqlSequences,
+    "corpus_curriculum" -> sqlCurriculum,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,

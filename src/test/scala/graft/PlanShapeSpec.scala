@@ -73,6 +73,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
   }
 
+  test("corpus_curriculum: quantile cuts broadcast — no corpus-wide window") {
+    // a global-ntile formulation would show a Window over a
+    // single-partition corpus sort; the cut-point form is one tiny
+    // percentile aggregate broadcast back + map-side stage assignment
+    val p = planTree("corpus_curriculum")
+    assert(!p.contains("Window"), s"corpus-wide window crept in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("profile_skew: global top-k plans as TakeOrderedAndProject") {
     // a GLOBAL rank window's limit pushes into TakeOrderedAndProject
     // (per-partition top-k, merge of k·partitions rows) — even stronger
