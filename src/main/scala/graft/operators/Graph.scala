@@ -76,7 +76,7 @@ object Graph {
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("n")).as("rank"),
         col("deg"), col("n"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val incoming = edges.join(ranks, edges("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst"))
@@ -86,7 +86,11 @@ object Graph {
           (lit(1.0 - Damping) / col("n")
             + lit(Damping) * coalesce(col("s"), lit(0.0))).as("rank"),
           col("deg"), col("n"))
-        .transform(Iterate.pin) // cut per-round lineage growth
+      // cut lineage every third round, not every round: each eager pin is
+      // a full materialization job, and three rounds of join lineage is
+      // well inside planner limits — the deep-iteration protection stays,
+      // shallow runs (the default iters=2) skip the per-round jobs
+      if (i % 3 == 0 && i < iters) ranks = Iterate.pin(ranks)
     }
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("rank").desc, col("id"))

@@ -67,6 +67,19 @@ class LayoutGraphSpec extends SparkSuite {
     assert(custRanks.length == 2 && custRanks.distinct.length == 1)
   }
 
+  test("pagerank deep iteration (periodic pins) still conserves the contract") {
+    // iters=7 crosses two periodic lineage pins (rounds 3 and 6); the
+    // symmetric 2x1 graph's invariants must hold exactly as at iters=2
+    val orders = Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 7L), (20L, 7L)).toDF("l_orderkey", "l_suppkey")
+    val pr = Graph.pagerank(orders, lineitem, iters = 7).collect()
+    assert(pr.find(_.getAs[Long]("node_id") == Graph.SuppBase + 7L)
+      .get.getAs[Int]("rk") == 1)
+    val custRanks = pr.filter(_.getAs[Long]("node_id") < Graph.SuppBase)
+      .map(_.getAs[Double]("rank"))
+    assert(custRanks.length == 2 && custRanks.distinct.length == 1)
+  }
+
   test("canonical keeps the longest doc per cluster and all docs appear") {
     val docs = Tables.documents(spark, dir)
     val can = Dedup.canonical(docs)
