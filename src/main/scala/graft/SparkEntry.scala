@@ -1663,6 +1663,101 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- text_ngram_lm
+  // Bigram language-model table (the KenLM-counts shape): conditional
+  // continuation probabilities P(next|prefix) = c(prefix,next)/c(prefix,·),
+  // top-LmTopPerPrefix continuations per prefix, prefixes bounded to those
+  // seen ≥ LmMinPrefix times (the table stays vocabulary-sized, never
+  // corpus-sized). Shape: one explode + ONE pair hash agg; prefix totals
+  // derive from the pair counts (a vocabulary-sized frame — the corpus is
+  // never rescanned), and the per-prefix top-k is a WindowGroupLimit rank.
+  // Probabilities are single divisions of exact BIGINTs.
+  private val LmTopPerPrefix = 3
+  private val LmMinPrefix = 50
+  private def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val pairs = slice(
+      zip_with(w, slice(w, lit(2), size(w)),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    val pc = Tables.documents(s, dir)
+      .select(explode_outer(pairs).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.a").as("prefix"), col("p.b").as("next_word"))
+      .agg(count(lit(1)).as("n_pair"))
+    val totals = pc.groupBy(col("prefix")).agg(sum(col("n_pair")).as("n_prefix"))
+    val byPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix")).orderBy(col("n_pair").desc, col("next_word"))
+    pc.join(totals, Seq("prefix"))
+      .filter(col("n_prefix") >= LmMinPrefix)
+      .withColumn("rk", row_number().over(byPrefix))
+      .filter(col("rk") <= LmTopPerPrefix)
+      .select(col("prefix"), col("rk"), col("next_word"), col("n_pair"),
+        col("n_prefix"),
+        (col("n_pair").cast("double") / col("n_prefix").cast("double"))
+          .as("prob"))
+      .orderBy(col("prefix"), col("rk"))
+  }
+
+  private val sqlNgramLm: String = {
+    val words = TextOps.sqlWords("text")
+    s"""WITH pc AS (
+       |  SELECT split_part(bigram, ' ', 1) AS prefix,
+       |    split_part(bigram, ' ', 2) AS next_word,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pair
+       |  FROM (
+       |    SELECT unnest(list_transform(
+       |      range(1, greatest(len(w) - 1, 0) + 1),
+       |      i -> w[i] || ' ' || w[i+1])) AS bigram
+       |    FROM (SELECT $words AS w FROM documents)
+       |  ) GROUP BY 1, 2
+       |), t AS (
+       |  SELECT prefix, CAST(SUM(n_pair) AS BIGINT) AS n_prefix
+       |  FROM pc GROUP BY prefix
+       |)
+       |SELECT prefix, rk, next_word, n_pair, n_prefix,
+       |  CAST(n_pair AS DOUBLE) / n_prefix AS prob
+       |FROM (
+       |  SELECT pc.prefix, pc.next_word, pc.n_pair, t.n_prefix,
+       |    ROW_NUMBER() OVER (PARTITION BY pc.prefix
+       |                       ORDER BY pc.n_pair DESC, pc.next_word) AS rk
+       |  FROM pc JOIN t USING (prefix)
+       |  WHERE t.n_prefix >= $LmMinPrefix
+       |)
+       |WHERE rk <= $LmTopPerPrefix
+       |ORDER BY prefix, rk""".stripMargin
+  }
+
+  // ------------------------------------------------- corpus_stratified
+  // Per-source stratified sample: up to StratN docs per source, selected
+  // by the deterministic md5(doc_id # seed) order — reproducible uniform
+  // sampling per stratum, the "per-domain cap" a crawl-mixture pipeline
+  // applies before global mixing. One keyed rank window per source
+  // (WindowGroupLimit-bounded); the hash makes the draw seed-stable on
+  // both engines.
+  private val StratPerSource = 25
+  private def qStratified(s: SparkSession, dir: String): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit("#s42"))).as("h"))
+      .withColumn("rk", row_number().over(bySource))
+      .filter(col("rk") <= StratPerSource)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val sqlStratified: String =
+    s"""SELECT source, rk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#s42'), doc_id) AS rk
+       |  FROM documents
+       |)
+       |WHERE rk <= $StratPerSource
+       |ORDER BY source, rk""".stripMargin
+
   // ------------------------------------------------- corpus_curriculum
   // Curriculum staging: bucket the corpus into quality quartiles for
   // staged training (ascending-quality curricula train low→high). Scale
@@ -2050,6 +2145,8 @@ object SparkEntry {
     "events_debounce"   -> qDebounce _,
     "events_sequences"  -> qSequences _,
     "corpus_curriculum" -> qCurriculum _,
+    "text_ngram_lm"     -> qNgramLm _,
+    "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
@@ -2199,6 +2296,8 @@ object SparkEntry {
     "events_debounce"   -> sqlDebounce,
     "events_sequences"  -> sqlSequences,
     "corpus_curriculum" -> sqlCurriculum,
+    "text_ngram_lm"     -> sqlNgramLm,
+    "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,

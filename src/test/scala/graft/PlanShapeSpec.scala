@@ -51,7 +51,7 @@ class PlanShapeSpec extends SparkSuite {
     // partition keeps a k-bounded group state (partial) before the shuffle
     // and again after (final) — the scale path for every top-k query here.
     for (q <- Seq("q11_topk_window", "sim_brute_topk", "text_tfidf",
-        "sim_hard_negatives")) {
+        "sim_hard_negatives", "text_ngram_lm", "corpus_stratified")) {
       val p = planTree(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the rank-limit pushdown:\n$p")
