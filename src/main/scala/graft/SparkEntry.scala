@@ -1674,59 +1674,68 @@ object SparkEntry {
   // Probabilities are single divisions of exact BIGINTs.
   private val LmTopPerPrefix = 3
   private val LmMinPrefix = 50
-  private def qNgramLm(s: SparkSession, dir: String): DataFrame = {
-    val w = TextOps.words(col("text"))
-    val pairs = slice(
-      zip_with(w, slice(w, lit(2), size(w)),
-        (a, b) => struct(a.as("a"), b.as("b"))),
-      lit(1), greatest(size(w) - 1, lit(0)))
-    val pc = Tables.documents(s, dir)
-      .select(explode_outer(pairs).as("p"))
-      .filter(col("p").isNotNull)
-      .groupBy(col("p.a").as("prefix"), col("p.b").as("next_word"))
-      .agg(count(lit(1)).as("n_pair"))
-    val totals = pc.groupBy(col("prefix")).agg(sum(col("n_pair")).as("n_prefix"))
-    val byPrefix = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("prefix")).orderBy(col("n_pair").desc, col("next_word"))
-    pc.join(totals, Seq("prefix"))
-      .filter(col("n_prefix") >= LmMinPrefix)
-      .withColumn("rk", row_number().over(byPrefix))
-      .filter(col("rk") <= LmTopPerPrefix)
-      .select(col("prefix"), col("rk"), col("next_word"), col("n_pair"),
-        col("n_prefix"),
-        (col("n_pair").cast("double") / col("n_prefix").cast("double"))
-          .as("prob"))
-      .orderBy(col("prefix"), col("rk"))
-  }
 
-  private val sqlNgramLm: String = {
+  private def qNgramLm(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLm(docs(s, dir), LmMinPrefix, LmTopPerPrefix)
+      .orderBy(col("prefix"), col("rk"))
+
+  /** Shared WITH-body ending in the ranked `lm` CTE (pre-top-k filter) —
+    * the SQL twin of [[lmTable]]. */
+  private val sqlLmCtes: String = {
     val words = TextOps.sqlWords("text")
-    s"""WITH pc AS (
-       |  SELECT split_part(bigram, ' ', 1) AS prefix,
-       |    split_part(bigram, ' ', 2) AS next_word,
-       |    CAST(COUNT(*) AS BIGINT) AS n_pair
+    s"""bg AS (
+       |  SELECT doc_id, split_part(bigram, ' ', 1) AS prefix,
+       |    split_part(bigram, ' ', 2) AS next_word
        |  FROM (
-       |    SELECT unnest(list_transform(
+       |    SELECT doc_id, unnest(list_transform(
        |      range(1, greatest(len(w) - 1, 0) + 1),
        |      i -> w[i] || ' ' || w[i+1])) AS bigram
-       |    FROM (SELECT $words AS w FROM documents)
-       |  ) GROUP BY 1, 2
+       |    FROM (SELECT doc_id, $words AS w FROM documents)
+       |  )
+       |), pc AS (
+       |  SELECT prefix, next_word, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |  FROM bg GROUP BY 1, 2
        |), t AS (
        |  SELECT prefix, CAST(SUM(n_pair) AS BIGINT) AS n_prefix
        |  FROM pc GROUP BY prefix
-       |)
-       |SELECT prefix, rk, next_word, n_pair, n_prefix,
-       |  CAST(n_pair AS DOUBLE) / n_prefix AS prob
-       |FROM (
+       |), lm AS (
        |  SELECT pc.prefix, pc.next_word, pc.n_pair, t.n_prefix,
        |    ROW_NUMBER() OVER (PARTITION BY pc.prefix
        |                       ORDER BY pc.n_pair DESC, pc.next_word) AS rk
        |  FROM pc JOIN t USING (prefix)
        |  WHERE t.n_prefix >= $LmMinPrefix
-       |)
+       |)""".stripMargin
+  }
+
+  private val sqlNgramLm: String =
+    s"""WITH $sqlLmCtes
+       |SELECT prefix, rk, next_word, n_pair, n_prefix,
+       |  CAST(n_pair AS DOUBLE) / n_prefix AS prob
+       |FROM lm
        |WHERE rk <= $LmTopPerPrefix
        |ORDER BY prefix, rk""".stripMargin
-  }
+
+  // ------------------------------------------------- text_lm_score
+  // See TextOps.lmScore — CCNet-style LM document scoring in rational
+  // arithmetic (mean inverse probability, exact-decimal sum).
+  private val LmInvBackoff = 1000.0 // miss penalty: p_backoff = 1e-3
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(docs(s, dir), LmMinPrefix, LmTopPerPrefix, LmInvBackoff)
+      .orderBy(col("doc_id"))
+
+  private val sqlLmScore: String =
+    s"""WITH $sqlLmCtes,
+       |lmk AS (
+       |  SELECT prefix, next_word, CAST(n_pair AS DOUBLE) / n_prefix AS prob
+       |  FROM lm WHERE rk <= $LmTopPerPrefix
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN prob IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  ${sqlSum("CASE WHEN prob IS NULL THEN CAST(1000 AS DOUBLE) " +
+         "ELSE CAST(1 AS DOUBLE) / prob END", 6)} / COUNT(*) AS mean_inv_p
+       |FROM bg LEFT JOIN lmk USING (prefix, next_word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- corpus_stratified
   // Per-source stratified sample: up to StratN docs per source, selected
@@ -1849,6 +1858,153 @@ object SparkEntry {
        |WHERE ts IS NOT NULL AND user_id IS NOT NULL
        |  AND event_type IS NOT NULL
        |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- events_attribution
+  // Last-touch attribution: each purchase is credited to the user's most
+  // recent PRIOR non-purchase event, attributed only when the touch falls
+  // inside the 24 h window — the marketing-analytics staple. Shape: ONE
+  // user-keyed exchange; the ignore-nulls `last` over the
+  // unbounded-preceding frame is a running O(1)-state scan per partition
+  // (never a per-row backward search), and purchases filter AFTER the
+  // window so every event still feeds the running state.
+  private val AttribWindowUs = 86400000000L // 24 h
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changelog
+      .lastTouch(Tables.events(s, dir), "purchase", AttribWindowUs)
+      .orderBy(col("purchase_id"))
+
+  private val sqlAttribution: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IS NOT NULL
+       |), s AS (
+       |  SELECT *, LAST_VALUE(CASE WHEN event_type <> 'purchase'
+       |      THEN struct_pack(t := ts, e := event_id, ty := event_type)
+       |      END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM e
+       |)
+       |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       |  touch.e AS touch_id, touch.ty AS touch_type, touch.t AS touch_ts,
+       |  epoch_us(ts) - epoch_us(touch.t) AS gap_us,
+       |  (epoch_us(ts) - epoch_us(touch.t) IS NOT NULL
+       |   AND epoch_us(ts) - epoch_us(touch.t) <= $AttribWindowUs)
+       |    AS attributed
+       |FROM s WHERE event_type = 'purchase'
+       |ORDER BY purchase_id""".stripMargin
+
+  // ------------------------------------------------- scd_intervals
+  // Changelog → SCD2 interval table: the history-table builder that turns
+  // an append-only change stream into (valid_from, valid_to] version rows
+  // — the durable shape behind point-in-time queries, and the interval
+  // twin of the flagship active-flag merge (§2.5). Shape: ONE user-keyed
+  // lead window; valid_to is simply the next change's timestamp (NULL =
+  // open/current). No join, no second scan — at 100 TB the changelog
+  // shuffles exactly once on its key.
+  private def qScdIntervals(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changelog.intervals(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  private val sqlScdIntervals: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |)
+      |SELECT user_id, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  event_id, value,
+      |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL) AS is_current
+      |FROM e
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ------------------------------------------------- scd_timetravel
+  // Point-in-time reconstruction: the table state AS OF a cutoff — the
+  // query the SCD2 interval table exists to serve. Implemented as a thin
+  // argmax (filter to ts ≤ cutoff, ONE per-key max over a (ts, event_id,
+  // …) struct), NOT as intervals-then-filter: the argmax needs no window
+  // sort and partial-aggregates map-side, so at 100 TB only |keys| thin
+  // structs reach the exchange. The n_versions audit column counts the
+  // versions the cutoff superseded.
+  private val TimeTravelCutoff = "2024-01-15 00:00:00"
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changelog.asOf(Tables.events(s, dir),
+      lit(TimeTravelCutoff).cast("timestamp"))
+      .orderBy(col("user_id"))
+
+  private val sqlTimeTravel: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |    event_type, value
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$TimeTravelCutoff'
+       |)
+       |SELECT user_id,
+       |  (max(struct_pack(t := ts, e := event_id, ty := event_type,
+       |                   v := value))).t AS as_of_ts,
+       |  (max(struct_pack(t := ts, e := event_id, ty := event_type,
+       |                   v := value))).e AS event_id,
+       |  (max(struct_pack(t := ts, e := event_id, ty := event_type,
+       |                   v := value))).ty AS event_type,
+       |  (max(struct_pack(t := ts, e := event_id, ty := event_type,
+       |                   v := value))).v AS value,
+       |  CAST(COUNT(*) AS BIGINT) AS n_versions
+       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- scd_interval_merge
+  // Incremental interval maintenance (Changelog.mergeIntervals): untouched
+  // keys pass through with NO window; touched keys rebuild from their own
+  // rows + the batch. The oracle is the FULL recompute (sqlScdIntervals) —
+  // the gate proves the incremental path equals the from-scratch build.
+  private def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val state = graft.operators.Changelog
+      .intervals(ev.filter(col("event_id") % 5 =!= 0))
+    graft.operators.Changelog
+      .mergeIntervals(state, ev.filter(col("event_id") % 5 === 0))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  // ------------------------------------------------- events_multitouch
+  // Linear multi-touch attribution (Changelog.multiTouch): RangeJoin
+  // composition — bucket-explode equi join, never a nested-loop BETWEEN —
+  // then one conversion-keyed count window and an exact-decimal 1/n
+  // credit sum.
+  private def qMultiTouch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changelog.multiTouch(Tables.events(s, dir), "purchase",
+      AttribWindowUs, AttribWindowUs)
+      .orderBy(col("touch_type"))
+
+  private val sqlMultiTouch: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IS NOT NULL
+       |), p AS (
+       |  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+       |  FROM e WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts
+       |  FROM e WHERE event_type <> 'purchase'
+       |), j AS (
+       |  SELECT conv_id, touch_type
+       |  FROM t JOIN p USING (user_id)
+       |  WHERE epoch_us(conv_ts) - epoch_us(t.ts) <= $AttribWindowUs
+       |    AND t.ts < conv_ts
+       |), n AS (
+       |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches
+       |  FROM j GROUP BY conv_id
+       |)
+       |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_assists,
+       |  ${sqlSum("CAST(1 AS DOUBLE) / n_touches", 6)} AS credit
+       |FROM j JOIN n USING (conv_id)
+       |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
@@ -2144,8 +2300,15 @@ object SparkEntry {
     "events_transitions" -> qTransitions _,
     "events_debounce"   -> qDebounce _,
     "events_sequences"  -> qSequences _,
+    "events_attribution" -> qAttribution _,
+    "events_multitouch" -> qMultiTouch _,
+    "scd_intervals"     -> qScdIntervals _,
+    "scd_interval_merge" -> qIntervalMerge _,
+    "scd_timetravel"    -> qTimeTravel _,
     "corpus_curriculum" -> qCurriculum _,
     "text_ngram_lm"     -> qNgramLm _,
+    "text_lm_score"     -> qLmScore _,
+    "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
@@ -2295,8 +2458,17 @@ object SparkEntry {
     "events_transitions" -> sqlTransitions,
     "events_debounce"   -> sqlDebounce,
     "events_sequences"  -> sqlSequences,
+    "events_attribution" -> sqlAttribution,
+    "events_multitouch" -> sqlMultiTouch,
+    "scd_intervals"     -> sqlScdIntervals,
+    // the incremental merge must equal the from-scratch interval build —
+    // its oracle IS the full-recompute SQL
+    "scd_interval_merge" -> sqlScdIntervals,
+    "scd_timetravel"    -> sqlTimeTravel,
     "corpus_curriculum" -> sqlCurriculum,
     "text_ngram_lm"     -> sqlNgramLm,
+    "text_lm_score"     -> sqlLmScore,
+    "dedup_band_profile" -> Dedup.sqlBandProfile(),
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "text_rarity"       -> TextOps.sqlRarity,

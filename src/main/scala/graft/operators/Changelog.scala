@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog-shaped operators over an append-only event stream
+  * (`event_id, ts, user_id, event_type, value` — the `events` fixture
+  * schema): SCD2 interval assembly, point-in-time reconstruction, and
+  * last-touch attribution.
+  *
+  * These are the interval-table complement of the flagship active-flag
+  * merge ([[ScdMerge]], reference SQL/etl_world_banks.sql:20-122): the
+  * reference keeps only current-vs-history flags; a warehouse that needs
+  * "state as of" queries materializes (valid_from, valid_to] versions
+  * instead. All three operators are single-exchange shapes — one keyed
+  * window or one keyed argmax — so the 100 TB changelog shuffles exactly
+  * once on its key and nothing joins, backscans, or re-sorts.
+  */
+object Changelog {
+
+  /** Changelog → SCD2 interval table: one version row per change, closed
+    * by the NEXT change's timestamp (NULL valid_to = open/current row).
+    * ONE user-keyed lead window; ties broken by event_id so duplicate
+    * timestamps produce a deterministic (possibly zero-length) interval
+    * chain.
+    */
+  def intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        col("ts").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("event_id"), col("value"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Point-in-time state: per key, the last change with ts ≤ cutoff. A
+    * thin per-key argmax over a (ts, event_id, …) struct — NOT
+    * intervals-then-filter: the argmax partial-aggregates map-side, so
+    * only |keys| thin structs reach the exchange (see the cross-check
+    * property in Round4ExtSpec — both formulations agree row for row).
+    * `n_versions` audits how many versions the cutoff superseded.
+    */
+  def asOf(events: DataFrame, cutoff: Column): DataFrame =
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("ts") <= cutoff)
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"),
+        col("last.ts").cast("timestamp_ntz").as("as_of_ts"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"),
+        col("n_versions"))
+
+  /** Incremental interval maintenance: fold a new batch of changes into an
+    * existing interval table WITHOUT recomputing untouched keys. Keys
+    * absent from the batch pass through verbatim (one anti join — no
+    * window, no sort); touched keys rebuild from their own interval rows
+    * (each row IS one original change: `valid_from` = its ts) unioned with
+    * the batch. At 100 TB with a daily batch touching a small key
+    * fraction, the lead window runs over |touched| rows only — the
+    * recompute cost tracks the batch, not the table. Invariant
+    * (property-tested): mergeIntervals(intervals(A), B) ==
+    * intervals(A ∪ B) row for row.
+    */
+  def mergeIntervals(state: DataFrame, batch: DataFrame): DataFrame = {
+    val changes = batch
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val keys = changes.select(col("user_id")).distinct()
+    val untouched = state.join(keys, Seq("user_id"), "left_anti")
+    val affected = state.join(keys, Seq("user_id"), "left_semi")
+      .select(col("user_id"),
+        col("valid_from").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+    untouched.unionByName(intervals(affected.unionByName(changes)))
+  }
+
+  /** Last-touch attribution: each `convType` event credited to the user's
+    * most recent PRIOR non-`convType` event, attributed only when the
+    * touch falls within `windowUs` microseconds. The ignore-nulls `last`
+    * over the unbounded-preceding row frame is a running O(1)-state scan
+    * per partition — never a per-row backward search — and conversions
+    * filter AFTER the window so every event still feeds the running state.
+    */
+  /** Linear multi-touch attribution: every non-`convType` event inside the
+    * window [conv.ts − windowUs, conv.ts) splits one unit of credit
+    * equally with the conversion's other touches; the report aggregates
+    * credit per touch type. Built by COMPOSITION: the touch↔conversion
+    * pairing is [[RangeJoin.pointInRange]] (bucket-explode equi join —
+    * never a nested-loop BETWEEN join), the per-conversion touch count is
+    * one conversion-keyed window on the already-joined frame, and the
+    * 1/n credit sum goes through the exact-decimal detour
+    * ([[graft.functions.Exact.xsum]]) so the double total is
+    * order-independent. Replication factor stays ≤ 2: `bucketUs` should
+    * equal `windowUs` (each conversion's window spans at most 2 buckets).
+    */
+  def multiTouch(events: DataFrame, convType: String, windowUs: Long,
+      bucketUs: Long): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val conv = e.filter(col("event_type") === convType).select(
+      col("event_id").as("conv_id"), col("user_id"),
+      col("ts").as("conv_ts"),
+      timestamp_micros(unix_micros(col("ts")) - lit(windowUs)).as("w_start"))
+    val touches = e.filter(col("event_type") =!= convType).select(
+      col("event_id").as("touch_id"), col("user_id"),
+      col("event_type").as("touch_type"), col("ts"))
+    val byConv = Window.partitionBy(col("conv_id"))
+    RangeJoin.pointInRange(touches, conv, Seq("user_id"),
+        "ts", "w_start", "conv_ts", bucketUs)
+      .filter(col("ts") < col("conv_ts")) // exclusive at the conversion
+      .withColumn("n_touches", count(lit(1)).over(byConv))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_assists"),
+        graft.functions.Exact.xsum(
+          lit(1.0) / col("n_touches").cast("double"), 6).as("credit"))
+  }
+
+  def lastTouch(events: DataFrame, convType: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= convType,
+            struct(col("ts"), col("event_id"), col("event_type"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("touch.ts")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("touch.event_id").as("touch_id"),
+        col("touch.event_type").as("touch_type"),
+        col("touch.ts").cast("timestamp_ntz").as("touch_ts"),
+        col("gap_us"),
+        (col("gap_us").isNotNull && col("gap_us") <= windowUs)
+          .as("attributed"))
+  }
+}

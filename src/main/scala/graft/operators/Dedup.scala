@@ -188,10 +188,12 @@ object Dedup {
         .as(Seq("doc_a", "doc_b")))
   }
 
-  /** @param table the (doc_id, text) relation to pair — a CTE name works
-    *               (the oracle composers pass their survivors CTE)
+  /** The WITH-body producing the (doc_id, band_idx, band_key) `bands` CTE —
+    * the SQL twin of [[minhashBands]], shared by [[sqlMinhashPairs]] and
+    * [[sqlBandProfile]] so the two oracles can never disagree on the
+    * signature pipeline.
     */
-  def sqlMinhashPairs(table: String = "documents"): String = {
+  def sqlBandsCtes(table: String = "documents"): String = {
     val sigDefs = (0 until MinhashK).map(j =>
       s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
     val bandRows = (0 until MinhashK / BandSize).map { b =>
@@ -199,7 +201,7 @@ object Dedup {
         .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH wordhashed AS (
+    s"""wordhashed AS (
        |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM $table
        |  WHERE len(${sqlWords("text")}) >= $ShingleK
        |), hashed AS (
@@ -211,13 +213,59 @@ object Dedup {
        |  FROM hashed
        |), bands AS (
        |  $bandRows
-       |)
+       |)""".stripMargin
+  }
+
+  /** @param table the (doc_id, text) relation to pair — a CTE name works
+    *               (the oracle composers pass their survivors CTE)
+    */
+  def sqlMinhashPairs(table: String = "documents"): String =
+    s"""WITH ${sqlBandsCtes(table)}
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        | AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  // ---------------------------------------------------- LSH band profile
+  /** LSH tuning observability: the per-band bucket-size profile that fixes
+    * candidate volume BEFORE anyone pays for the pair expansion. For each
+    * band index: bucket count, docs, colliding buckets, the hottest bucket,
+    * and the exact candidate-pair count sum n·(n-1)/2 — the numbers an
+    * operator reads to retune bands/rows (the Broder 1997 s-curve knobs)
+    * when a 100 TB corpus turns out hotter than expected. Scale shape: one
+    * hash agg onto (band_idx, band_key) — partial map-side combine — then a
+    * |bands|-row (here 4-row) final agg; the corpus text never moves, only
+    * band keys do, and nothing pair-expands.
+    */
+  def bandProfile(bands: DataFrame): DataFrame =
+    bands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band_idx"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_colliding_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("(n * (n - 1)) DIV 2")).as("candidate_pairs"))
+      .orderBy(col("band_idx"))
+
+  def sqlBandProfile(table: String = "documents"): String =
+    s"""WITH ${sqlBandsCtes(table)},
+       |bs AS (
+       |  SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM bands GROUP BY band_idx, band_key
+       |)
+       |SELECT band_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_colliding_buckets,
+       |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+       |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
+       |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin
 
   // ------------------------------------------------- connected components
   /** Duplicate-cluster assembly: near-dup PAIRS are not clusters — picking

@@ -1132,4 +1132,77 @@ object TextOps {
        |  CAST(SUM(len(regexp_extract_all(text, '$BpePattern'))) AS DOUBLE)
        |    / CAST(SUM(len(${sqlWords("text")})) AS DOUBLE) AS fertility
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- bigram LM + scoring
+  /** Per-doc (prefix, next_word) bigram stream — the shared corpus
+    * explode behind [[bigramLm]] (which drops doc_id and counts) and
+    * [[lmScore]] (which joins the induced LM back per doc). */
+  def bigrams(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val pairs = slice(
+      zip_with(w, slice(w, lit(2), size(w)),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    docs
+      .select(col("doc_id"), explode_outer(pairs).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.a").as("prefix"),
+        col("p.b").as("next_word"))
+  }
+
+  /** Bigram language-model table (the KenLM-counts shape): conditional
+    * continuation probabilities P(next|prefix) = c(prefix,next)/c(prefix,·),
+    * top-`topK` continuations per prefix, prefixes bounded to those seen
+    * ≥ `minPrefix` times — the table stays vocabulary-sized, never
+    * corpus-sized. Shape: one explode + ONE pair hash agg; prefix totals
+    * derive from the pair counts (a vocabulary-sized frame — the corpus is
+    * never rescanned), and the per-prefix top-k is a WindowGroupLimit
+    * rank. Probabilities are single divisions of exact BIGINTs.
+    */
+  def bigramLm(docs: DataFrame, minPrefix: Long, topK: Int): DataFrame = {
+    val pc = bigrams(docs)
+      .groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("n_pair"))
+    val totals = pc.groupBy(col("prefix")).agg(sum(col("n_pair")).as("n_prefix"))
+    val byPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix")).orderBy(col("n_pair").desc, col("next_word"))
+    pc.join(totals, Seq("prefix"))
+      .filter(col("n_prefix") >= minPrefix)
+      .withColumn("rk", row_number().over(byPrefix))
+      .filter(col("rk") <= topK)
+      .select(col("prefix"), col("rk"), col("next_word"), col("n_pair"),
+        col("n_prefix"),
+        (col("n_pair").cast("double") / col("n_prefix").cast("double"))
+          .as("prob"))
+  }
+
+  /** LM-based document scoring (the CCNet/Wenzek 2020 shape: rank
+    * documents by how well a corpus LM predicts them). Each doc's bigrams
+    * probe the induced top-k conditional table; a miss pays the fixed
+    * `invBackoff` inverse-probability penalty. The emitted score is the
+    * MEAN INVERSE PROBABILITY — the arithmetic-mean bound on perplexity
+    * (AM ≥ GM) chosen because it stays in rational arithmetic: exp/ln are
+    * libm calls whose last-ulp behavior differs across engines, while
+    * n_pair/n_prefix divisions and the exact-decimal sum
+    * ([[graft.functions.Exact.xsum]]) are bit-identical. Scale shape: the
+    * LM table is vocabulary-sized → BROADCAST join against the corpus
+    * bigram stream; one doc-keyed hash agg. The corpus shuffles once, the
+    * LM never shuffles, and docs with <2 words simply emit no bigrams.
+    */
+  def lmScore(docs: DataFrame, minPrefix: Long, topK: Int,
+      invBackoff: Double): DataFrame = {
+    val lm = bigramLm(docs, minPrefix, topK)
+      .select(col("prefix"), col("next_word"), col("prob"))
+    bigrams(docs)
+      .join(broadcast(lm), Seq("prefix", "next_word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("prob").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_hits"),
+        (graft.functions.Exact.xsum(
+          when(col("prob").isNull, lit(invBackoff))
+            .otherwise(lit(1.0) / col("prob")), 6) / count(lit(1)))
+          .as("mean_inv_p"))
+  }
 }

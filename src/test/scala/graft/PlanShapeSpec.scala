@@ -294,4 +294,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(!exch.contains("span_text") && !exch.contains("w#"),
       "span text must be dropped before the hash shuffle:\n" + exch)
   }
+
+  test("changelog ops: one keyed exchange each, no join, no extra sort pass") {
+    for (q <- Seq("scd_intervals", "events_attribution")) {
+      val p = planTree(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$q must run off ONE user-keyed exchange, saw $exchanges:\n$p")
+      assert(!p.contains("Join"), s"$q must never join:\n$p")
+    }
+  }
+
+  test("scd_timetravel: thin argmax — partial agg before the exchange, no window") {
+    val p = planTree("scd_timetravel")
+    assert(!p.contains("Window"),
+      "AS-OF must be an argmax aggregate, not a window sort:\n" + p)
+    assert(!p.contains("Join"), "AS-OF must never join:\n" + p)
+    // partial+final pair (SortAggregate — struct max is not hash-aggregable):
+    // with no pre-partitioned input, the partial side combines map-side so
+    // only |keys| thin structs would cross the wire
+    assert(p.contains("partial_max"),
+      "expected a partial (map-side-combinable) aggregation:\n" + p)
+  }
+
+  test("text_lm_score: LM joins broadcast; bigram stream never sort-merges") {
+    val p = planTree("text_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized LM must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus bigram stream must never shuffle into a join:\n" + p)
+  }
+
+  test("dedup_band_profile: two agg levels, no pair expansion (no Generate join)") {
+    val p = planTree("dedup_band_profile")
+    assert(!p.contains("Join"),
+      "the profile must price expansion without performing it:\n" + p)
+  }
 }

@@ -1,0 +1,215 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Changelog, Dedup, TextOps}
+
+/** Round-4 additions: changelog operators (SCD2 intervals, point-in-time,
+  * last-touch attribution), the LSH band profile, and bigram-LM document
+  * scoring. Semantic properties beyond the oracle hash gate.
+  */
+class Round4ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsFrame(
+      rows: Seq[(Long, Timestamp, Long, String, Double)]): DataFrame =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  // --------------------------------------------------------- lastTouch
+  test("lastTouch: latest prior non-conversion wins; window bounds credit") {
+    val e = eventsFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+      // back-to-back purchase: the prior PURCHASE is not a touch — credit
+      // still goes to the view at 10:30
+      (4L, ts("2024-01-01 11:05:00"), 1L, "purchase", 9.0),
+      (5L, ts("2024-01-01 12:00:00"), 1L, "error", 1.0),
+      // gap to the last touch (error@12:00) is 36 h > the 24 h window
+      (6L, ts("2024-01-03 00:00:00"), 1L, "purchase", 9.0),
+      // no prior event at all
+      (7L, ts("2024-01-01 09:00:00"), 2L, "purchase", 9.0)))
+    val got = Changelog.lastTouch(e, "purchase", 86400000000L)
+      .orderBy(col("purchase_id"))
+      .select(col("purchase_id"), col("touch_id"), col("attributed"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (3L, 2L, true), (4L, 2L, true), (6L, 5L, false), (7L, -1L, false)))
+  }
+
+  // --------------------------------------------------------- intervals
+  test("intervals: chain tiles the timeline, exactly one open row per key") {
+    val iv = Changelog.intervals(Tables.events(spark, dir))
+    val n = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull).count()
+    assert(iv.count() == n) // one version row per change, none dropped
+    // exactly one open (current) interval per key
+    val perKey = iv.groupBy(col("user_id"))
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("open"))
+      .filter(col("open") =!= 1L)
+    assert(perKey.count() == 0)
+    // tiling: every non-open interval's valid_to equals the key's next
+    // valid_from (lead over the same ordering)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    val breaks = iv
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(breaks.count() == 0)
+  }
+
+  test("asOf equals intervals-then-filter reconstruction") {
+    val cutoff = "2024-01-15 00:00:00"
+    val viaArgmax = Changelog.asOf(Tables.events(spark, dir),
+      lit(cutoff).cast("timestamp"))
+      .select(col("user_id"), col("event_id"))
+    val viaIntervals = Changelog.intervals(Tables.events(spark, dir))
+      .filter(col("valid_from") <= lit(cutoff).cast("timestamp_ntz") &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(cutoff).cast("timestamp_ntz")))
+      .select(col("user_id"), col("event_id"))
+    assert(viaArgmax.exceptAll(viaIntervals).count() == 0)
+    assert(viaIntervals.exceptAll(viaArgmax).count() == 0)
+    assert(viaArgmax.count() > 0)
+  }
+
+  test("mergeIntervals == from-scratch intervals, incl. batch-only keys") {
+    val state0 = eventsFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "a", 2.0),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "a", 3.0)))
+    val batch = eventsFrame(Seq(
+      // key 1: new change lands BETWEEN the two existing versions
+      (4L, ts("2024-01-01 10:30:00"), 1L, "a", 4.0),
+      // key 3: exists only in the batch
+      (5L, ts("2024-01-01 09:00:00"), 3L, "a", 5.0)))
+    val merged = Changelog.mergeIntervals(Changelog.intervals(state0), batch)
+    val full = Changelog.intervals(state0.unionByName(batch))
+    assert(merged.exceptAll(full).count() == 0)
+    assert(full.exceptAll(merged).count() == 0)
+    // untouched key 2 must not re-enter a window: its row count is 1 and
+    // its open interval survives verbatim
+    assert(merged.filter(col("user_id") === 2L && col("is_current")).count() == 1)
+  }
+
+  test("mergeIntervals == intervals on the fixture split") {
+    val ev = Tables.events(spark, dir)
+    val merged = Changelog.mergeIntervals(
+      Changelog.intervals(ev.filter(col("event_id") % 5 =!= 0)),
+      ev.filter(col("event_id") % 5 === 0))
+    val full = Changelog.intervals(ev)
+    assert(merged.exceptAll(full).count() == 0)
+    assert(full.exceptAll(merged).count() == 0)
+  }
+
+  // -------------------------------------------------------- multiTouch
+  test("multiTouch: in-window touches split one credit unit equally") {
+    val e = eventsFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 1.0),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+      // outside the 24 h window of the later purchase
+      (4L, ts("2024-01-05 10:00:00"), 1L, "click", 1.0),
+      (5L, ts("2024-01-07 10:00:00"), 1L, "purchase", 9.0),
+      // conversion with NO touch in window → contributes nothing
+      (6L, ts("2024-01-01 08:00:00"), 2L, "purchase", 9.0)))
+    val got = Changelog.multiTouch(e, "purchase", 86400000000L, 86400000000L)
+      .orderBy(col("touch_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // purchase e3: touches {click e1, view e2} → 0.5 each; e5/e6: none
+    assert(got.toSeq == Seq(("click", 1L, 0.5), ("view", 1L, 0.5)))
+  }
+
+  test("multiTouch: credit mass equals the number of attributed conversions") {
+    val mt = Changelog.multiTouch(Tables.events(spark, dir), "purchase",
+      86400000000L, 86400000000L)
+    val totalCredit = mt.agg(sum(col("credit"))).head().getDouble(0)
+    // conversions with ≥1 in-window touch each contribute exactly 1.0
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val t = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"))
+    val attributed = p.join(t, Seq("user_id"))
+      .filter(col("ts") < col("conv_ts") &&
+        unix_micros(col("conv_ts")) - unix_micros(col("ts")) <= 86400000000L)
+      .select(col("conv_id")).distinct().count()
+    assert(math.abs(totalCredit - attributed.toDouble) < 1e-3)
+  }
+
+  // ------------------------------------------------------- band profile
+  test("bandProfile: candidate_pairs equals the expansion the buckets pay") {
+    val bands = Dedup.minhashBands(Tables.documents(spark, dir))
+    val prof = Dedup.bandProfile(bands)
+    // sum over bands of n·(n-1)/2 IS the (pre-distinct) pair-expansion
+    // cardinality — the exact cost the profile exists to predict
+    val predicted = prof.agg(sum(col("candidate_pairs"))).head().getLong(0)
+    assert(predicted == Dedup.bandCollisionPairs(bands).count())
+    // every (doc, band) row is accounted for
+    val nDocs = prof.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(nDocs == bands.count())
+  }
+
+  test("bandProfile: exact clones collide in every band") {
+    val text = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", "s", text.length.toLong),
+      (2L, text, "en", "s", text.length.toLong),
+      (3L, "completely different words here entirely", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val prof = Dedup.bandProfile(Dedup.minhashBands(docs)).collect()
+    assert(prof.length == Dedup.MinhashK / Dedup.BandSize)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("max_bucket") >= 2L)       // the clone bucket
+      assert(r.getAs[Long]("n_colliding_buckets") >= 1L)
+      assert(r.getAs[Long]("candidate_pairs") >= 1L)
+    }
+  }
+
+  // ---------------------------------------------------------- LM score
+  test("lmScore: hits pay 1/prob, misses pay the backoff, short docs drop") {
+    val docs = Seq(
+      (1L, "x y", "en", "s", 3L),
+      (2L, "x y", "en", "s", 3L),
+      (3L, "x z", "en", "s", 3L),
+      (4L, "solo", "en", "s", 4L)) // <2 words → no bigrams → absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // minPrefix=2, topK=1: prefix x (n_prefix=3) keeps only y (prob 2/3)
+    val got = TextOps.lmScore(docs, minPrefix = 2L, topK = 1,
+      invBackoff = 1000.0)
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L) == ((1L, 1L, 1.5)))    // 1/(2/3)
+    assert(byId(2L) == ((1L, 1L, 1.5)))
+    assert(byId(3L) == ((1L, 0L, 1000.0))) // backoff miss
+  }
+
+  test("bigramLm: counts and conditional probabilities are exact") {
+    val docs = Seq(
+      (1L, "a b a b a c", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // bigrams: (a,b)x2 (b,a)x2 (a,c)x1 → prefix a: n=3, prefix b: n=2
+    val lm = TextOps.bigramLm(docs, minPrefix = 2L, topK = 2)
+      .orderBy(col("prefix"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(lm.toSeq == Seq(
+      ("a", 1, "b", 2L, 3L, 2.0 / 3.0),
+      ("a", 2, "c", 1L, 3L, 1.0 / 3.0),
+      ("b", 1, "a", 2L, 2L, 1.0)))
+  }
+}
