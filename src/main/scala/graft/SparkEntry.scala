@@ -2254,6 +2254,8 @@ object SparkEntry {
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "layout_zorder"     -> ((s, d) =>
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
+    "layout_pruning"    -> ((s, d) =>
+      graft.operators.Layout.pruningAudit(Tables.lineitem(s, d))),
     "graph_pagerank"    -> ((s, d) =>
       graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q40_gap_fill"      -> qGapFill _,
@@ -2418,6 +2420,7 @@ object SparkEntry {
     "dedup_canonical"   -> Dedup.sqlCanonical,
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
+    "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "q40_gap_fill"      -> sqlGapFill,
     "q42_ohlc"          -> sqlOhlc,

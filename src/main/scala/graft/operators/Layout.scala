@@ -109,4 +109,96 @@ object Layout {
        |  MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
+
+  // ------------------------------------------------- zone-map pruning audit
+  /** Quantified data skipping: replay the scan planner's
+    * skip-it-or-scan-it decision against the Z-order layout's per-file
+    * min/max zone maps for three representative probes (one per clustered
+    * dimension, one rectangle), and report files scanned, rows scanned,
+    * and rows actually matching — the over-scan ratio the layout exists
+    * to minimize. Probe bounds derive from the data's own domain (bottom
+    * eighth / quarter of each dimension), so the audit is scale-factor
+    * independent in structure.
+    *
+    * Scale shape: the zone-map frame is [[NFiles]] rows and the probe
+    * frame 3 rows — everything file-level is broadcast arithmetic. The
+    * exact matching counts are ONE map-side pass over the fact table
+    * (broadcast probe × filter before partial aggregation); production
+    * reads the zone-map side alone and skips that pass.
+    */
+  def pruningAudit(lineitem: DataFrame): DataFrame = {
+    val files = zorderAudit(lineitem)
+    val bounds = lineitem.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val probes = bounds.select(explode(array(
+      struct(lit("part_bottom_eighth").as("probe"),
+        col("pmin").as("plo"),
+        expr("pmin + (pmax - pmin) div 8").as("phi"),
+        col("smin").as("slo"), col("smax").as("shi")),
+      struct(lit("rect_bottom_quarter").as("probe"),
+        col("pmin").as("plo"),
+        expr("pmin + (pmax - pmin) div 4").as("phi"),
+        col("smin").as("slo"),
+        expr("smin + (smax - smin) div 4").as("shi")),
+      struct(lit("supp_bottom_eighth").as("probe"),
+        col("pmin").as("plo"), col("pmax").as("phi"),
+        col("smin").as("slo"),
+        expr("smin + (smax - smin) div 8").as("shi")))).as("p"))
+      .select(col("p.*"))
+    val filesTotal = files.agg(count(lit(1)).as("files_total"))
+    val scanned = files.crossJoin(broadcast(probes))
+      .filter(col("part_max") >= col("plo") && col("part_min") <= col("phi") &&
+        col("supp_max") >= col("slo") && col("supp_min") <= col("shi"))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("files_scanned"),
+        sum(col("n_rows")).as("rows_scanned"))
+    val matching = lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(probes))
+      .filter(col("l_partkey").between(col("plo"), col("phi")) &&
+        col("l_suppkey").between(col("slo"), col("shi")))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("rows_matching"))
+    scanned.join(matching, Seq("probe")).crossJoin(broadcast(filesTotal))
+      .select(col("probe"), col("files_total"), col("files_scanned"),
+        col("rows_scanned"), col("rows_matching"))
+      .orderBy(col("probe"))
+  }
+
+  def sqlPruningAudit: String =
+    s"""WITH files AS (
+       |  ${sqlZorderAudit.linesIterator.mkString("\n  ")}
+       |), b2 AS (
+       |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+       |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+       |  FROM lineitem
+       |), probes AS (
+       |  SELECT 'part_bottom_eighth' AS probe, pmin AS plo,
+       |    pmin + (pmax - pmin) // 8 AS phi, smin AS slo, smax AS shi FROM b2
+       |  UNION ALL
+       |  SELECT 'rect_bottom_quarter', pmin, pmin + (pmax - pmin) // 4,
+       |    smin, smin + (smax - smin) // 4 FROM b2
+       |  UNION ALL
+       |  SELECT 'supp_bottom_eighth', pmin, pmax,
+       |    smin, smin + (smax - smin) // 8 FROM b2
+       |), ft AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM files
+       |), scan AS (
+       |  SELECT probe, CAST(COUNT(*) AS BIGINT) AS files_scanned,
+       |         CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+       |  FROM files JOIN probes
+       |    ON part_max >= plo AND part_min <= phi
+       |   AND supp_max >= slo AND supp_min <= shi
+       |  GROUP BY probe
+       |), m AS (
+       |  SELECT probe, CAST(COUNT(*) AS BIGINT) AS rows_matching
+       |  FROM lineitem JOIN probes
+       |    ON l_partkey BETWEEN plo AND phi
+       |   AND l_suppkey BETWEEN slo AND shi
+       |  GROUP BY probe
+       |)
+       |SELECT probe, files_total, files_scanned, rows_scanned, rows_matching
+       |FROM scan JOIN m USING (probe), ft
+       |ORDER BY probe""".stripMargin
 }

@@ -110,6 +110,28 @@ class LayoutGraphSpec extends SparkSuite {
     assert(missed.count() == 0)
   }
 
+  test("pruningAudit: zone maps never lose rows and actually skip files") {
+    val audit = Layout.pruningAudit(Tables.lineitem(spark, dir)).collect()
+    assert(audit.length == 3)
+    audit.foreach { r =>
+      val (total, scanned) =
+        (r.getAs[Long]("files_total"), r.getAs[Long]("files_scanned"))
+      // sound: every matching row lives in a scanned file
+      assert(r.getAs[Long]("rows_matching") <= r.getAs[Long]("rows_scanned"))
+      assert(scanned >= 1L && scanned <= total)
+      // effective: a bottom-eighth/quarter probe must prune MOST files on
+      // a Z-ordered layout — pruning on either single dimension is the
+      // whole point of the interleaved key
+      assert(scanned <= total / 2,
+        s"${r.getAs[String]("probe")} scanned $scanned of $total files")
+    }
+    // the rectangle probe is the best case: tighter than either 1-D probe
+    val byProbe = audit.map(r =>
+      r.getAs[String]("probe") -> r.getAs[Long]("files_scanned")).toMap
+    assert(byProbe("rect_bottom_quarter") <=
+      byProbe("part_bottom_eighth"))
+  }
+
   test("pq codes quantize every vector and ADC ranks full AnnTopK") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.pqTopK(emb).collect()
