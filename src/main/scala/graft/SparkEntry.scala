@@ -2294,6 +2294,10 @@ object SparkEntry {
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
     "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
     "corpus_shard"      -> ((s, d) => TrainingData.shard(docs(s, d))),
+    // end-to-end export: clean → token-budget select → shard, every stage
+    // the already-oracled library operator, composed into ONE plan
+    "corpus_export"     -> ((s, d) => TrainingData.corpusExport(
+      graft.operators.CorpusClean.clean(docs(s, d)))),
     "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
     "events_winsorize"  -> qWinsorize _,
@@ -2453,6 +2457,7 @@ object SparkEntry {
       "customer", "c_custkey", "orders", "o_custkey"),
     "dedup_spans"       -> Dedup.sqlSpanClean,
     "corpus_shard"      -> TrainingData.sqlShard,
+    "corpus_export"     -> TrainingData.sqlCorpusExport,
     "text_classifier"   -> TextOps.sqlClassifierScore,
     "embed_outliers"    -> Similarity.sqlEmbedOutliers,
     "events_winsorize"  -> sqlWinsorize,

@@ -776,4 +776,77 @@ object TrainingData {
        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY bkt, h, doc_id) - 1
        |    AS pos
        |FROM b ORDER BY shard, pos""".stripMargin
+
+  // ------------------------------------------- end-to-end corpus export
+  /** The whole training-data export as ONE composed plan: cleaned
+    * survivors ([[CorpusClean.clean]]: quality gate + exact dedup +
+    * near-dup victim removal) → token-budget selection (best-quality
+    * prefix under [[PipelineBudget]], the [[budgetSelect]] distributed
+    * prefix-sum discipline) → deterministic shard/position assignment
+    * ([[shard]]'s salted-hash shuffle). This is the query a user actually
+    * runs end-of-pipeline; every stage is the already-oracled library
+    * operator, composed — no stage re-implements anything.
+    *
+    * Scale shape: the stage boundaries add NO extra passes over the
+    * corpus — clean's survivor frame flows straight into the bucketed
+    * running sum (map-side buckets + broadcast offsets, never a
+    * single-partition global window), and only the budget-selected subset
+    * (bounded by budget/avg_doc_tokens rows, NOT corpus-sized) enters the
+    * shard windows. `Iterate.pin` shares the selected frame between the
+    * position computation and the payload join.
+    */
+  val PipelineBudget = 20000L
+
+  def corpusExport(cleaned: DataFrame,
+      budget: Long = PipelineBudget): DataFrame = {
+    val scored = cleaned.select(col("doc_id"),
+        col("quality_score").as("score"),
+        col("n_tokens").cast("long").as("n_tok"))
+      .withColumn("bucket", floor(col("score") * lit(64.0)).cast("long"))
+    val offsets = scored.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("offset", coalesce(
+        sum(col("btok")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val selected = Iterate.pin(scored
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("offset") +
+        sum(col("n_tok")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tokens")))
+    shard(selected).join(selected, Seq("doc_id"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+        col("score"), col("cum_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def sqlCorpusExport: String =
+    s"""WITH cleaned AS (
+       |  ${CorpusClean.sqlClean.linesIterator.mkString("\n  ")}
+       |), sel AS (
+       |  SELECT doc_id, quality_score AS score,
+       |    CAST(n_tokens AS BIGINT) AS n_tok,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM cleaned
+       |), picked AS (
+       |  SELECT * FROM sel WHERE cum_tokens <= $PipelineBudget
+       |), hb AS (
+       |  SELECT doc_id, score, n_tok, cum_tokens, h,
+       |    CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % $NShards AS INT)
+       |      AS shard,
+       |    CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % $ShardBuckets AS bkt
+       |  FROM (
+       |    SELECT *, md5('$ShardSalt:' || CAST(doc_id AS VARCHAR)) AS h
+       |    FROM picked
+       |  )
+       |)
+       |SELECT doc_id, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY bkt, h, doc_id) - 1
+       |    AS pos,
+       |  n_tok, score, cum_tokens
+       |FROM hb ORDER BY shard, pos""".stripMargin
 }

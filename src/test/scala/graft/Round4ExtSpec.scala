@@ -178,6 +178,36 @@ class Round4ExtSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------ corpus export
+  test("corpusExport: greedy best-quality prefix, budget-tight, gapless shards") {
+    import graft.operators.{CorpusClean, TrainingData}
+    val cleaned = CorpusClean.clean(Tables.documents(spark, dir))
+    val export = TrainingData.corpusExport(cleaned)
+    val rows = export.collect()
+    assert(rows.nonEmpty)
+    // budget respected, and the selection is maximal: the cheapest
+    // unselected doc would not have fit
+    val spent = rows.map(_.getAs[Long]("n_tok")).sum
+    assert(spent <= TrainingData.PipelineBudget)
+    val k = rows.length.toLong
+    val ordered = cleaned
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens")).collect()
+    if (ordered.length > k.toInt) {
+      val next = ordered(k.toInt).getAs[Number]("n_tokens").longValue
+      assert(spent + next > TrainingData.PipelineBudget,
+        "selection stopped early — a doc that fit was left out")
+    }
+    // selected set IS the top-k prefix of the quality order
+    val expected = ordered.take(k.toInt).map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    // per-shard positions are gapless 0..n-1
+    rows.groupBy(_.getAs[Int]("shard")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (0L until g.length.toLong))
+    }
+  }
+
   // ---------------------------------------------------------- LM score
   test("lmScore: hits pay 1/prob, misses pay the backoff, short docs drop") {
     val docs = Seq(
