@@ -2006,6 +2006,164 @@ object SparkEntry {
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------------------- events_ema
+  // Truncated exponential moving average (α = 1/2, depth 8) per user —
+  // the streaming-telemetry smoother. A true EMA is a per-key recursive
+  // fold (unbounded lookback, not relational); the depth-8 truncation
+  // ( 2^-8 residual weight) makes it EIGHT lag columns combined in ONE
+  // fixed-order expression tree per row — all inside a single user-keyed
+  // window, whole-stage codegen'd, and bit-deterministic because α = 1/2
+  // keeps every weight an exact dyadic double and the fold order is the
+  // written order, not an aggregation order. Weights renormalize over the
+  // lags that exist, so the stream head is well-defined.
+  private val EmaDepth = 8
+  private def qEma(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lags = (0 until EmaDepth).map(k => lag(col("value"), k).over(w))
+    val num = lags.zipWithIndex.map { case (c, k) =>
+      coalesce(c * lit(math.pow(0.5, k + 1)), lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = lags.zipWithIndex.map { case (c, k) =>
+      when(c.isNotNull, lit(math.pow(0.5, k + 1))).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ema", num / den)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("value"), col("ema"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlEma: String = {
+    def weight(k: Int) = s"power(0.5, ${k + 1})"
+    val over = "OVER (PARTITION BY user_id " +
+      "ORDER BY CAST(ts AS TIMESTAMP), event_id)"
+    val num = (0 until EmaDepth).map(k =>
+      s"COALESCE(lag(value, $k) $over * ${weight(k)}, CAST(0 AS DOUBLE))")
+      .mkString("(", "\n    + ", ")")
+    val den = (0 until EmaDepth).map(k =>
+      s"CASE WHEN lag(value, $k) $over IS NOT NULL THEN ${weight(k)} " +
+        "ELSE CAST(0 AS DOUBLE) END")
+      .mkString("(", "\n    + ", ")")
+    s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |  $num
+       |  / $den AS ema
+       |FROM events
+       |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ------------------------------------------------- events_corr
+  // Pearson correlation between two hourly event-count series (click vs
+  // purchase) — the "do these metrics move together" question. Exact
+  // BIGINT moment sums (counts are integers; no decimal detour needed),
+  // then ONE closed-form double expression: products, differences, and
+  // IEEE-754 sqrt are all correctly rounded, so the statistic is
+  // bit-identical cross-engine. Shape: one hour-keyed count agg (map-side
+  // partial), then a 1-row moment aggregate — the 100 TB stream shuffles
+  // once, into |hours| rows.
+  private def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    hourly.agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .select(col("n_hours"),
+        ((col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_hours") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))
+          .as("pearson_r"))
+  }
+
+  private val sqlCorr: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM hourly
+      |)
+      |SELECT n_hours,
+      |  CAST(n_hours * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n_hours * syy - sy * sy AS DOUBLE)) AS pearson_r
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------- events_chi2
+  // Chi-square independence statistic over the event_type × day-of-week
+  // contingency table ("is traffic mix stable across days?"). Observed
+  // counts are exact BIGINTs; expected = row·col/N and each cell's
+  // (O−E)²/E are per-cell double expressions; the 35-cell sum goes
+  // through the exact-decimal detour so the statistic is aggregation-
+  // order-independent. Day index is pure epoch arithmetic ((days) % 7) —
+  // NOT engine dayofweek(), whose weekday origin differs across engines.
+  private def qChi2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      // `div` = floor integer division, mirroring DuckDB `//` — `/` would
+      // detour through double
+      .select(expr("(unix_micros(ts) div 86400000000) % 7").as("day_idx"),
+        col("event_type"))
+      .groupBy(col("day_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rows = o.groupBy(col("day_idx")).agg(sum(col("n")).as("rt"))
+    val cols_ = o.groupBy(col("event_type")).agg(sum(col("n")).as("ct"))
+    val tot = o.agg(sum(col("n")).as("tot"))
+    o.join(broadcast(rows), Seq("day_idx"))
+      .join(broadcast(cols_), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        (col("rt") * col("ct")).cast("double") / col("tot").cast("double"))
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("tot")).as("n_events"),
+        xsum((col("n").cast("double") - col("e"))
+          * (col("n").cast("double") - col("e")) / col("e"), 6).as("chi2"))
+  }
+
+  private val sqlChi2: String =
+    s"""WITH o AS (
+       |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
+       |      AS day_idx,
+       |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT day_idx, CAST(SUM(n) AS BIGINT) AS rt FROM o GROUP BY 1
+       |), c AS (
+       |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS ct FROM o GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o
+       |), cells AS (
+       |  SELECT o.n,
+       |    CAST(r.rt * c.ct AS DOUBLE) / CAST(t.tot AS DOUBLE) AS e, t.tot
+       |  FROM o JOIN r USING (day_idx) JOIN c USING (event_type), t
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(MAX(tot) AS BIGINT) AS n_events,
+       |  ${sqlSum("(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e", 6)}
+       |    AS chi2
+       |FROM cells""".stripMargin
+
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
   // FIRST event of every burst (new burst = gap from the previous event
@@ -2306,6 +2464,9 @@ object SparkEntry {
     "events_transitions" -> qTransitions _,
     "events_debounce"   -> qDebounce _,
     "events_sequences"  -> qSequences _,
+    "events_ema"        -> qEma _,
+    "events_corr"       -> qCorr _,
+    "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
     "events_multitouch" -> qMultiTouch _,
     "scd_intervals"     -> qScdIntervals _,
@@ -2466,6 +2627,9 @@ object SparkEntry {
     "events_transitions" -> sqlTransitions,
     "events_debounce"   -> sqlDebounce,
     "events_sequences"  -> sqlSequences,
+    "events_ema"        -> sqlEma,
+    "events_corr"       -> sqlCorr,
+    "events_chi2"       -> sqlChi2,
     "events_attribution" -> sqlAttribution,
     "events_multitouch" -> sqlMultiTouch,
     "scd_intervals"     -> sqlScdIntervals,

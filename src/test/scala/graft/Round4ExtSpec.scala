@@ -178,6 +178,32 @@ class Round4ExtSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------- stats trio
+  test("ema: first event equals its value; ema stays a convex combination") {
+    val ema = SparkEntry.queries("events_ema")(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val first = ema.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(first.count() > 0)
+    assert(first.filter(col("ema") =!= col("value")).count() == 0)
+    // convex combination of the user's own values → bounded by their range
+    val bounds = ema.groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val out = ema.join(bounds, Seq("user_id"))
+      .filter(col("ema") < col("lo") || col("ema") > col("hi"))
+    assert(out.count() == 0)
+  }
+
+  test("corr and chi2: defined, bounded, full contingency coverage") {
+    val corr = SparkEntry.queries("events_corr")(spark, dir).head()
+    val r = corr.getAs[Double]("pearson_r")
+    assert(!r.isNaN && math.abs(r) <= 1.0)
+    val chi2 = SparkEntry.queries("events_chi2")(spark, dir).head()
+    assert(chi2.getAs[Double]("chi2") >= 0.0)
+    assert(chi2.getAs[Long]("n_cells") == 35L) // 7 day buckets × 5 types
+  }
+
   // ------------------------------------------------------ corpus export
   test("corpusExport: greedy best-quality prefix, budget-tight, gapless shards") {
     import graft.operators.{CorpusClean, TrainingData}
