@@ -2429,6 +2429,8 @@ object SparkEntry {
       Profile.histogram(Tables.lineitem(s, d), "l_extendedprice")),
     "profile_skew"      -> ((s, d) =>
       Profile.keySkew(Tables.lineitem(s, d), "l_partkey")),
+    "profile_checks"    -> ((s, d) =>
+      Profile.expectations(Tables.lineitem(s, d), Tables.orders(s, d))),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
     "text_simpson"      -> ((s, d) => TextOps.simpson(docs(s, d))),
     "text_postings"     -> ((s, d) => TextOps.postings(docs(s, d))),
@@ -2598,6 +2600,7 @@ object SparkEntry {
     "text_bpe_merges"   -> TextOps.sqlBpeMerges(),
     "q41_histogram"     -> Profile.sqlHistogram("lineitem", "l_extendedprice"),
     "profile_skew"      -> Profile.sqlKeySkew("lineitem", "l_partkey"),
+    "profile_checks"    -> Profile.sqlExpectations,
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,
     "text_postings"     -> TextOps.sqlPostings,

@@ -160,4 +160,97 @@ object Profile {
        |  CAST(COUNT(*) AS BIGINT) AS n_items
        |FROM b GROUP BY bucket, mn, w
        |ORDER BY bucket""".stripMargin
+
+  // ----------------------------------------------- expectation checks
+  /** Declarative data-quality expectations (the Great-Expectations /
+    * dbt-test staple): a named suite of constraints validated in as few
+    * passes as the constraint classes allow, reported as one
+    * (check, n_violations, n_rows, pass) frame a pipeline gates on.
+    *
+    * Three constraint classes, three plan shapes:
+    *  - row-local predicates (range, domain, not-null) — ALL of them in
+    *    ONE conditional-sum aggregate over a single scan, map-side
+    *    partial; adding a check adds a column, never a pass;
+    *  - uniqueness — one groupBy on the key with a surplus sum (each
+    *    duplicate group contributes size−1 violations);
+    *  - referential integrity — one anti join against the (broadcastable)
+    *    parent keys.
+    * NULL semantics: a NULL never satisfies a violation predicate
+    * (three-valued logic → ELSE 0), so nullability is its own explicit
+    * check rather than silently polluting range checks.
+    */
+  def expectations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val rowChecks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "quantity_in_1_50" -> !col("l_quantity").between(1.0, 50.0),
+      "discount_in_0_to_01" -> !col("l_discount").between(0.0, 0.1),
+      "price_positive" -> (col("l_extendedprice") <= 0.0),
+      "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_not_null" -> col("l_shipdate").isNull)
+    val scan = lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      rowChecks.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(name)
+      }: _*)
+    val nRows = broadcast(scan.select(col("n_rows")))
+    val perRowCheck = scan.select(col("n_rows"), explode(array(
+      rowChecks.map { case (name, _) =>
+        struct(lit(name).as("check"), col(name).as("n_violations"))
+      }: _*)).as("c"))
+      .select(col("c.check").as("check"),
+        col("c.n_violations").as("n_violations"), col("n_rows"))
+    val unique = lineitem
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(when(col("cnt") > 1, col("cnt") - 1L)), lit(0L))
+        .as("n_violations"))
+      .select(lit("orderkey_linenumber_unique").as("check"),
+        col("n_violations"))
+      .crossJoin(nRows)
+    val referential = lineitem
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orderkey_in_orders").as("check"), col("n_violations"))
+      .crossJoin(nRows)
+    perRowCheck.unionByName(unique).unionByName(referential)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check"))
+  }
+
+  def sqlExpectations: String =
+    s"""WITH n AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+       |), rowchecks AS (
+       |  SELECT 'quantity_in_1_50' AS check, CAST(SUM(CASE WHEN
+       |      NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_violations FROM lineitem
+       |  UNION ALL
+       |  SELECT 'discount_in_0_to_01', CAST(SUM(CASE WHEN
+       |      NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'price_positive', CAST(SUM(CASE WHEN
+       |      l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM lineitem
+       |  UNION ALL
+       |  SELECT 'returnflag_domain', CAST(SUM(CASE WHEN
+       |      NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'shipdate_not_null', CAST(SUM(CASE WHEN
+       |      l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orderkey_linenumber_unique',
+       |    CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt - 1 END), 0)
+       |      AS BIGINT)
+       |  FROM (SELECT COUNT(*) AS cnt FROM lineitem
+       |        GROUP BY l_orderkey, l_linenumber)
+       |  UNION ALL
+       |  SELECT 'orderkey_in_orders', CAST(COUNT(*) AS BIGINT)
+       |  FROM lineitem WHERE NOT EXISTS
+       |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+       |)
+       |SELECT "check", n_violations, n_rows, n_violations = 0 AS pass
+       |FROM rowchecks, n
+       |ORDER BY "check" """.stripMargin
 }

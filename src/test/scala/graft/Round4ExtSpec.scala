@@ -178,6 +178,34 @@ class Round4ExtSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------- expectations
+  test("expectations: each constraint class catches its planted violation") {
+    import graft.operators.Profile
+    val li = Seq(
+      // clean row
+      (1L, 1L, 10.0, 0.05, 100.0, "A", Option(ts("2024-01-01 00:00:00"))),
+      // range violation (quantity 99) + NULL shipdate
+      (2L, 1L, 99.0, 0.05, 100.0, "N", None),
+      // duplicate (orderkey, linenumber) pair
+      (3L, 1L, 10.0, 0.05, 100.0, "R", Option(ts("2024-01-01 00:00:00"))),
+      (3L, 1L, 11.0, 0.05, 100.0, "R", Option(ts("2024-01-01 00:00:00"))),
+      // orphan orderkey (not in orders)
+      (9L, 1L, 10.0, 0.05, 100.0, "A", Option(ts("2024-01-01 00:00:00"))))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice", "l_returnflag", "l_shipdate")
+    val orders = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val got = Profile.expectations(li, orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got("quantity_in_1_50") == ((1L, false)))
+    assert(got("shipdate_not_null") == ((1L, false)))
+    assert(got("orderkey_linenumber_unique") == ((1L, false)))
+    assert(got("orderkey_in_orders") == ((1L, false)))
+    assert(got("discount_in_0_to_01") == ((0L, true)))
+    assert(got("price_positive") == ((0L, true)))
+    assert(got("returnflag_domain") == ((0L, true)))
+    assert(got.values.forall(_._1 >= 0))
+  }
+
   // ----------------------------------------------------- stats trio
   test("ema: first event equals its value; ema stays a convex combination") {
     val ema = SparkEntry.queries("events_ema")(spark, dir)
