@@ -2380,6 +2380,19 @@ object SparkEntry {
         .filter(col("rk") <= Similarity.AnnTopK),
       Similarity.ivfTopK(emb(s, d)))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
+    // recall-vs-nprobe tuning curve: the table an operator reads to pick
+    // the probe count; exact side computed once and pinned across probes
+    "sim_recall_sweep"  -> ((s, d) => {
+      val exact = graft.operators.Iterate.pin(
+        Similarity.bruteTopK(emb(s, d))
+          .filter(col("rk") <= Similarity.AnnTopK))
+      (1 to 3).map(p =>
+        Similarity.recallAtK(exact, Similarity.ivfTopKProbe(emb(s, d), p))
+          .withColumn("nprobe", lit(p)))
+        .reduce(_.unionByName(_))
+        .select(col("nprobe"), col("query_id"), col("recall"))
+        .orderBy(col("nprobe"), col("query_id"))
+    }),
     "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
     // streaming twins driven to their FINAL state over real micro-batches
     // (file source, AvailableNow/processAllAvailable) — the returned frame
@@ -2409,6 +2422,8 @@ object SparkEntry {
     "decon_bloom"       -> ((s, d) => TrainingData.bloomDecon(docs(s, d))),
     "dedup_canonical"   -> ((s, d) =>
       Dedup.canonicalFrom(docs(s, d), arts(s, d).components)),
+    "dedup_communities" -> ((s, d) =>
+      Dedup.labelPropagation(arts(s, d).pairs, docs(s, d))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "layout_zorder"     -> ((s, d) =>
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
@@ -2560,6 +2575,13 @@ object SparkEntry {
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlIvfTopK),
     "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
+    "sim_recall_sweep"  -> ((1 to 3).map { p =>
+      s"SELECT $p AS nprobe, query_id, recall FROM (\n" +
+        Similarity.sqlRecall(
+          s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+            s"WHERE rk <= ${Similarity.AnnTopK}",
+          Similarity.sqlIvfTopKProbe(p)) + "\n)"
+    }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"),
     "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
@@ -2585,6 +2607,7 @@ object SparkEntry {
     "decon_overlap"     -> TrainingData.sqlDecontaminate,
     "decon_bloom"       -> TrainingData.sqlBloomDecon,
     "dedup_canonical"   -> Dedup.sqlCanonical,
+    "dedup_communities" -> Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,

@@ -267,6 +267,82 @@ object Dedup {
        |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
        |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin
 
+  // ------------------------------------------------- label propagation
+  /** k-round synchronous label propagation (Raghavan, Albert & Kumara,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 2007) over the near-dup pair
+    * graph: each round every node adopts its neighbors' most frequent
+    * label (ties → smallest label); isolated docs keep their own. Where
+    * [[connectedComponents]] computes the transitive closure, LPA finds
+    * the DENSER sub-communities inside it — every community is a subset
+    * of one component (property-tested), so the pair (components,
+    * communities) separates "reachable at all" from "tightly clustered".
+    *
+    * FIXED k rounds by design, not run-to-convergence: synchronous LPA
+    * can oscillate on bipartite-ish structures, and a fixed unroll is
+    * exactly mirrorable in the oracle's CTE chain. Per round: ONE
+    * edges⋈labels hash join + ONE (dst, label) count aggregate + ONE
+    * per-dst argmax — the [[Graph.pagerank]] round shape with an argmax
+    * in place of the mass sum; the same `Iterate.pin` every-third-round
+    * lineage discipline applies for deep k.
+    */
+  val LpIters = 2
+
+  def labelPropagation(pairs: DataFrame, docs: DataFrame,
+      iters: Int = LpIters): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .transform(Iterate.pin)
+    var labels = docs.select(col("doc_id").as("id"))
+      .withColumn("label", col("id"))
+    for (i <- 1 to iters) {
+      val counts = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, label asc): max over (cnt, -label) structs —
+      // lexicographic struct comparison is identical in both engines
+      val best = counts.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (lit(0L) - col("label")).as("nl")))
+          .as("b"))
+        .select(col("dst"), (lit(0L) - col("b.nl")).as("new_label"))
+      labels = labels.join(best, labels("id") === best("dst"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      if (i % 3 == 0 && i < iters) labels = Iterate.pin(labels)
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("community"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sqlLabelPropagation(pairsSql: String, iters: Int = LpIters): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.label
+         |), b$k AS (
+         |  SELECT dst,
+         |    -((max(struct_pack(c := cnt, nl := -label))).nl) AS new_label
+         |  FROM c$k GROUP BY dst
+         |), l$k AS (
+         |  SELECT l.id, COALESCE(b.new_label, l.label) AS label
+         |  FROM l${k - 1} l LEFT JOIN b$k b ON l.id = b.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), l0 AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |),
+       |$rounds
+       |SELECT id AS doc_id, label AS community FROM l$iters
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- connected components
   /** Duplicate-cluster assembly: near-dup PAIRS are not clusters — picking
     * a representative needs the transitive closure (A~B, B~C ⇒ {A,B,C}

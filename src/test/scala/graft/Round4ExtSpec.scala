@@ -149,6 +149,53 @@ class Round4ExtSpec extends SparkSuite {
     assert(math.abs(totalCredit - attributed.toDouble) < 1e-3)
   }
 
+  // ---------------------------------------------------- label propagation
+  test("labelPropagation: communities refine connected components") {
+    val d = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(d)
+    val lpa = Dedup.labelPropagation(pairs, d)
+    val comps = Dedup.connectedComponents(pairs)
+    // every LPA community lives inside exactly one component
+    val crossings = lpa.join(comps, Seq("doc_id"))
+      .groupBy(col("community"))
+      .agg(countDistinct(col("component")).as("n_comp"))
+      .filter(col("n_comp") > 1)
+    assert(crossings.count() == 0)
+    // isolated docs keep their own label
+    val paired = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val isolated = lpa.join(paired, Seq("doc_id"), "left_anti")
+    assert(isolated.filter(col("community") =!= col("doc_id")).count() == 0)
+    assert(lpa.count() == d.count()) // total: every doc labeled
+  }
+
+  test("labelPropagation: a clique adopts its minimum id in one round") {
+    val docs = Seq(10L, 20L, 30L, 99L).map(i => (i, s"d$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((10L, 20L), (10L, 30L), (20L, 30L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.labelPropagation(pairs, docs, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // neighbors-argmax with min tiebreak: clique members converge on 10;
+    // node 10's neighbors are {20, 30} → it adopts 20 (smaller of the two)
+    assert(got(20L) == 10L && got(30L) == 10L)
+    assert(got(99L) == 99L) // isolated
+  }
+
+  // ----------------------------------------------------- recall sweep
+  test("recall sweep: monotone non-decreasing in nprobe, bounded by 1") {
+    val sweep = SparkEntry.queries("sim_recall_sweep")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(sweep.length == 15) // 3 probe levels × 5 queries
+    sweep.foreach { case (_, _, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+    // more probes can only add candidates → per-query recall is monotone
+    val byQuery = sweep.groupBy(_._2)
+    byQuery.values.foreach { rows =>
+      val ordered = rows.sortBy(_._1).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   // ------------------------------------------------------- band profile
   test("bandProfile: candidate_pairs equals the expansion the buckets pay") {
     val bands = Dedup.minhashBands(Tables.documents(spark, dir))
