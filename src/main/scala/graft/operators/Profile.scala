@@ -186,11 +186,14 @@ object Profile {
       "price_positive" -> (col("l_extendedprice") <= 0.0),
       "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
       "shipdate_not_null" -> col("l_shipdate").isNull)
-    val scan = lineitem.agg(
+    // pin the 1-row summary: three consumers (the per-check explode and
+    // both crossJoined n_rows columns) would otherwise each re-run the
+    // full-table scan behind it
+    val scan = Iterate.pin(lineitem.agg(
       count(lit(1)).as("n_rows"),
       rowChecks.map { case (name, bad) =>
         sum(when(bad, 1L).otherwise(0L)).as(name)
-      }: _*)
+      }: _*))
     val nRows = broadcast(scan.select(col("n_rows")))
     val perRowCheck = scan.select(col("n_rows"), explode(array(
       rowChecks.map { case (name, _) =>

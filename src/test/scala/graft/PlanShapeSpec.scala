@@ -330,4 +330,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"),
       "the profile must price expansion without performing it:\n" + p)
   }
+
+  test("events_ema: eight lags share one user-keyed window and exchange") {
+    val p = planTree("events_ema")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"EMA must run off ONE user exchange, saw $exchanges:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      "all lag depths must fuse into one Window node:\n" + p)
+  }
+
+  test("profile_checks: row-local checks share one scan of the fact table") {
+    val p = planTree("profile_checks")
+    // 3 scans total: the conditional-sum pass, the uniqueness groupBy,
+    // and the referential anti join (plus the orders dim) — adding a
+    // row-local check must NOT add a lineitem scan
+    val liScans = "FileScan parquet".r.findAllIn(p).size
+    assert(liScans <= 4, s"expected ≤4 scans, saw $liScans:\n$p")
+  }
 }
