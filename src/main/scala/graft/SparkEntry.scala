@@ -2006,6 +2006,49 @@ object SparkEntry {
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------------------- q46_revenue_by_nation
+  // The TPC-H Q5 shape: a five-way join (region → nation → customer →
+  // orders → lineitem ⋈ supplier) with the local-supplier condition
+  // (customer and supplier share a nation) and a revenue rollup. The
+  // judge of join planning: dims broadcast, the two fact tables meet in
+  // ONE shuffle join on orderkey, the nation-equality condition prunes
+  // inside the join, and revenue goes through the exact-decimal sum.
+  private def qRevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    dims
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val sqlRevenueByNation: String =
+    s"""SELECT n_name,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |    AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -2465,6 +2508,7 @@ object SparkEntry {
     "events_compact"    -> qCompact _,
     "q44_asof_nearest"  -> qAsOfNearest _,
     "q45_asof_tolerance" -> qAsOfTolerance _,
+    "q46_revenue_by_nation" -> qRevenueByNation _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
     "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
@@ -2640,6 +2684,7 @@ object SparkEntry {
     "events_compact"    -> sqlCompact,
     "q44_asof_nearest"  -> sqlAsOfNearest,
     "q45_asof_tolerance" -> sqlAsOfTolerance,
+    "q46_revenue_by_nation" -> sqlRevenueByNation,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
     "dedup_spans"       -> Dedup.sqlSpanClean,

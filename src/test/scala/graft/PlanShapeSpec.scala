@@ -331,6 +331,15 @@ class PlanShapeSpec extends SparkSuite {
       "the profile must price expansion without performing it:\n" + p)
   }
 
+  test("q46: five-way join broadcasts every dim; one fact-fact shuffle join") {
+    val p = planTree("q46_revenue_by_nation")
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffleJoins <= 1,
+      s"only orders⋈lineitem may shuffle, saw $shuffleJoins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "nation/region/supplier (and customer side) must broadcast:\n" + p)
+  }
+
   test("events_ema: eight lags share one user-keyed window and exchange") {
     val p = planTree("events_ema")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
