@@ -1732,7 +1732,7 @@ object SparkEntry {
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |  CAST(SUM(CASE WHEN prob IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_hits,
-       |  ${sqlSum("CASE WHEN prob IS NULL THEN CAST(1000 AS DOUBLE) " +
+       |  ${sqlSum(s"CASE WHEN prob IS NULL THEN CAST($LmInvBackoff AS DOUBLE) " +
          "ELSE CAST(1 AS DOUBLE) / prob END", 6)} / COUNT(*) AS mean_inv_p
        |FROM bg LEFT JOIN lmk USING (prefix, next_word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -2005,6 +2005,62 @@ object SparkEntry {
        |  ${sqlSum("CAST(1 AS DOUBLE) / n_touches", 6)} AS credit
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  // ------------------------------------------------- q47_session_incidents
+  // Interval-OVERLAP join (both sides intervals): which user sessions
+  // overlap an error-incident window? Sessions come from the gap
+  // sessionizer; incidents are debounced error events each opening a
+  // 30-minute window. The pairing is RangeJoin.intervalOverlap — bucket
+  // explode both sides, ONE equi join, canonical-bucket dedup (no
+  // distinct pass) — while the oracle runs the naive BETWEEN join: the
+  // gate proves the bucketized plan computes the identical pair set.
+  private val IncidentWindowUs = 1800000000L // 30 min
+  private def qSessionIncidents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sessions = Sessionize.sessions(ev).select(
+      col("user_id"), col("session_seq"),
+      col("session_start").cast("timestamp").as("s_start"),
+      col("session_end").cast("timestamp").as("s_end"))
+    val incidents = Sessionize
+      .debounce(ev.filter(col("event_type") === "error"), IncidentWindowUs)
+      .select(col("user_id"), col("event_id").as("incident_id"),
+        col("ts").cast("timestamp").as("i_start"),
+        timestamp_micros(unix_micros(col("ts").cast("timestamp"))
+          + IncidentWindowUs).as("i_end"))
+    graft.operators.RangeJoin.intervalOverlap(sessions, incidents,
+        Seq("user_id"), "s_start", "s_end", "i_start", "i_end",
+        IncidentWindowUs)
+      .select(col("user_id"), col("session_seq"), col("incident_id"),
+        (least(unix_micros(col("s_end")), unix_micros(col("i_end")))
+          - greatest(unix_micros(col("s_start")), unix_micros(col("i_start"))))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("session_seq"), col("incident_id"))
+  }
+
+  private val sqlSessionIncidents: String =
+    s"""WITH sess AS (
+       |  ${Sessionize.sqlSessions.linesIterator.mkString("\n  ")}
+       |), e AS (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+       |), deb AS (
+       |  SELECT *, lag(ts) OVER (PARTITION BY user_id
+       |                          ORDER BY ts, event_id) AS prev_ts
+       |  FROM e
+       |), inc AS (
+       |  SELECT user_id, event_id AS incident_id, ts AS i_start,
+       |    ts + INTERVAL 30 MINUTE AS i_end
+       |  FROM deb
+       |  WHERE prev_ts IS NULL
+       |     OR epoch_us(ts) - epoch_us(prev_ts) > $IncidentWindowUs
+       |)
+       |SELECT s.user_id, s.session_seq, i.incident_id,
+       |  least(epoch_us(s.session_end), epoch_us(i.i_end))
+       |    - greatest(epoch_us(s.session_start), epoch_us(i.i_start))
+       |    AS overlap_us
+       |FROM sess s JOIN inc i ON s.user_id = i.user_id
+       |  AND s.session_start <= i.i_end AND i.i_start <= s.session_end
+       |ORDER BY s.user_id, s.session_seq, i.incident_id""".stripMargin
 
   // ------------------------------------------------- q46_revenue_by_nation
   // The TPC-H Q5 shape: a five-way join (region → nation → customer →
@@ -2509,6 +2565,7 @@ object SparkEntry {
     "q44_asof_nearest"  -> qAsOfNearest _,
     "q45_asof_tolerance" -> qAsOfTolerance _,
     "q46_revenue_by_nation" -> qRevenueByNation _,
+    "q47_session_incidents" -> qSessionIncidents _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
     "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
@@ -2685,6 +2742,7 @@ object SparkEntry {
     "q44_asof_nearest"  -> sqlAsOfNearest,
     "q45_asof_tolerance" -> sqlAsOfTolerance,
     "q46_revenue_by_nation" -> sqlRevenueByNation,
+    "q47_session_incidents" -> sqlSessionIncidents,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
     "dedup_spans"       -> Dedup.sqlSpanClean,

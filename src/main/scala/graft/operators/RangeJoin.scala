@@ -45,4 +45,38 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join (both sides are intervals — the Flink
+    * interval-join / Postgres `&&` shape): equi keys + closed-interval
+    * overlap `lStart ≤ rEnd AND rStart ≤ lEnd`. Both sides explode to the
+    * buckets they span; the equi join on (keys…, bucket) finds every
+    * overlapping pair in at least one shared bucket, and the
+    * CANONICAL-BUCKET filter — keep the match only in the bucket of
+    * `greatest(lStart, rStart)`, the overlap's start — makes each pair
+    * survive EXACTLY once with no `distinct()` pass (floor is monotone, so
+    * max of the floors IS the floor of the max, and the overlap start
+    * always lies in the shared bucket range).
+    *
+    * Scale: replication = ceil(width/bucket)+1 per side; shuffle key is
+    * (keys…, bucket) so long timelines distribute; no post-join dedup
+    * exchange exists to become the bottleneck.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketMicros: Long): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      explode_outer(sequence(
+        expr(s"unix_micros($lStart) div $bucketMicros"),
+        expr(s"unix_micros($lEnd) div $bucketMicros"))))
+    val rb = right.withColumn("__bucket",
+      explode_outer(sequence(
+        expr(s"unix_micros($rStart) div $bucketMicros"),
+        expr(s"unix_micros($rEnd) div $bucketMicros"))))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") ===
+        greatest(expr(s"unix_micros($lStart) div $bucketMicros"),
+          expr(s"unix_micros($rStart) div $bucketMicros")))
+      .drop("__bucket")
+  }
 }

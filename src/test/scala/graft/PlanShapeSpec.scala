@@ -331,6 +331,13 @@ class PlanShapeSpec extends SparkSuite {
       "the profile must price expansion without performing it:\n" + p)
   }
 
+  test("q47: interval-overlap join stays equi-keyed, never nested-loop") {
+    val p = planTree("q47_session_incidents")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval overlap must bucket-join, not nested-loop:\n" + p)
+  }
+
   test("q46: five-way join broadcasts every dim; one fact-fact shuffle join") {
     val p = planTree("q46_revenue_by_nation")
     val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size

@@ -149,6 +149,33 @@ class Round4ExtSpec extends SparkSuite {
     assert(math.abs(totalCredit - attributed.toDouble) < 1e-3)
   }
 
+  // ---------------------------------------------------- interval overlap
+  test("intervalOverlap: equals the naive BETWEEN join, each pair once") {
+    import graft.operators.RangeJoin
+    // deterministic synthetic intervals, widths from sub-bucket to 5×
+    // bucket so multi-bucket replication and the canonical filter are hit
+    val bucket = 1000000L // 1 s buckets
+    def t(us: Long) = new Timestamp(us / 1000)
+    val left = (0 until 40).map { i =>
+      val s = (i * 773) % 20000 * 1000L
+      (i.toLong, (i % 3).toLong, t(s), t(s + (i % 7) * 900L * 1000))
+    }.toDF("l_id", "k", "ls", "le")
+    val right = (0 until 30).map { i =>
+      val s = (i * 1371) % 20000 * 1000L
+      (i.toLong, (i % 3).toLong, t(s), t(s + (i % 5) * 1300L * 1000))
+    }.toDF("r_id", "k", "rs", "re")
+    val fast = RangeJoin.intervalOverlap(left, right, Seq("k"),
+      "ls", "le", "rs", "re", bucket)
+      .select(col("l_id"), col("r_id"))
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("l_id"), col("r_id"))
+    assert(fast.count() == naive.count(), "pair multiplicity differs")
+    assert(fast.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(fast).count() == 0)
+    assert(naive.count() > 0)
+  }
+
   // ---------------------------------------------------- label propagation
   test("labelPropagation: communities refine connected components") {
     val d = Tables.documents(spark, dir)
