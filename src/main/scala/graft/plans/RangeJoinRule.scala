@@ -85,6 +85,29 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       val sandwichR =
         if (sandwichL.isDefined) None else findSandwich(fromRight, fromLeft)
 
+      // interval-OVERLAP shape: ls <= re AND rs <= le with a full interval
+      // on EACH side (the sandwich is its degenerate ls==le case and is
+      // preferred when present — it skips one explode). Same rewrite as
+      // [[graft.operators.RangeJoin.intervalOverlap]]: explode both sides
+      // to their bucket spans, join on bucket equality, and keep each pair
+      // only in the bucket of greatest(ls, rs) — the overlap's start — so
+      // no post-join dedup is ever needed.
+      def findOverlap(): Option[(Expression, Expression, Expression, Expression)] = {
+        val lUppers = conjs.collect { // ls <= re
+          case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b)    => (a, b)
+          case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) => (b, a)
+        }
+        val rUppers = conjs.collect { // rs <= le
+          case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b)    => (a, b)
+          case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) => (b, a)
+        }
+        (for {
+          (ls, re) <- lUppers
+          (rs, le) <- rUppers
+          if Seq(ls, le, rs, re).forall(_.dataType == TimestampType)
+        } yield (ls, le, rs, re)).headOption
+      }
+
       def rewrite(p: Expression, s: Expression, e: Expression,
           pointsLeft: Boolean): LogicalPlan = {
         val bucket = conf.getConfString(BucketConf,
@@ -112,9 +135,39 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         Project(j.output, rewritten)
       }
 
+      def rewriteOverlap(ls: Expression, le: Expression,
+          rs: Expression, re: Expression): LogicalPlan = {
+        val bucket = conf.getConfString(BucketConf,
+          DefaultBucketMicros.toString).toLong
+        def toBucket(x: Expression): Expression =
+          IntegralDivide(UnixMicros(x), Literal(bucket))
+        val lb = AttributeReference("__graft_lb", LongType,
+          nullable = false)()
+        val rb = AttributeReference("__graft_rb", LongType,
+          nullable = false)()
+        def gen(out: AttributeReference, s: Expression, e: Expression,
+            child: LogicalPlan) = Generate(
+          Explode(Sequence(toBucket(s), toBucket(e), None,
+            Some(conf.sessionLocalTimeZone))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(out), child = child)
+        val canonical =
+          EqualTo(lb, Greatest(Seq(toBucket(ls), toBucket(rs))))
+        val newCond =
+          (conjs ++ Seq(EqualTo(lb, rb), canonical)).reduce(And)
+        Project(j.output,
+          Join(gen(lb, ls, le, left), gen(rb, rs, re, right), Inner,
+            Some(newCond), hint))
+      }
+
       (sandwichL, sandwichR) match {
         case (Some((p, s, e)), _) if !hasEqui => rewrite(p, s, e, pointsLeft = true)
         case (None, Some((p, s, e))) if !hasEqui => rewrite(p, s, e, pointsLeft = false)
+        case _ if !hasEqui =>
+          findOverlap() match {
+            case Some((ls, le, rs, re)) => rewriteOverlap(ls, le, rs, re)
+            case None                   => j
+          }
         case _ => j
       }
   }

@@ -83,6 +83,32 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(joined.count() >= 0) // executes cleanly
   }
 
+  test("interval-OVERLAP join is rewritten, pairs exactly once, same set") {
+    import ext.implicits._
+    val lhs = Seq(
+      (1L, ts(1, 0), ts(3, 0)),     // overlaps 10 and 20
+      (2L, ts(4, 0), ts(4, 12)),    // overlaps 20 (boundary) and 30
+      (3L, ts(20, 0), ts(21, 0)))   // overlaps nothing
+      .toDF("lid", "l_start", "l_end")
+    val rhs = Seq(
+      (10L, ts(2, 12), ts(2, 18)),
+      (20L, ts(2, 20), ts(4, 0)),
+      (30L, ts(4, 6), ts(9, 0)))    // wide: spans multiple day buckets
+      .toDF("rid", "r_start", "r_end")
+    val joined = lhs.join(rhs,
+      col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "overlap rule did not fire:\n" + plan)
+    assert("Generate".r.findAllIn(plan).size >= 2,
+      "both sides must explode to bucket spans:\n" + plan)
+    val got = joined.select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length,
+      "canonical-bucket filter must keep each pair exactly once")
+    assert(got.toSet == Set((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L)))
+  }
+
   test("bucket width is configurable and boundary-inclusive across buckets") {
     ext.conf.set(graft.plans.RangeJoinRule.BucketConf, (3600L * 1000000L).toString)
     try {
