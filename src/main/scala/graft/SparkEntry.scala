@@ -2006,6 +2006,42 @@ object SparkEntry {
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------------------- q48_window_funcs
+  // SQL-surface breadth for the remaining ranking/navigation window
+  // functions in one keyed pass: percent_rank, cume_dist, nth_value, and
+  // first/last over an explicit frame — all sharing ONE (returnflag)
+  // exchange. Both functions are exact rational values (rank-1)/(n-1)
+  // and rank/n of BIGINTs, so the doubles are engine-identical.
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w0 = W.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"))
+    val full = w0.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("pct_rank", percent_rank().over(w0))
+      .withColumn("cume", cume_dist().over(w0))
+      .withColumn("third_cheapest",
+        nth_value(col("l_extendedprice"), 3).over(full))
+      .orderBy(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+  }
+
+  private val sqlWindowFuncs: String =
+    """SELECT l_orderkey, l_returnflag, l_extendedprice,
+      |  percent_rank() OVER w0 AS pct_rank,
+      |  cume_dist() OVER w0 AS cume,
+      |  nth_value(l_extendedprice, 3) OVER (
+      |    PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice, l_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS third_cheapest
+      |FROM lineitem
+      |WHERE l_linenumber = 1 AND l_orderkey % 100 = 0
+      |WINDOW w0 AS (PARTITION BY l_returnflag
+      |              ORDER BY l_extendedprice, l_orderkey)
+      |ORDER BY l_returnflag, l_extendedprice, l_orderkey""".stripMargin
+
   // ------------------------------------------------- q47_session_incidents
   // Interval-OVERLAP join (both sides intervals): which user sessions
   // overlap an error-incident window? Sessions come from the gap
@@ -2566,6 +2602,7 @@ object SparkEntry {
     "q45_asof_tolerance" -> qAsOfTolerance _,
     "q46_revenue_by_nation" -> qRevenueByNation _,
     "q47_session_incidents" -> qSessionIncidents _,
+    "q48_window_funcs"  -> qWindowFuncs _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
     "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
@@ -2743,6 +2780,7 @@ object SparkEntry {
     "q45_asof_tolerance" -> sqlAsOfTolerance,
     "q46_revenue_by_nation" -> sqlRevenueByNation,
     "q47_session_incidents" -> sqlSessionIncidents,
+    "q48_window_funcs"  -> sqlWindowFuncs,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
     "dedup_spans"       -> Dedup.sqlSpanClean,
