@@ -2006,6 +2006,42 @@ object SparkEntry {
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------------------- events_agg_merge
+  // Incremental view maintenance for aggregations: a materialized hourly
+  // rollup absorbs a new batch by MERGING partial states, never
+  // rescanning history. The textbook trap is state that stores the
+  // PRESENTATION value (a rounded double): merged-then-rounded ≠
+  // rounded-then-merged, and the incremental table silently drifts from
+  // a recompute. Here the state keeps the EXACT decimal accumulator
+  // (count + DECIMAL(28,12) sum — both mergeable by addition); the one
+  // rounding to double happens at report time, so the gate can oracle
+  // the incremental path against the FULL recompute and hash-match.
+  private def qAggMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+    def hourly(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(graft.functions.Exact.Dec)).as("sv"))
+    val state = hourly(ev.filter(col("event_id") % 5 =!= 0))
+    val delta = hourly(ev.filter(col("event_id") % 5 === 0))
+    state.unionByName(delta)
+      .groupBy(col("hour"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast(DecimalType(38, 2)).cast("double")
+          .as("total_value"))
+      .select(col("hour").cast("timestamp_ntz").as("hour"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("hour"))
+  }
+
+  private val sqlAggMerge: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${sqlSum("value")} AS total_value
+       |FROM events WHERE ts IS NOT NULL
+       |GROUP BY 1 ORDER BY hour""".stripMargin
+
   // ------------------------------------------------- q48_window_funcs
   // SQL-surface breadth for the remaining ranking/navigation window
   // functions in one keyed pass: percent_rank, cume_dist, nth_value, and
@@ -2623,6 +2659,7 @@ object SparkEntry {
     "events_corr"       -> qCorr _,
     "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
+    "events_agg_merge"  -> qAggMerge _,
     "events_multitouch" -> qMultiTouch _,
     "scd_intervals"     -> qScdIntervals _,
     "scd_interval_merge" -> qIntervalMerge _,
@@ -2798,6 +2835,9 @@ object SparkEntry {
     "events_corr"       -> sqlCorr,
     "events_chi2"       -> sqlChi2,
     "events_attribution" -> sqlAttribution,
+    // the incremental merge must equal the full hourly recompute —
+    // its oracle IS the from-scratch rollup
+    "events_agg_merge"  -> sqlAggMerge,
     "events_multitouch" -> sqlMultiTouch,
     "scd_intervals"     -> sqlScdIntervals,
     // the incremental merge must equal the from-scratch interval build —
