@@ -2565,6 +2565,7 @@ object SparkEntry {
         .orderBy(col("nprobe"), col("query_id"))
     }),
     "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
+    "sim_pq_kmeans"     -> ((s, d) => Similarity.pqKmeans(emb(s, d))),
     // streaming twins driven to their FINAL state over real micro-batches
     // (file source, AvailableNow/processAllAvailable) — the returned frame
     // is the durable state, hash-checked against a batch oracle
@@ -2758,6 +2759,7 @@ object SparkEntry {
           Similarity.sqlIvfTopKProbe(p)) + "\n)"
     }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"),
     "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
+    "sim_pq_kmeans"     -> Similarity.sqlPqKmeans(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,

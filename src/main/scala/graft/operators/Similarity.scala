@@ -778,6 +778,96 @@ object Similarity {
       .agg(min(struct(col("d2"), col("code"))).as("best"))
       .select(col("id"), col("m"), col("best.code").as("code"))
 
+  /** Lloyd's-trained PQ codebooks (the k-means step of Jégou 2011 §III):
+    * per subspace, iterate nearest-code assignment (the same L2
+    * surrogate argmin as [[encode]], keeping the subvector alongside the
+    * winning code) and an EXACT per-(m, code, dim) mean update — the
+    * [[ivfKmeans]] discipline applied independently to all [[PqM]]
+    * subspaces in the SAME frames (subspace id is just another grouping
+    * column; no per-subspace jobs). Returns the final (vec_id, m, code)
+    * assignment under the trained books. Codes that lose every member
+    * drop out of the book — standard Lloyd's behavior, deterministic
+    * here. Scale shape per round: one broadcast join + one thin argmax
+    * agg + one (m·K·subdim)-cell exact-mean agg; per-round lineage pinned.
+    */
+  def pqKmeans(emb: DataFrame, iters: Int = KmeansIters): DataFrame = {
+    val subs = subvectors(emb, "id")
+    var codebook = subs.filter(col("id") < PqK)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(codebook), Seq("m"))
+        .withColumn("d2", dotD(col("cv"), col("cv"))
+          - lit(2.0) * dotD(col("sv"), col("cv")))
+        .groupBy(col("id"), col("m"))
+        // sv is constant within the (id, m) group — first() is value-
+        // deterministic here
+        .agg(min(struct(col("d2"), col("code"))).as("best"),
+          first(col("sv")).as("sv"))
+        .select(col("id"), col("m"), col("best.code").as("code"), col("sv"))
+      codebook = assigned
+        .select(col("m"), col("code"),
+          posexplode(col("sv")).as(Seq("dim0", "x")))
+        .groupBy(col("m"), col("code"), col("dim0"))
+        .agg(graft.functions.Exact.xavg(col("x")).as("cval"))
+        .groupBy(col("m"), col("code"))
+        .agg(sort_array(collect_list(struct(col("dim0"), col("cval"))))
+          .as("p"))
+        .select(col("m"), col("code"),
+          transform(col("p"), s => s("cval")).as("cv"))
+        .transform(Iterate.pin)
+    }
+    encode(subs, codebook)
+      .select(col("id").as("vec_id"), col("m"), col("code"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** DuckDB oracle: per-subspace Lloyd's rounds unrolled as CTE pairs. */
+  def sqlPqKmeans(iters: Int = KmeansIters): String = {
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    def assign(cb: String): String =
+      s"""SELECT id, m, code, sv FROM (
+         |    SELECT s.id, s.m, c.code, s.sv, ROW_NUMBER() OVER (
+         |      PARTITION BY s.id, s.m
+         |      ORDER BY ${dotSub("c.cv", "c.cv")}
+         |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+         |    ) AS rn
+         |    FROM subs s JOIN $cb c ON s.m = c.m
+         |  ) WHERE rn = 1""".stripMargin
+    val subDefs = (0 until PqM).map { m =>
+      s"SELECT vec_id AS id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv"
+    }.mkString("\n  UNION ALL\n  ")
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  ${assign(s"cb${k - 1}")}
+         |), cb$k AS (
+         |  SELECT m, code, list(cval ORDER BY dim0) AS cv FROM (
+         |    SELECT m, code, i AS dim0,
+         |      ${graft.functions.Exact.sqlAvg("sv[i]")} AS cval
+         |    FROM a$k, range(1, ${PqSubDim + 1}) t(i)
+         |    GROUP BY m, code, i
+         |  ) GROUP BY m, code
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), subs AS (
+       |  $subDefs
+       |), cb0 AS (
+       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+       |  FROM subs WHERE id < $PqK
+       |),
+       |$rounds,
+       |fin AS (
+       |  ${assign(s"cb$iters")}
+       |)
+       |SELECT id AS vec_id, m, code FROM fin
+       |ORDER BY vec_id, m""".stripMargin
+  }
+
   def pqTopK(emb: DataFrame): DataFrame = {
     import graft.functions.Exact
     val subs = subvectors(emb, "id")

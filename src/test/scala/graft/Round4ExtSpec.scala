@@ -209,6 +209,26 @@ class Round4ExtSpec extends SparkSuite {
     assert(got(99L) == 99L) // isolated
   }
 
+  // ----------------------------------------------------- trained PQ
+  test("pqKmeans: trained books separate two obvious subspace clusters") {
+    import graft.operators.Similarity
+    // 16 vectors, two exact clusters per subspace (+1 and -1 constants)
+    val emb = (0 until 16).map { i =>
+      val v = Array.fill(64)(if (i % 2 == 0) 1.0f else -1.0f)
+      (i.toLong, v.toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqKmeans(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.length == 16 * 4) // every (vector, subspace) coded once
+    // within each subspace: all evens share one code, all odds another,
+    // and the two differ — the trained book separates the clusters
+    codes.groupBy(_._2).values.foreach { g =>
+      val even = g.filter(c => c._1 % 2 == 0).map(_._3).distinct
+      val odd = g.filter(c => c._1 % 2 == 1).map(_._3).distinct
+      assert(even.length == 1 && odd.length == 1 && even.head != odd.head)
+    }
+  }
+
   // ----------------------------------------------------- recall sweep
   test("recall sweep: monotone non-decreasing in nprobe, bounded by 1") {
     val sweep = SparkEntry.queries("sim_recall_sweep")(spark, dir).collect()
