@@ -157,12 +157,33 @@ object Multimodal {
       Array(0xff, 0xd9).map(_.toByte)
   }
 
-  /** Deterministic media fixtures over the documents table: even doc ids
-    * carry a PNG (color type cycling gray / RGB / gray+alpha / RGBA), odd
-    * ids a JFIF whose COM padding varies the SOF offset per row. Geometry
-    * derives from (doc_id, n_chars), so the DuckDB oracle states the
-    * expected decode arithmetically and the gate checks decode∘encode = id
-    * over real byte structures.
+  private def le16(w: Int): Array[Byte] = Array(w.toByte, (w >>> 8).toByte)
+  private def le32(w: Int): Array[Byte] = Array(
+    w.toByte, (w >>> 8).toByte, (w >>> 16).toByte, (w >>> 24).toByte)
+
+  /** A GIF89a logical-screen header (GIF spec §18): signature, LE16
+    * geometry, packed field carrying the color-resolution bits, trailer.
+    */
+  def gifBytes(width: Int, height: Int, depth: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
+      Array((((depth - 1) & 7) << 4).toByte, 0.toByte, 0.toByte) ++
+      Array(0x3b.toByte)
+
+  /** A BMP with a BITMAPINFOHEADER (Windows BMP v3): 14-byte file header,
+    * 40-byte info header, little-endian throughout.
+    */
+  def bmpBytes(width: Int, height: Int, bpp: Int): Array[Byte] =
+    "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(bpp) ++
+      Array.fill(24)(0.toByte)
+
+  /** Deterministic media fixtures over the documents table, doc_id mod 4
+    * selecting the container: PNG (color type cycling gray / RGB /
+    * gray+alpha / RGBA), JFIF whose COM padding varies the SOF offset per
+    * row, GIF (color-resolution depth cycling 1–8), BMP (8/24/32 bpp).
+    * Geometry derives from (doc_id, n_chars), so the DuckDB oracle states
+    * the expected decode arithmetically and the gate checks
+    * decode∘encode = id over real byte structures of all four containers.
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaBin] = {
     import docs.sparkSession.implicits._
@@ -170,11 +191,13 @@ object Multimodal {
       .map { case (id, nc) =>
         val w = (id % 300 + 1).toInt
         val h = (nc % 200 + 1).toInt
-        val media =
-          if (id % 2 == 0)
-            pngBytes(w, h, Array(0, 2, 4, 6)(((id / 2) % 4).toInt))
-          else jpegBytes(w, h, if (id % 3 == 0) 1 else 3,
+        val media = (id % 4) match {
+          case 0 => pngBytes(w, h, Array(0, 2, 4, 6)(((id / 4) % 4).toInt))
+          case 1 => jpegBytes(w, h, if (id % 3 == 0) 1 else 3,
             comLen = (id % 7 + 4).toInt)
+          case 2 => gifBytes(w, h, ((id / 4) % 8 + 1).toInt)
+          case _ => bmpBytes(w, h, Array(8, 24, 32)(((id / 4) % 3).toInt))
+        }
         MediaBin(id, media)
       }
   }
@@ -236,6 +259,34 @@ object Multimodal {
     None
   }
 
+  private def leShort(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private def leInt(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Parse GIF87a/89a geometry from the logical screen descriptor; bit
+    * depth from the packed color-resolution bits; palette → 1 channel.
+    */
+  def decodeGif(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    Some((leShort(b, 6), leShort(b, 8), ((u8(b, 10) >> 4) & 7) + 1, 1))
+  }
+
+  /** Parse a BITMAPINFOHEADER BMP: 'BM' magic, info-header size 40,
+    * little-endian geometry; 8 bpp palette → 1 channel, 24 → RGB,
+    * 32 → RGBA.
+    */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 30 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return None
+    if (leInt(b, 14) != 40 || leShort(b, 26) != 1) return None
+    val channels = leShort(b, 28) match {
+      case 8 => 1; case 24 => 3; case 32 => 4; case _ => return None
+    }
+    Some((leInt(b, 18), leInt(b, 22), 8, channels))
+  }
+
   /** The REAL batched decode stage: per-partition init (here: none needed —
     * the parsers are allocation-free walks), per-row structural parse.
     * Unparseable payloads fail loudly: a silent skip would make a corrupt
@@ -249,8 +300,12 @@ object Multimodal {
           MediaMeta(r.doc_id, "png", w, h, d, c) }
           .orElse(decodeJpeg(r.media).map { case (w, h, d, c) =>
             MediaMeta(r.doc_id, "jpeg", w, h, d, c) })
+          .orElse(decodeGif(r.media).map { case (w, h, d, c) =>
+            MediaMeta(r.doc_id, "gif", w, h, d, c) })
+          .orElse(decodeBmp(r.media).map { case (w, h, d, c) =>
+            MediaMeta(r.doc_id, "bmp", w, h, d, c) })
           .getOrElse(throw new IllegalArgumentException(
-            s"doc ${r.doc_id}: payload is neither PNG nor JPEG"))
+            s"doc ${r.doc_id}: payload is not PNG/JPEG/GIF/BMP"))
       }
     }
   }
@@ -270,14 +325,20 @@ object Multimodal {
     */
   val sqlDecode: String =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |       WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
       |  CAST(doc_id % 300 + 1 AS INT) AS width,
       |  CAST(n_chars % 200 + 1 AS INT) AS height,
-      |  CAST(8 AS INT) AS bit_depth,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN
-      |         CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN (doc_id // 4) % 8 + 1
+      |       ELSE 8 END AS INT) AS bit_depth,
+      |  CAST(CASE doc_id % 4
+      |       WHEN 0 THEN
+      |         CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
       |              WHEN 2 THEN 2 ELSE 4 END
-      |       ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+      |       WHEN 1 THEN CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+      |       WHEN 2 THEN 1
+      |       ELSE CASE (doc_id // 4) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+      |            ELSE 4 END
       |  END AS INT) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -45,16 +45,36 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeJpeg(noSof) === None)
   }
 
+  test("gif and bmp round-trip across generated depths and bit counts") {
+    for (d <- 1 to 8)
+      assert(Multimodal.decodeGif(Multimodal.gifBytes(300, 200, d)) ===
+        Some((300, 200, d, 1)))
+    for ((bpp, ch) <- Seq((8, 1), (24, 3), (32, 4)))
+      assert(Multimodal.decodeBmp(Multimodal.bmpBytes(300, 200, bpp)) ===
+        Some((300, 200, 8, ch)))
+    // cross-format confusion must fail, not mis-parse
+    val gif = Multimodal.gifBytes(10, 10, 4)
+    assert(Multimodal.decodePng(gif) === None)
+    assert(Multimodal.decodeBmp(gif) === None)
+    assert(Multimodal.decodeGif(Multimodal.bmpBytes(10, 10, 24)) === None)
+    assert(Multimodal.decodeBmp(Array[Byte]('B', 'M', 1)) === None)
+  }
+
   test("mm_decode inverts the generated fixtures over the corpus") {
     val got = Multimodal.decode(Tables.documents(spark, "/root/testdata/sf0.001"))
       .collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val id = r.getLong(0)
-      val expFmt = if (id % 2 == 0) "png" else "jpeg"
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "bmp"
+      }
       assert(r.getString(1) == expFmt, s"doc $id")
       assert(r.getInt(2) == (id % 300 + 1).toInt, s"doc $id width")
-      assert(r.getInt(4) == 8, s"doc $id depth")
+      val expDepth = if (id % 4 == 2) ((id / 4) % 8 + 1).toInt else 8
+      assert(r.getInt(4) == expDepth, s"doc $id depth")
     }
+    assert(got.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("bmp", "gif", "jpeg", "png"))
   }
 }
