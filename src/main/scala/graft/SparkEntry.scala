@@ -2648,6 +2648,7 @@ object SparkEntry {
     // the already-oracled library operator, composed into ONE plan
     "corpus_export"     -> ((s, d) => TrainingData.corpusExport(
       graft.operators.CorpusClean.clean(docs(s, d)))),
+    "corpus_interleave" -> ((s, d) => TrainingData.interleave(docs(s, d))),
     "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
     "events_winsorize"  -> qWinsorize _,
@@ -2825,6 +2826,7 @@ object SparkEntry {
     "dedup_spans"       -> Dedup.sqlSpanClean,
     "corpus_shard"      -> TrainingData.sqlShard,
     "corpus_export"     -> TrainingData.sqlCorpusExport,
+    "corpus_interleave" -> TrainingData.sqlInterleave,
     "text_classifier"   -> TextOps.sqlClassifierScore,
     "embed_outliers"    -> Similarity.sqlEmbedOutliers,
     "events_winsorize"  -> sqlWinsorize,

@@ -777,6 +777,58 @@ object TrainingData {
        |    AS pos
        |FROM b ORDER BY shard, pos""".stripMargin
 
+  // ----------------------------------------- source-balanced interleave
+  /** Source-balanced training order: round-robin the sources so any
+    * contiguous read of the corpus sees every source at its global rate —
+    * the "interleave datasets" step training readers rely on (a plain
+    * shuffle only balances IN EXPECTATION; interleaving balances every
+    * window). interleave_key = (per-source rank − 1) · |sources| +
+    * source_idx: unique, and sorting by it yields the round-robin order.
+    * Uneven sources leave gaps at the tail — readers sort by the key, so
+    * gaps are harmless, and closing them would take a corpus-wide global
+    * rank (exactly the single-partition funnel the suite bans).
+    *
+    * Shape: per-source md5-order rank (one keyed window), the source
+    * index + count as a broadcast |sources|-row frame. The corpus
+    * shuffles once, on `source`.
+    */
+  def interleave(docs: DataFrame): DataFrame = {
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("source_idx",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("il:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(bySource))
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        ((col("rk") - 1).cast("long") * col("n_sources")
+          + col("source_idx")).as("interleave_key"))
+      .orderBy(col("interleave_key"))
+  }
+
+  def sqlInterleave: String =
+    """WITH si AS (
+      |  SELECT source,
+      |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS source_idx
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |), ns AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM si
+      |), r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('il:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, source,
+      |  CAST((rk - 1) * n_sources + source_idx AS BIGINT) AS interleave_key
+      |FROM r JOIN si USING (source), ns
+      |ORDER BY interleave_key""".stripMargin
+
   // ------------------------------------------- end-to-end corpus export
   /** The whole training-data export as ONE composed plan: cleaned
     * survivors ([[CorpusClean.clean]]: quality gate + exact dedup +

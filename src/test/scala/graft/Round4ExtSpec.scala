@@ -326,6 +326,24 @@ class Round4ExtSpec extends SparkSuite {
     assert(chi2.getAs[Long]("n_cells") == 35L) // 7 day buckets × 5 types
   }
 
+  // --------------------------------------------------------- interleave
+  test("interleave: every contiguous window is source-balanced") {
+    import graft.operators.TrainingData
+    val out = TrainingData.interleave(Tables.documents(spark, dir))
+      .collect()
+    assert(out.length == 500)
+    val keys = out.map(_.getAs[Long]("interleave_key"))
+    assert(keys.distinct.length == keys.length) // key is unique
+    // fixture: 20 sources × 25 docs (balanced) → in key order, every
+    // window of 20 consecutive docs holds all 20 sources exactly once
+    val ordered = out.sortBy(_.getAs[Long]("interleave_key"))
+      .map(_.getAs[String]("source"))
+    ordered.grouped(20).foreach { w =>
+      assert(w.distinct.length == w.length,
+        s"unbalanced window: ${w.mkString(",")}")
+    }
+  }
+
   // ------------------------------------------------------ corpus export
   test("corpusExport: greedy best-quality prefix, budget-tight, gapless shards") {
     import graft.operators.{CorpusClean, TrainingData}
