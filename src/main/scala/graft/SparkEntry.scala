@@ -1963,8 +1963,11 @@ object SparkEntry {
   // the gate proves the incremental path equals the from-scratch build.
   private def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val state = graft.operators.Changelog
-      .intervals(ev.filter(col("event_id") % 5 =!= 0))
+    // pin the derived state: in production it is a STORED table, and the
+    // merge reads it twice (semi + anti) — unpinned, each consumer would
+    // re-run the interval window over the history
+    val state = graft.operators.Iterate.pin(graft.operators.Changelog
+      .intervals(ev.filter(col("event_id") % 5 =!= 0)))
     graft.operators.Changelog
       .mergeIntervals(state, ev.filter(col("event_id") % 5 === 0))
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
@@ -2289,14 +2292,17 @@ object SparkEntry {
   // order-independent. Day index is pure epoch arithmetic ((days) % 7) —
   // NOT engine dayofweek(), whose weekday origin differs across engines.
   private def qChi2(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.events(s, dir)
+    // pin the 35-cell contingency frame: four consumers (row totals,
+    // column totals, grand total, the cell join) would otherwise each
+    // re-scan the event stream
+    val o = graft.operators.Iterate.pin(Tables.events(s, dir)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       // `div` = floor integer division, mirroring DuckDB `//` — `/` would
       // detour through double
       .select(expr("(unix_micros(ts) div 86400000000) % 7").as("day_idx"),
         col("event_type"))
       .groupBy(col("day_idx"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val rows = o.groupBy(col("day_idx")).agg(sum(col("n")).as("rt"))
     val cols_ = o.groupBy(col("event_type")).agg(sum(col("n")).as("ct"))
     val tot = o.agg(sum(col("n")).as("tot"))
