@@ -2009,6 +2009,85 @@ object SparkEntry {
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------------------- events_rfm
+  // RFM segmentation (recency / frequency / monetary, the classic
+  // customer-scoring frame): per-user purchase aggregates, then quintile
+  // scores per dimension. The scale point is how the quintiles are
+  // assigned: ONE tiny percentile aggregate of cut points broadcast back
+  // and a map-side <=-chain — never ntile() over the user frame, whose
+  // global sort is a single-partition funnel at 10⁹ users (the
+  // corpus_curriculum discipline). Recency is exact integer day
+  // arithmetic; monetary goes through the exact-decimal sum.
+  private val RfmCutoffLit = "2024-02-01 00:00:00"
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val cutoffUs = java.time.LocalDateTime.parse(
+      RfmCutoffLit.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val perUser = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        ((lit(cutoffUs) - max(unix_micros(col("ts")))) / lit(86400000000L))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        xsum(col("value")).as("monetary"))
+    val cuts = perUser.agg(
+      expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def score(v: Column, c: Column): Column =
+      when(v <= c(0), 1).when(v <= c(1), 2).when(v <= c(2), 3)
+        .when(v <= c(3), 4).otherwise(5)
+    perUser.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        score(col("recency_days").cast("double"), col("rc")).as("r_score"),
+        score(col("frequency").cast("double"), col("fc")).as("f_score"),
+        score(col("monetary"), col("mc")).as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlRfm: String = {
+    def score(v: String, c: String) =
+      s"""CASE WHEN $v <= ${c}1 THEN 1 WHEN $v <= ${c}2 THEN 2
+         |       WHEN $v <= ${c}3 THEN 3 WHEN $v <= ${c}4 THEN 4
+         |       ELSE 5 END""".stripMargin
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST((epoch_us(TIMESTAMP '$RfmCutoffLit')
+       |      - epoch_us(MAX(CAST(ts AS TIMESTAMP)))) // 86400000000
+       |      AS BIGINT) AS recency_days,
+       |    CAST(COUNT(*) AS BIGINT) AS frequency,
+       |    ${sqlSum("value")} AS monetary
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type = 'purchase'
+       |  GROUP BY user_id
+       |), c AS (
+       |  SELECT
+       |    quantile_cont(recency_days, 0.2) AS rc1,
+       |    quantile_cont(recency_days, 0.4) AS rc2,
+       |    quantile_cont(recency_days, 0.6) AS rc3,
+       |    quantile_cont(recency_days, 0.8) AS rc4,
+       |    quantile_cont(frequency, 0.2) AS fc1,
+       |    quantile_cont(frequency, 0.4) AS fc2,
+       |    quantile_cont(frequency, 0.6) AS fc3,
+       |    quantile_cont(frequency, 0.8) AS fc4,
+       |    quantile_cont(monetary, 0.2) AS mc1,
+       |    quantile_cont(monetary, 0.4) AS mc2,
+       |    quantile_cont(monetary, 0.6) AS mc3,
+       |    quantile_cont(monetary, 0.8) AS mc4
+       |  FROM pu
+       |)
+       |SELECT user_id, recency_days, frequency, monetary,
+       |  ${score("CAST(recency_days AS DOUBLE)", "rc")} AS r_score,
+       |  ${score("CAST(frequency AS DOUBLE)", "fc")} AS f_score,
+       |  ${score("monetary", "mc")} AS m_score
+       |FROM pu, c
+       |ORDER BY user_id""".stripMargin
+  }
+
   // ------------------------------------------------- events_agg_merge
   // Incremental view maintenance for aggregations: a materialized hourly
   // rollup absorbs a new batch by MERGING partial states, never
@@ -2668,6 +2747,7 @@ object SparkEntry {
     "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
+    "events_rfm"        -> qRfm _,
     "events_multitouch" -> qMultiTouch _,
     "scd_intervals"     -> qScdIntervals _,
     "scd_interval_merge" -> qIntervalMerge _,
@@ -2848,6 +2928,7 @@ object SparkEntry {
     // the incremental merge must equal the full hourly recompute —
     // its oracle IS the from-scratch rollup
     "events_agg_merge"  -> sqlAggMerge,
+    "events_rfm"        -> sqlRfm,
     "events_multitouch" -> sqlMultiTouch,
     "scd_intervals"     -> sqlScdIntervals,
     // the incremental merge must equal the from-scratch interval build —

@@ -300,6 +300,26 @@ class Round4ExtSpec extends SparkSuite {
     assert(got.values.forall(_._1 >= 0))
   }
 
+  // ------------------------------------------------------------- RFM
+  test("rfm: scores span 1..5, ~20% of users per quintile bin") {
+    val rfm = SparkEntry.queries("events_rfm")(spark, dir).collect()
+    assert(rfm.nonEmpty)
+    val n = rfm.length
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val scores = rfm.map(_.getAs[Int](c))
+      assert(scores.forall(v => v >= 1 && v <= 5))
+      // monotone binning: each bin holds ≥1 user and the bottom bin is
+      // roughly a fifth (ties can shift boundaries; allow wide slack)
+      val bottom = scores.count(_ == 1)
+      assert(bottom >= 1 && bottom <= n / 2, s"$c bottom bin = $bottom/$n")
+    }
+    // scores respect the metric order: a user with strictly smaller
+    // monetary than another never has a larger m_score
+    val byMon = rfm.sortBy(_.getAs[Double]("monetary"))
+    val ms = byMon.map(_.getAs[Int]("m_score"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a <= b })
+  }
+
   // ----------------------------------------------------- stats trio
   test("ema: first event equals its value; ema stays a convex combination") {
     val ema = SparkEntry.queries("events_ema")(spark, dir)
