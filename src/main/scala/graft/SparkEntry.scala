@@ -2009,6 +2009,76 @@ object SparkEntry {
        |FROM j JOIN n USING (conv_id)
        |GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ------------------------------------------------- q49_funnel_windowed
+  // Time-BOUND funnel: view → click within 1 h of the view → purchase
+  // within 1 h of that click (q36 is the unconstrained variant). First-
+  // touch anchoring — each stage matches the EARLIEST qualifying event
+  // after the previous stage's anchor; a user whose first anchor's window
+  // expires does not restart (the standard first-touch funnel contract,
+  // stated so the oracle encodes the same rule). Same single user-keyed
+  // window shape as q36: the bound is one extra predicate per stage, not
+  // a join.
+  private val FunnelWindowUs = 3600000000L // 1 h
+  private def qFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    def within(ts: Column, anchor: Column): Column =
+      ts > anchor &&
+        unix_micros(ts) - unix_micros(anchor) <= FunnelWindowUs
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" &&
+          within(col("ts"), col("v_ts")), col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          within(col("ts"), col("c_ts")), col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+      .agg(count(col("v_ts")).as("v"), count(col("c_ts")).as("c"),
+        count(col("p_ts")).as("p"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("v").as("n_users")),
+        struct(lit("2_click_within_1h").as("stage"), col("c").as("n_users")),
+        struct(lit("3_purchase_within_1h").as("stage"),
+          col("p").as("n_users")))).as("s"))
+      .select(col("s.stage"), col("s.n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val sqlFunnelWindowed: String =
+    s"""WITH v AS (
+       |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |), c AS (
+       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+       |  FROM events e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+       |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(v.v_ts)
+       |        <= $FunnelWindowUs
+       |  GROUP BY e.user_id
+       |), p AS (
+       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+       |  FROM events e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+       |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(c.c_ts)
+       |        <= $FunnelWindowUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT stage, n_users FROM (
+       |  SELECT '1_view' AS stage,
+       |    CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+       |  UNION ALL
+       |  SELECT '2_click_within_1h',
+       |    CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+       |  UNION ALL
+       |  SELECT '3_purchase_within_1h',
+       |    CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+       |) ORDER BY stage""".stripMargin
+
   // ------------------------------------------------- events_rfm
   // RFM segmentation (recency / frequency / monetary, the classic
   // customer-scoring frame): per-user purchase aggregates, then quintile
@@ -2725,6 +2795,7 @@ object SparkEntry {
     "q46_revenue_by_nation" -> qRevenueByNation _,
     "q47_session_incidents" -> qSessionIncidents _,
     "q48_window_funcs"  -> qWindowFuncs _,
+    "q49_funnel_windowed" -> qFunnelWindowed _,
     "sketch_join_est"   -> ((s, d) => graft.operators.Sketch.kmvJoinEstimate(
       Tables.customer(s, d), "c_custkey", Tables.orders(s, d), "o_custkey")),
     "dedup_spans"       -> ((s, d) => Dedup.spanClean(docs(s, d))),
@@ -2907,6 +2978,7 @@ object SparkEntry {
     "q46_revenue_by_nation" -> sqlRevenueByNation,
     "q47_session_incidents" -> sqlSessionIncidents,
     "q48_window_funcs"  -> sqlWindowFuncs,
+    "q49_funnel_windowed" -> sqlFunnelWindowed,
     "sketch_join_est"   -> graft.operators.Sketch.sqlKmvJoinEstimate(
       "customer", "c_custkey", "orders", "o_custkey"),
     "dedup_spans"       -> Dedup.sqlSpanClean,
