@@ -2751,6 +2751,8 @@ object SparkEntry {
       Dedup.canonicalFrom(docs(s, d), arts(s, d).components)),
     "dedup_communities" -> ((s, d) =>
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d))),
+    "dedup_calibration" -> ((s, d) =>
+      Dedup.bandCalibration(arts(s, d).pairs, docs(s, d))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "layout_zorder"     -> ((s, d) =>
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
@@ -2943,6 +2945,7 @@ object SparkEntry {
     "decon_bloom"       -> TrainingData.sqlBloomDecon,
     "dedup_canonical"   -> Dedup.sqlCanonical,
     "dedup_communities" -> Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs()),
+    "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,

@@ -267,6 +267,74 @@ object Dedup {
        |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
        |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin
 
+  // ------------------------------------------------- LSH calibration
+  /** Empirical LSH calibration: the EXACT shingle-Jaccard distribution of
+    * the candidate pairs the bands produced, bucketed by tenths — the
+    * measured side of the Broder s-curve ([[bandProfile]] prices the
+    * candidate VOLUME; this reports their QUALITY). A mass of
+    * low-similarity candidates ⇒ too few rows per band (precision knob);
+    * production reads this before retuning bands/rows on the real corpus.
+    *
+    * Scale shape: the pair frame is already LSH-bounded; each side joins
+    * the per-doc sorted shingle sets once (doc-keyed hash joins), the
+    * intersection is the codegen'd linear merge walk, and the histogram
+    * is one ≤10-group aggregate. Nothing is all-pairs.
+    */
+  def bandCalibration(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
+          .as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("doc_b"))
+      .select(
+        graft.functions.VectorExprs
+          .intersectCountSorted(col("sha"), col("shb")).cast("double")
+          .as("i"),
+        (size(col("sha")) + size(col("shb"))).cast("double").as("ab"))
+      .select((col("i") / (col("ab") - col("i"))).as("jaccard"))
+      .select(
+        least(expr("CAST(floor(jaccard * 10) AS BIGINT)"), lit(9L))
+          .as("bucket"),
+        col("jaccard"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("j_min"), max(col("jaccard")).as("j_max"))
+      .orderBy(col("bucket"))
+  }
+
+  def sqlBandCalibration(pairsSql: String): String =
+    s"""WITH wordhashed AS (
+       |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $ShingleK
+       |), sets AS (
+       |  SELECT doc_id,
+       |    list_distinct(${sqlShingleHashes("wh", ShingleK)}) AS sh
+       |  FROM wordhashed
+       |), prs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |), jr AS (
+       |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+       |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS ab
+       |  FROM prs JOIN sets a ON prs.doc_a = a.doc_id
+       |           JOIN sets b ON prs.doc_b = b.doc_id
+       |), jb AS (
+       |  SELECT least(CAST(floor((i / (ab - i)) * 10) AS BIGINT),
+       |               CAST(9 AS BIGINT)) AS bucket,
+       |    i / (ab - i) AS jaccard
+       |  FROM jr
+       |)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MIN(jaccard) AS j_min, MAX(jaccard) AS j_max
+       |FROM jb GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------- label propagation
   /** k-round synchronous label propagation (Raghavan, Albert & Kumara,
     * "Near linear time algorithm to detect community structures in

@@ -176,6 +176,28 @@ class Round4ExtSpec extends SparkSuite {
     assert(naive.count() > 0)
   }
 
+  // ---------------------------------------------------- LSH calibration
+  test("bandCalibration: totals match the pair set; clones land in bucket 9") {
+    val d = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(d)
+    val hist = Dedup.bandCalibration(pairs, d).collect()
+    assert(hist.map(_.getAs[Long]("n_pairs")).sum == pairs.count())
+    hist.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("j_min"), r.getAs[Double]("j_max"))
+      assert(lo <= hi && lo >= 0.0 && hi <= 1.0)
+      val b = r.getAs[Long]("bucket")
+      assert(lo >= b / 10.0 && (b == 9L || hi < (b + 1) / 10.0))
+    }
+    // an exact clone pair has Jaccard 1.0 → bucket 9
+    val text = (1 to 12).map(i => s"cal$i").mkString(" ")
+    val clones = Seq((1L, text, "en", "s", 5L), (2L, text, "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ch = Dedup.bandCalibration(Dedup.minhashPairs(clones), clones)
+      .collect()
+    assert(ch.length == 1 && ch.head.getAs[Long]("bucket") == 9L &&
+      ch.head.getAs[Double]("j_min") == 1.0)
+  }
+
   // ---------------------------------------------------- label propagation
   test("labelPropagation: communities refine connected components") {
     val d = Tables.documents(spark, dir)
