@@ -176,6 +176,36 @@ class Round4ExtSpec extends SparkSuite {
     assert(naive.count() > 0)
   }
 
+  test("property: intervalOverlap == naive join over random interval sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.RangeJoin
+    val bucket = 1000000L // 1 s buckets
+    // epoch-seconds starts in [0, 30], widths in [0, 8] buckets — mixes
+    // empty, sub-bucket, multi-bucket, and degenerate (zero-width) spans
+    val iv = Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0, 30),
+      Gen.chooseNum(0, 8))
+    def sample(n: Int, seed: Long) =
+      Gen.listOfN(n, iv)(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    def tsUs(us: Long) = new Timestamp(us / 1000)
+    for (seed <- 1L to 5L) {
+      val ls = sample(25, seed).zipWithIndex.map { case ((k, s, w), i) =>
+        (i.toLong, k, tsUs(s * 1000L * 1000), tsUs((s + w) * 1000L * 1000)) }
+      val rs = sample(20, seed + 100).zipWithIndex.map { case ((k, s, w), i) =>
+        (i.toLong, k, tsUs(s * 1000L * 1000), tsUs((s + w) * 1000L * 1000)) }
+      val left = ls.toDF("l_id", "k", "ls", "le")
+      val right = rs.toDF("r_id", "k", "rs", "re")
+      val fast = RangeJoin.intervalOverlap(left, right, Seq("k"),
+        "ls", "le", "rs", "re", bucket).select(col("l_id"), col("r_id"))
+      val naive = left.join(right, Seq("k"))
+        .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+        .select(col("l_id"), col("r_id"))
+      assert(fast.count() == naive.count(), s"seed $seed multiplicity")
+      assert(fast.exceptAll(naive).count() == 0, s"seed $seed extra pairs")
+      assert(naive.exceptAll(fast).count() == 0, s"seed $seed lost pairs")
+    }
+  }
+
   // ---------------------------------------------------- LSH calibration
   test("bandCalibration: totals match the pair set; clones land in bucket 9") {
     val d = Tables.documents(spark, dir)
