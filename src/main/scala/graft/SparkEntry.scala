@@ -1737,6 +1737,46 @@ object SparkEntry {
        |FROM bg LEFT JOIN lmk USING (prefix, next_word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- text_novelty
+  // Bigram-level novelty: the share of a document's bigram occurrences
+  // whose corpus-wide document frequency is 1 (they appear in NO other
+  // document) — a phrase-level originality signal complementing
+  // word-level rarity (text_rarity) and fingerprint overlap. Shape: one
+  // bigram-df aggregate (doc-level distinct first, so a phrase repeated
+  // inside one doc stays df=1), one keyed join back to the bigram
+  // stream, one doc-keyed agg; the division is exact-integer over
+  // exact-integer.
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val bg = TextOps.bigrams(docs(s, dir))
+    val dfq = bg.select(col("prefix"), col("next_word"), col("doc_id"))
+      .distinct()
+      .groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("df"))
+    bg.join(dfq, Seq("prefix", "next_word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sqlNovelty: String =
+    s"""WITH $sqlLmCtes,
+       |dfq AS (
+       |  SELECT prefix, next_word,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM bg GROUP BY prefix, next_word
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM bg JOIN dfq USING (prefix, next_word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- corpus_stratified
   // Per-source stratified sample: up to StratN docs per source, selected
   // by the deterministic md5(doc_id # seed) order — reproducible uniform
@@ -2828,6 +2868,7 @@ object SparkEntry {
     "corpus_curriculum" -> qCurriculum _,
     "text_ngram_lm"     -> qNgramLm _,
     "text_lm_score"     -> qLmScore _,
+    "text_novelty"      -> qNovelty _,
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
@@ -3013,6 +3054,7 @@ object SparkEntry {
     "corpus_curriculum" -> sqlCurriculum,
     "text_ngram_lm"     -> sqlNgramLm,
     "text_lm_score"     -> sqlLmScore,
+    "text_novelty"      -> sqlNovelty,
     "dedup_band_profile" -> Dedup.sqlBandProfile(),
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,

@@ -446,6 +446,28 @@ class Round4ExtSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------------- novelty
+  test("novelty: clones score 0 against each other, unique docs score 1") {
+    val docs = Seq(
+      (1L, "red green blue", "en", "s", 10L),
+      (2L, "red green blue", "en", "s", 10L),      // clone of 1
+      (3L, "wholly original phrase here", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the registered query reads from a fixture dir; exercise the same
+    // formulation inline over the synthetic frame
+    val bg = graft.operators.TextOps.bigrams(docs)
+    val dfq = bg.select(col("prefix"), col("next_word"), col("doc_id"))
+      .distinct().groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("df"))
+    val nov = bg.join(dfq, Seq("prefix", "next_word"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("novelty"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0) // every bigram shared
+    assert(nov(3L) == 1.0)                   // every bigram unique
+  }
+
   // ---------------------------------------------------------- LM score
   test("lmScore: hits pay 1/prob, misses pay the backoff, short docs drop") {
     val docs = Seq(
