@@ -2119,6 +2119,50 @@ object SparkEntry {
        |    CAST((SELECT COUNT(*) FROM p) AS BIGINT)
        |) ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------- events_gap_stats
+  // Inter-event gap distribution — the data that justifies (or retunes)
+  // the sessionizer's 30-minute gap threshold and the debounce window:
+  // exact interpolated percentiles of per-user gaps plus the exact share
+  // of gaps under the current threshold. ONE user-keyed lag window, one
+  // tiny percentile aggregate; gaps are exact integer micros, converted
+  // to seconds by one double division.
+  private def qGapStats(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, array(0.5, 0.9, 0.99))").as("p"),
+        sum(when(col("gap_us") <= Sessionize.GapMicros, 1L).otherwise(0L))
+          .as("n_within"))
+      .select(col("n_gaps"),
+        (col("p")(0) / 1e6).as("p50_s"),
+        (col("p")(1) / 1e6).as("p90_s"),
+        (col("p")(2) / 1e6).as("p99_s"),
+        (col("n_within").cast("double") / col("n_gaps").cast("double"))
+          .as("share_within_gap"))
+  }
+
+  private val sqlGapStats: String =
+    s"""WITH g AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP))
+       |    - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+       |        PARTITION BY user_id
+       |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |  quantile_cont(gap_us, 0.5) / 1e6 AS p50_s,
+       |  quantile_cont(gap_us, 0.9) / 1e6 AS p90_s,
+       |  quantile_cont(gap_us, 0.99) / 1e6 AS p99_s,
+       |  CAST(SUM(CASE WHEN gap_us <= ${Sessionize.GapMicros}
+       |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS share_within_gap
+       |FROM g WHERE gap_us IS NOT NULL""".stripMargin
+
   // ------------------------------------------------- events_rfm
   // RFM segmentation (recency / frequency / monetary, the classic
   // customer-scoring frame): per-user purchase aggregates, then quintile
@@ -2861,6 +2905,7 @@ object SparkEntry {
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
     "events_rfm"        -> qRfm _,
+    "events_gap_stats"  -> qGapStats _,
     "events_multitouch" -> qMultiTouch _,
     "scd_intervals"     -> qScdIntervals _,
     "scd_interval_merge" -> qIntervalMerge _,
@@ -3045,6 +3090,7 @@ object SparkEntry {
     // its oracle IS the from-scratch rollup
     "events_agg_merge"  -> sqlAggMerge,
     "events_rfm"        -> sqlRfm,
+    "events_gap_stats"  -> sqlGapStats,
     "events_multitouch" -> sqlMultiTouch,
     "scd_intervals"     -> sqlScdIntervals,
     // the incremental merge must equal the from-scratch interval build —
