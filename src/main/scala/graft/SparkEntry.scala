@@ -2764,6 +2764,8 @@ object SparkEntry {
     "text_tfidf"        -> ((s, d) => TextOps.tfIdf(docs(s, d))),
     "sim_centroids"     -> ((s, d) => Similarity.centroids(emb(s, d))),
     "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
+    "corpus_clean_funnel" -> ((s, d) =>
+      graft.operators.CorpusClean.funnel(docs(s, d))),
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     // the cluster-policy family (minhash pairs, components, size stats,
     // canonical, weights, admission) shares ONE clustering pass via the
@@ -2981,6 +2983,7 @@ object SparkEntry {
     "sketch_heavy_hitters" -> sqlHeavyHitters,
     "sketch_percentile" -> sqlQuantileSketch,
     "corpus_clean"      -> graft.operators.CorpusClean.sqlClean,
+    "corpus_clean_funnel" -> graft.operators.CorpusClean.sqlFunnel,
     "dedup_exact"       -> Dedup.sqlExact,
     "dedup_minhash"     -> Dedup.sqlMinhashPairs(),
     "dedup_components"  -> Dedup.sqlConnectedComponents(Dedup.sqlMinhashPairs()),

@@ -51,7 +51,11 @@ object CorpusClean {
       .orderBy(col("doc_id"))
   }
 
-  def sqlClean: String = {
+  /** The WITH-body through the `kept`/`survivors`/`victims` CTEs — shared
+    * by [[sqlClean]] and [[sqlFunnel]] so the stage report can never
+    * disagree with the pipeline it describes.
+    */
+  def sqlCleanCtes: String = {
     val w = sqlWords("text")
     val set = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
     val langScores = TextOps.LangProfiles.map { case (lang, markers) =>
@@ -62,7 +66,7 @@ object CorpusClean {
     val langCase = TextOps.LangProfiles.map { case (lang, _) =>
       s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, lang, text, $w AS w FROM documents
        |), m0 AS (
        |  SELECT doc_id, lang, text, len(w) AS n_tokens,
@@ -89,10 +93,63 @@ object CorpusClean {
        |  SELECT DISTINCT doc_b AS victim FROM (
        |    ${Dedup.sqlMinhashPairs("survivors").linesIterator.mkString("\n    ")}
        |  )
-       |)
+       |)""".stripMargin
+  }
+
+  def sqlClean: String =
+    s"""WITH $sqlCleanCtes
        |SELECT doc_id, lang, predicted_lang, n_tokens, quality_score
        |FROM survivors
        |WHERE doc_id NOT IN (SELECT victim FROM victims)
        |ORDER BY doc_id""".stripMargin
+
+  /** Stage-attrition funnel of the cleaning pipeline: documents counted
+    * at each gate (raw → quality pass → exact-dup survivor → near-dup
+    * survivor) — the "where did my corpus go" report every cleaning run
+    * publishes. Shares [[clean]]'s frames; `Iterate.pin` on the shared
+    * prefixes keeps the four counts from re-running the chain per stage.
+    */
+  def funnel(docs: DataFrame): DataFrame = {
+    val metrics = Iterate.pin(docs
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("text"),
+        qualityScore(col("w")).as("quality_score")))
+    val kept = Iterate.pin(metrics
+      .filter(col("quality_score") >= QualityThreshold))
+    val exactKeep = kept
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    val survivors = Iterate.pin(
+      kept.join(exactKeep, col("doc_id") === col("keep_id"), "left_semi"))
+    val victims = Dedup
+      .minhashPairs(survivors.select(col("doc_id"), col("text")))
+      .select(col("doc_b").as("victim")).distinct()
+    val cleaned = survivors
+      .join(victims, col("doc_id") === col("victim"), "left_anti")
+    Seq("1_raw" -> docs, "2_quality" -> kept, "3_exact_dedup" -> survivors,
+      "4_near_dedup" -> cleaned)
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(stage).as("stage"), col("n_docs"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("stage"))
   }
+
+  def sqlFunnel: String =
+    s"""WITH $sqlCleanCtes
+       |SELECT stage, n_docs FROM (
+       |  SELECT '1_raw' AS stage,
+       |    CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+       |  UNION ALL
+       |  SELECT '2_quality', CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+       |  UNION ALL
+       |  SELECT '3_exact_dedup',
+       |    CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)
+       |  UNION ALL
+       |  SELECT '4_near_dedup',
+       |    CAST((SELECT COUNT(*) FROM survivors
+       |          WHERE doc_id NOT IN (SELECT victim FROM victims))
+       |      AS BIGINT)
+       |) ORDER BY stage""".stripMargin
 }

@@ -398,6 +398,19 @@ class Round4ExtSpec extends SparkSuite {
     assert(chi2.getAs[Long]("n_cells") == 35L) // 7 day buckets × 5 types
   }
 
+  // -------------------------------------------------------- clean funnel
+  test("clean funnel: monotone attrition, final stage equals clean()") {
+    import graft.operators.CorpusClean
+    val d = Tables.documents(spark, dir)
+    val f = CorpusClean.funnel(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("1_raw") == d.count())
+    assert(f("1_raw") >= f("2_quality") &&
+      f("2_quality") >= f("3_exact_dedup") &&
+      f("3_exact_dedup") >= f("4_near_dedup"))
+    assert(f("4_near_dedup") == CorpusClean.clean(d).count())
+  }
+
   // --------------------------------------------------------- interleave
   test("interleave: every contiguous window is source-balanced") {
     import graft.operators.TrainingData
