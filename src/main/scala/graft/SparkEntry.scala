@@ -2066,6 +2066,11 @@ object SparkEntry {
       ts > anchor &&
         unix_micros(ts) - unix_micros(anchor) <= FunnelWindowUs
     val staged = Tables.events(s, dir)
+      // NULL-ts events can anchor no stage and can satisfy no window
+      // bound — dropped up front, and the oracle's base CTE drops them
+      // identically (a NULL-ts view row must not count a user into
+      // stage 1 on one engine only)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("v_ts",
         min(when(col("event_type") === "view", col("ts"))).over(w))
@@ -2090,22 +2095,23 @@ object SparkEntry {
   }
 
   private val sqlFunnelWindowed: String =
-    s"""WITH v AS (
-       |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts FROM events
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events WHERE ts IS NOT NULL
+       |), v AS (
+       |  SELECT user_id, MIN(ts) AS v_ts FROM ev
        |  WHERE event_type = 'view' GROUP BY user_id
        |), c AS (
-       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
-       |  FROM events e JOIN v ON e.user_id = v.user_id
-       |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
-       |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(v.v_ts)
-       |        <= $FunnelWindowUs
+       |  SELECT e.user_id, MIN(e.ts) AS c_ts
+       |  FROM ev e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+       |    AND epoch_us(e.ts) - epoch_us(v.v_ts) <= $FunnelWindowUs
        |  GROUP BY e.user_id
        |), p AS (
-       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
-       |  FROM events e JOIN c ON e.user_id = c.user_id
-       |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
-       |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(c.c_ts)
-       |        <= $FunnelWindowUs
+       |  SELECT e.user_id, MIN(e.ts) AS p_ts
+       |  FROM ev e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+       |    AND epoch_us(e.ts) - epoch_us(c.c_ts) <= $FunnelWindowUs
        |  GROUP BY e.user_id
        |)
        |SELECT stage, n_users FROM (
@@ -2763,9 +2769,10 @@ object SparkEntry {
     "sketch_percentile" -> qQuantileSketch _,
     "text_tfidf"        -> ((s, d) => TextOps.tfIdf(docs(s, d))),
     "sim_centroids"     -> ((s, d) => Similarity.centroids(emb(s, d))),
-    "corpus_clean"      -> ((s, d) => graft.operators.CorpusClean.clean(docs(s, d))),
+    "corpus_clean"      -> ((s, d) =>
+      graft.operators.CorpusClean.cleanCached(docs(s, d), d)),
     "corpus_clean_funnel" -> ((s, d) =>
-      graft.operators.CorpusClean.funnel(docs(s, d))),
+      graft.operators.CorpusClean.funnelCached(docs(s, d), d)),
     "dedup_exact"       -> ((s, d) => Dedup.exact(docs(s, d))),
     // the cluster-policy family (minhash pairs, components, size stats,
     // canonical, weights, admission) shares ONE clustering pass via the
@@ -2891,7 +2898,7 @@ object SparkEntry {
     // end-to-end export: clean → token-budget select → shard, every stage
     // the already-oracled library operator, composed into ONE plan
     "corpus_export"     -> ((s, d) => TrainingData.corpusExport(
-      graft.operators.CorpusClean.clean(docs(s, d)))),
+      graft.operators.CorpusClean.cleanCached(docs(s, d), d))),
     "corpus_interleave" -> ((s, d) => TrainingData.interleave(docs(s, d))),
     "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),

@@ -47,6 +47,7 @@ object Tables {
     graft.streaming.StreamOracles.invalidateSources()
     // likewise the shared cluster artifacts pin corpus-derived blocks
     graft.operators.Dedup.invalidateArtifacts(spark)
+    graft.operators.CorpusClean.invalidate(spark)
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

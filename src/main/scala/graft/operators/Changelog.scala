@@ -24,16 +24,25 @@ object Changelog {
     * ONE user-keyed lead window; ties broken by event_id so duplicate
     * timestamps produce a deterministic (possibly zero-length) interval
     * chain.
+    *
+    * Wall-clock (`timestamp_ntz`) end-to-end: the cast happens BEFORE the
+    * window, so rows are ordered by exactly the values the interval table
+    * stores, and [[mergeIntervals]] can feed stored `valid_from` values
+    * straight back in with no ntz→ltz→ntz round trip (which would move
+    * instants in the DST fall-back overlap hour of a non-UTC session
+    * timezone, breaking the merge invariant). An already-ntz `ts` input
+    * passes through the cast unchanged.
     */
   def intervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"),
-        col("ts").cast("timestamp_ntz").as("valid_from"),
-        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
         col("event_id"), col("value"),
         col("valid_to").isNull.as("is_current"))
   }
@@ -75,23 +84,18 @@ object Changelog {
   def mergeIntervals(state: DataFrame, batch: DataFrame): DataFrame = {
     val changes = batch
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"))
     val keys = changes.select(col("user_id")).distinct()
     val untouched = state.join(keys, Seq("user_id"), "left_anti")
+    // stored valid_from IS the change's wall-clock ts — reused as-is
+    // (timestamp_ntz end-to-end; no session-timezone round trip)
     val affected = state.join(keys, Seq("user_id"), "left_semi")
-      .select(col("user_id"),
-        col("valid_from").cast("timestamp").as("ts"),
+      .select(col("user_id"), col("valid_from").as("ts"),
         col("event_id"), col("value"))
     untouched.unionByName(intervals(affected.unionByName(changes)))
   }
 
-  /** Last-touch attribution: each `convType` event credited to the user's
-    * most recent PRIOR non-`convType` event, attributed only when the
-    * touch falls within `windowUs` microseconds. The ignore-nulls `last`
-    * over the unbounded-preceding row frame is a running O(1)-state scan
-    * per partition — never a per-row backward search — and conversions
-    * filter AFTER the window so every event still feeds the running state.
-    */
   /** Linear multi-touch attribution: every non-`convType` event inside the
     * window [conv.ts − windowUs, conv.ts) splits one unit of credit
     * equally with the conversion's other touches; the report aggregates
@@ -128,6 +132,13 @@ object Changelog {
           lit(1.0) / col("n_touches").cast("double"), 6).as("credit"))
   }
 
+  /** Last-touch attribution: each `convType` event credited to the user's
+    * most recent PRIOR non-`convType` event, attributed only when the
+    * touch falls within `windowUs` microseconds. The ignore-nulls `last`
+    * over the unbounded-preceding row frame is a running O(1)-state scan
+    * per partition — never a per-row backward search — and conversions
+    * filter AFTER the window so every event still feeds the running state.
+    */
   def lastTouch(events: DataFrame, convType: String, windowUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

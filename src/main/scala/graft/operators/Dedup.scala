@@ -601,12 +601,36 @@ object Dedup {
   /** Compute [[ClusterArtifacts]] for a corpus. `pairs` is unordered
     * (stable input to clustering); order at the consumption edge.
     */
-  def clusterArtifacts(docs: DataFrame): ClusterArtifacts = {
-    val bands = Iterate.pin(minhashBands(docs))
+  def clusterArtifacts(docs: DataFrame): ClusterArtifacts =
+    clusterArtifactsFrom(Iterate.pin(minhashBands(docs)))
+
+  /** [[clusterArtifacts]] from an already-pinned band frame — the seam
+    * that lets the band memo ([[minhashBandsCached]]) be shared with
+    * consumers that need ONLY bands (e.g. [[CorpusClean]]) without
+    * forcing the pair expansion + component iteration on them.
+    */
+  private def clusterArtifactsFrom(bands: DataFrame): ClusterArtifacts = {
     val pairs = Iterate.pin(bandCollisionPairs(bands).distinct())
     // connectedComponents pins its own per-round state; the returned
     // frame already reads from pinned blocks
     ClusterArtifacts(bands, pairs, connectedComponents(pairs))
+  }
+
+  /** Per-(session, key) memo of the pinned LSH band frame alone — the
+    * durable signature state of a corpus. Cheaper than
+    * [[clusterArtifactsCached]] for consumers that never need pairs or
+    * components eagerly (the cleaning pipeline derives its own victim set
+    * from a survivor-restricted copy of this frame), yet shared WITH that
+    * cache: whichever is hit first computes the signatures, and the other
+    * reuses the pinned blocks.
+    */
+  private val bandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def minhashBandsCached(docs: DataFrame, cacheKey: String): DataFrame = {
+    bandCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bandCache.computeIfAbsent((docs.sparkSession, cacheKey),
+      _ => Iterate.pin(minhashBands(docs)))
   }
 
   /** Per-(session, key) memo of [[clusterArtifacts]] — the composition
@@ -624,11 +648,13 @@ object Dedup {
   def clusterArtifactsCached(docs: DataFrame, cacheKey: String): ClusterArtifacts = {
     artifactCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     artifactCache.computeIfAbsent((docs.sparkSession, cacheKey),
-      _ => clusterArtifacts(docs))
+      _ => clusterArtifactsFrom(minhashBandsCached(docs, cacheKey)))
   }
 
-  def invalidateArtifacts(spark: SparkSession): Unit =
+  def invalidateArtifacts(spark: SparkSession): Unit = {
     artifactCache.keySet.removeIf(_._1 eq spark)
+    bandCache.keySet.removeIf(_._1 eq spark)
+  }
 
   /** Duplicate-cluster size profile: for each cluster size, how many
     * near-duplicate clusters of that size the corpus carries — the
