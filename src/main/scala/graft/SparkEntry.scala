@@ -2834,6 +2834,11 @@ object SparkEntry {
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
+    // the production bucketing variant (quantile-sampled range buckets for
+    // sparse/skewed id spaces) — same contract, same oracle: any monotone
+    // bucket cut set yields identical offsets
+    "corpus_pack_sampled" -> ((s, d) =>
+      TrainingData.packSampledBuckets(docs(s, d))),
     "corpus_mix"        -> ((s, d) => TrainingData.mixture(docs(s, d))),
     "corpus_mix_temp"   -> ((s, d) => TrainingData.mixtureTemperature(docs(s, d))),
     "text_repetition"   -> ((s, d) => TrainingData.repetition(docs(s, d))),
@@ -3033,6 +3038,7 @@ object SparkEntry {
     "mm_decode"         -> Multimodal.sqlDecode,
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_pack"       -> TrainingData.sqlPack,
+    "corpus_pack_sampled" -> TrainingData.sqlPack,
     "corpus_mix"        -> TrainingData.sqlMixture,
     "corpus_mix_temp"   -> TrainingData.sqlMixtureTemperature,
     "text_repetition"   -> TrainingData.sqlRepetition,

@@ -90,11 +90,48 @@ object TrainingData {
     */
   val CtxLen  = 256
   val BucketW = 64
+  /** Bucket count for [[packSampledBuckets]] — at 100 TB pick it so each
+    * bucket's cumsum window stays executor-sized (millions of rows).
+    */
+  val BucketCount = 64
 
-  def pack(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      size(words(col("text"))).cast("long").as("n_tokens"),
-      expr(s"doc_id div $BucketW").as("bkt"))
+  def pack(docs: DataFrame): DataFrame =
+    packFrom(tokenCounts(docs)
+      .withColumn("bkt", expr(s"doc_id div $BucketW")))
+
+  /** [[pack]] with RANGE-SAMPLED buckets — the production variant for
+    * sparse or skewed doc_id spaces, where fixed-width `id div BucketW`
+    * buckets degenerate (a dense id cluster lands millions of docs in one
+    * bucket while most buckets are empty, so the "local" cumsum window IS
+    * a global window again). Cut points are the interior quantiles of the
+    * ACTUAL id distribution from one Greenwald-Khanna `approxQuantile`
+    * pass (the driver receives only `nBuckets − 1` longs); each doc's
+    * bucket is the count of cut points below its id — a broadcast-literal
+    * scan, monotone in doc_id, so buckets stay range-contiguous and the
+    * bucket-offset prefix sum is unchanged. Any monotone cut set yields
+    * CORRECT offsets (property-tested equal to [[pack]] on dense ids);
+    * the quantile error budget only moves balance, never results.
+    */
+  def packSampledBuckets(docs: DataFrame, nBuckets: Int = BucketCount): DataFrame = {
+    val toks = tokenCounts(docs)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cuts = toks.stat.approxQuantile("doc_id", probs, 0.001)
+      .map(_.toLong).distinct.sorted
+    val cutsArr = array(cuts.map(c => lit(c)): _*)
+    packFrom(toks.withColumn("bkt",
+      aggregate(cutsArr, lit(0),
+        (acc, c) => acc + when(col("doc_id") > c, 1).otherwise(0))))
+  }
+
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+
+  /** The shared distributed-prefix-sum suffix of both bucketing variants:
+    * expects (doc_id, n_tokens, bkt) where bkt is monotone non-decreasing
+    * in doc_id (range-contiguous buckets).
+    */
+  private def packFrom(base: DataFrame): DataFrame = {
     val local = base.withColumn("cum_in_bkt",
       sum(col("n_tokens")).over(Window.partitionBy("bkt").orderBy("doc_id")))
     val bucketOffsets = base.groupBy(col("bkt"))

@@ -49,6 +49,40 @@ class TrainingDataSpec extends SparkSuite {
     assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty)
   }
 
+  test("sampled-bucket packing equals fixed-width packing on dense ids") {
+    val a = TrainingData.pack(docs)
+    val b = TrainingData.packSampledBuckets(docs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("sampled-bucket packing is exact on sparse, skewed id spaces") {
+    // a dense head cluster plus ids flung across 2^40 of key space — the
+    // shape where fixed-width div-64 bucketing degenerates into singleton
+    // buckets (the bucket-offset "tiny aggregate" becomes corpus-sized).
+    // The quantile-cut variant must still match the naive global prefix
+    // sum EXACTLY: cut placement affects balance only, never offsets.
+    val rnd = new scala.util.Random(42)
+    val ids = ((0 until 200).map(i => 10000000L + i) ++
+      (0 until 200).map(_ => (rnd.nextLong() & ((1L << 40) - 1)) + (1L << 41)))
+      .distinct.sorted
+    val sparseDocs = ids.zipWithIndex.map { case (id, i) =>
+      (id, Seq.fill(1 + i % 17)("w").mkString(" ")) }.toDF("doc_id", "text")
+    val naive = sparseDocs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div ${TrainingData.CtxLen}").as("pack_first"),
+        expr(s"(tok_offset + n_tokens - 1) div ${TrainingData.CtxLen}")
+          .as("pack_last"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+    val packed = TrainingData.packSampledBuckets(sparseDocs, nBuckets = 16)
+    assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty)
+  }
+
   test("packing offsets are contiguous: next offset = offset + n_tokens") {
     val rows = TrainingData.pack(docs)
       .select("doc_id", "n_tokens", "tok_offset").collect()
