@@ -167,6 +167,7 @@ object VectorExprs {
   val HeavyName = "graft_heavy_hitters"
   val PairName = "graft_pair_expand"
   val QuantileName = "graft_quantile_sketch"
+  val KmvName = "graft_kmv"
 
   /** Register the vector expressions in the session's function registry
     * (idempotent). Spark 4 hides Column↔Expression conversion behind
@@ -190,6 +191,9 @@ object VectorExprs {
     reg.createOrReplaceTempFunction(
       QuantileName, exprs => QuantileSketch(exprs(0),
         percentages = foldDoubles(exprs(1)), capacity = foldInt(exprs(2)))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      KmvName, exprs => KmvSketch(exprs(0), k = foldInt(exprs(1)))
         .toAggregateExpression(), "built-in")
   }
 
@@ -234,4 +238,12 @@ object VectorExprs {
     */
   def pairExpand(arr: Column): Column =
     org.apache.spark.sql.functions.call_function(PairName, arr)
+
+  /** KMV min-k-distinct-hashes aggregate over a BIGINT hash column — the
+    * sorted `array<bigint>` of the k smallest distinct values; see
+    * [[KmvSketch]].
+    */
+  def kmvMinHashes(h: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(KmvName, h,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -20,14 +20,15 @@ import TextOps.{sqlTokenHash, tokenHash}
   * Estimator: with h_(k) the k-th smallest distinct hash mapped into (0,1],
   * estimate = (k-1) / h_(k)  (the unbiased KMV estimator).
   *
-  * Scale shape: one distinct-aggregate shuffle keyed by (group, hash) —
-  * partial map-side dedup applies — then a per-group top-k window over
-  * DISTINCT hashes only (≤ |distinct| rows, never the raw stream), then one
-  * tiny per-group aggregate. At 100 TB the heavy input never shuffles twice;
-  * only distinct hashes move. A TypedImperativeAggregate could keep a
-  * bounded k-heap per partition instead; the relational form is chosen
-  * because it stays inside whole-stage codegen and needs no new state
-  * format.
+  * Scale shape: ONE aggregation through the [[graft.functions.KmvSketch]]
+  * `TypedImperativeAggregate` — per-partition buffers hold at most k longs
+  * regardless of input size, dedup happens inside the buffer, and the
+  * exchange moves one ≤ k·8-byte sketch per partition per group. No
+  * distinct shuffle, no rank window: the raw stream is hashed map-side and
+  * never moves. Merge (min-k of the set union) is associative and
+  * commutative, so the kept hashes are EXACTLY the k smallest distinct
+  * values — bit-identical to the relational sorted-distinct-limit-k form
+  * the DuckDB oracle runs.
   */
 object Sketch {
 
@@ -38,27 +39,23 @@ object Sketch {
     * count for error inspection.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    graft.functions.VectorExprs.register(df.sparkSession)
     df
-      // NULLs are not counted (COUNT DISTINCT semantics) — and unfiltered
-      // they would hash to NULL, which ranks FIRST in Spark's asc window
-      // but LAST in DuckDB's, silently evicting a real k-th hash on one
-      // engine only
-      .filter(col(valueCol).isNotNull)
-      // dedup BEFORE hashing: the distinct shuffles cheap raw values with
-      // map-side partial dedup, and md5 runs once per distinct value — not
-      // once per input row
-      .select(col(groupCol), col(valueCol)).distinct()
-      .select(col(groupCol), tokenHash(col(valueCol).cast("string")).as("h"))
-      .withColumn("rk", row_number().over(byGroup))
-      .filter(col("rk") <= K)
+      // NULL values hash to NULL and are skipped by the aggregate (COUNT
+      // DISTINCT semantics); a group whose every value is NULL yields an
+      // empty sketch and is dropped — matching the oracle, whose
+      // WHERE-IS-NOT-NULL base never produces that group at all
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
-      // fewer than K distinct values → sketch is exact (n_kept)
+      .agg(graft.functions.VectorExprs.kmvMinHashes(
+        tokenHash(col(valueCol).cast("string")), K).as("hs"))
+      .filter(size(col("hs")) > 0)
+      // fewer than K distinct values → sketch is exact (its size); the
+      // array is sorted ascending, so the k-th smallest is the LAST slot
       .select(col(groupCol),
-        when(col("n_kept") < K, col("n_kept").cast("double"))
+        when(size(col("hs")) < K, size(col("hs")).cast("double"))
           .otherwise(round(
-            lit(K - 1) / ((col("hk") + lit(1L)).cast("double") / lit(HashSpace)),
+            lit(K - 1) / ((element_at(col("hs"), -1) + lit(1L)).cast("double")
+              / lit(HashSpace)),
             4))
           .as("kmv_estimate"))
       .orderBy(col(groupCol))
@@ -96,20 +93,21 @@ object Sketch {
     * Exact counts ride along as the audit columns (the [[countMin]]
     * pattern); production reads the sketch side alone.
     *
-    * Scale shape: per side, ONE distinct-aggregate over raw keys
-    * (map-side partial dedup) followed by a TakeOrdered top-k of the
-    * hashes — never a full sort; everything after is ≤ k-row frames
-    * cross-joined into one output row. The two sides never join each
-    * other except through their sketches (the exact audit join is the
-    * oracle's job, dropped in production).
+    * Scale shape: per side, ONE [[graft.functions.KmvSketch]] aggregation
+    * over the map-side-hashed keys (k-bounded partial buffers — no
+    * distinct shuffle, no sort, only one ≤ k·8-byte sketch per partition
+    * moves), exploded back to a ≤ k-row hash frame; everything after is
+    * ≤ k-row frames cross-joined into one output row. The two sides never
+    * join each other except through their sketches (the exact audit join
+    * is the oracle's job, dropped in production).
     */
   def kmvJoinEstimate(a: DataFrame, aKey: String,
       b: DataFrame, bKey: String): DataFrame = {
+    graft.functions.VectorExprs.register(a.sparkSession)
     def sketch(df: DataFrame, key: String) = df
-      .filter(col(key).isNotNull)
-      .select(col(key)).distinct()
-      .select(tokenHash(col(key).cast("string")).as("h"))
-      .orderBy(col("h")).limit(K)
+      .agg(graft.functions.VectorExprs.kmvMinHashes(
+        tokenHash(col(key).cast("string")), K).as("hs"))
+      .select(explode(col("hs")).as("h"))
     def est(k: Column, hk: Column) =
       when(k < K, k.cast("double")).otherwise(
         lit(K - 1) / ((hk + lit(1L)).cast("double") / lit(HashSpace)))

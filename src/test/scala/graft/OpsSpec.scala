@@ -94,6 +94,33 @@ class OpsSpec extends SparkSuite {
       s"KMV estimate $est too far from 2000")
   }
 
+  test("KMV sketch aggregate equals the relational sorted-distinct-limit-k") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    // duplicates, NULLs, and a repartition: the k-bounded buffers must
+    // still keep EXACTLY the k smallest distinct hashes, in sorted order,
+    // regardless of partitioning (merge is min-k of the set union)
+    val vals = ((1L to 500L) ++ (1L to 500L)).map(Option(_)) :+
+      (None: Option[Long])
+    val df = vals.toDF("v").repartition(13)
+    val hashed = df.filter(col("v").isNotNull)
+      .select(graft.operators.TextOps.tokenHash(col("v").cast("string")).as("h"))
+    val expect = hashed.distinct().orderBy(col("h")).limit(graft.operators.Sketch.K)
+      .collect().map(_.getLong(0)).toSeq
+    val got = df
+      .agg(graft.functions.VectorExprs.kmvMinHashes(
+        graft.operators.TextOps.tokenHash(col("v").cast("string")), graft.operators.Sketch.K)
+        .as("hs"))
+      .head().getSeq[Long](0)
+    assert(got == expect)
+    // all-NULL input → empty sketch, not a null or a crash
+    val empty = Seq(None: Option[Long]).toDF("v")
+      .agg(graft.functions.VectorExprs.kmvMinHashes(
+        graft.operators.TextOps.tokenHash(col("v").cast("string")), graft.operators.Sketch.K))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("connected components merge transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3 (via 2), pair 7-9, singleton edges only

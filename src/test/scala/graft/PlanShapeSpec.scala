@@ -46,6 +46,35 @@ class PlanShapeSpec extends SparkSuite {
       "merge must have ONE explode:\n" + p)
   }
 
+  test("sketch_kmv: one sketch aggregation — no distinct shuffle, no window") {
+    // the KmvSketch TypedImperativeAggregate replaced the relational
+    // distinct + rank-window pipeline: k-bounded partial buffers, one
+    // exchange on the group key, nothing else moves
+    val p = planTree("sketch_kmv")
+    assert(p.contains("ObjectHashAggregate"), "KmvSketch must plan as an" +
+      " object hash aggregate:\n" + p)
+    assert(!p.contains("Window"), "sketch path regressed to a window:\n" + p)
+    assert("Exchange".r.findAllIn(p).size <= 2, // partial→final + output order
+      "extra shuffle in the sketch path:\n" + p)
+  }
+
+  test("sketch_join_est: sketch sides aggregate without distinct or sort") {
+    val p = planTree("sketch_join_est")
+    assert(!p.contains("Window"), "sketch path regressed to a window:\n" + p)
+    // the per-side sketch build itself hides behind Iterate.pin in the
+    // composed query — pin its shape directly: one object hash aggregate,
+    // no distinct exchange, no sort
+    graft.functions.VectorExprs.register(spark)
+    val side = Tables.lineitem(spark, dir)
+      .agg(graft.functions.VectorExprs.kmvMinHashes(
+        graft.operators.TextOps.tokenHash(
+          org.apache.spark.sql.functions.col("l_partkey").cast("string")),
+        graft.operators.Sketch.K).as("hs"))
+    val sp = side.queryExecution.executedPlan.toString
+    assert(sp.contains("ObjectHashAggregate"), sp)
+    assert(!sp.contains("Sort ") && !sp.contains("Window"), sp)
+  }
+
   test("top-k rank filters run as WindowGroupLimit, not full window sort") {
     // row_number + rk<=k must hit Spark's rank-limit pushdown: each
     // partition keeps a k-bounded group state (partial) before the shuffle
