@@ -2832,6 +2832,7 @@ object SparkEntry {
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
+    "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
     // the production bucketing variant (quantile-sampled range buckets for
@@ -3036,6 +3037,7 @@ object SparkEntry {
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
     "mm_decode"         -> Multimodal.sqlDecode,
+    "mm_pixels"         -> Multimodal.sqlPixels,
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_pack"       -> TrainingData.sqlPack,
     "corpus_pack_sampled" -> TrainingData.sqlPack,

@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, and a partition-batched feature-extraction stage.
   *
-  * Two decode tiers. HEADER decode is REAL: [[decodePng]]/[[decodeJpeg]]
-  * structurally parse genuine PNG chunk streams and JPEG marker segments
-  * (geometry, bit depth, channels) — see `mm_decode` and MultimodalSpec's
-  * external-ground-truth pins. PIXEL decode in the feature stage remains a
-  * declared STUB (image/audio codecs are not in this environment),
-  * replaced by a deterministic byte-derived fake. What is real and
+  * Decode tiers. HEADER decode is REAL for all four containers:
+  * [[decodePng]]/[[decodeJpeg]]/[[decodeGif]]/[[decodeBmp]] structurally
+  * parse genuine chunk/marker/descriptor streams (geometry, bit depth,
+  * channels) — see `mm_decode` and MultimodalSpec's external-ground-truth
+  * pins. PIXEL decode is REAL for the one container that needs no codec:
+  * [[decodeBmpPixels]] walks uncompressed 24-bpp BMP pixel arrays
+  * (bottom-up rows, BGR order, 4-byte padding) — see `mm_pixels`.
+  * Compressed-codec pixel decode (PNG inflate, JPEG DCT) stays out of
+  * scope (no codecs in this environment); the legacy feature stage keeps
+  * its clearly-marked byte-derived stand-in. What is real and
   * load-bearing for a 100 TB pipeline:
   *  - the schema contract (binary payload + typed metadata columns);
   *  - `mapPartitions` batch shape: the decoder amortizes per-partition init
@@ -317,6 +321,149 @@ object Multimodal {
     import docs.sparkSession.implicits._
     decodeHeaders(syntheticMedia(docs)).toDF().orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------- real pixel decode
+  /** Pixel-level decode output: exact per-channel sums plus a
+    * position-weighted red sum whose value depends on the pixel↔(x, y)
+    * mapping — it catches a decoder that mishandles BMP's bottom-up row
+    * storage or 4-byte row padding even when the plain channel sums
+    * (order-independent) still come out right.
+    */
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, pos_weighted_r: Long)
+
+  /** A complete 24-bpp bottom-up BMP (BITMAPINFOHEADER, BI_RGB): real
+    * pixel array with the spec's layout quirks — BGR byte order, rows
+    * stored bottom-up, each row padded to a 4-byte boundary. Pixel values
+    * derive linearly from (id, x, y) and stay < 128, so the DuckDB oracle
+    * can state every decoded statistic in closed form (no modulo wrap).
+    */
+  def bmpPixelBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val header = "BM".getBytes("US-ASCII") ++ le32(54 + dataSize) ++
+      le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(dataSize) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0)
+    val px = new Array[Byte](dataSize)
+    val idp = (id % 50).toInt
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < w) {
+        px(base + x * 3) = (idp + x).toByte // B
+        px(base + x * 3 + 1) = (x + y).toByte // G
+        px(base + x * 3 + 2) = (2 * y + 1).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
+  /** REAL pixel decode for uncompressed 24-bpp BMPs: validates the header
+    * (BITMAPINFOHEADER, 1 plane, BI_RGB), honors the declared pixel-array
+    * offset, negative-height top-down streams, bottom-up row inversion,
+    * and per-row padding; returns (width, height, RGB triples in TOP-DOWN
+    * row-major order) — the layout every downstream consumer expects.
+    */
+  def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 54 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return None
+    if (leInt(b, 14) != 40 || leShort(b, 26) != 1 ||
+      leShort(b, 28) != 24 || leInt(b, 30) != 0) return None
+    val off = leInt(b, 10)
+    val w = leInt(b, 18)
+    val hRaw = leInt(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0) return None
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off.toLong + rowSize.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = off + (if (topDown) y else h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        out(d) = b(src + x * 3 + 2) // R
+        out(d + 1) = b(src + x * 3 + 1) // G
+        out(d + 2) = b(src + x * 3) // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Per-doc 24-bpp BMP fixtures with real pixel arrays; geometry from
+    * (doc_id, n_chars) exactly like [[syntheticMedia]].
+    */
+  def syntheticBmpMedia(docs: DataFrame): Dataset[MediaBin] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaBin(id, bmpPixelBytes(id, (id % 60 + 4).toInt, (nc % 40 + 2).toInt))
+      }
+  }
+
+  /** The batched pixel stage: decode every payload's full pixel array and
+    * reduce to exact statistics. Same loud-failure contract as
+    * [[decodeHeaders]].
+    */
+  def pixelStats(media: Dataset[MediaBin]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = decodeBmpPixels(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not an uncompressed 24-bpp BMP"))
+        var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val r8 = rgb(i * 3) & 0xff
+          sr += r8
+          sg += rgb(i * 3 + 1) & 0xff
+          sb += rgb(i * 3 + 2) & 0xff
+          wr += i.toLong * r8 // i = y*w + x in top-down row-major order
+          i += 1
+        }
+        PixelStats(r.doc_id, w, h, sr, sg, sb, wr)
+      }
+    }
+  }
+
+  /** End-to-end pixel query: BMP fixtures → full pixel decode → exact
+    * channel statistics.
+    */
+  def pixels(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    pixelStats(syntheticBmpMedia(docs)).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the generator's linear pixel values summed in closed form
+    * (B = id%50 + x, G = x + y, R = 2y + 1 over w×h) — integer-exact, so
+    * the gate asserts the byte-level pixel decode inverts the byte-level
+    * encode including row order and padding (`pos_weighted_r` pairs each
+    * R value with its top-down row-major position).
+    */
+  val sqlPixels: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 60 + 4 AS BIGINT) AS w,
+      |    CAST(n_chars % 40 + 2 AS BIGINT) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  w * h * h AS sum_r,
+      |  h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS sum_g,
+      |  h * (w * (doc_id % 50) + w * (w - 1) // 2) AS sum_b,
+      |  w * w * (2 * ((h - 1) * h * (2 * h - 1) // 6) + h * (h - 1) // 2)
+      |    + (w * (w - 1) // 2) * h * h AS pos_weighted_r
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** Oracle: the encode parameters restated arithmetically — the gate then
     * asserts the byte-level decode inverts the byte-level encode. (The

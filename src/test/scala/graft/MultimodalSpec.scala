@@ -60,6 +60,76 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeBmp(Array[Byte]('B', 'M', 1)) === None)
   }
 
+  test("decodeBmpPixels recovers the canonical 2x2 BMP's exact pixels") {
+    // the widely-published minimal 2×2 24-bpp BMP example (bottom-up rows,
+    // 2 pad bytes per row): logical top row red, green; bottom row blue,
+    // white — hand-laid bytes, NOT our encoder, so a compensating
+    // encode/decode bug cannot pass
+    val canonical = Array(
+      0x42, 0x4d, // BM
+      0x46, 0x00, 0x00, 0x00, // file size 70
+      0x00, 0x00, 0x00, 0x00, // reserved
+      0x36, 0x00, 0x00, 0x00, // pixel offset 54
+      0x28, 0x00, 0x00, 0x00, // BITMAPINFOHEADER size 40
+      0x02, 0x00, 0x00, 0x00, // width 2
+      0x02, 0x00, 0x00, 0x00, // height 2 (bottom-up)
+      0x01, 0x00, // planes
+      0x18, 0x00, // 24 bpp
+      0x00, 0x00, 0x00, 0x00, // BI_RGB
+      0x10, 0x00, 0x00, 0x00, // image size 16
+      0x13, 0x0b, 0x00, 0x00, // 2835 ppm
+      0x13, 0x0b, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00,
+      // stored row 0 = BOTTOM logical row: blue (BGR ff 00 00), white, pad
+      0xff, 0x00, 0x00, 0xff, 0xff, 0xff, 0x00, 0x00,
+      // stored row 1 = TOP logical row: red (BGR 00 00 ff), green, pad
+      0x00, 0x00, 0xff, 0x00, 0xff, 0x00, 0x00, 0x00).map(_.toByte)
+    val Some((w, h, rgb)) = Multimodal.decodeBmpPixels(canonical)
+    assert((w, h) == (2, 2))
+    // top-down row-major RGB: red, green, blue, white
+    assert(rgb.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    // pixel checksum pin: stable fingerprint of the decoded array
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rgb).map("%02x".format(_)).mkString
+    assert(md5 == java.security.MessageDigest.getInstance("MD5")
+      .digest(Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+        .map(_.toByte)).map("%02x".format(_)).mkString)
+    // the header-only decoder agrees on geometry
+    assert(Multimodal.decodeBmp(canonical) === Some((2, 2, 8, 3)))
+  }
+
+  test("bmp pixel round-trip: padding, bottom-up rows, position weighting") {
+    for ((id, w, h) <- Seq((0L, 4, 2), (17L, 5, 3), (49L, 6, 1), (123L, 7, 41))) {
+      val b = Multimodal.bmpPixelBytes(id, w, h)
+      val Some((gw, gh, rgb)) = Multimodal.decodeBmpPixels(b)
+      assert((gw, gh) == (w, h), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        assert(rgb(i) == (2 * y + 1).toByte, s"R($x,$y) id=$id")
+        assert(rgb(i + 1) == (x + y).toByte, s"G($x,$y) id=$id")
+        assert(rgb(i + 2) == ((id % 50) + x).toByte, s"B($x,$y) id=$id")
+      }
+    }
+    // a TOP-DOWN (negative height) stream must decode to the same logical
+    // image orientation the spec defines
+    val base = Multimodal.bmpPixelBytes(3L, 3, 2)
+    val Some((_, _, want)) = Multimodal.decodeBmpPixels(base)
+    val rowSize = (3 * 3 + 3) / 4 * 4
+    val flipped = base.clone()
+    // height := -2 (little-endian at offset 22)
+    val negH = -2
+    for (i <- 0 until 4) flipped(22 + i) = ((negH >>> (8 * i)) & 0xff).toByte
+    // swap the two stored rows so the logical image is unchanged
+    for (i <- 0 until rowSize) {
+      flipped(54 + i) = base(54 + rowSize + i)
+      flipped(54 + rowSize + i) = base(54 + i)
+    }
+    val Some((_, _, got)) = Multimodal.decodeBmpPixels(flipped)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("mm_decode inverts the generated fixtures over the corpus") {
     val got = Multimodal.decode(Tables.documents(spark, "/root/testdata/sf0.001"))
       .collect()
