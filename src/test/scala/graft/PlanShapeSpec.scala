@@ -243,6 +243,46 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  /** Execute a query and slice its AQE-FINAL plan (the runtime-decided
+    * shape — exchange coalescing, join strategy revisions — that the
+    * static `planTree` pins cannot see).
+    */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val fi = full.indexOf("== Final Plan ==")
+    val ii = full.indexOf("== Initial Plan ==")
+    if (fi >= 0 && ii > fi) full.substring(fi, ii) else full
+  }
+
+  test("dedup_containment AQE-final: coalesced shuffles, equi joins only") {
+    // the suite's heaviest candidate join: a regression here (AQE losing
+    // the runtime right-sizing, or the prefix join degrading to a nested
+    // loop at runtime) was previously visible only as wall time
+    val p = finalPlan("dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("AQEShuffleRead coalesced"),
+      "AQE no longer right-sizes the candidate shuffles:\n" + p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, "prefix join lost its equi form:\n" + p)
+  }
+
+  test("text_winnow_pairs AQE-final: partial bucket agg, lazy pair expand") {
+    val p = finalPlan("text_winnow_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // fingerprint buckets must partial-aggregate map-side: the exchange
+    // carries collected id lists, never one row per (doc, fingerprint)
+    assert(p.contains("partial_collect_list"),
+      "bucket build lost map-side partial aggregation:\n" + p)
+    assert(p.contains("AQEShuffleRead coalesced"),
+      "AQE no longer right-sizes the bucket shuffles:\n" + p)
+    assert(p.contains("graft_pair_expand"),
+      "bucket pair expansion no longer the lazy generator:\n" + p)
+  }
+
   test("semanticPairs: centroid assignment broadcasts, pairs join on cell") {
     // asserted on the pair stage directly: semanticDedup's component pass
     // checkpoints eagerly, which hides the upstream plan from the final tree
