@@ -2821,6 +2821,7 @@ object SparkEntry {
     "stream_dedup_state" -> graft.streaming.StreamOracles.dedupState _,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
     "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
+    "stream_session_state" -> graft.streaming.StreamOracles.sessionState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -2833,6 +2834,7 @@ object SparkEntry {
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
     "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),
+    "mm_png_pixels"     -> ((s, d) => Multimodal.pngPixels(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
     // the production bucketing variant (quantile-sampled range buckets for
@@ -2853,6 +2855,7 @@ object SparkEntry {
     "dedup_calibration" -> ((s, d) =>
       Dedup.bandCalibration(arts(s, d).pairs, docs(s, d))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
+    "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     "layout_zorder"     -> ((s, d) =>
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
     "layout_pruning"    -> ((s, d) =>
@@ -2868,6 +2871,14 @@ object SparkEntry {
       graft.operators.Graph.pagerankFrom(
         graft.operators.Graph.custSuppEdgesCached(
           Tables.orders(s, d), Tables.lineitem(s, d), d))),
+    // part co-occurrence graph: triangles + degree histogram share one
+    // pinned edge memo (the expensive basket→pair expansion runs once)
+    "graph_triangles"   -> ((s, d) =>
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+    "graph_degrees"     -> ((s, d) =>
+      graft.operators.Graph.degreeHistogram(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "q40_gap_fill"      -> qGapFill _,
     "q42_ohlc"          -> qOhlc _,
     "q43_retention"     -> qRetention _,
@@ -3035,6 +3046,7 @@ object SparkEntry {
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
     "stream_cms_state"   -> graft.streaming.StreamOracles.sqlCmsState,
+    "stream_session_state" -> graft.streaming.StreamOracles.sqlSessionState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,
@@ -3047,6 +3059,7 @@ object SparkEntry {
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
     "mm_decode"         -> Multimodal.sqlDecode,
     "mm_pixels"         -> Multimodal.sqlPixels,
+    "mm_png_pixels"     -> Multimodal.sqlPngPixels,
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_pack"       -> TrainingData.sqlPack,
     "corpus_pack_sampled" -> TrainingData.sqlPack,
@@ -3060,6 +3073,7 @@ object SparkEntry {
     "dedup_communities" -> Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs()),
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
+    "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
     "graph_edges"       ->
@@ -3067,6 +3081,8 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY cust, supp""".stripMargin,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
+    "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
+    "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
     "q40_gap_fill"      -> sqlGapFill,
     "q42_ohlc"          -> sqlOhlc,
     "q43_retention"     -> sqlRetention,

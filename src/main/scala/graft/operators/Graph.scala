@@ -128,6 +128,201 @@ object Graph {
       .orderBy(col("rk"))
   }
 
+  // ----------------------------------------------- part co-occurrence graph
+  /** Max parts considered per order when building co-occurrence edges (the
+    * lowest `CoPartCap` distinct partkeys, deterministic). TPC-H orders top
+    * out at 7 line items so the cap is inert on the fixtures — it exists
+    * for the 100 TB contract: per-order pair expansion is quadratic in the
+    * basket size, and one pathological million-item basket must cost
+    * O(CoPartCap²), not O(10¹²). The same first-K-by-key convention as
+    * [[graft.SparkEntry]]'s events co-occurrence cap, mirrored in the
+    * oracle so the gate tests the capped semantics.
+    */
+  val CoPartCap = 8
+
+  /** Undirected distinct part–part edges (pa < pb) — two parts are
+    * adjacent iff they co-occur in some order's capped basket. One
+    * aggregation keyed by orderkey (bounded `collect_set`, never a
+    * lineitem self-join that would recompute the scan per side), then the
+    * LAZY [[graft.functions.PairExpand]] generator — O(basket) peak memory
+    * per row, not an O(basket²) materialized pair array.
+    */
+  def coPartEdges(lineitem: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(lineitem.sparkSession)
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, CoPartCap)
+        .as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(graft.functions.VectorExprs.pairExpand(col("ps"))
+        .as(Seq("pa", "pb")))
+      .distinct()
+  }
+
+  /** Pinned per-(session, dir) memo of the co-occurrence edge set — shared
+    * by `graph_triangles` and `graph_degrees` exactly as
+    * [[custSuppEdgesCached]] is shared by `graph_edges`/`graph_pagerank`.
+    */
+  def coPartEdgesCached(lineitem: DataFrame, cacheKey: String): DataFrame = {
+    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    edgeCache.computeIfAbsent((lineitem.sparkSession, s"copart|$cacheKey"),
+      _ => Iterate.pin(coPartEdges(lineitem)))
+  }
+
+  /** Node degrees of the undirected (pa < pb) edge frame. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("pa").as("id"))
+      .unionByName(edges.select(col("pb").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  /** Global triangle census by degree-ordered orientation (Schank &
+    * Wagner, "Finding, counting and listing all triangles in large
+    * graphs", WEA 2005; the compact-forward scheme of Latapy 2008): orient
+    * every edge from its lower to its higher endpoint in (deg, id) order,
+    * emit each node's out-neighbor pairs as wedges, and count wedges
+    * closed by an oriented edge. Every triangle is counted exactly once —
+    * at its minimum-(deg, id) corner.
+    *
+    * Why this survives 100 TB while the naive 3-way edge self-join does
+    * not: oriented out-degree is bounded by O(√m) on any graph (each
+    * out-neighbor has degree ≥ the node's own), so the wedge set is
+    * O(m^1.5) worst-case and near-linear on power-law graphs — hub nodes
+    * of degree d contribute NO wedges at their own apex beyond pairs of
+    * even-higher-degree neighbors. The count itself runs as the per-edge
+    * sorted-adjacency intersection (see the inline note), so the wedge
+    * set is never materialized or shuffled. The oracle mirrors the
+    * orientation with tuple-comparison joins.
+    *
+    * Output (1 row): node/edge counts, undirected wedge count
+    * Σ deg·(deg−1)/2, triangle count, and the global clustering
+    * coefficient 3·T / W — integer arithmetic end-to-end except the single
+    * final IEEE division (bit-stable cross-engine).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(edges.sparkSession)
+    val deg = degrees(edges)
+    val da = deg.select(col("id").as("pa"), col("deg").as("da"))
+    val db = deg.select(col("id").as("pb"), col("deg").as("db"))
+    val oriented = edges.join(da, Seq("pa")).join(db, Seq("pb"))
+      .select(
+        when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            col("db").as("dd")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            col("da").as("dd"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"))
+    // edge-iterator with sorted out-adjacency (the per-edge intersection
+    // scheme of Chiba & Nishizeki 1985 under the degree orientation): for
+    // each oriented edge (u, v), triangles at that edge = |N⁺(u) ∩ N⁺(v)|.
+    // Co-occurrence graphs are DENSE (avg degree ~100 on the fixtures), so
+    // the wedge set is tens of millions of rows — an explicit wedge
+    // self-join would shuffle all of them into the closing probe. The
+    // intersection form never materializes wedges: the adjacency table is
+    // |V| rows (one bounded array each, out-degree ≤ O(√m)) and rides as a
+    // broadcast to both endpoint lookups, so the |E|-row edge frame is
+    // probed map-side and only per-edge COUNTS aggregate. (At graphs where
+    // |V| outgrows a broadcast, swap the two broadcast hints for
+    // hash-partitioned joins on u then v — same plan shape, two |E|-row
+    // exchanges; SCALE.md "Known trade-offs".)
+    val o = Iterate.pin(oriented)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val tri = o.select(col("src"), col("dst"))
+      .join(broadcast(adj.select(col("src"), col("ns").as("nu"))), Seq("src"))
+      .join(broadcast(adj.select(col("src").as("dst"), col("ns").as("nv"))),
+        Seq("dst"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("k"))
+      // triangle-free graphs can drop EVERY edge row at the inner joins
+      // (a sink node has no adjacency entry) — sum over zero rows is NULL,
+      // the census says 0
+      .agg(coalesce(sum(col("k")), lit(0L)).as("n_triangles"))
+    // deg·(deg−1) is even, so the halving is the exact integer shift —
+    // never a double division whose sum could round past 2^53
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((col("n_triangles") * 3).cast("double") /
+          col("n_wedges").cast("double")).as("global_clustering"))
+  }
+
+  /** Power-of-two degree histogram of the co-occurrence graph: bin =
+    * ⌊log₂ deg⌋ computed by INTEGER base conversion (binary digit count),
+    * never a floating log that could straddle a bin edge at exact powers.
+    * Output cardinality is O(log |V|) regardless of corpus size — the
+    * bounded-output discipline every 100 TB profiling query follows.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges)
+      .select((length(conv(col("deg").cast("string"), 10, 2)) - 1)
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("bin"),
+        expr("shiftleft(cast(1 as bigint), cast(bin as int))").as("lo"),
+        col("n_nodes"))
+      .orderBy(col("bin"))
+
+  /** The capped-basket distinct pair CTE shared by both oracles. */
+  private def sqlCoPartCtes: String =
+    s"""op AS (
+       |  SELECT ps FROM (
+       |    SELECT list_sort(list_distinct(list(l_partkey)))[1:$CoPartCap]
+       |      AS ps
+       |    FROM lineitem GROUP BY l_orderkey
+       |  ) WHERE len(ps) > 1
+       |), pairs AS (
+       |  -- ps is sorted-distinct, so value order pa < pb IS index order
+       |  SELECT DISTINCT pa, pb FROM (
+       |    SELECT pa, unnest(ps) AS pb FROM (
+       |      SELECT ps, unnest(ps) AS pa FROM op
+       |    )
+       |  ) WHERE pa < pb
+       |), deg AS (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT pa AS id FROM pairs UNION ALL SELECT pb FROM pairs
+       |  ) GROUP BY id
+       |)""".stripMargin
+
+  def sqlTriangleStats: String =
+    s"""WITH $sqlCoPartCtes, oe AS (
+       |  SELECT
+       |    CASE WHEN (da.deg, p.pa) < (db.deg, p.pb)
+       |         THEN p.pa ELSE p.pb END AS src,
+       |    CASE WHEN (da.deg, p.pa) < (db.deg, p.pb)
+       |         THEN p.pb ELSE p.pa END AS dst,
+       |    CASE WHEN (da.deg, p.pa) < (db.deg, p.pb)
+       |         THEN db.deg ELSE da.deg END AS dd
+       |  FROM pairs p
+       |  JOIN deg da ON p.pa = da.id
+       |  JOIN deg db ON p.pb = db.id
+       |), tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM oe e1
+       |  JOIN oe e2 ON e1.src = e2.src
+       |    AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+       |  JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+       |), ns AS (
+       |  SELECT COUNT(*) AS n_nodes,
+       |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg
+       |), es AS (SELECT COUNT(*) AS n_edges FROM pairs)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |    AS global_clustering
+       |FROM ns, es, tri""".stripMargin
+
+  def sqlDegreeHistogram: String =
+    s"""WITH $sqlCoPartCtes, binned AS (
+       |  SELECT CAST(length(format('{:b}', deg)) - 1 AS BIGINT) AS bin
+       |  FROM deg
+       |)
+       |SELECT bin, (CAST(1 AS BIGINT) << CAST(bin AS INTEGER)) AS lo,
+       |  COUNT(*) AS n_nodes
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   /** DuckDB oracle: rounds unrolled as (s_k, r_k) CTE pairs. */
   def sqlPagerank(iters: Int = PrIters): String = {
     import graft.functions.Exact

@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * [[decodePng]]/[[decodeJpeg]]/[[decodeGif]]/[[decodeBmp]] structurally
   * parse genuine chunk/marker/descriptor streams (geometry, bit depth,
   * channels) — see `mm_decode` and MultimodalSpec's external-ground-truth
-  * pins. PIXEL decode is REAL for the one container that needs no codec:
+  * pins. PIXEL decode is REAL for two containers:
   * [[decodeBmpPixels]] walks uncompressed 24-bpp BMP pixel arrays
-  * (bottom-up rows, BGR order, 4-byte padding) — see `mm_pixels`.
-  * Compressed-codec pixel decode (PNG inflate, JPEG DCT) stays out of
-  * scope (no codecs in this environment); the legacy feature stage keeps
-  * its clearly-marked byte-derived stand-in. What is real and
-  * load-bearing for a 100 TB pipeline:
+  * (bottom-up rows, BGR order, 4-byte padding) — see `mm_pixels` — and
+  * [[decodePngPixels]] runs the full compressed path for 8-bit truecolor
+  * PNGs (IDAT concat, zlib inflate via `java.util.zip`, all five scanline
+  * filter predictors) — see `mm_png_pixels`. Entropy-coded DCT codecs
+  * (JPEG) stay out of scope (no codec libs in this environment); the
+  * legacy feature stage keeps its clearly-marked byte-derived stand-in.
+  * What is real and load-bearing for a 100 TB pipeline:
   *  - the schema contract (binary payload + typed metadata columns);
   *  - `mapPartitions` batch shape: the decoder amortizes per-partition init
   *    (model load, codec context) across the partition's rows, which is
@@ -397,6 +399,221 @@ object Multimodal {
     }
     Some((w, h, out))
   }
+
+  // ------------------------------------------- PNG pixel codec (zlib IDAT)
+  /** A COMPLETE 8-bit truecolor PNG (color type 2, non-interlaced): real
+    * scanlines run through the spec's per-row filter pipeline — filter
+    * type y % 5 cycles through None/Sub/Up/Average/Paeth (ISO/IEC 15948
+    * §9.2), so every predictor is exercised — then zlib-deflated into one
+    * IDAT with chunk CRCs. Pixel values derive linearly from (id, x, y)
+    * with the SAME generator family as [[bmpPixelBytes]] and stay < 128,
+    * so the DuckDB oracle states the decoded statistics in closed form.
+    */
+  def pngPixelBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+    val idp = (id % 50).toInt
+    val stride = w * 3
+    // unfiltered image, top-down row-major RGB
+    val img = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = y * stride + x * 3
+        img(d) = (2 * y + 1).toByte // R
+        img(d + 1) = (x + y).toByte // G
+        img(d + 2) = (idp + x).toByte // B
+        x += 1
+      }
+      y += 1
+    }
+    // per-row filter: out row = filter byte + filtered bytes (mod 256)
+    val raw = new Array[Byte](h * (1 + stride))
+    y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = img(y * stride + i) & 0xff
+        val a = if (i >= 3) img(y * stride + i - 3) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * stride + i) & 0xff else 0
+        val c = if (i >= 3 && y > 0) img((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    deflater.end()
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** Paeth predictor (ISO/IEC 15948 §9.4): nearest of left/up/up-left to
+    * the linear estimate a + b − c, ties left → up → up-left.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL pixel decode for 8-bit truecolor non-interlaced PNGs: validates
+    * the signature and IHDR (depth 8, color type 2, compression/filter/
+    * interlace 0), concatenates ALL IDAT chunks in stream order (the spec
+    * allows any split), zlib-inflates, and reverses the per-row filter
+    * (all five types) — returns (width, height, RGB top-down row-major),
+    * the same contract as [[decodeBmpPixels]].
+    */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 33 || u8(b, 0) != 0x89 || u8(b, 1) != 'P' ||
+      u8(b, 2) != 'N' || u8(b, 3) != 'G') return None
+    if (!(u8(b, 12) == 'I' && u8(b, 13) == 'H' && u8(b, 14) == 'D' &&
+      u8(b, 15) == 'R')) return None
+    val w = beInt(b, 16)
+    val h = beInt(b, 20)
+    if (w <= 0 || h <= 0 || u8(b, 24) != 8 || u8(b, 25) != 2 ||
+      u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0) return None
+    // chunk walk: concat IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = beInt(b, p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      if (len < 0 || p + 12 + len > b.length) return None
+      if (typ == "IDAT") idat.write(b, p + 8, len)
+      if (typ == "IEND") done = true
+      p += 12 + len
+    }
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (got != raw.length) return None
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * (1 + stride))
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = u8(raw, y * (1 + stride) + 1 + i)
+        val a = if (i >= 3) u8(out, y * stride + i - 3) else 0
+        val b2 = if (y > 0) u8(out, (y - 1) * stride + i) else 0
+        val c = if (i >= 3 && y > 0) u8(out, (y - 1) * stride + i - 3) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b2
+          case 3 => (a + b2) / 2
+          case 4 => paeth(a, b2, c)
+        }
+        out(y * stride + i) = (x + pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Per-doc truecolor PNG fixtures with real zlib-compressed pixel
+    * arrays; geometry from (doc_id, n_chars) like [[syntheticBmpMedia]]
+    * but offset so the two pixel queries cover different shapes.
+    */
+  def syntheticPngMedia(docs: DataFrame): Dataset[MediaBin] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaBin(id, pngPixelBytes(id, (id % 48 + 4).toInt, (nc % 32 + 2).toInt))
+      }
+  }
+
+  /** [[pixelStats]] for the PNG path: inflate + unfilter, then the same
+    * exact channel statistics.
+    */
+  def pngPixelStats(media: Dataset[MediaBin]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = decodePngPixels(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not an 8-bit truecolor PNG"))
+        var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val r8 = rgb(i * 3) & 0xff
+          sr += r8
+          sg += rgb(i * 3 + 1) & 0xff
+          sb += rgb(i * 3 + 2) & 0xff
+          wr += i.toLong * r8
+          i += 1
+        }
+        PixelStats(r.doc_id, w, h, sr, sg, sb, wr)
+      }
+    }
+  }
+
+  /** End-to-end PNG pixel query: deflate-compressed fixtures → real
+    * inflate + unfilter → exact channel statistics. The gate asserts the
+    * decode INVERTS the encode through the genuine zlib round trip and
+    * all five PNG filter predictors.
+    */
+  def pngPixels(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    pngPixelStats(syntheticPngMedia(docs)).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: closed-form sums of the generator's linear pixel values over
+    * the PNG geometry (same derivation as [[sqlPixels]]).
+    */
+  val sqlPngPixels: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 48 + 4 AS BIGINT) AS w,
+      |    CAST(n_chars % 32 + 2 AS BIGINT) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  w * h * h AS sum_r,
+      |  h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS sum_g,
+      |  h * (w * (doc_id % 50) + w * (w - 1) // 2) AS sum_b,
+      |  w * w * (2 * ((h - 1) * h * (2 * h - 1) // 6) + h * (h - 1) // 2)
+      |    + (w * (w - 1) // 2) * h * h AS pos_weighted_r
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** Per-doc 24-bpp BMP fixtures with real pixel arrays; geometry from
     * (doc_id, n_chars) exactly like [[syntheticMedia]].

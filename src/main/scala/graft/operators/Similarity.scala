@@ -940,6 +940,143 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------------------- IVF + PQ
+  /** IVFADC (Jégou 2011 §IV): the composition a production-scale ANN
+    * actually deploys — IVF coarse pruning picks WHICH vectors to score,
+    * PQ codes decide HOW each is scored. Queries probe their top-
+    * [[IvfPqProbe]] coarse cells; candidates in those cells are scored by
+    * ADC lookup-table sums over their M-byte codes, never their full
+    * vectors.
+    *
+    * Why the composition (and not either half alone) is the 100 TB shape:
+    * IVF alone still reads 4·Dim bytes per candidate; PQ alone still
+    * scans every code row per query. Composed, the scoring join touches
+    * |probed cells|/|cells| of the corpus × M bytes — with k-means-trained
+    * cells and 2⁸ codes that is the standard billion-vector recipe
+    * (cells and codebooks here are the suite's deterministic training-free
+    * convention; [[ivfKmeans]]/[[pqKmeans]] output slots in unchanged).
+    * Plan shape: cell assignment and code encoding are each ONE broadcast
+    * join + thin argmin aggregate over the corpus; the probe join is
+    * hash-partitioned on the cell id; the LUT (|Q|·M·K partial dots) is a
+    * broadcast; the ADC sum is the exact-decimal detour so scores are
+    * bit-identical cross-engine; top-k via WindowGroupLimit.
+    */
+  val IvfPqProbe = 2
+
+  def ivfPqTopK(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    // corpus side: one cell id + M codes per vector
+    val subs = subvectors(emb, "id")
+    val codebook = subs.filter(col("id") < PqK)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val cands = encode(subs, codebook)
+      .select(col("id").as("cand_id"), col("m"), col("code"))
+      .join(nearestCell(scored)
+        .select(col("vec_id").as("cand_id"), col("bucket")), Seq("cand_id"))
+    // query side: top-P probed cells (window over the bounded |Q|·K slice)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val probes = n.filter(col("vec_id") < NQueries).crossJoin(broadcast(cents))
+      .withColumn("sim",
+        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= IvfPqProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("bucket"))
+    val lut = subs.filter(col("id") < NQueries)
+      .select(col("id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dotD(col("sv"), col("cv")).as("pdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    probes.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(Exact.xsum(col("pdot"), 9).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlIvfPqTopK: String = {
+    import graft.functions.Exact
+    val subDefs = (0 until PqM).map { m =>
+      s"SELECT vec_id AS id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv"
+    }.mkString("\n  UNION ALL\n  ")
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cent_id) AS rn FROM (
+       |    SELECT n.vec_id, cents.cent_id,
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)} / (n.nrm * cents.cnrm)
+       |        AS sim
+       |    FROM n, cents
+       |  )
+       |), dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), subs AS (
+       |  $subDefs
+       |), codebook AS (
+       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+       |  FROM subs WHERE id < $PqK
+       |), codes AS (
+       |  SELECT id, m, code FROM (
+       |    SELECT s.id, s.m, c.code, ROW_NUMBER() OVER (
+       |      PARTITION BY s.id, s.m
+       |      ORDER BY ${dotSub("c.cv", "c.cv")}
+       |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+       |    ) AS rn
+       |    FROM subs s JOIN codebook c ON s.m = c.m
+       |  ) WHERE rn = 1
+       |), cands AS (
+       |  SELECT co.id AS cand_id, co.m, co.code, r.cent_id AS bucket
+       |  FROM codes co JOIN ranked r ON co.id = r.vec_id AND r.rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS bucket
+       |  FROM ranked WHERE rn <= $IvfPqProbe AND vec_id < $NQueries
+       |), lut AS (
+       |  SELECT s.id AS query_id, s.m, c.code,
+       |    ${dotSub("s.sv", "c.cv")} AS pdot
+       |  FROM subs s JOIN codebook c ON s.m = c.m
+       |  WHERE s.id < $NQueries
+       |), scored AS (
+       |  SELECT p.query_id, c.cand_id, ${Exact.sqlSum("l.pdot", 9)} AS adc
+       |  FROM probes p
+       |  JOIN cands c ON p.bucket = c.bucket AND p.query_id <> c.cand_id
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND l.m = c.m AND l.code = c.code
+       |  GROUP BY p.query_id, c.cand_id
+       |)
+       |SELECT query_id, rk, cand_id, adc FROM (
+       |  SELECT query_id, cand_id, adc, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   // ----------------------------------------------------- cosine near-dup
   /** Embedding near-duplicate pairs, blocked by the random-hyperplane LSH
     * bucket ([[lshBucket]]): the candidate join is hash-partitioned on the

@@ -380,4 +380,48 @@ object StreamOracles {
        |)
        |SELECT row_j, bucket, cnt FROM cells
        |ORDER BY row_j, bucket""".stripMargin
+
+  // -------------------------------------------------- stream_session_state
+  /** Events split into 2 micro-batches by event_id PARITY — deliberately
+    * NOT by key or by time, so nearly every session's events straddle the
+    * batch boundary and the state store must MERGE partial sessions (the
+    * session-window-specific state transition: two stored sessions whose
+    * gap closes when a bridging event arrives). The aggregation is the
+    * built-in `session_window` running as a real streaming aggregation in
+    * Complete mode (no watermark — state is the whole session table, which
+    * is what a final-state oracle wants; production would watermark and
+    * emit in Append mode, same operator). Session gap-merge is associative
+    * and commutative, so the final complete output must equal the batch
+    * `sessionsBuiltin` answer no matter how the stream was batched — the
+    * oracle IS q28's SQL.
+    */
+  def sessionState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val src = cachedSrc(s"session|$dir") { d =>
+      (0 until 2).foreach { i =>
+        writeBatchFile(ev.filter(col("event_id") % 2 === i), d, i)
+      }
+    }
+    val ss = streamSession(spark)
+    val in = streamFiles(ss, src, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType))))
+    val sessions = in
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        Exact.xsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"), col("total_value"))
+    val name = s"graft_stream_session_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(sessions, name, OutputMode.Complete())
+    out.orderBy(col("user_id"), col("session_start"))
+  }
+
+  val sqlSessionState: String =
+    graft.operators.Sessionize.sqlSessionsBuiltin
 }

@@ -140,4 +140,64 @@ class LayoutGraphSpec extends SparkSuite {
     assert(perQuery.forall(_._2.map(_.getAs[Int]("rk")).sorted.toSeq ==
       (1 to Similarity.AnnTopK)))
   }
+
+  test("ivfpq: every (query, cand) ADC score agrees with unpruned PQ") {
+    val emb = Tables.embeddings(spark, dir)
+    val ivfpq = Similarity.ivfPqTopK(emb).collect()
+    assert(ivfpq.nonEmpty)
+    // per-query ranks are dense 1..k' for some k' <= AnnTopK (cells can
+    // hold fewer than k candidates)
+    ivfpq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks == (1 to rks.length), s"ranks not dense: $rks")
+    }
+    // IVF prunes WHICH candidates are scored, never HOW: any pair the
+    // composite returns must carry the identical ADC sum the unpruned
+    // PQ ranking computed (when the pair survives pq's own top-k cut)
+    val pq = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("adc")).toMap
+    val overlap = ivfpq.flatMap { r =>
+      pq.get((r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")))
+        .map(_ == r.getAs[Double]("adc"))
+    }
+    assert(overlap.nonEmpty && overlap.forall(identity))
+  }
+
+  test("triangle census on known graphs: K4, path, star") {
+    def stats(edges: Seq[(Long, Long)]) =
+      Graph.triangleStats(edges.toDF("pa", "pb")).collect().head
+    // K4: 6 edges, 4 triangles, 12 wedges, clustering 1.0
+    val k4 = stats(for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+    assert(k4.getAs[Long]("n_nodes") == 4 && k4.getAs[Long]("n_edges") == 6)
+    assert(k4.getAs[Long]("n_wedges") == 12)
+    assert(k4.getAs[Long]("n_triangles") == 4)
+    assert(k4.getAs[Double]("global_clustering") == 1.0)
+    // path a-b-c: one wedge, no triangle
+    val path = stats(Seq((1L, 2L), (2L, 3L)))
+    assert(path.getAs[Long]("n_triangles") == 0 &&
+      path.getAs[Long]("n_wedges") == 1)
+    // star K1,5 plus one rim edge: exactly 1 triangle regardless of hub
+    // degree (hub is the HIGH-degree endpoint — exercises orientation)
+    val star = stats((1L to 5L).map(i => (0L, 10L + i)) :+ (11L, 12L))
+    assert(star.getAs[Long]("n_triangles") == 1)
+  }
+
+  test("co-part edges honor the per-order cap and degree bins are 2^k") {
+    // one order with CoPartCap + 3 distinct parts: only the lowest
+    // CoPartCap expand into pairs
+    val over = Graph.CoPartCap + 3
+    val li = (1 to over).map(p => (100L, p.toLong)).toDF(
+      "l_orderkey", "l_partkey")
+    val edges = Graph.coPartEdges(li)
+    val n = Graph.CoPartCap.toLong
+    assert(edges.count() == n * (n - 1) / 2)
+    assert(edges.agg(max("pb")).head.getLong(0) == n)
+    // degree histogram of the capped clique: every node deg = n-1 = 7 →
+    // one bin (2, lo 4) holding all CoPartCap nodes
+    val hist = Graph.degreeHistogram(edges).collect()
+    assert(hist.length == 1 && hist.head.getAs[Long]("bin") == 2 &&
+      hist.head.getAs[Long]("lo") == 4 &&
+      hist.head.getAs[Long]("n_nodes") == n)
+  }
 }

@@ -130,6 +130,43 @@ class MultimodalSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("png pixel round-trip: zlib inflate + all five filter predictors") {
+    // h >= 5 exercises every filter type (row filter = y % 5); w >= 2
+    // exercises the Sub/Average/Paeth left-neighbor path
+    for ((id, w, h) <- Seq((0L, 4, 5), (17L, 5, 7), (49L, 2, 6), (123L, 31, 11))) {
+      val b = Multimodal.pngPixelBytes(id, w, h)
+      val Some((gw, gh, rgb)) = Multimodal.decodePngPixels(b)
+      assert((gw, gh) == (w, h), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        assert(rgb(i) == (2 * y + 1).toByte, s"R($x,$y) id=$id")
+        assert(rgb(i + 1) == (x + y).toByte, s"G($x,$y) id=$id")
+        assert(rgb(i + 2) == ((id % 50) + x).toByte, s"B($x,$y) id=$id")
+      }
+    }
+    // the BMP and PNG fixture generators encode the SAME pixel function —
+    // the two independent container decoders must agree byte for byte
+    val Some((_, _, viaBmp)) =
+      Multimodal.decodeBmpPixels(Multimodal.bmpPixelBytes(7L, 6, 10))
+    val Some((_, _, viaPng)) =
+      Multimodal.decodePngPixels(Multimodal.pngPixelBytes(7L, 6, 10))
+    assert(viaBmp.toSeq == viaPng.toSeq)
+  }
+
+  test("corrupt png pixel streams fail the parse instead of garbage") {
+    val good = Multimodal.pngPixelBytes(5L, 6, 6)
+    // truncated IDAT: drop the tail (inflate cannot complete)
+    assert(Multimodal.decodePngPixels(good.dropRight(20)).isEmpty)
+    // palette color type (3) is out of the decoder's declared contract
+    val pal = good.clone(); pal(25) = 3
+    assert(Multimodal.decodePngPixels(pal).isEmpty)
+    // 16-bit depth is out of contract
+    val deep = good.clone(); deep(24) = 16
+    assert(Multimodal.decodePngPixels(deep).isEmpty)
+    // not a PNG at all
+    assert(Multimodal.decodePngPixels("garbage".getBytes).isEmpty)
+  }
+
   test("mm_decode inverts the generated fixtures over the corpus") {
     val got = Multimodal.decode(Tables.documents(spark, "/root/testdata/sf0.001"))
       .collect()

@@ -123,4 +123,16 @@ class StreamingSpec extends SparkSuite {
     val total = s.agg(sum("n_events")).collect().head.getLong(0)
     assert(total == Tables.events(spark, dir).count())
   }
+
+  test("streaming session_window state merges across batch boundaries") {
+    // the oracle query's own machinery: event-parity micro-batches force
+    // nearly every session to be assembled from BOTH batches, so equality
+    // with the one-shot batch answer proves the state store MERGED
+    // partial sessions (not merely appended them)
+    val streamed = graft.streaming.StreamOracles.sessionState(spark, dir)
+    val batch = Sessionize.sessionsBuiltin(Tables.events(spark, dir))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
