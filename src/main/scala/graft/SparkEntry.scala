@@ -2860,6 +2860,8 @@ object SparkEntry {
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
     "layout_pruning"    -> ((s, d) =>
       graft.operators.Layout.pruningAudit(Tables.lineitem(s, d))),
+    "layout_hilbert"    -> ((s, d) =>
+      graft.operators.Layout.hilbertAudit(Tables.lineitem(s, d))),
     // the distinct customer–supplier pair set is the expensive subtree of
     // every graph query AND a useful product on its own — both entries
     // read the shared pinned edge memo, so a suite run builds it once
@@ -3076,6 +3078,7 @@ object SparkEntry {
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
+    "layout_hilbert"    -> graft.operators.Layout.sqlHilbertAudit,
     "graph_edges"       ->
       """SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

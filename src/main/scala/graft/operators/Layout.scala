@@ -110,6 +110,131 @@ object Layout {
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // --------------------------------------------------- Hilbert curve layout
+  /** Bits per dimension for the Hilbert key (256 cells per dim — plenty
+    * for a [[NFiles]]-file audit; the curve's locality advantage is
+    * per-CELL, not per-bit).
+    */
+  val HilbertBits = 8
+
+  /** Hilbert curve distance (Hilbert 1891; the xy2d walk popularized by
+    * Warren, "Hacker's Delight" §16-1): unlike Z-order, every consecutive
+    * pair of key values is an ADJACENT cell, so equal key ranges are more
+    * compact rectangles — tighter per-file min/max bounds at the same
+    * file count.
+    *
+    * Formulated as a STATE MACHINE over the original bits rather than the
+    * textbook coordinate-rewriting loop: the per-level rotation group is
+    * Z₂×Z₂ (swap × complement), so two boolean flags replace the (x, y)
+    * rewrites — `rx = cf ⊕ bit(sf ? y : x)`, `ry = cf ⊕ bit(sf ? x : y)`,
+    * quadrant = (3·rx) ⊕ ry, then `sf ⊕= [ry=0]`, `cf ⊕= [ry=0 ∧ rx=1]`.
+    * Each level lands in NAMED intermediate columns: Catalyst keeps the
+    * per-level projections separate (CollapseProject refuses to duplicate
+    * non-cheap expressions), so the plan stays linear in [[HilbertBits]]
+    * and fully codegen'd — the naive expression-substitution form grows
+    * ~4^bits nodes and falls out of codegen. Integer-only ops, identical
+    * in the DuckDB oracle's unrolled CTE chain.
+    */
+  def withHilbertKey(df: DataFrame, qx: String, qy: String,
+      out: String): DataFrame = {
+    var cur = df.withColumn(out, lit(0L))
+      .withColumn("h_sf", lit(0)).withColumn("h_cf", lit(0))
+    for (k <- HilbertBits - 1 to 0 by -1) {
+      cur = cur
+        .withColumn("h_bx",
+          shiftright(col(qx), k).bitwiseAND(lit(1L)).cast("int"))
+        .withColumn("h_by",
+          shiftright(col(qy), k).bitwiseAND(lit(1L)).cast("int"))
+        .withColumn("h_rx",
+          (when(col("h_sf") === 1, col("h_by")).otherwise(col("h_bx"))
+            + col("h_cf")) % 2)
+        .withColumn("h_ry",
+          (when(col("h_sf") === 1, col("h_bx")).otherwise(col("h_by"))
+            + col("h_cf")) % 2)
+        .withColumn(out, col(out) + lit(1L << (2 * k)) *
+          when(col("h_rx") === 0 && col("h_ry") === 0, 0L)
+            .when(col("h_rx") === 0, 1L)
+            .when(col("h_ry") === 1, 2L)
+            .otherwise(3L))
+        .withColumn("h_nsf",
+          (col("h_sf") + when(col("h_ry") === 0, 1).otherwise(0)) % 2)
+        .withColumn("h_cf", (col("h_cf") +
+          when(col("h_ry") === 0 && col("h_rx") === 1, 1).otherwise(0)) % 2)
+        .withColumn("h_sf", col("h_nsf"))
+    }
+    cur.drop("h_sf", "h_cf", "h_bx", "h_by", "h_rx", "h_ry", "h_nsf")
+  }
+
+  /** Layout audit over lineitem clustered on the Hilbert key of
+    * (l_partkey, l_suppkey) — identical audit shape to [[zorderAudit]]
+    * (quantize → key → fixed key-range file assignment → per-file
+    * bounds), so the two space-filling curves are directly comparable
+    * row for row. Same scale shape: one tiny bounds aggregate broadcast
+    * back, then pure map-side integer expressions.
+    */
+  def hilbertAudit(lineitem: DataFrame): DataFrame = {
+    val width = (1L << (2 * HilbertBits)) / NFiles
+    val bounds = lineitem.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val quantized = lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("qx", expr(
+        s"((l_partkey - pmin) * ${1L << HilbertBits}) div (pmax - pmin + 1)"))
+      .withColumn("qy", expr(
+        s"((l_suppkey - smin) * ${1L << HilbertBits}) div (smax - smin + 1)"))
+    withHilbertKey(quantized, "qx", "qy", "hkey")
+      .groupBy(expr(s"hkey div $width").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("part_min"),
+        max(col("l_partkey")).as("part_max"),
+        min(col("l_suppkey")).as("supp_min"),
+        max(col("l_suppkey")).as("supp_max"))
+      .orderBy(col("file_id"))
+  }
+
+  def sqlHilbertAudit: String = {
+    val width = (1L << (2 * HilbertBits)) / NFiles
+    // unrolled state-machine levels: h7 (MSB) … h0, each one CTE reading
+    // the previous level's (d, sf, cf)
+    val levels = (HilbertBits - 1 to 0 by -1).map { k =>
+      val s = 1L << k
+      val prev = if (k == HilbertBits - 1) "hq" else s"h${k + 1}"
+      s"""h$k AS (
+         |  SELECT l_partkey, l_suppkey, qx, qy,
+         |    d + ${1L << (2 * k)} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |      WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS d,
+         |    (sf + CASE WHEN ry = 0 THEN 1 ELSE 0 END) % 2 AS sf,
+         |    (cf + CASE WHEN ry = 0 AND rx = 1 THEN 1 ELSE 0 END) % 2 AS cf
+         |  FROM (
+         |    SELECT *,
+         |      (CASE WHEN sf = 1 THEN (qy // $s) % 2
+         |            ELSE (qx // $s) % 2 END + cf) % 2 AS rx,
+         |      (CASE WHEN sf = 1 THEN (qx // $s) % 2
+         |            ELSE (qy // $s) % 2 END + cf) % 2 AS ry
+         |    FROM $prev
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+       |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+       |  FROM lineitem
+       |), hq AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - pmin) * ${1L << HilbertBits}) // (pmax - pmin + 1) AS qx,
+       |    ((l_suppkey - smin) * ${1L << HilbertBits}) // (smax - smin + 1) AS qy,
+       |    CAST(0 AS BIGINT) AS d, 0 AS sf, 0 AS cf
+       |  FROM lineitem, b
+       |),
+       |$levels
+       |SELECT d // $width AS file_id, COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+       |  MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+       |FROM h0 GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
   // ------------------------------------------------- zone-map pruning audit
   /** Quantified data skipping: replay the scan planner's
     * skip-it-or-scan-it decision against the Z-order layout's per-file

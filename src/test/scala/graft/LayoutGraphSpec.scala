@@ -132,6 +132,55 @@ class LayoutGraphSpec extends SparkSuite {
       byProbe("part_bottom_eighth"))
   }
 
+  test("hilbert key matches the canonical xy2d walk and is a bijection") {
+    // independent reference: the textbook coordinate-rewriting xy2d loop
+    // (a DIFFERENT formulation from the state machine under test)
+    def xy2d(x0: Int, y0: Int): Long = {
+      val n = 1 << Layout.HilbertBits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    // deterministic sample covering every state-transition pattern, plus
+    // the corners
+    val pts = (for (i <- 0 until 64; j <- 0 until 64)
+      yield ((i * 37 + j * 11) % 256, (j * 53 + i * 7) % 256)).distinct ++
+      Seq((0, 0), (255, 0), (0, 255), (255, 255))
+    val got = pts.toDF("x", "y")
+      .transform(d => Layout.withHilbertKey(
+        d.select(col("x").cast("long").as("qx"),
+          col("y").cast("long").as("qy")), "qx", "qy", "hkey"))
+      .select("qx", "qy", "hkey").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == xy2d(x, y), s"($x,$y)")
+    }
+    // curve property on an exhaustive 16x16 sub-grid of the low bits:
+    // d is a bijection onto [0, 256) and consecutive d's are grid-adjacent
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y))
+    val ds = grid.map { case (x, y) => xy2d(x, y) }
+    // low 8 bits of the walk order the 16x16 corner block contiguously
+    val inBlock = grid.zip(ds).filter(_._2 < 256)
+    assert(inBlock.map(_._2).sorted == (0L until 256L))
+    val byD = inBlock.map { case (p, d) => d -> p }.toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d not adjacent: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
   test("pq codes quantize every vector and ADC ranks full AnnTopK") {
     val emb = Tables.embeddings(spark, dir)
     val out = Similarity.pqTopK(emb).collect()

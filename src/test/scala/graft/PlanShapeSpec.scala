@@ -433,4 +433,28 @@ class PlanShapeSpec extends SparkSuite {
     val liScans = "FileScan parquet".r.findAllIn(p).size
     assert(liScans <= 4, s"expected ≤4 scans, saw $liScans:\n$p")
   }
+
+  test("graph_triangles: adjacency broadcasts; wedges never materialize") {
+    val p = planTree("graph_triangles")
+    // both endpoint lookups probe the broadcast adjacency table
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the 25M-row wedge formulation would show here as a sort-merge join
+    // or a post-orientation Generate — neither may return
+    assert(!p.contains("SortMergeJoin"), "wedge join regressed:\n" + p)
+    assert(!p.contains("Generate"),
+      "wedges materialized through a generator:\n" + p)
+  }
+
+  test("graph_degrees: pinned edges to histogram with zero joins") {
+    val p = planTree("graph_degrees")
+    assert(!p.contains("Join"), "degree histogram must not join:\n" + p)
+  }
+
+  test("sim_ivfpq_topk: broadcast LUT, WindowGroupLimit-pruned top-k") {
+    val p = planTree("sim_ivfpq_topk")
+    // codebook + LUT ride as broadcasts; the ADC sum must aggregate,
+    // never rank the full candidate set
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), "top-k prune lost:\n" + p)
+  }
 }
