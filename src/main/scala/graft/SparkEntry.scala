@@ -2798,6 +2798,13 @@ object SparkEntry {
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
       Similarity.ivfTopK(emb(s, d)))),
+    // recall of the IVFADC composite vs exact search: quantifies the
+    // quantization + pruning loss the 100 TB recipe trades for its scan
+    // shape (compare with sim_recall = IVF-only loss at the same depth)
+    "sim_ivfpq_recall"  -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.ivfPqTopK(emb(s, d)))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
     // recall-vs-nprobe tuning curve: the table an operator reads to pick
     // the probe count; exact side computed once and pinned across probes
@@ -2880,6 +2887,9 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "graph_degrees"     -> ((s, d) =>
       graft.operators.Graph.degreeHistogram(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+    "graph_peel"        -> ((s, d) =>
+      graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "q40_gap_fill"      -> qGapFill _,
     "q42_ohlc"          -> qOhlc _,
@@ -3034,6 +3044,10 @@ object SparkEntry {
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlIvfTopK),
+    "sim_ivfpq_recall"  -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlIvfPqTopK),
     "sim_ivf_probe2"    -> Similarity.sqlIvfTopKProbe(2),
     "sim_recall_sweep"  -> ((1 to 3).map { p =>
       s"SELECT $p AS nprobe, query_id, recall FROM (\n" +
@@ -3086,6 +3100,7 @@ object SparkEntry {
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
+    "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),
     "q40_gap_fill"      -> sqlGapFill,
     "q42_ohlc"          -> sqlOhlc,
     "q43_retention"     -> sqlRetention,

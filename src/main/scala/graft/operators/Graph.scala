@@ -265,6 +265,79 @@ object Graph {
         col("n_nodes"))
       .orderBy(col("bin"))
 
+  /** k-core peel threshold and round count. 100 sits at the fixture
+    * degree median (87–112 across SFs), so every round removes real mass;
+    * the FIXED round count makes the profile a deterministic, oracle-able
+    * snapshot of the peeling trajectory rather than a fixpoint claim
+    * (production k-core iterates to convergence with the same per-round
+    * plan; rounds-to-converge is logged, never assumed).
+    */
+  val PeelK = 100
+  val PeelRounds = 3
+
+  /** Iterative k-core peeling profile (the degeneracy-ordering primitive
+    * of Matula & Beck 1983; Batagelj–Zaveršnik's iterated-removal form):
+    * each round drops every node of current degree < [[PeelK]] and the
+    * edges touching it, reporting (round, n_nodes, n_edges) — round 0 is
+    * the intact graph. Spam/boilerplate clusters and hub cores in
+    * web-scale dedup graphs are exactly the high-k cores that survive.
+    *
+    * Scale shape per round: one degree aggregate + TWO semi joins (edge
+    * endpoints against the surviving-node set) — the frames only ever
+    * SHRINK, and each round's edge frame is [[Iterate.pin]]ned so the
+    * iterative lineage never deepens. The per-round stats are 1-row
+    * aggregates unioned at the end; nothing collects to the driver.
+    */
+  def peelProfile(edges: DataFrame, k: Int = PeelK,
+      rounds: Int = PeelRounds): DataFrame = {
+    def stats(e: DataFrame, r: Int): DataFrame =
+      degrees(e).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    var e = edges
+    var out = stats(e, 0)
+    for (r <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      e = Iterate.pin(e
+        .join(keep.select(col("id").as("pa")), Seq("pa"), "left_semi")
+        .join(keep.select(col("id").as("pb")), Seq("pb"), "left_semi"))
+      out = out.unionByName(stats(e, r))
+    }
+    out.orderBy(col("round"))
+  }
+
+  def sqlPeelProfile(k: Int = PeelK, rounds: Int = PeelRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""keep$r AS (
+         |  SELECT id FROM (
+         |    SELECT id, COUNT(*) AS deg FROM (
+         |      SELECT pa AS id FROM e${r - 1}
+         |      UNION ALL SELECT pb FROM e${r - 1}
+         |    ) GROUP BY id
+         |  ) WHERE deg >= $k
+         |), e$r AS (
+         |  SELECT pa, pb FROM e${r - 1}
+         |  WHERE pa IN (SELECT id FROM keep$r)
+         |    AND pb IN (SELECT id FROM keep$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val statRows = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT DISTINCT id FROM (
+         |         SELECT pa AS id FROM e$r UNION ALL SELECT pb FROM e$r
+         |       ))) AS n_nodes,
+         |    (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $sqlCoPartCtes, e0 AS (
+       |  SELECT pa, pb FROM pairs
+       |),
+       |$roundCtes
+       |SELECT round, n_nodes, n_edges FROM (
+       |  $statRows
+       |) ORDER BY round""".stripMargin
+  }
+
   /** The capped-basket distinct pair CTE shared by both oracles. */
   private def sqlCoPartCtes: String =
     s"""op AS (

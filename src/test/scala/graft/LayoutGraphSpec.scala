@@ -232,6 +232,23 @@ class LayoutGraphSpec extends SparkSuite {
     assert(star.getAs[Long]("n_triangles") == 1)
   }
 
+  test("peel profile: clique survives, pendant leaves cascade off") {
+    // K5 on 1..5 (internal degree 4) + four leaves on node 1
+    val edges = (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)) ++
+      (10L to 13L).map(l => (1L, l))
+    val prof = Graph.peelProfile(edges.toDF("pa", "pb"), k = 3, rounds = 2)
+      .collect().map(r => (r.getAs[Long]("round"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toSeq
+    // round 0 intact; round 1 drops the degree-1 leaves (node 1 keeps
+    // degree 8 >= 3, then 4); round 2 is the fixpoint — the 3-core is K5
+    assert(prof == Seq((0L, 9L, 14L), (1L, 5L, 10L), (2L, 5L, 10L)))
+    // monotone shrink on the fixture graph too
+    val fx = Graph.peelProfile(Graph.coPartEdges(
+      Tables.lineitem(spark, dir))).collect()
+      .sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("n_edges")).toSeq
+    assert(fx == fx.sorted.reverse, s"edge counts not monotone: $fx")
+  }
+
   test("co-part edges honor the per-order cap and degree bins are 2^k") {
     // one order with CoPartCap + 3 distinct parts: only the lowest
     // CoPartCap expand into pairs
