@@ -1663,6 +1663,85 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_top_paths
+  // Top 3-step behavior paths: the Sankey/flow data one step deeper than
+  // events_transitions. Two leads share the transitions' single user
+  // exchange; the path space is |event types|³ ≤ 125 rows, so the global
+  // top-k rank runs over a bounded frame (the same bounded-output
+  // discipline as graph_degrees).
+  private val TopPathsK = 10
+  private def qTopPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("p1"))
+      .withColumn("p2", lead(col("p1"), 1).over(w))
+      .withColumn("p3", lead(col("p1"), 2).over(w))
+      .filter(col("p2").isNotNull && col("p3").isNotNull)
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n"))
+    val rw = Window.orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+    paths.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= TopPathsK)
+      .select(col("rk"), col("p1"), col("p2"), col("p3"), col("n"))
+      .orderBy(col("rk"))
+  }
+
+  private val sqlTopPaths: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS p1,
+       |    LEAD(event_type, 1) OVER w AS p2,
+       |    LEAD(event_type, 2) OVER w AS p3
+       |  FROM events WHERE ts IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id
+       |               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |), paths AS (
+       |  SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seq WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT rk, p1, p2, p3, n FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, p1, p2, p3) AS rk
+       |  FROM paths
+       |) WHERE rk <= $TopPathsK ORDER BY rk""".stripMargin
+
+  // ------------------------------------------------- scd_snapshot_diff
+  // Changelog.snapshotDiff between mid-January cutoffs — both snapshots
+  // from ONE conditional-argmax aggregation over one scan.
+  private val DiffT1 = "2024-01-10 00:00:00"
+  private val DiffT2 = "2024-01-20 00:00:00"
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changelog.snapshotDiff(Tables.events(s, dir),
+      lit(DiffT1).cast("timestamp"), lit(DiffT2).cast("timestamp"))
+
+  private val sqlSnapshotDiff: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$DiffT2'
+       |), s AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN ts <= TIMESTAMP '$DiffT1' THEN
+       |      struct_pack(t := ts, e := event_id, v := value) END) AS o,
+       |    CAST(COUNT(CASE WHEN ts <= TIMESTAMP '$DiffT1' THEN 1 END)
+       |      AS BIGINT) AS nv_old,
+       |    max(struct_pack(t := ts, e := event_id, v := value)) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS nv_new
+       |  FROM e GROUP BY user_id
+       |)
+       |SELECT user_id,
+       |  CASE WHEN o.e IS NULL THEN 'added' ELSE 'changed' END
+       |    AS change_type,
+       |  o.e AS event_id_old, n.e AS event_id_new,
+       |  o.v AS value_old, n.v AS value_new,
+       |  nv_new - nv_old AS new_versions
+       |FROM s
+       |WHERE o.e IS NULL OR o.e <> n.e
+       |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------- text_ngram_lm
   // Bigram language-model table (the KenLM-counts shape): conditional
   // continuation probabilities P(next|prefix) = c(prefix,next)/c(prefix,·),
@@ -2944,6 +3023,9 @@ object SparkEntry {
     "events_anomaly"    -> qAnomaly _,
     "events_cooccur"    -> qCooccur _,
     "events_transitions" -> qTransitions _,
+    "events_top_paths"  -> qTopPaths _,
+    "scd_snapshot_diff" -> qSnapshotDiff _,
+    "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(docs(s, d))),
     "events_debounce"   -> qDebounce _,
     "events_sequences"  -> qSequences _,
     "events_ema"        -> qEma _,
@@ -3145,6 +3227,9 @@ object SparkEntry {
     "events_anomaly"    -> sqlAnomaly,
     "events_cooccur"    -> sqlCooccur,
     "events_transitions" -> sqlTransitions,
+    "events_top_paths"  -> sqlTopPaths,
+    "scd_snapshot_diff" -> sqlSnapshotDiff,
+    "text_vocab_growth" -> TextOps.sqlVocabGrowth,
     "events_debounce"   -> sqlDebounce,
     "events_sequences"  -> sqlSequences,
     "events_ema"        -> sqlEma,

@@ -70,6 +70,42 @@ object Changelog {
         col("last.value").as("value"),
         col("n_versions"))
 
+  /** Snapshot diff: what changed per key between two as-of cutoffs
+    * (t1 ≤ t2) — the audit query behind "what changed this week". ONE
+    * scan, ONE exchange: both snapshots come out of the same aggregation
+    * as conditional thin argmaxes (`max(when(ts ≤ t1, struct))` beside
+    * the unconditional max over ts ≤ t2), never two asOf passes joined —
+    * at 100 TB the event scan is the cost and it is paid once, with the
+    * ts ≤ t2 bound pushed to the scan. Keys first seen inside (t1, t2]
+    * classify as `added`; a key whose latest change moved is `changed`
+    * (identity = event_id, not a double compare); unchanged keys are
+    * filtered out. `new_versions` counts the changes the window applied.
+    */
+  def snapshotDiff(events: DataFrame, t1: Column, t2: Column): DataFrame = {
+    val s = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("ts") <= t2)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts") <= t1,
+          struct(col("ts"), col("event_id"), col("value")))).as("o"),
+        count(when(col("ts") <= t1, lit(1))).as("nv_old"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("n"),
+        count(lit(1)).as("nv_new"))
+    s.withColumn("change_type",
+        when(col("o").isNull, "added")
+          .when(col("o.event_id") === col("n.event_id"), "unchanged")
+          .otherwise("changed"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("user_id"), col("change_type"),
+        col("o.event_id").as("event_id_old"),
+        col("n.event_id").as("event_id_new"),
+        col("o.value").as("value_old"),
+        col("n.value").as("value_new"),
+        (col("nv_new") - col("nv_old")).as("new_versions"))
+      .orderBy(col("user_id"))
+  }
+
   /** Incremental interval maintenance: fold a new batch of changes into an
     * existing interval table WITHOUT recomputing untouched keys. Keys
     * absent from the batch pass through verbatim (one anti join — no

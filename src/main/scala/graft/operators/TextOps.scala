@@ -48,6 +48,66 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- vocab growth
+  /** Corpus-prefix cut denominators for [[vocabGrowth]] (1/8, 1/4, 1/2,
+    * all of the corpus in doc_id order).
+    */
+  val GrowthCuts: Seq[Int] = Seq(8, 4, 2, 1)
+
+  /** Vocabulary-growth (Heaps' law, Heaps 1978) audit: distinct-word and
+    * token counts at nested corpus prefixes — the curve that sizes
+    * tokenizer vocabularies and detects boilerplate floods (vocabulary
+    * flattening while tokens grow = duplication).
+    *
+    * Scale shape: the corpus is exploded ONCE; per word, only the thin
+    * `min(doc_id)` first-occurrence row survives the (word) hash agg —
+    * every checkpoint then reads the |vocab|-row frame against a
+    * broadcast 4-row cut table (never re-scanning the corpus per cut).
+    * Token totals are a map-side count per doc against the same
+    * broadcast. Integer cuts (`m div d`), integer counts — no floating
+    * boundary can straddle an engine.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val cuts = docs.agg((max(col("doc_id")) + 1).as("m"))
+      .select(explode(array(GrowthCuts.map(d =>
+        expr(s"m div $d")): _*)).as("cut_docs"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("fd") < col("cut_docs"))
+      .groupBy(col("cut_docs")).agg(count(lit(1)).as("vocab_size"))
+    val toks = docs
+      .select(col("doc_id"), size(words(col("text"))).as("nt"))
+      .crossJoin(broadcast(cuts))
+      .filter(col("doc_id") < col("cut_docs"))
+      .groupBy(col("cut_docs")).agg(sum(col("nt")).cast("long")
+        .as("n_tokens"))
+    vocab.join(toks, Seq("cut_docs")).orderBy(col("cut_docs"))
+  }
+
+  def sqlVocabGrowth: String = {
+    val cutRows = GrowthCuts.map(d => s"SELECT m // $d AS cut_docs FROM b")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH b AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+       |cuts AS (
+       |  $cutRows
+       |), fd AS (
+       |  SELECT w, MIN(doc_id) AS fd FROM (
+       |    SELECT doc_id, unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) GROUP BY w
+       |), v AS (
+       |  SELECT cut_docs, CAST(COUNT(*) AS BIGINT) AS vocab_size
+       |  FROM fd, cuts WHERE fd < cut_docs GROUP BY cut_docs
+       |), t AS (
+       |  SELECT cut_docs,
+       |    CAST(SUM(len(${sqlWords("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents, cuts WHERE doc_id < cut_docs GROUP BY cut_docs
+       |)
+       |SELECT cut_docs, vocab_size, n_tokens FROM v JOIN t USING (cut_docs)
+       |ORDER BY cut_docs""".stripMargin
+  }
+
   // --------------------------------------------------------- quality score
   /** Length / stopword / vocabulary-diversity ratios combined into a
     * rational quality score (no logs — cross-engine exactness).

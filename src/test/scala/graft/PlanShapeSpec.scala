@@ -434,6 +434,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(liScans <= 4, s"expected ≤4 scans, saw $liScans:\n$p")
   }
 
+  test("scd_snapshot_diff: both snapshots from one scan, one exchange") {
+    val p = planTree("scd_snapshot_diff")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "diff must not scan events per snapshot:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "diff must be ONE keyed aggregation:\n" + p)
+  }
+
+  test("events_top_paths: both leads share one user window and exchange") {
+    val p = planTree("events_top_paths")
+    assert("Window".r.findAllIn(p).size <= 2, p) // user window + top-k rank
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "leads must fuse into the user exchange:\n" + p)
+  }
+
+  test("text_vocab_growth: checkpoints never re-scan the text column") {
+    val p = planTree("text_vocab_growth")
+    // 4 scans: first-occurrence explode + token counts (the two that
+    // read `text`) and the bounds aggregate once per branch (doc_id
+    // only — a thin columnar scan). Four CHECKPOINTS must not mean four
+    // text scans: the per-cut work reads the |vocab|-row frame against a
+    // broadcast cut table.
+    assert("FileScan parquet".r.findAllIn(p).size <= 4, p)
+    val textScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("text#"))
+      .size
+    assert(textScans <= 2, s"per-cut text rescan ($textScans):\n$p")
+  }
+
   test("graph_triangles: adjacency broadcasts; wedges never materialize") {
     val p = planTree("graph_triangles")
     // both endpoint lookups probe the broadcast adjacency table
