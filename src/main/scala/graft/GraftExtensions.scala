@@ -15,6 +15,7 @@ import graft.functions.{DotProductFloat, HeavyHitters, IntersectCountSorted, Pai
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinPhys.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier(VectorExprs.DotName),
       new ExpressionInfo(classOf[DotProductFloat].getName,

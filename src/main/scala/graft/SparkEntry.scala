@@ -553,6 +553,41 @@ object SparkEntry {
       |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- q50_asof_phys
+  // The SAME as-of semantics as q20 through the custom PHYSICAL operator
+  // (plans.AsOfJoinPhys: logical node + strategy + merge-join exec) —
+  // both formulations share this data shape and DuckDB's native ASOF
+  // oracle, so the gate proves the custom operator and the composed
+  // window form agree with a third engine simultaneously.
+  private def qAsOfPhys(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.plans.AsOfJoinPhys.asOf(l, r, Seq("k"), "ts", "rt", Seq("v"))
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlAsOfPhys: String =
+    """WITH l AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id % 20 AS k
+      |  FROM events
+      |), r AS (
+      |  SELECT o_custkey % 20 AS k, CAST(o_orderdate AS TIMESTAMP) AS rt,
+      |    MAX(o_totalprice) AS v
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT l.event_id, r.rt AS matched_time, r.v AS matched_value
+      |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.rt
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------- q45_asof_tolerance
   // Bounded backward as-of (merge_asof tolerance): right-side state times
   // are synthesized INTO the events window (q31's shift trick) so the
@@ -2823,6 +2858,7 @@ object SparkEntry {
     "q18_json"          -> qJson _,
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
+    "q50_asof_phys"     -> qAsOfPhys _,
     "q39_asof_forward"  -> qAsOfForward _,
     "q21_array_agg"     -> qArrayAgg _,
     "q22_string_funcs"  -> qStringFuncs _,
@@ -2908,6 +2944,7 @@ object SparkEntry {
     "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
     "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
     "stream_session_state" -> graft.streaming.StreamOracles.sessionState _,
+    "stream_join_state"  -> graft.streaming.StreamOracles.joinState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -3085,6 +3122,7 @@ object SparkEntry {
     "q18_json"          -> sqlJson,
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
+    "q50_asof_phys"     -> sqlAsOfPhys,
     "q39_asof_forward"  -> sqlAsOfForward,
     "q21_array_agg"     -> sqlArrayAgg,
     "q22_string_funcs"  -> sqlStringFuncs,
@@ -3145,6 +3183,7 @@ object SparkEntry {
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
     "stream_cms_state"   -> graft.streaming.StreamOracles.sqlCmsState,
     "stream_session_state" -> graft.streaming.StreamOracles.sqlSessionState,
+    "stream_join_state"  -> graft.streaming.StreamOracles.sqlJoinState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** The full custom-operator tier — (c) in the preference order: a
+  * [[BinaryNode]] logical plan, a [[SparkStrategy]], and a
+  * [[BinaryExecNode]] physical operator, injectable via
+  * `SparkSessionExtensions` ([[graft.GraftExtensions]]) or
+  * `spark.experimental.extraStrategies` ([[AsOfJoinPhys.register]]).
+  *
+  * Semantics: BACKWARD inclusive as-of join, identical to the composed
+  * [[graft.operators.AsOfJoin.asOf]] (each left row picks the latest
+  * right row with `rightTime <= leftTime` on its key; ties among right
+  * rows at one (key, time) resolve to the greatest value tuple; NULL
+  * times never match; inner — unmatched left rows drop). The two
+  * formulations are property-tested equal and share the same DuckDB
+  * `ASOF JOIN` oracle.
+  *
+  * Why a physical operator when the composition already costs one
+  * shuffle: the union form pads every row to the UNIONED schema — left
+  * rows carry a NULL match struct, right rows carry |left| NULL payload
+  * columns — so the single exchange moves |L|+|R| rows of width
+  * |L-cols|+|R-cols|, and the window buffers running state per frame.
+  * The merge operator exchanges each side at its OWN width and streams
+  * both sorted iterators with O(1) state per key (one buffered right
+  * row), no window machinery. Same exchange COUNT, strictly less
+  * exchanged volume and no per-frame state — at 100 TB the win is the
+  * padded-width delta, typically ~2× on wide enrichments.
+  *
+  * Plan integration: `requiredChildDistribution` asks for the same
+  * ClusteredDistribution pair as a shuffled join, so EnsureRequirements
+  * co-partitions the children (and AQE's ValidateRequirements guards any
+  * replan); `requiredChildOrdering` asks each side sorted by
+  * (keys, time[, value tiebreak]), so the sorts land BELOW the exchange
+  * boundary exactly as in sort-merge join.
+  */
+object AsOfJoinPhys {
+
+  /** Resolved logical node. Attribute params (not names) so column
+    * pruning sees real references and never prunes the key/time/value
+    * columns out of the children; `matchedAttrs` are pre-built with
+    * stable exprIds (computing output inside the node would mint fresh
+    * ids on every transform copy and break downstream resolution).
+    */
+  case class AsOfJoinNode(
+      left: LogicalPlan, right: LogicalPlan,
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+      leftTime: Attribute, rightTime: Attribute,
+      valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute])
+    extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ matchedAttrs
+    // matchedAttrs ride in `expressions` (constructor params), so without
+    // this they count as REFERENCES and CheckAnalysis flags them missing
+    // from the children — they are produced here, like Generate's output
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttrs)
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object AsOfJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case n: AsOfJoinNode =>
+        AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.valueAttrs, n.matchedAttrs,
+          planLater(n.left), planLater(n.right)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  case class AsOfJoinExec(
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+      leftTime: Attribute, rightTime: Attribute,
+      valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
+      left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] = left.output ++ matchedAttrs
+    // same missing-input story as the logical node: matchedAttrs sit in
+    // `expressions`, so they must be declared produced, not referenced
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttrs)
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) ::
+        ClusteredDistribution(rightKeys) :: Nil
+
+    /** Each side sorted by (keys, time); the right side additionally by
+      * the value tuple, which makes the buffered "latest" row — the LAST
+      * qualifying row in sort order — the greatest value tuple among
+      * same-(key, time) rows, the composed operator's documented
+      * tiebreak.
+      */
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys ++ (rightTime +: valueAttrs)).map(SortOrder(_, Ascending)))
+
+    override def outputOrdering: Seq[SortOrder] =
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val lOut = left.output
+      val rOut = right.output
+      val lKeys = leftKeys
+      val rKeys = rightKeys
+      val lTime = leftTime
+      val rTime = rightTime
+      val values = valueAttrs
+      left.execute().zipPartitions(right.execute()) { (li, ri) =>
+        val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+        val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+        val keyOrd =
+          RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        // widen to Expression: bindReference casts its result back to the
+        // argument's static type, and a bound Attribute is a BoundReference
+        val lTs = BindReferences.bindReference(
+          lTime: org.apache.spark.sql.catalyst.expressions.Expression, lOut)
+        val rTs = BindReferences.bindReference(
+          rTime: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
+        val resultProj =
+          UnsafeProjection.create(lOut ++ (rTime +: values), lOut ++ rOut)
+        val joined = new JoinedRow
+        val rBuf = ri.buffered
+
+        new Iterator[InternalRow] {
+          // the O(1) merge state: latest qualifying right row (copied —
+          // the child iterator reuses its UnsafeRow) and its key/time
+          private var cur: InternalRow = _
+          private var curKey: InternalRow = _
+          private var nextRow: InternalRow = _
+
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && li.hasNext) {
+              val l = li.next()
+              val ltsAny = lTs.eval(l)
+              if (ltsAny != null) { // NULL left time never matches
+                val lts = ltsAny.asInstanceOf[Long]
+                val lk = lKeyProj(l)
+                var done = false
+                while (!done && rBuf.hasNext) {
+                  val rk = rKeyProj(rBuf.head)
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0) { rBuf.next(); cur = null; curKey = null }
+                  else if (c > 0) done = true
+                  else {
+                    val rtAny = rTs.eval(rBuf.head)
+                    if (rtAny == null) rBuf.next() // NULL right time: skip
+                    else if (rtAny.asInstanceOf[Long] <= lts) {
+                      cur = rBuf.next().copy()
+                      curKey = rk.copy()
+                    } else done = true
+                  }
+                }
+                if (cur != null && curKey != null &&
+                    keyOrd.compare(curKey, lk) == 0) {
+                  nextRow = resultProj(joined(l, cur))
+                }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (nextRow == null) advance()
+            nextRow != null
+          }
+          override def next(): InternalRow = {
+            if (nextRow == null) advance()
+            val r = nextRow
+            nextRow = null
+            r
+          }
+        }
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Idempotently add the strategy to the session's experimental
+    * strategies (the runtime twin of the `SparkSessionExtensions`
+    * injection in [[graft.GraftExtensions]]).
+    */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_ eq AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** Public API: backward inclusive as-of join through the physical
+    * operator. Same contract as [[graft.operators.AsOfJoin.asOf]]:
+    * returns matched left rows + `matched_time` + `valueCols`. Time
+    * columns must be timestamp-typed (cast upstream, exactly like the
+    * composed form does internally).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    require(Seq(TimestampType, TimestampNTZType).contains(lt.dataType) &&
+      rt.dataType == lt.dataType,
+      s"as-of time columns must share a timestamp type, " +
+        s"got ${lt.dataType} vs ${rt.dataType}")
+    val values = valueCols.map(attr(rPlan, _))
+    val matched =
+      AttributeReference("matched_time", lt.dataType)() +:
+        values.map(v => AttributeReference(v.name, v.dataType)())
+    org.apache.spark.sql.graft.Shim.ofRows(spark,
+      AsOfJoinNode(lPlan, rPlan, keys.map(attr(lPlan, _)),
+        keys.map(attr(rPlan, _)), lt, rt, values, matched))
+  }
+}

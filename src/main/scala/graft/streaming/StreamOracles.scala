@@ -424,4 +424,56 @@ object StreamOracles {
 
   val sqlSessionState: String =
     graft.operators.Sessionize.sqlSessionsBuiltin
+
+  // --------------------------------------------------- stream_join_state
+  /** Stream-stream interval join ([[Streams.viewClickJoin]]: views ⋈
+    * clicks within the following 30 min, both sides watermarked 1 h)
+    * driven over TWO time-ordered micro-batches split at mid-month.
+    * Time-ordered — not parity — split on purpose: the watermark
+    * machinery is REAL here, and the oracle equality only holds because
+    * ascending batches make nothing late (batch-2 rows all sit above
+    * batch-1's watermark, while boundary-straddling view state survives
+    * in the 1 h-bounded join state to meet batch-2 clicks). The gate
+    * thus proves both the cross-batch join-state handoff AND that the
+    * watermark dropped exactly nothing; the batch oracle is the plain
+    * interval join.
+    */
+  def joinState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val src = cachedSrc(s"join|$dir") { d =>
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) < 16), d, 0)
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) >= 16), d, 1)
+    }
+    val ss = streamSession(spark)
+    val in = streamFiles(ss, src, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType))))
+    val name = s"graft_stream_join_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(
+      Streams.viewClickJoin(in), name, OutputMode.Append())
+    out.select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val sqlJoinState: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events WHERE ts IS NOT NULL
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts FROM e
+      |  WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts FROM e
+      |  WHERE event_type = 'click'
+      |)
+      |SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND c.click_ts >= v.view_ts
+      |  AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, v.view_id, c.click_id""".stripMargin
 }

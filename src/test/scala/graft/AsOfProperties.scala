@@ -78,6 +78,30 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: physical as-of operator equals the brute-force reference") {
+    // same reference as the composed backward form — the custom
+    // merge-join exec (plans.AsOfJoinPhys) must be indistinguishable,
+    // including NULL times, duplicate rows, ties at one (key, time),
+    // and one-sided keys, across real 4-partition shuffles
+    for (seed <- 81L to 92L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val out = graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"))
+        .select(col("k"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toList.sorted
+      assert(out == brute(ls, rs, forward = false),
+        s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
   /** Nearest reference: per the documented contract — backward candidate
     * is the greatest (time, value) tuple at its instant, forward the
     * least; closer side wins, distance ties go backward.

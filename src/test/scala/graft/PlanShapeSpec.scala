@@ -434,6 +434,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(liScans <= 4, s"expected ≤4 scans, saw $liScans:\n$p")
   }
 
+  test("q50: custom AsOfJoinExec plans as a sorted merge, no window") {
+    val p = planTree("q50_asof_phys")
+    // nodeName strips the Exec suffix; no `!` marker (missing input)
+    assert("\\bAsOfJoin\\b".r.findFirstIn(p).isDefined,
+      "custom operator not planned:\n" + p)
+    assert(!p.contains("!AsOfJoin"), "exec reports missing input:\n" + p)
+    // the merge consumes per-side sorts below the exchange boundary,
+    // exactly like sort-merge join — and never the union+window form
+    assert(!p.contains("Window"), "window machinery crept back:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Sort \\[k#\\d+L ASC".r.findAllIn(p).size == 2,
+      "per-side (key, time) sorts missing:\n" + p)
+  }
+
   test("scd_snapshot_diff: both snapshots from one scan, one exchange") {
     val p = planTree("scd_snapshot_diff")
     assert("FileScan parquet".r.findAllIn(p).size == 1,
