@@ -2985,6 +2985,9 @@ object SparkEntry {
       graft.operators.Layout.pruningAudit(Tables.lineitem(s, d))),
     "layout_hilbert"    -> ((s, d) =>
       graft.operators.Layout.hilbertAudit(Tables.lineitem(s, d))),
+    "layout_compaction" -> ((s, d) =>
+      graft.operators.Layout.compactionPlan(Tables.lineitem(s, d))),
+    "sim_dim_sweep"     -> ((s, d) => Similarity.dimSweepRecall(emb(s, d))),
     // the distinct customer–supplier pair set is the expensive subtree of
     // every graph query AND a useful product on its own — both entries
     // read the shared pinned edge memo, so a suite run builds it once
@@ -3214,6 +3217,8 @@ object SparkEntry {
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
     "layout_hilbert"    -> graft.operators.Layout.sqlHilbertAudit,
+    "layout_compaction" -> graft.operators.Layout.sqlCompactionPlan,
+    "sim_dim_sweep"     -> Similarity.sqlDimSweep,
     "graph_edges"       ->
       """SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

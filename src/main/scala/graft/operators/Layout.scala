@@ -110,6 +110,65 @@ object Layout {
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // --------------------------------------------------- compaction planner
+  /** Output file-group count for [[compactionPlan]]. */
+  val CompactGroups = 4
+
+  /** Small-file compaction planner — the OPTIMIZE-style maintenance op of
+    * a lakehouse table: pack the layout's [[NFiles]] files into
+    * [[CompactGroups]] contiguous target-sized rewrite groups by running
+    * prefix sums over the file manifest (contiguous in Z-key order, so
+    * each rewritten file still covers a compact key range and the
+    * zone-map bounds stay tight). `group_id = cum_before div target` is
+    * the standard deterministic bin-boundary assignment — groups can
+    * exceed the target by at most one input file, and no greedy
+    * driver-side loop is involved.
+    *
+    * Scale shape: the window runs over the FILE MANIFEST (|files| rows —
+    * 16 here, ~10⁶ at a 100 TB table), never the data; at manifest sizes
+    * where a single-partition window stings, the bucketized prefix-sum
+    * pattern of `TrainingData.shard` drops in unchanged. The data itself
+    * is only touched by the rewrite jobs the plan drives, one per group.
+    */
+  def compactionPlan(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = zorderAudit(lineitem).select(col("file_id"), col("n_rows"))
+    val total = files.agg(sum(col("n_rows")).as("total"))
+    val w = Window.orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.crossJoin(broadcast(total))
+      .withColumn("target",
+        expr(s"(total + ${CompactGroups - 1}) div $CompactGroups"))
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("group_id", expr("cum_before div target"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("group_rows"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .orderBy(col("group_id"))
+  }
+
+  def sqlCompactionPlan: String =
+    s"""WITH files AS (
+       |  SELECT file_id, n_rows FROM (
+       |    ${sqlZorderAudit.linesIterator.mkString("\n    ")}
+       |  )
+       |), t AS (
+       |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM files
+       |), c AS (
+       |  SELECT file_id, n_rows,
+       |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before,
+       |    (total + ${CompactGroups - 1}) // $CompactGroups AS target
+       |  FROM files, t
+       |)
+       |SELECT cum_before // target AS group_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(n_rows) AS BIGINT) AS group_rows,
+       |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+       |FROM c GROUP BY 1 ORDER BY group_id""".stripMargin
+
   // --------------------------------------------------- Hilbert curve layout
   /** Bits per dimension for the Hilbert key (256 cells per dim — plenty
     * for a [[NFiles]]-file audit; the curve's locality advantage is

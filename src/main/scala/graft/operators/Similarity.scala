@@ -105,6 +105,80 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Truncated dimensions for [[dimSweepRecall]] — nested power-of-two
+    * prefixes of the embedding.
+    */
+  val MrlDims: Seq[Int] = Seq(16, 32, 64)
+
+  /** Matryoshka-style truncated-dimension sweep (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022, popularized the
+    * pattern; the measurement itself is plain prefix-dim ANN): recall@k
+    * of brute-force search over only the FIRST d dimensions against the
+    * full-dim exact ranking — the curve that decides how far a deployment
+    * can truncate stored vectors (4× memory cut at Dim/4) before recall
+    * falls off. Pure composition: slice, then the same ranking and the
+    * same matched-depth recall as `sim_recall`. Scale shape: each sweep
+    * point is a |Q|-bounded query-side pass; candidate vectors are read
+    * once per point with the projection pruned to the sliced prefix.
+    */
+  def dimSweepRecall(emb: DataFrame): DataFrame = {
+    val exact = bruteTopK(emb).filter(col("rk") <= AnnTopK)
+    MrlDims.map { d =>
+      recallAtK(exact,
+        bruteTopK(emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding")))
+          .filter(col("rk") <= AnnTopK))
+        .select(lit(d.toLong).as("dim"), col("query_id"), col("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("dim"), col("query_id"))
+  }
+
+  /** [[sqlBruteTopK]] over only the first `dim` components. */
+  def sqlBruteTopKAt(dim: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS cand_id,
+       |    ${sqlCosine("q.qv", "e.embedding", dim)} AS cos
+       |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  def sqlDimSweep: String = {
+    val approxCtes = MrlDims.map { d =>
+      s"""a$d AS (
+         |  SELECT query_id, cand_id FROM (
+         |    ${sqlBruteTopKAt(d).linesIterator.mkString("\n    ")}
+         |  ) WHERE rk <= $AnnTopK
+         |)""".stripMargin
+    }.mkString(",\n")
+    val recallRows = MrlDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, e.query_id,
+         |    CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |  FROM ex e LEFT JOIN a$d a
+         |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |  GROUP BY e.query_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ex AS (
+       |  SELECT query_id, cand_id FROM (
+       |    ${sqlBruteTopKAt(Dim).linesIterator.mkString("\n    ")}
+       |  ) WHERE rk <= $AnnTopK
+       |),
+       |$approxCtes
+       |SELECT dim, query_id, recall FROM (
+       |  $recallRows
+       |) ORDER BY dim, query_id""".stripMargin
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * metric an ANN index is tuned by (raise nprobe / planes until recall
     * clears the target). Both inputs are (query_id, cand_id, ...) top-k

@@ -132,6 +132,29 @@ class LayoutGraphSpec extends SparkSuite {
       byProbe("part_bottom_eighth"))
   }
 
+  test("compaction plan partitions the manifest into contiguous groups") {
+    val li = Tables.lineitem(spark, dir)
+    val groups = Layout.compactionPlan(li).collect()
+    assert(groups.length <= Layout.CompactGroups)
+    assert(groups.map(_.getAs[Long]("group_rows")).sum == li.count())
+    // contiguous, ordered, non-overlapping file ranges
+    val ranges = groups.sortBy(_.getAs[Long]("group_id"))
+      .map(r => (r.getAs[Long]("first_file"), r.getAs[Long]("last_file")))
+    ranges.foreach { case (a, b) => assert(a <= b) }
+    ranges.sliding(2).foreach {
+      case Array((_, b1), (a2, _)) => assert(b1 < a2)
+      case _ =>
+    }
+  }
+
+  test("dim sweep: full-dim truncation is exact recall 1.0") {
+    val sweep = Similarity.dimSweepRecall(Tables.embeddings(spark, dir))
+      .collect()
+    assert(sweep.length == Similarity.MrlDims.length * Similarity.NQueries)
+    sweep.filter(_.getAs[Long]("dim") == Similarity.Dim.toLong)
+      .foreach(r => assert(r.getAs[Double]("recall") == 1.0))
+  }
+
   test("hilbert key matches the canonical xy2d walk and is a bijection") {
     // independent reference: the textbook coordinate-rewriting xy2d loop
     // (a DIFFERENT formulation from the state machine under test)
