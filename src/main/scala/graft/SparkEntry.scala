@@ -3010,6 +3010,9 @@ object SparkEntry {
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+    "graph_assortativity" -> ((s, d) =>
+      graft.operators.Graph.assortativity(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "q40_gap_fill"      -> qGapFill _,
     "q42_ohlc"          -> qOhlc _,
     "q43_retention"     -> qRetention _,
@@ -3227,6 +3230,7 @@ object SparkEntry {
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
     "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),
+    "graph_assortativity" -> graft.operators.Graph.sqlAssortativity,
     "q40_gap_fill"      -> sqlGapFill,
     "q42_ohlc"          -> sqlOhlc,
     "q43_retention"     -> sqlRetention,

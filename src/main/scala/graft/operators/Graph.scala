@@ -265,6 +265,73 @@ object Graph {
         col("n_nodes"))
       .orderBy(col("bin"))
 
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002): the Pearson correlation of (deg u, deg v) over the
+    * DIRECTED edge list (each undirected edge contributes both
+    * directions) — positive means hubs attach to hubs, the structural
+    * fact that decides whether hub-targeted peeling ([[peelProfile]]) or
+    * degree-ordered orientation ([[triangleStats]]) pays off.
+    *
+    * Determinism: every moment (m, Σx, Σy, Σxy, Σx², Σy²) is an EXACT
+    * 64-bit integer sum (degrees and their products are small); the
+    * final r combines them in a fixed handful of IEEE double ops —
+    * the cross-moment factors are cast to double BEFORE the
+    * denominator's product (their exact-long product would overflow
+    * past ~10⁹ edges), identically on both engines. One aggregate over
+    * the edge frame + one broadcast-degree join: no shuffle beyond the
+    * degree aggregation.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val da = deg.select(col("id").as("pa"), col("deg").as("da"))
+    val db = deg.select(col("id").as("pb"), col("deg").as("db"))
+    val both = edges.join(broadcast(da), Seq("pa"))
+      .join(broadcast(db), Seq("pb"))
+      .select(col("da").as("x"), col("db").as("y"))
+      .unionByName(edges.join(broadcast(da), Seq("pa"))
+        .join(broadcast(db), Seq("pb"))
+        .select(col("db").as("x"), col("da").as("y")))
+    both.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // a degree-regular graph has zero variance: r is 0/0 — surface NaN
+      // explicitly (ANSI division would throw; DuckDB would emit NaN)
+      .withColumn("denom",
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * (col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select(col("m").as("n_directed_edges"),
+        when(col("denom") =!= 0.0,
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / col("denom"))
+          .otherwise(lit(Double.NaN)).as("assortativity"))
+  }
+
+  def sqlAssortativity: String =
+    s"""WITH $sqlCoPartCtes, bd AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM pairs p JOIN deg da ON p.pa = da.id JOIN deg db ON p.pb = db.id
+       |  UNION ALL
+       |  SELECT db.deg, da.deg
+       |  FROM pairs p JOIN deg da ON p.pa = da.id JOIN deg db ON p.pb = db.id
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM bd
+       |)
+       |SELECT m AS n_directed_edges,
+       |  CASE WHEN sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+       |                 * CAST(m * syy - sy * sy AS DOUBLE)) <> 0
+       |       THEN CAST(m * sxy - sx * sy AS DOUBLE) /
+       |            sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+       |               * CAST(m * syy - sy * sy AS DOUBLE))
+       |       ELSE CAST('NaN' AS DOUBLE) END AS assortativity
+       |FROM s""".stripMargin
+
   /** k-core peel threshold and round count. 100 sits at the fixture
     * degree median (87–112 across SFs), so every round removes real mass;
     * the FIXED round count makes the profile a deterministic, oracle-able

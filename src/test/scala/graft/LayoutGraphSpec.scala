@@ -272,6 +272,17 @@ class LayoutGraphSpec extends SparkSuite {
     assert(fx == fx.sorted.reverse, s"edge counts not monotone: $fx")
   }
 
+  test("assortativity: star graph is exactly -1; K4 is degree-regular") {
+    def r(edges: Seq[(Long, Long)]): Double =
+      Graph.assortativity(edges.toDF("pa", "pb")).collect()
+        .head.getAs[Double]("assortativity")
+    // hub-to-leaf only: maximal disassortativity, integer-exact -1
+    assert(r((1L to 5L).map(l => (0L, l))) == -1.0)
+    // a regular graph has zero degree variance: r is NaN (0/0), never a
+    // fabricated 0 — callers see the undefinedness
+    assert(r(for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)).isNaN)
+  }
+
   test("co-part edges honor the per-order cap and degree bins are 2^k") {
     // one order with CoPartCap + 3 distinct parts: only the lowest
     // CoPartCap expand into pairs
