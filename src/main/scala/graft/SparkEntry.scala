@@ -1698,6 +1698,79 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_forecast_naive
+  // Seasonal-naive forecasting baseline (the standard yardstick of the
+  // M-competitions: predict hour h of day d with hour h of day d−7) and
+  // its MAE per event type — the first number any demand-forecast
+  // pipeline must beat. The evaluation grid is DENSE (every (type, day,
+  // hour) cell from day 8 on, zero-filled on both the actual and the
+  // predicted side): skipping empty cells would silently score only the
+  // easy nonzero hours. Shape: one (type, day, hour) count aggregate,
+  // the grid via sequence-explode against a broadcast 1-row bounds
+  // frame, two left joins back to the counts, one final agg; counts and
+  // absolute errors are exact integers, MAE is the single division.
+  private def qForecastNaive(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        hour(col("ts")).cast("long").as("h"))
+    val counts = e.groupBy(col("event_type"), col("d"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(date_add(d0, 7), d1)")).as("d"))
+      .select(col("event_type"), col("d"),
+        explode(expr("sequence(0L, 23L)")).as("h"))
+    val pred = counts.select(col("event_type"),
+      date_add(col("d"), 7).as("d"), col("h"), col("n").as("np"))
+    grid.join(counts, Seq("event_type", "d", "h"), "left")
+      .join(pred, Seq("event_type", "d", "h"), "left")
+      .select(col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("np"), lit(0L)).as("np"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(abs(col("n") - col("np"))).as("abs_err_sum"))
+      .select(col("event_type"), col("n_cells"), col("abs_err_sum"),
+        (col("abs_err_sum").cast("double") / col("n_cells").cast("double"))
+          .as("mae"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlForecastNaive: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL
+      |), counts AS (
+      |  SELECT event_type, d, h, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1, 2, 3
+      |), b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 + 7 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM b
+      |), hours AS (
+      |  SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS h
+      |), grid AS (
+      |  SELECT t.event_type, days.d, hours.h
+      |  FROM (SELECT DISTINCT event_type FROM e) t, days, hours
+      |), cells AS (
+      |  SELECT g.event_type,
+      |    COALESCE(c.n, 0) AS n, COALESCE(p.np, 0) AS np
+      |  FROM grid g
+      |  LEFT JOIN counts c
+      |    ON g.event_type = c.event_type AND g.d = c.d AND g.h = c.h
+      |  LEFT JOIN (
+      |    SELECT event_type, d + 7 AS d, h, n AS np FROM counts
+      |  ) p ON g.event_type = p.event_type AND g.d = p.d AND g.h = p.h
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(abs(n - np)) AS BIGINT) AS abs_err_sum,
+      |  CAST(SUM(abs(n - np)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae
+      |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- events_top_paths
   // Top 3-step behavior paths: the Sankey/flow data one step deeper than
   // events_transitions. Two leads share the transitions' single user
@@ -3067,6 +3140,8 @@ object SparkEntry {
     "events_cooccur"    -> qCooccur _,
     "events_transitions" -> qTransitions _,
     "events_top_paths"  -> qTopPaths _,
+    "events_forecast_naive" -> qForecastNaive _,
+    "sim_cell_balance"  -> ((s, d) => Similarity.cellBalance(emb(s, d))),
     "scd_snapshot_diff" -> qSnapshotDiff _,
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(docs(s, d))),
     "events_debounce"   -> qDebounce _,
@@ -3276,6 +3351,8 @@ object SparkEntry {
     "events_cooccur"    -> sqlCooccur,
     "events_transitions" -> sqlTransitions,
     "events_top_paths"  -> sqlTopPaths,
+    "events_forecast_naive" -> sqlForecastNaive,
+    "sim_cell_balance"  -> Similarity.sqlCellBalance,
     "scd_snapshot_diff" -> sqlSnapshotDiff,
     "text_vocab_growth" -> TextOps.sqlVocabGrowth,
     "events_debounce"   -> sqlDebounce,

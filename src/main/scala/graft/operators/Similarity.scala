@@ -529,6 +529,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF cell-population balance audit: per-cell vector counts and
+    * corpus share. Imbalance is THE operational failure mode of an IVF
+    * index — one hot cell makes every probe of it a linear scan — and
+    * this is the report that decides when to re-train centroids
+    * ([[ivfKmeans]]) or raise the cell count. One broadcast-centroid
+    * assignment pass + one tiny aggregate; the share division is a
+    * single exact-int-over-exact-int IEEE op.
+    */
+  def cellBalance(emb: DataFrame): DataFrame = {
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val counts = nearestCell(scored)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  def sqlCellBalance: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), assigned AS (
+       |  SELECT vec_id, cent_id AS bucket FROM (
+       |    SELECT n.vec_id, cents.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY n.vec_id ORDER BY
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)} / (n.nrm * cents.cnrm)
+       |        DESC, cents.cent_id) AS rn
+       |    FROM n, cents
+       |  ) WHERE rn = 1
+       |), counts AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM assigned GROUP BY bucket
+       |), t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM counts)
+       |SELECT bucket, n_vectors,
+       |  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM counts, t ORDER BY bucket""".stripMargin
+
   /** Multiprobe IVF: queries probe their top-`nprobe` cells (candidates
     * stay in their own cell) — recall grows with nprobe at linear candidate
     * cost, same hash-partitioned join. This is the knob a 100 TB ANN
