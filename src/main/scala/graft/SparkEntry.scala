@@ -1698,6 +1698,52 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_active_users
+  // DAU + trailing-7-day WAU — the staple engagement report. The
+  // scalable WAU formulation: a rolling DISTINCT cannot ride a window
+  // frame, so each (user, active-day) pair — already deduplicated, the
+  // frame is |users|·|days| at most — explodes into the ≤7 report days
+  // it covers, and WAU is a plain count-distinct per covered day. At
+  // 100 TB the explode factor is the constant 7 and both aggregates
+  // hash-partition on (user, day); no per-day rescans, no quadratic
+  // self-join over the window.
+  private def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val bounds = ud.agg(max(col("d")).as("d1"))
+    val wau = ud.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr("sequence(d, least(date_add(d, 6), d1))")).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col("wau"))
+      .orderBy(col("d"))
+  }
+
+  private val sqlActiveUsers: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), dau AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+      |), b AS (SELECT MAX(d) AS d1 FROM ud),
+      |cov AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+      |      CAST(least(d + 6, d1) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+      |      AS d
+      |  FROM ud, b
+      |), wau AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM cov GROUP BY d
+      |)
+      |SELECT dau.d, dau.dau, wau.wau
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY dau.d""".stripMargin
+
   // ------------------------------------------------- events_forecast_naive
   // Seasonal-naive forecasting baseline (the standard yardstick of the
   // M-competitions: predict hour h of day d with hour h of day d−7) and
@@ -3141,6 +3187,10 @@ object SparkEntry {
     "events_transitions" -> qTransitions _,
     "events_top_paths"  -> qTopPaths _,
     "events_forecast_naive" -> qForecastNaive _,
+    "events_active_users" -> qActiveUsers _,
+    "graph_bfs"         -> ((s, d) =>
+      graft.operators.Graph.bfsLevels(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "sim_cell_balance"  -> ((s, d) => Similarity.cellBalance(emb(s, d))),
     "scd_snapshot_diff" -> qSnapshotDiff _,
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(docs(s, d))),
@@ -3352,6 +3402,8 @@ object SparkEntry {
     "events_transitions" -> sqlTransitions,
     "events_top_paths"  -> sqlTopPaths,
     "events_forecast_naive" -> sqlForecastNaive,
+    "events_active_users" -> sqlActiveUsers,
+    "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,
     "sim_cell_balance"  -> Similarity.sqlCellBalance,
     "scd_snapshot_diff" -> sqlSnapshotDiff,
     "text_vocab_growth" -> TextOps.sqlVocabGrowth,

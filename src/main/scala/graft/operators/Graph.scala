@@ -265,6 +265,77 @@ object Graph {
         col("n_nodes"))
       .orderBy(col("bin"))
 
+  /** BFS seed set (parts with id < BfsSeeds) and level cap. Like
+    * [[PeelRounds]], the FIXED level count keeps the profile
+    * deterministic and oracle-unrollable; production BFS iterates the
+    * same per-level plan until the frontier empties.
+    */
+  val BfsSeeds = 5
+  val BfsLevels = 3
+
+  /** Frontier BFS level profile (the level-synchronous BFS of Beamer's
+    * direction-optimizing formulation, top-down half): per level, the
+    * newly-reached node count — reachability with distance, the third
+    * iterative-dataflow shape beside [[pagerankFrom]] (value propagation)
+    * and [[Dedup.connectedComponents]] (label convergence).
+    *
+    * Scale shape per level: frontier ⋈ edges on the frontier key (the
+    * frontier is the SMALL side — broadcast when it fits, hash join
+    * otherwise), then one anti join against the visited set; frames are
+    * bounded by |V| and the visited set only grows. Both sets are
+    * [[Iterate.pin]]ned per level. On the dense fixture graph the
+    * frontier saturates in 2 levels — exactly what the profile shows.
+    */
+  def bfsLevels(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val nodes = degrees(edges).select(col("id"))
+    var frontier = nodes.filter(col("id") < BfsSeeds)
+    var visited = frontier
+    var out = frontier.agg(count(lit(1)).as("n_reached"))
+      .select(lit(0L).as("level"), col("n_reached"))
+    for (l <- 1 to BfsLevels) {
+      val next = und.join(frontier.select(col("id").as("u")), Seq("u"))
+        .select(col("v").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      // only the frontier pins (it feeds the expansion join, the anti
+      // probe AND the count); visited is a shallow union of ALREADY
+      // pinned frontiers, so pinning it would just double the
+      // materialization jobs per level
+      frontier = Iterate.pin(next)
+      visited = visited.unionByName(frontier)
+      out = out.unionByName(
+        frontier.agg(count(lit(1)).as("n_reached"))
+          .select(lit(l.toLong).as("level"), col("n_reached")))
+    }
+    out.orderBy(col("level"))
+  }
+
+  def sqlBfsLevels: String = {
+    val rounds = (1 to BfsLevels).map { l =>
+      s"""f$l AS (
+         |  SELECT DISTINCT e.v AS id
+         |  FROM und e JOIN f${l - 1} f ON e.u = f.id
+         |  WHERE e.v NOT IN (SELECT id FROM vis${l - 1})
+         |), vis$l AS (
+         |  SELECT id FROM vis${l - 1} UNION SELECT id FROM f$l
+         |)""".stripMargin
+    }.mkString(",\n")
+    val levelRows = (0 to BfsLevels).map { l =>
+      s"SELECT CAST($l AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_reached FROM f$l"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $sqlCoPartCtes, und AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), f0 AS (
+       |  SELECT id FROM deg WHERE id < $BfsSeeds
+       |), vis0 AS (SELECT id FROM f0),
+       |$rounds
+       |SELECT level, n_reached FROM (
+       |  $levelRows
+       |) ORDER BY level""".stripMargin
+  }
+
   /** Degree assortativity (Newman, "Assortative mixing in networks",
     * PRL 2002): the Pearson correlation of (deg u, deg v) over the
     * DIRECTED edge list (each undirected edge contributes both

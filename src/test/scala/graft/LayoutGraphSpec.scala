@@ -272,6 +272,15 @@ class LayoutGraphSpec extends SparkSuite {
     assert(fx == fx.sorted.reverse, s"edge counts not monotone: $fx")
   }
 
+  test("bfs levels: path graph advances one hop per level") {
+    // path 0-1-…-9: seeds {0..4} (ids < BfsSeeds), frontier then walks
+    // 5, 6, 7 — one new node per level
+    val path = (0L to 8L).map(i => (i, i + 1))
+    val prof = Graph.bfsLevels(path.toDF("pa", "pb")).collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("n_reached"))).toSeq
+    assert(prof == Seq((0L, 5L), (1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("assortativity: star graph is exactly -1; K4 is degree-regular") {
     def r(edges: Seq[(Long, Long)]): Double =
       Graph.assortativity(edges.toDF("pa", "pb")).collect()
