@@ -1698,6 +1698,68 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_cohort_ltv
+  // Cohort lifetime-value accumulation: users grouped by first-seen week,
+  // per (cohort, age-week) active counts and value, plus CUMULATIVE
+  // value per cohort — the LTV curve behind payback-period decisions.
+  // The cumsum deliberately avoids a running double window: engines
+  // disagree on windowed-double ADD ORDER (Spark runs sequentially,
+  // DuckDB's segment tree pairs differently), so the accumulation is a
+  // triangle join over the tiny (cohort × age) frame with the
+  // exact-decimal sum — order-independent, hash-stable.
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val e = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val base = e.agg(min(col("d")).as("g0"))
+    val agg = e.join(firstDay, Seq("user_id"))
+      .crossJoin(broadcast(base))
+      .select(expr("datediff(d0, g0) div 7").as("cohort_week"),
+        expr("datediff(d, d0) div 7").as("age_week"),
+        col("user_id"), col("value"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        Exact.xsum(col("value")).as("week_value"))
+    val b = agg.select(col("cohort_week"), col("age_week").as("bw"),
+      col("week_value").as("bv"))
+    agg.join(b, Seq("cohort_week"))
+      .filter(col("bw") <= col("age_week"))
+      .groupBy(col("cohort_week"), col("age_week"),
+        col("n_active"), col("week_value"))
+      .agg(Exact.xsum(col("bv")).as("cum_value"))
+      .select(col("cohort_week"), col("age_week"), col("n_active"),
+        col("week_value"), col("cum_value"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
+  private val sqlCohortLtv: String = {
+    import graft.functions.Exact
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), f AS (
+       |  SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id
+       |), g AS (SELECT MIN(d) AS g0 FROM e),
+       |cells AS (
+       |  SELECT (f.d0 - g.g0) // 7 AS cohort_week,
+       |    (e.d - f.d0) // 7 AS age_week, e.user_id, e.value
+       |  FROM e JOIN f USING (user_id), g
+       |), agg AS (
+       |  SELECT cohort_week, age_week,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+       |    ${Exact.sqlSum("value")} AS week_value
+       |  FROM cells GROUP BY 1, 2
+       |)
+       |SELECT a.cohort_week, a.age_week, a.n_active, a.week_value,
+       |  ${Exact.sqlSum("b.week_value")} AS cum_value
+       |FROM agg a JOIN agg b
+       |  ON a.cohort_week = b.cohort_week AND b.age_week <= a.age_week
+       |GROUP BY a.cohort_week, a.age_week, a.n_active, a.week_value
+       |ORDER BY a.cohort_week, a.age_week""".stripMargin
+  }
+
   // ------------------------------------------------- events_active_users
   // DAU + trailing-7-day WAU — the staple engagement report. The
   // scalable WAU formulation: a rolling DISTINCT cannot ride a window
@@ -3188,6 +3250,8 @@ object SparkEntry {
     "events_top_paths"  -> qTopPaths _,
     "events_forecast_naive" -> qForecastNaive _,
     "events_active_users" -> qActiveUsers _,
+    "events_cohort_ltv" -> qCohortLtv _,
+    "corpus_pack_audit" -> ((s, d) => TrainingData.packAudit(docs(s, d))),
     "graph_bfs"         -> ((s, d) =>
       graft.operators.Graph.bfsLevels(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
@@ -3403,6 +3467,8 @@ object SparkEntry {
     "events_top_paths"  -> sqlTopPaths,
     "events_forecast_naive" -> sqlForecastNaive,
     "events_active_users" -> sqlActiveUsers,
+    "events_cohort_ltv" -> sqlCohortLtv,
+    "corpus_pack_audit" -> TrainingData.sqlPackAudit,
     "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,
     "sim_cell_balance"  -> Similarity.sqlCellBalance,
     "scd_snapshot_diff" -> sqlSnapshotDiff,

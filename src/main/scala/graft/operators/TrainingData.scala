@@ -169,6 +169,50 @@ object TrainingData {
        |    - tok_offset // $CtxLen + 1 AS n_packs
        |FROM cum ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ packing audit
+  /** Per-context-window packing audit over [[pack]]'s layout: how many
+    * documents each `CtxLen` window spans (= cross-document attention
+    * boundaries the training masking must handle) and its token fill
+    * (every window is full except the stream's last — padding waste
+    * shows up here the moment packing regresses). Shape: the pack frame
+    * explodes each doc into the ≤(n_packs) windows it touches — fan-out
+    * is (doc tokens)/CtxLen + 1, bounded and data-proportional — then
+    * ONE hash aggregate per window; the overlap arithmetic is pure
+    * integer min/max.
+    */
+  def packAudit(docs: DataFrame): DataFrame = {
+    pack(docs)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        explode(expr("sequence(pack_first, pack_last)")).as("pack_id"))
+      .select(col("doc_id"), col("pack_id"),
+        (least(col("tok_offset") + col("n_tokens"),
+          (col("pack_id") + 1) * CtxLen)
+          - greatest(col("tok_offset"), col("pack_id") * CtxLen))
+          .as("toks_in_pack"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("toks_in_pack")).as("n_tokens"))
+      .orderBy(col("pack_id"))
+  }
+
+  def sqlPackAudit: String =
+    s"""WITH packed AS (
+       |  ${sqlPack.linesIterator.mkString("\n  ")}
+       |), spans AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(generate_series(pack_first, pack_last)) AS BIGINT)
+       |      AS pack_id,
+       |    n_tokens, tok_offset
+       |  FROM packed
+       |)
+       |SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS first_doc,
+       |  CAST(SUM(least(tok_offset + n_tokens, (pack_id + 1) * $CtxLen)
+       |         - greatest(tok_offset, pack_id * $CtxLen)) AS BIGINT)
+       |    AS n_tokens
+       |FROM spans GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   // -------------------------------------------------- repetition (quality)
   /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
     * Models" §A1.1 — the duplicate-fraction family): fraction of tokens in
