@@ -2257,6 +2257,23 @@ object SparkEntry {
       |FROM e
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ------------------------------------------------- scd_gc
+  // Temporal-table VACUUM: Changelog.gcIntervals at the time-travel
+  // horizon — the kept set is the minimal subset preserving every as-of
+  // at t >= horizon (invariance property-tested in Round4ExtSpec).
+  private def qScdGc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changelog.gcIntervals(
+      graft.operators.Changelog.intervals(Tables.events(s, dir)),
+      lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  private val sqlScdGc: String =
+    s"""SELECT * FROM (
+       |  ${sqlScdIntervals.linesIterator.mkString("\n  ")}
+       |) WHERE valid_to IS NULL
+       |   OR valid_to > TIMESTAMP '2024-01-15 00:00:00'
+       |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // ------------------------------------------------- scd_timetravel
   // Point-in-time reconstruction: the table state AS OF a cutoff — the
   // query the SCD2 interval table exists to serve. Implemented as a thin
@@ -3269,6 +3286,7 @@ object SparkEntry {
     "events_gap_stats"  -> qGapStats _,
     "events_multitouch" -> qMultiTouch _,
     "scd_intervals"     -> qScdIntervals _,
+    "scd_gc"            -> qScdGc _,
     "scd_interval_merge" -> qIntervalMerge _,
     "scd_timetravel"    -> qTimeTravel _,
     "corpus_curriculum" -> qCurriculum _,
@@ -3486,6 +3504,7 @@ object SparkEntry {
     "events_gap_stats"  -> sqlGapStats,
     "events_multitouch" -> sqlMultiTouch,
     "scd_intervals"     -> sqlScdIntervals,
+    "scd_gc"            -> sqlScdGc,
     // the incremental merge must equal the from-scratch interval build —
     // its oracle IS the full-recompute SQL
     "scd_interval_merge" -> sqlScdIntervals,

@@ -70,6 +70,21 @@ object Changelog {
         col("last.value").as("value"),
         col("n_versions"))
 
+  /** SCD2 history garbage collection (the temporal-table VACUUM): drop
+    * every version row fully superseded BEFORE `horizon`. The kept set —
+    * `valid_to IS NULL OR valid_to > horizon` — is exactly the minimal
+    * subset that preserves every as-of query at `t ≥ horizon`: a version
+    * covering instant t satisfies `valid_from ≤ t < valid_to`, which for
+    * t ≥ horizon forces `valid_to > horizon` (or open). That invariant is
+    * property-tested (asOf via intervals, before vs after GC, at and
+    * beyond the horizon). One map-side filter over the interval table —
+    * at 100 TB this is the retention job that keeps the history table
+    * from growing without bound, and with `valid_to`-range file
+    * statistics it prunes to the tail files.
+    */
+  def gcIntervals(intervals: DataFrame, horizon: Column): DataFrame =
+    intervals.filter(col("valid_to").isNull || col("valid_to") > horizon)
+
   /** Snapshot diff: what changed per key between two as-of cutoffs
     * (t1 ≤ t2) — the audit query behind "what changed this week". ONE
     * scan, ONE exchange: both snapshots come out of the same aggregation

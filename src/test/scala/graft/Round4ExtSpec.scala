@@ -515,4 +515,24 @@ class Round4ExtSpec extends SparkSuite {
       ("a", 2, "c", 1L, 3L, 1.0 / 3.0),
       ("b", 1, "a", 2L, 2L, 1.0)))
   }
+
+  test("scd gc preserves every as-of at or beyond the horizon") {
+    val full = Changelog.intervals(Tables.events(spark, dir))
+    val horizon = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    val gc = Changelog.gcIntervals(full, horizon)
+    // real shrinkage: versions fully superseded before the horizon drop
+    assert(gc.count() < full.count())
+    def asOfFrom(iv: DataFrame, t: org.apache.spark.sql.Column) =
+      iv.filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select("user_id", "valid_from", "event_id", "value")
+    // at the horizon itself and strictly beyond: identical reconstruction
+    for (t <- Seq("2024-01-15 00:00:00", "2024-01-22 12:34:56")) {
+      val tc = lit(t).cast("timestamp_ntz")
+      val a = asOfFrom(full, tc)
+      val b = asOfFrom(gc, tc)
+      assert(a.count() > 0)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, t)
+    }
+  }
 }
