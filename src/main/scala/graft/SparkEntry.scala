@@ -1698,6 +1698,65 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_benford
+  // First-significant-digit profile of transaction values vs Benford's
+  // law expectation — the forensic-accounting screen. Engine-exactness
+  // notes: `floor` (not a double→int CAST: Spark truncates, DuckDB
+  // ROUNDS) and an integer digit extraction via decimal string length
+  // (never log10, which can land on a power-of-ten boundary
+  // differently); the expected share log10(1 + 1/d) is the ONE place a
+  // transcendental appears, and both engines' correctly-rounded log10 of
+  // the same small rational agrees bit-for-bit... except it is NOT
+  // guaranteed for log — so the expectation ships as 17-digit literals
+  // computed once, not as an engine call.
+  private val BenfordExpected: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("value") >= 1.0)
+      .select(floor(col("value")).cast("long").as("v"))
+      .withColumn("digit",
+        expr("cast(v div cast(pow(10, length(cast(v as string)) - 1) as long) as int)"))
+    val expected = s.createDataFrame(
+      BenfordExpected.toSeq.sortBy(_._1)).toDF("digit", "expected_share")
+    val total = vals.agg(count(lit(1)).as("total"))
+    vals.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        col("expected_share"))
+      .orderBy(col("digit"))
+  }
+
+  private val sqlBenford: String = {
+    val expectedRows = BenfordExpected.toSeq.sortBy(_._1).map {
+      case (d, e) =>
+        // string→double parse (correct rounding); a bare numeric literal
+        // would route through DECIMAL in DuckDB and land 1 ulp off
+        s"SELECT $d AS digit, CAST('${java.lang.Double.toString(e)}' AS DOUBLE) AS expected_share"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH vals AS (
+       |  SELECT CAST(floor(value) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL AND value >= 1.0
+       |), digits AS (
+       |  SELECT CAST(v // CAST(pow(10, length(CAST(v AS VARCHAR)) - 1)
+       |    AS BIGINT) AS INTEGER) AS digit
+       |  FROM vals
+       |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+       |exp AS (
+       |  $expectedRows
+       |), counts AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM digits GROUP BY digit
+       |)
+       |SELECT c.digit, c.n,
+       |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       |  e.expected_share
+       |FROM counts c JOIN exp e ON c.digit = e.digit CROSS JOIN t
+       |ORDER BY c.digit""".stripMargin
+  }
+
   // ------------------------------------------------- events_cohort_ltv
   // Cohort lifetime-value accumulation: users grouped by first-seen week,
   // per (cohort, age-week) active counts and value, plus CUMULATIVE
@@ -3268,11 +3327,14 @@ object SparkEntry {
     "events_forecast_naive" -> qForecastNaive _,
     "events_active_users" -> qActiveUsers _,
     "events_cohort_ltv" -> qCohortLtv _,
+    "events_benford"    -> qBenford _,
+    "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
     "corpus_pack_audit" -> ((s, d) => TrainingData.packAudit(docs(s, d))),
     "graph_bfs"         -> ((s, d) =>
       graft.operators.Graph.bfsLevels(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "sim_cell_balance"  -> ((s, d) => Similarity.cellBalance(emb(s, d))),
+    "sim_pq_distortion" -> ((s, d) => Similarity.pqDistortion(emb(s, d))),
     "scd_snapshot_diff" -> qSnapshotDiff _,
     "text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(docs(s, d))),
     "events_debounce"   -> qDebounce _,
@@ -3486,9 +3548,12 @@ object SparkEntry {
     "events_forecast_naive" -> sqlForecastNaive,
     "events_active_users" -> sqlActiveUsers,
     "events_cohort_ltv" -> sqlCohortLtv,
+    "events_benford"    -> sqlBenford,
+    "text_lang_confusion" -> TextOps.sqlLangConfusion,
     "corpus_pack_audit" -> TrainingData.sqlPackAudit,
     "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,
     "sim_cell_balance"  -> Similarity.sqlCellBalance,
+    "sim_pq_distortion" -> Similarity.sqlPqDistortion,
     "scd_snapshot_diff" -> sqlSnapshotDiff,
     "text_vocab_growth" -> TextOps.sqlVocabGrowth,
     "events_debounce"   -> sqlDebounce,

@@ -1203,6 +1203,83 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------- PQ distortion
+  /** Per-subspace PQ reconstruction distortion — mean squared error
+    * between each subvector and its assigned codebook entry (Jégou 2011's
+    * quantization-error term). The audit that pairs with
+    * [[ivfPqTopK]]/recall: recall tells you what the index MISSES,
+    * distortion tells you WHY (which subspace's codebook is too coarse)
+    * and when to re-train ([[pqKmeans]]) or raise the code count.
+    *
+    * Determinism: the squared distance expands to three per-row dot
+    * products (fixed IEEE op sequences); the per-subspace mean goes
+    * through the exact-decimal sum so partition order cannot move the
+    * result. Shape: the same broadcast-codebook encode pass as every PQ
+    * op, then one 4-row aggregate.
+    */
+  def pqDistortion(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val subs = subvectors(emb, "id")
+    val codebook = subs.filter(col("id") < PqK)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val codes = encode(subs, codebook)
+    subs.join(codes, Seq("id", "m"))
+      .join(broadcast(codebook), Seq("m", "code"))
+      .select(col("m"),
+        (dotD(col("sv"), col("sv")) - lit(2.0) * dotD(col("sv"), col("cv"))
+          + dotD(col("cv"), col("cv"))).as("d2"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"), Exact.xsum(col("d2"), 9).as("sse"))
+      .select(col("m"), col("n_vectors"), col("sse"),
+        (col("sse") / col("n_vectors").cast("double"))
+          .as("mean_distortion"))
+      .orderBy(col("m"))
+  }
+
+  def sqlPqDistortion: String = {
+    import graft.functions.Exact
+    val subDefs = (0 until PqM).map { m =>
+      s"SELECT vec_id AS id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv"
+    }.mkString("\n  UNION ALL\n  ")
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), subs AS (
+       |  $subDefs
+       |), codebook AS (
+       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+       |  FROM subs WHERE id < $PqK
+       |), codes AS (
+       |  SELECT id, m, code FROM (
+       |    SELECT s.id, s.m, c.code, ROW_NUMBER() OVER (
+       |      PARTITION BY s.id, s.m
+       |      ORDER BY ${dotSub("c.cv", "c.cv")}
+       |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+       |    ) AS rn
+       |    FROM subs s JOIN codebook c ON s.m = c.m
+       |  ) WHERE rn = 1
+       |), errs AS (
+       |  SELECT s.m,
+       |    ${dotSub("s.sv", "s.sv")}
+       |      - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "cb.cv")}
+       |      + ${dotSub("cb.cv", "cb.cv")} AS d2
+       |  FROM subs s
+       |  JOIN codes co ON s.id = co.id AND s.m = co.m
+       |  JOIN codebook cb ON co.m = cb.m AND co.code = cb.code
+       |), agg AS (
+       |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |    ${Exact.sqlSum("d2", 9)} AS sse
+       |  FROM errs GROUP BY m
+       |)
+       |SELECT m, n_vectors, sse,
+       |  sse / CAST(n_vectors AS DOUBLE) AS mean_distortion
+       |FROM agg ORDER BY m""".stripMargin
+  }
+
   // ----------------------------------------------------- cosine near-dup
   /** Embedding near-duplicate pairs, blocked by the random-hyperplane LSH
     * bucket ([[lshBucket]]): the candidate join is hash-partitioned on the

@@ -48,6 +48,37 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- classifier agreement
+  /** Agreement/confusion matrix between the two language-ID classifiers
+    * (stopword-evidence [[langId]] vs character-trigram [[langIdNgram]])
+    * — the calibration table that decides which classifier gates which
+    * language at filtering time, and the standard way to find systematic
+    * disagreement pockets without any labeled data beyond the corpus
+    * itself. Pure composition: both classifiers are map-side scoring
+    * passes over one scan each; the matrix is a ≤|langs|² aggregate.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .select(col("doc_id"), col("predicted_lang").as("pred_stopword"))
+      .join(langIdNgram(docs)
+        .select(col("doc_id"), col("predicted_lang").as("pred_ngram")),
+        Seq("doc_id"))
+      .groupBy(col("pred_stopword"), col("pred_ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("pred_stopword"), col("pred_ngram"))
+
+  def sqlLangConfusion: String =
+    s"""WITH a AS (
+       |  ${sqlLangId.linesIterator.mkString("\n  ")}
+       |), b AS (
+       |  ${sqlLangIdNgram.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT a.predicted_lang AS pred_stopword,
+       |  b.predicted_lang AS pred_ngram,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM a JOIN b ON a.doc_id = b.doc_id
+       |GROUP BY 1, 2 ORDER BY pred_stopword, pred_ngram""".stripMargin
+
   // --------------------------------------------------------- vocab growth
   /** Corpus-prefix cut denominators for [[vocabGrowth]] (1/8, 1/4, 1/2,
     * all of the corpus in doc_id order).
