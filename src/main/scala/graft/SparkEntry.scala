@@ -1698,6 +1698,47 @@ object SparkEntry {
       |FROM t JOIN ft USING (from_type)
       |ORDER BY t.from_type, t.to_type""".stripMargin
 
+  // ------------------------------------------------- events_value_pareto
+  // Revenue concentration: what share of total value the top decile of
+  // users carries — the 80/20 report behind every account-tier decision.
+  // One per-user exact-decimal total, a broadcast p90 cutoff (same
+  // broadcast-cutpoint discipline as RFM: never an ntile over the user
+  // frame), conditional exact sums, one final division. The >= p90
+  // boundary compare is ulp-robust: totals are generic doubles, so no
+  // user's total sits within rounding distance of the interpolated
+  // cutoff on one engine only.
+  private def qValuePareto(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val totals = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(Exact.xsum(col("value")).as("tv"))
+    val cut = totals.agg(expr("percentile(tv, 0.9)").as("p90"))
+    totals.crossJoin(broadcast(cut))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("tv") >= col("p90"), 1L).otherwise(0L)).as("top_users"),
+        Exact.xsum(when(col("tv") >= col("p90"), col("tv"))
+          .otherwise(lit(0.0))).as("top_value"),
+        Exact.xsum(col("tv")).as("total_value"))
+      .select(col("n_users"), col("top_users"),
+        (col("top_value") / col("total_value")).as("value_share"))
+  }
+
+  private val sqlValuePareto: String = {
+    import graft.functions.Exact
+    s"""WITH totals AS (
+       |  SELECT user_id, ${Exact.sqlSum("value")} AS tv
+       |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY user_id
+       |), c AS (SELECT quantile_cont(tv, 0.9) AS p90 FROM totals)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN t.tv >= c.p90 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS top_users,
+       |  ${Exact.sqlSum(
+             "CASE WHEN t.tv >= c.p90 THEN t.tv ELSE CAST(0 AS DOUBLE) END")}
+       |    / ${Exact.sqlSum("t.tv")} AS value_share
+       |FROM totals t, c""".stripMargin
+  }
+
   // ------------------------------------------------- events_benford
   // First-significant-digit profile of transaction values vs Benford's
   // law expectation — the forensic-accounting screen. Engine-exactness
@@ -3234,6 +3275,8 @@ object SparkEntry {
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d))),
     "dedup_calibration" -> ((s, d) =>
       Dedup.bandCalibration(arts(s, d).pairs, docs(s, d))),
+    "dedup_modularity"  -> ((s, d) => Dedup.modularityFrom(arts(s, d).pairs,
+      Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     "layout_zorder"     -> ((s, d) =>
@@ -3328,6 +3371,7 @@ object SparkEntry {
     "events_active_users" -> qActiveUsers _,
     "events_cohort_ltv" -> qCohortLtv _,
     "events_benford"    -> qBenford _,
+    "events_value_pareto" -> qValuePareto _,
     "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
     "corpus_pack_audit" -> ((s, d) => TrainingData.packAudit(docs(s, d))),
     "graph_bfs"         -> ((s, d) =>
@@ -3483,6 +3527,8 @@ object SparkEntry {
     "decon_bloom"       -> TrainingData.sqlBloomDecon,
     "dedup_canonical"   -> Dedup.sqlCanonical,
     "dedup_communities" -> Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs()),
+    "dedup_modularity"  -> Dedup.sqlModularity(Dedup.sqlMinhashPairs(),
+      Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs())),
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
@@ -3549,6 +3595,7 @@ object SparkEntry {
     "events_active_users" -> sqlActiveUsers,
     "events_cohort_ltv" -> sqlCohortLtv,
     "events_benford"    -> sqlBenford,
+    "events_value_pareto" -> sqlValuePareto,
     "text_lang_confusion" -> TextOps.sqlLangConfusion,
     "corpus_pack_audit" -> TrainingData.sqlPackAudit,
     "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,

@@ -411,6 +411,78 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- modularity
+  /** Newman–Girvan modularity of a community assignment over the
+    * near-dup pair graph: Q = Σ_c [e_c/m − (a_c/2m)²] — the score that
+    * says whether [[labelPropagation]]'s communities are denser than
+    * chance, i.e. whether cluster-level dedup policies (canonical pick,
+    * soft weights) act on real structure. Computed as the single exact
+    * fraction [4m·Σe_c − Σa_c²] / (4m²): the numerator is an INTEGER
+    * (sums of edge counts and squared endpoint counts), so the only
+    * floating op is the final division — a Σ of per-community double
+    * terms would be partition-order-dependent. (Long-safe to ~10⁹ edges;
+    * past that the numerator moments ride DECIMAL.) Shape: one pair scan
+    * labeled by two broadcast-able community lookups, three tiny
+    * aggregates.
+    */
+  def modularityFrom(pairs: DataFrame, communities: DataFrame): DataFrame = {
+    val la = communities.select(col("doc_id").as("doc_a"),
+      col("community").as("ca"))
+    val lb = communities.select(col("doc_id").as("doc_b"),
+      col("community").as("cb"))
+    val lab = Iterate.pin(
+      pairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b")))
+    val m = lab.agg(count(lit(1)).as("m"))
+    val within = lab.filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("ec"))
+      .agg(coalesce(sum(col("ec")), lit(0L)).as("se"))
+    val ends = lab.select(col("ca").as("c"))
+      .unionByName(lab.select(col("cb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("ac"))
+      .agg(coalesce(sum(col("ac") * col("ac")), lit(0L)).as("sa2"))
+    val nComm = communities.select(col("community")).distinct()
+      .agg(count(lit(1)).as("n_communities"))
+    m.crossJoin(broadcast(within)).crossJoin(broadcast(ends))
+      .crossJoin(broadcast(nComm))
+      .select(col("n_communities"), col("m").as("n_edges"),
+        ((lit(4L) * col("m") * col("se") - col("sa2")).cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("modularity"))
+  }
+
+  def sqlModularity(pairsSql: String, communitiesSql: String): String =
+    s"""WITH comm AS (
+       |  SELECT * FROM (
+       |    ${communitiesSql.linesIterator.mkString("\n    ")}
+       |  )
+       |), p AS (
+       |  SELECT * FROM (
+       |    ${pairsSql.linesIterator.mkString("\n    ")}
+       |  )
+       |), lab AS (
+       |  SELECT p.doc_a, p.doc_b, a.community AS ca, b.community AS cb
+       |  FROM p JOIN comm a ON p.doc_a = a.doc_id
+       |         JOIN comm b ON p.doc_b = b.doc_id
+       |), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+       |w AS (
+       |  SELECT CAST(COALESCE(SUM(ec), 0) AS BIGINT) AS se FROM (
+       |    SELECT ca, COUNT(*) AS ec FROM lab WHERE ca = cb GROUP BY ca
+       |  )
+       |), en AS (
+       |  SELECT CAST(COALESCE(SUM(ac * ac), 0) AS BIGINT) AS sa2 FROM (
+       |    SELECT c, CAST(COUNT(*) AS BIGINT) AS ac FROM (
+       |      SELECT ca AS c FROM lab UNION ALL SELECT cb FROM lab
+       |    ) GROUP BY c
+       |  )
+       |), nc AS (
+       |  SELECT CAST(COUNT(DISTINCT community) AS BIGINT) AS n_communities
+       |  FROM comm
+       |)
+       |SELECT nc.n_communities, mm.m AS n_edges,
+       |  CAST(4 * mm.m * w.se - en.sa2 AS DOUBLE)
+       |    / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+       |FROM mm, w, en, nc""".stripMargin
+
   // ------------------------------------------------- connected components
   /** Duplicate-cluster assembly: near-dup PAIRS are not clusters — picking
     * a representative needs the transitive closure (A~B, B~C ⇒ {A,B,C}

@@ -272,6 +272,22 @@ class LayoutGraphSpec extends SparkSuite {
     assert(fx == fx.sorted.reverse, s"edge counts not monotone: $fx")
   }
 
+  test("modularity: perfect two-community split scores exactly 0.5") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L)).toDF("doc_a", "doc_b")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L)).toDF("doc_id", "community")
+    val q = Dedup.modularityFrom(pairs, comm).collect().head
+    // two disjoint triangles, all edges within: [4·6·6 − 72]/144 = 1/2,
+    // integer-exact
+    assert(q.getAs[Long]("n_communities") == 2)
+    assert(q.getAs[Double]("modularity") == 0.5)
+    // everything in ONE community: Q = [4·6·6 − 144]/144 = 0 exactly
+    val one = comm.select(col("doc_id"), lit(1L).as("community"))
+    assert(Dedup.modularityFrom(pairs, one).collect()
+      .head.getAs[Double]("modularity") == 0.0)
+  }
+
   test("bfs levels: path graph advances one hop per level") {
     // path 0-1-…-9: seeds {0..4} (ids < BfsSeeds), frontier then walks
     // 5, 6, 7 — one new node per level
