@@ -3373,6 +3373,7 @@ object SparkEntry {
     "events_benford"    -> qBenford _,
     "events_value_pareto" -> qValuePareto _,
     "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
+    "text_zipf"         -> ((s, d) => TextOps.zipf(docs(s, d))),
     "corpus_pack_audit" -> ((s, d) => TrainingData.packAudit(docs(s, d))),
     "graph_bfs"         -> ((s, d) =>
       graft.operators.Graph.bfsLevels(
@@ -3597,6 +3598,7 @@ object SparkEntry {
     "events_benford"    -> sqlBenford,
     "events_value_pareto" -> sqlValuePareto,
     "text_lang_confusion" -> TextOps.sqlLangConfusion,
+    "text_zipf"         -> TextOps.sqlZipf,
     "corpus_pack_audit" -> TrainingData.sqlPackAudit,
     "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,
     "sim_cell_balance"  -> Similarity.sqlCellBalance,

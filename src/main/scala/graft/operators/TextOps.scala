@@ -48,6 +48,44 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ Zipf audit
+  /** Zipf rank–frequency audit (Zipf 1949): the top-[[ZipfTopK]] words
+    * with rank × frequency — near-constant on natural text, and the
+    * complement of [[vocabGrowth]]'s Heaps curve (a corpus whose
+    * rank·freq product climbs with rank is template/boilerplate-heavy).
+    * One explode + one word hash agg; the global top-k rank is
+    * WindowGroupLimit-pruned (k rows per partition cross the wire, not
+    * |vocab|); rank × n is an exact integer product.
+    */
+  val ZipfTopK = 50
+
+  def zipf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("w"))
+    docs.select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ZipfTopK)
+      .select(col("rk").cast("long").as("rk"), col("w").as("word"),
+        col("n"), (col("rk") * col("n")).as("rank_times_n"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlZipf: String =
+    s"""WITH counts AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) WHERE w <> '' GROUP BY w
+       |), ranked AS (
+       |  SELECT w, n,
+       |    ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk
+       |  FROM counts
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, w AS word, n,
+       |  rk * n AS rank_times_n
+       |FROM ranked WHERE rk <= $ZipfTopK ORDER BY rk""".stripMargin
+
   // ------------------------------------------------- classifier agreement
   /** Agreement/confusion matrix between the two language-ID classifiers
     * (stopword-evidence [[langId]] vs character-trigram [[langIdNgram]])
