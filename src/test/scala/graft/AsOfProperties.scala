@@ -102,6 +102,45 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: physical as-of with COMPOSITE keys co-partitions correctly") {
+    // two-column join keys exercise the ClusteredDistribution pair across
+    // both children (EnsureRequirements must co-partition on BOTH
+    // columns) and the multi-column key ordering inside the merge
+    for (seed <- 101L to 108L) {
+      val ls = sample(lGen, seed)
+      val rs = sample(rGen, seed + 100)
+      // split the string key into two columns (k, parity of payload)
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("k2", col("pay") % 2)
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("k2", col("v") % 2)
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val out = graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k", "k2"), "lt", "rt", Seq("v"))
+        .select(col("k"), col("k2"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getInt(5)))
+        .toList.sorted
+      // brute reference over the composite key
+      val want = ls.flatMap { case (lk, lt, pay) =>
+        lt.flatMap { t =>
+          val cands = rs.filter { case (rk, rt, v) =>
+            rk == lk && v % 2 == pay % 2 && rt.exists(_ <= t) }
+          if (cands.isEmpty) None
+          else {
+            val nearest = cands.map(_._2.get).max
+            val best = cands.filter(_._2.get == nearest).maxBy(_._3)
+            Some((lk, pay % 2, t, pay, best._2.get, best._3))
+          }
+        }
+      }.sorted
+      assert(out == want, s"seed=$seed")
+    }
+  }
+
   /** Nearest reference: per the documented contract — backward candidate
     * is the greatest (time, value) tuple at its instant, forward the
     * least; closer side wins, distance ties go backward.
