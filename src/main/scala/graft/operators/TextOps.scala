@@ -95,15 +95,18 @@ object TextOps {
     * itself. Pure composition: both classifiers are map-side scoring
     * passes over one scan each; the matrix is a ≤|langs|² aggregate.
     */
-  def langConfusion(docs: DataFrame): DataFrame =
-    langId(docs)
-      .select(col("doc_id"), col("predicted_lang").as("pred_stopword"))
-      .join(langIdNgram(docs)
-        .select(col("doc_id"), col("predicted_lang").as("pred_ngram")),
-        Seq("doc_id"))
+  def langConfusion(docs: DataFrame): DataFrame = {
+    // both classifiers are row-local over the SAME scan — one pass, no
+    // join, scores materialized once each (see [[withPrediction]])
+    val base = docs.select(words(col("text")).as("w"),
+      trigrams(col("text")).as("tg"))
+    withPrediction(
+      withPrediction(base, langScores(col("w")), "pred_stopword"),
+      ngramScores(col("tg")), "pred_ngram")
       .groupBy(col("pred_stopword"), col("pred_ngram"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("pred_stopword"), col("pred_ngram"))
+  }
 
   def sqlLangConfusion: String =
     s"""WITH a AS (
@@ -324,12 +327,38 @@ object TextOps {
     }
   }
 
-  def langId(docs: DataFrame): DataFrame = {
-    val predicted = predictedLang(words(col("text")))
-    docs.select(col("doc_id"), col("lang"),
-      predicted.as("predicted_lang"),
-      (predicted === col("lang")).as("lang_match"))
+  /** Score columns once, predict from cheap references: the fold-form
+    * prediction re-evaluates every per-language HOF score ~10× per row
+    * (higher-order functions run interpreted inside codegen, no CSE —
+    * measured 3.3 s for the confusion matrix at sf0.1 vs 0.5 s in this
+    * shape). Materializing scores as named columns puts a projection
+    * boundary under the fold: CollapseProject refuses to inline the
+    * multiply-referenced non-cheap scores, so each evaluates ONCE.
+    */
+  private def withPrediction(df: DataFrame,
+      scores: Seq[(String, Column)], out: String): DataFrame = {
+    val scored = df.select(df.columns.map(col).toSeq ++
+      scores.map { case (l, c) => c.as(s"__s_$l") }: _*)
+    val refs = scores.map { case (l, _) => l -> col(s"__s_$l") }
+    val mx = greatest(refs.map(_._2): _*)
+    val pred = refs.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === mx && mx > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn(out, pred)
+      .drop(scores.map { case (l, _) => s"__s_$l" }: _*)
   }
+
+  def langScores(w: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isInCollection(markers)))
+    }
+
+  def langId(docs: DataFrame): DataFrame =
+    withPrediction(
+      docs.select(col("doc_id"), col("lang"), words(col("text")).as("__w")),
+      langScores(col("__w")), "predicted_lang")
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        (col("predicted_lang") === col("lang")).as("lang_match"))
 
   def sqlLangId: String = {
     val w = sqlWords("text")
@@ -369,21 +398,35 @@ object TextOps {
     "fr" -> Seq("fil", "sor", "mer", "ter"),
     "zh" -> Seq("vec", "has", "str", "eam"))
 
-  def langIdNgram(docs: DataFrame): DataFrame = {
-    val tri = transform(sequence(lit(1), greatest(length(col("text")) - 2,
-      lit(1))), i => col("text").substr(i, lit(3)))
-    val scored = docs
-      .select(col("doc_id"), col("lang"), tri.as("tg"))
+  /** The trigram prediction as a reusable scalar expression (evaluated
+    * over a materialized trigram-array column by [[langIdNgram]];
+    * [[langConfusion]] composes it with the stopword prediction in ONE
+    * pass).
+    */
+  def predictedLangNgram(tg: Column): Column = {
     val scores = TrigramProfiles.map { case (lang, profile) =>
-      lang -> size(filter(col("tg"), t => t.isInCollection(profile)))
+      lang -> size(filter(tg, t => t.isInCollection(profile)))
     }
     val mx = greatest(scores.map(_._2): _*)
-    val predicted = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
       when(sc === mx && mx > 0, lit(lang)).otherwise(acc)
     }
-    scored.select(col("doc_id"), col("lang"),
-      predicted.as("predicted_lang"))
   }
+
+  def trigrams(text: Column): Column =
+    transform(sequence(lit(1), greatest(length(text) - 2,
+      lit(1))), i => text.substr(i, lit(3)))
+
+  def ngramScores(tg: Column): Seq[(String, Column)] =
+    TrigramProfiles.map { case (lang, profile) =>
+      lang -> size(filter(tg, t => t.isInCollection(profile)))
+    }
+
+  def langIdNgram(docs: DataFrame): DataFrame =
+    withPrediction(
+      docs.select(col("doc_id"), col("lang"), trigrams(col("text")).as("tg")),
+      ngramScores(col("tg")), "predicted_lang")
+      .select(col("doc_id"), col("lang"), col("predicted_lang"))
 
   def sqlLangIdNgram: String = {
     val scoreDefs = TrigramProfiles.map { case (lang, profile) =>
