@@ -3538,11 +3538,11 @@ object SparkEntry {
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
-    "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK,
+    "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK(),
     "sim_ivfadc_recall" -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
-      Similarity.sqlIvfPqResidualTopK),
+      Similarity.sqlIvfPqResidualTopK()),
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
     "layout_hilbert"    -> graft.operators.Layout.sqlHilbertAudit,

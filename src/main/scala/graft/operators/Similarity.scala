@@ -918,6 +918,16 @@ object Similarity {
     */
   def pqKmeans(emb: DataFrame, iters: Int = KmeansIters): DataFrame = {
     val subs = subvectors(emb, "id")
+    encode(subs, trainSubCodebook(subs, iters))
+      .select(col("id").as("vec_id"), col("m"), col("code"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** The Lloyd's loop of [[pqKmeans]] over ANY (id, m, sv) subvector
+    * frame — raw subvectors or residuals ([[ivfPqResidualTopK]]'s
+    * trained variant) train through the identical rounds.
+    */
+  def trainSubCodebook(subs: DataFrame, iters: Int = KmeansIters): DataFrame = {
     var codebook = subs.filter(col("id") < PqK)
       .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
     for (_ <- 1 to iters) {
@@ -942,9 +952,7 @@ object Similarity {
           transform(col("p"), s => s("cval")).as("cv"))
         .transform(Iterate.pin)
     }
-    encode(subs, codebook)
-      .select(col("id").as("vec_id"), col("m"), col("code"))
-      .orderBy(col("vec_id"), col("m"))
+    codebook
   }
 
   /** DuckDB oracle: per-subspace Lloyd's rounds unrolled as CTE pairs. */
@@ -1217,9 +1225,16 @@ object Similarity {
     * eight arbitrary residuals discriminates less than raw-vector seeds,
     * and the dominant q·centroid term then collapses within-cell
     * ordering. The `sim_ivfadc_recall` / `sim_ivfpq_recall` pair is the
-    * harness that shows exactly this — and would show the flip once
-    * [[pqKmeans]]-style Lloyd's rounds train the residual books
-    * (they slot into `codebook` unchanged).
+    * harness that shows exactly this.
+    *
+    * `trained = true` routes the residual subvectors through the SAME
+    * Lloyd's rounds as [[pqKmeans]] ([[trainSubCodebook]]) — also
+    * measured: on the fixture's near-ISOTROPIC synthetic embeddings two
+    * training rounds change the codebook but not one top-5 set
+    * (byte-identical rankings, checked in DuckDB as well as Spark) —
+    * codebook training cannot manufacture cluster structure the data
+    * does not have. The knob exists and is spec-exercised; real
+    * embedding corpora, which do cluster, are where it pays.
     *
     * Plan shape: the residual computation is ONE broadcast-centroid join
     * + map-side `zip_with` subtraction (exact: float→double widening,
@@ -1228,7 +1243,7 @@ object Similarity {
     * probe frame, so the final score is one addition on top of the
     * exact-decimal ADC sum.
     */
-  def ivfPqResidualTopK(emb: DataFrame): DataFrame = {
+  def ivfPqResidualTopK(emb: DataFrame, trained: Boolean = false): DataFrame = {
     import graft.functions.Exact
     val n = withNorm(emb, "embedding")
     val cents = n.filter(col("vec_id") < NCentroids)
@@ -1257,9 +1272,13 @@ object Similarity {
               (a, b) => a - b).as("sv"))): _*)).as("s"))
       .select(col("id"), col("bucket"), col("s.m").as("m"),
         col("s.sv").as("sv"))
-    val codebook = rsubs.filter(col("id") < PqK)
-      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-    val cands = encode(rsubs.select(col("id"), col("m"), col("sv")), codebook)
+    val rsubsThin = rsubs.select(col("id"), col("m"), col("sv"))
+    val codebook =
+      if (trained) trainSubCodebook(rsubsThin)
+      else rsubsThin.filter(col("id") < PqK)
+        .select(col("m"), col("id").cast("int").as("code"),
+          col("sv").as("cv"))
+    val cands = encode(rsubsThin, codebook)
       .select(col("id").as("cand_id"), col("m"), col("code"))
       .join(assigned.select(col("vec_id").as("cand_id"), col("bucket")),
         Seq("cand_id"))
@@ -1294,7 +1313,7 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  def sqlIvfPqResidualTopK: String = {
+  def sqlIvfPqResidualTopK(trained: Boolean = false): String = {
     import graft.functions.Exact
     def dotSub(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1311,6 +1330,43 @@ object Similarity {
     val qsubDefs = (0 until PqM).map { m =>
       s"SELECT vec_id AS query_id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv WHERE vec_id < $NQueries"
     }.mkString("\n  UNION ALL\n  ")
+    // seed codebook, optionally refined by the same unrolled Lloyd's
+    // rounds as sqlPqKmeans — over RESIDUAL subvectors
+    def assign(cb: String): String =
+      s"""SELECT id, m, code, sv FROM (
+         |    SELECT s.id, s.m, c.code, s.sv, ROW_NUMBER() OVER (
+         |      PARTITION BY s.id, s.m
+         |      ORDER BY ${dotSub("c.cv", "c.cv")}
+         |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+         |    ) AS rn
+         |    FROM rsubs s JOIN $cb c ON s.m = c.m
+         |  ) WHERE rn = 1""".stripMargin
+    val codebookCtes =
+      if (!trained)
+        s"""codebook AS (
+           |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+           |  FROM rsubs WHERE id < $PqK
+           |)""".stripMargin
+      else {
+        val rounds = (1 to KmeansIters).map { k =>
+          s"""ra$k AS (
+             |  ${assign(s"rcb${k - 1}").linesIterator.mkString("\n  ")}
+             |), rcb$k AS (
+             |  SELECT m, code, list(cval ORDER BY dim0) AS cv FROM (
+             |    SELECT m, code, i AS dim0,
+             |      ${Exact.sqlAvg("sv[i]")} AS cval
+             |    FROM ra$k, range(1, ${PqSubDim + 1}) t(i)
+             |    GROUP BY m, code, i
+             |  ) GROUP BY m, code
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""rcb0 AS (
+           |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+           |  FROM rsubs WHERE id < $PqK
+           |),
+           |$rounds,
+           |codebook AS (SELECT * FROM rcb$KmeansIters)""".stripMargin
+      }
     s"""WITH n AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
@@ -1337,10 +1393,7 @@ object Similarity {
        |  FROM cents
        |), rsubs AS (
        |  $rsubDefs
-       |), codebook AS (
-       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
-       |  FROM rsubs WHERE id < $PqK
-       |), cands AS (
+       |), $codebookCtes, cands AS (
        |  SELECT r.id AS cand_id, r.m, r.code, a.bucket FROM (
        |    SELECT s.id, s.m, c.code, ROW_NUMBER() OVER (
        |      PARTITION BY s.id, s.m
