@@ -500,4 +500,13 @@ class PlanShapeSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(p.contains("WindowGroupLimit"), "top-k prune lost:\n" + p)
   }
+
+  test("sim_ivfadc_topk: residual path keeps the broadcast ADC shape") {
+    val p = planTree("sim_ivfadc_topk")
+    // centroid table, residual codebook and LUT all broadcast (the
+    // corpus-sized probe and code-assignment joins legitimately shuffle
+    // on the cell/cand keys — that IS the IVF scan shape)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("WindowGroupLimit"), "top-k prune lost:\n" + p)
+  }
 }
