@@ -97,12 +97,11 @@ object TextOps {
     */
   def langConfusion(docs: DataFrame): DataFrame = {
     // both classifiers are row-local over the SAME scan — one pass, no
-    // join, scores materialized once each (see [[withPrediction]])
-    val base = docs.select(words(col("text")).as("w"),
-      trigrams(col("text")).as("tg"))
-    withPrediction(
-      withPrediction(base, langScores(col("w")), "pred_stopword"),
-      ngramScores(col("tg")), "pred_ngram")
+    // join, each prediction a single codegen'd byte scan ([[registerNative]])
+    registerNative(docs)
+    docs.select(
+        graft.functions.TextExprs.predictWord(col("text")).as("pred_stopword"),
+        graft.functions.TextExprs.predictTrigram(col("text")).as("pred_ngram"))
       .groupBy(col("pred_stopword"), col("pred_ngram"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("pred_stopword"), col("pred_ngram"))
@@ -327,38 +326,32 @@ object TextOps {
     }
   }
 
-  /** Score columns once, predict from cheap references: the fold-form
-    * prediction re-evaluates every per-language HOF score ~10× per row
-    * (higher-order functions run interpreted inside codegen, no CSE —
-    * measured 3.3 s for the confusion matrix at sf0.1 vs 0.5 s in this
-    * shape). Materializing scores as named columns puts a projection
-    * boundary under the fold: CollapseProject refuses to inline the
-    * multiply-referenced non-cheap scores, so each evaluates ONCE.
+  /** Register the native single-pass text expressions bound to THIS
+    * object's profile constants (idempotent; the [[VectorExprs.register]]
+    * pattern). The HOF column forms ([[predictedLang]],
+    * [[predictedLangNgram]]) remain as the executable semantic contract
+    * the natives are property-tested against (`TextExprsSpec`): the fold
+    * form re-evaluates every per-language score interpreted — measured
+    * 6.0 s for the confusion matrix at sf0.1 local[4] vs sub-second for
+    * the native byte-scan expressions.
     */
-  private def withPrediction(df: DataFrame,
-      scores: Seq[(String, Column)], out: String): DataFrame = {
-    val scored = df.select(df.columns.map(col).toSeq ++
-      scores.map { case (l, c) => c.as(s"__s_$l") }: _*)
-    val refs = scores.map { case (l, _) => l -> col(s"__s_$l") }
-    val mx = greatest(refs.map(_._2): _*)
-    val pred = refs.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === mx && mx > 0, lit(lang)).otherwise(acc)
-    }
-    scored.withColumn(out, pred)
-      .drop(scores.map { case (l, _) => s"__s_$l" }: _*)
-  }
+  private[graft] def registerNative(docs: DataFrame): Unit =
+    graft.functions.TextExprs.register(docs.sparkSession,
+      LangProfiles, TrigramProfiles)
 
   def langScores(w: Column): Seq[(String, Column)] =
     LangProfiles.map { case (lang, markers) =>
       lang -> size(filter(w, x => x.isInCollection(markers)))
     }
 
-  def langId(docs: DataFrame): DataFrame =
-    withPrediction(
-      docs.select(col("doc_id"), col("lang"), words(col("text")).as("__w")),
-      langScores(col("__w")), "predicted_lang")
+  def langId(docs: DataFrame): DataFrame = {
+    registerNative(docs)
+    docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextExprs.predictWord(col("text"))
+          .as("predicted_lang"))
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
         (col("predicted_lang") === col("lang")).as("lang_match"))
+  }
 
   def sqlLangId: String = {
     val w = sqlWords("text")
@@ -422,11 +415,12 @@ object TextOps {
       lang -> size(filter(tg, t => t.isInCollection(profile)))
     }
 
-  def langIdNgram(docs: DataFrame): DataFrame =
-    withPrediction(
-      docs.select(col("doc_id"), col("lang"), trigrams(col("text")).as("tg")),
-      ngramScores(col("tg")), "predicted_lang")
-      .select(col("doc_id"), col("lang"), col("predicted_lang"))
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    registerNative(docs)
+    docs.select(col("doc_id"), col("lang"),
+      graft.functions.TextExprs.predictTrigram(col("text"))
+        .as("predicted_lang"))
+  }
 
   def sqlLangIdNgram: String = {
     val scoreDefs = TrigramProfiles.map { case (lang, profile) =>
@@ -572,7 +566,19 @@ object TextOps {
     val ahead = byDoc.rowsBetween(Window.currentRow, WinnowWindow - 1)
     val kh = ((col("h") * WinnowBase + lead(col("h"), 1).over(byDoc))
       % WinnowMod * WinnowBase + lead(col("h"), 2).over(byDoc)) % WinnowMod
-    docs
+    // partition-sizing knob IN the plan (SCALE.md trade-off closed): hash
+    // the DOCUMENT rows by doc_id before the explode — that partitioning
+    // already satisfies the window's ClusteredDistribution, so the ~10×
+    // exploded token stream never crosses the wire (the old shape shuffled
+    // post-explode tokens), and exploded partition size is bounded by
+    // doc-partition bytes × expansion with the width set here —
+    // spark.graft.winnow.parts when sized for the deployment, the session
+    // shuffle width otherwise — not by an external scan-split setting.
+    val parts = docs.sparkSession.conf
+      .getOption("spark.graft.winnow.parts").map(_.toInt)
+    val pre = parts.map(p => docs.repartition(p, col("doc_id")))
+      .getOrElse(docs.repartition(col("doc_id")))
+    pre
       .select(col("doc_id"),
         // _outer: words() never empty/null — same rows, no inferred
         // size>0 filter re-evaluating the split below the Generate.
@@ -1310,16 +1316,14 @@ object TextOps {
     * explode behind [[bigramLm]] (which drops doc_id and counts) and
     * [[lmScore]] (which joins the induced LM back per doc). */
   def bigrams(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val pairs = slice(
-      zip_with(w, slice(w, lit(2), size(w)),
-        (a, b) => struct(a.as("a"), b.as("b"))),
-      lit(1), greatest(size(w) - 1, lit(0)))
+    registerNative(docs)
     docs
-      .select(col("doc_id"), explode_outer(pairs).as("p"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.TextExprs.bigramPairs(col("text")))
+          .as("p"))
       .filter(col("p").isNotNull)
-      .select(col("doc_id"), col("p.a").as("prefix"),
-        col("p.b").as("next_word"))
+      .select(col("doc_id"), col("p.prefix").as("prefix"),
+        col("p.next_word").as("next_word"))
   }
 
   /** Bigram language-model table (the KenLM-counts shape): conditional
