@@ -189,19 +189,35 @@ object AsOfJoinPhys {
 
   /** Idempotently add the strategy to the session's experimental
     * strategies (the runtime twin of the `SparkSessionExtensions`
-    * injection in [[graft.GraftExtensions]]).
+    * injection in [[graft.GraftExtensions]]). The check-and-append is
+    * synchronized on the experimental holder: extraStrategies is plain
+    * shared session state, and an unsynchronized read-modify-write from
+    * concurrent callers could drop a concurrently-registered strategy.
     */
-  def register(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraStrategies
-    if (!cur.exists(_ eq AsOfJoinStrategy))
-      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
-  }
+  def register(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.exists(_ eq AsOfJoinStrategy))
+        spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
 
   /** Public API: backward inclusive as-of join through the physical
     * operator. Same contract as [[graft.operators.AsOfJoin.asOf]]:
     * returns matched left rows + `matched_time` + `valueCols`. Time
     * columns must be timestamp-typed (cast upstream, exactly like the
-    * composed form does internally).
+    * composed form does internally), and each key pair must share one
+    * data type — the merge compares keys with the natural UnsafeRow
+    * ordering, which has no implicit-cast layer, so mixed-width keys
+    * (INT vs BIGINT) would compare different physical layouts; this is
+    * rejected here as an analysis-time error instead (cast upstream).
+    *
+    * NULL keys: key comparison uses [[RowOrdering]]'s natural ordering,
+    * under which NULL equals NULL — a NULL-keyed left row DOES match a
+    * NULL-keyed right row. This deliberately mirrors the composed
+    * union+window form (window PARTITION BY also groups NULLs together)
+    * and diverges from SQL equi-join equality, which would drop
+    * NULL-keyed rows; pinned by `AsOfProperties`' NULL-key case. Filter
+    * NULL keys upstream for SQL join semantics.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
@@ -220,12 +236,16 @@ object AsOfJoinPhys {
       rt.dataType == lt.dataType,
       s"as-of time columns must share a timestamp type, " +
         s"got ${lt.dataType} vs ${rt.dataType}")
+    val lk = keys.map(attr(lPlan, _))
+    val rk = keys.map(attr(rPlan, _))
+    require(lk.map(_.dataType) == rk.map(_.dataType),
+      s"as-of key columns must share data types, got " +
+        s"${lk.map(_.dataType)} vs ${rk.map(_.dataType)}")
     val values = valueCols.map(attr(rPlan, _))
     val matched =
       AttributeReference("matched_time", lt.dataType)() +:
         values.map(v => AttributeReference(v.name, v.dataType)())
     org.apache.spark.sql.graft.Shim.ofRows(spark,
-      AsOfJoinNode(lPlan, rPlan, keys.map(attr(lPlan, _)),
-        keys.map(attr(rPlan, _)), lt, rt, values, matched))
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, values, matched))
   }
 }

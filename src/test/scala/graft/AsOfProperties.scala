@@ -141,6 +141,66 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: NULL keys match NULL keys in BOTH as-of forms (pinned contract)") {
+    // documented divergence from SQL equi-join semantics: the composed
+    // form's window PARTITION BY groups NULLs, and the physical merge's
+    // natural RowOrdering treats NULL == NULL — so a NULL-keyed left row
+    // matches the NULL-keyed right history. Pin that contract and that
+    // both formulations agree on it, against a brute reference where
+    // Option-key None == None.
+    val nullableKeys: Gen[Option[String]] =
+      Gen.frequency(2 -> Gen.some(Gen.oneOf("a", "b")), 1 -> Gen.const(None))
+    val lg = Gen.listOfN(10, Gen.zip(nullableKeys, times, Gen.chooseNum(0, 99)))
+    val rg = Gen.listOfN(10, Gen.zip(nullableKeys, times, Gen.chooseNum(0, 9)))
+    for (seed <- 131L to 138L) {
+      val ls = sample(lg, seed)
+      val rs = sample(rg, seed + 100)
+      val want = ls.flatMap { case (lk, lt, pay) =>
+        lt.flatMap { t =>
+          val cands = rs.filter { case (rk, rt, _) =>
+            rk == lk && rt.exists(_ <= t) }
+          if (cands.isEmpty) None
+          else {
+            val nearest = cands.map(_._2.get).max
+            val best = cands.filter(_._2.get == nearest).maxBy(_._3)
+            Some((lk, t, pay, best._2.get, best._3))
+          }
+        }
+      }.sorted
+      val ldf = ls.map { case (k, t, p) => (k.orNull, t, p) }
+        .toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.map { case (k, t, v) => (k.orNull, t, v) }
+        .toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("k"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4)))
+        .toList.sorted
+      val composed = shape(AsOfJoin.asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v")))
+      val physical = shape(graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v")))
+      assert(composed == want, s"composed seed=$seed left=$ls right=$rs")
+      assert(physical == want, s"physical seed=$seed left=$ls right=$rs")
+    }
+  }
+
+  test("physical as-of rejects mixed-width key types at analysis time") {
+    // the merge's natural UnsafeRow ordering has no implicit-cast layer;
+    // an INT-vs-BIGINT key pair must be an error, not silent garbage
+    val ldf = List((1, Some(1), 7)).toDF("k", "lt_s", "pay")
+      .withColumn("lt", col("lt_s").cast("timestamp"))
+    val rdf = List((1L, Some(1), 3)).toDF("k", "rt_s", "v")
+      .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPhys.asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("key columns must share data types"))
+  }
+
   /** Nearest reference: per the documented contract — backward candidate
     * is the greatest (time, value) tuple at its instant, forward the
     * least; closer side wins, distance ties go backward.
