@@ -3280,6 +3280,10 @@ object SparkEntry {
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     "sim_ivfadc_topk"   -> ((s, d) => Similarity.ivfPqResidualTopK(emb(s, d))),
+    // the Lloyd's-trained residual codebook route (Jégou §IV as published:
+    // k-means over residual subvectors) — same query surface, trained=true
+    "sim_ivfadc_trained" -> ((s, d) =>
+      Similarity.ivfPqResidualTopK(emb(s, d), trained = true)),
     "sim_ivfadc_recall" -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
@@ -3301,23 +3305,29 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d), d)
         .orderBy(col("cust"), col("supp"))),
     "graph_pagerank"    -> ((s, d) =>
-      graft.operators.Graph.pagerankFrom(
-        graft.operators.Graph.custSuppEdgesCached(
-          Tables.orders(s, d), Tables.lineitem(s, d), d))),
-    // part co-occurrence graph: triangles + degree histogram share one
-    // pinned edge memo (the expensive basket→pair expansion runs once)
+      graft.operators.Graph.pagerankCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    // part co-occurrence graph: triangles / degree histogram /
+    // assortativity / BFS share one pinned edge memo (the expensive
+    // basket→pair expansion runs once) AND one pinned degree table
     "graph_triangles"   -> ((s, d) =>
       graft.operators.Graph.triangleStats(
-        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "graph_degrees"     -> ((s, d) =>
       graft.operators.Graph.degreeHistogram(
-        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "graph_assortativity" -> ((s, d) =>
       graft.operators.Graph.assortativity(
-        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "q40_gap_fill"      -> qGapFill _,
     "q42_ohlc"          -> qOhlc _,
     "q43_retention"     -> qRetention _,
@@ -3382,7 +3392,9 @@ object SparkEntry {
     "corpus_pack_audit" -> ((s, d) => TrainingData.packAudit(docs(s, d))),
     "graph_bfs"         -> ((s, d) =>
       graft.operators.Graph.bfsLevels(
-        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "sim_cell_balance"  -> ((s, d) => Similarity.cellBalance(emb(s, d))),
     "sim_pq_distortion" -> ((s, d) => Similarity.pqDistortion(emb(s, d))),
     "scd_snapshot_diff" -> qSnapshotDiff _,
@@ -3539,6 +3551,7 @@ object SparkEntry {
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
     "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK(),
+    "sim_ivfadc_trained" -> Similarity.sqlIvfPqResidualTopK(trained = true),
     "sim_ivfadc_recall" -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",

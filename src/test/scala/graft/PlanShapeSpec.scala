@@ -283,6 +283,55 @@ class PlanShapeSpec extends SparkSuite {
       "bucket pair expansion no longer the lazy generator:\n" + p)
   }
 
+  test("graph_triangles adjacency: broadcast by default, hash joins on conf") {
+    // the SCALE.md broadcast→hash trade-off as a runtime switch: with
+    // autoBroadcast off so the HINTS are the only broadcast source, the
+    // default mode must broadcast the two adjacency sides, and
+    // spark.graft.triangles.broadcastAdj=false must run the SAME plan
+    // with shuffled equi joins — identical census either way
+    import spark.implicits._
+    val edges = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+      .toDF("pa", "pb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pB = graft.operators.Graph.triangleStats(edges)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(pB).size == 2,
+        "adjacency sides must broadcast by default:\n" + pB)
+      spark.conf.set("spark.graft.triangles.broadcastAdj", "false")
+      val dfH = graft.operators.Graph.triangleStats(edges)
+      val pH = dfH.queryExecution.executedPlan.toString
+      assert(!pH.contains("BroadcastHashJoin"),
+        "hash mode must not broadcast the adjacency:\n" + pH)
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(pH).size >= 2,
+        "adjacency joins lost their shuffled equi form:\n" + pH)
+      val r = dfH.collect().head
+      assert(r.getAs[Long]("n_triangles") == 4 &&
+        r.getAs[Double]("global_clustering") == 1.0,
+        "hash mode changed the census")
+    } finally {
+      spark.conf.unset("spark.graft.triangles.broadcastAdj")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("text_winnow: one doc-level exchange, explode below no further shuffle") {
+    // the in-plan partition knob: the document frame repartitions by
+    // doc_id BEFORE the explode (satisfying the window's distribution),
+    // so the ~10× token stream must never cross the wire — exactly one
+    // hashpartitioning(doc_id) exchange, sitting UNDER the Generate
+    val p = planTree("text_winnow")
+    val genIdx = p.indexOf("Generate")
+    val exIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(genIdx >= 0 && exIdx >= 0, p)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      "token stream crosses the wire more than once:\n" + p)
+    // toString prints parents first: the exchange printing AFTER the
+    // Generate means it executes BELOW it (pre-explode)
+    assert(exIdx > genIdx,
+      "doc_id exchange sits above the explode (shuffles tokens):\n" + p)
+  }
+
   test("semanticPairs: centroid assignment broadcasts, pairs join on cell") {
     // asserted on the pair stage directly: semanticDedup's component pass
     // checkpoints eagerly, which hides the upstream plan from the final tree
