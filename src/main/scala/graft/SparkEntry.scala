@@ -3279,15 +3279,20 @@ object SparkEntry {
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
-    "sim_ivfadc_topk"   -> ((s, d) => Similarity.ivfPqResidualTopK(emb(s, d))),
+    // the three residual-IVFADC queries share one pinned
+    // assignment + residual-explode memo (residualSubvectorsCached)
+    "sim_ivfadc_topk"   -> ((s, d) => Similarity.ivfPqResidualTopK(emb(s, d),
+      pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d)))),
     // the Lloyd's-trained residual codebook route (Jégou §IV as published:
     // k-means over residual subvectors) — same query surface, trained=true
     "sim_ivfadc_trained" -> ((s, d) =>
-      Similarity.ivfPqResidualTopK(emb(s, d), trained = true)),
+      Similarity.ivfPqResidualTopK(emb(s, d), trained = true,
+        pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d)))),
     "sim_ivfadc_recall" -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
-      Similarity.ivfPqResidualTopK(emb(s, d)))),
+      Similarity.ivfPqResidualTopK(emb(s, d),
+        pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d))))),
     "layout_zorder"     -> ((s, d) =>
       graft.operators.Layout.zorderAudit(Tables.lineitem(s, d))),
     "layout_pruning"    -> ((s, d) =>
@@ -3322,7 +3327,9 @@ object SparkEntry {
           Tables.lineitem(s, d), d)))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
-        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        degPre = Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "graph_assortativity" -> ((s, d) =>
       graft.operators.Graph.assortativity(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),

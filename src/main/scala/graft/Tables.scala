@@ -49,6 +49,7 @@ object Tables {
     graft.operators.Dedup.invalidateArtifacts(spark)
     graft.operators.CorpusClean.invalidate(spark)
     graft.operators.Graph.invalidateEdges(spark)
+    graft.operators.Similarity.invalidateResiduals(spark)
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

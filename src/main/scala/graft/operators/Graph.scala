@@ -493,15 +493,21 @@ object Graph {
     * aggregates unioned at the end; nothing collects to the driver.
     */
   def peelProfile(edges: DataFrame, k: Int = PeelK,
-      rounds: Int = PeelRounds): DataFrame = {
+      rounds: Int = PeelRounds,
+      degPre: Option[DataFrame] = None): DataFrame = {
+    // round 0's stats and round 1's keep-set both read the INTACT graph's
+    // degree table — the one the shared co-part memo already pinned;
+    // later rounds recompute on the shrunken frames (inherent to peeling)
+    def degOf(e: DataFrame, r: Int): DataFrame =
+      if (r == 0) degPre.getOrElse(degrees(e)) else degrees(e)
     def stats(e: DataFrame, r: Int): DataFrame =
-      degrees(e).agg(count(lit(1)).as("n_nodes"))
+      degOf(e, r).agg(count(lit(1)).as("n_nodes"))
         .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
     var e = edges
     var out = stats(e, 0)
     for (r <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      val keep = degOf(e, r - 1).filter(col("deg") >= k).select(col("id"))
       e = Iterate.pin(e
         .join(keep.select(col("id").as("pa")), Seq("pa"), "left_semi")
         .join(keep.select(col("id").as("pb")), Seq("pb"), "left_semi"))

@@ -1243,8 +1243,11 @@ object Similarity {
     * probe frame, so the final score is one addition on top of the
     * exact-decimal ADC sum.
     */
-  def ivfPqResidualTopK(emb: DataFrame, trained: Boolean = false): DataFrame = {
-    import graft.functions.Exact
+  /** (assigned cells, residual subvectors) — the frames every residual
+    * query variant shares: coarse assignment (one broadcast-centroid
+    * scoring pass) and the per-(vector, subspace) residual explode.
+    */
+  def residualSubvectors(emb: DataFrame): (DataFrame, DataFrame) = {
     val n = withNorm(emb, "embedding")
     val cents = n.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
@@ -1270,9 +1273,41 @@ object Similarity {
             zip_with(slice(col("v"), m * PqSubDim + 1, PqSubDim),
               slice(col("cvd"), m * PqSubDim + 1, PqSubDim),
               (a, b) => a - b).as("sv"))): _*)).as("s"))
-      .select(col("id"), col("bucket"), col("s.m").as("m"),
-        col("s.sv").as("sv"))
-    val rsubsThin = rsubs.select(col("id"), col("m"), col("sv"))
+      .select(col("id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    (assigned, rsubs)
+  }
+
+  /** Pinned per-(session, key) memo of [[residualSubvectors]] — the
+    * untrained top-k, the Lloyd's-trained top-k, and the recall harness
+    * all open with the SAME assignment + residual explode; the same
+    * composition-cache discipline as `Graph.custSuppEdgesCached`.
+    */
+  private val resCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+
+  def residualSubvectorsCached(emb: DataFrame,
+      cacheKey: String): (DataFrame, DataFrame) = {
+    resCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    resCache.computeIfAbsent((emb.sparkSession, cacheKey), _ => {
+      val (assigned, rsubs) = residualSubvectors(emb)
+      (Iterate.pin(assigned), Iterate.pin(rsubs))
+    })
+  }
+
+  /** [[graft.Tables.invalidate]] hook — drop pinned residual frames for a
+    * session whose fixture dirs were rewritten in-JVM.
+    */
+  def invalidateResiduals(spark: org.apache.spark.sql.SparkSession): Unit =
+    resCache.keySet.removeIf(_._1 eq spark)
+
+  def ivfPqResidualTopK(emb: DataFrame, trained: Boolean = false,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    import graft.functions.Exact
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val (assigned, rsubsThin) = pre.getOrElse(residualSubvectors(emb))
     val codebook =
       if (trained) trainSubCodebook(rsubsThin)
       else rsubsThin.filter(col("id") < PqK)

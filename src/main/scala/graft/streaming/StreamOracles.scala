@@ -34,6 +34,23 @@ object StreamOracles {
   private val seq = new java.util.concurrent.atomic.AtomicInteger()
   private val BaseMtime = 1700000000000L
 
+  /** RAM-backed scratch when the host has one (/dev/shm), java.io.tmpdir
+    * otherwise. Everything the oracles put here is run-local scratch —
+    * micro-batch source splits, offset/commit checkpoints, versioned
+    * state-swap dirs — and /tmp on this host is ext4, so leaving it there
+    * made every micro-batch pay real-disk fsyncs for the WAL and every
+    * state swap a disk round-trip. At cluster scale these locations are
+    * the deployment's fast local volume (checkpoints: the durable store);
+    * locally tmpfs is that volume.
+    */
+  private val scratchBase: Path = {
+    val shm = Path.of("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+    else Path.of(System.getProperty("java.io.tmpdir"))
+  }
+  private def scratchDir(prefix: String): Path =
+    Files.createTempDirectory(scratchBase, prefix)
+
   /** Micro-batch SOURCE directories are a deterministic function of the
     * fixture dir (fixed split function, fixed mtimes), so repeated runs in
     * one JVM — the bench's 3 passes — reuse them instead of re-splitting
@@ -46,7 +63,7 @@ object StreamOracles {
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
   private def cachedSrc(key: String)(build: Path => Unit): Path =
     srcCache.computeIfAbsent(key, { _ =>
-      val d = Files.createTempDirectory("graft_stream_src")
+      val d = scratchDir("graft_stream_src")
       build(d)
       d
     })
@@ -69,7 +86,7 @@ object StreamOracles {
     * idx-ordered mtime — the unit of streaming ingestion.
     */
   private def writeBatchFile(df: DataFrame, dst: Path, idx: Int): Unit = {
-    val staging = Files.createTempDirectory("graft_stage")
+    val staging = scratchDir("graft_stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = Files.list(staging).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
@@ -101,7 +118,19 @@ object StreamOracles {
     sessCache.keySet.removeIf(_.sparkContext.isStopped)
     sessCache.computeIfAbsent(spark, { p =>
       val s = p.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // state history is a correctness no-op for AvailableNow-to-final
+      // oracles; retaining one batch of deltas halves maintenance I/O
+      s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+      // the trailing no-data micro-batch only advances watermarks to
+      // evict state — final-state oracles read AFTER termination, and the
+      // inner interval join emits its matches eagerly, so the extra
+      // batch's full plan-execute-commit cycle buys nothing here
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // offset/commit WALs + state store under RAM-backed scratch (every
+      // query gets its own subdir — query names here are seq-unique)
+      s.conf.set("spark.sql.streaming.checkpointLocation",
+        scratchDir("graft_ckpt").toString)
       s
     })
   }
@@ -143,7 +172,7 @@ object StreamOracles {
       }
     }
     val ss = streamSession(spark)
-    val stateBase = Files.createTempDirectory("graft_scd_state").toString
+    val stateBase = scratchDir("graft_scd_state").toString
     val cfg = ScdMerge.Config(keys = Seq("k"), valueCol = "v", scd2 = false)
     val clockTs = lit("2026-01-01 00:00:00").cast("timestamp")
     val clockDate = lit("2026-01-01").cast("date")
@@ -215,12 +244,16 @@ object StreamOracles {
       }
     }
     val ss = streamSession(spark)
-    val stateBase = Files.createTempDirectory("graft_dedup_state").toString
+    val stateBase = scratchDir("graft_dedup_state").toString
     // band state accumulates as per-batch DELTA dirs (append-only, like a
     // real durable band table): each batch writes only ITS admitted bands
-    // and reads the union — no rewrite of the whole state per batch
+    // and reads the union — no rewrite of the whole state per batch. The
+    // band state IS the admitted set for every doc that has a signature,
+    // so there is no separate admitted-ids write per batch (it doubled
+    // the per-batch actions for a derivable frame); signature-less docs
+    // — fewer words than a shingle — have no bands, can never collide,
+    // and are admitted vacuously at readout.
     val bandDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    val admittedDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     val q = streamFiles(ss, src, StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
@@ -231,10 +264,10 @@ object StreamOracles {
         val state =
           if (bandDirs.isEmpty) Dedup.minhashBands(batch).limit(0)
           else ss.read.parquet(bandDirs.toSeq: _*)
-        val (admitted, newBands) = Streams.dedupBatch(batch, state)
-        val admDir = s"$stateBase/adm$id"
-        admitted.select(col("doc_id")).write.mode("overwrite").parquet(admDir)
-        admittedDirs += admDir
+        // a micro-batch arrives as ONE source file = one partition; the
+        // md5 shingle/minhash chains are the batch's CPU, so spread the
+        // thin document rows across the session's width first
+        val (_, newBands) = Streams.dedupBatch(batch.repartition(4), state)
         val nextBands = s"$stateBase/bands$id"
         newBands.write.mode("overwrite").parquet(nextBands)
         bandDirs += nextBands
@@ -242,8 +275,13 @@ object StreamOracles {
       }
       .start()
     try q.awaitTermination(300000) finally if (q.isActive) q.stop()
-    ss.read.parquet(admittedDirs.toSeq: _*)
-      .select(col("doc_id")).orderBy(col("doc_id"))
+    val signatureless = docs.filter(
+      size(graft.operators.TextOps.words(col("text"))) < Dedup.ShingleK)
+      .select(col("doc_id"))
+    ss.read.parquet(bandDirs.toSeq: _*)
+      .select(col("doc_id")).distinct()
+      .unionByName(signatureless)
+      .orderBy(col("doc_id"))
   }
 
   /** The band-share relation is [[Dedup.sqlMinhashPairs]]'s bands CTE made

@@ -194,10 +194,11 @@ object Streams {
     // (doc_b of each a<b pair), exactly what the shared expansion emits
     val dupWithinBatch = graft.operators.Dedup.bandCollisionPairs(newBands)
       .select(col("doc_b").as("doc_id")).distinct()
-    // pinned for the same two-consumer reason (docs anti-join + bands
-    // anti-join); the victim set is a tiny id frame
-    val victims = graft.operators.Iterate.pin(
-      dupOfState.unionByName(dupWithinBatch).distinct())
+    // NOT pinned: everything below the pinned band frame is two small
+    // joins over k-bounded band rows — an eager pin here cost a
+    // scheduler round-trip per micro-batch, more than the recompute it
+    // saved when a caller consumes both returned frames
+    val victims = dupOfState.unionByName(dupWithinBatch).distinct()
     val admitted = newDocs.join(victims, Seq("doc_id"), "left_anti")
     val admittedBands = newBands.join(victims, Seq("doc_id"), "left_anti")
     (admitted, admittedBands)
