@@ -3427,6 +3427,7 @@ object SparkEntry {
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
+    "embed_pca_power"   -> ((s, d) => Similarity.pcaPower(emb(s, d))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
     "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
@@ -3660,6 +3661,7 @@ object SparkEntry {
     "dedup_band_profile" -> Dedup.sqlBandProfile(),
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
+    "embed_pca_power"   -> Similarity.sqlPcaPower,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
     "text_fertility"    -> TextOps.sqlFertility,

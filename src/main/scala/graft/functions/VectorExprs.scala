@@ -96,6 +96,81 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductFloat]]'s double-array sibling: left-to-right fold dot of
+  * two `array<double>` columns — bit-identical to
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` (same element order, null
+  * and length-mismatch propagation) but a tight codegen'd primitive loop.
+  * Built for the relational-covariance path, where the 4096 column-pair
+  * dots each walk two |N|-element transposed arrays: the fold form pays
+  * lambda plumbing per element, and a decimal-sum detour per product row
+  * costs more than the whole dot.
+  */
+case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product_double expects (array<double>, array<double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  private def elementsNeverNull: Boolean =
+    Seq(left, right).forall(_.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = !elementsNeverNull
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elementsNeverNull) ""
+        else s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  $nullCheck
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDouble =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two SORTED distinct long arrays, via a
   * linear merge walk — no hash set, no result-array allocation (Spark's
   * `array_intersect` builds both). For blocked pairwise set-similarity the
@@ -163,6 +238,7 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 
 object VectorExprs {
   val DotName = "graft_dot_f"
+  val DotDName = "graft_dot_d"
   val IntersectName = "graft_intersect_count_sorted"
   val HeavyName = "graft_heavy_hitters"
   val PairName = "graft_pair_expand"
@@ -179,6 +255,8 @@ object VectorExprs {
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       DotName, exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      DotDName, exprs => DotProductDouble(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       IntersectName, exprs => IntersectCountSorted(exprs(0), exprs(1)),
       "built-in")
@@ -232,6 +310,10 @@ object VectorExprs {
     */
   def dotF(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Double-array twin of [[dotF]] ([[DotProductDouble]]). */
+  def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(DotDName, a, b)
 
   /** Lazy (a, b) pair generator over a sorted array column — use in a
     * `select` like `explode`; see [[PairExpand]].

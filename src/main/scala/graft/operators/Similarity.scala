@@ -1865,4 +1865,160 @@ object Similarity {
        |SELECT label, rk, vec_id, dist2
        |FROM ranked WHERE rk <= $OutlierK
        |ORDER BY label, rk""".stripMargin
+
+  // ------------------------------------------------ spectral: PCA (power)
+  /** Fixed power-iteration rounds. Three rounds is a deterministic,
+    * oracle-unrollable SNAPSHOT of the trajectory (the same fixed-round
+    * convention as [[KmeansIters]] / `Graph.PrIters`); production iterates
+    * the same per-round plan to an eigengap-based stop.
+    */
+  val PowerIters = 3
+
+  /** Leading principal component of the embedding covariance by power
+    * iteration (Mises & Pollaczek-Geiringer 1929; the PCA framing of
+    * Pearson 1901), computed RELATIONALLY end-to-end — no driver-side
+    * linear algebra, no collect:
+    *
+    *  - covariance C = E[xxᵀ] − μμᵀ via the TRANSPOSE: one exchange
+    *    turns the (vec_id, dim, x) stream into D ordered column arrays,
+    *    and the D² covariance entries are then codegen'd fixed-order
+    *    dots ([[graft.functions.DotProductDouble]]) over a broadcast
+    *    64-row frame — pinned ONCE and reused by every round. (A first
+    *    formulation aggregated the N·D² product rows through the
+    *    exact-decimal detour: correct, but decimal-summing 20 M rows
+    *    cost 13.6 s where the transposed dots cost ~1 s.) At 10⁹
+    *    vectors a column no longer fits one array row — shard vec_id
+    *    ranges into column CHUNKS, dot per (i, j, chunk), and combine
+    *    the ~|chunks| per-pair partials with the exact-decimal sum;
+    *    compute stays the inherent O(N·D²), the exchange stays O(D²).
+    *  - [[PowerIters]] rounds of v ← normalize(C·v) as D²-row matvec
+    *    joins against a broadcast D-row vector — per-round cost is
+    *    independent of N.
+    *
+    * Cross-engine determinism: the column dots and the fold means run in
+    * the SAME left-to-right element order on both engines (the
+    * `sqlDotD`/`list_reduce` convention every ANN oracle already relies
+    * on); matvec sums, norms, λ and trace go through the exact-decimal
+    * detour ([[graft.functions.Exact]]); the remaining ops (one division
+    * by n, μᵢ·μⱼ, the normalize divide, sqrt) are single IEEE operations
+    * in a fixed order, bit-identical in DuckDB. v₀ = 1/√D — exactly
+    * representable for the fixture's D = 64 (0.125). The eigenvector's
+    * sign is canonicalized (largest-|loading| dimension non-negative,
+    * lowest dim on ties) since −v is the same eigenvector.
+    *
+    * Output: one row per dimension — (dim0, loading) — plus the Rayleigh
+    * eigenvalue λ = vᵀCv and its share of total variance λ/tr(C) riding
+    * as constant columns. On the near-isotropic fixture the share is
+    * small (no dominant direction — consistent with the IVFADC training
+    * measurement); the spec pins convergence on a planted-direction
+    * corpus instead.
+    */
+  def pcaPower(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    import graft.functions.Exact
+    import graft.functions.VectorExprs
+    VectorExprs.register(emb.sparkSession)
+    val xs = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        col("x").cast("double").as("xi"))
+    // transpose: one vec_id-ordered column array per dimension
+    val cols = xs.groupBy(col("i"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("vec_id"), col("xi")))),
+        s => s.getField("xi")).as("xc"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    // sequential left fold — same element order as the oracle's
+    // list_reduce, so plain double arithmetic is already deterministic
+    val mu = cols.crossJoin(broadcast(n))
+      .select(col("i"),
+        (aggregate(col("xc"), lit(0.0), (a, x) => a + x) / col("n"))
+          .as("mu"))
+    val cov = Iterate.pin(cols
+      .crossJoin(broadcast(cols.select(col("i").as("j"), col("xc").as("yc"))))
+      .crossJoin(broadcast(n))
+      .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), Seq("i"))
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        (VectorExprs.dotD(col("xc"), col("yc")) / col("n")
+          - col("mi") * col("mj")).as("c")))
+    def matvec(v: DataFrame): DataFrame =
+      cov.join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
+        .groupBy(col("i"))
+        .agg(Exact.xsum(col("c") * col("v"), 12).as("w"))
+    var v = mu.select(col("i"), lit(1.0 / math.sqrt(dim)).as("v"))
+    for (_ <- 1 to PowerIters) {
+      val w = matvec(v)
+      val nrm = w.agg(sqrt(Exact.xsum(col("w") * col("w"), 12)).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("w") / col("nrm")).as("v"))
+    }
+    val vp = Iterate.pin(v) // final vector feeds sign, λ and the output
+    val wf = matvec(vp)
+    val lam = vp.join(wf, Seq("i"))
+      .agg(Exact.xsum(col("v") * col("w"), 12).as("lam"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(Exact.xsum(col("c"), 12).as("tr"))
+    val sgn = vp.orderBy(abs(col("v")).desc, col("i").asc).limit(1)
+      .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
+    vp.crossJoin(broadcast(sgn))
+      .crossJoin(broadcast(lam))
+      .crossJoin(broadcast(tr))
+      .select(col("i").as("dim0"), (col("v") * col("s")).as("loading"),
+        col("lam").as("eigval"), (col("lam") / col("tr")).as("var_share"))
+      .orderBy(col("dim0"))
+  }
+
+  def sqlPcaPower: String = {
+    import graft.functions.Exact
+    val rounds = (1 to PowerIters).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i, ${Exact.sqlSum("c.c * v.v", 12)} AS w
+         |  FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i
+         |), v$k AS (
+         |  SELECT i, w / nrm AS v FROM w$k,
+         |    (SELECT sqrt(${Exact.sqlSum("w * w", 12)}) AS nrm FROM w$k)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xs AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |), nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |cols AS (
+       |  SELECT i, list(xi ORDER BY vec_id) AS xc FROM xs GROUP BY i
+       |), mu AS (
+       |  SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE), xc),
+       |    (x, y) -> x + y) / n AS mu
+       |  FROM cols, nn
+       |), cov AS (
+       |  SELECT a.i, b.i AS j,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.xc) + 1),
+       |        k -> a.xc[k] * b.xc[k])), (x, y) -> x + y) / n
+       |      - ma.mu * mb.mu AS c
+       |  FROM cols a, cols b, nn
+       |  JOIN mu ma ON a.i = ma.i
+       |  JOIN mu mb ON b.i = mb.i
+       |), v0 AS (
+       |  SELECT i, CAST(${1.0 / math.sqrt(Dim)} AS DOUBLE) AS v FROM mu
+       |),
+       |$rounds,
+       |wf AS (
+       |  SELECT c.i, ${Exact.sqlSum("c.c * v.v", 12)} AS w
+       |  FROM cov c JOIN v$PowerIters v ON c.j = v.i GROUP BY c.i
+       |), lam AS (
+       |  SELECT ${Exact.sqlSum("v.v * wf.w", 12)} AS lam
+       |  FROM v$PowerIters v JOIN wf ON v.i = wf.i
+       |), tr AS (
+       |  SELECT ${Exact.sqlSum("c", 12)} AS tr FROM cov WHERE i = j
+       |), sgn AS (
+       |  SELECT CASE WHEN v < 0 THEN CAST(-1 AS DOUBLE)
+       |              ELSE CAST(1 AS DOUBLE) END AS s
+       |  FROM v$PowerIters ORDER BY abs(v) DESC, i ASC LIMIT 1
+       |)
+       |SELECT v.i AS dim0, v.v * sgn.s AS loading,
+       |  lam.lam AS eigval, lam.lam / tr.tr AS var_share
+       |FROM v$PowerIters v, sgn, lam, tr
+       |ORDER BY dim0""".stripMargin
+  }
 }

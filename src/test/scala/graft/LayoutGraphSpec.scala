@@ -344,4 +344,31 @@ class LayoutGraphSpec extends SparkSuite {
       hist.head.getAs[Long]("lo") == 4 &&
       hist.head.getAs[Long]("n_nodes") == n)
   }
+
+  test("pcaPower: planted dominant direction is recovered, sign-canonical") {
+    // variance concentrated on dim 2 (values ±k), small constant offsets
+    // elsewhere — the leading eigenvector must converge to ±e2 in 3 power
+    // rounds and the canonical sign makes it +e2
+    val rows = (1 to 40).map { k =>
+      val sgn = if (k % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Array(0.01f, sgn * k / 10.0f, 0.02f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(df, dim = 4).collect()
+    assert(out.length == 4)
+    val loadings = out.map(r =>
+      r.getAs[Long]("dim0") -> r.getAs[Double]("loading")).toMap
+    assert(math.abs(loadings(2L)) > 0.999,
+      s"dominant direction not recovered: $loadings")
+    assert(loadings(2L) > 0, "sign not canonicalized to the dominant dim")
+    // unit norm and a variance share that reflects the planted dominance
+    val norm2 = loadings.values.map(v => v * v).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, s"not unit norm: $norm2")
+    val share = out.head.getAs[Double]("var_share")
+    assert(share > 0.99 && share <= 1.0 + 1e-9, s"var share $share")
+    // eigenvalue ≈ the planted dim's variance: mean of (k/10)² — the
+    // centered ± pattern has mean ~0 (up to the odd/even imbalance)
+    val eig = out.head.getAs[Double]("eigval")
+    assert(eig > 3.0 && eig < 6.0, s"eigval $eig")
+  }
 }
