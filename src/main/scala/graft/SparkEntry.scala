@@ -3427,7 +3427,11 @@ object SparkEntry {
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
-    "embed_pca_power"   -> ((s, d) => Similarity.pcaPower(emb(s, d))),
+    // the two spectral queries share one pinned covariance + power pass
+    "embed_pca_power"   -> ((s, d) => Similarity.pcaPower(emb(s, d),
+      pre = Some(Similarity.pcaPartsCached(emb(s, d), d)))),
+    "embed_pca_project" -> ((s, d) => Similarity.pcaProject(emb(s, d),
+      pre = Some(Similarity.pcaPartsCached(emb(s, d), d)))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
     "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
@@ -3662,6 +3666,7 @@ object SparkEntry {
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "embed_pca_power"   -> Similarity.sqlPcaPower,
+    "embed_pca_project" -> Similarity.sqlPcaProject,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
     "text_fertility"    -> TextOps.sqlFertility,

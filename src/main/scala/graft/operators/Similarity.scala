@@ -1294,11 +1294,13 @@ object Similarity {
     })
   }
 
-  /** [[graft.Tables.invalidate]] hook — drop pinned residual frames for a
-    * session whose fixture dirs were rewritten in-JVM.
+  /** [[graft.Tables.invalidate]] hook — drop pinned residual and spectral
+    * frames for a session whose fixture dirs were rewritten in-JVM.
     */
-  def invalidateResiduals(spark: org.apache.spark.sql.SparkSession): Unit =
+  def invalidateResiduals(spark: org.apache.spark.sql.SparkSession): Unit = {
     resCache.keySet.removeIf(_._1 eq spark)
+    pcaCache.keySet.removeIf(_._1 eq spark)
+  }
 
   def ivfPqResidualTopK(emb: DataFrame, trained: Boolean = false,
       pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
@@ -1913,7 +1915,11 @@ object Similarity {
     * measurement); the spec pins convergence on a planted-direction
     * corpus instead.
     */
-  def pcaPower(emb: DataFrame, dim: Int = Dim): DataFrame = {
+  /** (per-dim mean, principal component frame) — the reusable parts of
+    * [[pcaPower]]; `comps` is (dim0, loading, eigval, var_share) with
+    * the canonical sign already applied.
+    */
+  private def pcaParts(emb: DataFrame, dim: Int): (DataFrame, DataFrame) = {
     import graft.functions.Exact
     import graft.functions.VectorExprs
     VectorExprs.register(emb.sparkSession)
@@ -1961,15 +1967,75 @@ object Similarity {
       .agg(Exact.xsum(col("c"), 12).as("tr"))
     val sgn = vp.orderBy(abs(col("v")).desc, col("i").asc).limit(1)
       .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
-    vp.crossJoin(broadcast(sgn))
+    val comps = vp.crossJoin(broadcast(sgn))
       .crossJoin(broadcast(lam))
       .crossJoin(broadcast(tr))
       .select(col("i").as("dim0"), (col("v") * col("s")).as("loading"),
         col("lam").as("eigval"), (col("lam") / col("tr")).as("var_share"))
-      .orderBy(col("dim0"))
+    (mu, comps)
   }
 
-  def sqlPcaPower: String = {
+  def pcaPower(emb: DataFrame, dim: Int = Dim,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    pre.getOrElse(pcaParts(emb, dim))._2.orderBy(col("dim0"))
+
+  /** Pinned per-(session, key) memo of [[pcaParts]] — the component query
+    * and the projection query share one covariance + power-iteration
+    * pass; swept with the other corpus caches.
+    */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+
+  def pcaPartsCached(emb: DataFrame,
+      cacheKey: String): (DataFrame, DataFrame) = {
+    pcaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pcaCache.computeIfAbsent((emb.sparkSession, cacheKey), _ => {
+      val (mu, comps) = pcaParts(emb, Dim)
+      (Iterate.pin(mu), Iterate.pin(comps))
+    })
+  }
+
+  /** Rank-1 PCA projection: each vector's coordinate along the leading
+    * component, coord = (x − μ)·v computed as dot(x, v) − dot(μ, v), and
+    * its reconstruction error resid² = ‖x − μ‖² − coord² (non-negative
+    * up to rounding — the variance the 1-D code does NOT explain; the
+    * dimension-reduction twin of [[pqDistortion]]'s code-level QC). All
+    * per-row math is fixed-order codegen'd dots against the broadcast
+    * mean/component arrays — one N-row scan, no shuffle before the
+    * output ordering; the mirror SQL evaluates the identical expression
+    * tree left-to-right.
+    */
+  def pcaProject(emb: DataFrame, dim: Int = Dim,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    import graft.functions.VectorExprs
+    VectorExprs.register(emb.sparkSession)
+    val (mu, comps) = pre.getOrElse(pcaParts(emb, dim))
+    val muArr = mu.agg(transform(
+      sort_array(collect_list(struct(col("i"), col("mu")))),
+      s => s.getField("mu")).as("muarr"))
+    val vArr = comps.agg(transform(
+      sort_array(collect_list(struct(col("dim0"), col("loading")))),
+      s => s.getField("loading")).as("varr"))
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+      .crossJoin(broadcast(muArr))
+      .crossJoin(broadcast(vArr))
+      .select(col("vec_id"),
+        (VectorExprs.dotD(col("xd"), col("varr"))
+          - VectorExprs.dotD(col("muarr"), col("varr"))).as("coord"),
+        col("xd"), col("muarr"))
+      .select(col("vec_id"), col("coord"),
+        (VectorExprs.dotD(col("xd"), col("xd"))
+          - lit(2.0) * VectorExprs.dotD(col("xd"), col("muarr"))
+          + VectorExprs.dotD(col("muarr"), col("muarr"))
+          - col("coord") * col("coord")).as("resid2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared CTE chain (xs → cols/mu/cov → unrolled rounds → λ/trace/sign)
+    * for the two spectral oracles.
+    */
+  private def sqlPcaCtes: String = {
     import graft.functions.Exact
     val rounds = (1 to PowerIters).map { k =>
       s"""w$k AS (
@@ -1980,7 +2046,7 @@ object Similarity {
          |    (SELECT sqrt(${Exact.sqlSum("w * w", 12)}) AS nrm FROM w$k)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH xs AS (
+    s"""xs AS (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
        |  FROM embeddings, range(1, ${Dim + 1}) t(i)
        |), nn AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -2015,10 +2081,43 @@ object Similarity {
        |  SELECT CASE WHEN v < 0 THEN CAST(-1 AS DOUBLE)
        |              ELSE CAST(1 AS DOUBLE) END AS s
        |  FROM v$PowerIters ORDER BY abs(v) DESC, i ASC LIMIT 1
-       |)
+       |)""".stripMargin
+  }
+
+  def sqlPcaPower: String =
+    s"""WITH $sqlPcaCtes
        |SELECT v.i AS dim0, v.v * sgn.s AS loading,
        |  lam.lam AS eigval, lam.lam / tr.tr AS var_share
        |FROM v$PowerIters v, sgn, lam, tr
        |ORDER BY dim0""".stripMargin
+
+  def sqlPcaProject: String = {
+    def dotL(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len($a) + 1),
+         |        k -> $a[k] * $b[k])), (x, y) -> x + y)""".stripMargin
+    s"""WITH $sqlPcaCtes,
+       |varr AS (
+       |  SELECT list(v.v * sgn.s ORDER BY v.i) AS varr
+       |  FROM v$PowerIters v, sgn
+       |), muarr AS (
+       |  SELECT list(mu ORDER BY i) AS muarr FROM mu
+       |), xd AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id,
+       |    ${dotL("xd", "varr")} - ${dotL("muarr", "varr")} AS coord,
+       |    xd, muarr
+       |  FROM xd, varr, muarr
+       |)
+       |SELECT vec_id, coord,
+       |  ${dotL("xd", "xd")}
+       |    - CAST(2 AS DOUBLE) * ${dotL("xd", "muarr")}
+       |    + ${dotL("muarr", "muarr")}
+       |    - coord * coord AS resid2
+       |FROM p
+       |ORDER BY vec_id""".stripMargin
   }
 }

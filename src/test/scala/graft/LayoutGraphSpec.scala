@@ -371,4 +371,26 @@ class LayoutGraphSpec extends SparkSuite {
     val eig = out.head.getAs[Double]("eigval")
     assert(eig > 3.0 && eig < 6.0, s"eigval $eig")
   }
+
+  test("pcaProject: coords recover the planted axis, residual is ~0") {
+    // same planted corpus: all variance on dim 2 → the rank-1 code is
+    // lossless (resid² ≈ 0) and each coord equals the centered dim-2
+    // value under the canonical (+e2) component
+    val rows = (1 to 40).map { k =>
+      val sgn = if (k % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Array(0.01f, sgn * k / 10.0f, 0.02f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val mean2 = rows.map(_._2(1).toDouble).sum / rows.length
+    val out = Similarity.pcaProject(df, dim = 4).collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val k = r.getAs[Long]("vec_id")
+      val expect = rows(k.toInt - 1)._2(1).toDouble - mean2
+      assert(math.abs(r.getAs[Double]("coord") - expect) < 1e-3,
+        s"vec $k coord ${r.getAs[Double]("coord")} vs $expect")
+      assert(math.abs(r.getAs[Double]("resid2")) < 1e-3,
+        s"vec $k resid2 ${r.getAs[Double]("resid2")}")
+    }
+  }
 }
