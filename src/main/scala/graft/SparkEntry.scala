@@ -3251,6 +3251,7 @@ object SparkEntry {
     "text_winnow"       -> ((s, d) => TextOps.winnow(docs(s, d))),
     "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d))),
     "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d))),
+    "text_source_tvd"   -> ((s, d) => TextOps.sourceTvd(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
@@ -3541,6 +3542,7 @@ object SparkEntry {
     "text_winnow"       -> TextOps.sqlWinnow,
     "text_winnow_pairs" -> TextOps.sqlWinnowPairs,
     "text_source_overlap" -> TextOps.sqlSourceOverlap,
+    "text_source_tvd"   -> TextOps.sqlSourceTvd,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
     "mm_decode"         -> Multimodal.sqlDecode,

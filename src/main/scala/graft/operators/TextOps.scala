@@ -667,6 +667,73 @@ object TextOps {
        |FROM p GROUP BY src_a, src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** Per-source token-distribution drift from the corpus mixture, as
+    * total-variation distance — the standard "did this crawl's word
+    * distribution shift away from the blend?" audit run before adjusting
+    * mixture weights. TVD(p_s, p) = ½ Σ_w |c_s(w)/N_s − c(w)/N| is
+    * emitted as the EXACT integer fraction
+    * `tvd_num / tvd_den = Σ_w |c_s(w)·N − c(w)·N_s| / (2·N_s·N)` — no
+    * division, no doubles, hash-safe against the oracle.
+    *
+    * Scale shape: the only corpus-scale stage is one hash exchange on
+    * (source, word) with map-side partial counts; everything after runs
+    * on the |sources|×|vocab|-bounded count frame. The Σ over words
+    * ABSENT from a source never materializes: it telescopes to
+    * N·N_s − Σ_{w∈V_s} c(w)·N_s, so only present-(source, word) rows are
+    * joined. `n` is a broadcast 1-row scalar. At trillion-token scale the
+    * c·N products exceed 2^63 — swap the two sum columns to
+    * decimal(38,0); the plan shape is unchanged.
+    */
+  def sourceTvd(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val n  = cw.agg(sum(col("c_w")).as("n"))
+    sw.join(cw, Seq("w"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(
+        sum(abs(col("c_sw") * col("n") - col("c_w") * col("n_s")))
+          .as("num_present"),
+        sum(col("c_w") * col("n_s")).as("mass_present"))
+      .select(
+        col("source"),
+        (col("num_present") + (col("n") * col("n_s") - col("mass_present")))
+          .cast("long").as("tvd_num"),
+        (lit(2) * col("n_s") * col("n")).cast("long").as("tvd_den"))
+      .orderBy(col("source"))
+  }
+
+  def sqlSourceTvd: String =
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw FROM (
+       |    SELECT source, unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) GROUP BY source, w
+       |), cw AS (
+       |  SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w
+       |), ns AS (
+       |  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+       |  FROM sw GROUP BY source
+       |), tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+       |pres AS (
+       |  SELECT sw.source, ns.n_s, tot.n,
+       |    SUM(ABS(sw.c_sw * tot.n - cw.c_w * ns.n_s)) AS num_present,
+       |    SUM(cw.c_w * ns.n_s) AS mass_present
+       |  FROM sw
+       |  JOIN cw ON sw.w = cw.w
+       |  JOIN ns ON sw.source = ns.source
+       |  CROSS JOIN tot
+       |  GROUP BY sw.source, ns.n_s, tot.n
+       |)
+       |SELECT source,
+       |  CAST(num_present + (n * n_s - mass_present) AS BIGINT) AS tvd_num,
+       |  CAST(2 * n_s * n AS BIGINT) AS tvd_den
+       |FROM pres ORDER BY source""".stripMargin
+
   def sqlWinnowPairs: String =
     s"""WITH w AS (
        |  ${sqlWinnow.linesIterator.mkString("\n  ")}

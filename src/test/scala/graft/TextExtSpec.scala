@@ -200,4 +200,27 @@ class TextExtSpec extends SparkSuite {
     // monotone: the all-common doc scores strictly below the unique one
     assert(out(2L).getAs[Double]("rarity") < out(1L).getAs[Double]("rarity"))
   }
+
+  test("sourceTvd: exact fraction matches the hand-computed distance") {
+    // A: {a:2, b:1} N_A=3; B: {b:1, c:1} N_B=2; corpus {a:2,b:2,c:1} N=5
+    // TVD(A) = ½(|2/3−2/5| + |1/3−2/5| + |0−1/5|) = 8/30
+    // TVD(B) = ½(|0−2/5| + |1/2−2/5| + |1/2−1/5|) = 8/20
+    val docs = Seq(
+      (1L, "a a b", "en", "srcA", 5L),
+      (2L, "b c", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceTvd(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tvd_num"), r.getAs[Long]("tvd_den"))).toMap
+    assert(out("srcA") == (8L, 30L))
+    assert(out("srcB") == (8L, 20L))
+  }
+
+  test("sourceTvd: a lone source coincides with the mixture -> zero") {
+    val docs = Seq((1L, "x y x", "en", "solo", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceTvd(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("tvd_num") == 0L)
+  }
 }
