@@ -3252,6 +3252,7 @@ object SparkEntry {
     "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d))),
     "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d))),
     "text_source_tvd"   -> ((s, d) => TextOps.sourceTvd(docs(s, d))),
+    "text_lexical_profile" -> ((s, d) => TextOps.lexicalProfile(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
@@ -3426,6 +3427,7 @@ object SparkEntry {
     "text_lm_score"     -> qLmScore _,
     "text_novelty"      -> qNovelty _,
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
+    "dedup_source_jaccard" -> ((s, d) => Dedup.sourceJaccard(docs(s, d))),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     // the two spectral queries share one pinned covariance + power pass
@@ -3543,6 +3545,7 @@ object SparkEntry {
     "text_winnow_pairs" -> TextOps.sqlWinnowPairs,
     "text_source_overlap" -> TextOps.sqlSourceOverlap,
     "text_source_tvd"   -> TextOps.sqlSourceTvd,
+    "text_lexical_profile" -> TextOps.sqlLexicalProfile,
     "mm_features"       -> Multimodal.sqlFeatures,
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
     "mm_decode"         -> Multimodal.sqlDecode,
@@ -3665,6 +3668,7 @@ object SparkEntry {
     "text_lm_score"     -> sqlLmScore,
     "text_novelty"      -> sqlNovelty,
     "dedup_band_profile" -> Dedup.sqlBandProfile(),
+    "dedup_source_jaccard" -> Dedup.sqlSourceJaccard,
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "embed_pca_power"   -> Similarity.sqlPcaPower,

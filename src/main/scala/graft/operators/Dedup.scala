@@ -267,6 +267,116 @@ object Dedup {
        |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
        |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin
 
+  // ------------------------------------------- source-level Jaccard audit
+  /** Source-pair word-set resemblance, exact AND MinHash-estimated in one
+    * result — the "is our MinHash family trustworthy on THIS corpus"
+    * audit, run at source granularity where the exact answer is still
+    * affordable. For every source pair with any overlap: the exact
+    * intersection / union of their word sets, plus `mh_agree` = how many
+    * of the [[MinhashK]] signature components coincide (E[mh_agree/K] =
+    * Jaccard, Broder 1997 §2 — same universal hash family as the doc-level
+    * [[minhashBands]]).
+    *
+    * Scale shape: the only corpus-scale stage is one (source, word) hash
+    * exchange; after that everything is |sources|×|vocab| bounded or
+    * smaller. Both pair expansions go through the lazy [[graft.functions
+    * .VectorExprs.pairExpand]] on per-word / per-signature-value source
+    * lists — buckets are |sources|-sized (a catalog of crawls, hundreds),
+    * never document-sized, so no cap is needed; nothing is all-pairs over
+    * docs. Signature minima fold map-side (K integer ops per word). Pairs
+    * sharing neither a word nor a signature value (exact AND estimated
+    * Jaccard both 0) are absent from the result by construction.
+    */
+  def sourceJaccard(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val pe = graft.functions.VectorExprs
+    val sw = docs
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val types = sw.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val inter = sw
+      .groupBy(col("w")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(pe.pairExpand(col("ss")).as(Seq("src_a", "src_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter_words"))
+    val sigCols = (0 until MinhashK).map(j =>
+      min((col("h") * lit(hashA(j)) + lit(hashB(j))) % lit(MinhashP))
+        .as(s"sig$j"))
+    val sigs = sw
+      .select(col("source"), (TextOps.tokenHash(col("w")) % lit(MinhashP)).as("h"))
+      .groupBy(col("source")).agg(sigCols.head, sigCols.tail: _*)
+    val agree = sigs
+      .select(col("source"), explode(array((0 until MinhashK).map(j =>
+        struct(lit(j).as("j"), col(s"sig$j").as("v"))): _*)).as("s"))
+      .select(col("source"), col("s.j").as("j"), col("s.v").as("v"))
+      .groupBy(col("j"), col("v"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(pe.pairExpand(col("ss")).as(Seq("src_a", "src_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("mh_agree"))
+    inter.join(agree, Seq("src_a", "src_b"), "full_outer")
+      .join(types.select(col("source").as("src_a"),
+        col("n_types").as("ta")), Seq("src_a"))
+      .join(types.select(col("source").as("src_b"),
+        col("n_types").as("tb")), Seq("src_b"))
+      .select(
+        col("src_a"), col("src_b"),
+        coalesce(col("inter_words"), lit(0L)).as("inter_words"),
+        (col("ta") + col("tb") - coalesce(col("inter_words"), lit(0L)))
+          .as("union_words"),
+        coalesce(col("mh_agree"), lit(0L)).as("mh_agree"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sqlSourceJaccard: String =
+    s"""WITH sw AS (
+       |  SELECT DISTINCT source, w FROM (
+       |    SELECT source, unnest(${TextOps.sqlWords("text")}) AS w
+       |    FROM documents
+       |  ) WHERE w <> ''
+       |), ty AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+       |  FROM sw GROUP BY source
+       |), iw AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter_words
+       |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT source, j,
+       |    MIN((h * (1000003 * (j + 1) + 12345)
+       |         + (7919 * (j + 1) + 104729)) % $MinhashP) AS v
+       |  FROM (
+       |    SELECT source, ${TextOps.sqlTokenHash("w")} % $MinhashP AS h
+       |    FROM sw
+       |  ), (SELECT unnest(range($MinhashK)) AS j)
+       |  GROUP BY source, j
+       |), ag AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS mh_agree
+       |  FROM sig a JOIN sig b
+       |    ON a.j = b.j AND a.v = b.v AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT COALESCE(iw.src_a, ag.src_a) AS src_a,
+       |    COALESCE(iw.src_b, ag.src_b) AS src_b,
+       |    COALESCE(iw.inter_words, 0) AS inter_words,
+       |    COALESCE(ag.mh_agree, 0) AS mh_agree
+       |  FROM iw FULL JOIN ag
+       |    ON iw.src_a = ag.src_a AND iw.src_b = ag.src_b
+       |)
+       |SELECT src_a, src_b, inter_words,
+       |  CAST(ta.n_types + tb.n_types - inter_words AS BIGINT)
+       |    AS union_words,
+       |  mh_agree
+       |FROM pairs
+       |JOIN ty ta ON ta.source = src_a
+       |JOIN ty tb ON tb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ------------------------------------------------- LSH calibration
   /** Empirical LSH calibration: the EXACT shingle-Jaccard distribution of
     * the candidate pairs the bands produced, bucketed by tenths — the

@@ -708,6 +708,45 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-source lexical profile: token count, type (distinct-word) count,
+    * hapax legomena (words occurring exactly once in the source), and the
+    * modal word frequency. The type/token and hapax/type ratios a corpus
+    * card reports fall straight out of these integers; emitting the raw
+    * counts keeps the result exact (no division → hash-safe) and lets the
+    * reader pick the ratio convention.
+    *
+    * Scale shape: one corpus-scale hash exchange on (source, word) with
+    * map-side partial counts, then a second exchange on the
+    * |sources|×|vocab|-bounded frame — the same two-level aggregation
+    * Heaps-law auditing uses; no joins, no windows.
+    */
+  def lexicalProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        max(col("c")).cast("long").as("max_freq"))
+      .orderBy(col("source"))
+
+  def sqlLexicalProfile: String =
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT source, unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) WHERE w <> '' GROUP BY source, w
+       |)
+       |SELECT source,
+       |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_types,
+       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST(MAX(c) AS BIGINT) AS max_freq
+       |FROM sw GROUP BY source ORDER BY source""".stripMargin
+
   def sqlSourceTvd: String =
     s"""WITH sw AS (
        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw FROM (

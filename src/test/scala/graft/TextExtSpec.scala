@@ -216,6 +216,46 @@ class TextExtSpec extends SparkSuite {
     assert(out("srcB") == (8L, 20L))
   }
 
+  test("lexicalProfile: counts are exact on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "a a b c", "en", "s1", 7L),
+      (2L, "a d", "en", "s1", 3L),
+      (3L, "z", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.lexicalProfile(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // s1: tokens {a:3, b:1, c:1, d:1} -> 6 tokens, 4 types, 3 hapax
+    assert(out("s1").getAs[Long]("n_tokens") == 6L)
+    assert(out("s1").getAs[Long]("n_types") == 4L)
+    assert(out("s1").getAs[Long]("n_hapax") == 3L)
+    assert(out("s1").getAs[Long]("max_freq") == 3L)
+    assert(out("s2").getAs[Long]("n_tokens") == 1L)
+    assert(out("s2").getAs[Long]("n_hapax") == 1L)
+  }
+
+  test("sourceJaccard: exact sets hand-checked; identical sources agree " +
+    "on every signature component") {
+    val docs = Seq(
+      (1L, "x y", "en", "sA", 3L),
+      (2L, "y x x", "en", "sB", 5L), // same word SET as sA
+      (3L, "x z", "en", "sC", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.sourceJaccard(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    val ab = out(("sA", "sB"))
+    assert(ab.getAs[Long]("inter_words") == 2L)
+    assert(ab.getAs[Long]("union_words") == 2L)
+    // identical word sets -> every MinHash component coincides
+    assert(ab.getAs[Long]("mh_agree") == graft.operators.Dedup.MinhashK.toLong)
+    val ac = out(("sA", "sC"))
+    assert(ac.getAs[Long]("inter_words") == 1L)
+    assert(ac.getAs[Long]("union_words") == 3L)
+    // estimate never exceeds the signature length
+    assert(out.values.forall(
+      _.getAs[Long]("mh_agree") <= graft.operators.Dedup.MinhashK.toLong))
+  }
+
   test("sourceTvd: a lone source coincides with the mixture -> zero") {
     val docs = Seq((1L, "x y x", "en", "solo", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
