@@ -3232,8 +3232,16 @@ object SparkEntry {
         .select(col("nprobe"), col("query_id"), col("recall"))
         .orderBy(col("nprobe"), col("query_id"))
     }),
-    "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d))),
-    "sim_pq_kmeans"     -> ((s, d) => Similarity.pqKmeans(emb(s, d))),
+    // the four Lloyd's queries read trained artifacts from the shared
+    // per-(session, dir) memos — train once, consume everywhere
+    "sim_ivf_kmeans"    -> ((s, d) => Similarity.ivfKmeans(emb(s, d),
+      cents = Some(Similarity.ivfCentsCached(emb(s, d), d)))),
+    "sim_pq_kmeans"     -> ((s, d) => Similarity.pqKmeans(emb(s, d),
+      codebook = Some(Similarity.pqCodebookCached(emb(s, d), d)))),
+    "sim_ivf_balance_trained" -> ((s, d) => Similarity.ivfBalanceTrained(
+      emb(s, d), Similarity.ivfCentsCached(emb(s, d), d))),
+    "sim_pq_distortion_trained" -> ((s, d) => Similarity.pqDistortionTrained(
+      emb(s, d), Similarity.pqCodebookCached(emb(s, d), d))),
     // streaming twins driven to their FINAL state over real micro-batches
     // (file source, AvailableNow/processAllAvailable) — the returned frame
     // is the durable state, hash-checked against a batch oracle
@@ -3289,7 +3297,8 @@ object SparkEntry {
     // k-means over residual subvectors) — same query surface, trained=true
     "sim_ivfadc_trained" -> ((s, d) =>
       Similarity.ivfPqResidualTopK(emb(s, d), trained = true,
-        pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d)))),
+        pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d)),
+        book = Some(Similarity.residualBookCached(emb(s, d), d)))),
     "sim_ivfadc_recall" -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
@@ -3530,6 +3539,8 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"),
     "sim_ivf_kmeans"    -> Similarity.sqlIvfKmeans(),
     "sim_pq_kmeans"     -> Similarity.sqlPqKmeans(),
+    "sim_ivf_balance_trained" -> Similarity.sqlIvfBalanceTrained(),
+    "sim_pq_distortion_trained" -> Similarity.sqlPqDistortionTrained(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,

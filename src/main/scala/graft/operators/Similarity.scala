@@ -788,23 +788,75 @@ object Similarity {
         transform(col("p"), s => s("cval")).as("cv"))
       .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
 
-  def ivfKmeans(emb: DataFrame, iters: Int = KmeansIters): DataFrame = {
-    val n = emb
-      .select(col("vec_id"),
+  /** (vec_id, v, nrm): double vectors with their norms — the Lloyd's
+    * working frame.
+    */
+  private def kmeansVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+
+  /** The Lloyd's loop alone: trained coarse centroids (cent_id, cv, cnrm)
+    * after `iters` rounds from the deterministic seed. Split from
+    * [[ivfKmeans]] so the trained frame can be memoized
+    * ([[ivfCentsCached]]) — a deployment persists trained centroids
+    * beside the index and every consumer reads THAT, it never re-runs
+    * Lloyd's per query.
+    */
+  def ivfTrainedCents(emb: DataFrame, iters: Int = KmeansIters): DataFrame = {
+    val n = kmeansVecs(emb)
     var cents = n.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     for (_ <- 1 to iters)
       cents = updateCents(assignCells(n, cents)).transform(Iterate.pin)
-    assignCells(n, cents)
+    cents
+  }
+
+  def ivfKmeans(emb: DataFrame, iters: Int = KmeansIters,
+      cents: Option[DataFrame] = None): DataFrame =
+    assignCells(kmeansVecs(emb), cents.getOrElse(ivfTrainedCents(emb, iters)))
       .select(col("vec_id"), col("bucket"))
       .orderBy(col("vec_id"))
+
+  /** Cell-population balance under TRAINED centroids — the counterpart of
+    * [[cellBalance]] (which prices the training-free seed cells): Lloyd's
+    * rounds are exactly the mechanism that evens out cell load, and this
+    * is the audit that verifies they did. At 100 TB cell skew IS the IVF
+    * bottleneck — the hottest cell bounds probe latency — so train/audit/
+    * retrain runs on this number. One broadcast-centroid assignment pass,
+    * a |cells|-row count, and a broadcast 1-row total.
+    */
+  def ivfBalanceTrained(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val counts = assignCells(kmeansVecs(emb), cents)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("bucket"))
   }
 
   /** DuckDB oracle: the Lloyd's rounds unrolled as CTE pairs (a_k, c_k). */
-  def sqlIvfKmeans(iters: Int = KmeansIters): String = {
+  def sqlIvfKmeans(iters: Int = KmeansIters): String =
+    s"""WITH ${sqlIvfKmeansCtes(iters)}
+       |SELECT vec_id, bucket FROM fin ORDER BY vec_id""".stripMargin
+
+  /** [[ivfBalanceTrained]] oracle: cell counts over the same unrolled
+    * Lloyd's rounds' final assignment.
+    */
+  def sqlIvfBalanceTrained(iters: Int = KmeansIters): String =
+    s"""WITH ${sqlIvfKmeansCtes(iters)},
+       |counts AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM fin GROUP BY bucket
+       |), t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM counts)
+       |SELECT bucket, n_vectors,
+       |  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM counts, t ORDER BY bucket""".stripMargin
+
+  private def sqlIvfKmeansCtes(iters: Int): String = {
     def assign(nCte: String, cCte: String): String =
       s"""SELECT vec_id, v, nrm, cent_id AS bucket FROM (
          |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -828,7 +880,7 @@ object Similarity {
          |  )
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings
        |), n2 AS (
@@ -840,8 +892,7 @@ object Similarity {
        |$rounds,
        |fin AS (
        |  ${assign("n2", s"c$iters")}
-       |)
-       |SELECT vec_id, bucket FROM fin ORDER BY vec_id""".stripMargin
+       |)""".stripMargin
   }
 
   // -------------------------------------------------- product quantization
@@ -916,11 +967,37 @@ object Similarity {
     * here. Scale shape per round: one broadcast join + one thin argmax
     * agg + one (m·K·subdim)-cell exact-mean agg; per-round lineage pinned.
     */
-  def pqKmeans(emb: DataFrame, iters: Int = KmeansIters): DataFrame = {
+  def pqKmeans(emb: DataFrame, iters: Int = KmeansIters,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val subs = subvectors(emb, "id")
-    encode(subs, trainSubCodebook(subs, iters))
+    encode(subs, codebook.getOrElse(trainSubCodebook(subs, iters)))
       .select(col("id").as("vec_id"), col("m"), col("code"))
       .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** [[pqDistortion]] under a TRAINED codebook — the before/after pair is
+    * the standard evidence that the Lloyd's rounds actually bought
+    * distortion (Jégou 2011 §III evaluates codebooks exactly this way):
+    * read `sse` here against the seed-codebook `sse` of [[pqDistortion]].
+    * Same single encode pass + broadcast book join + per-subspace exact
+    * sum; the training cost lives in the shared memo
+    * ([[pqCodebookCached]]), not here.
+    */
+  def pqDistortionTrained(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val subs = subvectors(emb, "id")
+    val codes = encode(subs, codebook)
+    subs.join(codes, Seq("id", "m"))
+      .join(broadcast(codebook), Seq("m", "code"))
+      .select(col("m"),
+        (dotD(col("sv"), col("sv")) - lit(2.0) * dotD(col("sv"), col("cv"))
+          + dotD(col("cv"), col("cv"))).as("d2"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"), Exact.xsum(col("d2"), 9).as("sse"))
+      .select(col("m"), col("n_vectors"), col("sse"),
+        (col("sse") / col("n_vectors").cast("double"))
+          .as("mean_distortion"))
+      .orderBy(col("m"))
   }
 
   /** The Lloyd's loop of [[pqKmeans]] over ANY (id, m, sv) subvector
@@ -956,7 +1033,38 @@ object Similarity {
   }
 
   /** DuckDB oracle: per-subspace Lloyd's rounds unrolled as CTE pairs. */
-  def sqlPqKmeans(iters: Int = KmeansIters): String = {
+  def sqlPqKmeans(iters: Int = KmeansIters): String =
+    s"""WITH ${sqlPqKmeansCtes(iters)}
+       |SELECT id AS vec_id, m, code FROM fin
+       |ORDER BY vec_id, m""".stripMargin
+
+  /** [[pqDistortionTrained]] oracle: per-subspace SSE of the final
+    * assignment against the trained books from the same unrolled rounds.
+    */
+  def sqlPqDistortionTrained(iters: Int = KmeansIters): String = {
+    import graft.functions.Exact
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH ${sqlPqKmeansCtes(iters)},
+       |errs AS (
+       |  SELECT f.m,
+       |    ${dotSub("f.sv", "f.sv")}
+       |      - CAST(2 AS DOUBLE) * ${dotSub("f.sv", "cb.cv")}
+       |      + ${dotSub("cb.cv", "cb.cv")} AS d2
+       |  FROM fin f JOIN cb$iters cb ON f.m = cb.m AND f.code = cb.code
+       |), agg AS (
+       |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |    ${Exact.sqlSum("d2", 9)} AS sse
+       |  FROM errs GROUP BY m
+       |)
+       |SELECT m, n_vectors, sse,
+       |  sse / CAST(n_vectors AS DOUBLE) AS mean_distortion
+       |FROM agg ORDER BY m""".stripMargin
+  }
+
+  private def sqlPqKmeansCtes(iters: Int): String = {
     def dotSub(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(range(1, ${PqSubDim + 1}),
@@ -985,7 +1093,7 @@ object Similarity {
          |  ) GROUP BY m, code
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dv AS (
+    s"""dv AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings
        |), subs AS (
@@ -997,9 +1105,7 @@ object Similarity {
        |$rounds,
        |fin AS (
        |  ${assign(s"cb$iters")}
-       |)
-       |SELECT id AS vec_id, m, code FROM fin
-       |ORDER BY vec_id, m""".stripMargin
+       |)""".stripMargin
   }
 
   def pqTopK(emb: DataFrame): DataFrame = {
@@ -1285,6 +1391,37 @@ object Similarity {
   private val resCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** Pinned per-(session, key) memos of TRAINED index artifacts — coarse
+    * centroids ([[ivfTrainedCents]]) and per-subspace PQ codebooks
+    * ([[trainSubCodebook]] on raw subvectors). A deployment trains once
+    * and persists these beside the index; every consumer (assignment,
+    * balance audit, distortion audit) reads the persisted frame rather
+    * than re-running Lloyd's — the memo is that artifact store, with the
+    * same composition-cache discipline as [[residualSubvectorsCached]].
+    */
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+  private def trained(spark: org.apache.spark.sql.SparkSession,
+      cacheKey: String, kind: String)(build: => DataFrame): DataFrame = {
+    trainCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    trainCache.computeIfAbsent((spark, cacheKey, kind),
+      _ => Iterate.pin(build))
+  }
+
+  def ivfCentsCached(emb: DataFrame, cacheKey: String): DataFrame =
+    trained(emb.sparkSession, cacheKey, "ivf_cents")(ivfTrainedCents(emb))
+
+  def pqCodebookCached(emb: DataFrame, cacheKey: String): DataFrame =
+    trained(emb.sparkSession, cacheKey, "pq_book")(
+      trainSubCodebook(subvectors(emb, "id")))
+
+  /** Trained RESIDUAL codebooks (Jégou §IV) over the shared residual
+    * memo — the IVFADC twin of [[pqCodebookCached]].
+    */
+  def residualBookCached(emb: DataFrame, cacheKey: String): DataFrame =
+    trained(emb.sparkSession, cacheKey, "res_book")(
+      trainSubCodebook(residualSubvectorsCached(emb, cacheKey)._2))
+
   def residualSubvectorsCached(emb: DataFrame,
       cacheKey: String): (DataFrame, DataFrame) = {
     resCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -1300,10 +1437,12 @@ object Similarity {
   def invalidateResiduals(spark: org.apache.spark.sql.SparkSession): Unit = {
     resCache.keySet.removeIf(_._1 eq spark)
     pcaCache.keySet.removeIf(_._1 eq spark)
+    trainCache.keySet.removeIf(_._1 eq spark)
   }
 
   def ivfPqResidualTopK(emb: DataFrame, trained: Boolean = false,
-      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      pre: Option[(DataFrame, DataFrame)] = None,
+      book: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Exact
     val n = withNorm(emb, "embedding")
     val cents = n.filter(col("vec_id") < NCentroids)
@@ -1311,7 +1450,7 @@ object Similarity {
         col("norm").as("cnrm"))
     val (assigned, rsubsThin) = pre.getOrElse(residualSubvectors(emb))
     val codebook =
-      if (trained) trainSubCodebook(rsubsThin)
+      if (trained) book.getOrElse(trainSubCodebook(rsubsThin))
       else rsubsThin.filter(col("id") < PqK)
         .select(col("m"), col("id").cast("int").as("code"),
           col("sv").as("cv"))

@@ -232,6 +232,30 @@ class LayoutGraphSpec extends SparkSuite {
     assert(sets(trained) == sets(untrained))
   }
 
+  test("trained PQ books never increase distortion; trained cell balance " +
+    "accounts for every vector") {
+    val emb = Tables.embeddings(spark, dir)
+    val nVecs = emb.count()
+    val seed = Similarity.pqDistortion(emb).collect()
+      .map(r => r.getAs[Int]("m") -> r.getAs[Double]("mean_distortion"))
+      .toMap
+    val trainedD = Similarity.pqDistortionTrained(emb,
+      Similarity.pqCodebookCached(emb, dir)).collect()
+    assert(trainedD.length == Similarity.PqM)
+    // alternating minimization: SSE under the trained books can only be
+    // <= the seed books it started from, per subspace
+    trainedD.foreach { r =>
+      val m = r.getAs[Int]("m")
+      assert(r.getAs[Double]("mean_distortion") <= seed(m) + 1e-12,
+        s"subspace $m: trained distortion above seed")
+    }
+    val bal = Similarity.ivfBalanceTrained(emb,
+      Similarity.ivfCentsCached(emb, dir)).collect()
+    assert(bal.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    val shareSum = bal.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
   test("ivfpq: every (query, cand) ADC score agrees with unpruned PQ") {
     val emb = Tables.embeddings(spark, dir)
     val ivfpq = Similarity.ivfPqTopK(emb).collect()
