@@ -3323,6 +3323,11 @@ object SparkEntry {
     "graph_pagerank"    -> ((s, d) =>
       graft.operators.Graph.pagerankCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_components"  -> ((s, d) =>
+      graft.operators.Graph.components(
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        labels = Some(graft.operators.Graph.componentLabelsCached(
+          Tables.orders(s, d), Tables.lineitem(s, d), d)))),
     // part co-occurrence graph: triangles / degree histogram /
     // assortativity / BFS share one pinned edge memo (the expensive
     // basket→pair expansion runs once) AND one pinned degree table
@@ -3594,6 +3599,7 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY cust, supp""".stripMargin,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
+    "graph_components"  -> graft.operators.Graph.sqlComponents,
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
     "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),

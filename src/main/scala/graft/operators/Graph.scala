@@ -83,6 +83,68 @@ object Graph {
   def invalidateEdges(spark: org.apache.spark.sql.SparkSession): Unit =
     edgeCache.keySet.removeIf(_._1 eq spark)
 
+  /** Connected components of the cust–supp graph, summarized per
+    * component: size, customer count, supplier count, keyed by the
+    * component's minimum node id. Reuses [[Dedup.connectedComponents]]
+    * (min-label propagation + pointer jumping, with the large-star/
+    * small-star fallback for adversarial diameters) — reachability is ONE
+    * algorithm in this library regardless of which frame the edges came
+    * from. The supplier offset ([[SuppBase]]) keeps the bipartite node
+    * set in one id space, and the summary recovers the per-side counts
+    * from the id ranges.
+    *
+    * Scale shape: the iteration is the CC algorithm's (per round: one
+    * hash join + one thin min-agg, lineage pinned); the summary is a
+    * |components|-group aggregate over the |V|-row label frame. Output is
+    * |components| rows — at 100 TB this is the audit that tells you
+    * whether the transaction graph is one giant component (it usually
+    * is) BEFORE you pay for per-component processing.
+    */
+  def components(orders: DataFrame, lineitem: DataFrame,
+      pre: Option[DataFrame] = None,
+      labels: Option[DataFrame] = None): DataFrame =
+    labels.getOrElse {
+      val edges = pre.getOrElse(custSuppEdges(orders, lineitem))
+      Dedup.connectedComponents(edges.select(col("cust").as("doc_a"),
+        (col("supp") + SuppBase).as("doc_b")))
+    }
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("doc_id") < SuppBase, 1L).otherwise(0L)).cast("long")
+          .as("n_cust"),
+        sum(when(col("doc_id") >= SuppBase, 1L).otherwise(0L)).cast("long")
+          .as("n_supp"))
+      .orderBy(col("n_nodes").desc, col("component"))
+
+  /** Pinned per-(session, key) memo of the converged per-node label frame
+    * — the reusable artifact of reachability (the cust-supp twin of
+    * [[Dedup.ClusterArtifacts]]' `components`): any per-component
+    * consumer reads labels, it never re-runs the iteration.
+    */
+  def componentLabelsCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String): DataFrame = {
+    val edges = custSuppEdgesCached(orders, lineitem, cacheKey)
+    cachedPin(orders.sparkSession, s"cclab|$cacheKey")(
+      Dedup.connectedComponents(edges.select(col("cust").as("doc_a"),
+        (col("supp") + SuppBase).as("doc_b"))))
+  }
+
+  def sqlComponents: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey AS doc_a, l_suppkey + $SuppBase AS doc_b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |${Dedup.sqlComponentsCtes}
+       |SELECT component,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN doc_id < $SuppBase THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_cust,
+       |  CAST(SUM(CASE WHEN doc_id >= $SuppBase THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_supp
+       |FROM comp GROUP BY component
+       |ORDER BY n_nodes DESC, component""".stripMargin
+
   /** PageRank over the undirected bipartite graph (every node has deg ≥ 1,
     * so there is no dangling mass). Returns the top-`PrTopK` nodes by final
     * rank: (rk, node_id, rank).

@@ -331,6 +331,22 @@ class LayoutGraphSpec extends SparkSuite {
       .head.getAs[Double]("modularity") == 0.0)
   }
 
+  test("components: two disjoint bicliques summarize exactly") {
+    val orders = Seq((100L, 1L), (101L, 2L), (102L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((100L, 10L), (101L, 10L), (102L, 11L), (102L, 12L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = Graph.components(orders, li).collect()
+    assert(out.length == 2)
+    // ties on size order by component min-id: cust 1's component first
+    assert(out(0).getAs[Long]("component") == 1L)
+    assert((out(0).getAs[Long]("n_nodes"), out(0).getAs[Long]("n_cust"),
+      out(0).getAs[Long]("n_supp")) == ((3L, 2L, 1L)))
+    assert(out(1).getAs[Long]("component") == 3L)
+    assert((out(1).getAs[Long]("n_nodes"), out(1).getAs[Long]("n_cust"),
+      out(1).getAs[Long]("n_supp")) == ((3L, 1L, 2L)))
+  }
+
   test("bfs levels: path graph advances one hop per level") {
     // path 0-1-…-9: seeds {0..4} (ids < BfsSeeds), frontier then walks
     // 5, 6, 7 — one new node per level
