@@ -3267,6 +3267,8 @@ object SparkEntry {
     "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),
     "mm_png_pixels"     -> ((s, d) => Multimodal.pngPixels(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
+    "corpus_split_leakage" -> ((s, d) =>
+      TrainingData.splitLeakage(arts(s, d).pairs, docs(s, d))),
     "corpus_pack"       -> ((s, d) => TrainingData.pack(docs(s, d))),
     // the production bucketing variant (quantile-sampled range buckets for
     // sparse/skewed id spaces) — same contract, same oracle: any monotone
@@ -3568,6 +3570,8 @@ object SparkEntry {
     "mm_pixels"         -> Multimodal.sqlPixels,
     "mm_png_pixels"     -> Multimodal.sqlPngPixels,
     "corpus_split"      -> TrainingData.sqlSplitStats,
+    "corpus_split_leakage" ->
+      TrainingData.sqlSplitLeakage(Dedup.sqlMinhashPairs()),
     "corpus_pack"       -> TrainingData.sqlPack,
     "corpus_pack_sampled" -> TrainingData.sqlPack,
     "corpus_mix"        -> TrainingData.sqlMixture,

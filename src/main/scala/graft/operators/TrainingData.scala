@@ -71,6 +71,57 @@ object TrainingData {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** Train/eval near-duplicate leakage audit: how many LSH candidate
+    * pairs straddle a split boundary. A near-dup of a training document
+    * sitting in val/test silently inflates eval scores, so this is the
+    * check a pipeline runs BEFORE training — on the SAME candidate pairs
+    * the dedup pass already produced (the shared
+    * [[Dedup.ClusterArtifacts]] `pairs` frame; no new pair expansion).
+    * Output: unordered split-pair → candidate-pair count; the within-split
+    * rows (train,train)… come along for free as the denominator context.
+    *
+    * Scale shape: the pair frame is LSH-bounded; the split label is a
+    * map-side hash of doc_id (no shuffle to compute); then two doc-keyed
+    * hash joins and a ≤6-group aggregate. At 100 TB the joins co-shuffle
+    * pairs with the thin (doc_id, split) projection — the corpus text
+    * never moves.
+    */
+  def splitLeakage(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val splits = withSplit(docs).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  def sqlSplitLeakage(pairsSql: String): String = {
+    val bucket =
+      s"${sqlTokenHash(s"'$SplitSalt:' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH pairs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < $TrainPct THEN 'train'
+       |         WHEN $bucket < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), j AS (
+       |  SELECT least(sa.split, sb.split) AS split_lo,
+       |    greatest(sa.split, sb.split) AS split_hi
+       |  FROM pairs
+       |  JOIN sp sa ON pairs.doc_a = sa.doc_id
+       |  JOIN sp sb ON pairs.doc_b = sb.doc_id
+       |)
+       |SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM j GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+  }
+
   // ------------------------------------------------------ sequence packing
   /** Concat-and-chop sequence packing: lay every document's tokens end to
     * end in doc_id order and chop the stream into fixed `CtxLen` windows;

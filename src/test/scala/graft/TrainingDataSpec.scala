@@ -32,6 +32,27 @@ class TrainingDataSpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("splitLeakage matches a naive label-and-count over the same pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (1L, 6L))
+      .toDF("doc_a", "doc_b")
+    val six = docs.filter(col("doc_id") <= 6)
+    val out = TrainingData.splitLeakage(pairs, six).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs"))
+      .toMap
+    // naive: collect the split labels and bucket the pairs driver-side
+    val lab = TrainingData.withSplit(six)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    val expect = Seq((1L, 2L), (2L, 3L), (4L, 5L), (1L, 6L))
+      .map { case (a, b) =>
+        val (x, y) = (lab(a), lab(b))
+        (if (x <= y) (x, y) else (y, x))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == expect)
+    assert(out.values.sum == 4L)
+  }
+
   test("packing matches the naive global-window prefix sum") {
     val naive = docs
       .select(col("doc_id"),
