@@ -3451,6 +3451,8 @@ object SparkEntry {
       pre = Some(Similarity.pcaPartsCached(emb(s, d), d)))),
     "embed_pca_project" -> ((s, d) => Similarity.pcaProject(emb(s, d),
       pre = Some(Similarity.pcaPartsCached(emb(s, d), d)))),
+    "embed_pca_deflate" -> ((s, d) => Similarity.pcaDeflate(emb(s, d),
+      pre = Some(Similarity.pcaArtsCached(emb(s, d), d)))),
     "text_rarity"       -> ((s, d) => TextOps.rarity(docs(s, d))),
     "embed_drift"       -> ((s, d) => Similarity.embedDrift(emb(s, d))),
     "text_fertility"    -> ((s, d) => TextOps.fertility(docs(s, d))),
@@ -3694,6 +3696,7 @@ object SparkEntry {
     "embed_quantize"    -> Similarity.sqlQuantize,
     "embed_pca_power"   -> Similarity.sqlPcaPower,
     "embed_pca_project" -> Similarity.sqlPcaProject,
+    "embed_pca_deflate" -> Similarity.sqlPcaDeflate,
     "text_rarity"       -> TextOps.sqlRarity,
     "embed_drift"       -> Similarity.sqlEmbedDrift,
     "text_fertility"    -> TextOps.sqlFertility,

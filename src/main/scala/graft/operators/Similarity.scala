@@ -2058,7 +2058,19 @@ object Similarity {
     * [[pcaPower]]; `comps` is (dim0, loading, eigval, var_share) with
     * the canonical sign already applied.
     */
+  /** The reusable spectral state: column means, the PINNED covariance,
+    * the sign-canonicalized leading component, and the raw (unsigned)
+    * converged vector + eigenvalue that deflation consumes.
+    */
+  final case class PcaArtifacts(mu: DataFrame, cov: DataFrame,
+    comps: DataFrame, v1: DataFrame, lam1: DataFrame)
+
   private def pcaParts(emb: DataFrame, dim: Int): (DataFrame, DataFrame) = {
+    val a = pcaArts(emb, dim)
+    (a.mu, a.comps)
+  }
+
+  private def pcaArts(emb: DataFrame, dim: Int): PcaArtifacts = {
     import graft.functions.Exact
     import graft.functions.VectorExprs
     VectorExprs.register(emb.sparkSession)
@@ -2087,11 +2099,53 @@ object Similarity {
       .select(col("i"), col("j"),
         (VectorExprs.dotD(col("xc"), col("yc")) / col("n")
           - col("mi") * col("mj")).as("c")))
+    val (vp, lam) = powerPair(cov, dim)
+    PcaArtifacts(mu, cov, compsFrom(cov, vp, lam), vp, lam)
+  }
+
+  /** Second principal component by Hotelling deflation: power-iterate the
+    * DEFLATED covariance C₂ = C − λ₁·v₁v₁ᵀ through the identical rounds
+    * as the leading component, then sign-canonicalize. `eigval` is the
+    * Rayleigh quotient v₂ᵀC₂v₂ (= λ₂ up to the convergence of both
+    * vectors — deterministic either way, both engines run the same fixed
+    * rounds); `var_share` divides by the ORIGINAL trace, so rank-1 +
+    * rank-2 shares add up to the "variance explained by 2 components"
+    * figure a dimensionality audit reports.
+    *
+    * Scale shape: deflation is one map-side subtraction over the dim²-row
+    * covariance frame against the broadcast (v₁, λ₁); the rounds are the
+    * same thin matvec joins. Nothing touches the N-row corpus again — at
+    * 100 TB rank-k PCA costs ONE corpus pass (the covariance) plus k
+    * dim²-sized iterations.
+    */
+  def pcaDeflate(emb: DataFrame, dim: Int = Dim,
+      pre: Option[PcaArtifacts] = None): DataFrame = {
+    val a = pre.getOrElse(pcaArts(emb, dim))
+    val cov2 = Iterate.pin(a.cov
+      .join(broadcast(a.v1.select(col("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(a.v1.select(col("i").as("j"), col("v").as("vj"))),
+        Seq("j"))
+      .crossJoin(broadcast(a.lam1))
+      .select(col("i"), col("j"),
+        (col("c") - col("lam") * col("vi") * col("vj")).as("c")))
+    val (v2, lam2) = powerPair(cov2, dim)
+    compsFrom(a.cov, v2, lam2).orderBy(col("dim0"))
+  }
+
+  /** Power iteration on a covariance frame (i, j, c): `PowerIters` rounds
+    * of matvec + exact-sum normalization from the deterministic uniform
+    * start. Returns the PINNED converged unit vector (unsigned) and its
+    * Rayleigh eigenvalue 1-row frame — the reusable core that the leading
+    * component and every deflated component run identically.
+    */
+  private def powerPair(cov: DataFrame, dim: Int): (DataFrame, DataFrame) = {
+    import graft.functions.Exact
     def matvec(v: DataFrame): DataFrame =
       cov.join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
         .groupBy(col("i"))
         .agg(Exact.xsum(col("c") * col("v"), 12).as("w"))
-    var v = mu.select(col("i"), lit(1.0 / math.sqrt(dim)).as("v"))
+    var v = cov.filter(col("i") === col("j"))
+      .select(col("i"), lit(1.0 / math.sqrt(dim)).as("v"))
     for (_ <- 1 to PowerIters) {
       val w = matvec(v)
       val nrm = w.agg(sqrt(Exact.xsum(col("w") * col("w"), 12)).as("nrm"))
@@ -2102,16 +2156,26 @@ object Similarity {
     val wf = matvec(vp)
     val lam = vp.join(wf, Seq("i"))
       .agg(Exact.xsum(col("v") * col("w"), 12).as("lam"))
+    (vp, lam)
+  }
+
+  /** Sign-canonicalized component frame (dim0, loading, eigval,
+    * var_share) from a converged (vp, λ) pair; `cov` supplies the TOTAL
+    * trace so deflated components report their share of the ORIGINAL
+    * variance.
+    */
+  private def compsFrom(cov: DataFrame, vp: DataFrame,
+      lam: DataFrame): DataFrame = {
+    import graft.functions.Exact
     val tr = cov.filter(col("i") === col("j"))
       .agg(Exact.xsum(col("c"), 12).as("tr"))
     val sgn = vp.orderBy(abs(col("v")).desc, col("i").asc).limit(1)
       .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
-    val comps = vp.crossJoin(broadcast(sgn))
+    vp.crossJoin(broadcast(sgn))
       .crossJoin(broadcast(lam))
       .crossJoin(broadcast(tr))
       .select(col("i").as("dim0"), (col("v") * col("s")).as("loading"),
         col("lam").as("eigval"), (col("lam") / col("tr")).as("var_share"))
-    (mu, comps)
   }
 
   def pcaPower(emb: DataFrame, dim: Int = Dim,
@@ -2123,15 +2187,22 @@ object Similarity {
     * pass; swept with the other corpus caches.
     */
   private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+    (org.apache.spark.sql.SparkSession, String), PcaArtifacts]()
+
+  def pcaArtsCached(emb: DataFrame, cacheKey: String): PcaArtifacts = {
+    pcaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pcaCache.computeIfAbsent((emb.sparkSession, cacheKey), _ => {
+      val a = pcaArts(emb, Dim)
+      // cov and v1 are pinned by construction; pin the rest once
+      PcaArtifacts(Iterate.pin(a.mu), a.cov, Iterate.pin(a.comps),
+        a.v1, Iterate.pin(a.lam1))
+    })
+  }
 
   def pcaPartsCached(emb: DataFrame,
       cacheKey: String): (DataFrame, DataFrame) = {
-    pcaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    pcaCache.computeIfAbsent((emb.sparkSession, cacheKey), _ => {
-      val (mu, comps) = pcaParts(emb, Dim)
-      (Iterate.pin(mu), Iterate.pin(comps))
-    })
+    val a = pcaArtsCached(emb, cacheKey)
+    (a.mu, a.comps)
   }
 
   /** Rank-1 PCA projection: each vector's coordinate along the leading
@@ -2177,10 +2248,10 @@ object Similarity {
   private def sqlPcaCtes: String = {
     import graft.functions.Exact
     val rounds = (1 to PowerIters).map { k =>
-      s"""w$k AS (
+      s"""w$k AS MATERIALIZED (
          |  SELECT c.i, ${Exact.sqlSum("c.c * v.v", 12)} AS w
          |  FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i
-         |), v$k AS (
+         |), v$k AS MATERIALIZED (
          |  SELECT i, w / nrm AS v FROM w$k,
          |    (SELECT sqrt(${Exact.sqlSum("w * w", 12)}) AS nrm FROM w$k)
          |)""".stripMargin
@@ -2189,13 +2260,13 @@ object Similarity {
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
        |  FROM embeddings, range(1, ${Dim + 1}) t(i)
        |), nn AS (SELECT COUNT(*) AS n FROM embeddings),
-       |cols AS (
+       |cols AS MATERIALIZED (
        |  SELECT i, list(xi ORDER BY vec_id) AS xc FROM xs GROUP BY i
-       |), mu AS (
+       |), mu AS MATERIALIZED (
        |  SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE), xc),
        |    (x, y) -> x + y) / n AS mu
        |  FROM cols, nn
-       |), cov AS (
+       |), cov AS MATERIALIZED (
        |  SELECT a.i, b.i AS j,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(1, len(a.xc) + 1),
@@ -2208,7 +2279,7 @@ object Similarity {
        |  SELECT i, CAST(${1.0 / math.sqrt(Dim)} AS DOUBLE) AS v FROM mu
        |),
        |$rounds,
-       |wf AS (
+       |wf AS MATERIALIZED (
        |  SELECT c.i, ${Exact.sqlSum("c.c * v.v", 12)} AS w
        |  FROM cov c JOIN v$PowerIters v ON c.j = v.i GROUP BY c.i
        |), lam AS (
@@ -2229,6 +2300,47 @@ object Similarity {
        |  lam.lam AS eigval, lam.lam / tr.tr AS var_share
        |FROM v$PowerIters v, sgn, lam, tr
        |ORDER BY dim0""".stripMargin
+
+  /** [[pcaDeflate]] oracle: the same CTE chain, then the deflated matrix
+    * and its own unrolled rounds (u-series) + Rayleigh λ₂ + sign.
+    */
+  def sqlPcaDeflate: String = {
+    import graft.functions.Exact
+    val rounds2 = (1 to PowerIters).map { k =>
+      s"""uw$k AS MATERIALIZED (
+         |  SELECT c.i, ${Exact.sqlSum("c.c * v.v", 12)} AS w
+         |  FROM cov2 c JOIN u${k - 1} v ON c.j = v.i GROUP BY c.i
+         |), u$k AS MATERIALIZED (
+         |  SELECT i, w / nrm AS v FROM uw$k,
+         |    (SELECT sqrt(${Exact.sqlSum("w * w", 12)}) AS nrm FROM uw$k)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlPcaCtes,
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.i, c.j, c.c - lam.lam * va.v * vb.v AS c
+       |  FROM cov c
+       |  JOIN v$PowerIters va ON c.i = va.i
+       |  JOIN v$PowerIters vb ON c.j = vb.i, lam
+       |), u0 AS (
+       |  SELECT i, CAST(${1.0 / math.sqrt(Dim)} AS DOUBLE) AS v FROM mu
+       |),
+       |$rounds2,
+       |wf2 AS MATERIALIZED (
+       |  SELECT c.i, ${Exact.sqlSum("c.c * v.v", 12)} AS w
+       |  FROM cov2 c JOIN u$PowerIters v ON c.j = v.i GROUP BY c.i
+       |), lam2 AS (
+       |  SELECT ${Exact.sqlSum("v.v * wf2.w", 12)} AS lam
+       |  FROM u$PowerIters v JOIN wf2 ON v.i = wf2.i
+       |), sgn2 AS (
+       |  SELECT CASE WHEN v < 0 THEN CAST(-1 AS DOUBLE)
+       |              ELSE CAST(1 AS DOUBLE) END AS s
+       |  FROM u$PowerIters ORDER BY abs(v) DESC, i ASC LIMIT 1
+       |)
+       |SELECT u.i AS dim0, u.v * sgn2.s AS loading,
+       |  lam2.lam AS eigval, lam2.lam / tr.tr AS var_share
+       |FROM u$PowerIters u, sgn2, lam2, tr
+       |ORDER BY dim0""".stripMargin
+  }
 
   def sqlPcaProject: String = {
     def dotL(a: String, b: String): String =

@@ -412,6 +412,32 @@ class LayoutGraphSpec extends SparkSuite {
     assert(eig > 3.0 && eig < 6.0, s"eigval $eig")
   }
 
+  test("pcaDeflate: recovers the planted SECOND axis, orthogonal to the " +
+    "first") {
+    // 4-periodic patterns: dim 2 carries ±2.0 (λ₁=4), dim 4 carries ±0.5
+    // (λ₂=0.25), exactly uncorrelated (Σ a·b = 0 per period); dims 1/3
+    // are constants (zero variance). trace = 4.25.
+    val rows = (0 until 40).map { k =>
+      val a = if (k % 4 < 2) 2.0f else -2.0f
+      val b = if (k % 2 == 0) 0.5f else -0.5f
+      (k.toLong, Array(0.01f, a, 0.02f, b))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pcaDeflate(df, dim = 4).collect()
+      .map(r => r.getAs[Long]("dim0") -> r).toMap
+    val loadings = (1L to 4L).map(i => out(i).getAs[Double]("loading"))
+    // unit norm, canonical sign, dominated by dim 4
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(loadings(3) - 1.0) < 1e-3,
+      s"second component should be ~+e4, got $loadings")
+    // the fixed 3-round v₁ carries O((λ₂/λ₁)³) of e4; deflating with it
+    // leaves that much e2 leakage in v₂ — measured ~4e-3 here, bounded
+    // not exact, hence the looser tolerance
+    assert(math.abs(loadings(1)) < 1e-2, "leading axis must be deflated out")
+    assert(math.abs(out(1L).getAs[Double]("eigval") - 0.25) < 1e-3)
+    assert(math.abs(out(1L).getAs[Double]("var_share") - 0.25 / 4.25) < 1e-3)
+  }
+
   test("pcaProject: coords recover the planted axis, residual is ~0") {
     // same planted corpus: all variance on dim 2 → the rank-1 code is
     // lossless (resid² ≈ 0) and each coord equals the centered dim-2
