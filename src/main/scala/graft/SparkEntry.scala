@@ -3149,6 +3149,7 @@ object SparkEntry {
     "q13_sessionize"    -> ((s, d) => Sessionize.sessions(Tables.events(s, d))),
     "q28_session_window" -> ((s, d) => Sessionize.sessionsBuiltin(Tables.events(s, d))),
     "q14_tumbling"      -> ((s, d) => Sessionize.tumbling(Tables.events(s, d))),
+    "events_bursts"     -> ((s, d) => Sessionize.bursts(Tables.events(s, d))),
     "q15_enrich_pivot"  -> qEnrichPivot _,
     "q16_rollup"        -> qRollup _,
     "q17_except"        -> qExcept _,
@@ -3485,6 +3486,7 @@ object SparkEntry {
     "q13_sessionize"    -> Sessionize.sqlSessions,
     "q28_session_window" -> Sessionize.sqlSessionsBuiltin,
     "q14_tumbling"      -> Sessionize.sqlTumbling,
+    "events_bursts"     -> Sessionize.sqlBursts,
     "q15_enrich_pivot"  -> sqlEnrichPivot,
     "q16_rollup"        -> sqlRollup,
     "q17_except"        -> sqlExcept,

@@ -126,6 +126,54 @@ object Sessionize {
        |GROUP BY 1, 2, 3
        |ORDER BY window_start, event_type""".stripMargin
 
+  /** Burst windows: tumbling hourly counts per event type, flagged where
+    * the window carries more than [[BurstFactor]]× the type's mean
+    * windows-with-events rate. The comparison is the cross-multiplied
+    * integer form `n_events · n_windows > factor · n_total` — no division
+    * ever happens, so the result hashes exactly against the oracle. This
+    * is the ops-dashboard "traffic spike" primitive; the exact-integer
+    * form is also what a streaming alert would evaluate per window.
+    *
+    * Scale shape: one hash exchange onto (window, type) with map-side
+    * partial counts; the per-type stats frame is |types| rows (broadcast
+    * join back); output is only the bursting windows.
+    */
+  val BurstFactor = 2L
+
+  def bursts(events: DataFrame): DataFrame = {
+    val wc = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"))
+    val stats = wc.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_events")).cast("long").as("n_total"))
+    wc.join(stats, Seq("event_type"))
+      .filter(col("n_events") * col("n_windows")
+        > lit(BurstFactor) * col("n_total"))
+      .select(col("event_type"), col("window_start"), col("n_events"),
+        col("n_windows"), col("n_total"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  def sqlBursts: String =
+    s"""WITH wc AS (
+       |  SELECT event_type,
+       |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(n_events) AS BIGINT) AS n_total
+       |  FROM wc GROUP BY event_type
+       |)
+       |SELECT wc.event_type, wc.window_start, wc.n_events,
+       |  st.n_windows, st.n_total
+       |FROM wc JOIN st ON wc.event_type = st.event_type
+       |WHERE wc.n_events * st.n_windows > $BurstFactor * st.n_total
+       |ORDER BY wc.event_type, wc.window_start""".stripMargin
+
   // ------------------------------------------------------------- debounce
   /** Telemetry debounce: within each (user, type) stream keep only the
     * FIRST event of every burst, where a new burst starts when the gap

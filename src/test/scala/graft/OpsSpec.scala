@@ -542,6 +542,33 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("bursts: cross-multiplied threshold flags exactly the hot window") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val h = 3600000L
+    val base = 1700000000000L - (1700000000000L % h) // hour-aligned
+    // type a: hour 0 carries 6 events, hours 1-3 carry 1 each ->
+    // n_windows=4, n_total=9; burst iff n*4 > 2*9: only the 6-event hour.
+    // type b: 2+2 -> 2*2 > 2*4 never fires.
+    val rows =
+      (0 until 6).map(i => (i.toLong, new Timestamp(base + i * 1000L), 1L,
+        "a", 0.0, "{}")) ++
+      (1 to 3).map(k => (10L + k, new Timestamp(base + k * h), 1L,
+        "a", 0.0, "{}")) ++
+      Seq((20L, new Timestamp(base), 1L, "b", 0.0, "{}"),
+        (21L, new Timestamp(base + 1000L), 1L, "b", 0.0, "{}"),
+        (22L, new Timestamp(base + h), 1L, "b", 0.0, "{}"),
+        (23L, new Timestamp(base + h + 1000L), 1L, "b", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val out = graft.operators.Sessionize.bursts(ev).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("event_type") == "a")
+    assert(out.head.getAs[Long]("n_events") == 6L)
+    assert(out.head.getAs[Long]("n_windows") == 4L)
+    assert(out.head.getAs[Long]("n_total") == 9L)
+  }
+
   test("embed_drift: single-label corpus drifts nowhere (cos == 1)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
