@@ -3445,6 +3445,8 @@ object SparkEntry {
     "text_novelty"      -> qNovelty _,
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
     "dedup_source_jaccard" -> ((s, d) => Dedup.sourceJaccard(docs(s, d))),
+    "dedup_cluster_purity" -> ((s, d) =>
+      Dedup.clusterPurity(arts(s, d).components, docs(s, d))),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     // the two spectral queries share one pinned covariance + power pass
@@ -3694,6 +3696,8 @@ object SparkEntry {
     "text_novelty"      -> sqlNovelty,
     "dedup_band_profile" -> Dedup.sqlBandProfile(),
     "dedup_source_jaccard" -> Dedup.sqlSourceJaccard,
+    "dedup_cluster_purity" ->
+      Dedup.sqlClusterPurity(Dedup.sqlMinhashPairs()),
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "embed_pca_power"   -> Similarity.sqlPcaPower,

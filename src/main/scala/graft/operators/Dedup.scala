@@ -267,6 +267,48 @@ object Dedup {
        |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs
        |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin
 
+  // ---------------------------------------------- cluster language purity
+  /** Language purity of near-dup clusters: the histogram of
+    * languages-per-cluster. A cluster spanning languages is usually a
+    * template/boilerplate family rather than a translation set — this is
+    * the audit that decides whether dedup should run language-scoped
+    * (CCNet-style, per-language shards) or corpus-wide, BEFORE committing
+    * to a sharding scheme at 100 TB. Consumes the SAME pinned component
+    * labels as every other cluster-policy operator.
+    *
+    * Scale shape: one doc-keyed hash join of the label frame against the
+    * thin (doc_id, lang) projection, a two-level aggregate onto
+    * (component, lang) then component, and a ≤|langs|-row histogram.
+    */
+  def clusterPurity(comp: DataFrame, docs: DataFrame): DataFrame =
+    comp.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("component"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("n")).cast("long").as("nd"))
+      .groupBy(col("n_langs"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("nd")).cast("long").as("n_docs"))
+      .orderBy(col("n_langs"))
+
+  def sqlClusterPurity(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |),
+       |$sqlComponentsCtes,
+       |pc AS (
+       |  SELECT component, d.lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+       |  GROUP BY component, d.lang
+       |), cl AS (
+       |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_langs,
+       |    CAST(SUM(n) AS BIGINT) AS nd
+       |  FROM pc GROUP BY component
+       |)
+       |SELECT n_langs, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(nd) AS BIGINT) AS n_docs
+       |FROM cl GROUP BY n_langs ORDER BY n_langs""".stripMargin
+
   // ------------------------------------------- source-level Jaccard audit
   /** Source-pair word-set resemblance, exact AND MinHash-estimated in one
     * result — the "is our MinHash family trustworthy on THIS corpus"

@@ -256,6 +256,20 @@ class TextExtSpec extends SparkSuite {
       _.getAs[Long]("mh_agree") <= graft.operators.Dedup.MinhashK.toLong))
   }
 
+  test("clusterPurity: language histogram over hand-labeled clusters") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("doc_id", "component")
+    val docs = Seq(
+      (1L, "x", "en", "s", 1L), (2L, "y", "en", "s", 1L),
+      (3L, "z", "en", "s", 1L), (4L, "w", "fr", "s", 1L),
+      (5L, "v", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.clusterPurity(comp, docs).collect()
+      .map(r => r.getAs[Long]("n_langs") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(out == Map(1L -> ((1L, 2L)), 2L -> ((1L, 3L))))
+  }
+
   test("sourceTvd: a lone source coincides with the mixture -> zero") {
     val docs = Seq((1L, "x y x", "en", "solo", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
