@@ -332,10 +332,13 @@ object Dedup {
   def sourceJaccard(docs: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     val pe = graft.functions.VectorExprs
-    val sw = docs
+    // three consumers (type counts, exact intersections, signatures)
+    // derive from the distinct (source, word) frame — pin it once, same
+    // rationale as TextOps.sourceTvd
+    val sw = Iterate.pin(docs
       .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val types = sw.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     val inter = sw
       .groupBy(col("w")).agg(sort_array(collect_set(col("source"))).as("ss"))

@@ -685,10 +685,14 @@ object TextOps {
     * decimal(38,0); the plan shape is unchanged.
     */
   def sourceTvd(docs: DataFrame): DataFrame = {
-    val sw = docs
+    // four consumers derive from the (source, word) counts (cw/ns/n and
+    // the present-pair join); without a pin each subtree re-scans and
+    // re-explodes the corpus (no exchange reuse — their partitionings
+    // differ), so materialize the vocab-bounded count frame ONCE
+    val sw = Iterate.pin(docs
       .select(col("source"), explode(words(col("text"))).as("w"))
       .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("c_sw"))
+      .agg(count(lit(1)).as("c_sw")))
     val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
     val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
     val n  = cw.agg(sum(col("c_w")).as("n"))

@@ -558,4 +558,37 @@ class PlanShapeSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(p.contains("WindowGroupLimit"), "top-k prune lost:\n" + p)
   }
+
+  test("text_source_tvd: pinned count frame — the corpus text is never " +
+    "re-exploded per consumer") {
+    val p = planTree("text_source_tvd")
+    assert(!p.contains("CartesianProduct"), p)
+    // the four consumers read the materialized (source, word) counts:
+    // the visible plan must contain NO text explode and NO parquet scan
+    // of the documents table (they ran once, inside the pin)
+    assert(!p.contains("Generate"), "corpus re-exploded downstream:\n" + p)
+    assert(!p.contains("Scan parquet"),
+      "consumer re-scanned the corpus instead of the pin:\n" + p)
+  }
+
+  test("dedup_source_jaccard: pinned word frame; pair expansions are " +
+    "lazy, nothing is all-pairs") {
+    val p = planTree("dedup_source_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "source pairing regressed to a loop join:\n" + p)
+    assert(!p.contains("Scan parquet"),
+      "consumer re-scanned the corpus instead of the pin:\n" + p)
+    // the only Generates left are the two lazy pair expansions (and the
+    // signature melt) — never a words explode over the corpus
+    assert(!p.contains("explode(split"), "corpus re-exploded:\n" + p)
+  }
+
+  test("corpus_split_leakage: split label computed map-side, no extra " +
+    "shuffle beyond the two doc-keyed joins") {
+    val p = planTree("corpus_split_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+    // the split CASE must not introduce a window or repartition of docs
+    assert(!p.contains("Window"), "split labeling grew a window:\n" + p)
+  }
 }
