@@ -141,11 +141,13 @@ object Sessionize {
   val BurstFactor = 2L
 
   def bursts(events: DataFrame): DataFrame = {
-    val wc = events
+    // two consumers (per-type stats and the flag join) — pin the
+    // |windows × types|-bounded count frame so the corpus aggregates once
+    val wc = graft.operators.Iterate.pin(events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n_events"))
+        col("event_type"), col("n_events")))
     val stats = wc.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_windows"),
         sum(col("n_events")).cast("long").as("n_total"))
