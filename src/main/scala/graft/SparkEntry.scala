@@ -3243,6 +3243,8 @@ object SparkEntry {
       emb(s, d), Similarity.ivfCentsCached(emb(s, d), d))),
     "sim_pq_distortion_trained" -> ((s, d) => Similarity.pqDistortionTrained(
       emb(s, d), Similarity.pqCodebookCached(emb(s, d), d))),
+    "sim_ivf_radius_trained" -> ((s, d) => Similarity.ivfRadiusTrained(
+      emb(s, d), Similarity.ivfCentsCached(emb(s, d), d))),
     // streaming twins driven to their FINAL state over real micro-batches
     // (file source, AvailableNow/processAllAvailable) — the returned frame
     // is the durable state, hash-checked against a batch oracle
@@ -3447,6 +3449,8 @@ object SparkEntry {
     "dedup_source_jaccard" -> ((s, d) => Dedup.sourceJaccard(docs(s, d))),
     "dedup_cluster_purity" -> ((s, d) =>
       Dedup.clusterPurity(arts(s, d).components, docs(s, d))),
+    "dedup_savings"     -> ((s, d) =>
+      Dedup.dedupSavings(docs(s, d), arts(s, d).components)),
     "corpus_stratified" -> qStratified _,
     "embed_quantize"    -> ((s, d) => Similarity.quantize(emb(s, d))),
     // the two spectral queries share one pinned covariance + power pass
@@ -3554,6 +3558,7 @@ object SparkEntry {
     "sim_pq_kmeans"     -> Similarity.sqlPqKmeans(),
     "sim_ivf_balance_trained" -> Similarity.sqlIvfBalanceTrained(),
     "sim_pq_distortion_trained" -> Similarity.sqlPqDistortionTrained(),
+    "sim_ivf_radius_trained" -> Similarity.sqlIvfRadiusTrained(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
@@ -3698,6 +3703,7 @@ object SparkEntry {
     "dedup_source_jaccard" -> Dedup.sqlSourceJaccard,
     "dedup_cluster_purity" ->
       Dedup.sqlClusterPurity(Dedup.sqlMinhashPairs()),
+    "dedup_savings"     -> Dedup.sqlDedupSavings,
     "corpus_stratified" -> sqlStratified,
     "embed_quantize"    -> Similarity.sqlQuantize,
     "embed_pca_power"   -> Similarity.sqlPcaPower,

@@ -976,6 +976,53 @@ object Dedup {
        |    ORDER BY n_chars DESC, doc_id) AS kept
        |FROM withcomp ORDER BY doc_id""".stripMargin
 
+  /** Per-source storage savings of canonical dedup — the number a corpus
+    * owner reads to decide which crawls are worth re-ingesting: for each
+    * source, how many docs the keep-longest policy drops and how many
+    * characters that reclaims. Composes the SAME canonical decision as
+    * [[canonicalFrom]] over the shared component labels, then one
+    * source-keyed aggregate; nothing recomputes clustering.
+    */
+  def dedupSavings(docs: DataFrame, comp: DataFrame): DataFrame =
+    canonicalFrom(docs, comp)
+      .select(col("doc_id"), col("kept"))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(when(!col("kept"), col("n_chars")).otherwise(0L)).cast("long")
+          .as("chars_saved"))
+      .orderBy(col("source"))
+
+  def sqlDedupSavings: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${sqlMinhashPairs().linesIterator.mkString("\n  ")}
+       |),
+       |$sqlComponentsCtes,
+       |withcomp AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |), k AS (
+       |  SELECT doc_id,
+       |    doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id) AS kept
+       |  FROM withcomp
+       |)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN k.kept THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN k.kept THEN 0 ELSE d.n_chars END) AS BIGINT)
+       |    AS chars_saved
+       |FROM documents d JOIN k ON d.doc_id = k.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ------------------------------------------------- soft dedup weighting
   /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —
     * every document in a duplicate cluster of size n gets sampling weight

@@ -838,6 +838,38 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** Per-cell tightness under trained centroids: vector count, the
+    * worst-case member cosine (the cell "radius" — what bounds ADC error
+    * and probe quality), and the exact-decimal cosine sum. Together with
+    * [[ivfBalanceTrained]] this is the full post-training index QC: load
+    * AND geometry per cell. One corpus assignment pass against the
+    * broadcast trained centroids, then a |cells|-group aggregate.
+    */
+  def ivfRadiusTrained(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val assigned = assignCells(kmeansVecs(emb), cents)
+    assigned.join(broadcast(cents),
+        assigned("bucket") === cents("cent_id"))
+      .select(col("bucket"),
+        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("sim")).as("min_cos"),
+        Exact.xsum(col("sim"), 9).as("sum_cos"))
+      .orderBy(col("bucket"))
+  }
+
+  def sqlIvfRadiusTrained(iters: Int = KmeansIters): String = {
+    import graft.functions.Exact
+    val cosExpr = s"${sqlDotD("f.v", "c.cv")} / (f.nrm * c.cnrm)"
+    s"""WITH ${sqlIvfKmeansCtes(iters)}
+       |SELECT f.bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  MIN($cosExpr) AS min_cos,
+       |  ${Exact.sqlSum(cosExpr, 9)} AS sum_cos
+       |FROM fin f JOIN c$iters c ON f.bucket = c.cent_id
+       |GROUP BY f.bucket ORDER BY f.bucket""".stripMargin
+  }
+
   /** DuckDB oracle: the Lloyd's rounds unrolled as CTE pairs (a_k, c_k). */
   def sqlIvfKmeans(iters: Int = KmeansIters): String =
     s"""WITH ${sqlIvfKmeansCtes(iters)}

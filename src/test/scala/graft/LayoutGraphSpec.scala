@@ -254,6 +254,18 @@ class LayoutGraphSpec extends SparkSuite {
     assert(bal.map(_.getAs[Long]("n_vectors")).sum == nVecs)
     val shareSum = bal.map(_.getAs[Double]("share")).sum
     assert(math.abs(shareSum - 1.0) < 1e-9)
+    // radius audit partitions the same corpus; cosines are bounded and
+    // the per-cell worst case never beats the mean
+    val rad = Similarity.ivfRadiusTrained(emb,
+      Similarity.ivfCentsCached(emb, dir)).collect()
+    assert(rad.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    rad.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      val mn = r.getAs[Double]("min_cos")
+      val sm = r.getAs[Double]("sum_cos")
+      assert(mn <= sm / n + 1e-9, s"cell ${r.getAs[Long]("bucket")}")
+      assert(mn <= 1.0 + 1e-9 && mn >= -1.0 - 1e-9)
+    }
   }
 
   test("ivfpq: every (query, cand) ADC score agrees with unpruned PQ") {

@@ -270,6 +270,22 @@ class TextExtSpec extends SparkSuite {
     assert(out == Map(1L -> ((1L, 2L)), 2L -> ((1L, 3L))))
   }
 
+  test("dedupSavings: keep-longest drops the right chars per source") {
+    val comp = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val docs = Seq(
+      (1L, "long", "en", "sA", 100L), (2L, "short", "en", "sA", 50L),
+      (3L, "solo", "en", "sB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.dedupSavings(docs, comp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("sA").getAs[Long]("n_dropped") == 1L)
+    assert(out("sA").getAs[Long]("chars_total") == 150L)
+    assert(out("sA").getAs[Long]("chars_saved") == 50L)
+    // the singleton source saves nothing
+    assert(out("sB").getAs[Long]("n_dropped") == 0L)
+    assert(out("sB").getAs[Long]("chars_saved") == 0L)
+  }
+
   test("sourceTvd: a lone source coincides with the mixture -> zero") {
     val docs = Seq((1L, "x y x", "en", "solo", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
