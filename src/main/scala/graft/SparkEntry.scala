@@ -3150,6 +3150,10 @@ object SparkEntry {
     "q28_session_window" -> ((s, d) => Sessionize.sessionsBuiltin(Tables.events(s, d))),
     "q14_tumbling"      -> ((s, d) => Sessionize.tumbling(Tables.events(s, d))),
     "events_bursts"     -> ((s, d) => Sessionize.bursts(Tables.events(s, d))),
+    "events_dow_profile" -> ((s, d) =>
+      Sessionize.dowProfile(Tables.events(s, d))),
+    "sim_pq_code_usage" -> ((s, d) => Similarity.pqCodeUsage(
+      emb(s, d), Similarity.pqCodebookCached(emb(s, d), d))),
     "q15_enrich_pivot"  -> qEnrichPivot _,
     "q16_rollup"        -> qRollup _,
     "q17_except"        -> qExcept _,
@@ -3493,6 +3497,8 @@ object SparkEntry {
     "q28_session_window" -> Sessionize.sqlSessionsBuiltin,
     "q14_tumbling"      -> Sessionize.sqlTumbling,
     "events_bursts"     -> Sessionize.sqlBursts,
+    "events_dow_profile" -> Sessionize.sqlDowProfile,
+    "sim_pq_code_usage" -> Similarity.sqlPqCodeUsage(),
     "q15_enrich_pivot"  -> sqlEnrichPivot,
     "q16_rollup"        -> sqlRollup,
     "q17_except"        -> sqlExcept,

@@ -176,6 +176,28 @@ object Sessionize {
        |WHERE wc.n_events * st.n_windows > $BurstFactor * st.n_total
        |ORDER BY wc.event_type, wc.window_start""".stripMargin
 
+  /** Weekly seasonality heatmap: event count and exact-decimal value sum
+    * per (day-of-week, hour-of-day) cell — the 7×24 profile capacity
+    * planning and anomaly baselines read. One hash exchange onto ≤168
+    * groups with map-side partial aggregation; output is calendar-
+    * bounded, independent of corpus size. Spark's `dayofweek` is
+    * 1=Sunday; DuckDB's is 0=Sunday — the mirror adds 1.
+    */
+  def dowProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("total_value"))
+      .orderBy(col("dow"), col("hod"))
+
+  def sqlDowProfile: String =
+    s"""SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+       |  hour(CAST(ts AS TIMESTAMP)) AS hod,
+       |  COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS total_value
+       |FROM events GROUP BY 1, 2
+       |ORDER BY dow, hod""".stripMargin
+
   // ------------------------------------------------------------- debounce
   /** Telemetry debounce: within each (user, type) stream keep only the
     * FIRST event of every burst, where a new burst starts when the gap

@@ -1032,6 +1032,34 @@ object Similarity {
       .orderBy(col("m"))
   }
 
+  /** Code-usage histogram per subspace under a (trained) codebook — the
+    * codebook-collapse detector: Lloyd's drops codes that lose every
+    * member, and a subspace quantizing into few codes (or one dominant
+    * code) carries almost no bits of the vector. Read `n_codes_used`
+    * against [[PqK]] and `max_code_count` against `n_vectors` before
+    * trusting ADC recall on a new corpus. One corpus encode pass against
+    * the broadcast books, then two thin aggregates.
+    */
+  def pqCodeUsage(emb: DataFrame, codebook: DataFrame): DataFrame =
+    encode(subvectors(emb, "id"), codebook)
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_codes_used"),
+        sum(col("n")).cast("long").as("n_vectors"),
+        max(col("n")).cast("long").as("max_code_count"))
+      .orderBy(col("m"))
+
+  def sqlPqCodeUsage(iters: Int = KmeansIters): String =
+    s"""WITH ${sqlPqKmeansCtes(iters)},
+       |cu AS (
+       |  SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM fin GROUP BY m, code
+       |)
+       |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+       |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+       |  CAST(MAX(n) AS BIGINT) AS max_code_count
+       |FROM cu GROUP BY m ORDER BY m""".stripMargin
+
   /** The Lloyd's loop of [[pqKmeans]] over ANY (id, m, sv) subvector
     * frame — raw subvectors or residuals ([[ivfPqResidualTopK]]'s
     * trained variant) train through the identical rounds.

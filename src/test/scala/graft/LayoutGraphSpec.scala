@@ -256,6 +256,14 @@ class LayoutGraphSpec extends SparkSuite {
     assert(math.abs(shareSum - 1.0) < 1e-9)
     // radius audit partitions the same corpus; cosines are bounded and
     // the per-cell worst case never beats the mean
+    val usage = Similarity.pqCodeUsage(emb,
+      Similarity.pqCodebookCached(emb, dir)).collect()
+    assert(usage.length == Similarity.PqM)
+    usage.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == nVecs)
+      assert(r.getAs[Long]("n_codes_used") <= Similarity.PqK)
+      assert(r.getAs[Long]("max_code_count") <= nVecs)
+    }
     val rad = Similarity.ivfRadiusTrained(emb,
       Similarity.ivfCentsCached(emb, dir)).collect()
     assert(rad.map(_.getAs[Long]("n_vectors")).sum == nVecs)

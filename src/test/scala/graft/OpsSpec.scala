@@ -569,6 +569,23 @@ class OpsSpec extends SparkSuite {
     assert(out.head.getAs[Long]("n_total") == 9L)
   }
 
+  test("dowProfile: cells land on the right weekday and hour") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // 2024-01-07 is a Sunday (Spark dow 1); 2024-01-08 a Monday (2)
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-07 10:00:00"), 1L, "a", 1.5, "{}"),
+      (2L, Timestamp.valueOf("2024-01-07 10:30:00"), 1L, "a", 2.5, "{}"),
+      (3L, Timestamp.valueOf("2024-01-08 11:00:00"), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Sessionize.dowProfile(ev).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hod")) -> r).toMap
+    assert(out.keySet == Set((1L, 10L), (2L, 11L)))
+    assert(out((1L, 10L)).getAs[Long]("n_events") == 2L)
+    assert(out((1L, 10L)).getAs[Double]("total_value") == 4.0)
+    assert(out((2L, 11L)).getAs[Long]("n_events") == 1L)
+  }
+
   test("embed_drift: single-label corpus drifts nowhere (cos == 1)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
