@@ -3258,6 +3258,7 @@ object SparkEntry {
     "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
     "stream_session_state" -> graft.streaming.StreamOracles.sessionState _,
     "stream_join_state"  -> graft.streaming.StreamOracles.joinState _,
+    "stream_window_state" -> graft.streaming.StreamOracles.windowState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -3571,6 +3572,7 @@ object SparkEntry {
     "stream_cms_state"   -> graft.streaming.StreamOracles.sqlCmsState,
     "stream_session_state" -> graft.streaming.StreamOracles.sqlSessionState,
     "stream_join_state"  -> graft.streaming.StreamOracles.sqlJoinState,
+    "stream_window_state" -> graft.streaming.StreamOracles.sqlWindowState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

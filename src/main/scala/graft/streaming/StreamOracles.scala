@@ -463,6 +463,49 @@ object StreamOracles {
   val sqlSessionState: String =
     graft.operators.Sessionize.sqlSessionsBuiltin
 
+  // -------------------------------------------------- stream_window_state
+  /** Tumbling-window aggregation as a REAL streaming aggregation: the
+    * canonical structured-streaming shape, driven over 2 micro-batches
+    * split by event_id PARITY — not by time — so nearly every (window,
+    * type) group receives rows from BOTH batches and the state store
+    * must fold a second partial into a stored aggregate (the windowed-agg
+    * state transition this oracle exists to gate). Complete mode, no
+    * watermark: a final-state oracle wants the whole window table, and
+    * windowed-count merge is associative/commutative, so the result must
+    * equal the batch tumbling answer no matter how the stream was
+    * batched — the oracle IS q14's SQL. The production shape (watermark +
+    * Append, identical operator) is `Streams.tumblingCounts`, exercised
+    * in `StreamingSpec`; the value sum goes through the exact-decimal
+    * detour so the hash gate sees bit-identical doubles.
+    */
+  def windowState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val src = cachedSrc(s"window|$dir") { d =>
+      (0 until 2).foreach { i =>
+        writeBatchFile(ev.filter(col("event_id") % 2 === i), d, i)
+      }
+    }
+    val ss = streamSession(spark)
+    val in = streamFiles(ss, src, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+    val agg = in
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.xsum(col("value")).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("w.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val name = s"graft_stream_window_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(agg, name, OutputMode.Complete())
+    out.orderBy(col("window_start"), col("event_type"))
+  }
+
+  val sqlWindowState: String = graft.operators.Sessionize.sqlTumbling
+
   // --------------------------------------------------- stream_join_state
   /** Stream-stream interval join ([[Streams.viewClickJoin]]: views ⋈
     * clicks within the following 30 min, both sides watermarked 1 h)
