@@ -3351,6 +3351,9 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         Some(graft.operators.Graph.coPartDegreesCached(
           Tables.lineitem(s, d), d)))),
+    "graph_common_neighbors" -> ((s, d) =>
+      graft.operators.Graph.commonNeighbors(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
@@ -3625,6 +3628,7 @@ object SparkEntry {
     "graph_components"  -> graft.operators.Graph.sqlComponents,
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
+    "graph_common_neighbors" -> graft.operators.Graph.sqlCommonNeighbors,
     "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),
     "graph_assortativity" -> graft.operators.Graph.sqlAssortativity,
     "q40_gap_fill"      -> sqlGapFill,

@@ -659,6 +659,70 @@ object Graph {
        |    AS global_clustering
        |FROM ns, es, tri""".stripMargin
 
+  /** Global top-k cut for [[commonNeighbors]]. */
+  val CnTopK = 20
+
+  /** Top edges by common-neighbor count |N(u) ∩ N(v)| — the classic
+    * link-prediction / edge-strength score (per-edge triangle support
+    * over FULL neighborhoods, vs [[triangleStats]]' oriented census).
+    * "Parts that co-occur with many of the same parts" is the
+    * recommendation primitive a basket analysis ships.
+    *
+    * Scale shape: same regime as the triangle census — the sorted FULL
+    * adjacency table is |V| rows of bounded arrays and rides to both
+    * endpoint lookups under the SAME broadcast↔hash runtime switch
+    * (`spark.graft.triangles.broadcastAdj`); the |E|-row edge frame is
+    * probed map-side, the intersection is the codegen'd sorted merge
+    * inside `array_intersect`, and the global top-k is
+    * WindowGroupLimit-pruned per partition before the single-partition
+    * final ranking. Nothing materializes wedges.
+    */
+  def commonNeighbors(edges: DataFrame): DataFrame = {
+    val adjBcast = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.broadcastAdj").forall(_.toBoolean)
+    def adjSide(df: DataFrame): DataFrame =
+      if (adjBcast) broadcast(df) else df
+    val und = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val adj = und.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("ns"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_common").desc, col("pa"), col("pb"))
+    edges
+      .join(adjSide(adj.select(col("u").as("pa"), col("ns").as("na"))),
+        Seq("pa"))
+      .join(adjSide(adj.select(col("u").as("pb"), col("ns").as("nb"))),
+        Seq("pb"))
+      .select(col("pa"), col("pb"),
+        size(array_intersect(col("na"), col("nb"))).cast("long")
+          .as("n_common"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CnTopK)
+      .select(col("rk").cast("long").as("rk"), col("pa"), col("pb"),
+        col("n_common"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlCommonNeighbors: String =
+    s"""WITH $sqlCoPartCtes, und AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), adj AS (
+       |  SELECT u, list_sort(list(v)) AS ns FROM und GROUP BY u
+       |), scored AS (
+       |  SELECT p.pa, p.pb,
+       |    CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS n_common
+       |  FROM pairs p
+       |  JOIN adj a ON p.pa = a.u
+       |  JOIN adj b ON p.pb = b.u
+       |), ranked AS (
+       |  SELECT pa, pb, n_common,
+       |    ROW_NUMBER() OVER (ORDER BY n_common DESC, pa, pb) AS rk
+       |  FROM scored
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, pa, pb, n_common
+       |FROM ranked WHERE rk <= $CnTopK ORDER BY rk""".stripMargin
+
   def sqlDegreeHistogram: String =
     s"""WITH $sqlCoPartCtes, binned AS (
        |  SELECT CAST(length(format('{:b}', deg)) - 1 AS BIGINT) AS bin

@@ -318,6 +318,22 @@ class LayoutGraphSpec extends SparkSuite {
     assert(star.getAs[Long]("n_triangles") == 1)
   }
 
+  test("commonNeighbors: K4 edges score 2, pendant path edges score 0") {
+    // K4 on 1..4 plus a pendant path 4-5-6
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("pa", "pb")
+    val out = Graph.commonNeighbors(edges).collect()
+    assert(out.length == 8)
+    val byPair = out.map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+      r.getAs[Long]("n_common")).toMap
+    k4.foreach { case (a, b) => assert(byPair((a, b)) == 2L, s"($a,$b)") }
+    assert(byPair((4L, 5L)) == 0L)
+    assert(byPair((5L, 6L)) == 0L)
+    // ranking: the six K4 edges occupy rk 1..6
+    assert(out.filter(_.getAs[Long]("rk") <= 6)
+      .forall(_.getAs[Long]("n_common") == 2L))
+  }
+
   test("peel profile: clique survives, pendant leaves cascade off") {
     // K5 on 1..5 (internal degree 4) + four leaves on node 1
     val edges = (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)) ++
