@@ -3353,7 +3353,9 @@ object SparkEntry {
           Tables.lineitem(s, d), d)))),
     "graph_common_neighbors" -> ((s, d) =>
       graft.operators.Graph.commonNeighbors(
-        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d))),
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        adjPre = Some(graft.operators.Graph.coPartAdjCached(
+          Tables.lineitem(s, d), d)))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),

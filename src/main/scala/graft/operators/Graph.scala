@@ -662,6 +662,22 @@ object Graph {
   /** Global top-k cut for [[commonNeighbors]]. */
   val CnTopK = 20
 
+  /** Sorted FULL adjacency (u, ns) of the undirected co-occurrence graph
+    * — |V| rows of bounded arrays, the reusable neighborhood artifact.
+    */
+  private def fullAdjacency(edges: DataFrame): DataFrame =
+    edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(edges.select(col("pb").as("u"), col("pa").as("v")))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("ns"))
+
+  /** Per-(session, key) pin of [[fullAdjacency]] over the co-part edge
+    * memo — shares the edge cache's lifecycle and invalidation.
+    */
+  def coPartAdjCached(lineitem: DataFrame, cacheKey: String): DataFrame =
+    cachedPin(lineitem.sparkSession, s"cpadj|$cacheKey")(
+      fullAdjacency(coPartEdgesCached(lineitem, cacheKey)))
+
   /** Top edges by common-neighbor count |N(u) ∩ N(v)| — the classic
     * link-prediction / edge-strength score (per-edge triangle support
     * over FULL neighborhoods, vs [[triangleStats]]' oriented census).
@@ -677,15 +693,13 @@ object Graph {
     * WindowGroupLimit-pruned per partition before the single-partition
     * final ranking. Nothing materializes wedges.
     */
-  def commonNeighbors(edges: DataFrame): DataFrame = {
+  def commonNeighbors(edges: DataFrame,
+      adjPre: Option[DataFrame] = None): DataFrame = {
     val adjBcast = edges.sparkSession.conf
       .getOption("spark.graft.triangles.broadcastAdj").forall(_.toBoolean)
     def adjSide(df: DataFrame): DataFrame =
       if (adjBcast) broadcast(df) else df
-    val und = edges.select(col("pa").as("u"), col("pb").as("v"))
-      .unionByName(edges.select(col("pb").as("u"), col("pa").as("v")))
-    val adj = und.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("ns"))
+    val adj = adjPre.getOrElse(fullAdjacency(edges))
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("n_common").desc, col("pa"), col("pb"))
     edges
