@@ -2992,6 +2992,72 @@ object SparkEntry {
        |    AS chi2
        |FROM cells""".stripMargin
 
+  // ------------------------------------------------- events_acf
+  // Autocorrelation function of the daily event-count series at lags
+  // 1..AcfMaxLag — the periodicity diagnostic (weekly cycle shows as a
+  // lag-7 peak) read before picking a seasonal forecast baseline
+  // (events_forecast_naive) or an anomaly window (events_anomaly).
+  // Shape: ONE exchange builds the |days|-row daily series (map-side
+  // partial counts do the heavy lifting); the lag alignment is a
+  // calendar self-join of that tiny frame against a broadcast 7-row lag
+  // dimension — day+lag equi-keys, so absent days drop out of the pair
+  // set exactly as the oracle's inner join drops them. Determinism: all
+  // six moments per lag are exact BIGINT sums (the qCorr pattern); each
+  // ACF value is a fixed handful of IEEE double ops over them. At
+  // extreme daily volumes (≳10⁹ events/day for years) the BIGINT moment
+  // products would need the DECIMAL(38) detour; the day-count frame
+  // itself stays |days| rows at any corpus size.
+  private val AcfMaxLag = 7
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val lags = s.range(1, AcfMaxLag + 1L).select(col("id").as("lg"))
+    val b = daily.select(col("day").as("day2"), col("n").as("y"))
+    daily.select(col("day"), col("n").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(b, col("day2") === col("day") + col("lg"))
+      .groupBy(col("lg"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lg").as("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  private val sqlAcf: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), pairs AS (
+       |  SELECT t.lg, a.n AS x, b.n AS y
+       |  FROM daily a
+       |  CROSS JOIN range(1, ${AcfMaxLag + 1}) t(lg)
+       |  JOIN daily b ON b.day = a.day + t.lg
+       |), m AS (
+       |  SELECT lg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM pairs GROUP BY lg
+       |)
+       |SELECT lg AS lag, n_pairs,
+       |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |           * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf
+       |FROM m ORDER BY lag""".stripMargin
+
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
   // FIRST event of every burst (new burst = gap from the previous event
@@ -3297,6 +3363,11 @@ object SparkEntry {
       Dedup.bandCalibration(arts(s, d).pairs, docs(s, d))),
     "dedup_modularity"  -> ((s, d) => Dedup.modularityFrom(arts(s, d).pairs,
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
+    "sim_sq_topk"       -> ((s, d) => Similarity.sqTopK(emb(s, d))),
+    "sim_sq_recall"     -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.sqTopK(emb(s, d)))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     // the three residual-IVFADC queries share one pinned
@@ -3356,6 +3427,11 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         adjPre = Some(graft.operators.Graph.coPartAdjCached(
           Tables.lineitem(s, d), d)))),
+    "graph_link_jaccard" -> ((s, d) =>
+      graft.operators.Graph.linkJaccard(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        adjPre = Some(graft.operators.Graph.coPartAdjCached(
+          Tables.lineitem(s, d), d)))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
@@ -3387,6 +3463,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
     "sketch_countmin"   -> ((s, d) =>
       graft.operators.Sketch.countMin(Tables.events(s, d), "user_id")),
+    "sketch_f2_ams"     -> ((s, d) =>
+      graft.operators.Sketch.amsF2(Tables.events(s, d), "user_id")),
     "text_bpe_encode"   -> ((s, d) => TextOps.bpeEncode(docs(s, d))),
     "text_quality_rank" -> ((s, d) => TextOps.qualityRank(docs(s, d))),
     "dedup_weights"     -> ((s, d) =>
@@ -3441,6 +3519,7 @@ object SparkEntry {
     "events_sequences"  -> qSequences _,
     "events_ema"        -> qEma _,
     "events_corr"       -> qCorr _,
+    "events_acf"        -> qAcf _,
     "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
@@ -3609,6 +3688,11 @@ object SparkEntry {
     "dedup_modularity"  -> Dedup.sqlModularity(Dedup.sqlMinhashPairs(),
       Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs())),
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
+    "sim_sq_topk"       -> Similarity.sqlSqTopK,
+    "sim_sq_recall"     -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlSqTopK),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
     "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK(),
@@ -3631,6 +3715,7 @@ object SparkEntry {
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
     "graph_common_neighbors" -> graft.operators.Graph.sqlCommonNeighbors,
+    "graph_link_jaccard"    -> graft.operators.Graph.sqlLinkJaccard,
     "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),
     "graph_assortativity" -> graft.operators.Graph.sqlAssortativity,
     "q40_gap_fill"      -> sqlGapFill,
@@ -3651,6 +3736,8 @@ object SparkEntry {
     "dedup_containment" -> Dedup.sqlContainmentPairs,
     "sketch_countmin"   ->
       graft.operators.Sketch.sqlCountMin("events", "user_id"),
+    "sketch_f2_ams"     ->
+      graft.operators.Sketch.sqlAmsF2("events", "user_id"),
     "text_bpe_encode"   -> TextOps.sqlBpeEncode(),
     "text_quality_rank" -> TextOps.sqlQualityRank,
     "dedup_weights"     -> Dedup.sqlSoftWeights,
@@ -3695,6 +3782,7 @@ object SparkEntry {
     "events_sequences"  -> sqlSequences,
     "events_ema"        -> sqlEma,
     "events_corr"       -> sqlCorr,
+    "events_acf"        -> sqlAcf,
     "events_chi2"       -> sqlChi2,
     "events_attribution" -> sqlAttribution,
     // the incremental merge must equal the full hourly recompute —

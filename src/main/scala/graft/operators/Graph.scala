@@ -737,6 +737,83 @@ object Graph {
        |SELECT CAST(rk AS BIGINT) AS rk, pa, pb, n_common
        |FROM ranked WHERE rk <= $CnTopK ORDER BY rk""".stripMargin
 
+  /** Top edges by Jaccard link score |N(u)∩N(v)| / |N(u)∪N(v)|, with the
+    * preferential-attachment product deg(u)·deg(v) alongside — the two
+    * classic normalized link-prediction baselines (Liben-Nowell &
+    * Kleinberg, "The link prediction problem for social networks",
+    * CIKM 2003 §3) next to [[commonNeighbors]]' raw count. Jaccard
+    * penalizes hub edges whose overlap is large only because both
+    * neighborhoods are; preferential attachment is the null model the
+    * other scores are judged against.
+    *
+    * Scale shape: identical to [[commonNeighbors]] — the |V|-row sorted
+    * adjacency rides to both endpoint lookups under the broadcast↔hash
+    * runtime switch, and the degree is FREE (it is `size(ns)` of the
+    * adjacency array already in hand, so no extra degree join). Numeric
+    * determinism: numerator and denominator are exact small integers;
+    * the single IEEE division is bit-identical cross-engine, so the
+    * rank order (including ties) matches the oracle exactly.
+    */
+  def linkJaccard(edges: DataFrame,
+      adjPre: Option[DataFrame] = None): DataFrame = {
+    val adjBcast = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.broadcastAdj").forall(_.toBoolean)
+    def adjSide(df: DataFrame): DataFrame =
+      if (adjBcast) broadcast(df) else df
+    val adj = adjPre.getOrElse(fullAdjacency(edges))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("jaccard").desc, col("pa"), col("pb"))
+    edges
+      .join(adjSide(adj.select(col("u").as("pa"), col("ns").as("na"))),
+        Seq("pa"))
+      .join(adjSide(adj.select(col("u").as("pb"), col("ns").as("nb"))),
+        Seq("pb"))
+      .select(col("pa"), col("pb"),
+        size(array_intersect(col("na"), col("nb"))).cast("long")
+          .as("n_common"),
+        size(col("na")).cast("long").as("da"),
+        size(col("nb")).cast("long").as("db"))
+      // denominator ≥ 2: each endpoint is in the other's neighborhood,
+      // and an edge's endpoints are never in the intersection
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("da") + col("db") - col("n_common")).cast("double"))
+      .withColumn("pref_attach", col("da") * col("db"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CnTopK)
+      .select(col("rk").cast("long").as("rk"), col("pa"), col("pb"),
+        col("n_common"), col("jaccard"), col("pref_attach"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlLinkJaccard: String =
+    s"""WITH $sqlCoPartCtes, und AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), adj AS (
+       |  SELECT u, list_sort(list(v)) AS ns FROM und GROUP BY u
+       |), scored AS (
+       |  SELECT p.pa, p.pb,
+       |    CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS n_common,
+       |    CAST(len(a.ns) AS BIGINT) AS da,
+       |    CAST(len(b.ns) AS BIGINT) AS db
+       |  FROM pairs p
+       |  JOIN adj a ON p.pa = a.u
+       |  JOIN adj b ON p.pb = b.u
+       |), jac AS (
+       |  SELECT pa, pb, n_common,
+       |    CAST(n_common AS DOUBLE)
+       |      / CAST(da + db - n_common AS DOUBLE) AS jaccard,
+       |    da * db AS pref_attach
+       |  FROM scored
+       |), ranked AS (
+       |  SELECT pa, pb, n_common, jaccard, pref_attach,
+       |    ROW_NUMBER() OVER (ORDER BY jaccard DESC, pa, pb) AS rk
+       |  FROM jac
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, pa, pb, n_common, jaccard,
+       |  pref_attach
+       |FROM ranked WHERE rk <= $CnTopK ORDER BY rk""".stripMargin
+
   def sqlDegreeHistogram: String =
     s"""WITH $sqlCoPartCtes, binned AS (
        |  SELECT CAST(length(format('{:b}', deg)) - 1 AS BIGINT) AS bin

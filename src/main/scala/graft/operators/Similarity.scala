@@ -2040,6 +2040,95 @@ object Similarity {
        |FROM embeddings, ra
        |ORDER BY vec_id""".stripMargin
 
+  /** Top-k search IN the int8 code space of [[quantize]] — the
+    * "keep codes hot, floats cold" deployment actually searching its hot
+    * tier (FAISS's SQ8 flat index is this exact scheme): both sides
+    * encode with the same per-dim affine grid, and similarity is the
+    * INTEGER dot product of the code arrays. Codes are exact small
+    * integers, the dot is an exact BIGINT, so ranking — ties included —
+    * is bit-identical to the oracle with no float hazard anywhere.
+    *
+    * Scale shape: the 1-row range frame broadcasts; encoding is
+    * map-side; the code table is pinned ONCE and read for both the
+    * query and candidate sides (4× less scan than the float table, the
+    * point of SQ); the per-query ranking is the same
+    * WindowGroupLimit-pruned top-k as [[bruteTopK]]. `sim_sq_recall`
+    * measures what the 4× compression costs against the exact float
+    * ranking at the same depth.
+    */
+  def sqTopK(emb: DataFrame): DataFrame = {
+    val ranges = emb
+      .select(posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy((col("dim0") + 1).as("dim"))
+      .agg(min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo")))).as("dl"),
+        array_sort(collect_list(struct(col("dim"), col("hi")))).as("dh"))
+      .select(expr("transform(dl, x -> x.lo)").as("los"),
+        expr("transform(dh, x -> x.hi)").as("his"))
+    val codeExpr =
+      s"""transform(sequence(1, $Dim), i ->
+         |  CASE WHEN element_at(his, i) = element_at(los, i)
+         |    THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(least(255.0, floor(
+         |    (cast(element_at(embedding, i) as double) - element_at(los, i))
+         |      * 255.0
+         |      / (element_at(his, i) - element_at(los, i)))) AS BIGINT)
+         |  END)""".stripMargin
+    val codes = graft.operators.Iterate.pin(
+      emb.crossJoin(broadcast(ranges))
+        .select(col("vec_id"), expr(codeExpr).as("codes")))
+    val q = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    val c = codes.select(col("vec_id").as("cand_id"), col("codes").as("cc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_score").desc, col("cand_id"))
+    q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("sq_score", expr(
+        """aggregate(zip_with(qc, cc, (a, b) -> a * b),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("sq_score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlSqTopK: String =
+    s"""WITH r AS (
+       |  SELECT i AS dim,
+       |    MIN(embedding[i]::DOUBLE) AS lo,
+       |    MAX(embedding[i]::DOUBLE) AS hi
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY i
+       |), ra AS (
+       |  SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+       |  FROM r
+       |), codes AS (
+       |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i ->
+       |    CASE WHEN his[i] = los[i] THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(least(255.0, floor(
+       |      (embedding[i]::DOUBLE - los[i]) * 255.0 / (his[i] - los[i])))
+       |      AS BIGINT)
+       |    END) AS codes
+       |  FROM embeddings, ra
+       |), q AS (
+       |  SELECT vec_id AS query_id, codes AS qc FROM codes
+       |  WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}), i -> qc[i] * c.codes[i])),
+       |      (x, y) -> x + y) AS sq_score
+       |  FROM q JOIN codes c ON q.query_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, sq_score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sq_score DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, sq_score
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   def sqlEmbedOutliers: String =
     s"""WITH cent AS (
        |  SELECT label, i AS dim,

@@ -279,4 +279,106 @@ object Sketch {
        |  GROUP BY p.$keyCol, p.exact_cnt
        |) ORDER BY $keyCol""".stripMargin
   }
+
+  // ------------------------------------------------------- AMS F2 sketch
+  /** Second-moment (F2) tug-of-war sketch (Alon, Matias & Szegedy, "The
+    * space complexity of approximating the frequency moments", STOC 1996
+    * §2.2): [[AmsCounters]] signed counters c_j = Σ_rows sign_j(key),
+    * each an unbiased estimator via X_j = c_j²; the estimate is the
+    * median of [[AmsGroups]] group means (median-of-means, the paper's
+    * variance-reduction layer). F2 = Σ_v f_v² IS the self-join size of
+    * the table on the key — the number a join planner wants before
+    * deciding whether a key is skew-salted, measured here against the
+    * exact audit.
+    *
+    * The sign family is md5-derived (parity of a salted 32-bit hash), so
+    * a DuckDB oracle reproduces every counter bit for bit — the same
+    * cross-engine-determinism contract as [[cmsHash]]/[[kmvDistinct]].
+    *
+    * Scale shape: the sketch side is ONE aggregate with 16 sum columns —
+    * partial aggregation collapses every map task to a single 16-long
+    * row before a single-row exchange; the raw stream never shuffles.
+    * That is the whole AMS point: O(1) state, stream- and
+    * partition-mergeable. The exact side (one groupBy on the key) exists
+    * to AUDIT the estimate; a production planner reads the sketch alone.
+    * Determinism: counters and c_j² are exact BIGINTs (|c_j| ≤ n_rows,
+    * so c² fits to ~3·10⁹ rows; past that the audit detours through
+    * DECIMAL while the sketch itself is unaffected); the group means,
+    * the median of four (= (Σ − max − min)/2), and the relative error
+    * are a fixed handful of IEEE double ops, identical in both engines.
+    */
+  val AmsCounters = 16
+  val AmsGroups = 4
+
+  private def amsSign(j: Int, v: Column): Column =
+    lit(1L) - lit(2L) *
+      (conv(substring(md5(concat(lit(s"f$j:"), v.cast("string"))), 1, 8),
+        16, 10).cast("long") % 2L)
+  private def sqlAmsSign(j: Int, v: String): String =
+    s"1 - 2 * (CAST(('0x' || substr(md5('f$j:' || CAST($v AS VARCHAR)), " +
+      s"1, 8)) AS BIGINT) % 2)"
+
+  def amsF2(df: DataFrame, keyCol: String): DataFrame = {
+    val rows = df.filter(col(keyCol).isNotNull)
+    val perGroup = AmsCounters / AmsGroups
+    val ctr = rows.agg(count(lit(1)).as("n_rows"),
+      (0 until AmsCounters).map(j =>
+        sum(amsSign(j, col(keyCol))).as(s"s$j")): _*)
+    val means = ctr.select(col("n_rows") +:
+      (0 until AmsGroups).map { g =>
+        (g * perGroup until (g + 1) * perGroup)
+          .map(j => col(s"s$j") * col(s"s$j"))
+          .reduce(_ + _).cast("double")./(lit(perGroup.toDouble))
+          .as(s"m$g")
+      }: _*)
+    val ms = (0 until AmsGroups).map(g => col(s"m$g"))
+    val est = means.select(col("n_rows"),
+      ((ms.reduce(_ + _) - greatest(ms: _*) - least(ms: _*)) / lit(2.0))
+        .as("ams_estimate"))
+    val exact = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n") * col("n")).as("exact_f2"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("n_keys"), col("exact_f2"),
+        col("ams_estimate"),
+        ((col("ams_estimate") - col("exact_f2").cast("double")) /
+          col("exact_f2").cast("double")).as("rel_error"))
+  }
+
+  def sqlAmsF2(table: String, keyCol: String): String = {
+    val perGroup = AmsCounters / AmsGroups
+    val sums = (0 until AmsCounters).map(j =>
+      s"CAST(SUM(${sqlAmsSign(j, keyCol)}) AS BIGINT) AS s$j")
+      .mkString(",\n    ")
+    val meansCols = (0 until AmsGroups).map { g =>
+      val terms = (g * perGroup until (g + 1) * perGroup)
+        .map(j => s"s$j * s$j").mkString(" + ")
+      s"CAST($terms AS DOUBLE) / $perGroup AS m$g"
+    }.mkString(",\n    ")
+    val ms = (0 until AmsGroups).map(g => s"m$g")
+    s"""WITH c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    $sums
+       |  FROM $table WHERE $keyCol IS NOT NULL
+       |), x AS (
+       |  SELECT n_rows,
+       |    $meansCols
+       |  FROM c
+       |), est AS (
+       |  SELECT n_rows,
+       |    (${ms.mkString(" + ")}
+       |      - greatest(${ms.mkString(", ")})
+       |      - least(${ms.mkString(", ")})) / 2 AS ams_estimate
+       |  FROM x
+       |), e AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(n * n) AS BIGINT) AS exact_f2
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $table
+       |        WHERE $keyCol IS NOT NULL GROUP BY $keyCol)
+       |)
+       |SELECT n_rows, n_keys, exact_f2, ams_estimate,
+       |  (ams_estimate - CAST(exact_f2 AS DOUBLE))
+       |    / CAST(exact_f2 AS DOUBLE) AS rel_error
+       |FROM est, e""".stripMargin
+  }
 }

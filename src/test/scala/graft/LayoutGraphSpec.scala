@@ -334,6 +334,28 @@ class LayoutGraphSpec extends SparkSuite {
       .forall(_.getAs[Long]("n_common") == 2L))
   }
 
+  test("linkJaccard: K4 core outranks hub edges; pendant edges score 0") {
+    // K4 on 1..4 plus a pendant path 4-5-6: N(1)={2,3,4}, N(4)={1,2,3,5}
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("pa", "pb")
+    val out = Graph.linkJaccard(edges).collect()
+    assert(out.length == 8)
+    val byPair = out.map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+      (r.getAs[Double]("jaccard"), r.getAs[Long]("pref_attach"))).toMap
+    // edges among {1,2,3}: cn=2, union=3+3-2=4 -> 0.5, pref 3*3
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).foreach { p =>
+      assert(byPair(p) == (0.5, 9L), s"$p") }
+    // edges touching 4 inside K4: cn=2, union=3+4-2=5 -> 0.4, pref 12
+    Seq((1L, 4L), (2L, 4L), (3L, 4L)).foreach { p =>
+      assert(byPair(p) == (0.4, 12L), s"$p") }
+    // pendant edges share no neighbors
+    assert(byPair((4L, 5L)) == (0.0, 8L))
+    assert(byPair((5L, 6L)) == (0.0, 2L))
+    // ranking follows jaccard: the {1,2,3} triangle occupies rk 1..3
+    assert(out.filter(_.getAs[Long]("rk") <= 3)
+      .forall(_.getAs[Double]("jaccard") == 0.5))
+  }
+
   test("peel profile: clique survives, pendant leaves cascade off") {
     // K5 on 1..5 (internal degree 4) + four leaves on node 1
     val edges = (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)) ++

@@ -440,6 +440,53 @@ class OpsSpec extends SparkSuite {
     assert(hot.getAs[Long]("cms_estimate") == 40L)
   }
 
+  test("ams f2: exact audit fields are right and the estimate is unbiased-ish") {
+    import graft.operators.Sketch
+    // counts 3,2,1 -> F2 = 9+4+1 = 14 over 6 rows, 3 keys (+ a NULL row
+    // that both sides must drop)
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .map(Tuple1(_)).toDF("k")
+      .unionByName(Seq(Tuple1(null: String)).toDF("k"))
+    val r = Sketch.amsF2(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("exact_f2") == 14L)
+    val est = r.getAs[Double]("ams_estimate")
+    // each counter is a ±1 combination of (3,2,1): X_j = c_j^2 <= 36, so
+    // the median of group means is bounded and non-negative
+    assert(est >= 0.0 && est <= 36.0)
+    assert(r.getAs[Double]("rel_error") == (est - 14.0) / 14.0)
+  }
+
+  test("sq topk: planted duplicate of the query wins in code space") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dim = graft.operators.Similarity.Dim
+    // vec 0 and vec 9 share a strong pattern; 1..8 are small noise
+    val strong = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val rows = Seq(Row(0L, strong.toSeq, 0)) ++
+      (1L to 8L).map(i => Row(i, Array.fill(dim)(0.1f * (i % 3)).toSeq, 0)) :+
+      Row(9L, strong.toSeq, 0)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.Similarity.sqTopK(emb).collect()
+    // 5 queries (vec_id < NQueries) x min(TopK, 9 candidates)
+    assert(out.length == 5 * 9)
+    // query 0's top candidate is its duplicate, at the max possible score
+    val q0 = out.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rk"))
+    assert(q0.head.getAs[Long]("cand_id") == 9L)
+    // scores are non-increasing down each ranking and exact integers
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val s = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("sq_score"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("embedOutliers: planted far-out vector ranks first for its label") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
