@@ -3404,6 +3404,9 @@ object SparkEntry {
     "graph_pagerank"    -> ((s, d) =>
       graft.operators.Graph.pagerankCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_ppr"         -> ((s, d) =>
+      graft.operators.Graph.pprCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_components"  -> ((s, d) =>
       graft.operators.Graph.components(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -3711,6 +3714,7 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY cust, supp""".stripMargin,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
+    "graph_ppr"         -> graft.operators.Graph.sqlPpr(),
     "graph_components"  -> graft.operators.Graph.sqlComponents,
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,

@@ -858,4 +858,115 @@ object Graph {
        |  FROM r$iters
        |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
   }
+
+  // --------------------------------------------- personalized PageRank
+  /** Seed-node count for [[pprCached]]: customers with id < PprSeeds. */
+  val PprSeeds = 10L
+
+  /** Personalized PageRank (Page, Brin, Motwani & Winograd, "The
+    * PageRank citation ranking", 1999 §6 "personalized" teleport; the
+    * random surfer restarts at a SEED set instead of uniformly): rank
+    * mass teleports only to the [[PprSeeds]] lowest-id customers, so the
+    * stationary scores measure proximity to those accounts — "which
+    * suppliers matter to THESE customers", the recommendation/expansion
+    * twin of the global [[pagerank]] importance score.
+    *
+    * Scale shape: identical to [[pagerankCached]] — it composes over the
+    * SAME pinned directed-edge and degree memos (`prede`/`prdeg` keys,
+    * zero extra suite cost when both queries run), each round is one
+    * hash-join + exact-decimal aggregation, and the seed cardinality
+    * rides as a broadcast 1-row aggregate exactly like |V| does. The
+    * only delta from the global rounds is the teleport term's
+    * seed-indicator CASE. Dangling mass: every node of this graph has
+    * out-edges, so no correction term is needed (same argument as
+    * [[pagerank]]).
+    */
+  def pprCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, iters: Int = PrIters): DataFrame = {
+    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+    val spark = orders.sparkSession
+    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
+    pprRounds(edges, degN, iters)
+  }
+
+  private def pprRounds(edges: DataFrame, degN: DataFrame,
+      iters: Int): DataFrame = {
+    import graft.functions.Exact
+    val seeded = degN.select(col("id"), col("deg"),
+      (col("id") < PprSeeds).as("is_seed"))
+    val ns = seeded.filter(col("is_seed")).agg(count(lit(1)).as("ns"))
+    var ranks = seeded.crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("is_seed"), lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("rank"),
+        col("deg"), col("is_seed"), col("ns"))
+    for (i <- 1 to iters) {
+      val incoming = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(Exact.xsum(col("c"), 12).as("s"))
+      ranks = ranks.join(incoming, ranks("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(1.0 - Damping) / col("ns"))
+            .otherwise(lit(0.0))
+            + lit(Damping) * coalesce(col("s"), lit(0.0))).as("rank"),
+          col("deg"), col("is_seed"), col("ns"))
+      if (i % 3 == 0 && i < iters) ranks = Iterate.pin(ranks)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rank").desc, col("id"))
+    ranks
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PrTopK)
+      .select(col("rk"), col("id").as("node_id"), col("rank"),
+        col("is_seed"))
+      .orderBy(col("rk"))
+  }
+
+  /** DuckDB oracle: the [[sqlPagerank]] unroll with the seeded teleport. */
+  def sqlPpr(iters: Int = PrIters): String = {
+    import graft.functions.Exact
+    val oneMinusD = s"CAST(${1.0 - Damping} AS DOUBLE)"
+    val dD = s"CAST($Damping AS DOUBLE)"
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT e.dst, ${Exact.sqlSum("r.rank / r.deg", 12)} AS s
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.id GROUP BY e.dst
+         |), r$k AS (
+         |  SELECT r.id,
+         |    CASE WHEN r.is_seed THEN $oneMinusD / r.ns
+         |         ELSE CAST(0 AS DOUBLE) END
+         |      + $dD * COALESCE(s$k.s, CAST(0 AS DOUBLE)) AS rank,
+         |    r.deg, r.is_seed, r.ns
+         |  FROM r${k - 1} r LEFT JOIN s$k ON r.id = s$k.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $SuppBase AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $SuppBase, cust FROM e0
+       |), deg AS (
+       |  SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src
+       |), sd AS (
+       |  SELECT id, deg, id < $PprSeeds AS is_seed FROM deg
+       |), ns AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sd WHERE is_seed
+       |),
+       |r0 AS (
+       |  SELECT id,
+       |    CASE WHEN is_seed THEN CAST(1 AS DOUBLE) / ns
+       |         ELSE CAST(0 AS DOUBLE) END AS rank,
+       |    deg, is_seed, ns
+       |  FROM sd, ns
+       |),
+       |$rounds
+       |SELECT rk, id AS node_id, rank, is_seed FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, id) AS rk
+       |  FROM r$iters
+       |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
+  }
 }

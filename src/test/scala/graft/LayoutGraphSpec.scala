@@ -356,6 +356,24 @@ class LayoutGraphSpec extends SparkSuite {
       .forall(_.getAs[Double]("jaccard") == 0.5))
   }
 
+  test("personalized pagerank: seed flag matches id space, mass is a distribution") {
+    val d = "/root/testdata/sf0.001"
+    val out = Graph.pprCached(Tables.orders(spark, d),
+      Tables.lineitem(spark, d), d).collect()
+    assert(out.length == Graph.PrTopK)
+    // is_seed is exactly the id predicate the teleport uses
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_seed") ==
+        (r.getAs[Long]("node_id") < Graph.PprSeeds))
+    }
+    // ranking is a proper non-increasing positive sequence, and the
+    // top-k mass never exceeds the full distribution's total of 1
+    val ranks = out.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("rank"))
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(ranks.sum <= 1.0 + 1e-9)
+  }
+
   test("peel profile: clique survives, pendant leaves cascade off") {
     // K5 on 1..5 (internal degree 4) + four leaves on node 1
     val edges = (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)) ++
