@@ -3340,6 +3340,7 @@ object SparkEntry {
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
     "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),
     "mm_png_pixels"     -> ((s, d) => Multimodal.pngPixels(docs(s, d))),
+    "mm_wav"            -> ((s, d) => Multimodal.wav(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_split_leakage" -> ((s, d) =>
       TrainingData.splitLeakage(arts(s, d).pairs, docs(s, d))),
@@ -3675,6 +3676,7 @@ object SparkEntry {
     "mm_decode"         -> Multimodal.sqlDecode,
     "mm_pixels"         -> Multimodal.sqlPixels,
     "mm_png_pixels"     -> Multimodal.sqlPngPixels,
+    "mm_wav"            -> Multimodal.sqlWav,
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_split_leakage" ->
       TrainingData.sqlSplitLeakage(Dedup.sqlMinhashPairs()),

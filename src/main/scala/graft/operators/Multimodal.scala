@@ -735,4 +735,152 @@ object Multimodal {
       |    list_transform(range(1, (length(text) - 1) // 4 + 2),
       |                   i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS thumb_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- real audio decode
+  /** Audio decode output: exact integer statistics over the PCM sample
+    * stream. `pos_weighted` pairs each sample with its index, so a
+    * decoder that misparses the chunk walk (wrong data offset) or the
+    * little-endian int16 layout fails the gate even when the plain sum
+    * (order-independent) happens to survive.
+    */
+  final case class WavStats(doc_id: Long, n_samples: Int, sum_amp: Long,
+      pos_weighted: Long, peak: Int)
+
+  /** A complete RIFF/WAVE file (mono PCM, 16-bit, 8 kHz): canonical
+    * `fmt ` chunk, an ODD-sized LIST filler chunk before `data` — RIFF
+    * pads every odd chunk payload to an even byte boundary, the spec
+    * quirk naive readers miss — then signed little-endian samples.
+    * Sample i = (id % 40) − 16 + 3·i: linear, crosses zero (so int16
+    * sign extension is exercised), and bounded far inside int16 for the
+    * fixture sizes, so the DuckDB oracle states every statistic in
+    * closed form.
+    */
+  def wavBytes(id: Long, n: Int): Array[Byte] = {
+    val a = (id % 40).toInt - 16
+    val fmtCh = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val listCh = "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      "INFOx".getBytes("US-ASCII") ++ Array(0.toByte) // odd size + pad
+    val samples = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = a + 3 * i
+      samples(2 * i) = s.toByte
+      samples(2 * i + 1) = (s >> 8).toByte
+      i += 1
+    }
+    val dataCh = "data".getBytes("US-ASCII") ++ le32(2 * n) ++ samples
+    val payload = "WAVE".getBytes("US-ASCII") ++ fmtCh ++ listCh ++ dataCh
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 <= b.length)
+      new String(b.slice(i, i + 4), "US-ASCII")
+    else ""
+
+  /** REAL RIFF/WAVE decode: validates the RIFF header, WALKS the chunk
+    * list honoring declared sizes and the odd-size pad byte, requires a
+    * PCM mono 16-bit `fmt ` chunk BEFORE `data`, and reads the samples
+    * as signed little-endian 16-bit. Returns None (not garbage) for
+    * compressed, multi-channel, or non-16-bit streams.
+    */
+  def decodeWav(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    val end = math.min(b.length.toLong, 8L + leInt(b, 4)).toInt
+    var pos = 12
+    var fmtOk = false
+    while (pos + 8 <= end) {
+      val id = tag(b, pos)
+      val sz = leInt(b, pos + 4)
+      val body = pos + 8
+      if (sz < 0 || body.toLong + sz > end) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16 || leShort(b, body) != 1 || leShort(b, body + 2) != 1 ||
+            leShort(b, body + 14) != 16) return None
+          fmtOk = true
+        case "data" =>
+          if (!fmtOk || sz % 2 != 0) return None
+          val out = new Array[Int](sz / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((b(body + 2 * i) & 0xff) |
+              (b(body + 2 * i + 1) << 8)).toShort.toInt
+            i += 1
+          }
+          return Some(out)
+        case _ => () // unknown chunk: skip by declared size
+      }
+      pos = body + sz + (sz & 1) // RIFF word alignment
+    }
+    None
+  }
+
+  /** Deterministic WAV fixtures: one file per document, sample count
+    * from n_chars — the same (doc_id, n_chars) → geometry convention as
+    * the image fixtures.
+    */
+  def syntheticWavMedia(docs: DataFrame): Dataset[MediaBin] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaBin(id, wavBytes(id, (nc % 256 + 16).toInt))
+      }
+  }
+
+  /** The batched audio stage: decode every payload's full sample stream
+    * and reduce to exact statistics. Same loud-failure contract and
+    * same `mapPartitions`-for-decoder-amortization shape as
+    * [[pixelStats]] — at 100 TB this is the embarrassingly parallel
+    * map stage of an audio feature pipeline; nothing shuffles.
+    */
+  def wavStats(media: Dataset[MediaBin]): Dataset[WavStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = decodeWav(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not a mono 16-bit PCM WAV"))
+        var sum = 0L; var wsum = 0L; var peak = Int.MinValue
+        var i = 0
+        while (i < s.length) {
+          sum += s(i)
+          wsum += i.toLong * s(i)
+          if (s(i) > peak) peak = s(i)
+          i += 1
+        }
+        WavStats(r.doc_id, s.length, sum, wsum, peak)
+      }
+    }
+  }
+
+  /** End-to-end audio query: WAV fixtures → full PCM decode → exact
+    * sample statistics.
+    */
+  def wav(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    wavStats(syntheticWavMedia(docs)).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the generator's linear samples summed in closed form
+    * (s_i = a + 3i with a = id%40 − 16 over n = n_chars%256 + 16
+    * samples) — integer-exact, so the gate asserts the byte-level PCM
+    * decode inverts the encode including the chunk walk, the odd-chunk
+    * pad, and signed little-endian layout.
+    */
+  val sqlWav: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars % 256 + 16 AS BIGINT) AS n,
+      |    CAST(doc_id % 40 - 16 AS BIGINT) AS a
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(n AS INT) AS n_samples,
+      |  n * a + 3 * (n * (n - 1) // 2) AS sum_amp,
+      |  a * (n * (n - 1) // 2)
+      |    + 3 * ((n - 1) * n * (2 * n - 1) // 6) AS pos_weighted,
+      |  CAST(a + 3 * (n - 1) AS INT) AS peak
+      |FROM g ORDER BY doc_id""".stripMargin
 }

@@ -184,4 +184,39 @@ class MultimodalSpec extends SparkSuite {
     assert(got.map(_.getString(1)).distinct.sorted.toSeq ==
       Seq("bmp", "gif", "jpeg", "png"))
   }
+
+  test("decodeWav recovers a hand-built canonical WAV's exact samples") {
+    // hand-assembled independently of wavBytes: RIFF/WAVE, fmt (PCM,
+    // mono, 16-bit, 8 kHz), data with samples [5, -3, 300] — the -3
+    // pins sign extension, the 300 pins little-endian byte order
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = "data".getBytes ++ le32(6) ++
+      le16(5) ++ le16(-3 & 0xffff) ++ le16(300)
+    val payload = "WAVE".getBytes ++ fmt ++ data
+    val wav = "RIFF".getBytes ++ le32(payload.length) ++ payload
+    assert(Multimodal.decodeWav(wav).map(_.toSeq) === Some(Seq(5, -3, 300)))
+    // non-PCM / stereo / 8-bit / truncated streams must fail, not garble
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val c = wav.clone(); c(off) = v.toByte; c }
+    assert(Multimodal.decodeWav(patched(20, 2)) === None)  // audio fmt 2
+    assert(Multimodal.decodeWav(patched(22, 2)) === None)  // 2 channels
+    assert(Multimodal.decodeWav(patched(34, 8)) === None)  // 8-bit
+    assert(Multimodal.decodeWav(wav.dropRight(2)) === None) // short data
+    assert(Multimodal.decodeWav("RIFX".getBytes ++ wav.drop(4)) === None)
+  }
+
+  test("wav round-trip: odd LIST chunk pad, sign extension, statistics") {
+    for ((id, n) <- Seq((0L, 16), (7L, 40), (39L, 271))) {
+      val s = Multimodal.decodeWav(Multimodal.wavBytes(id, n))
+      assert(s.isDefined, s"id=$id")
+      val a = (id % 40).toInt - 16
+      assert(s.get.toSeq == (0 until n).map(a + 3 * _), s"id=$id")
+    }
+    // the fixture family crosses zero: some file has negative samples
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(1L, 4)).get.head < 0)
+  }
 }
