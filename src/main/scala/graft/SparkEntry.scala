@@ -3461,6 +3461,9 @@ object SparkEntry {
       Profile.keySkew(Tables.lineitem(s, d), "l_partkey")),
     "profile_checks"    -> ((s, d) =>
       Profile.expectations(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "profile_fd"        -> ((s, d) =>
+      Profile.fdAudit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
     "text_simpson"      -> ((s, d) => TextOps.simpson(docs(s, d))),
     "text_postings"     -> ((s, d) => TextOps.postings(docs(s, d))),
@@ -3736,6 +3739,7 @@ object SparkEntry {
     "q41_histogram"     -> Profile.sqlHistogram("lineitem", "l_extendedprice"),
     "profile_skew"      -> Profile.sqlKeySkew("lineitem", "l_partkey"),
     "profile_checks"    -> Profile.sqlExpectations,
+    "profile_fd"        -> Profile.sqlFdAudit,
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,
     "text_postings"     -> TextOps.sqlPostings,

@@ -256,4 +256,78 @@ object Profile {
        |SELECT "check", n_violations, n_rows, n_violations = 0 AS pass
        |FROM rowchecks, n
        |ORDER BY "check" """.stripMargin
+
+  // --------------------------------------------- functional dependencies
+  /** Approximate functional-dependency audit (the g₃-style key-violation
+    * measure of Kivinen & Mannila, "Approximate inference of functional
+    * dependencies from relations", TCS 1995): for each candidate X → Y,
+    * count the X-groups whose Y is not constant. strength = 1 −
+    * violating/keys, so a true dependency (a key, a denormalized
+    * attribute) scores exactly 1.0 and the report ranks how far each
+    * candidate is from holding — the schema-inference signal a
+    * lake-ingestion pipeline reads before trusting a join key or
+    * choosing a clustering column.
+    *
+    * Scale shape: each candidate is ONE hash aggregation onto its
+    * determinant (count-distinct of the dependent riding in the same
+    * exchange) followed by a single-row reduce; candidates are
+    * independent and union into a |candidates|-row report. Strength is
+    * one IEEE division of two exact BIGINTs — no float hazard.
+    */
+  def fdAudit(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def audit(df: DataFrame, name: String, keys: Seq[String],
+        dep: String): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(countDistinct(col(dep)).as("ndep"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          (lit(1.0) - col("n_violating").cast("double") /
+            col("n_keys").cast("double")).as("strength"))
+    audit(orders, "o_orderkey->o_custkey", Seq("o_orderkey"), "o_custkey")
+      .unionByName(audit(orders, "o_custkey->o_orderstatus",
+        Seq("o_custkey"), "o_orderstatus"))
+      .unionByName(audit(lineitem, "l_orderkey,l_linenumber->l_partkey",
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+      .unionByName(audit(lineitem, "l_orderkey->l_suppkey",
+        Seq("l_orderkey"), "l_suppkey"))
+      .unionByName(audit(lineitem, "l_partkey->l_suppkey",
+        Seq("l_partkey"), "l_suppkey"))
+      .unionByName(audit(customer, "c_custkey->c_nationkey",
+        Seq("c_custkey"), "c_nationkey"))
+      .orderBy(col("fd"))
+  }
+
+  def sqlFdAudit: String = {
+    def one(table: String, name: String, keys: String, dep: String) =
+      s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_violating
+         |  FROM (SELECT COUNT(DISTINCT $dep) AS ndep FROM $table
+         |        GROUP BY $keys)""".stripMargin
+    s"""SELECT fd, n_keys, n_violating,
+       |  1.0 - CAST(n_violating AS DOUBLE) / CAST(n_keys AS DOUBLE)
+       |    AS strength
+       |FROM (
+       |  ${one("orders", "o_orderkey->o_custkey", "o_orderkey",
+              "o_custkey")}
+       |  UNION ALL
+       |  ${one("orders", "o_custkey->o_orderstatus", "o_custkey",
+              "o_orderstatus")}
+       |  UNION ALL
+       |  ${one("lineitem", "l_orderkey,l_linenumber->l_partkey",
+              "l_orderkey, l_linenumber", "l_partkey")}
+       |  UNION ALL
+       |  ${one("lineitem", "l_orderkey->l_suppkey", "l_orderkey",
+              "l_suppkey")}
+       |  UNION ALL
+       |  ${one("lineitem", "l_partkey->l_suppkey", "l_partkey",
+              "l_suppkey")}
+       |  UNION ALL
+       |  ${one("customer", "c_custkey->c_nationkey", "c_custkey",
+              "c_nationkey")}
+       |)
+       |ORDER BY fd""".stripMargin
+  }
 }
