@@ -3325,6 +3325,7 @@ object SparkEntry {
     "stream_session_state" -> graft.streaming.StreamOracles.sessionState _,
     "stream_join_state"  -> graft.streaming.StreamOracles.joinState _,
     "stream_window_state" -> graft.streaming.StreamOracles.windowState _,
+    "stream_mg_state"   -> graft.streaming.StreamOracles.mgState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -3664,6 +3665,9 @@ object SparkEntry {
     "stream_session_state" -> graft.streaming.StreamOracles.sqlSessionState,
     "stream_join_state"  -> graft.streaming.StreamOracles.sqlJoinState,
     "stream_window_state" -> graft.streaming.StreamOracles.sqlWindowState,
+    // the streamed MG sketch is exact at this capacity, so its final
+    // state must match the SAME exact SQL the batch sketch matches
+    "stream_mg_state"   -> sqlHeavyHitters,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

@@ -541,6 +541,45 @@ object StreamOracles {
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  // ------------------------------------------------------ stream_mg_state
+  /** Misra–Gries heavy hitters as a REAL streaming aggregation: the
+    * custom `TypedImperativeAggregate` ([[graft.functions.HeavyHitters]])
+    * runs inside a streaming global aggregate in Complete mode, so the
+    * state store round-trips the SERIALIZED MG map across micro-batches
+    * (buffer serialize → durable state swap → merge with the next
+    * batch's partial) — the custom-aggregate state transition none of
+    * the other seven oracles exercises. Documents split into 2
+    * micro-batches by doc_id parity and tokenize INSIDE the stream, so
+    * nearly every token arrives from both batches. Capacity (256)
+    * exceeds the fixture vocabulary, so MG is exact and
+    * merge-order-independent: the final top-k must equal the batch
+    * `sketch_heavy_hitters` answer, and the oracle is that same SQL.
+    */
+  def mgState(spark: SparkSession, dir: String): DataFrame = {
+    val docsDf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val src = cachedSrc(s"mg|$dir") { d =>
+      (0 until 2).foreach { i =>
+        writeBatchFile(docsDf.filter(col("doc_id") % 2 === i), d, i)
+      }
+    }
+    val ss = streamSession(spark)
+    graft.functions.VectorExprs.register(ss)
+    val in = streamFiles(ss, src, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    val agg = in
+      .select(explode_outer(
+        graft.operators.TextOps.words(col("text"))).as("token"))
+      .agg(call_function(graft.functions.VectorExprs.HeavyName,
+        col("token"), lit(10), lit(256)).as("hh"))
+    val name = s"graft_stream_mg_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(agg, name, OutputMode.Complete())
+    out.select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"),
+        col("h.est_count").as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   val sqlJoinState: String =
     """WITH e AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
