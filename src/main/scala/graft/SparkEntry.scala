@@ -3465,6 +3465,8 @@ object SparkEntry {
     "profile_fd"        -> ((s, d) =>
       Profile.fdAudit(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d))),
+    "bucket_join"       -> ((s, d) =>
+      graft.operators.Bucketing.bucketJoin(s, d)),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
     "text_simpson"      -> ((s, d) => TextOps.simpson(docs(s, d))),
     "text_postings"     -> ((s, d) => TextOps.postings(docs(s, d))),
@@ -3744,6 +3746,7 @@ object SparkEntry {
     "profile_skew"      -> Profile.sqlKeySkew("lineitem", "l_partkey"),
     "profile_checks"    -> Profile.sqlExpectations,
     "profile_fd"        -> Profile.sqlFdAudit,
+    "bucket_join"       -> graft.operators.Bucketing.sqlBucketJoin,
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,
     "text_postings"     -> TextOps.sqlPostings,

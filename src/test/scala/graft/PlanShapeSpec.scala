@@ -591,4 +591,29 @@ class PlanShapeSpec extends SparkSuite {
     // the split CASE must not introduce a window or repartition of docs
     assert(!p.contains("Window"), "split labeling grew a window:\n" + p)
   }
+
+  test("bucket_join: co-located buckets join with no exchange below the join") {
+    // at fixture scale Catalyst rightly broadcasts the small side; the
+    // bucket path is the fact⋈fact regime, so pin it with broadcast off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      graft.operators.Bucketing.bucketJoin(spark, dir)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // the join itself must be the sort-merge over co-located buckets
+    assert(p.contains("SortMergeJoin"), p)
+    // everything printed below the SMJ line is its subtree (the
+    // aggregation and final sort sit above it): neither join child may
+    // shuffle — that is the entire point of paying the bucketed write
+    // once. (An in-partition Sort above each scan is EXPECTED on
+    // Spark ≥ 3: bucket sort-order reuse sits behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering, off by
+    // default — the sort is local and network-free, the exchange is
+    // the cost that matters.)
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      "bucketed join children must not shuffle:\n" + p)
+    // and the scans carry bucket metadata
+    assert(below.contains("SelectedBucketsCount"), p)
+  }
 }
