@@ -3058,6 +3058,118 @@ object SparkEntry {
        |           * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf
        |FROM m ORDER BY lag""".stripMargin
 
+  // ------------------------------------------------- events_abtest
+  // A/B experiment readout: users split by id parity into control/
+  // treatment, conversion = a heavy purchaser (≥ AbConvThreshold
+  // purchase events — "any purchase" converts EVERY fixture user and
+  // the pooled variance degenerates to 0/0), and the report is the
+  // two-proportion z-statistic an experimentation platform prints.
+  // Shape: ONE user-keyed exchange (per-user conversion flag via max),
+  // then a single-row conditional-sum aggregate — at any corpus size
+  // the statistic derives from four exact BIGINTs; the CVRs, lift, and
+  // z are a fixed closed-form double expression over them (IEEE sqrt is
+  // correctly rounded, so cross-engine exact — the qCorr discipline).
+  private val AbConvThreshold = 14L
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purch"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("n_purch") >= AbConvThreshold, 1L).otherwise(0L)
+          .as("conv"))
+    val m = u.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+        .as("conv_c"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+        .as("conv_t"))
+    val pc = col("conv_c").cast("double") / col("n_c").cast("double")
+    val pt = col("conv_t").cast("double") / col("n_t").cast("double")
+    val pooled = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("n_c") + col("n_t")).cast("double")
+    m.select(col("n_c"), col("conv_c"), col("n_t"), col("conv_t"),
+      pc.as("cvr_control"), pt.as("cvr_treatment"),
+      (pt - pc).as("abs_lift"),
+      ((pt - pc) / sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n_c").cast("double")
+          + lit(1.0) / col("n_t").cast("double")))).as("z_score"))
+  }
+
+  private val sqlAbTest: String =
+    s"""WITH u AS (
+      |  SELECT user_id % 2 AS variant,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) >= $AbConvThreshold THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |), m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_c,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_c,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_t,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS conv_t
+      |  FROM u
+      |), p AS (
+      |  SELECT *,
+      |    CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS pc,
+      |    CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS pt,
+      |    CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+      |      AS pooled
+      |  FROM m
+      |)
+      |SELECT n_c, conv_c, n_t, conv_t,
+      |  pc AS cvr_control, pt AS cvr_treatment,
+      |  pt - pc AS abs_lift,
+      |  (pt - pc) / sqrt(pooled * (CAST(1 AS DOUBLE) - pooled)
+      |    * (CAST(1 AS DOUBLE) / CAST(n_c AS DOUBLE)
+      |       + CAST(1 AS DOUBLE) / CAST(n_t AS DOUBLE))) AS z_score
+      |FROM p""".stripMargin
+
+  // ------------------------------------------- events_cumulative_users
+  // User-acquisition curve: new users per day (day of each user's FIRST
+  // event) and the running total — the growth chart every analytics
+  // deployment draws. Shape: one user-keyed exchange for first_day (a
+  // thin min aggregate), one |days|-group count, then a running sum
+  // over the |days|-row frame — the single-partition window is over a
+  // calendar-bounded frame, never over users. Day index is epoch
+  // arithmetic, exact everywhere.
+  private def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val w = Window.orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first.groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("first_day"))
+  }
+
+  private val sqlCumulativeUsers: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |), d AS (
+      |  SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM f GROUP BY first_day
+      |)
+      |SELECT first_day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY first_day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM d ORDER BY first_day""".stripMargin
+
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
   // FIRST event of every burst (new burst = gap from the previous event
@@ -3530,6 +3642,8 @@ object SparkEntry {
     "events_ema"        -> qEma _,
     "events_corr"       -> qCorr _,
     "events_acf"        -> qAcf _,
+    "events_abtest"     -> qAbTest _,
+    "events_cumulative_users" -> qCumulativeUsers _,
     "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
@@ -3800,6 +3914,8 @@ object SparkEntry {
     "events_ema"        -> sqlEma,
     "events_corr"       -> sqlCorr,
     "events_acf"        -> sqlAcf,
+    "events_abtest"     -> sqlAbTest,
+    "events_cumulative_users" -> sqlCumulativeUsers,
     "events_chi2"       -> sqlChi2,
     "events_attribution" -> sqlAttribution,
     // the incremental merge must equal the full hourly recompute —
