@@ -80,7 +80,8 @@ class PlanShapeSpec extends SparkSuite {
     // partition keeps a k-bounded group state (partial) before the shuffle
     // and again after (final) — the scale path for every top-k query here.
     for (q <- Seq("q11_topk_window", "sim_brute_topk", "text_tfidf",
-        "sim_hard_negatives", "text_ngram_lm", "corpus_stratified")) {
+        "sim_hard_negatives", "text_ngram_lm", "corpus_stratified",
+        "sim_sq_topk")) {
       val p = planTree(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the rank-limit pushdown:\n$p")
@@ -590,6 +591,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     // the split CASE must not introduce a window or repartition of docs
     assert(!p.contains("Window"), "split labeling grew a window:\n" + p)
+  }
+
+  test("events_acf: calendar lag join never degrades to all-pairs") {
+    val p = planTree("events_acf")
+    assert(!p.contains("CartesianProduct"),
+      "lag alignment became a cartesian:\n" + p)
+    // the heavy subtree is the daily aggregation; the 7-row lag dim must
+    // ride as a broadcast, not shuffle the day frame per lag
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHash"),
+      "lag dimension not broadcast:\n" + p)
+  }
+
+  test("sketch_f2_ams: neither side adds a keyed shuffle of the stream") {
+    val p = planTree("sketch_f2_ams")
+    // the only keyed exchanges are the fixture loader's stable-retry
+    // repartitions (REPARTITION_BY_COL, on the audit key, so the exact
+    // groupBy REUSES them); the 16-counter sketch side collapses
+    // map-side to a single row and moves through SinglePartition only —
+    // no ENSURE_REQUIREMENTS keyed exchange anywhere
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS")),
+      "a keyed shuffle appeared beyond the input prep:\n" + p)
+  }
+
+  test("graph_link_jaccard: global top-k runs as TakeOrderedAndProject") {
+    // a GLOBAL row_number window collapses differently from the
+    // partitioned top-k queries: the per-partition top-k heap + merge
+    // (TakeOrderedAndProject) feeds the k-row Window — never a full
+    // |E|-row single-partition window sort
+    val p = planTree("graph_link_jaccard")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global ranking lost the top-k heap:\n" + p)
   }
 
   test("bucket_join: co-located buckets join with no exchange below the join") {
