@@ -3539,15 +3539,16 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         Some(graft.operators.Graph.coPartDegreesCached(
           Tables.lineitem(s, d), d)))),
+    // both link-score rankings read the ONE pinned intersection pass
     "graph_common_neighbors" -> ((s, d) =>
       graft.operators.Graph.commonNeighbors(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
-        adjPre = Some(graft.operators.Graph.coPartAdjCached(
+        scoredPre = Some(graft.operators.Graph.coPartCommonCached(
           Tables.lineitem(s, d), d)))),
     "graph_link_jaccard" -> ((s, d) =>
       graft.operators.Graph.linkJaccard(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
-        adjPre = Some(graft.operators.Graph.coPartAdjCached(
+        scoredPre = Some(graft.operators.Graph.coPartCommonCached(
           Tables.lineitem(s, d), d)))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
@@ -3612,6 +3613,16 @@ object SparkEntry {
     // the already-oracled library operator, composed into ONE plan
     "corpus_export"     -> ((s, d) => TrainingData.corpusExport(
       graft.operators.CorpusClean.cleanCached(docs(s, d), d))),
+    // the export with near-dup dedup IN the pipeline: cleaned survivors
+    // restricted to each cluster's canonical doc (keep-longest policy
+    // from the SHARED clustering memo), then the same budget/shard
+    // stages — the full LLM-data path clean → dedup → budget → shard
+    // as ONE composed plan
+    "corpus_export_dedup" -> ((s, d) => TrainingData.corpusExport(
+      graft.operators.CorpusClean.cleanCached(docs(s, d), d)
+        .join(Dedup.canonicalFrom(docs(s, d), arts(s, d).components)
+          .filter(col("kept")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"))),
     "corpus_interleave" -> ((s, d) => TrainingData.interleave(docs(s, d))),
     "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
@@ -3888,6 +3899,14 @@ object SparkEntry {
     "dedup_spans"       -> Dedup.sqlSpanClean,
     "corpus_shard"      -> TrainingData.sqlShard,
     "corpus_export"     -> TrainingData.sqlCorpusExport,
+    "corpus_export_dedup" -> TrainingData.sqlCorpusExportFrom(
+      s"""SELECT cc.* FROM (
+         |  ${graft.operators.CorpusClean.sqlClean.linesIterator
+               .mkString("\n  ")}
+         |) cc
+         |WHERE cc.doc_id IN (SELECT doc_id FROM (
+         |  ${Dedup.sqlCanonical.linesIterator.mkString("\n  ")}
+         |) WHERE kept)""".stripMargin),
     "corpus_interleave" -> TrainingData.sqlInterleave,
     "text_classifier"   -> TextOps.sqlClassifierScore,
     "embed_outliers"    -> Similarity.sqlEmbedOutliers,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the similarity hot path: the dot product
   * of two float-array columns, accumulated left-to-right in double.
@@ -171,6 +171,80 @@ case class DotProductDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProductFloat]]: exact BIGINT dot of two
+  * `array<bigint>` columns — the scoring primitive of int8
+  * scalar-quantized search (`sim_sq_topk`), where every product and the
+  * sum are exact small integers. Same null/length-mismatch contract as
+  * the float/double forms; the codegen'd loop keeps the per-candidate
+  * score inside the whole-stage span instead of an interpreted
+  * `aggregate(zip_with(...))` lambda per element.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product_long expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  private def elementsNeverNull: Boolean =
+    Seq(left, right).forall(_.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = !elementsNeverNull
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elementsNeverNull) ""
+        else s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  $nullCheck
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two SORTED distinct long arrays, via a
   * linear merge walk — no hash set, no result-array allocation (Spark's
   * `array_intersect` builds both). For blocked pairwise set-similarity the
@@ -239,6 +313,7 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 object VectorExprs {
   val DotName = "graft_dot_f"
   val DotDName = "graft_dot_d"
+  val DotLName = "graft_dot_l"
   val IntersectName = "graft_intersect_count_sorted"
   val HeavyName = "graft_heavy_hitters"
   val PairName = "graft_pair_expand"
@@ -257,6 +332,8 @@ object VectorExprs {
       DotName, exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       DotDName, exprs => DotProductDouble(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      DotLName, exprs => DotProductLong(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       IntersectName, exprs => IntersectCountSorted(exprs(0), exprs(1)),
       "built-in")
@@ -314,6 +391,10 @@ object VectorExprs {
   /** Double-array twin of [[dotF]] ([[DotProductDouble]]). */
   def dotD(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(DotDName, a, b)
+
+  /** Exact BIGINT twin of [[dotF]] ([[DotProductLong]]). */
+  def dotL(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(DotLName, a, b)
 
   /** Lazy (a, b) pair generator over a sorted array column — use in a
     * `select` like `explode`; see [[PairExpand]].

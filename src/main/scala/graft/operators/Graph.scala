@@ -693,15 +693,16 @@ object Graph {
     * WindowGroupLimit-pruned per partition before the single-partition
     * final ranking. Nothing materializes wedges.
     */
-  def commonNeighbors(edges: DataFrame,
-      adjPre: Option[DataFrame] = None): DataFrame = {
+  /** Per-edge common-neighbor counts + endpoint degrees — the expensive
+    * adjacency-probe + `array_intersect` pass both link-score rankings
+    * derive from. Runs under the broadcast↔hash runtime switch.
+    */
+  private def edgeCommonCounts(edges: DataFrame,
+      adj: DataFrame): DataFrame = {
     val adjBcast = edges.sparkSession.conf
       .getOption("spark.graft.triangles.broadcastAdj").forall(_.toBoolean)
     def adjSide(df: DataFrame): DataFrame =
       if (adjBcast) broadcast(df) else df
-    val adj = adjPre.getOrElse(fullAdjacency(edges))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n_common").desc, col("pa"), col("pb"))
     edges
       .join(adjSide(adj.select(col("u").as("pa"), col("ns").as("na"))),
         Seq("pa"))
@@ -709,7 +710,34 @@ object Graph {
         Seq("pb"))
       .select(col("pa"), col("pb"),
         size(array_intersect(col("na"), col("nb"))).cast("long")
-          .as("n_common"))
+          .as("n_common"),
+        size(col("na")).cast("long").as("da"),
+        size(col("nb")).cast("long").as("db"))
+  }
+
+  /** Pinned per-(session, key) edge score frame over the co-part memos —
+    * `graph_common_neighbors` and `graph_link_jaccard` both rank from
+    * this ONE intersection pass (|E| rows × 5 longs; the intersections,
+    * not the rankings, are the cost).
+    */
+  def coPartCommonCached(lineitem: DataFrame, cacheKey: String): DataFrame = {
+    // resolve the edge/adjacency memos BEFORE the pin lambda — a nested
+    // computeIfAbsent on the shared cache map is a recursive update
+    // (the pagerankCached discipline)
+    val edges = coPartEdgesCached(lineitem, cacheKey)
+    val adj = coPartAdjCached(lineitem, cacheKey)
+    cachedPin(lineitem.sparkSession, s"cpcommon|$cacheKey")(
+      edgeCommonCounts(edges, adj))
+  }
+
+  def commonNeighbors(edges: DataFrame,
+      adjPre: Option[DataFrame] = None,
+      scoredPre: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredPre.getOrElse(
+      edgeCommonCounts(edges, adjPre.getOrElse(fullAdjacency(edges))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_common").desc, col("pa"), col("pb"))
+    scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= CnTopK)
       .select(col("rk").cast("long").as("rk"), col("pa"), col("pb"),
@@ -755,24 +783,13 @@ object Graph {
     * rank order (including ties) matches the oracle exactly.
     */
   def linkJaccard(edges: DataFrame,
-      adjPre: Option[DataFrame] = None): DataFrame = {
-    val adjBcast = edges.sparkSession.conf
-      .getOption("spark.graft.triangles.broadcastAdj").forall(_.toBoolean)
-    def adjSide(df: DataFrame): DataFrame =
-      if (adjBcast) broadcast(df) else df
-    val adj = adjPre.getOrElse(fullAdjacency(edges))
+      adjPre: Option[DataFrame] = None,
+      scoredPre: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredPre.getOrElse(
+      edgeCommonCounts(edges, adjPre.getOrElse(fullAdjacency(edges))))
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("jaccard").desc, col("pa"), col("pb"))
-    edges
-      .join(adjSide(adj.select(col("u").as("pa"), col("ns").as("na"))),
-        Seq("pa"))
-      .join(adjSide(adj.select(col("u").as("pb"), col("ns").as("nb"))),
-        Seq("pb"))
-      .select(col("pa"), col("pb"),
-        size(array_intersect(col("na"), col("nb"))).cast("long")
-          .as("n_common"),
-        size(col("na")).cast("long").as("da"),
-        size(col("nb")).cast("long").as("db"))
+    scored
       // denominator ≥ 2: each endpoint is in the other's neighborhood,
       // and an edge's endpoints are never in the intersection
       .withColumn("jaccard", col("n_common").cast("double") /

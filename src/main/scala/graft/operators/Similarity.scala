@@ -2075,6 +2075,7 @@ object Similarity {
          |      * 255.0
          |      / (element_at(his, i) - element_at(los, i)))) AS BIGINT)
          |  END)""".stripMargin
+    VectorExprs.register(emb.sparkSession)
     val codes = graft.operators.Iterate.pin(
       emb.crossJoin(broadcast(ranges))
         .select(col("vec_id"), expr(codeExpr).as("codes")))
@@ -2084,9 +2085,10 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sq_score").desc, col("cand_id"))
     q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("sq_score", expr(
-        """aggregate(zip_with(qc, cc, (a, b) -> a * b),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      // codegen'd exact integer dot (VectorExprs.dotL) — same fold the
+      // interpreted aggregate(zip_with(...)) form computes, but inside
+      // the whole-stage span
+      .withColumn("sq_score", VectorExprs.dotL(col("qc"), col("cc")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("cand_id"), col("sq_score"))

@@ -1007,9 +1007,16 @@ object TrainingData {
       .orderBy(col("shard"), col("pos"))
   }
 
-  def sqlCorpusExport: String =
+  def sqlCorpusExport: String = sqlCorpusExportFrom(CorpusClean.sqlClean)
+
+  /** [[sqlCorpusExport]] parameterized by the cleaned-source SQL — the
+    * composition point `corpus_export_dedup` uses to export only
+    * canonical (near-dup-deduplicated) survivors through the SAME
+    * budget/shard stages.
+    */
+  def sqlCorpusExportFrom(cleanedSql: String): String =
     s"""WITH cleaned AS (
-       |  ${CorpusClean.sqlClean.linesIterator.mkString("\n  ")}
+       |  ${cleanedSql.linesIterator.mkString("\n  ")}
        |), sel AS (
        |  SELECT doc_id, quality_score AS score,
        |    CAST(n_tokens AS BIGINT) AS n_tok,

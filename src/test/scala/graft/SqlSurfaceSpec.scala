@@ -32,6 +32,19 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.length == 3 && r.forall(_.getDouble(1) > 0))
   }
 
+  test("graft_dot_l matches the interpreted fold, incl. null and mismatch") {
+    graft.functions.VectorExprs.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot_l(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS ok,
+        |  graft_dot_l(array(1L, 2L), array(4L)) AS mismatch,
+        |  graft_dot_l(array(1L, CAST(NULL AS BIGINT)), array(4L, 5L))
+        |    AS withnull""".stripMargin).collect().head
+    assert(r.getLong(0) == 4L + 10L + 18L)
+    assert(r.isNullAt(1), "length mismatch must yield NULL")
+    assert(r.isNullAt(2), "null element must propagate")
+  }
+
   test("GraftExtensions applies cleanly (injection surface)") {
     // a second in-JVM session shares the existing context and ignores new
     // extensions, so exercise the injection calls directly; SQL-callable
