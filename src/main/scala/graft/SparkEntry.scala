@@ -3478,6 +3478,7 @@ object SparkEntry {
     "dedup_modularity"  -> ((s, d) => Dedup.modularityFrom(arts(s, d).pairs,
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "sim_sq_topk"       -> ((s, d) => Similarity.sqTopK(emb(s, d))),
+    "sim_sq_rerank"     -> ((s, d) => Similarity.sqRerank(emb(s, d))),
     "sim_sq_recall"     -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
@@ -3638,6 +3639,8 @@ object SparkEntry {
     "events_value_pareto" -> qValuePareto _,
     "text_lang_confusion" -> ((s, d) => TextOps.langConfusion(docs(s, d))),
     "text_zipf"         -> ((s, d) => TextOps.zipf(docs(s, d))),
+    "text_collocations" -> ((s, d) => TextOps.collocations(docs(s, d))),
+    "corpus_pad_audit"  -> ((s, d) => TrainingData.padAudit(docs(s, d))),
     "corpus_pack_audit" -> ((s, d) => TrainingData.packAudit(docs(s, d))),
     "graph_bfs"         -> ((s, d) =>
       graft.operators.Graph.bfsLevels(
@@ -3827,11 +3830,12 @@ object SparkEntry {
     "dedup_modularity"  -> Dedup.sqlModularity(Dedup.sqlMinhashPairs(),
       Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs())),
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
-    "sim_sq_topk"       -> Similarity.sqlSqTopK,
+    "sim_sq_topk"       -> Similarity.sqlSqTopK(),
+    "sim_sq_rerank"     -> Similarity.sqlSqRerank,
     "sim_sq_recall"     -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
-      Similarity.sqlSqTopK),
+      Similarity.sqlSqTopK()),
     "sim_pq_topk"       -> Similarity.sqlPqTopK,
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
     "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK(),
@@ -3922,6 +3926,8 @@ object SparkEntry {
     "events_value_pareto" -> sqlValuePareto,
     "text_lang_confusion" -> TextOps.sqlLangConfusion,
     "text_zipf"         -> TextOps.sqlZipf,
+    "text_collocations" -> TextOps.sqlCollocations,
+    "corpus_pad_audit"  -> TrainingData.sqlPadAudit,
     "corpus_pack_audit" -> TrainingData.sqlPackAudit,
     "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,
     "sim_cell_balance"  -> Similarity.sqlCellBalance,

@@ -2056,7 +2056,7 @@ object Similarity {
     * measures what the 4× compression costs against the exact float
     * ranking at the same depth.
     */
-  def sqTopK(emb: DataFrame): DataFrame = {
+  def sqTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
     val ranges = emb
       .select(posexplode(col("embedding")).as(Seq("dim0", "v")))
       .groupBy((col("dim0") + 1).as("dim"))
@@ -2090,12 +2090,12 @@ object Similarity {
       // the whole-stage span
       .withColumn("sq_score", VectorExprs.dotL(col("qc"), col("cc")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"), col("sq_score"))
       .orderBy(col("query_id"), col("rk"))
   }
 
-  def sqlSqTopK: String =
+  def sqlSqTopK(k: Int = TopK): String =
     s"""WITH r AS (
        |  SELECT i AS dim,
        |    MIN(embedding[i]::DOUBLE) AS lo,
@@ -2129,7 +2129,62 @@ object Similarity {
        |  FROM scored
        |)
        |SELECT query_id, rk, cand_id, sq_score
-       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+
+  /** Candidate depth for the SQ-then-rerank pipeline. */
+  val SqCandK = 20
+
+  /** Two-stage retrieval — the PRODUCTION shape of quantized search
+    * (FAISS's `index.search` + refine step): the int8 code space
+    * proposes [[SqCandK]] candidates per query (cheap, 4×-compressed
+    * scan), and only those rows are re-scored with exact float cosine
+    * for the final top-k. At 100 TB the full-precision vectors are
+    * touched for |queries|·[[SqCandK]] rows instead of the whole
+    * corpus — the rerank join keys on cand_id, so it is a thin keyed
+    * join, never a second corpus scan of pairs. Output is the reranked
+    * top-[[AnnTopK]] with true cosines.
+    */
+  def sqRerank(emb: DataFrame): DataFrame = {
+    val cands = sqTopK(emb, SqCandK)
+      .select(col("query_id"), col("cand_id"))
+    val q = withNorm(emb.filter(col("vec_id") < NQueries), "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val c = withNorm(emb, "embedding")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cands.join(q, Seq("query_id")).join(c, Seq("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlSqRerank: String =
+    s"""WITH cand AS (
+       |  ${sqlSqTopK(SqCandK).linesIterator.mkString("\n  ")}
+       |), qv AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT cand.query_id, cand.cand_id,
+       |    ${sqlCosine("qv.qe", "e.embedding", Dim)} AS cos
+       |  FROM cand
+       |  JOIN qv USING (query_id)
+       |  JOIN embeddings e ON cand.cand_id = e.vec_id
+       |), reranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM reranked WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
 
   def sqlEmbedOutliers: String =
     s"""WITH cent AS (

@@ -1491,4 +1491,94 @@ object TextOps {
             .otherwise(lit(1.0) / col("prob")), 6) / count(lit(1)))
           .as("mean_inv_p"))
   }
+
+  // ------------------------------------------------------- collocations
+  /** Collocation extraction by LIFT — the rational form of PMI
+    * (Church & Hanks, "Word association norms, mutual information, and
+    * lexicography", CL 1990; lift = P(ab)/(P(a)P(b)) is monotone in PMI
+    * with no logarithm, so both engines score bit-identically):
+    * adjacent-pair counts against the unigram independence baseline,
+    * floored at [[CollocMinCount]] occurrences to suppress
+    * one-off pairings. The phrase-mining primitive a tokenizer-training
+    * or glossary-induction pipeline runs first.
+    *
+    * Scale shape: one explode → hash-agg pass for unigrams and one for
+    * adjacent pairs (both map-side partial); the bigram count frame is
+    * vocab²-BOUNDED, pinned once, and read twice (total + filtered);
+    * the two unigram joins key on the word; N and M ride as broadcast
+    * 1-row aggregates. Top-k is the global TakeOrderedAndProject
+    * collapse. Determinism: lift's numerator and denominator are exact
+    * BIGINT products (n_ab·N² needs the DECIMAL detour past ~10⁹-token
+    * corpora — DuckDB would raise on the overflow, not wrap), one IEEE
+    * division per surviving pair.
+    */
+  val CollocTopK = 20
+  val CollocMinCount = 5L
+
+  def collocations(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(col("text"))
+    val pairExpr = slice(
+      zip_with(w, slice(w, lit(2), size(w)),
+        (a, b) => struct(a.as("wa"), b.as("wb"))),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    val toks = docs.select(explode_outer(words(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTot = toks.agg(count(lit(1)).as("n_tokens"))
+    val biAll = Iterate.pin(docs
+      .select(explode_outer(pairExpr).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("n_ab")))
+    val mTot = biAll.agg(sum(col("n_ab")).as("m_bigrams"))
+    val rk = Window.orderBy(col("lift").desc, col("wa"), col("wb"))
+    biAll.filter(col("n_ab") >= CollocMinCount)
+      .join(uni.select(col("tok").as("wa"), col("c").as("c_a")), Seq("wa"))
+      .join(uni.select(col("tok").as("wb"), col("c").as("c_b")), Seq("wb"))
+      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(mTot))
+      .withColumn("lift",
+        (col("n_ab") * col("n_tokens") * col("n_tokens")).cast("double") /
+          (col("m_bigrams") * col("c_a") * col("c_b")).cast("double"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= CollocTopK)
+      .select(col("rk").cast("long").as("rk"),
+        concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("n_ab"), col("lift"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlCollocations: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${sqlWords("text")}) AS tok FROM documents
+       |), uni AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+       |), nt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks
+       |), bi AS (
+       |  SELECT unnest(list_transform(
+       |    range(1, greatest(len(w) - 1, 0) + 1),
+       |    i -> struct_pack(wa := w[i], wb := w[i + 1]))) AS p
+       |  FROM (SELECT ${sqlWords("text")} AS w FROM documents)
+       |), bc AS (
+       |  SELECT p.wa AS wa, p.wb AS wb, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM bi GROUP BY 1, 2
+       |), mt AS (
+       |  SELECT CAST(SUM(n_ab) AS BIGINT) AS m_bigrams FROM bc
+       |), scored AS (
+       |  SELECT bc.wa, bc.wb, bc.n_ab,
+       |    CAST(bc.n_ab * nt.n_tokens * nt.n_tokens AS DOUBLE)
+       |      / CAST(mt.m_bigrams * a.c * b.c AS DOUBLE) AS lift
+       |  FROM bc
+       |  JOIN uni a ON bc.wa = a.tok
+       |  JOIN uni b ON bc.wb = b.tok, nt, mt
+       |  WHERE bc.n_ab >= $CollocMinCount
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, wa, wb) AS rk
+       |  FROM scored
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, wa || ' ' || wb AS bigram,
+       |  n_ab, lift
+       |FROM ranked WHERE rk <= $CollocTopK ORDER BY rk""".stripMargin
 }

@@ -961,6 +961,92 @@ object TrainingData {
       |FROM r JOIN si USING (source), ns
       |ORDER BY interleave_key""".stripMargin
 
+  // ------------------------------------------------ padding-waste audit
+  /** Padding efficiency of batch assembly under a sequence cap: every
+    * batch pads its members to the batch max, so `padded_cells =
+    * Σ_batches k·max − Σ len` is compute burned on pad tokens. The audit
+    * prices two policies — arrival-order batching (id blocks) vs
+    * length-sorted batching — the number that justifies the
+    * sorted-bucketing data loader every training stack ships
+    * (fewer pad cells = same tokens in fewer FLOPs).
+    *
+    * Scale shape: lengths are map-side (`least(|words|, cap)`); the
+    * sorted policy's GLOBAL rank uses the two-level trick — per-length
+    * counts (≤ cap rows, broadcast with running-sum offsets) + a
+    * length-keyed row_number — so no corpus-wide window anywhere; both
+    * policies then reduce per batch and to one row each. Exact integers
+    * throughout; one division per policy row.
+    */
+  val PadCap = 64L
+  val PadBatch = 8L
+
+  def padAudit(docs: DataFrame): DataFrame = {
+    val lens = Iterate.pin(docs.select(col("doc_id"),
+      least(size(TextOps.words(col("text"))).cast("long"), lit(PadCap))
+        .as("len")))
+    val arrival = lens.withColumn("batch", expr(s"doc_id div $PadBatch"))
+    val offs = lens.groupBy(col("len")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("len"), col("off"))
+    val sorted = lens.join(broadcast(offs), Seq("len"))
+      .withColumn("r", col("off") + row_number().over(
+        Window.partitionBy(col("len")).orderBy(col("doc_id"))))
+      .withColumn("batch", expr(s"(r - 1) div $PadBatch"))
+    def stats(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("batch"))
+        .agg(max(col("len")).as("mx"), sum(col("len")).as("tot"),
+          count(lit(1)).as("k"))
+        .agg(sum(col("k")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("k") * col("mx")).as("token_cells"),
+          sum(col("k") * col("mx") - col("tot")).as("padded_cells"))
+        .select(lit(name).as("policy"), col("n_docs"), col("n_batches"),
+          col("token_cells"), col("padded_cells"),
+          (col("padded_cells").cast("double") /
+            col("token_cells").cast("double")).as("pad_ratio"))
+    stats(arrival, "arrival").unionByName(stats(sorted, "sorted"))
+      .orderBy(col("policy"))
+  }
+
+  def sqlPadAudit: String = {
+    def statsSql(src: String, name: String) =
+      s"""SELECT '$name' AS policy,
+         |    CAST(SUM(k) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |    CAST(SUM(k * mx) AS BIGINT) AS token_cells,
+         |    CAST(SUM(k * mx - tot) AS BIGINT) AS padded_cells,
+         |    CAST(SUM(k * mx - tot) AS DOUBLE)
+         |      / CAST(SUM(k * mx) AS DOUBLE) AS pad_ratio
+         |  FROM (
+         |    SELECT batch, MAX(len) AS mx, SUM(len) AS tot,
+         |      COUNT(*) AS k
+         |    FROM $src GROUP BY batch
+         |  )""".stripMargin
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |    least(CAST(len(${TextOps.sqlWords("text")}) AS BIGINT), $PadCap)
+       |      AS len
+       |  FROM documents
+       |), arrival AS (
+       |  SELECT len, doc_id // $PadBatch AS batch FROM lens
+       |), offs AS (
+       |  SELECT len, COALESCE(SUM(n) OVER (ORDER BY len
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM (SELECT len, COUNT(*) AS n FROM lens GROUP BY len)
+       |), srt AS (
+       |  SELECT l.len,
+       |    (o.off + ROW_NUMBER() OVER (PARTITION BY l.len
+       |       ORDER BY l.doc_id) - 1) // $PadBatch AS batch
+       |  FROM lens l JOIN offs o ON l.len = o.len
+       |)
+       |${statsSql("arrival", "arrival")}
+       |UNION ALL
+       |${statsSql("srt", "sorted")}
+       |ORDER BY policy""".stripMargin
+  }
+
   // ------------------------------------------- end-to-end corpus export
   /** The whole training-data export as ONE composed plan: cleaned
     * survivors ([[CorpusClean.clean]]: quality gate + exact dedup +

@@ -174,4 +174,23 @@ class TrainingDataSpec extends SparkSuite {
     assert(r.getLong(0) == 7L && r.getLong(1) == 5L)
     assert(r.getDouble(3) == 1.0)
   }
+
+  test("padAudit: sorted batching never pads more than arrival order") {
+    val out = TrainingData.padAudit(
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    val by = out.map(r => r.getAs[String]("policy") -> r).toMap
+    assert(by.keySet == Set("arrival", "sorted"))
+    // same docs, same true tokens under both policies
+    assert(by("arrival").getAs[Long]("n_docs") ==
+      by("sorted").getAs[Long]("n_docs"))
+    // sorted consecutive grouping minimizes the sum of batch maxima
+    // (exchange argument), so its padded cells are a lower bound
+    assert(by("sorted").getAs[Long]("padded_cells") <=
+      by("arrival").getAs[Long]("padded_cells"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("padded_cells") >= 0L)
+      val ratio = r.getAs[Double]("pad_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
 }
