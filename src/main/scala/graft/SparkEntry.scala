@@ -3579,6 +3579,8 @@ object SparkEntry {
     "profile_fd"        -> ((s, d) =>
       Profile.fdAudit(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d))),
+    "profile_corr_matrix" -> ((s, d) =>
+      Profile.corrMatrix(Tables.lineitem(s, d))),
     "bucket_join"       -> ((s, d) =>
       graft.operators.Bucketing.bucketJoin(s, d)),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
@@ -3875,6 +3877,7 @@ object SparkEntry {
     "profile_skew"      -> Profile.sqlKeySkew("lineitem", "l_partkey"),
     "profile_checks"    -> Profile.sqlExpectations,
     "profile_fd"        -> Profile.sqlFdAudit,
+    "profile_corr_matrix" -> Profile.sqlCorrMatrix,
     "bucket_join"       -> graft.operators.Bucketing.sqlBucketJoin,
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,

@@ -330,4 +330,71 @@ object Profile {
        |)
        |ORDER BY fd""".stripMargin
   }
+
+  // ------------------------------------------------- correlation matrix
+  /** Pairwise Pearson correlation of the numeric fact columns — the
+    * correlated-column report a profiler emits before choosing
+    * compression encodings, sort keys, or which columns a synthetic-data
+    * or imputation model must treat jointly.
+    *
+    * Scale shape: ONE scan computes every moment (4 sums, 4 sums of
+    * squares, 6 cross-products, the count) as columns of a single
+    * aggregate; the 1-row moment frame is pinned and the 6 report rows
+    * are projections of it — the table is never re-read per pair. All
+    * sums ride the exact-decimal detour (the q1 discipline: inputs are
+    * 2-dp decimals stored as doubles, products are 4-dp — scale 6
+    * rounds identically in both engines), and each r is a fixed
+    * closed-form IEEE expression over the moments.
+    */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def corrPairs: Seq[(String, String)] =
+    for {
+      i <- CorrCols.indices
+      j <- (i + 1) until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("n") +:
+        (CorrCols.map(c => Exact.xsum(col(c), 6).as(s"s_$c")) ++
+          CorrCols.map(c => Exact.xsum(col(c) * col(c), 6).as(s"ss_$c")) ++
+          corrPairs.map { case (a, b) =>
+            Exact.xsum(col(a) * col(b), 6).as(s"p_${a}_$b")
+          })
+    val m = Iterate.pin(lineitem.agg(aggs.head, aggs.tail: _*))
+    corrPairs.map { case (a, b) =>
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        ((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+            (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))))
+          .as("pearson_r"))
+    }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+  }
+
+  def sqlCorrMatrix: String = {
+    import graft.functions.Exact
+    val moments =
+      (CorrCols.map(c => s"${Exact.sqlSum(c, 6)} AS s_$c") ++
+        CorrCols.map(c => s"${Exact.sqlSum(s"$c * $c", 6)} AS ss_$c") ++
+        corrPairs.map { case (a, b) =>
+          s"${Exact.sqlSum(s"$a * $b", 6)} AS p_${a}_$b"
+        }).mkString(",\n    ")
+    val rows = corrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |    (n * p_${a}_$b - s_$a * s_$b)
+         |      / sqrt((n * ss_$a - s_$a * s_$a)
+         |             * (n * ss_$b - s_$b * s_$b)) AS pearson_r
+         |  FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $moments
+       |  FROM lineitem
+       |)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }
