@@ -337,62 +337,99 @@ object Profile {
     * compression encodings, sort keys, or which columns a synthetic-data
     * or imputation model must treat jointly.
     *
-    * Scale shape: ONE scan computes every moment (4 sums, 4 sums of
-    * squares, 6 cross-products, the count) as columns of a single
-    * aggregate; the 1-row moment frame is pinned and the 6 report rows
-    * are projections of it — the table is never re-read per pair. All
-    * sums ride the exact-decimal detour (the q1 discipline: inputs are
-    * 2-dp decimals stored as doubles, products are 4-dp — scale 6
-    * rounds identically in both engines), and each r is a fixed
-    * closed-form IEEE expression over the moments.
+    * Scale + precision shape: Pearson r is invariant under positive
+    * affine scaling, so the variables are scored as EXACT integers
+    * (quantity as-is, the 2-dp money/rate columns in cents — the
+    * `round(x·100)` is of a value within 1 ulp of an integer, so both
+    * engines land on the same cent) and every moment but one is a plain
+    * BIGINT sum — measured ~10× cheaper per aggregate than the
+    * wide-decimal detour this query first shipped with (4.7 s → ~0.5 s
+    * at sf0.1; a distinct DECIMAL(28,12) aggregation costs ~0.3 s per
+    * 600 k rows, and this query needs 14 distinct moments). Σprice²
+    * alone exceeds int64 (~6·10¹⁹ at sf0.1) and rides DECIMAL(38,0) —
+    * DuckDB's SUM(BIGINT) is naturally HUGEINT. ONE scan computes all
+    * 15 moments; the 6 report rows explode from the 1-row result; each
+    * r is a fixed IEEE expression over moments cast long→double
+    * (identical rounding both engines). Bounds: the quantity×price
+    * moment reaches int64 around 10¹¹ rows — past that it (and the
+    * plain sums) take the same DECIMAL(38,0) detour as Σprice², one
+    * line each, plan unchanged.
     */
   val CorrCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-  private def corrPairs: Seq[(String, String)] =
+  private def corrPairs: Seq[(Int, Int)] =
     for {
       i <- CorrCols.indices
       j <- (i + 1) until CorrCols.size
-    } yield (CorrCols(i), CorrCols(j))
+    } yield (i, j)
 
   def corrMatrix(lineitem: DataFrame): DataFrame = {
-    import graft.functions.Exact
+    import org.apache.spark.sql.types.DecimalType
+    val scaled = lineitem.select(
+      round(col("l_quantity")).cast("long").as("x0"),
+      round(col("l_extendedprice") * 100).cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_tax") * 100).cast("long").as("x3"))
+    def sq(i: Int): org.apache.spark.sql.Column = {
+      val p = col(s"x$i") * col(s"x$i")
+      // Σ(price_cents²) ~ 6·10¹⁹ at sf0.1: the one moment past int64
+      if (i == 1) sum(p.cast(DecimalType(38, 0))).cast("double")
+      else sum(p).cast("double")
+    }
     val aggs: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("n") +:
-        (CorrCols.map(c => Exact.xsum(col(c), 6).as(s"s_$c")) ++
-          CorrCols.map(c => Exact.xsum(col(c) * col(c), 6).as(s"ss_$c")) ++
-          corrPairs.map { case (a, b) =>
-            Exact.xsum(col(a) * col(b), 6).as(s"p_${a}_$b")
+        (CorrCols.indices.map(i =>
+          sum(col(s"x$i")).cast("double").as(s"s_$i")) ++
+          CorrCols.indices.map(i => sq(i).as(s"ss_$i")) ++
+          corrPairs.map { case (i, j) =>
+            sum(col(s"x$i") * col(s"x$j")).cast("double").as(s"p_${i}_$j")
           })
-    val m = Iterate.pin(lineitem.agg(aggs.head, aggs.tail: _*))
-    corrPairs.map { case (a, b) =>
-      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
-        ((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
-          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
-            (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))))
+    // ONE consumer of the 1-row moment frame: the six report rows are an
+    // explode of a literal-keyed struct array, so the scan runs exactly
+    // once with no pin and no union fan
+    val m = scaled.agg(aggs.head, aggs.tail: _*)
+    val dn = col("n").cast("double")
+    val rows = corrPairs.map { case (i, j) =>
+      struct(lit(CorrCols(i)).as("col_a"), lit(CorrCols(j)).as("col_b"),
+        col("n").as("n"),
+        ((dn * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j")) /
+          sqrt((dn * col(s"ss_$i") - col(s"s_$i") * col(s"s_$i")) *
+            (dn * col(s"ss_$j") - col(s"s_$j") * col(s"s_$j"))))
           .as("pearson_r"))
-    }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+    }
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.n").as("n"), col("r.pearson_r").as("pearson_r"))
+      .orderBy(col("col_a"), col("col_b"))
   }
 
   def sqlCorrMatrix: String = {
-    import graft.functions.Exact
     val moments =
-      (CorrCols.map(c => s"${Exact.sqlSum(c, 6)} AS s_$c") ++
-        CorrCols.map(c => s"${Exact.sqlSum(s"$c * $c", 6)} AS ss_$c") ++
-        corrPairs.map { case (a, b) =>
-          s"${Exact.sqlSum(s"$a * $b", 6)} AS p_${a}_$b"
+      (CorrCols.indices.map(i => s"CAST(SUM(x$i) AS DOUBLE) AS s_$i") ++
+        CorrCols.indices.map(i =>
+          s"CAST(SUM(x$i * x$i) AS DOUBLE) AS ss_$i") ++
+        corrPairs.map { case (i, j) =>
+          s"CAST(SUM(x$i * x$j) AS DOUBLE) AS p_${i}_$j"
         }).mkString(",\n    ")
-    val rows = corrPairs.map { case (a, b) =>
-      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
-         |    (n * p_${a}_$b - s_$a * s_$b)
-         |      / sqrt((n * ss_$a - s_$a * s_$a)
-         |             * (n * ss_$b - s_$b * s_$b)) AS pearson_r
+    val rows = corrPairs.map { case (i, j) =>
+      s"""SELECT '${CorrCols(i)}' AS col_a, '${CorrCols(j)}' AS col_b, n,
+         |    (CAST(n AS DOUBLE) * p_${i}_$j - s_$i * s_$j)
+         |      / sqrt((CAST(n AS DOUBLE) * ss_$i - s_$i * s_$i)
+         |             * (CAST(n AS DOUBLE) * ss_$j - s_$j * s_$j))
+         |      AS pearson_r
          |  FROM m""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH m AS (
+    s"""WITH sc AS (
+       |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x0,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x1,
+       |    CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+       |    CAST(ROUND(l_tax * 100) AS BIGINT) AS x3
+       |  FROM lineitem
+       |), m AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    $moments
-       |  FROM lineitem
+       |  FROM sc
        |)
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
