@@ -3551,6 +3551,13 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         scoredPre = Some(graft.operators.Graph.coPartCommonCached(
           Tables.lineitem(s, d), d)))),
+    "graph_local_cc" -> ((s, d) =>
+      graft.operators.Graph.localClustering(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        scoredPre = Some(graft.operators.Graph.coPartCommonCached(
+          Tables.lineitem(s, d), d)),
+        degPre = Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "graph_peel"        -> ((s, d) =>
       graft.operators.Graph.peelProfile(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
@@ -3862,6 +3869,7 @@ object SparkEntry {
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,
     "graph_common_neighbors" -> graft.operators.Graph.sqlCommonNeighbors,
     "graph_link_jaccard"    -> graft.operators.Graph.sqlLinkJaccard,
+    "graph_local_cc"        -> graft.operators.Graph.sqlLocalClustering,
     "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),
     "graph_assortativity" -> graft.operators.Graph.sqlAssortativity,
     "q40_gap_fill"      -> sqlGapFill,

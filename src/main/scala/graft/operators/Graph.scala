@@ -802,6 +802,76 @@ object Graph {
       .orderBy(col("rk"))
   }
 
+  /** Minimum degree for the local-clustering ranking — nodes below it
+    * have too few possible wedges for the coefficient to mean much.
+    */
+  val LccMinDeg = 5L
+
+  /** Top nodes by LOCAL clustering coefficient (Watts & Strogatz,
+    * "Collective dynamics of small-world networks", Nature 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)). Every triangle at v is seen
+    * twice across v's incident edges' common-neighbor counts, so
+    * T(v) = Σ_{e∋v} |N(a)∩N(b)| / 2 — the per-node census is a plain
+    * re-aggregation of the SAME pinned per-edge intersection frame the
+    * link rankings read ([[coPartCommonCached]]); no new adjacency
+    * probe, no wedge materialization. One |E|→|V| hash aggregation +
+    * a degree join + global top-k (TakeOrderedAndProject). All score
+    * inputs are exact integers; one IEEE division per node.
+    */
+  def localClustering(edges: DataFrame,
+      scoredPre: Option[DataFrame] = None,
+      degPre: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredPre.getOrElse(
+      edgeCommonCounts(edges, fullAdjacency(edges)))
+    val deg = degPre.getOrElse(degrees(edges))
+    val perNode = scored.select(col("pa").as("id"), col("n_common"))
+      .unionByName(scored.select(col("pb").as("id"), col("n_common")))
+      .groupBy(col("id")).agg(sum(col("n_common")).as("cn2"))
+    val w = Window.orderBy(col("local_cc").desc, col("id"))
+    perNode.join(deg, Seq("id"))
+      .filter(col("deg") >= LccMinDeg)
+      .withColumn("n_triangles", expr("cn2 div 2"))
+      .withColumn("local_cc", col("cn2").cast("double") /
+        (col("deg") * (col("deg") - 1)).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CnTopK)
+      .select(col("rk").cast("long").as("rk"), col("id").as("node_id"),
+        col("deg"), col("n_triangles"), col("local_cc"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlLocalClustering: String =
+    s"""WITH $sqlCoPartCtes, und AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), adj AS (
+       |  SELECT u, list_sort(list(v)) AS ns FROM und GROUP BY u
+       |), scored AS (
+       |  SELECT p.pa, p.pb,
+       |    CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS n_common
+       |  FROM pairs p
+       |  JOIN adj a ON p.pa = a.u
+       |  JOIN adj b ON p.pb = b.u
+       |), pn AS (
+       |  SELECT id, CAST(SUM(n_common) AS BIGINT) AS cn2 FROM (
+       |    SELECT pa AS id, n_common FROM scored
+       |    UNION ALL SELECT pb, n_common FROM scored
+       |  ) GROUP BY id
+       |), j AS (
+       |  SELECT pn.id, d.deg, cn2 // 2 AS n_triangles,
+       |    CAST(cn2 AS DOUBLE)
+       |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS local_cc
+       |  FROM pn JOIN deg d ON pn.id = d.id
+       |  WHERE d.deg >= $LccMinDeg
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY local_cc DESC, id) AS rk
+       |  FROM j
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, id AS node_id, deg,
+       |  n_triangles, local_cc
+       |FROM ranked WHERE rk <= $CnTopK ORDER BY rk""".stripMargin
+
   def sqlLinkJaccard: String =
     s"""WITH $sqlCoPartCtes, und AS (
        |  SELECT pa AS u, pb AS v FROM pairs

@@ -374,6 +374,26 @@ class LayoutGraphSpec extends SparkSuite {
     assert(ranks.sum <= 1.0 + 1e-9)
   }
 
+  test("localClustering: K6 nodes score 1.0, the bridge node 2/3") {
+    // K6 on 1..6 plus a pendant path 6-7-8; LccMinDeg=5 keeps 1..6 only
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val edges = (k6 ++ Seq((6L, 7L), (7L, 8L))).toDF("pa", "pb")
+    val out = Graph.localClustering(edges).collect()
+    assert(out.map(_.getAs[Long]("node_id")).toSet == (1L to 6L).toSet)
+    val by = out.map(r => r.getAs[Long]("node_id") -> r).toMap
+    (1L to 5L).foreach { v =>
+      assert(by(v).getAs[Double]("local_cc") == 1.0, s"node $v")
+      assert(by(v).getAs[Long]("n_triangles") == 10L, s"node $v")
+    }
+    // node 6 carries the pendant edge: 10 triangles over deg 6
+    assert(by(6L).getAs[Long]("deg") == 6L)
+    assert(by(6L).getAs[Long]("n_triangles") == 10L)
+    assert(by(6L).getAs[Double]("local_cc") == 20.0 / 30.0)
+    // ranking: the five pure-clique nodes occupy rk 1..5
+    assert(out.filter(_.getAs[Long]("rk") <= 5)
+      .forall(_.getAs[Double]("local_cc") == 1.0))
+  }
+
   test("peel profile: clique survives, pendant leaves cascade off") {
     // K5 on 1..5 (internal degree 4) + four leaves on node 1
     val edges = (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)) ++
