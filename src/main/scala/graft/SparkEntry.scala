@@ -3170,6 +3170,58 @@ object SparkEntry {
       |    AS cum_users
       |FROM d ORDER BY first_day""".stripMargin
 
+  // ------------------------------------------------- events_stickiness
+  // DAU/WAU stickiness: distinct daily actives over distinct 7-day
+  // actives, per day — the engagement ratio a product dashboard leads
+  // with. Rolling DISTINCT counts don't decompose like sums, so WAU is
+  // computed exactly from the distinct (day, user) frame: each pair
+  // feeds the 7 calendar days whose trailing window contains it (a
+  // broadcast 7-row offset expansion — bounded fanout of an already
+  // user-deduplicated frame, never of the raw stream), then one
+  // count-distinct per day. Shape at scale: one exchange dedups
+  // (day, user); the 7× expansion and both counts partial-aggregate
+  // map-side; output is |days| rows. Ratio = one division of exact
+  // counts. Days with no prior week still divide cleanly (wau ≥ dau).
+  private def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val offs = s.range(0, 7).select(col("id").as("off"))
+    val wau = du.crossJoin(broadcast(offs))
+      .select((col("day") + col("off")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    // only days that actually occurred report (the expansion invents
+    // trailing ghost days past the horizon)
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private val sqlStickiness: String =
+    """WITH du AS (
+      |  SELECT DISTINCT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    user_id
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), dau AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+      |), wau AS (
+      |  SELECT du.day + t.off AS day,
+      |    CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+      |  FROM du CROSS JOIN range(0, 7) t(off)
+      |  GROUP BY 1
+      |)
+      |SELECT day, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
   // FIRST event of every burst (new burst = gap from the previous event
@@ -3667,6 +3719,7 @@ object SparkEntry {
     "events_acf"        -> qAcf _,
     "events_abtest"     -> qAbTest _,
     "events_cumulative_users" -> qCumulativeUsers _,
+    "events_stickiness" -> qStickiness _,
     "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
@@ -3952,6 +4005,7 @@ object SparkEntry {
     "events_acf"        -> sqlAcf,
     "events_abtest"     -> sqlAbTest,
     "events_cumulative_users" -> sqlCumulativeUsers,
+    "events_stickiness" -> sqlStickiness,
     "events_chi2"       -> sqlChi2,
     "events_attribution" -> sqlAttribution,
     // the incremental merge must equal the full hourly recompute —
