@@ -630,6 +630,31 @@ object SparkEntry {
        |WHERE epoch_us(l.ts) - epoch_us(r.rt) <= $AsOfToleranceMicros
        |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------ q51_asof_phys_tol
+  // The custom physical as-of operator's TOLERANCE route: q45's exact
+  // frames and oracle, executed by the streamed merge instead of the
+  // composed union+window — the bound is one long comparison on the
+  // already-buffered merge state (zero extra state or passes), and the
+  // DuckDB ASOF + epoch-bound oracle must not see the difference.
+  private def qAsOfPhysTol(s: SparkSession, dir: String): DataFrame = {
+    val base = lit("2024-01-01 00:00:00").cast("timestamp")
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"),
+        timestamp_add("DAY", (col("o_orderkey") % 365).cast("int"), base)
+          .as("rt"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_totalprice")).as("v"))
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    graft.plans.AsOfJoinPhys.asOf(l, r, Seq("k"), "ts", "rt", Seq("v"),
+        toleranceMicros = Some(AsOfToleranceMicros))
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------- q31_range_join
   // Bucketized point-in-interval join (operators.RangeJoin). Ranges are
   // synthesized deterministically from orders (shifted into the events'
@@ -3392,6 +3417,7 @@ object SparkEntry {
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
     "q50_asof_phys"     -> qAsOfPhys _,
+    "q51_asof_phys_tol" -> qAsOfPhysTol _,
     "q39_asof_forward"  -> qAsOfForward _,
     "q21_array_agg"     -> qArrayAgg _,
     "q22_string_funcs"  -> qStringFuncs _,
@@ -3792,6 +3818,9 @@ object SparkEntry {
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
     "q50_asof_phys"     -> sqlAsOfPhys,
+    // the physical tolerance route answers the SAME SQL as the composed
+    // q45 — one oracle, two execution strategies
+    "q51_asof_phys_tol" -> sqlAsOfTolerance,
     "q39_asof_forward"  -> sqlAsOfForward,
     "q21_array_agg"     -> sqlArrayAgg,
     "q22_string_funcs"  -> sqlStringFuncs,

@@ -53,7 +53,8 @@ object AsOfJoinPhys {
       left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
-      valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute])
+      valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
+      tolerance: Option[Long] = None)
     extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
     // matchedAttrs ride in `expressions` (constructor params), so without
@@ -70,7 +71,7 @@ object AsOfJoinPhys {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case n: AsOfJoinNode =>
         AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-          n.valueAttrs, n.matchedAttrs,
+          n.valueAttrs, n.matchedAttrs, n.tolerance,
           planLater(n.left), planLater(n.right)) :: Nil
       case _ => Nil
     }
@@ -80,6 +81,7 @@ object AsOfJoinPhys {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
+      tolerance: Option[Long],
       left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
@@ -114,6 +116,9 @@ object AsOfJoinPhys {
       val lTime = leftTime
       val rTime = rightTime
       val values = valueAttrs
+      // unlimited tolerance = MaxValue: one uniform bound check per match,
+      // no per-row Option branching
+      val tolV = tolerance.getOrElse(Long.MaxValue)
       left.execute().zipPartitions(right.execute()) { (li, ri) =>
         val lKeyProj = UnsafeProjection.create(lKeys, lOut)
         val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -135,6 +140,7 @@ object AsOfJoinPhys {
           // the child iterator reuses its UnsafeRow) and its key/time
           private var cur: InternalRow = _
           private var curKey: InternalRow = _
+          private var curRt: Long = _
           private var nextRow: InternalRow = _
 
           private def advance(): Unit = {
@@ -157,11 +163,17 @@ object AsOfJoinPhys {
                     else if (rtAny.asInstanceOf[Long] <= lts) {
                       cur = rBuf.next().copy()
                       curKey = rk.copy()
+                      curRt = rtAny.asInstanceOf[Long]
                     } else done = true
                   }
                 }
+                // the tolerance contract matches the composed
+                // asOfTolerance form: the LATEST qualifying row either
+                // satisfies the bound or the left row goes unmatched —
+                // no fallback to an earlier in-bound row
                 if (cur != null && curKey != null &&
-                    keyOrd.compare(curKey, lk) == 0) {
+                    keyOrd.compare(curKey, lk) == 0 &&
+                    lts - curRt <= tolV) {
                   nextRow = resultProj(joined(l, cur))
                 }
               }
@@ -203,7 +215,14 @@ object AsOfJoinPhys {
 
   /** Public API: backward inclusive as-of join through the physical
     * operator. Same contract as [[graft.operators.AsOfJoin.asOf]]:
-    * returns matched left rows + `matched_time` + `valueCols`. Time
+    * returns matched left rows + `matched_time` + `valueCols`; with
+    * `toleranceMicros` set, same contract as
+    * [[graft.operators.AsOfJoin.asOfTolerance]] — the latest qualifying
+    * right row must ALSO satisfy `leftTime − rightTime ≤ tolerance`
+    * (inclusive) or the left row goes unmatched; there is no fallback
+    * to an earlier in-bound row. The merge applies the bound as one
+    * long comparison on the already-buffered state — zero extra state,
+    * zero extra passes. Time
     * columns must be timestamp-typed (cast upstream, exactly like the
     * composed form does internally), and each key pair must share one
     * data type — the merge compares keys with the natural UnsafeRow
@@ -221,7 +240,8 @@ object AsOfJoinPhys {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -246,6 +266,7 @@ object AsOfJoinPhys {
       AttributeReference("matched_time", lt.dataType)() +:
         values.map(v => AttributeReference(v.name, v.dataType)())
     org.apache.spark.sql.graft.Shim.ofRows(spark,
-      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, values, matched))
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, values, matched,
+        toleranceMicros))
   }
 }

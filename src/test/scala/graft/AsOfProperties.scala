@@ -102,6 +102,33 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: physical as-of TOLERANCE equals the bounded brute force") {
+    // contract (mirrors AsOfJoin.asOfTolerance): the LATEST qualifying
+    // row either satisfies the bound or the left row goes unmatched —
+    // never a fallback to an older in-bound row
+    val tolSec = 3
+    def bruteTol(ls: List[L], rs: List[R]) =
+      brute(ls, rs, forward = false)
+        .filter { case (_, t, _, mrt, _) => t - mrt <= tolSec }
+    for (seed <- 141L to 152L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val out = graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"),
+          toleranceMicros = Some(tolSec * 1000000L))
+        .select(col("k"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toList.sorted
+      assert(out == bruteTol(ls, rs), s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
   test("property: physical as-of with COMPOSITE keys co-partitions correctly") {
     // two-column join keys exercise the ClusteredDistribution pair across
     // both children (EnsureRequirements must co-partition on BOTH
