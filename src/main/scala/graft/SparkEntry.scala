@@ -655,6 +655,30 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  // ------------------------------------------------ q52_asof_phys_fwd
+  // The custom physical as-of operator's FORWARD direction: q39's exact
+  // frames and oracle through the streamed merge. Forward needs NO
+  // buffered state — discarded rows are unusable for every later left
+  // row, and the value-DESC child sort makes the qualifying run's head
+  // the tiebreak winner, matched without consuming the run.
+  private def qAsOfPhysFwd(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("lts"),
+        (col("o_custkey") % 20).as("k"))
+    val r = o.filter(col("o_orderkey") % 2 === 1)
+      .select((col("o_custkey") % 20).as("k"), col("o_orderdate"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.plans.AsOfJoinPhys.asOf(l, r, Seq("k"), "lts", "o_orderdate",
+        Seq("v"), forward = true)
+      .select(col("o_orderkey"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------- q31_range_join
   // Bucketized point-in-interval join (operators.RangeJoin). Ranges are
   // synthesized deterministically from orders (shifted into the events'
@@ -3418,6 +3442,7 @@ object SparkEntry {
     "q20_asof"          -> qAsOf _,
     "q50_asof_phys"     -> qAsOfPhys _,
     "q51_asof_phys_tol" -> qAsOfPhysTol _,
+    "q52_asof_phys_fwd" -> qAsOfPhysFwd _,
     "q39_asof_forward"  -> qAsOfForward _,
     "q21_array_agg"     -> qArrayAgg _,
     "q22_string_funcs"  -> qStringFuncs _,
@@ -3821,6 +3846,9 @@ object SparkEntry {
     // the physical tolerance route answers the SAME SQL as the composed
     // q45 — one oracle, two execution strategies
     "q51_asof_phys_tol" -> sqlAsOfTolerance,
+    // the physical forward route answers q39's SQL — one oracle, two
+    // execution strategies, mirroring the backward q50/q20 pairing
+    "q52_asof_phys_fwd" -> sqlAsOfForward,
     "q39_asof_forward"  -> sqlAsOfForward,
     "q21_array_agg"     -> sqlArrayAgg,
     "q22_string_funcs"  -> sqlStringFuncs,

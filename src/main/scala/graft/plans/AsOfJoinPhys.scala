@@ -54,7 +54,7 @@ object AsOfJoinPhys {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
-      tolerance: Option[Long] = None)
+      tolerance: Option[Long] = None, forward: Boolean = false)
     extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
     // matchedAttrs ride in `expressions` (constructor params), so without
@@ -71,7 +71,7 @@ object AsOfJoinPhys {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case n: AsOfJoinNode =>
         AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-          n.valueAttrs, n.matchedAttrs, n.tolerance,
+          n.valueAttrs, n.matchedAttrs, n.tolerance, n.forward,
           planLater(n.left), planLater(n.right)) :: Nil
       case _ => Nil
     }
@@ -81,7 +81,7 @@ object AsOfJoinPhys {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
-      tolerance: Option[Long],
+      tolerance: Option[Long], forward: Boolean,
       left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
@@ -96,14 +96,21 @@ object AsOfJoinPhys {
         ClusteredDistribution(rightKeys) :: Nil
 
     /** Each side sorted by (keys, time); the right side additionally by
-      * the value tuple, which makes the buffered "latest" row — the LAST
-      * qualifying row in sort order — the greatest value tuple among
-      * same-(key, time) rows, the composed operator's documented
-      * tiebreak.
+      * the value tuple. BACKWARD keeps values ascending — the buffered
+      * "latest" row (the LAST qualifying row in sort order) is then the
+      * greatest value tuple among same-(key, time) rows, the composed
+      * operator's documented tiebreak. FORWARD flips the value sort to
+      * DESCENDING so the FIRST row of the earliest qualifying time run
+      * is that same greatest-value winner — the merge then matches on
+      * the head without consuming the run (later left rows may still
+      * need it).
       */
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-      (rightKeys ++ (rightTime +: valueAttrs)).map(SortOrder(_, Ascending)))
+      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)) ++
+        valueAttrs.map(SortOrder(_,
+          if (forward) org.apache.spark.sql.catalyst.expressions.Descending
+          else Ascending)))
 
     override def outputOrdering: Seq[SortOrder] =
       (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
@@ -135,7 +142,58 @@ object AsOfJoinPhys {
         val joined = new JoinedRow
         val rBuf = ri.buffered
 
-        new Iterator[InternalRow] {
+        if (forward) new Iterator[InternalRow] {
+          // FORWARD merge: no buffered state at all — rows strictly
+          // before the current left time are unusable for every later
+          // left row too (left is time-sorted), so they are discarded,
+          // and the qualifying run's head (value-DESC sort puts the
+          // tiebreak winner first) is matched WITHOUT consuming it
+          private var nextRow: InternalRow = _
+
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && li.hasNext) {
+              val l = li.next()
+              val ltsAny = lTs.eval(l)
+              if (ltsAny != null) {
+                val lts = ltsAny.asInstanceOf[Long]
+                val lk = lKeyProj(l)
+                var done = false
+                var rt = 0L
+                var keyMatch = false
+                while (!done && rBuf.hasNext) {
+                  val rk = rKeyProj(rBuf.head)
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0) rBuf.next()
+                  else if (c > 0) { done = true; keyMatch = false }
+                  else {
+                    val rtAny = rTs.eval(rBuf.head)
+                    if (rtAny == null) rBuf.next() // NULL right time
+                    else if (rtAny.asInstanceOf[Long] < lts) rBuf.next()
+                    else {
+                      done = true; keyMatch = true
+                      rt = rtAny.asInstanceOf[Long]
+                    }
+                  }
+                }
+                if (keyMatch && rt - lts <= tolV) {
+                  nextRow = resultProj(joined(l, rBuf.head))
+                }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (nextRow == null) advance()
+            nextRow != null
+          }
+          override def next(): InternalRow = {
+            if (nextRow == null) advance()
+            val r = nextRow
+            nextRow = null
+            r
+          }
+        } else new Iterator[InternalRow] {
           // the O(1) merge state: latest qualifying right row (copied —
           // the child iterator reuses its UnsafeRow) and its key/time
           private var cur: InternalRow = _
@@ -222,7 +280,10 @@ object AsOfJoinPhys {
     * (inclusive) or the left row goes unmatched; there is no fallback
     * to an earlier in-bound row. The merge applies the bound as one
     * long comparison on the already-buffered state — zero extra state,
-    * zero extra passes. Time
+    * zero extra passes. With `forward = true`, the direction flips to
+    * [[graft.operators.AsOfJoin.asOfForward]]'s contract (earliest
+    * `rightTime >= leftTime`; tolerance bounds `rightTime − leftTime`)
+    * and the merge carries NO buffered row at all. Time
     * columns must be timestamp-typed (cast upstream, exactly like the
     * composed form does internally), and each key pair must share one
     * data type — the merge compares keys with the natural UnsafeRow
@@ -241,7 +302,8 @@ object AsOfJoinPhys {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       valueCols: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -267,6 +329,6 @@ object AsOfJoinPhys {
         values.map(v => AttributeReference(v.name, v.dataType)())
     org.apache.spark.sql.graft.Shim.ofRows(spark,
       AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, values, matched,
-        toleranceMicros))
+        toleranceMicros, forward))
   }
 }

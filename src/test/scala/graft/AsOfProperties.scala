@@ -129,6 +129,26 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: physical FORWARD as-of equals the brute-force reference") {
+    for (seed <- 161L to 172L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val out = graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"), forward = true)
+        .select(col("k"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toList.sorted
+      assert(out == brute(ls, rs, forward = true),
+        s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
   test("property: physical as-of with COMPOSITE keys co-partitions correctly") {
     // two-column join keys exercise the ClusteredDistribution pair across
     // both children (EnsureRequirements must co-partition on BOTH
