@@ -3271,6 +3271,55 @@ object SparkEntry {
       |FROM dau JOIN wau USING (day)
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------- events_pseudonymize
+  // Pseudonymization collision audit: before shipping a dataset keyed by
+  // hashed ids, measure how narrow the pseudonym space can be. Users map
+  // through a salted md5 truncated to 16 bits — deliberately tight so
+  // the birthday effect is VISIBLE (expected collisions ≈ n²/2·65536) —
+  // and the report counts distinct ids, distinct pseudonyms, collided
+  // ids, and the largest pseudonym bucket. Shape: one distinct-user
+  // exchange, map-side hashing, one |pseudonyms|-group count, one-row
+  // reduce. The hash is the suite's md5 discipline, so the oracle
+  // reproduces every pseudonym bit for bit.
+  private def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val pid = conv(substring(md5(concat(lit("p:"),
+      col("user_id").cast("string"))), 1, 4), 16, 10).cast("long")
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .select(pid.as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("k"))
+      .agg(sum(col("k")).as("n_ids"),
+        count(lit(1)).as("n_pseudonyms"),
+        max(col("k")).as("max_bucket"))
+      .select(col("n_ids"), col("n_pseudonyms"),
+        (col("n_ids") - col("n_pseudonyms")).as("n_collided"),
+        col("max_bucket"),
+        ((col("n_ids") - col("n_pseudonyms")).cast("double") /
+          col("n_ids").cast("double")).as("collision_rate"))
+  }
+
+  private val sqlPseudonymize: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+      |), p AS (
+      |  SELECT CAST(('0x' || substr(md5('p:' || CAST(user_id AS VARCHAR)),
+      |    1, 4)) AS BIGINT) AS pid
+      |  FROM u
+      |), b AS (
+      |  SELECT pid, CAST(COUNT(*) AS BIGINT) AS k FROM p GROUP BY pid
+      |), m AS (
+      |  SELECT CAST(SUM(k) AS BIGINT) AS n_ids,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pseudonyms,
+      |    CAST(MAX(k) AS BIGINT) AS max_bucket
+      |  FROM b
+      |)
+      |SELECT n_ids, n_pseudonyms, n_ids - n_pseudonyms AS n_collided,
+      |  max_bucket,
+      |  CAST(n_ids - n_pseudonyms AS DOUBLE) / CAST(n_ids AS DOUBLE)
+      |    AS collision_rate
+      |FROM m""".stripMargin
+
   // ------------------------------------------------- events_debounce
   // Telemetry debounce: within each (user, type) stream, keep only the
   // FIRST event of every burst (new burst = gap from the previous event
@@ -3771,6 +3820,7 @@ object SparkEntry {
     "events_abtest"     -> qAbTest _,
     "events_cumulative_users" -> qCumulativeUsers _,
     "events_stickiness" -> qStickiness _,
+    "events_pseudonymize" -> qPseudonymize _,
     "events_chi2"       -> qChi2 _,
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
@@ -4063,6 +4113,7 @@ object SparkEntry {
     "events_abtest"     -> sqlAbTest,
     "events_cumulative_users" -> sqlCumulativeUsers,
     "events_stickiness" -> sqlStickiness,
+    "events_pseudonymize" -> sqlPseudonymize,
     "events_chi2"       -> sqlChi2,
     "events_attribution" -> sqlAttribution,
     // the incremental merge must equal the full hourly recompute —
