@@ -3631,6 +3631,7 @@ object SparkEntry {
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "sim_sq_topk"       -> ((s, d) => Similarity.sqTopK(emb(s, d))),
     "sim_sq_rerank"     -> ((s, d) => Similarity.sqRerank(emb(s, d))),
+    "sim_filtered_topk" -> ((s, d) => Similarity.filteredTopK(emb(s, d))),
     "sim_sq_recall"     -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
@@ -4001,6 +4002,7 @@ object SparkEntry {
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
     "sim_sq_topk"       -> Similarity.sqlSqTopK(),
     "sim_sq_rerank"     -> Similarity.sqlSqRerank,
+    "sim_filtered_topk" -> Similarity.sqlFilteredTopK,
     "sim_sq_recall"     -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",

@@ -2131,6 +2131,54 @@ object Similarity {
        |SELECT query_id, rk, cand_id, sq_score
        |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
 
+  /** Metadata-FILTERED exact search: each query retrieves only among
+    * candidates sharing its label — the vector-database "filtered
+    * search" pattern (pre-filter, then rank), which at 100 TB is a
+    * partition-pruning statement: store vectors partitioned/clustered
+    * by the filter column and the scan touches only the matching
+    * partitions, making the exact ranking affordable within each
+    * predicate slice. Same scoring/tiebreak contract as [[bruteTopK]];
+    * the label equi-condition rides IN the join, so Catalyst plans a
+    * hash join on label rather than a filtered cross product.
+    */
+  def filteredTopK(emb: DataFrame): DataFrame = {
+    val q = withNorm(emb.filter(col("vec_id") < NQueries), "embedding")
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+    val c = withNorm(emb, "embedding")
+      .select(col("vec_id").as("cand_id"), col("label"),
+        col("embedding").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, Seq("label"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("label"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlFilteredTopK: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label, embedding AS qv
+       |  FROM embeddings WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.label, e.vec_id AS cand_id,
+       |    ${sqlCosine("q.qv", "e.embedding", Dim)} AS cos
+       |  FROM q JOIN embeddings e
+       |    ON q.label = e.label AND q.query_id <> e.vec_id
+       |), ranked AS (
+       |  SELECT query_id, label, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, label, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Candidate depth for the SQ-then-rerank pipeline. */
   val SqCandK = 20
 
