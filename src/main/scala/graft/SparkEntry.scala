@@ -3450,6 +3450,272 @@ object SparkEntry {
       |ORDER BY est_count DESC, token
       |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------- events_trend_ols
+  // Least-squares trend of the daily revenue series (slope, intercept,
+  // R²) — the "is this metric growing" readout behind every dashboard
+  // sparkline, and the exact-form complement to the seasonal-naive
+  // forecast (events_forecast_naive reports errors, this reports the
+  // direction). Shape: ONE exchange to the |days|-row daily frame — and
+  // ONE scan of events: x is the raw epoch day (a rebase against
+  // min(day) would cost a second full pass for nothing — epoch-day
+  // moments over a calendar-bounded |days| frame stay exact: every
+  // intermediate is an integer < 2^53, so the double closed form loses
+  // nothing). The y moments go through the Exact decimal detour (y is a
+  // double) and slope/intercept/R² are a fixed closed-form double
+  // expression — the qCorr/qAcf discipline. At any corpus size the
+  // per-day partial sums collapse map-side; only |days| rows cross the
+  // wire.
+  private def qTrendOls(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val daily = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(Exact.xsum(col("value")).as("y"))
+    val m = daily
+      .select(col("day").as("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        Exact.xsum(col("y")).as("sy"),
+        Exact.xsum(col("x") * col("y")).as("sxy"),
+        Exact.xsum(col("y") * col("y")).as("syy"))
+    val nD  = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val covN  = nD * col("sxy") - sxD * col("sy")
+    val varxN = nD * col("sxx").cast("double") - sxD * sxD
+    val varyN = nD * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("n_days"),
+      (covN / varxN).as("slope"),
+      ((col("sy") - (covN / varxN) * sxD) / nD).as("intercept"),
+      (covN * covN / (varxN * varyN)).as("r2"))
+  }
+
+  private val sqlTrendOls: String = {
+    import graft.functions.Exact
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    ${Exact.sqlSum("value")} AS y
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(day) AS BIGINT) AS sx,
+       |    CAST(SUM(day * day) AS BIGINT) AS sxx,
+       |    ${Exact.sqlSum("y")} AS sy,
+       |    ${Exact.sqlSum("day * y")} AS sxy,
+       |    ${Exact.sqlSum("y * y")} AS syy
+       |  FROM daily
+       |)
+       |SELECT n AS n_days,
+       |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       |  (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |  ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+       |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------- events_gini
+  // Gini coefficient of revenue concentration across users — the
+  // single-number inequality complement to events_value_pareto's top-
+  // decile share. Exact grouped-rank form: users collapse to their
+  // exact per-user total (the bit-identical Exact sum), equal totals
+  // collapse to (tv, count) groups, and the rank-weighted sum uses
+  // Σ_j v_j·(c_j·C_j + c_j(c_j+1)/2) where C_j is the count of users
+  // strictly below group j. C_j comes from a TWO-LEVEL prefix sum (the
+  // corpus_pad_audit discipline): a global running sum over the tiny
+  // |buckets| frame gives each value-bucket's offset, and a window
+  // PARTITIONED by bucket gives the within-bucket part — there is never
+  // a global sort/window over the user frame. All rank inputs are exact
+  // BIGINTs; Gini = 2·S/(n·T) − (n+1)/n is a fixed double expression.
+  // Scale note: S ~ mean_tv·n²/2, so beyond ~10⁸ users the srx sum
+  // needs scale 0 (9·10¹⁵ decimal headroom) — at the fixture SFs
+  // scale 2 is exact.
+  private val GiniBucketWidth = 100.0
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    import org.apache.spark.sql.expressions.Window
+    val totals = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(Exact.xsum(col("value")).as("tv"))
+    val g = totals.groupBy(col("tv")).agg(count(lit(1)).as("c"))
+      .withColumn("bucket", floor(col("tv") / lit(GiniBucketWidth)))
+    val bstats = g.groupBy(col("bucket")).agg(sum(col("c")).as("cb"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bstats
+      .withColumn("coff", coalesce(sum(col("cb")).over(wb), lit(0L)))
+      .select(col("bucket"), col("coff"))
+    val ww = Window.partitionBy(col("bucket")).orderBy(col("tv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.join(broadcast(boff), Seq("bucket"))
+      .withColumn("cwithin", coalesce(sum(col("c")).over(ww), lit(0L)))
+      .select(col("tv"), col("c"), (col("coff") + col("cwithin")).as("cbefore"))
+    val m = ranked.agg(
+      sum(col("c")).as("n"),
+      Exact.xsum(col("tv") * col("c")).as("total_value"),
+      Exact.xsum(col("tv") *
+        expr("cast(c * cbefore + (c * (c + 1)) div 2 as double)")).as("srx"))
+    m.select(col("n").as("n_users"), col("total_value"),
+      (lit(2.0) * col("srx")
+        / (col("n").cast("double") * col("total_value"))
+        - (col("n") + lit(1)).cast("double") / col("n").cast("double"))
+        .as("gini"))
+  }
+
+  private val sqlGini: String = {
+    import graft.functions.Exact
+    s"""WITH totals AS (
+       |  SELECT user_id, ${Exact.sqlSum("value")} AS tv
+       |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY user_id
+       |), g AS (
+       |  SELECT tv, CAST(COUNT(*) AS BIGINT) AS c,
+       |    FLOOR(tv / $GiniBucketWidth) AS bucket
+       |  FROM totals GROUP BY tv
+       |), b AS (
+       |  SELECT bucket, CAST(SUM(c) AS BIGINT) AS cb FROM g GROUP BY bucket
+       |), boff AS (
+       |  SELECT bucket, COALESCE(CAST(SUM(cb) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS coff
+       |  FROM b
+       |), r AS (
+       |  SELECT g.tv, g.c,
+       |    boff.coff + COALESCE(CAST(SUM(g.c) OVER (PARTITION BY g.bucket
+       |      ORDER BY g.tv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cbefore
+       |  FROM g JOIN boff USING (bucket)
+       |), m AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    ${Exact.sqlSum("tv * c")} AS total_value,
+       |    ${Exact.sqlSum(
+                "tv * CAST(c * cbefore + (c * (c + 1)) // 2 AS DOUBLE)")}
+       |      AS srx
+       |  FROM r
+       |)
+       |SELECT n AS n_users, total_value,
+       |  2.0 * srx / (CAST(n AS DOUBLE) * total_value)
+       |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------- events_survival
+  // Empirical user-lifetime survival curve: for each horizon day d,
+  // the share of users whose observed lifetime (last event − first
+  // event) reaches d — the churn diagnostic read before setting a
+  // retention window. With every user observed over the full fixture
+  // window there is no censoring, so the Kaplan–Meier estimator
+  // REDUCES to this empirical curve — count(lifetime ≥ d)/n — which is
+  // one exact division per horizon instead of an ordered cumulative
+  // product of doubles (cross-engine-fragile). Shape: one user-keyed
+  // exchange for (first, last), then a broadcast |horizons|-row dim
+  // expands each user to its surviving horizons; partial counts
+  // collapse map-side, so the expansion never materializes.
+  private val SurvMaxDay = 14
+  private def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts)))" +
+        " div 86400000000").as("lifetime_days"))
+    val n = lt.agg(count(lit(1)).as("n_users"))
+    val days = s.range(0, SurvMaxDay + 1L).select(col("id").as("day"))
+    lt.crossJoin(broadcast(days))
+      .filter(col("lifetime_days") >= col("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_surviving"))
+      .crossJoin(broadcast(n))
+      .select(col("day"), col("n_surviving"),
+        (col("n_surviving").cast("double") / col("n_users").cast("double"))
+          .as("surviving_share"))
+      .orderBy(col("day"))
+  }
+
+  private val sqlSurvival: String =
+    s"""WITH lt AS (
+       |  SELECT user_id,
+       |    (MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+       |     - MIN(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+       |      AS lifetime_days
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY user_id
+       |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+       |s AS (
+       |  SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_surviving
+       |  FROM lt, range(0, ${SurvMaxDay + 1}) d(day)
+       |  WHERE lt.lifetime_days >= d.day GROUP BY d.day
+       |)
+       |SELECT day, n_surviving,
+       |  CAST(n_surviving AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |    AS surviving_share
+       |FROM s, n ORDER BY day""".stripMargin
+
+  // ------------------------------------------------- events_changepoint
+  // Binary-segmentation first split over the daily event-count series:
+  // for every candidate split k the CUSUM-style statistic
+  // |n·S_k − k·S_n| / sqrt(k(n−k)) scores how far the prefix mean
+  // diverges from the global mean — the level-shift detector run before
+  // trusting a trend fit (events_trend_ols) across a regime change. The
+  // numerator stays an exact BIGINT (never a mean subtraction in
+  // double); only the final normalization is IEEE. Shape: one exchange
+  // to the |days| frame, one ordered window for the prefix sums (the
+  // qAcf |days|-frame idiom — at any corpus size this frame is
+  // calendar-bounded), top-k via TakeOrderedAndProject.
+  private val ChangepointTopK = 3
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("cnt")).as("tot"))
+    val wk = Window.orderBy(col("day"))
+    val ws = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("k", row_number().over(wk).cast("long"))
+      .withColumn("sk", sum(col("cnt")).over(ws))
+      .crossJoin(broadcast(tot))
+      .filter(col("k") < col("nd"))
+      .select(col("day"), col("k"),
+        (abs(col("nd") * col("sk") - col("k") * col("tot")).cast("double")
+          / sqrt((col("k") * (col("nd") - col("k"))).cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col("day"))
+      .limit(ChangepointTopK)
+  }
+
+  private val sqlChangepoint: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |    CAST(SUM(cnt) AS BIGINT) AS tot
+       |  FROM daily
+       |), c AS (
+       |  SELECT day,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+       |    CAST(SUM(cnt) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS sk
+       |  FROM daily
+       |)
+       |SELECT day, k,
+       |  CAST(ABS(nd * sk - k * tot) AS DOUBLE)
+       |    / sqrt(CAST(k * (nd - k) AS DOUBLE)) AS score
+       |FROM c, t WHERE k < nd
+       |ORDER BY score DESC, day LIMIT $ChangepointTopK""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -3827,6 +4093,10 @@ object SparkEntry {
     "events_agg_merge"  -> qAggMerge _,
     "events_rfm"        -> qRfm _,
     "events_gap_stats"  -> qGapStats _,
+    "events_trend_ols"  -> qTrendOls _,
+    "events_gini"       -> qGini _,
+    "events_survival"   -> qSurvival _,
+    "events_changepoint" -> qChangepoint _,
     "events_multitouch" -> qMultiTouch _,
     "scd_intervals"     -> qScdIntervals _,
     "scd_gc"            -> qScdGc _,
@@ -4123,6 +4393,10 @@ object SparkEntry {
     "events_agg_merge"  -> sqlAggMerge,
     "events_rfm"        -> sqlRfm,
     "events_gap_stats"  -> sqlGapStats,
+    "events_trend_ols"  -> sqlTrendOls,
+    "events_gini"       -> sqlGini,
+    "events_survival"   -> sqlSurvival,
+    "events_changepoint" -> sqlChangepoint,
     "events_multitouch" -> sqlMultiTouch,
     "scd_intervals"     -> sqlScdIntervals,
     "scd_gc"            -> sqlScdGc,
