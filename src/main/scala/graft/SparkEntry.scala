@@ -3941,6 +3941,9 @@ object SparkEntry {
     "graph_ppr"         -> ((s, d) =>
       graft.operators.Graph.pprCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_hits"        -> ((s, d) =>
+      graft.operators.Graph.hitsCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_components"  -> ((s, d) =>
       graft.operators.Graph.components(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -4296,6 +4299,7 @@ object SparkEntry {
         |ORDER BY cust, supp""".stripMargin,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "graph_ppr"         -> graft.operators.Graph.sqlPpr(),
+    "graph_hits"        -> graft.operators.Graph.sqlHits,
     "graph_components"  -> graft.operators.Graph.sqlComponents,
     "graph_triangles"   -> graft.operators.Graph.sqlTriangleStats,
     "graph_degrees"     -> graft.operators.Graph.sqlDegreeHistogram,

@@ -1011,6 +1011,99 @@ object Graph {
       .orderBy(col("rk"))
   }
 
+  // --------------------------------------------------------------- HITS
+  /** Kleinberg's HITS (J. Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) on the bipartite cust→supp
+    * graph: hubs are customers (they point at suppliers), authorities
+    * are suppliers. Scores come from UNNORMALIZED integer power
+    * iterations — a⁽¹⁾ = 1ᵀA (the supplier degree), h⁽¹⁾ = A·a⁽¹⁾,
+    * a⁽²⁾ = AᵀA·a⁽¹⁾, h⁽²⁾ = A·a⁽²⁾ — so every intermediate is an exact
+    * BIGINT and the per-round L2 normalization (a cross-engine-fragile
+    * sqrt-of-sum-of-squares divide) is DEFERRED entirely: normalizing
+    * only rescales, never reorders, so the top-k by raw integer score IS
+    * the top-k by normalized score, and the reported `share` (score over
+    * the side's total) is one exact-int division at the end. Growth per
+    * full iteration is ~mean_deg·max_deg; with two iterations the
+    * largest score is ≤ |E|·max_deg² — under 2^53 through SF 100 on this
+    * schema (and the 1000× scale guard is a rescale-by-2^k shift every
+    * few rounds, not a redesign).
+    *
+    * Scale shape: each half-round is one hash join of the pinned edge
+    * frame with a |side|-row score frame plus a map-side-combining sum;
+    * the multi-consumer score frames (a⁽²⁾ feeds the next half-round AND
+    * its own top-k AND its total) are pinned so no subtree re-runs. The
+    * final ranking is per-side WindowGroupLimit top-k, never a global
+    * sort of the node set.
+    */
+  val HitsTopK = PrTopK
+
+  def hitsCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String): DataFrame =
+    hitsFrom(custSuppEdgesCached(orders, lineitem, cacheKey))
+
+  def hitsFrom(e0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a1 = e0.groupBy(col("supp")).agg(count(lit(1)).as("a"))
+    val h1 = e0.join(a1, "supp").groupBy(col("cust"))
+      .agg(sum(col("a")).as("h"))
+    val a2 = Iterate.pin(e0.join(h1, "cust").groupBy(col("supp"))
+      .agg(sum(col("h")).as("a")))
+    val h2 = Iterate.pin(e0.join(a2, "supp").groupBy(col("cust"))
+      .agg(sum(col("a")).as("h")))
+    def side(df: DataFrame, idCol: String, sCol: String,
+        label: String): DataFrame = {
+      val tot = df.agg(sum(col(sCol)).as("t"))
+      val w = Window.orderBy(col(sCol).desc, col(idCol))
+      df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= HitsTopK)
+        .crossJoin(broadcast(tot))
+        .select(lit(label).as("side"), col("rk"),
+          col(idCol).cast("long").as("node_id"),
+          col(sCol).as("score"),
+          (col(sCol).cast("double") / col("t").cast("double")).as("share"))
+    }
+    side(h2, "cust", "h", "hub")
+      .unionByName(side(a2, "supp", "a", "auth"))
+      .orderBy(col("side"), col("rk"))
+  }
+
+  /** DuckDB oracle: the same two unrolled integer half-round pairs. */
+  def sqlHits: String =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), a1 AS (
+       |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS a FROM e0 GROUP BY supp
+       |), h1 AS (
+       |  SELECT cust, CAST(SUM(a) AS BIGINT) AS h
+       |  FROM e0 JOIN a1 USING (supp) GROUP BY cust
+       |), a2 AS (
+       |  SELECT supp, CAST(SUM(h) AS BIGINT) AS a
+       |  FROM e0 JOIN h1 USING (cust) GROUP BY supp
+       |), h2 AS (
+       |  SELECT cust, CAST(SUM(a) AS BIGINT) AS h
+       |  FROM e0 JOIN a2 USING (supp) GROUP BY cust
+       |), at AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a2),
+       |ht AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h2),
+       |toph AS (
+       |  SELECT 'hub' AS side,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY h DESC, cust) AS BIGINT) AS rk,
+       |    CAST(cust AS BIGINT) AS node_id, h AS score,
+       |    CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS share
+       |  FROM h2, ht
+       |), topa AS (
+       |  SELECT 'auth' AS side,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY a DESC, supp) AS BIGINT) AS rk,
+       |    CAST(supp AS BIGINT) AS node_id, a AS score,
+       |    CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS share
+       |  FROM a2, at
+       |)
+       |SELECT * FROM (
+       |  SELECT * FROM toph WHERE rk <= $HitsTopK
+       |  UNION ALL
+       |  SELECT * FROM topa WHERE rk <= $HitsTopK
+       |) ORDER BY side, rk""".stripMargin
+
   /** DuckDB oracle: the [[sqlPagerank]] unroll with the seeded teleport. */
   def sqlPpr(iters: Int = PrIters): String = {
     import graft.functions.Exact

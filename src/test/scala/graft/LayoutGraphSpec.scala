@@ -67,6 +67,34 @@ class LayoutGraphSpec extends SparkSuite {
     assert(custRanks.length == 2 && custRanks.distinct.length == 1)
   }
 
+  test("hits on a known bipartite graph: exact integer scores") {
+    // customers 1,2 → supplier 7; customer 2 → supplier 8.
+    // a1 = deg: a1(7)=2, a1(8)=1.  h1(1)=2, h1(2)=2+1=3.
+    // a2(7)=h1(1)+h1(2)=5, a2(8)=h1(2)=3.  h2(1)=5, h2(2)=5+3=8.
+    val orders = Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 7L), (20L, 7L), (20L, 8L))
+      .toDF("l_orderkey", "l_suppkey")
+    val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val out = Graph.hitsFrom(e0).collect()
+    def score(side: String, id: Long): Long =
+      out.find(r => r.getAs[String]("side") == side &&
+        r.getAs[Long]("node_id") == id).get.getAs[Long]("score")
+    assert(score("hub", 1L) == 5L && score("hub", 2L) == 8L)
+    assert(score("auth", 7L) == 5L && score("auth", 8L) == 3L)
+    // shares within each side sum to 1 exactly (integer totals)
+    Seq("hub", "auth").foreach { s =>
+      val shares = out.filter(_.getAs[String]("side") == s)
+        .map(_.getAs[Double]("share"))
+      assert(math.abs(shares.sum - 1.0) < 1e-12)
+    }
+    // rk 1 is the max score on each side
+    assert(out.filter(_.getAs[Long]("rk") == 1L).map(r =>
+      (r.getAs[String]("side"), r.getAs[Long]("node_id"))).toSet ==
+      Set(("hub", 2L), ("auth", 7L)))
+  }
+
   test("pagerank deep iteration (periodic pins) still conserves the contract") {
     // iters=7 crosses two periodic lineage pins (rounds 3 and 6); the
     // symmetric 2x1 graph's invariants must hold exactly as at iters=2
