@@ -3041,6 +3041,130 @@ object SparkEntry {
        |    AS chi2
        |FROM cells""".stripMargin
 
+  // ------------------------------------------------- events_cramer
+  // Cramér's V — the [0,1]-normalized association strength read off the
+  // chi-square statistic (Cramér 1946): V = sqrt(χ² / (n · min(r−1, c−1))).
+  // Same pinned 35-cell contingency frame as events_chi2 (row/col/grand
+  // totals and level counts are all re-aggregations of it); the χ² cell sum
+  // goes through the exact-decimal detour, level counts are exact BIGINTs,
+  // and V is then one fixed-order double expression (mul, div, sqrt — each
+  // correctly rounded, so cross-engine exact).
+  private def qCramer(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.operators.Iterate.pin(Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(expr("(unix_micros(ts) div 86400000000) % 7").as("day_idx"),
+        col("event_type"))
+      .groupBy(col("day_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n")))
+    val rows = o.groupBy(col("day_idx")).agg(sum(col("n")).as("rt"))
+    val cols_ = o.groupBy(col("event_type")).agg(sum(col("n")).as("ct"))
+    val tot = o.agg(sum(col("n")).as("tot"),
+      countDistinct(col("day_idx")).as("r_levels"),
+      countDistinct(col("event_type")).as("c_levels"))
+    o.join(broadcast(rows), Seq("day_idx"))
+      .join(broadcast(cols_), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        (col("rt") * col("ct")).cast("double") / col("tot").cast("double"))
+      .agg(max(col("tot")).as("n_events"),
+        max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"),
+        xsum((col("n").cast("double") - col("e"))
+          * (col("n").cast("double") - col("e")) / col("e"), 6).as("chi2"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2") / (col("n_events").cast("double")
+          * least(col("r_levels") - 1, col("c_levels") - 1).cast("double"))))
+      .select(col("n_events"), col("r_levels"), col("c_levels"),
+        col("chi2"), col("cramers_v"))
+  }
+
+  private val sqlCramer: String =
+    s"""WITH o AS (
+       |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
+       |      AS day_idx,
+       |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT day_idx, CAST(SUM(n) AS BIGINT) AS rt FROM o GROUP BY 1
+       |), c AS (
+       |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS ct FROM o GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS tot,
+       |    CAST(COUNT(DISTINCT day_idx) AS BIGINT) AS r_levels,
+       |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS c_levels
+       |  FROM o
+       |), cells AS (
+       |  SELECT o.n,
+       |    CAST(r.rt * c.ct AS DOUBLE) / CAST(t.tot AS DOUBLE) AS e,
+       |    t.tot, t.r_levels, t.c_levels
+       |  FROM o JOIN r USING (day_idx) JOIN c USING (event_type), t
+       |), agg AS (
+       |  SELECT CAST(MAX(tot) AS BIGINT) AS n_events,
+       |    CAST(MAX(r_levels) AS BIGINT) AS r_levels,
+       |    CAST(MAX(c_levels) AS BIGINT) AS c_levels,
+       |    ${sqlSum("(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e", 6)}
+       |      AS chi2
+       |  FROM cells
+       |)
+       |SELECT n_events, r_levels, c_levels, chi2,
+       |  sqrt(chi2 / (CAST(n_events AS DOUBLE)
+       |    * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) AS cramers_v
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------- events_kanon
+  // k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+  // (event_type, hour-of-day, value decade): equivalence-class sizes and
+  // the re-identification exposure below k = 5 — the privacy gate run
+  // BEFORE a dataset ships (events_pseudonymize audits the id column;
+  // this audits the attribute combination). Shape: ONE hash aggregation
+  // builds the class-size frame (map-side partial combine carries it);
+  // the report row is a second tiny aggregate over |classes| rows. All
+  // outputs are exact integers. Hour comes from epoch arithmetic, not
+  // engine hour(), so timezone configuration can't split the hash.
+  private def qKAnon(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull
+        && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        expr("cast(floor(value) as bigint) div 10").as("vb"))
+      .groupBy(col("event_type"), col("hr"), col("vb"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.agg(
+      sum(col("class_size")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("class_size")).as("min_class"),
+      sum(when(col("class_size") < 5, lit(1L)).otherwise(lit(0L)))
+        .as("classes_lt5"),
+      sum(when(col("class_size") < 5, col("class_size")).otherwise(lit(0L)))
+        .as("rows_lt5"),
+      sum(when(col("class_size") === 1, lit(1L)).otherwise(lit(0L)))
+        .as("singletons"))
+  }
+
+  private val sqlKAnon: String =
+    """WITH classes AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr,
+      |    CAST(floor(value) AS BIGINT) // 10 AS vb,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |    AND value IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(class_size) AS BIGINT) AS min_class,
+      |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_lt5,
+      |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+      |    AS BIGINT) AS rows_lt5,
+      |  CAST(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS singletons
+      |FROM classes""".stripMargin
+
   // ------------------------------------------------- events_acf
   // Autocorrelation function of the daily event-count series at lags
   // 1..AcfMaxLag — the periodicity diagnostic (weekly cycle shows as a
@@ -4092,6 +4216,14 @@ object SparkEntry {
     "events_stickiness" -> qStickiness _,
     "events_pseudonymize" -> qPseudonymize _,
     "events_chi2"       -> qChi2 _,
+    "events_cramer"     -> qCramer _,
+    "events_kanon"      -> qKAnon _,
+    "match_jw_pairs"    -> ((s, d) =>
+      graft.operators.Match.jwPairs(Tables.part(s, d))),
+    "match_best"        -> ((s, d) =>
+      graft.operators.Match.bestMatch(Tables.part(s, d))),
+    "match_blocking"    -> ((s, d) =>
+      graft.operators.Match.blockingAudit(Tables.part(s, d))),
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
     "events_rfm"        -> qRfm _,
@@ -4394,6 +4526,11 @@ object SparkEntry {
     "events_attribution" -> sqlAttribution,
     // the incremental merge must equal the full hourly recompute —
     // its oracle IS the from-scratch rollup
+    "events_cramer"     -> sqlCramer,
+    "events_kanon"      -> sqlKAnon,
+    "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,
+    "match_best"        -> graft.operators.Match.sqlBestMatch,
+    "match_blocking"    -> graft.operators.Match.sqlBlockingAudit,
     "events_agg_merge"  -> sqlAggMerge,
     "events_rfm"        -> sqlRfm,
     "events_gap_stats"  -> sqlGapStats,
