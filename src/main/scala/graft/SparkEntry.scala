@@ -3936,6 +3936,15 @@ object SparkEntry {
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
       Similarity.ivfTopK(emb(s, d)))),
+    "sim_mips_topk"     -> ((s, d) => Similarity.mipsTopK(emb(s, d))),
+    "sim_mips_lsh"      -> ((s, d) => Similarity.mipsLsh(emb(s, d))),
+    // recall of augmented-LSH MIPS vs exact inner-product ranking —
+    // prices the Bachrach-transform bucketing the way sim_recall prices
+    // the IVF route
+    "sim_mips_recall"   -> ((s, d) => Similarity.recallAtK(
+      Similarity.mipsTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.MipsTopK),
+      Similarity.mipsLsh(emb(s, d)))),
     // recall of the IVFADC composite vs exact search: quantifies the
     // quantization + pruning loss the 100 TB recipe trades for its scan
     // shape (compare with sim_recall = IVF-only loss at the same depth)
@@ -4346,6 +4355,12 @@ object SparkEntry {
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlIvfTopK),
+    "sim_mips_topk"     -> Similarity.sqlMipsTopK,
+    "sim_mips_lsh"      -> Similarity.sqlMipsLsh,
+    "sim_mips_recall"   -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlMipsTopK}\n) " +
+        s"WHERE rk <= ${Similarity.MipsTopK}",
+      Similarity.sqlMipsLsh),
     "sim_ivfpq_recall"  -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",

@@ -2625,4 +2625,144 @@ object Similarity {
        |FROM p
        |ORDER BY vec_id""".stripMargin
   }
+
+  // ------------------------------------------------------------ MIPS tier
+  /** Maximum inner-product search — ranking by RAW dot product, the
+    * retrieval metric of recommendation scorers and un-normalized
+    * two-tower models (user·item affinity), where cosine's norm division
+    * would erase the magnitude signal the model trained into the vectors.
+    *
+    * [[mipsTopK]] is the exact reference: the [[bruteTopK]] join shape
+    * minus the norm arithmetic (one codegen'd dot per pair, top-k via the
+    * keyed rank window — WindowGroupLimit prunes before the final sort).
+    *
+    * [[mipsLsh]] is the scale path via the MIPS→cosine reduction of
+    * Bachrach et al. 2014 (RecSys, the "Xbox transform") / Neyshabur &
+    * Srebro 2015: with M = max candidate norm, augment candidates to
+    * P(x) = [x; sqrt(M² − ‖x‖²)] (constant norm M) and queries to
+    * Q(q) = [q; 0]; then Q(q)·P(x) = q·x, so cosine-family LSH on the
+    * augmented space buckets by inner product. Hyperplane signs reuse the
+    * [[lshBucket]] integer-coefficient planes extended with coefficient
+    * index [[Dim]] for the augmented coordinate.
+    *
+    * Scale shape: M and the augmented coordinate are map-side (one
+    * broadcast 1-row max); candidate generation is ONE hash-partitioned
+    * equi join on the bucket key, never all-pairs; scoring touches raw
+    * vectors only inside a bucket. Determinism: ‖x‖² and M are exact
+    * fixed-order double folds, sqrt is correctly rounded, and the
+    * augmented projection adds ONE product to the integer-coefficient
+    * plane fold — bit-stable in both engines.
+    */
+  def mipsTopK(emb: DataFrame): DataFrame = {
+    VectorExprs.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("cand_id"))
+    q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("ip", ndot(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("ip"), 6).as("ip"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlMipsTopK: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${sqlDot("q.embedding", "c.embedding", Dim)} AS ip
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), ranked AS (
+       |  SELECT query_id, cand_id, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY ip DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(ip, 6) AS ip
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** Augmented-space hyperplane bucket: base plane fold + aug·coef(Dim,j). */
+  private def mipsBucket(v: Column, aug: Column): Column =
+    (0 until NPlanes).map { j =>
+      val base = aggregate(
+        zip_with(v, array((0 until Dim).map(i => lit(planeCoef(i, j))): _*),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      val proj = base + aug * lit(planeCoef(Dim, j).toDouble)
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def sqlMipsBucket(v: String, aug: String): String =
+    (0 until NPlanes).map { j =>
+      val coefs = (0 until Dim).map(planeCoef(_, j)).mkString(", ")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, ${Dim + 1}),
+         |      i -> $v[i]::DOUBLE * ([$coefs][i])::DOUBLE)),
+         |    (x, y) -> x + y)
+         |    + $aug * CAST(${planeCoef(Dim, j)} AS DOUBLE)
+         |  >= 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+
+  val MipsTopK = AnnTopK
+
+  def mipsLsh(emb: DataFrame): DataFrame = {
+    VectorExprs.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      ndot(col("embedding"), col("embedding")).as("n2"))
+    val m2 = base.agg(max(col("n2")).as("m2"))
+    val aug = base.crossJoin(broadcast(m2))
+      .withColumn("aug", sqrt(greatest(col("m2") - col("n2"), lit(0.0))))
+    val c = aug.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"),
+      mipsBucket(col("embedding"), col("aug")).as("bucket"))
+    val q = aug.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        mipsBucket(col("embedding"), lit(0.0)).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("cand_id"))
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("ip", ndot(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MipsTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("ip"), 6).as("ip"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlMipsLsh: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlDot("embedding", "embedding", Dim)} AS n2
+       |  FROM embeddings
+       |), m AS (
+       |  SELECT MAX(n2) AS m2 FROM n
+       |), a AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(greatest(m.m2 - n.n2, CAST(0 AS DOUBLE))) AS aug
+       |  FROM n, m
+       |), c AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlMipsBucket("embedding", "aug")} AS bucket
+       |  FROM a
+       |), q AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlMipsBucket("embedding", "CAST(0 AS DOUBLE)")} AS bucket
+       |  FROM a WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${sqlDot("q.embedding", "c.embedding", Dim)} AS ip
+       |  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY ip DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(ip, 6) AS ip
+       |FROM ranked WHERE rk <= $MipsTopK
+       |ORDER BY query_id, rk""".stripMargin
 }

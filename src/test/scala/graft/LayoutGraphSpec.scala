@@ -583,4 +583,56 @@ class LayoutGraphSpec extends SparkSuite {
         s"vec $k resid2 ${r.getAs[Double]("resid2")}")
     }
   }
+
+  test("mipsTopK ranks by raw inner product, not cosine") {
+    // v2 points the same direction as the query but at twice the norm of
+    // v1; cosine ties them (same angle) while MIPS must put v2 first.
+    // v3 is nearly orthogonal. Rank order pins the metric.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.5f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mipsTopK(df).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rk"))
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(out(0).getAs[Double]("ip") == 1.0)
+    assert(out(1).getAs[Double]("ip") == 0.5)
+  }
+
+  test("MIPS augmentation: equal augmented norms, inner products preserved") {
+    // the Bachrach-transform invariant the LSH route relies on:
+    // ‖P(x)‖² = ‖x‖² + (M²−‖x‖²) = M² for every candidate, and
+    // Q(q)·P(x) = q·x exactly (the appended query coordinate is 0)
+    val rows = (0L to 19L).map { k =>
+      (k, Array.tabulate(4)(i => ((k * 7 + i * 3) % 11).toFloat / 5.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def n2(v: Array[Float]) = v.map(x => x.toDouble * x).sum
+    val m2 = rows.map(r => n2(r._2)).max
+    rows.foreach { case (_, v) =>
+      val aug = math.sqrt(math.max(m2 - n2(v), 0.0))
+      assert(math.abs((n2(v) + aug * aug) - m2) < 1e-9)
+    }
+    // exact MIPS and the LSH route agree wherever the LSH route returns a
+    // pair (bucketing only ever DROPS candidates, never rescores them)
+    val exact = Similarity.mipsTopK(df).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+        -> r.getAs[Double]("ip")).toMap
+    val lsh = Similarity.mipsLsh(df).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      exact.get(key).foreach(ip => assert(ip == r.getAs[Double]("ip")))
+    }
+    val rec = Similarity.recallAtK(
+      Similarity.mipsTopK(df).filter(col("rk") <= Similarity.MipsTopK),
+      Similarity.mipsLsh(df)).collect()
+    rec.foreach { r =>
+      val v = r.getAs[Double]("recall")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
 }
