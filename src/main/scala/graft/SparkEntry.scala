@@ -4005,6 +4005,8 @@ object SparkEntry {
     "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),
     "mm_png_pixels"     -> ((s, d) => Multimodal.pngPixels(docs(s, d))),
     "mm_wav"            -> ((s, d) => Multimodal.wav(docs(s, d))),
+    "mm_phash"          -> ((s, d) => Multimodal.phash(docs(s, d))),
+    "mm_phash_groups"   -> ((s, d) => Multimodal.phashGroups(docs(s, d))),
     "corpus_split"      -> ((s, d) => TrainingData.splitStats(docs(s, d))),
     "corpus_split_leakage" -> ((s, d) =>
       TrainingData.splitLeakage(arts(s, d).pairs, docs(s, d))),
@@ -4404,6 +4406,8 @@ object SparkEntry {
     "mm_pixels"         -> Multimodal.sqlPixels,
     "mm_png_pixels"     -> Multimodal.sqlPngPixels,
     "mm_wav"            -> Multimodal.sqlWav,
+    "mm_phash"          -> Multimodal.sqlPhash,
+    "mm_phash_groups"   -> Multimodal.sqlPhashGroups,
     "corpus_split"      -> TrainingData.sqlSplitStats,
     "corpus_split_leakage" ->
       TrainingData.sqlSplitLeakage(Dedup.sqlMinhashPairs()),

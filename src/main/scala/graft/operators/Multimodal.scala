@@ -736,6 +736,140 @@ object Multimodal {
       |                   i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS thumb_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- perceptual image hash
+  /** Average-hash (aHash) perceptual fingerprint over the DECODED pixel
+    * grid — the multimodal counterpart of the text tier's SimHash: an
+    * 8×8 nearest-neighbor downsample of the image, one bit per cell
+    * (1 = cell luminance above the 64-sample mean), packed into a 64-bit
+    * fingerprint. Identical images hash identically at ANY size ratio
+    * that samples the same pixels; near-identical gradients collide —
+    * which is the point (perceptual, not cryptographic).
+    *
+    * Determinism contract: sample coordinates are integer floor divisions
+    * (i·(w−1)/7), luminance is the exact integer R+G+B of the sampled
+    * pixel, and the threshold is the cross-multiplied integer comparison
+    * 64·lum > Σlum — no division, no floats, so the DuckDB oracle restates
+    * the hash in closed form over the generator arithmetic while the
+    * Spark side derives it from the REAL decoded bytes.
+    *
+    * Scale shape: decode + hash are map-side ([[pixelStats]] discipline —
+    * the only bytes that shuffle are (doc_id, 16-hex hash)); the dedup
+    * grouping is ONE hash aggregation on the fingerprint. At 100 TB the
+    * fingerprint column is the cluster key and candidate retrieval is a
+    * hash-equality probe, not a scan.
+    */
+  final case class PhashRow(doc_id: Long, width: Int, height: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int, phash: String)
+
+  def phashRows(media: Dataset[MediaBin]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = decodeBmpPixels(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not an uncompressed 24-bpp BMP"))
+        val lums = new Array[Long](64)
+        var total = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val x = i * (w - 1) / 7
+            val y = j * (h - 1) / 7
+            val p = (y * w + x) * 3
+            val lum = (rgb(p) & 0xff).toLong + (rgb(p + 1) & 0xff) +
+              (rgb(p + 2) & 0xff)
+            lums(j * 8 + i) = lum
+            total += lum
+            i += 1
+          }
+          j += 1
+        }
+        val b = new Array[Int](4)
+        var pos = 0
+        while (pos < 64) {
+          if (64L * lums(pos) > total) b(pos / 16) |= 1 << (pos % 16)
+          pos += 1
+        }
+        PhashRow(r.doc_id, w, h, b(0), b(1), b(2), b(3),
+          f"${b(3)}%04x${b(2)}%04x${b(1)}%04x${b(0)}%04x")
+      }
+    }
+  }
+
+  /** Per-doc perceptual fingerprint off the real BMP decode. */
+  def phash(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    phashRows(syntheticBmpMedia(docs)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual dedup groups: fingerprints shared by >1 document, with
+    * the canonical (minimum) doc per group — the image-side analogue of
+    * [[Dedup.exact]].
+    */
+  def phashGroups(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    phashRows(syntheticBmpMedia(docs)).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("phash"))
+  }
+
+  /** Shared oracle CTE: the generator pixels (B = base+x, G = x+y,
+    * R = 2y+1) sampled at the hash grid and packed into the same four
+    * 16-bit bands. lum = base + 2x + 3y + 1.
+    */
+  private val sqlPhashCte: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 60 + 4 AS BIGINT) AS w,
+      |    CAST(n_chars % 40 + 2 AS BIGINT) AS h,
+      |    doc_id % 50 AS base
+      |  FROM documents
+      |), s AS (
+      |  SELECT g.doc_id, g.w, g.h, i.range AS i, j.range AS j,
+      |    (i.range * (g.w - 1)) // 7 AS x,
+      |    (j.range * (g.h - 1)) // 7 AS y, g.base
+      |  FROM g, range(8) i, range(8) j
+      |), px AS (
+      |  SELECT doc_id, w, h, j * 8 + i AS pos,
+      |    base + 2 * x + 3 * y + 1 AS lum
+      |  FROM s
+      |), m AS (
+      |  SELECT doc_id, SUM(lum) AS total FROM px GROUP BY 1
+      |), bits AS (
+      |  SELECT px.doc_id, px.w, px.h, px.pos,
+      |    CASE WHEN 64 * px.lum > m.total THEN 1 ELSE 0 END AS bit
+      |  FROM px JOIN m USING (doc_id)
+      |), hsh AS (
+      |  SELECT doc_id, CAST(MAX(w) AS INT) AS width,
+      |    CAST(MAX(h) AS INT) AS height,
+      |    printf('%04x%04x%04x%04x',
+      |      CAST(SUM(CASE WHEN pos >= 48 THEN bit * (1 << (pos - 48))
+      |        ELSE 0 END) AS INTEGER),
+      |      CAST(SUM(CASE WHEN pos >= 32 AND pos < 48
+      |        THEN bit * (1 << (pos - 32)) ELSE 0 END) AS INTEGER),
+      |      CAST(SUM(CASE WHEN pos >= 16 AND pos < 32
+      |        THEN bit * (1 << (pos - 16)) ELSE 0 END) AS INTEGER),
+      |      CAST(SUM(CASE WHEN pos < 16 THEN bit * (1 << pos)
+      |        ELSE 0 END) AS INTEGER)) AS phash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  val sqlPhash: String =
+    s"""$sqlPhashCte
+       |SELECT doc_id, width, height, phash FROM hsh
+       |ORDER BY doc_id""".stripMargin
+
+  val sqlPhashGroups: String =
+    s"""$sqlPhashCte
+       |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+       |FROM hsh GROUP BY phash HAVING COUNT(*) > 1
+       |ORDER BY phash""".stripMargin
+
   // --------------------------------------------------- real audio decode
   /** Audio decode output: exact integer statistics over the PCM sample
     * stream. `pos_weighted` pairs each sample with its index, so a

@@ -219,4 +219,38 @@ class MultimodalSpec extends SparkSuite {
     // the fixture family crosses zero: some file has negative samples
     assert(Multimodal.decodeWav(Multimodal.wavBytes(1L, 4)).get.head < 0)
   }
+
+  test("phash: identical images hash equal; formula recompute matches decode") {
+    import spark.implicits._
+    // ids 3 and 53 share id%50 — same pixel content at equal geometry
+    val same = Seq((3L, 10, 7), (53L, 10, 7)).map { case (id, w, h) =>
+      Multimodal.MediaBin(id, Multimodal.bmpPixelBytes(id, w, h)) }
+    val hs = Multimodal.phashRows(spark.createDataset(same)).collect()
+      .map(_.phash)
+    assert(hs(0) == hs(1))
+
+    // independent recompute from the generator formula (lum = base + 2x
+    // + 3y + 1 at the 8x8 nearest-neighbor grid) must equal the hash the
+    // REAL byte decode produced — for a spread of geometries including
+    // w,h < 8 (repeated samples) and the 4-byte row-padding cases
+    val cases = Seq((0L, 4, 2), (7L, 5, 9), (11L, 63, 41), (49L, 8, 8),
+      (123L, 33, 17))
+    val rows = cases.map { case (id, w, h) =>
+      Multimodal.MediaBin(id, Multimodal.bmpPixelBytes(id, w, h)) }
+    val got = Multimodal.phashRows(spark.createDataset(rows)).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    cases.foreach { case (id, w, h) =>
+      val base = (id % 50).toInt
+      val lums = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val x = i * (w - 1) / 7; val y = j * (h - 1) / 7
+        (base + 2 * x + 3 * y + 1).toLong
+      }
+      val total = lums.sum
+      val b = new Array[Int](4)
+      lums.zipWithIndex.foreach { case (l, pos) =>
+        if (64L * l > total) b(pos / 16) |= 1 << (pos % 16) }
+      val want = f"${b(3)}%04x${b(2)}%04x${b(1)}%04x${b(0)}%04x"
+      assert(got(id) == want, s"id=$id ${got(id)} vs $want")
+    }
+  }
 }
