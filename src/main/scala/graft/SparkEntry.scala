@@ -3165,6 +3165,101 @@ object SparkEntry {
       |    AS singletons
       |FROM classes""".stripMargin
 
+  // ------------------------------------------------- events_drift
+  // Distribution drift of the event-type mix: first half of the observed
+  // window vs second half — the input-shift monitor run before retraining
+  // or alerting (text_source_tvd is the document-side twin; this is the
+  // behavioral-stream side). Shape: ONE scan tags each event early/late
+  // against a broadcast 1-row min-day aggregate; per-type counts collapse
+  // in a single hash agg; shares divide exact BIGINTs by broadcast
+  // totals, and the delta is one IEEE subtraction of two exact-input
+  // divisions — deterministic cross-engine.
+  private val DriftSplitDays = 15L
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    val mn = ev.agg(min(col("d")).as("d0"))
+    val per = ev.crossJoin(broadcast(mn))
+      .withColumn("late", col("d") - col("d0") >= DriftSplitDays)
+      .groupBy(col("event_type"))
+      .agg(sum(when(!col("late"), lit(1L)).otherwise(lit(0L))).as("n_early"),
+        sum(when(col("late"), lit(1L)).otherwise(lit(0L))).as("n_late"))
+    val tot = per.agg(sum(col("n_early")).as("te"),
+      sum(col("n_late")).as("tl"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_early",
+        col("n_early").cast("double") / col("te").cast("double"))
+      .withColumn("share_late",
+        col("n_late").cast("double") / col("tl").cast("double"))
+      .withColumn("share_delta", col("share_late") - col("share_early"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("share_early"), col("share_late"), col("share_delta"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlDrift: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |), mn AS (SELECT MIN(d) AS d0 FROM ev),
+       |per AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN d - d0 >= $DriftSplitDays THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_early,
+       |    CAST(SUM(CASE WHEN d - d0 >= $DriftSplitDays THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_late
+       |  FROM ev, mn GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+       |    CAST(SUM(n_late) AS BIGINT) AS tl
+       |  FROM per
+       |)
+       |SELECT event_type, n_early, n_late,
+       |  CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE) AS share_early,
+       |  CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE) AS share_late,
+       |  CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE)
+       |    - CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE) AS share_delta
+       |FROM per, tot ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- events_gapfill
+  // Dense hourly series with gaps filled: the calendar spine (generated
+  // from the observed min/max hour, NOT collected to the driver) left-
+  // joins the sparse per-hour counts and fills absent hours with 0 — the
+  // mandatory prep step before any fixed-lag computation (ACF, seasonal
+  // forecast, changepoint) whose lag arithmetic assumes a dense axis.
+  // Error events only: at both audit SFs they genuinely skip hours.
+  // Shape: the spine explodes from a broadcast 1-row bounds aggregate
+  // (|hours| rows — calendar-sized, never event-sized); one hash agg on
+  // the event side; one join keyed on the hour.
+  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type") === "error")
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+    val spine = hourly.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+    spine.join(hourly, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("hr"))
+  }
+
+  private val sqlGapfill: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+      |  GROUP BY 1
+      |), b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly),
+      |spine AS (
+      |  SELECT unnest(range(h0, h1 + 1)) AS hr FROM b
+      |)
+      |SELECT s.hr, COALESCE(h.n, 0) AS n_events
+      |FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+      |ORDER BY s.hr""".stripMargin
+
   // ------------------------------------------------- events_acf
   // Autocorrelation function of the daily event-count series at lags
   // 1..AcfMaxLag — the periodicity diagnostic (weekly cycle shows as a
@@ -4229,6 +4324,11 @@ object SparkEntry {
     "events_chi2"       -> qChi2 _,
     "events_cramer"     -> qCramer _,
     "events_kanon"      -> qKAnon _,
+    "events_drift"      -> qDrift _,
+    "events_gapfill"    -> qGapfill _,
+    "profile_histogram" -> ((s, d) =>
+      graft.operators.Profile.histogram(Tables.lineitem(s, d))),
+    "text_textrank"     -> ((s, d) => TextOps.textRank(docs(s, d))),
     "match_jw_pairs"    -> ((s, d) =>
       graft.operators.Match.jwPairs(Tables.part(s, d))),
     "match_best"        -> ((s, d) =>
@@ -4547,6 +4647,10 @@ object SparkEntry {
     // its oracle IS the from-scratch rollup
     "events_cramer"     -> sqlCramer,
     "events_kanon"      -> sqlKAnon,
+    "events_drift"      -> sqlDrift,
+    "events_gapfill"    -> sqlGapfill,
+    "profile_histogram" -> graft.operators.Profile.sqlHistogram,
+    "text_textrank"     -> TextOps.sqlTextRank(),
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,
     "match_best"        -> graft.operators.Match.sqlBestMatch,
     "match_blocking"    -> graft.operators.Match.sqlBlockingAudit,

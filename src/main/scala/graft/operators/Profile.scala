@@ -434,4 +434,46 @@ object Profile {
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  // ------------------------------------------------------ value histogram
+  /** Fixed-width value histogram over a fact column — the profiling
+    * readout behind partition-sizing and predicate-selectivity decisions.
+    * Width is a FIXED integer constant, not (max−min)/k: data-independent
+    * bucket edges make the histogram mergeable across days/shards (two
+    * runs' buckets align) and keep the bucket id an exact integer floor
+    * division — no double boundary whose rounding could split a hash
+    * across engines. Shape: ONE map-side bucket assignment + ONE hash
+    * aggregation; min/max per bucket are exact double comparisons, the
+    * sum goes through the exact-decimal detour.
+    */
+  val HistWidth = 5000L
+
+  def histogram(lineitem: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    lineitem.filter(col("l_extendedprice").isNotNull)
+      .select(expr(s"cast(floor(l_extendedprice) as bigint) div $HistWidth")
+        .as("bucket"), col("l_extendedprice").as("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"), Exact.xsum(col("v"), 2).as("sum_val"))
+      .withColumn("lo", col("bucket") * HistWidth)
+      .select(col("bucket"), col("lo"), col("n_rows"), col("min_val"),
+        col("max_val"), col("sum_val"))
+      .orderBy(col("bucket"))
+  }
+
+  def sqlHistogram: String = {
+    import graft.functions.Exact
+    s"""SELECT CAST(floor(l_extendedprice) AS BIGINT) // $HistWidth
+       |    AS bucket,
+       |  (CAST(floor(l_extendedprice) AS BIGINT) // $HistWidth)
+       |    * $HistWidth AS lo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(l_extendedprice) AS min_val,
+       |  MAX(l_extendedprice) AS max_val,
+       |  ${Exact.sqlSum("l_extendedprice", 2)} AS sum_val
+       |FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
 }

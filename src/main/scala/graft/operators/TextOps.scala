@@ -1581,4 +1581,113 @@ object TextOps {
        |SELECT CAST(rk AS BIGINT) AS rk, wa || ' ' || wb AS bigram,
        |  n_ab, lift
        |FROM ranked WHERE rk <= $CollocTopK ORDER BY rk""".stripMargin
+
+  // ------------------------------------------------------------- TextRank
+  /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
+    * Order into Text", EMNLP 2004): PageRank over the word-adjacency
+    * graph — vertices are corpus words, an undirected edge weighted by
+    * how often the two words appear adjacent, and the stationary score
+    * ranks keywords by how centrally the corpus wires them.
+    *
+    * Composition, not reimplementation: the adjacency stream reuses the
+    * codegen'd [[graft.functions.BigramPairs]] single-pass splitter (the
+    * text tier's bigram discipline) and the rounds mirror
+    * [[Graph.pagerankRounds]] exactly — per round ONE hash join + ONE
+    * exact-decimal aggregation, the weighted-walk contribution
+    * rank/wdeg·weight in fixed IEEE order, damping 0.85. The graph is
+    * VOCABULARY-sized (≪ corpus — the fixture has 31 words; real corpora
+    * plateau by Heaps' law), so after the one corpus-wide adjacency
+    * count every round runs on a frame the optimizer can broadcast.
+    * Determinism: weights and degrees are exact BIGINTs, incoming mass
+    * goes through the Exact.xsum decimal detour at scale 12, and the
+    * final ordering tie-breaks on the word.
+    */
+  val TrDamping = 0.85
+  val TrIters = 2
+  val TrTopK = 10
+
+  def textRank(docs: DataFrame, iters: Int = TrIters): DataFrame = {
+    import graft.functions.Exact
+    registerNative(docs)
+    val pairs = docs.filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextExprs.bigramPairs(col("text")))
+        .as("p"))
+      .select(col("p.prefix").as("a"), col("p.next_word").as("b"))
+      .filter(col("a") =!= col("b") && col("a") =!= lit("")
+        && col("b") =!= lit(""))
+    val edges = graft.operators.Iterate.pin(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("weight")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("weight")).as("wdeg"))
+      .select(col("src").as("id"), col("wdeg"))
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nn))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"),
+        col("wdeg"), col("n"))
+    for (_ <- 1 to iters) {
+      val incoming = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank") / col("wdeg") * col("weight")).as("c"))
+        .groupBy(col("dst"))
+        .agg(Exact.xsum(col("c"), 12).as("s"))
+      ranks = ranks.join(incoming, ranks("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - TrDamping) / col("n")
+            + lit(TrDamping) * coalesce(col("s"), lit(0.0))).as("rank"),
+          col("wdeg"), col("n"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rank").desc, col("id"))
+    ranks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TrTopK)
+      .select(col("rk"), col("id").as("word"), col("rank"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlTextRank(iters: Int = TrIters): String = {
+    import graft.functions.Exact
+    val oneMinusD = s"CAST(${1.0 - TrDamping} AS DOUBLE)"
+    val dD = s"CAST($TrDamping AS DOUBLE)"
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT e.dst, ${Exact.sqlSum("r.rank / r.wdeg * e.weight", 12)}
+         |    AS s
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.id GROUP BY e.dst
+         |), r$k AS (
+         |  SELECT r.id, $oneMinusD / r.n
+         |      + $dD * COALESCE(s$k.s, CAST(0 AS DOUBLE)) AS rank,
+         |    r.wdeg, r.n
+         |  FROM r${k - 1} r LEFT JOIN s$k ON r.id = s$k.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL
+       |), sidx AS (
+       |  SELECT w, unnest(range(1, len(w))) AS i FROM toks
+       |), pairs AS (
+       |  SELECT w[i] AS a, w[i + 1] AS b FROM sidx
+       |  WHERE w[i] <> w[i + 1] AND w[i] <> '' AND w[i + 1] <> ''
+       |), und AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b, a FROM pairs
+       |), edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight
+       |  FROM und GROUP BY 1, 2
+       |), deg AS (
+       |  SELECT src AS id, CAST(SUM(weight) AS BIGINT) AS wdeg
+       |  FROM edges GROUP BY 1
+       |), nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT id, CAST(1 AS DOUBLE) / n AS rank, wdeg, n FROM deg, nn
+       |),
+       |$rounds
+       |SELECT rk, id AS word, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, id) AS rk
+       |  FROM r$iters
+       |) WHERE rk <= $TrTopK ORDER BY rk""".stripMargin
+  }
 }
