@@ -3260,6 +3260,205 @@ object SparkEntry {
       |FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
       |ORDER BY s.hr""".stripMargin
 
+  // ------------------------------------------------- events_cuped
+  // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
+  // "Improving the Sensitivity of Online Controlled Experiments by
+  // Utilizing Pre-Experiment Data", WSDM 2013): the post-period revenue
+  // metric is adjusted by each user's PRE-period revenue — the covariate
+  // that soaks up between-user variance the treatment can't explain —
+  // shrinking the confidence interval by 1−ρ² without touching the
+  // point-estimate's validity. θ is the pooled OLS slope cov(x,y)/var(x).
+  // Shape: ONE user-keyed aggregate builds (variant, x, y) — pre/post
+  // split rides as a CASE on the day index against a broadcast min-day
+  // row — then ONE global conditional-sum aggregate produces every
+  // moment; θ, lifts and the variance-reduction factor are a fixed
+  // closed-form double expression over exact inputs. Per-user sums are
+  // cents-exact through the decimal detour; the product/square moments
+  // are exact at scale 4 (per-user totals ≪ 3·10⁵, so x·y·10⁴ < 2⁵³);
+  // every engine then runs the identical IEEE expression tree.
+  private val CupedPreDays = 15L
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    val mn = ev.agg(min(col("d")).as("d0"))
+    val u = ev.crossJoin(broadcast(mn))
+      .withColumn("pre", col("d") - col("d0") < CupedPreDays)
+      .groupBy(col("user_id"))
+      .agg(
+        Exact.xsum(when(col("pre") && col("event_type") === "purchase",
+          col("value")).otherwise(lit(0.0)), 2).as("x"),
+        Exact.xsum(when(!col("pre") && col("event_type") === "purchase",
+          col("value")).otherwise(lit(0.0)), 2).as("y"))
+      .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+    val m = u.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_t"),
+      Exact.xsum(when(col("variant") === 0, col("x"))
+        .otherwise(lit(0.0)), 2).as("sx_c"),
+      Exact.xsum(when(col("variant") === 1, col("x"))
+        .otherwise(lit(0.0)), 2).as("sx_t"),
+      Exact.xsum(when(col("variant") === 0, col("y"))
+        .otherwise(lit(0.0)), 2).as("sy_c"),
+      Exact.xsum(when(col("variant") === 1, col("y"))
+        .otherwise(lit(0.0)), 2).as("sy_t"),
+      Exact.xsum(col("x") * col("y"), 4).as("sxy"),
+      Exact.xsum(col("x") * col("x"), 4).as("sxx"),
+      Exact.xsum(col("y") * col("y"), 4).as("syy"))
+    val n = (col("n_c") + col("n_t")).cast("double")
+    val sx = col("sx_c") + col("sx_t")
+    val sy = col("sy_c") + col("sy_t")
+    val covN = n * col("sxy") - sx * sy
+    val varxN = n * col("sxx") - sx * sx
+    val varyN = n * col("syy") - sy * sy
+    val theta = covN / varxN
+    val liftRaw = col("sy_t") / col("n_t").cast("double") -
+      col("sy_c") / col("n_c").cast("double")
+    val liftCuped = liftRaw - theta *
+      (col("sx_t") / col("n_t").cast("double") -
+        col("sx_c") / col("n_c").cast("double"))
+    m.select(col("n_c"), col("n_t"), theta.as("theta"),
+      liftRaw.as("lift_raw"), liftCuped.as("lift_cuped"),
+      ((covN * covN) / (varxN * varyN)).as("var_reduction"))
+  }
+
+  private val sqlCuped: String = {
+    import graft.functions.Exact
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), mn AS (SELECT MIN(d) AS d0 FROM ev),
+       |u AS (
+       |  SELECT user_id % 2 AS variant,
+       |    ${Exact.sqlSum(
+      s"CASE WHEN d - d0 < $CupedPreDays AND event_type = 'purchase' " +
+        "THEN value ELSE 0 END", 2)} AS x,
+       |    ${Exact.sqlSum(
+      s"CASE WHEN d - d0 >= $CupedPreDays AND event_type = 'purchase' " +
+        "THEN value ELSE 0 END", 2)} AS y
+       |  FROM ev, mn GROUP BY user_id
+       |), m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t,
+       |    ${Exact.sqlSum("CASE WHEN variant = 0 THEN x ELSE 0 END", 2)}
+       |      AS sx_c,
+       |    ${Exact.sqlSum("CASE WHEN variant = 1 THEN x ELSE 0 END", 2)}
+       |      AS sx_t,
+       |    ${Exact.sqlSum("CASE WHEN variant = 0 THEN y ELSE 0 END", 2)}
+       |      AS sy_c,
+       |    ${Exact.sqlSum("CASE WHEN variant = 1 THEN y ELSE 0 END", 2)}
+       |      AS sy_t,
+       |    ${Exact.sqlSum("x * y", 4)} AS sxy,
+       |    ${Exact.sqlSum("x * x", 4)} AS sxx,
+       |    ${Exact.sqlSum("y * y", 4)} AS syy
+       |  FROM u
+       |)
+       |SELECT n_c, n_t,
+       |  (CAST(n_c + n_t AS DOUBLE) * sxy - (sx_c + sx_t) * (sy_c + sy_t))
+       |    / (CAST(n_c + n_t AS DOUBLE) * sxx - (sx_c + sx_t) * (sx_c + sx_t))
+       |    AS theta,
+       |  sy_t / CAST(n_t AS DOUBLE) - sy_c / CAST(n_c AS DOUBLE) AS lift_raw,
+       |  (sy_t / CAST(n_t AS DOUBLE) - sy_c / CAST(n_c AS DOUBLE))
+       |    - ((CAST(n_c + n_t AS DOUBLE) * sxy
+       |          - (sx_c + sx_t) * (sy_c + sy_t))
+       |        / (CAST(n_c + n_t AS DOUBLE) * sxx
+       |          - (sx_c + sx_t) * (sx_c + sx_t)))
+       |      * (sx_t / CAST(n_t AS DOUBLE) - sx_c / CAST(n_c AS DOUBLE))
+       |    AS lift_cuped,
+       |  ((CAST(n_c + n_t AS DOUBLE) * sxy - (sx_c + sx_t) * (sy_c + sy_t))
+       |    * (CAST(n_c + n_t AS DOUBLE) * sxy - (sx_c + sx_t) * (sy_c + sy_t)))
+       |  / ((CAST(n_c + n_t AS DOUBLE) * sxx - (sx_c + sx_t) * (sx_c + sx_t))
+       |    * (CAST(n_c + n_t AS DOUBLE) * syy - (sy_c + sy_t) * (sy_c + sy_t)))
+       |    AS var_reduction
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------- events_forecast_interval
+  // Seasonal-naive forecast with an EMPIRICAL prediction interval: the
+  // point forecast for each of the next 7 days is the count 7 days back
+  // (events_forecast_naive's model), and the band around it is the
+  // 10th/90th percentile of the model's OWN in-sample residuals — the
+  // distribution-free conformal-style band every forecast dashboard
+  // draws. Shape: one |days|-row dense daily series (zero-filled from a
+  // broadcast bounds row), residuals via one self-join on d−7, the two
+  // percentile picks via row_number over the |days|-row residual frame
+  // (type-1 / discontinuous — pure integer arithmetic, no interpolated
+  // doubles), and the 7 future rows explode from the bounds row. All
+  // integers end to end — bit-identical cross-engine by construction.
+  private val FiLag = 7
+  private val FiHorizon = 7
+  private def qForecastInterval(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val dense = graft.operators.Iterate.pin(
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n")))
+    val resid = dense.as("a")
+      .join(dense.as("b"), col("a.d") === col("b.d") + FiLag)
+      .select((col("a.n") - col("b.n")).as("r"))
+    val nres = resid.agg(count(lit(1)).as("nr"))
+    val ranked = resid.crossJoin(broadcast(nres))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("r"))))
+    val qs = ranked.agg(
+      max(when(col("rk") === floor(lit(0.1) * (col("nr") - 1)) + 1,
+        col("r"))).as("q10"),
+      max(when(col("rk") === floor(lit(0.9) * (col("nr") - 1)) + 1,
+        col("r"))).as("q90"))
+    val future = bounds
+      .select(col("d1"), explode(sequence(col("d1") + 1,
+        col("d1") + FiHorizon)).as("d"))
+    future.join(dense.select((col("d") + FiLag).as("d"),
+        col("n").as("point")), Seq("d"))
+      .crossJoin(broadcast(qs))
+      .select(col("d"), col("point"),
+        greatest(col("point") + col("q10"), lit(0L)).as("lo"),
+        (col("point") + col("q90")).as("hi"))
+      .orderBy(col("d"))
+  }
+
+  private val sqlForecastInterval: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+       |dense AS (
+       |  SELECT s.d, COALESCE(daily.n, 0) AS n
+       |  FROM spine s LEFT JOIN daily ON s.d = daily.d
+       |), resid AS (
+       |  SELECT a.n - bb.n AS r
+       |  FROM dense a JOIN dense bb ON a.d = bb.d + $FiLag
+       |), nres AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM resid),
+       |ranked AS (
+       |  SELECT r, nr, ROW_NUMBER() OVER (ORDER BY r) AS rk
+       |  FROM resid, nres
+       |), qs AS (
+       |  SELECT
+       |    MAX(CASE WHEN rk = CAST(floor(0.1 * (nr - 1)) AS BIGINT) + 1
+       |      THEN r END) AS q10,
+       |    MAX(CASE WHEN rk = CAST(floor(0.9 * (nr - 1)) AS BIGINT) + 1
+       |      THEN r END) AS q90
+       |  FROM ranked
+       |), future AS (
+       |  SELECT unnest(range(d1 + 1, d1 + ${FiHorizon + 1})) AS d FROM b
+       |)
+       |SELECT f.d, dn.n AS point,
+       |  GREATEST(dn.n + qs.q10, 0) AS lo,
+       |  dn.n + qs.q90 AS hi
+       |FROM future f JOIN dense dn ON f.d = dn.d + $FiLag, qs
+       |ORDER BY f.d""".stripMargin
+
   // ------------------------------------------------- events_acf
   // Autocorrelation function of the daily event-count series at lags
   // 1..AcfMaxLag — the periodicity diagnostic (weekly cycle shows as a
@@ -4329,6 +4528,10 @@ object SparkEntry {
     "profile_histogram" -> ((s, d) =>
       graft.operators.Profile.histogram(Tables.lineitem(s, d))),
     "text_textrank"     -> ((s, d) => TextOps.textRank(docs(s, d))),
+    "events_cuped"      -> qCuped _,
+    "events_forecast_interval" -> qForecastInterval _,
+    "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
+    "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),
     "match_jw_pairs"    -> ((s, d) =>
       graft.operators.Match.jwPairs(Tables.part(s, d))),
     "match_best"        -> ((s, d) =>
@@ -4651,6 +4854,10 @@ object SparkEntry {
     "events_gapfill"    -> sqlGapfill,
     "profile_histogram" -> graft.operators.Profile.sqlHistogram,
     "text_textrank"     -> TextOps.sqlTextRank(),
+    "events_cuped"      -> sqlCuped,
+    "events_forecast_interval" -> sqlForecastInterval,
+    "sim_mrr"           -> Similarity.sqlMrr,
+    "sim_triplet_audit" -> Similarity.sqlTripletAudit,
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,
     "match_best"        -> graft.operators.Match.sqlBestMatch,
     "match_blocking"    -> graft.operators.Match.sqlBlockingAudit,

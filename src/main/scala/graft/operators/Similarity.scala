@@ -2765,4 +2765,144 @@ object Similarity {
        |SELECT query_id, rk, cand_id, ROUND(ip, 6) AS ip
        |FROM ranked WHERE rk <= $MipsTopK
        |ORDER BY query_id, rk""".stripMargin
+
+  // -------------------------------------------------- MRR retrieval eval
+  /** Mean-reciprocal-rank evaluation of the two ANN routes against the
+    * exact ranking (Voorhees, "The TREC-8 Question Answering Track
+    * Report", TREC 1999 popularized MRR as the single-relevant-answer
+    * retrieval metric): ground truth per query is the exact cosine
+    * top-1 ([[bruteTopK]] rk=1); each route's score is the reciprocal
+    * of the rank at which it surfaces that truth (0 when the truth is
+    * outside the route's top-[[AnnTopK]]). Complements `sim_recall`
+    * (set overlap, position-blind) with a position-sensitive readout —
+    * the metric that catches a route that finds the neighbor but ranks
+    * it last.
+    *
+    * Scale shape: the truth frame is |Q| rows (pinned once — both route
+    * branches read the same 5-row frame, not two brute-force passes);
+    * each route join is |Q|·k vs |Q| on the query key. The only corpus
+    * work is producing the three rankings themselves, each already a
+    * bucketed/bounded oracled operator. The reciprocal is one IEEE
+    * division of exact small integers — bit-stable cross-engine.
+    */
+  def mrr(emb: DataFrame): DataFrame = {
+    val truth = Iterate.pin(bruteTopK(emb).filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id").as("truth_id")))
+    def route(name: String, app: DataFrame): DataFrame = {
+      val a = app.select(col("query_id").as("aq"), col("cand_id"),
+        col("rk").cast("long").as("ark"))
+      truth.join(a, truth("query_id") === col("aq") &&
+          col("truth_id") === col("cand_id"), "left")
+        .select(lit(name).as("route"), col("query_id"), col("truth_id"),
+          coalesce(col("ark"), lit(0L)).as("rank_of_truth"),
+          coalesce(lit(1.0) / col("ark").cast("double"), lit(0.0)).as("rr"))
+    }
+    route("ivf", ivfTopK(emb)).unionByName(route("lsh", annTopK(emb)))
+      .orderBy(col("route"), col("query_id"))
+  }
+
+  def sqlMrr: String =
+    s"""WITH ex AS (
+       |  ${sqlBruteTopK.linesIterator.mkString("\n  ")}
+       |), truth AS (
+       |  SELECT query_id, cand_id AS truth_id FROM ex WHERE rk = 1
+       |), ivf_r AS (
+       |  ${sqlIvfTopK.linesIterator.mkString("\n  ")}
+       |), lsh_r AS (
+       |  ${sqlAnnTopK.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT route, query_id, truth_id, rank_of_truth, rr FROM (
+       |  SELECT 'ivf' AS route, t.query_id, t.truth_id,
+       |    CAST(COALESCE(a.rk, 0) AS BIGINT) AS rank_of_truth,
+       |    COALESCE(CAST(1 AS DOUBLE) / a.rk, CAST(0 AS DOUBLE)) AS rr
+       |  FROM truth t LEFT JOIN ivf_r a
+       |    ON t.query_id = a.query_id AND t.truth_id = a.cand_id
+       |  UNION ALL
+       |  SELECT 'lsh' AS route, t.query_id, t.truth_id,
+       |    CAST(COALESCE(a.rk, 0) AS BIGINT) AS rank_of_truth,
+       |    COALESCE(CAST(1 AS DOUBLE) / a.rk, CAST(0 AS DOUBLE)) AS rr
+       |  FROM truth t LEFT JOIN lsh_r a
+       |    ON t.query_id = a.query_id AND t.truth_id = a.cand_id
+       |) ORDER BY route, query_id""".stripMargin
+
+  // ------------------------------------------------- triplet margin audit
+  /** Triplet-margin audit of the embedding space (the evaluation half of
+    * triplet-loss training, Schroff et al., "FaceNet: A Unified Embedding
+    * for Face Recognition and Clustering", CVPR 2015 §3.1): for every
+    * anchor, the nearest SAME-label neighbor (positive) and the nearest
+    * DIFFERENT-label neighbor (the hardest negative), and whether the pair
+    * violates the margin — cos(a,pos) < cos(a,neg) + [[TripletMargin]].
+    * The violation rate is the curriculum signal for triplet mining: a
+    * space with many violations needs more hard-negative epochs
+    * ([[hardNegatives]] produces exactly those rows).
+    *
+    * Scale shape: ONE LSH-bucketed self-join scores both sides — the
+    * same-/different-label split is a flag on the scored pair, and the
+    * two per-anchor argmaxes run in ONE rank window keyed on
+    * (anchor, is_pos), so positives and negatives never touch separate
+    * scans. The final frame is ≤ 2 rows per anchor collapsing to one —
+    * candidate-bounded, never all-pairs.
+    */
+  val TripletMargin = 0.1
+
+  def tripletAudit(emb: DataFrame): DataFrame = {
+    val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
+      col("label"), col("embedding"), col("norm"),
+      lshBucket(col("embedding")).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("anchor_id"),
+      col("label").as("al"), col("embedding").as("av"),
+      col("norm").as("an"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("other_id"),
+      col("label").as("bl"), col("embedding").as("bv"),
+      col("norm").as("bn"), col("bucket"))
+    val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("other_id"))
+    val top = a.join(b, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("other_id"))
+      .withColumn("cos", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("is_pos", col("al") === col("bl"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    top.groupBy(col("anchor_id"))
+      .agg(max(when(col("is_pos"), col("other_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cos"))).as("pos_cos"),
+        max(when(!col("is_pos"), col("other_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("cos"))).as("neg_cos"))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos") < lit(TripletMargin))
+          .as("violation"))
+      .orderBy(col("anchor_id"))
+  }
+
+  def sqlTripletAudit: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS anchor_id, c.vec_id AS other_id,
+       |    (q.label = c.label) AS is_pos,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), top AS (
+       |  SELECT anchor_id, other_id, is_pos, cos FROM (
+       |    SELECT anchor_id, other_id, is_pos, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+       |                         ORDER BY cos DESC, other_id) AS rk
+       |    FROM scored
+       |  ) WHERE rk = 1
+       |), agg AS (
+       |  SELECT anchor_id,
+       |    MAX(CASE WHEN is_pos THEN other_id END) AS pos_id,
+       |    MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
+       |    MAX(CASE WHEN NOT is_pos THEN other_id END) AS neg_id,
+       |    MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
+       |  FROM top GROUP BY anchor_id
+       |)
+       |SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+       |  (pos_cos - neg_cos < CAST($TripletMargin AS DOUBLE)) AS violation
+       |FROM agg WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+       |ORDER BY anchor_id""".stripMargin
 }
