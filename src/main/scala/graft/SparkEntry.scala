@@ -679,6 +679,33 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  // --------------------------------------------- q53_asof_phys_nearest
+  // The custom physical as-of operator's NEAREST route: q44's exact
+  // frames and oracle through the streamed merge. Nearest reuses the
+  // backward route's O(1) buffered state for the ≤-side candidate and
+  // reads the >-side candidate off the right head the merge stopped on
+  // (unconsumed, like the forward route) — both directions in ONE pass
+  // with no extra state; distance ties go backward. matched_dir is a
+  // post-hoc projection (matched_time ≤ ts), not operator state.
+  private def qAsOfPhysNearest(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_totalprice"))
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.plans.AsOfJoinPhys.asOf(l, r, Seq("k"), "ts", "rt", Seq("v"),
+        nearest = true)
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        when(col("matched_time") <= col("ts"), lit("backward"))
+          .otherwise(lit("forward")).as("matched_dir"),
+        col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------- q31_range_join
   // Bucketized point-in-interval join (operators.RangeJoin). Ranges are
   // synthesized deterministically from orders (shifted into the events'
@@ -4176,6 +4203,7 @@ object SparkEntry {
     "q50_asof_phys"     -> qAsOfPhys _,
     "q51_asof_phys_tol" -> qAsOfPhysTol _,
     "q52_asof_phys_fwd" -> qAsOfPhysFwd _,
+    "q53_asof_phys_nearest" -> qAsOfPhysNearest _,
     "q39_asof_forward"  -> qAsOfForward _,
     "q21_array_agg"     -> qArrayAgg _,
     "q22_string_funcs"  -> qStringFuncs _,
@@ -4616,6 +4644,7 @@ object SparkEntry {
     // the physical tolerance route answers the SAME SQL as the composed
     // q45 — one oracle, two execution strategies
     "q51_asof_phys_tol" -> sqlAsOfTolerance,
+    "q53_asof_phys_nearest" -> sqlAsOfNearest,
     // the physical forward route answers q39's SQL — one oracle, two
     // execution strategies, mirroring the backward q50/q20 pairing
     "q52_asof_phys_fwd" -> sqlAsOfForward,

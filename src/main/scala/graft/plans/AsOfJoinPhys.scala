@@ -54,7 +54,8 @@ object AsOfJoinPhys {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
-      tolerance: Option[Long] = None, forward: Boolean = false)
+      tolerance: Option[Long] = None, forward: Boolean = false,
+      nearest: Boolean = false)
     extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
     // matchedAttrs ride in `expressions` (constructor params), so without
@@ -71,7 +72,7 @@ object AsOfJoinPhys {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case n: AsOfJoinNode =>
         AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-          n.valueAttrs, n.matchedAttrs, n.tolerance, n.forward,
+          n.valueAttrs, n.matchedAttrs, n.tolerance, n.forward, n.nearest,
           planLater(n.left), planLater(n.right)) :: Nil
       case _ => Nil
     }
@@ -81,7 +82,7 @@ object AsOfJoinPhys {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
-      tolerance: Option[Long], forward: Boolean,
+      tolerance: Option[Long], forward: Boolean, nearest: Boolean,
       left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
@@ -193,6 +194,69 @@ object AsOfJoinPhys {
             nextRow = null
             r
           }
+        } else if (nearest) new Iterator[InternalRow] {
+          // NEAREST merge: the backward route's O(1) buffered state gives
+          // the latest rt ≤ lt candidate; the forward candidate is simply
+          // the right head the advance loop stopped on (first rt > lt on
+          // the key) — matched without consuming it, exactly like the
+          // forward route. Equal-time rows are consumed into the backward
+          // state at distance 0, and the distance tie prefers backward —
+          // the composed asOfNearest's contract.
+          private var cur: InternalRow = _
+          private var curKey: InternalRow = _
+          private var curRt: Long = _
+          private var nextRow: InternalRow = _
+
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && li.hasNext) {
+              val l = li.next()
+              val ltsAny = lTs.eval(l)
+              if (ltsAny != null) {
+                val lts = ltsAny.asInstanceOf[Long]
+                val lk = lKeyProj(l)
+                var done = false
+                var fwdOk = false
+                var fwdRt = 0L
+                while (!done && rBuf.hasNext) {
+                  val rk = rKeyProj(rBuf.head)
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0) { rBuf.next(); cur = null; curKey = null }
+                  else if (c > 0) done = true
+                  else {
+                    val rtAny = rTs.eval(rBuf.head)
+                    if (rtAny == null) rBuf.next() // NULL right time: skip
+                    else if (rtAny.asInstanceOf[Long] <= lts) {
+                      cur = rBuf.next().copy()
+                      curKey = rk.copy()
+                      curRt = rtAny.asInstanceOf[Long]
+                    } else {
+                      done = true; fwdOk = true
+                      fwdRt = rtAny.asInstanceOf[Long]
+                    }
+                  }
+                }
+                val bwdOk = cur != null && curKey != null &&
+                  keyOrd.compare(curKey, lk) == 0
+                if (bwdOk && (!fwdOk || lts - curRt <= fwdRt - lts)) {
+                  nextRow = resultProj(joined(l, cur))
+                } else if (fwdOk) {
+                  nextRow = resultProj(joined(l, rBuf.head))
+                }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (nextRow == null) advance()
+            nextRow != null
+          }
+          override def next(): InternalRow = {
+            if (nextRow == null) advance()
+            val r = nextRow
+            nextRow = null
+            r
+          }
         } else new Iterator[InternalRow] {
           // the O(1) merge state: latest qualifying right row (copied —
           // the child iterator reuses its UnsafeRow) and its key/time
@@ -283,7 +347,12 @@ object AsOfJoinPhys {
     * zero extra passes. With `forward = true`, the direction flips to
     * [[graft.operators.AsOfJoin.asOfForward]]'s contract (earliest
     * `rightTime >= leftTime`; tolerance bounds `rightTime − leftTime`)
-    * and the merge carries NO buffered row at all. Time
+    * and the merge carries NO buffered row at all. With `nearest = true`,
+    * the contract is [[graft.operators.AsOfJoin.asOfNearest]]'s: closest
+    * right row in EITHER direction, distance ties to the backward match;
+    * the merge reuses the backward route's buffered state and reads the
+    * forward candidate off the right head it stopped on — still O(1)
+    * state, one pass, no tolerance or forward combination. Time
     * columns must be timestamp-typed (cast upstream, exactly like the
     * composed form does internally), and each key pair must share one
     * data type — the merge compares keys with the natural UnsafeRow
@@ -303,7 +372,11 @@ object AsOfJoinPhys {
       leftTime: String, rightTime: String,
       valueCols: Seq[String],
       toleranceMicros: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
+    require(!(nearest && (forward || toleranceMicros.isDefined)),
+      "nearest is its own direction: combine with neither forward nor " +
+        "tolerance (the composed asOfNearest defines no bounded variant)")
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -329,6 +402,6 @@ object AsOfJoinPhys {
         values.map(v => AttributeReference(v.name, v.dataType)())
     org.apache.spark.sql.graft.Shim.ofRows(spark,
       AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, values, matched,
-        toleranceMicros, forward))
+        toleranceMicros, forward, nearest))
   }
 }

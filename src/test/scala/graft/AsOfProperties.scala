@@ -289,6 +289,44 @@ class AsOfProperties extends SparkSuite {
     }
   }
 
+  test("property: physical NEAREST as-of equals the brute-force reference") {
+    // same reference as the composed asOfNearest — the merge's one-pass
+    // both-direction pick (buffered backward state + unconsumed right
+    // head as the forward candidate) must agree on NULL times, distance
+    // ties (→ backward), duplicate instants, and one-sided keys
+    for (seed <- 181L to 192L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val got = graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"), nearest = true)
+        .select(col("k"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toList.sorted
+      assert(got == bruteNearest(ls, rs), s"seed=$seed left=$ls right=$rs")
+    }
+  }
+
+  test("physical as-of rejects nearest combined with forward or tolerance") {
+    val ldf = List((1, Some(1), 7)).toDF("k", "lt_s", "pay")
+      .withColumn("lt", col("lt_s").cast("timestamp"))
+    val rdf = List((1, Some(1), 3)).toDF("k", "rt_s", "v")
+      .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPhys.asOf(ldf, rdf, Seq("k"), "lt", "rt",
+        Seq("v"), nearest = true, forward = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPhys.asOf(ldf, rdf, Seq("k"), "lt", "rt",
+        Seq("v"), nearest = true, toleranceMicros = Some(1L))
+    }
+  }
+
   test("property: tolerance as-of = backward reference filtered by distance") {
     val TolSec = 4
     for (seed <- 81L to 92L) {
