@@ -3486,6 +3486,134 @@ object SparkEntry {
        |FROM future f JOIN dense dn ON f.d = dn.d + $FiLag, qs
        |ORDER BY f.d""".stripMargin
 
+  // -------------------------------------------- events_markov_stationary
+  // Stationary distribution of the first-order behavior chain
+  // (events_transitions' matrix): π·P power iteration from uniform — the
+  // long-run share of time a user's next-event process spends in each
+  // state, the summary number behind "what does steady-state engagement
+  // look like". Shape: the transition frame is |types|²-bounded (≤ 25
+  // rows), so after the ONE corpus-wide lead-window pass every round is
+  // a tiny broadcastable join + one exact-decimal aggregate — the
+  // pagerank round discipline on a micro frame. p = n/n_from divides
+  // exact BIGINTs; each round's mass sums through the scale-12 decimal
+  // detour in engine-independent order.
+  private val MsIters = 3
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = t.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    val trans = graft.operators.Iterate.pin(
+      t.join(broadcast(fromTotals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p")))
+    val states = trans.select(col("from_type").as("state")).distinct()
+    val nn = states.agg(count(lit(1)).as("n"))
+    var pi = states.crossJoin(broadcast(nn))
+      .select(col("state"), (lit(1.0) / col("n")).as("pi"))
+    for (_ <- 1 to MsIters) {
+      pi = trans.join(pi, trans("from_type") === pi("state"))
+        .groupBy(col("to_type"))
+        .agg(Exact.xsum(col("pi") * col("p"), 12).as("pi2"))
+        .select(col("to_type").as("state"), col("pi2").as("pi"))
+    }
+    pi.orderBy(col("state"))
+  }
+
+  private val sqlMarkovStationary: String = {
+    import graft.functions.Exact
+    val rounds = (1 to MsIters).map { k =>
+      s"""p$k AS (
+         |  SELECT tr.to_type AS state,
+         |    ${Exact.sqlSum("r.pi * tr.p", 12)} AS pi
+         |  FROM trans tr JOIN p${k - 1} r ON tr.from_type = r.state
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+       |  FROM events WHERE ts IS NOT NULL
+       |), t AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), ft AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+       |  FROM t GROUP BY from_type
+       |), trans AS (
+       |  SELECT t.from_type, t.to_type,
+       |    CAST(t.n AS DOUBLE) / CAST(ft.n_from AS DOUBLE) AS p
+       |  FROM t JOIN ft USING (from_type)
+       |), states AS (SELECT DISTINCT from_type AS state FROM trans),
+       |nn AS (SELECT COUNT(*) AS n FROM states),
+       |p0 AS (SELECT state, CAST(1 AS DOUBLE) / n AS pi FROM states, nn),
+       |$rounds
+       |SELECT state, pi FROM p$MsIters ORDER BY state""".stripMargin
+  }
+
+  // ------------------------------------------------- scd_overlap_audit
+  // Temporal-table consistency audit: per key, how many version intervals
+  // OVERLAP their predecessor, how many leave a GAP, and the total
+  // overlapped duration — the data-quality gate run on any externally
+  // produced interval table before as-of queries can be trusted
+  // (Changelog.intervals is overlap-free by construction; real ingested
+  // history tables are not). The fixture intervals are synthesized from
+  // orders with deterministic per-row durations so both defect classes
+  // genuinely occur. Shape: ONE keyed lag window + ONE aggregate — the
+  // single-exchange discipline of the changelog family; all arithmetic
+  // is epoch-microsecond BIGINTs (no timestamp rounding to diverge).
+  private def qScdOverlapAudit(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(s, dir).select(
+      (col("o_custkey") % 50).as("k"),
+      col("o_orderkey").as("id"),
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("vf"))
+      .withColumn("vt",
+        col("vf") + (col("id") % 20 + 1) * lit(86400000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("vf"), col("id"))
+    iv.withColumn("pvt", lag(col("vt"), 1).over(w))
+      .withColumn("ov_days", when(col("pvt") > col("vf"),
+        expr("(pvt - vf) div 86400000000")).otherwise(lit(0L)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("pvt") > col("vf"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("pvt") < col("vf"), 1L).otherwise(0L)).as("n_gaps"),
+        sum(col("ov_days")).as("overlap_days"))
+      .orderBy(col("k"))
+  }
+
+  private val sqlScdOverlapAudit: String =
+    """WITH iv AS (
+      |  SELECT o_custkey % 50 AS k, o_orderkey AS id,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS vf,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP))
+      |      + (o_orderkey % 20 + 1) * 86400000000 AS vt
+      |  FROM orders
+      |), lagged AS (
+      |  SELECT k, vf, vt,
+      |    LAG(vt) OVER (PARTITION BY k ORDER BY vf, id) AS pvt
+      |  FROM iv
+      |)
+      |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(CASE WHEN pvt > vf THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overlaps,
+      |  CAST(SUM(CASE WHEN pvt < vf THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_gaps,
+      |  CAST(SUM(CASE WHEN pvt > vf THEN (pvt - vf) // 86400000000
+      |    ELSE 0 END) AS BIGINT) AS overlap_days
+      |FROM lagged GROUP BY k ORDER BY k""".stripMargin
+
   // ------------------------------------------------- events_acf
   // Autocorrelation function of the daily event-count series at lags
   // 1..AcfMaxLag — the periodicity diagnostic (weekly cycle shows as a
@@ -4558,6 +4686,8 @@ object SparkEntry {
     "text_textrank"     -> ((s, d) => TextOps.textRank(docs(s, d))),
     "events_cuped"      -> qCuped _,
     "events_forecast_interval" -> qForecastInterval _,
+    "events_markov_stationary" -> qMarkovStationary _,
+    "scd_overlap_audit" -> qScdOverlapAudit _,
     "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
     "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),
     "match_jw_pairs"    -> ((s, d) =>
@@ -4885,6 +5015,8 @@ object SparkEntry {
     "text_textrank"     -> TextOps.sqlTextRank(),
     "events_cuped"      -> sqlCuped,
     "events_forecast_interval" -> sqlForecastInterval,
+    "events_markov_stationary" -> sqlMarkovStationary,
+    "scd_overlap_audit" -> sqlScdOverlapAudit,
     "sim_mrr"           -> Similarity.sqlMrr,
     "sim_triplet_audit" -> Similarity.sqlTripletAudit,
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,
