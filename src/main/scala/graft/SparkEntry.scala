@@ -3614,6 +3614,68 @@ object SparkEntry {
       |    ELSE 0 END) AS BIGINT) AS overlap_days
       |FROM lagged GROUP BY k ORDER BY k""".stripMargin
 
+  // ------------------------------------------------- events_burstiness
+  // Burstiness index of each event type's arrival process (Goh &
+  // Barabási, "Burstiness and memory in complex systems", EPL 2008):
+  // B = (σ−μ)/(σ+μ) over the inter-arrival gaps — −1 for a metronome,
+  // 0 for Poisson, →1 for heavy bursts. The number that says whether
+  // `error` arrivals cluster (incident-driven) or drip (background
+  // noise), read before alert-threshold tuning. Shape: ONE type-keyed
+  // lag window + ONE aggregate; gaps are exact BIGINT micros, g² is
+  // squared and summed in DECIMAL(38,0) (multi-hour gaps overflow an
+  // INT64 square — both engines raise, so the detour is mandatory,
+  // not defensive), and σ/B are a fixed
+  // closed-form double expression — single rounding per engine, same
+  // everywhere.
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("t"), col("event_id"))
+    val g = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val m = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(col("g").cast("decimal(19,0)") * col("g").cast("decimal(19,0)"))
+          .cast("double").as("sgg"))
+    val n = col("n_gaps").cast("double")
+    val mean = col("sg").cast("double") / n
+    val sigma = sqrt(col("sgg") / n - mean * mean)
+    m.select(col("event_type"), col("n_gaps"),
+      mean.as("mean_gap_us"),
+      ((sigma - mean) / (sigma + mean)).as("b_index"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlBurstiness: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |          PARTITION BY event_type
+      |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gp
+      |  FROM events WHERE ts IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gp) AS BIGINT) AS sg,
+      |    CAST(SUM(CAST(gp AS DECIMAL(19,0)) * CAST(gp AS DECIMAL(19,0)))
+      |      AS DOUBLE) AS sgg
+      |  FROM g WHERE gp IS NOT NULL GROUP BY event_type
+      |)
+      |SELECT event_type, n_gaps,
+      |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+      |  (sqrt(sgg / CAST(n_gaps AS DOUBLE)
+      |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+      |    - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |  / (sqrt(sgg / CAST(n_gaps AS DOUBLE)
+      |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+      |    + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS b_index
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- events_acf
   // Autocorrelation function of the daily event-count series at lags
   // 1..AcfMaxLag — the periodicity diagnostic (weekly cycle shows as a
@@ -4575,6 +4637,18 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         Some(graft.operators.Graph.coPartDegreesCached(
           Tables.lineitem(s, d), d)))),
+    "graph_truss"       -> ((s, d) =>
+      graft.operators.Graph.trussProfile(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        scoredPre = Some(graft.operators.Graph.coPartCommonCached(
+          Tables.lineitem(s, d), d)))),
+    "graph_richclub"    -> ((s, d) =>
+      graft.operators.Graph.richClub(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        scoredPre = Some(graft.operators.Graph.coPartCommonCached(
+          Tables.lineitem(s, d), d)),
+        degPre = Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "q40_gap_fill"      -> qGapFill _,
     "q42_ohlc"          -> qOhlc _,
     "q43_retention"     -> qRetention _,
@@ -4688,6 +4762,7 @@ object SparkEntry {
     "events_forecast_interval" -> qForecastInterval _,
     "events_markov_stationary" -> qMarkovStationary _,
     "scd_overlap_audit" -> qScdOverlapAudit _,
+    "events_burstiness" -> qBurstiness _,
     "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
     "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),
     "match_jw_pairs"    -> ((s, d) =>
@@ -4920,6 +4995,8 @@ object SparkEntry {
     "graph_link_jaccard"    -> graft.operators.Graph.sqlLinkJaccard,
     "graph_local_cc"        -> graft.operators.Graph.sqlLocalClustering,
     "graph_peel"        -> graft.operators.Graph.sqlPeelProfile(),
+    "graph_truss"       -> graft.operators.Graph.sqlTrussProfile(),
+    "graph_richclub"    -> graft.operators.Graph.sqlRichClub,
     "graph_assortativity" -> graft.operators.Graph.sqlAssortativity,
     "q40_gap_fill"      -> sqlGapFill,
     "q42_ohlc"          -> sqlOhlc,
@@ -5017,6 +5094,7 @@ object SparkEntry {
     "events_forecast_interval" -> sqlForecastInterval,
     "events_markov_stationary" -> sqlMarkovStationary,
     "scd_overlap_audit" -> sqlScdOverlapAudit,
+    "events_burstiness" -> sqlBurstiness,
     "sim_mrr"           -> Similarity.sqlMrr,
     "sim_triplet_audit" -> Similarity.sqlTripletAudit,
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,

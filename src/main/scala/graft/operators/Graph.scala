@@ -678,6 +678,167 @@ object Graph {
     cachedPin(lineitem.sparkSession, s"cpadj|$cacheKey")(
       fullAdjacency(coPartEdgesCached(lineitem, cacheKey)))
 
+  /** k for the truss peel: an edge survives a round iff its triangle
+    * support |N(u)∩N(v)| ≥ k−2 (it sits in ≥ k−2 triangles).
+    */
+  val TrussK = 4
+  // ONE peel round: unlike k-core rounds (a degree count each), every
+  // truss round is a full adjacency-rebuild + intersection pass over the
+  // surviving edges — at this graph's density a second round costs
+  // another ~1.5 s for a near-identical stats row. Production iterates
+  // the same per-round plan to convergence.
+  val TrussRounds = 1
+
+  /** Iterative k-truss peeling profile (Cohen, "Trusses: cohesive
+    * subgraphs for social network analysis", NSA technical report 2008):
+    * the edge-support analog of [[peelProfile]]'s k-core — each round
+    * drops every edge whose triangle support is below k−2, reporting
+    * per-round edge counts and support stats. Trusses are the tighter
+    * community core (every k-truss is in a (k−1)-core, not vice versa);
+    * in dedup graphs they separate genuine template families from
+    * chains of borderline pairs.
+    *
+    * Scale shape per round: support IS the per-edge intersection frame —
+    * round 0 reads the SAME pinned [[coPartCommonCached]] memo as the
+    * link rankings (no new work); later rounds rebuild adjacency over
+    * the SHRUNKEN edge set (inherent to peeling, the peelProfile
+    * discipline) with each round's frame [[Iterate.pin]]ned. Stats are
+    * 1-row aggregates unioned at the end; the FIXED round count keeps
+    * the trajectory oracle-able (production iterates the same plan to
+    * convergence).
+    */
+  def trussProfile(edges: DataFrame,
+      scoredPre: Option[DataFrame] = None,
+      k: Int = TrussK, rounds: Int = TrussRounds): DataFrame = {
+    def support(e: DataFrame, r: Int): DataFrame =
+      (if (r == 0 && scoredPre.isDefined) scoredPre.get
+       else edgeCommonCounts(e, fullAdjacency(e)))
+        .select(col("pa"), col("pb"), col("n_common").as("sup"))
+    def stats(sup: DataFrame, r: Int): DataFrame =
+      sup.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(col("sup") < k - 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_below"),
+        coalesce(sum(col("sup")), lit(0L)).as("support_sum"),
+        coalesce(max(col("sup")), lit(0L)).as("support_max"))
+        .select(lit(r.toLong).as("round"), col("n_edges"), col("n_below"),
+          col("support_sum"), col("support_max"))
+    var sup = support(edges, 0)
+    var out = stats(sup, 0)
+    for (r <- 1 to rounds) {
+      val e = Iterate.pin(sup.filter(col("sup") >= k - 2)
+        .select(col("pa"), col("pb")))
+      sup = support(e, r)
+      out = out.unionByName(stats(sup, r))
+    }
+    out.orderBy(col("round"))
+  }
+
+  def sqlTrussProfile(k: Int = TrussK, rounds: Int = TrussRounds): String = {
+    def supCtes(r: Int): String =
+      s"""und$r AS (
+         |  SELECT pa AS u, pb AS v FROM e$r
+         |  UNION ALL SELECT pb, pa FROM e$r
+         |), adj$r AS (
+         |  SELECT u, list_sort(list(v)) AS ns FROM und$r GROUP BY u
+         |), sup$r AS (
+         |  SELECT p.pa, p.pb,
+         |    CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS sup
+         |  FROM e$r p
+         |  JOIN adj$r a ON p.pa = a.u
+         |  JOIN adj$r b ON p.pb = b.u
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT pa, pb FROM sup${r - 1} WHERE sup >= ${k - 2}
+         |),
+         |${supCtes(r)}""".stripMargin
+    }.mkString(",\n")
+    val statRows = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |    CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(COALESCE(SUM(CASE WHEN sup < ${k - 2} THEN 1 ELSE 0
+         |      END), 0) AS BIGINT) AS n_below,
+         |    CAST(COALESCE(SUM(sup), 0) AS BIGINT) AS support_sum,
+         |    CAST(COALESCE(MAX(sup), 0) AS BIGINT) AS support_max
+         |  FROM sup$r""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $sqlCoPartCtes, e0 AS (
+       |  SELECT pa, pb FROM pairs
+       |),
+       |${supCtes(0)},
+       |$roundCtes
+       |SELECT round, n_edges, n_below, support_sum, support_max FROM (
+       |  $statRows
+       |) ORDER BY round""".stripMargin
+  }
+
+  /** Degree cutoffs for the rich-club curve. */
+  val RcThresholds: Seq[Long] = Seq(4L, 8L, 16L, 32L)
+
+  /** Rich-club coefficient curve (Zhou & Mondragón, "The rich-club
+    * phenomenon in the Internet topology", IEEE Comm. Letters 2004):
+    * for each degree cutoff k, the edge density φ(k) among the nodes of
+    * degree > k — whether the hubs of the co-occurrence graph
+    * preferentially wire to each other (φ→1: an elite core; φ≈ overall
+    * density: no club). Read next to [[assortativity]]'s single mixing
+    * number, this is the curve form.
+    *
+    * Scale shape: the endpoint degrees already ride on the pinned
+    * per-edge intersection frame ([[coPartCommonCached]]'s da/db), so
+    * the edge side needs NO degree join — one |E|×|cutoffs| conditional
+    * aggregate; the node side is one |V|×|cutoffs| pass over the degree
+    * memo. Both group on the 4-row cutoff dimension; φ is one division
+    * of exact integers.
+    */
+  def richClub(edges: DataFrame,
+      scoredPre: Option[DataFrame] = None,
+      degPre: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredPre.getOrElse(
+      edgeCommonCounts(edges, fullAdjacency(edges)))
+    val deg = degPre.getOrElse(degrees(edges))
+    val kdf = edges.sparkSession.range(1)
+      .select(explode(array(RcThresholds.map(lit(_)): _*)).as("kd"))
+    val nRich = deg.crossJoin(broadcast(kdf))
+      .filter(col("deg") > col("kd"))
+      .groupBy(col("kd")).agg(count(lit(1)).as("n_rich"))
+    val eRich = scored.crossJoin(broadcast(kdf))
+      .filter(col("da") > col("kd") && col("db") > col("kd"))
+      .groupBy(col("kd")).agg(count(lit(1)).as("e_rich"))
+    nRich.join(eRich, Seq("kd"), "left")
+      .select(col("kd").as("deg_threshold"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        when(col("n_rich") >= 2,
+          (coalesce(col("e_rich"), lit(0L)) * 2).cast("double") /
+            (col("n_rich") * (col("n_rich") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("phi"))
+      .orderBy(col("deg_threshold"))
+  }
+
+  def sqlRichClub: String = {
+    val kRows = RcThresholds.map(k => s"($k)").mkString(", ")
+    s"""WITH $sqlCoPartCtes, ks AS (
+       |  SELECT CAST(kd AS BIGINT) AS kd FROM (VALUES $kRows) t(kd)
+       |), nr AS (
+       |  SELECT kd, CAST(COUNT(*) AS BIGINT) AS n_rich
+       |  FROM deg, ks WHERE deg > kd GROUP BY kd
+       |), er AS (
+       |  SELECT kd, CAST(COUNT(*) AS BIGINT) AS e_rich
+       |  FROM pairs p
+       |  JOIN deg da ON p.pa = da.id
+       |  JOIN deg db ON p.pb = db.id, ks
+       |  WHERE da.deg > kd AND db.deg > kd
+       |  GROUP BY kd
+       |)
+       |SELECT nr.kd AS deg_threshold, nr.n_rich,
+       |  COALESCE(er.e_rich, 0) AS e_rich,
+       |  CASE WHEN nr.n_rich >= 2
+       |    THEN CAST(COALESCE(er.e_rich, 0) * 2 AS DOUBLE)
+       |      / CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE)
+       |    ELSE CAST(0 AS DOUBLE) END AS phi
+       |FROM nr LEFT JOIN er ON nr.kd = er.kd
+       |ORDER BY deg_threshold""".stripMargin
+  }
+
   /** Top edges by common-neighbor count |N(u) ∩ N(v)| — the classic
     * link-prediction / edge-strength score (per-edge triangle support
     * over FULL neighborhoods, vs [[triangleStats]]' oriented census).
