@@ -4540,6 +4540,8 @@ object SparkEntry {
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d))),
     "dedup_calibration" -> ((s, d) =>
       Dedup.bandCalibration(arts(s, d).pairs, docs(s, d))),
+    "dedup_minhash_error" -> ((s, d) =>
+      Dedup.minhashError(arts(s, d).pairs, docs(s, d))),
     "dedup_modularity"  -> ((s, d) => Dedup.modularityFrom(arts(s, d).pairs,
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "sim_sq_topk"       -> ((s, d) => Similarity.sqTopK(emb(s, d))),
@@ -4961,6 +4963,7 @@ object SparkEntry {
     "dedup_modularity"  -> Dedup.sqlModularity(Dedup.sqlMinhashPairs(),
       Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs())),
     "dedup_calibration" -> Dedup.sqlBandCalibration(Dedup.sqlMinhashPairs()),
+    "dedup_minhash_error" -> Dedup.sqlMinhashError,
     "sim_sq_topk"       -> Similarity.sqlSqTopK(),
     "sim_sq_rerank"     -> Similarity.sqlSqRerank,
     "sim_filtered_topk" -> Similarity.sqlFilteredTopK,

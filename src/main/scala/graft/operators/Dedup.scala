@@ -490,6 +490,88 @@ object Dedup {
        |  MIN(jaccard) AS j_min, MAX(jaccard) AS j_max
        |FROM jb GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------- MinHash estimator error
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * SIGNATURE-based similarity estimate (agreeing components / k — the
+    * unbiased Jaccard estimator of Broder 1997 §3) next to the EXACT
+    * shingle Jaccard, and their gap. [[bandCalibration]] histograms what
+    * the bands caught; this prices the estimator itself — how far a
+    * k=[[MinhashK]] signature's estimate strays pair by pair, the number
+    * that justifies (or indicts) using sig-agreement as the dedup
+    * verdict without touching the shingle sets. Var ≈ J(1−J)/k, so at
+    * k=8 a ±0.17 σ-band is expected — measured here, not assumed.
+    *
+    * Scale shape: the pair frame is LSH-bounded; each side hash-joins
+    * the per-doc (sorted shingle set, signature tuple) ONCE — signatures
+    * and sets come out of the same scan, the intersection is the
+    * codegen'd sorted merge, and the agreement count is a fixed 8-term
+    * integer expression. Nothing is all-pairs, nothing re-reads text.
+    */
+  def minhashError(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val enriched = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"), shingleHashes(col("wh"), ShingleK).as("hs"))
+      .select(col("doc_id") +:
+        array_sort(array_distinct(col("hs"))).as("sh") +:
+        (0 until MinhashK).map(j => minhashSig(col("hs"), j).as(s"s$j")): _*)
+    def side(suffix: String): DataFrame =
+      enriched.select(col("doc_id").as(s"doc_$suffix") +:
+        col("sh").as(s"sh$suffix") +:
+        (0 until MinhashK).map(j =>
+          col(s"s$j").as(s"s${suffix}$j")): _*)
+    val agree = (0 until MinhashK)
+      .map(j => (col(s"sa$j") === col(s"sb$j")).cast("long"))
+      .reduce(_ + _)
+    pairs
+      .join(side("a"), Seq("doc_a"))
+      .join(side("b"), Seq("doc_b"))
+      .withColumn("n_agree", agree)
+      .withColumn("i", graft.functions.VectorExprs
+        .intersectCountSorted(col("sha"), col("shb")).cast("double"))
+      .withColumn("ab", (size(col("sha")) + size(col("shb")))
+        .cast("double"))
+      .withColumn("est",
+        col("n_agree").cast("double") / lit(MinhashK.toDouble))
+      .withColumn("jaccard", col("i") / (col("ab") - col("i")))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est"),
+        col("jaccard"), (col("est") - col("jaccard")).as("err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def sqlMinhashError: String = {
+    val agree = (0 until MinhashK)
+      .map(j => s"CASE WHEN sa.sig$j = sb.sig$j THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    s"""WITH ${sqlBandsCtes()},
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(hs) AS sh FROM hashed
+       |), scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST($agree AS BIGINT) AS n_agree,
+       |    CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE) AS i,
+       |    CAST(len(xa.sh) + len(xb.sh) AS DOUBLE) AS ab
+       |  FROM prs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |  JOIN sets xa ON p.doc_a = xa.doc_id
+       |  JOIN sets xb ON p.doc_b = xb.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_agree,
+       |  CAST(n_agree AS DOUBLE) / CAST($MinhashK AS DOUBLE) AS est,
+       |  i / (ab - i) AS jaccard,
+       |  CAST(n_agree AS DOUBLE) / CAST($MinhashK AS DOUBLE)
+       |    - i / (ab - i) AS err
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------- label propagation
   /** k-round synchronous label propagation (Raghavan, Albert & Kumara,
     * "Near linear time algorithm to detect community structures in
