@@ -3614,6 +3614,196 @@ object SparkEntry {
       |    ELSE 0 END) AS BIGINT) AS overlap_days
       |FROM lagged GROUP BY k ORDER BY k""".stripMargin
 
+  // ------------------------------------------------- events_srm
+  // Sample-ratio mismatch check (Fabijan et al., "Diagnosing Sample
+  // Ratio Mismatch in Online Controlled Experiments", KDD 2019): is the
+  // observed variant split consistent with the designed 50/50? SRM is
+  // the first gate of any experiment readout — a skewed assignment
+  // invalidates events_abtest/events_cuped before any metric is read.
+  // Shape: ONE distinct-user aggregate; χ² (df=1) is a closed-form
+  // double over two exact BIGINTs, compared against the fixed 95 %
+  // critical value. Flagging rides in the row, not in control flow.
+  private val SrmCrit = 3.841
+  private def qSrm(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_t"))
+    val e = (col("n_c") + col("n_t")).cast("double") / lit(2.0)
+    val chi2 = (col("n_c").cast("double") - e) * (col("n_c").cast("double") - e) / e +
+      (col("n_t").cast("double") - e) * (col("n_t").cast("double") - e) / e
+    m.select(col("n_c"), col("n_t"), chi2.as("chi2"),
+      (chi2 < lit(SrmCrit)).as("ratio_ok"))
+  }
+
+  private val sqlSrm: String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t
+       |  FROM u
+       |)
+       |SELECT n_c, n_t,
+       |  (CAST(n_c AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    * (CAST(n_c AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    / (CAST(n_c + n_t AS DOUBLE) / 2)
+       |  + (CAST(n_t AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    * (CAST(n_t AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    / (CAST(n_c + n_t AS DOUBLE) / 2) AS chi2,
+       |  ((CAST(n_c AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    * (CAST(n_c AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    / (CAST(n_c + n_t AS DOUBLE) / 2)
+       |  + (CAST(n_t AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    * (CAST(n_t AS DOUBLE) - CAST(n_c + n_t AS DOUBLE) / 2)
+       |    / (CAST(n_c + n_t AS DOUBLE) / 2)) < $SrmCrit AS ratio_ok
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------- events_did
+  // Difference-in-differences panel readout (Card & Krueger 1994 made
+  // the design canonical): per-user purchase revenue in the four
+  // (variant × pre/post) cells; the DiD estimate is the interaction —
+  // treatment's post−pre shift minus control's, the causal readout
+  // when assignment correlates with time-invariant user traits. Uses
+  // the SAME 15-day split and variant hash as events_cuped, so the two
+  // estimates are directly comparable. Shape: ONE scan tags cells
+  // against the broadcast min-day row, ONE aggregate builds all four
+  // cell sums + distinct-user counts; cell means and the estimate are
+  // a fixed closed-form double expression over exact decimal sums.
+  private def qDid(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    val mn = ev.agg(min(col("d")).as("d0"))
+    val tagged = ev.crossJoin(broadcast(mn))
+      .withColumn("t", (col("user_id") % 2 === 1))
+      .withColumn("post", col("d") - col("d0") >= CupedPreDays)
+    def cellSum(t: Boolean, post: Boolean) =
+      Exact.xsum(when(col("t") === t && col("post") === post &&
+        col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0)), 2)
+    def cellUsers(t: Boolean) =
+      countDistinct(when(col("t") === t, col("user_id")))
+    val m = tagged.agg(
+      cellSum(t = false, post = false).as("s_c_pre"),
+      cellSum(t = false, post = true).as("s_c_post"),
+      cellSum(t = true, post = false).as("s_t_pre"),
+      cellSum(t = true, post = true).as("s_t_post"),
+      cellUsers(t = false).as("n_c"),
+      cellUsers(t = true).as("n_t"))
+    def mean(sc: Column, n: Column) = sc / n.cast("double")
+    val mCPre = mean(col("s_c_pre"), col("n_c"))
+    val mCPost = mean(col("s_c_post"), col("n_c"))
+    val mTPre = mean(col("s_t_pre"), col("n_t"))
+    val mTPost = mean(col("s_t_post"), col("n_t"))
+    m.select(col("n_c"), col("n_t"),
+      mCPre.as("mean_c_pre"), mCPost.as("mean_c_post"),
+      mTPre.as("mean_t_pre"), mTPost.as("mean_t_post"),
+      ((mTPost - mTPre) - (mCPost - mCPre)).as("did_estimate"))
+  }
+
+  private val sqlDid: String = {
+    import graft.functions.Exact
+    def cell(t: Int, post: Boolean) = Exact.sqlSum(
+      s"CASE WHEN user_id % 2 = $t AND " +
+        (if (post) s"d - d0 >= $CupedPreDays" else s"d - d0 < $CupedPreDays") +
+        " AND event_type = 'purchase' THEN value ELSE 0 END", 2)
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), mn AS (SELECT MIN(d) AS d0 FROM ev),
+       |m AS (
+       |  SELECT
+       |    ${cell(0, post = false)} AS s_c_pre,
+       |    ${cell(0, post = true)} AS s_c_post,
+       |    ${cell(1, post = false)} AS s_t_pre,
+       |    ${cell(1, post = true)} AS s_t_post,
+       |    CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+       |      AS BIGINT) AS n_c,
+       |    CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+       |      AS BIGINT) AS n_t
+       |  FROM ev, mn
+       |)
+       |SELECT n_c, n_t,
+       |  s_c_pre / CAST(n_c AS DOUBLE) AS mean_c_pre,
+       |  s_c_post / CAST(n_c AS DOUBLE) AS mean_c_post,
+       |  s_t_pre / CAST(n_t AS DOUBLE) AS mean_t_pre,
+       |  s_t_post / CAST(n_t AS DOUBLE) AS mean_t_post,
+       |  (s_t_post / CAST(n_t AS DOUBLE) - s_t_pre / CAST(n_t AS DOUBLE))
+       |    - (s_c_post / CAST(n_c AS DOUBLE)
+       |      - s_c_pre / CAST(n_c AS DOUBLE)) AS did_estimate
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------- events_mde
+  // Minimum detectable effect at the CURRENT sample size (the design
+  // half of the experimentation suite: events_srm checks assignment,
+  // events_abtest reads the result, this says what the experiment COULD
+  // have detected): MDE = (z_{α/2} + z_β)·√(2·p(1−p)/n) at α=5 %,
+  // power 80 % — the two z constants are fixed literals, p is the
+  // control conversion rate from the SAME user frame as events_abtest,
+  // n the smaller arm. One user-keyed aggregate + one 1-row closed-form
+  // projection over exact integers.
+  private val MdeZ = 1.96 + 0.8416
+  private def qMde(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purch"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("n_purch") >= AbConvThreshold, 1L).otherwise(0L)
+          .as("conv"))
+    val m = u.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+        .as("conv_c"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_t"))
+    val p = col("conv_c").cast("double") / col("n_c").cast("double")
+    val n = least(col("n_c"), col("n_t")).cast("double")
+    val mde = lit(MdeZ) * sqrt(lit(2.0) * p * (lit(1.0) - p) / n)
+    m.select(col("n_c"), col("n_t"), p.as("p_base"),
+      mde.as("mde_abs"), (mde / p).as("mde_rel"))
+  }
+
+  // lazy: interpolates AbConvThreshold, declared LATER in the object —
+  // an eager val here would capture the uninitialized 0
+  private lazy val sqlMde: String =
+    s"""WITH u AS (
+       |  SELECT user_id % 2 AS variant,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END) >= $AbConvThreshold THEN 1 ELSE 0 END AS conv
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY user_id
+       |), m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_c,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t
+       |  FROM u
+       |)
+       |SELECT n_c, n_t,
+       |  CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_base,
+       |  $MdeZ * sqrt(2 * (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      * (1 - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      / CAST(least(n_c, n_t) AS DOUBLE)) AS mde_abs,
+       |  ($MdeZ * sqrt(2 * (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      * (1 - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      / CAST(least(n_c, n_t) AS DOUBLE)))
+       |    / (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS mde_rel
+       |FROM m""".stripMargin
+
   // ------------------------------------------------- events_burstiness
   // Burstiness index of each event type's arrival process (Goh &
   // Barabási, "Burstiness and memory in complex systems", EPL 2008):
@@ -4765,6 +4955,9 @@ object SparkEntry {
     "events_markov_stationary" -> qMarkovStationary _,
     "scd_overlap_audit" -> qScdOverlapAudit _,
     "events_burstiness" -> qBurstiness _,
+    "events_srm"        -> qSrm _,
+    "events_did"        -> qDid _,
+    "events_mde"        -> qMde _,
     "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
     "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),
     "match_jw_pairs"    -> ((s, d) =>
@@ -5098,6 +5291,9 @@ object SparkEntry {
     "events_markov_stationary" -> sqlMarkovStationary,
     "scd_overlap_audit" -> sqlScdOverlapAudit,
     "events_burstiness" -> sqlBurstiness,
+    "events_srm"        -> sqlSrm,
+    "events_did"        -> sqlDid,
+    "events_mde"        -> sqlMde,
     "sim_mrr"           -> Similarity.sqlMrr,
     "sim_triplet_audit" -> Similarity.sqlTripletAudit,
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,
