@@ -2907,6 +2907,52 @@ object SparkEntry {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ------------------------------------------------- q54_ship_priority
+  // TPC-H Q3 shape (shipping priority): unshipped-revenue top-10 for one
+  // market segment — the canonical dim-filter → fact⋈fact → grouped
+  // revenue → global top-k plan. Shape: the filtered customer keys
+  // broadcast to the orders scan (both date predicates push to the
+  // parquet scans), the ONE shuffle join is orders⋈lineitem on the
+  // order key, revenue goes through the exact-decimal detour, and the
+  // global top-10 collapses to TakeOrderedAndProject (sort pruned to
+  // k per partition — never a global window).
+  private val ShipPrioCutoff = "1998-06-01 00:00:00"
+  private def qShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(ShipPrioCutoff).cast("timestamp")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+  }
+
+  private val sqlShipPriority: String =
+    s"""SELECT l_orderkey,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |    AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$ShipPrioCutoff'
+       |  AND l_shipdate > TIMESTAMP '$ShipPrioCutoff'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -4885,6 +4931,7 @@ object SparkEntry {
     "q44_asof_nearest"  -> qAsOfNearest _,
     "q45_asof_tolerance" -> qAsOfTolerance _,
     "q46_revenue_by_nation" -> qRevenueByNation _,
+    "q54_ship_priority" -> qShipPriority _,
     "q47_session_incidents" -> qSessionIncidents _,
     "q48_window_funcs"  -> qWindowFuncs _,
     "q49_funnel_windowed" -> qFunnelWindowed _,
@@ -5228,6 +5275,7 @@ object SparkEntry {
     "q44_asof_nearest"  -> sqlAsOfNearest,
     "q45_asof_tolerance" -> sqlAsOfTolerance,
     "q46_revenue_by_nation" -> sqlRevenueByNation,
+    "q54_ship_priority" -> sqlShipPriority,
     "q47_session_incidents" -> sqlSessionIncidents,
     "q48_window_funcs"  -> sqlWindowFuncs,
     "q49_funnel_windowed" -> sqlFunnelWindowed,
