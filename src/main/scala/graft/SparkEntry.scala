@@ -3660,6 +3660,69 @@ object SparkEntry {
       |    ELSE 0 END) AS BIGINT) AS overlap_days
       |FROM lagged GROUP BY k ORDER BY k""".stripMargin
 
+  // ------------------------------------------------- events_mad
+  // Robust location/spread per event type: median + MAD (median absolute
+  // deviation) and the robust-z outlier count at the standard 3σ cut
+  // (Hampel identifier; 1.4826·MAD is the Gaussian-consistent σ
+  // estimate). The robust twin of events_winsorize's trimming: a single
+  // 10 000× value corrupts a mean/stddev monitor but moves MAD not at
+  // all. Shape: exact interpolated percentile per type (the q23 idiom —
+  // Spark `percentile` ↔ DuckDB `quantile_cont`), the median broadcast
+  // back for ONE deviation pass + second percentile, then one
+  // conditional count. At 100 TB the exact group percentile swaps for
+  // the KLL sketch (sketch_percentile) with the identical frame.
+  private def qMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    // both percentiles are ROUNDED (q23's interpolation-absorbing idiom)
+    // BEFORE any reuse, so the deviation and threshold arithmetic runs on
+    // bit-identical inputs in both engines
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("median"),
+        round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      // single literal 4.4478 = 3·1.4826, NOT the product of two lits:
+      // Spark's IEEE product could differ by an ulp from the oracle's
+      // decimal-parsed constant and flip a boundary row
+      .agg(sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .join(mad, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("median"), col("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlMad: String =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |), med AS (
+      |  SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+      |  FROM ev GROUP BY event_type
+      |), dev AS (
+      |  SELECT ev.event_type, ev.value, med.med,
+      |    abs(ev.value - med.med) AS adev
+      |  FROM ev JOIN med USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(med) AS median,
+      |    ROUND(quantile_cont(adev, 0.5), 4) AS mad
+      |  FROM dev GROUP BY event_type
+      |)
+      |SELECT d.event_type, m.n, m.median, m.mad,
+      |  CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type, m.n, m.median, m.mad
+      |ORDER BY d.event_type""".stripMargin
+
   // ------------------------------------------------- events_srm
   // Sample-ratio mismatch check (Fabijan et al., "Diagnosing Sample
   // Ratio Mismatch in Online Controlled Experiments", KDD 2019): is the
@@ -5005,6 +5068,10 @@ object SparkEntry {
     "events_srm"        -> qSrm _,
     "events_did"        -> qDid _,
     "events_mde"        -> qMde _,
+    "events_mad"        -> qMad _,
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(arts(s, d).pairs, docs(s, d))),
+    "text_classifier_auc" -> ((s, d) => TextOps.classifierAuc(docs(s, d))),
     "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
     "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),
     "match_jw_pairs"    -> ((s, d) =>
@@ -5342,6 +5409,9 @@ object SparkEntry {
     "events_srm"        -> sqlSrm,
     "events_did"        -> sqlDid,
     "events_mde"        -> sqlMde,
+    "events_mad"        -> sqlMad,
+    "dedup_threshold_sweep" -> Dedup.sqlThresholdSweep,
+    "text_classifier_auc" -> TextOps.sqlClassifierAuc,
     "sim_mrr"           -> Similarity.sqlMrr,
     "sim_triplet_audit" -> Similarity.sqlTripletAudit,
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,

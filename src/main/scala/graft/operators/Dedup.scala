@@ -490,6 +490,86 @@ object Dedup {
        |  MIN(jaccard) AS j_min, MAX(jaccard) AS j_max
        |FROM jb GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------- dedup threshold sweep
+  /** Dedup-rate-vs-threshold curve: for each candidate Jaccard cutoff,
+    * how many LSH candidate pairs would be declared duplicates — the
+    * sensitivity table an operator reads BEFORE fixing the near-dup
+    * threshold (one step tighter than [[bandCalibration]]'s histogram:
+    * this is the cumulative view the decision actually uses, with the
+    * corpus-wide dedup share it implies). Thresholds are a fixed 5-row
+    * broadcast dimension; the exact-Jaccard pair frame is computed once
+    * (LSH-bounded) and one conditional aggregate produces the whole
+    * curve. The share divides exact BIGINTs.
+    */
+  val SweepThresholds: Seq[Int] = Seq(50, 60, 70, 80, 90) // percent
+
+  def thresholdSweep(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
+          .as("sh"))
+    val jr = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("doc_b"))
+      .select(
+        graft.functions.VectorExprs
+          .intersectCountSorted(col("sha"), col("shb")).cast("double")
+          .as("i"),
+        (size(col("sha")) + size(col("shb"))).cast("double").as("ab"))
+      .select((col("i") / (col("ab") - col("i"))).as("j"))
+    val ts = docs.sparkSession.range(1)
+      .select(explode(array(SweepThresholds.map(t => lit(t.toLong)): _*))
+        .as("t_pct"))
+    val total = jr.agg(count(lit(1)).as("n_candidates"))
+    jr.crossJoin(broadcast(ts))
+      .groupBy(col("t_pct"))
+      .agg(sum(when(col("j") * 100.0 >= col("t_pct").cast("double"), 1L)
+        .otherwise(0L)).as("n_pairs_ge"))
+      .crossJoin(broadcast(total))
+      .select(col("t_pct"), col("n_pairs_ge"), col("n_candidates"),
+        (col("n_pairs_ge").cast("double") /
+          col("n_candidates").cast("double")).as("share"))
+      .orderBy(col("t_pct"))
+  }
+
+  def sqlThresholdSweep: String = {
+    val tRows = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH ${sqlBandsCtes()},
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(hs) AS sh FROM hashed
+       |), jr AS (
+       |  SELECT CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+       |    / (CAST(len(xa.sh) + len(xb.sh) AS DOUBLE)
+       |       - CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)) AS j
+       |  FROM prs p
+       |  JOIN sets xa ON p.doc_a = xa.doc_id
+       |  JOIN sets xb ON p.doc_b = xb.doc_id
+       |), ts AS (
+       |  SELECT CAST(t_pct AS BIGINT) AS t_pct FROM (VALUES $tRows) v(t_pct)
+       |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM jr)
+       |SELECT t_pct,
+       |  CAST(SUM(CASE WHEN j * 100 >= CAST(t_pct AS DOUBLE) THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_pairs_ge,
+       |  tot.n_candidates,
+       |  CAST(SUM(CASE WHEN j * 100 >= CAST(t_pct AS DOUBLE) THEN 1
+       |    ELSE 0 END) AS DOUBLE) / CAST(tot.n_candidates AS DOUBLE)
+       |    AS share
+       |FROM jr, ts, tot
+       |GROUP BY t_pct, tot.n_candidates
+       |ORDER BY t_pct""".stripMargin
+  }
+
   // --------------------------------------------- MinHash estimator error
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * SIGNATURE-based similarity estimate (agreeing components / k — the

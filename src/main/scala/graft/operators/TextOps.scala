@@ -1345,6 +1345,74 @@ object TextOps {
        |FROM toks t LEFT JOIN vocab v USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- classifier AUC
+  /** Exact AUC of the classifier logit against a binary label
+    * (lang = 'en'), in the HISTOGRAM-BUCKETED form (Mann-Whitney U over
+    * fixed score buckets, within-bucket ties scored ½ — the standard
+    * trapezoidal ROC estimate): the scale-correct AUC. A rank-based AUC
+    * needs a corpus-wide global sort; bucketing the score into
+    * [[AucBuckets]] fixed-width cells reduces it to ONE bounded
+    * histogram aggregate + a window over the ≤2·[[AucBuckets]]+1-row
+    * bucket frame — the same never-a-corpus-window discipline as the
+    * RFM quantiles. All AUC inputs are exact BIGINTs (the ½ tie credit
+    * is carried as a ×2 numerator); the one division lands at the end.
+    * The fixture's label is arbitrary (the hash-weight classifier knows
+    * nothing of language) so AUC ≈ 0.5 — the harness checks the
+    * MEASUREMENT, a trained model plugs into the same frame.
+    */
+  val AucBuckets = 40
+
+  def classifierAuc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = classifierScore(docs)
+      .select(col("doc_id"), col("logit"))
+    val lab = docs.select(col("doc_id"),
+      (col("lang") === lit("en")).as("pos"))
+    val hist = scored.join(lab, Seq("doc_id"))
+      .select(expr(s"CAST(floor(logit * $AucBuckets) AS BIGINT)")
+        .as("bucket"), col("pos"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("cneg_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("np") * (lit(2L) * col("cneg_below") + col("nn")))
+          .as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("n_buckets"),
+        (col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  def sqlClassifierAuc: String =
+    s"""WITH scored AS (
+       |  ${sqlClassifierScore.linesIterator.mkString("\n  ")}
+       |), lab AS (
+       |  SELECT doc_id, lang = 'en' AS pos FROM documents
+       |), hist AS (
+       |  SELECT CAST(floor(s.logit * $AucBuckets) AS BIGINT) AS bucket,
+       |    CAST(SUM(CASE WHEN l.pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN l.pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM scored s JOIN lab l USING (doc_id)
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT np, nn,
+       |    COALESCE(SUM(nn) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cneg_below
+       |  FROM hist
+       |)
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(np * (2 * cneg_below + nn)) AS DOUBLE)
+       |    / (2 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE))
+       |    AS auc
+       |FROM c""".stripMargin
+
   // --------------------------------------------------- rare-token scoring
   /** Corpus-frequency rarity score — the transcendental-free stand-in for
     * n-gram LM surprisal (the CCNet/KenLM quality signal): per document,
