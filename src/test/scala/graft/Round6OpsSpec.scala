@@ -169,6 +169,57 @@ class Round6OpsSpec extends SparkSuite {
     }
   }
 
+  test("experimentation suite: SRM, DiD and MDE agree on the user frame") {
+    val users = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    val srm = q("events_srm").collect().head
+    assert(srm.getAs[Long]("n_c") + srm.getAs[Long]("n_t") == users)
+    assert(srm.getAs[Double]("chi2") >= 0.0)
+    val did = q("events_did").collect().head
+    assert(did.getAs[Long]("n_c") + did.getAs[Long]("n_t") == users)
+    val est = (did.getAs[Double]("mean_t_post") - did.getAs[Double]("mean_t_pre")) -
+      (did.getAs[Double]("mean_c_post") - did.getAs[Double]("mean_c_pre"))
+    assert(did.getAs[Double]("did_estimate") == est)
+    val mde = q("events_mde").collect().head
+    val p = mde.getAs[Double]("p_base")
+    assert(p >= 0.0 && p <= 1.0)
+    assert(mde.getAs[Double]("mde_abs") > 0.0)
+  }
+
+  test("MAD: outliers bounded and spread nonnegative") {
+    q("events_mad").collect().foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("threshold sweep: cumulative curve is monotone nonincreasing") {
+    val rows = q("dedup_threshold_sweep").collect()
+      .sortBy(_.getAs[Long]("t_pct"))
+    val ns = rows.map(_.getAs[Long]("n_pairs_ge"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+    rows.foreach { r =>
+      val s = r.getAs[Double]("share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("bucketed AUC: a probability over the full labeled corpus") {
+    val r = q("text_classifier_auc").collect().head
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == docs)
+  }
+
+  test("ship priority: a strict top-10 by exact revenue") {
+    val rows = q("q54_ship_priority").collect()
+    assert(rows.length == 10)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
   test("textrank: a full top-k of positive, strictly ranked keywords") {
     val rows = q("text_textrank").collect()
     assert(rows.length == graft.operators.TextOps.TrTopK)
