@@ -650,4 +650,35 @@ class PlanShapeSpec extends SparkSuite {
     // and the scans carry bucket metadata
     assert(below.contains("SelectedBucketsCount"), p)
   }
+
+  test("q54: customer broadcasts, top-10 is a heap, predicates push down") {
+    val p = plan("q54_ship_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-10 lost the k-heap:\n" + p)
+    // both date bounds reach the scans
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("scd_overlap_audit: one keyed exchange, no join") {
+    val p = planTree("scd_overlap_audit")
+    assert(!p.contains("Join"), "audit must not join:\n" + p)
+    // key exchange for the window; AQE may add the final-order shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "audit grew extra shuffles:\n" + p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("burstiness/mad: no corpus-wide unpartitioned window") {
+    for (q <- Seq("events_burstiness", "events_mad")) {
+      val p = planTree(q)
+      // every Window in these plans is keyed by event_type — a global
+      // (empty-partition) window would print 'Window [... ORDER BY' with
+      // no partition spec and run single-threaded over the corpus
+      assert(!p.contains("SinglePartition"),
+        s"$q has a single-partition corpus stage:\n" + p)
+    }
+  }
 }
