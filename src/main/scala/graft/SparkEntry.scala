@@ -3532,6 +3532,76 @@ object SparkEntry {
        |FROM future f JOIN dense dn ON f.d = dn.d + $FiLag, qs
        |ORDER BY f.d""".stripMargin
 
+  // ------------------------------------------------- events_seasonality
+  // Weekly-seasonality strength of the daily volume series: the R² of
+  // the day-of-week means — 1 − SS_resid/SS_tot, the variance share the
+  // weekly cycle explains (Hyndman's STL-based strength measure in its
+  // single-period closed form). events_acf DIAGNOSES the lag-7 cycle;
+  // this prices it — the number that justifies a seasonal forecast
+  // baseline over a flat one. Shape: one |days|-row count aggregate,
+  // one ≤7-group aggregate; both sums of squares collapse to integer
+  // moments (SS = ΣQ − S²/D), so the only doubles are the per-group
+  // S²/D rationals summed through the exact-decimal detour and two
+  // closing divisions.
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val dow = daily.select((col("d") % 7).as("w"), col("n"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("dw"), sum(col("n")).as("sw"),
+        sum(col("n") * col("n")).as("qw"))
+    val m = dow.agg(
+      sum(col("dw")).as("dd"), sum(col("sw")).as("ss"),
+      sum(col("qw")).as("qq"),
+      Exact.xsum(col("sw").cast("double") * col("sw").cast("double")
+        / col("dw").cast("double"), 6).as("swsq"))
+    val ssTot = col("qq").cast("double") -
+      col("ss").cast("double") * col("ss").cast("double") /
+        col("dd").cast("double")
+    val ssResid = col("qq").cast("double") - col("swsq")
+    m.select(col("dd").as("n_days"),
+      (col("ss").cast("double") / col("dd").cast("double"))
+        .as("grand_mean"),
+      ssTot.as("ss_tot"), ssResid.as("ss_resid"),
+      (lit(1.0) - ssResid / ssTot).as("seasonality_strength"))
+  }
+
+  private val sqlSeasonality: String = {
+    import graft.functions.Exact
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), dow AS (
+       |  SELECT d % 7 AS w, CAST(COUNT(*) AS BIGINT) AS dw,
+       |    CAST(SUM(n) AS BIGINT) AS sw,
+       |    CAST(SUM(n * n) AS BIGINT) AS qw
+       |  FROM daily GROUP BY 1
+       |), m AS (
+       |  SELECT CAST(SUM(dw) AS BIGINT) AS dd,
+       |    CAST(SUM(sw) AS BIGINT) AS ss,
+       |    CAST(SUM(qw) AS BIGINT) AS qq,
+       |    ${Exact.sqlSum(
+      "CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(dw AS DOUBLE)", 6)}
+       |      AS swsq
+       |  FROM dow
+       |)
+       |SELECT dd AS n_days,
+       |  CAST(ss AS DOUBLE) / CAST(dd AS DOUBLE) AS grand_mean,
+       |  CAST(qq AS DOUBLE)
+       |    - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(dd AS DOUBLE)
+       |    AS ss_tot,
+       |  CAST(qq AS DOUBLE) - swsq AS ss_resid,
+       |  CAST(1 AS DOUBLE)
+       |    - (CAST(qq AS DOUBLE) - swsq)
+       |      / (CAST(qq AS DOUBLE)
+       |        - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+       |          / CAST(dd AS DOUBLE)) AS seasonality_strength
+       |FROM m""".stripMargin
+  }
+
   // -------------------------------------------- events_markov_stationary
   // Stationary distribution of the first-order behavior chain
   // (events_transitions' matrix): π·P power iteration from uniform — the
@@ -5069,6 +5139,12 @@ object SparkEntry {
     "events_did"        -> qDid _,
     "events_mde"        -> qMde _,
     "events_mad"        -> qMad _,
+    "events_seasonality" -> qSeasonality _,
+    "graph_degree_gini" -> ((s, d) =>
+      graft.operators.Graph.degreeGini(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        degPre = Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "dedup_threshold_sweep" -> ((s, d) =>
       Dedup.thresholdSweep(arts(s, d).pairs, docs(s, d))),
     "text_classifier_auc" -> ((s, d) => TextOps.classifierAuc(docs(s, d))),
@@ -5410,6 +5486,8 @@ object SparkEntry {
     "events_did"        -> sqlDid,
     "events_mde"        -> sqlMde,
     "events_mad"        -> sqlMad,
+    "events_seasonality" -> sqlSeasonality,
+    "graph_degree_gini" -> graft.operators.Graph.sqlDegreeGini,
     "dedup_threshold_sweep" -> Dedup.sqlThresholdSweep,
     "text_classifier_auc" -> TextOps.sqlClassifierAuc,
     "sim_mrr"           -> Similarity.sqlMrr,

@@ -772,6 +772,62 @@ object Graph {
        |) ORDER BY round""".stripMargin
   }
 
+  /** Gini coefficient of the degree distribution — hub concentration as
+    * ONE number beside [[degreeHistogram]]'s curve and [[richClub]]'s
+    * elite-density readout (0 = regular graph, →1 = a few hubs hold all
+    * the edges). The input that decides whether skew handling (salting,
+    * hub-split) is worth wiring into the downstream joins.
+    *
+    * Scale shape: degrees are INTEGERS, so the sort the Gini rank needs
+    * collapses to a value-grouped frame (|distinct degrees| rows — tiny)
+    * plus ONE running-count window over it; the tie-averaged rank-sum
+    * Σ deg·(c·cbefore + c(c+1)/2) stays in exact BIGINTs end to end
+    * (the events_gini double-bucket machinery is unnecessary here), and
+    * the two closing divisions are the only doubles.
+    */
+  def degreeGini(edges: DataFrame,
+      degPre: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = degPre.getOrElse(degrees(edges))
+    val g = deg.groupBy(col("deg")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("deg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cbefore",
+      coalesce(sum(col("c")).over(w), lit(0L)))
+    ranked.agg(
+      sum(col("c")).as("n_nodes"),
+      sum(col("deg") * col("c")).as("sum_deg"),
+      sum(col("deg") * (col("c") * col("cbefore") +
+        expr("(c * (c + 1)) div 2"))).as("srx"))
+      .select(col("n_nodes"), col("sum_deg"),
+        (lit(2.0) * col("srx").cast("double")
+          / (col("n_nodes").cast("double") * col("sum_deg").cast("double"))
+          - (col("n_nodes") + lit(1)).cast("double")
+            / col("n_nodes").cast("double")).as("gini"))
+  }
+
+  def sqlDegreeGini: String =
+    s"""WITH $sqlCoPartCtes, g AS (
+       |  SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY deg
+       |), ranked AS (
+       |  SELECT deg, c,
+       |    COALESCE(CAST(SUM(c) OVER (ORDER BY deg
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cbefore
+       |  FROM g
+       |), m AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg * c) AS BIGINT) AS sum_deg,
+       |    CAST(SUM(deg * (c * cbefore + (c * (c + 1)) // 2)) AS BIGINT)
+       |      AS srx
+       |  FROM ranked
+       |)
+       |SELECT n_nodes, sum_deg,
+       |  2.0 * CAST(srx AS DOUBLE)
+       |    / (CAST(n_nodes AS DOUBLE) * CAST(sum_deg AS DOUBLE))
+       |  - CAST(n_nodes + 1 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS gini
+       |FROM m""".stripMargin
+
   /** Degree cutoffs for the rich-club curve. */
   val RcThresholds: Seq[Long] = Seq(4L, 8L, 16L, 32L)
 
