@@ -2953,6 +2953,45 @@ object SparkEntry {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------- q55_order_priority
+  // TPC-H Q4 shape (order-priority checking): orders in a date window
+  // with at least one late lineitem (commit proxy: shipped after the
+  // order date + 30 days), counted per priority — the canonical
+  // EXISTS-subquery → LEFT SEMI JOIN plan. The fixture lacks
+  // l_commitdate/l_receiptdate, so lateness is shipdate vs orderdate+30
+  // — same shape, same semi-join, oracle-identical definition. Date
+  // predicates push to both scans; the semi join shuffles each side
+  // once on the order key and the priority count is a ≤5-group
+  // aggregate.
+  private val OpcWindowStart = "1996-01-01 00:00:00"
+  private val OpcWindowEnd = "1997-01-01 00:00:00"
+  private def qOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(OpcWindowStart).cast("timestamp") &&
+        col("o_orderdate") < lit(OpcWindowEnd).cast("timestamp"))
+    val late = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val sqlOrderPriority: String =
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       |FROM orders o
+       |WHERE o_orderdate >= TIMESTAMP '$OpcWindowStart'
+       |  AND o_orderdate < TIMESTAMP '$OpcWindowEnd'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+       |  )
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -5065,6 +5104,7 @@ object SparkEntry {
     "q45_asof_tolerance" -> qAsOfTolerance _,
     "q46_revenue_by_nation" -> qRevenueByNation _,
     "q54_ship_priority" -> qShipPriority _,
+    "q55_order_priority" -> qOrderPriority _,
     "q47_session_incidents" -> qSessionIncidents _,
     "q48_window_funcs"  -> qWindowFuncs _,
     "q49_funnel_windowed" -> qFunnelWindowed _,
@@ -5419,6 +5459,7 @@ object SparkEntry {
     "q45_asof_tolerance" -> sqlAsOfTolerance,
     "q46_revenue_by_nation" -> sqlRevenueByNation,
     "q54_ship_priority" -> sqlShipPriority,
+    "q55_order_priority" -> sqlOrderPriority,
     "q47_session_incidents" -> sqlSessionIncidents,
     "q48_window_funcs"  -> sqlWindowFuncs,
     "q49_funnel_windowed" -> sqlFunnelWindowed,
