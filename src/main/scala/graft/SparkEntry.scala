@@ -2992,6 +2992,79 @@ object SparkEntry {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- q56_forecast_revenue
+  // TPC-H Q6 shape (forecasting revenue change): the pure
+  // scan-filter-aggregate — what revenue would have been gained had
+  // discounts in a band been eliminated for small orders in one year.
+  // Every predicate pushes to the parquet scan (the plan is ONE scan +
+  // ONE single-row aggregate, no join, no shuffle beyond the final
+  // partial-merge); revenue goes through the exact-decimal detour at
+  // scale 4 (price × discount carries 4 decimals).
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(xsum(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val sqlForecastRevenue: String =
+    s"""SELECT ${graft.functions.Exact.sqlSum(
+      "l_extendedprice * l_discount", 4)} AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------- q57_returned_customers
+  // TPC-H Q10 shape (returned-item reporting): top customers by revenue
+  // lost to returns in a date window — dim join broadcasts, the
+  // fact⋈fact meets in ONE shuffle on the order key, and the global
+  // top-k collapses to TakeOrderedAndProject.
+  private val RetTopK = 20
+  private def qReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(RetTopK)
+      .select(col("o_custkey").as("c_custkey"), col("c_name"),
+        col("n_name"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
+  private val sqlReturnedCustomers: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |    AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM orders
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT $RetTopK""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -5105,6 +5178,8 @@ object SparkEntry {
     "q46_revenue_by_nation" -> qRevenueByNation _,
     "q54_ship_priority" -> qShipPriority _,
     "q55_order_priority" -> qOrderPriority _,
+    "q56_forecast_revenue" -> qForecastRevenue _,
+    "q57_returned_customers" -> qReturnedCustomers _,
     "q47_session_incidents" -> qSessionIncidents _,
     "q48_window_funcs"  -> qWindowFuncs _,
     "q49_funnel_windowed" -> qFunnelWindowed _,
@@ -5187,6 +5262,8 @@ object SparkEntry {
           Tables.lineitem(s, d), d)))),
     "dedup_threshold_sweep" -> ((s, d) =>
       Dedup.thresholdSweep(arts(s, d).pairs, docs(s, d))),
+    "dedup_scurve"      -> ((s, d) =>
+      Dedup.scurve(arts(s, d).pairs, docs(s, d))),
     "text_classifier_auc" -> ((s, d) => TextOps.classifierAuc(docs(s, d))),
     "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
     "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),
@@ -5460,6 +5537,8 @@ object SparkEntry {
     "q46_revenue_by_nation" -> sqlRevenueByNation,
     "q54_ship_priority" -> sqlShipPriority,
     "q55_order_priority" -> sqlOrderPriority,
+    "q56_forecast_revenue" -> sqlForecastRevenue,
+    "q57_returned_customers" -> sqlReturnedCustomers,
     "q47_session_incidents" -> sqlSessionIncidents,
     "q48_window_funcs"  -> sqlWindowFuncs,
     "q49_funnel_windowed" -> sqlFunnelWindowed,
@@ -5530,6 +5609,7 @@ object SparkEntry {
     "events_seasonality" -> sqlSeasonality,
     "graph_degree_gini" -> graft.operators.Graph.sqlDegreeGini,
     "dedup_threshold_sweep" -> Dedup.sqlThresholdSweep,
+    "dedup_scurve"      -> Dedup.sqlScurve,
     "text_classifier_auc" -> TextOps.sqlClassifierAuc,
     "sim_mrr"           -> Similarity.sqlMrr,
     "sim_triplet_audit" -> Similarity.sqlTripletAudit,

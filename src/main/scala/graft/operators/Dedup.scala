@@ -570,6 +570,116 @@ object Dedup {
        |ORDER BY t_pct""".stripMargin
   }
 
+  // --------------------------------------------- LSH s-curve planning
+  /** Analytic s-curve re-scoring of alternative (bands × rows) splits of
+    * the SAME [[MinhashK]]-component signature budget (Broder 1997 /
+    * Leskovec-Rajaraman-Ullman ch. 3): for every candidate pair with
+    * measured exact Jaccard j, the detection probability
+    * P = 1 − (1 − jʳ)ᵇ under each split, summed into the expected
+    * true-dup recall per configuration — the table that says whether
+    * re-banding (no new signatures, just a re-bucketing pass) would
+    * catch more of the near-dups the corpus actually contains.
+    * Measured over the CURRENT config's candidate population (the only
+    * pairs with known exact j without going all-pairs) — a relative
+    * re-scoring, stated as such.
+    *
+    * Determinism: jʳ and (1−x)ᵇ are EXPLICIT repeated multiplications
+    * (never `pow` — engines' pow need not be correctly rounded), so both
+    * engines run the identical IEEE sequence; the per-config sums go
+    * through the exact-decimal detour.
+    */
+  val ScurveConfigs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+  val ScurveTrueJ = 0.8
+
+  private def powExplicit(x: Column, n: Int): Column =
+    Seq.fill(n)(x).reduce(_ * _)
+  private def sqlPowExplicit(x: String, n: Int): String =
+    Seq.fill(n)(s"($x)").mkString(" * ")
+
+  def scurve(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
+          .as("sh"))
+    val jr = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("doc_b"))
+      .select(
+        graft.functions.VectorExprs
+          .intersectCountSorted(col("sha"), col("shb")).cast("double")
+          .as("i"),
+        (size(col("sha")) + size(col("shb"))).cast("double").as("ab"))
+      .select((col("i") / (col("ab") - col("i"))).as("j"))
+      .filter(col("j") >= lit(ScurveTrueJ))
+    val aggCols = count(lit(1)).as("n_true") +:
+      ScurveConfigs.map { case (b, r) =>
+        Exact.xsum(lit(1.0) - powExplicit(
+          lit(1.0) - powExplicit(col("j"), r), b), 6).as(s"s_${b}_$r")
+      }
+    val sums = jr.agg(aggCols.head, aggCols.tail: _*)
+    val rows = ScurveConfigs.map { case (b, r) =>
+      struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col(s"s_${b}_$r").as("exp_detected"))
+    }
+    sums.select(col("n_true"), explode(array(rows: _*)).as("cfg"))
+      .select(col("cfg.bands").as("bands"),
+        col("cfg.rows_per_band").as("rows_per_band"), col("n_true"),
+        col("cfg.exp_detected").as("exp_detected"),
+        (col("cfg.exp_detected") / col("n_true").cast("double"))
+          .as("exp_recall"))
+      .orderBy(col("bands"))
+  }
+
+  def sqlScurve: String = {
+    val cfgSums = ScurveConfigs.map { case (b, r) =>
+      val jr = sqlPowExplicit("j", r)
+      val inner = s"(CAST(1 AS DOUBLE) - ($jr))"
+      graft.functions.Exact.sqlSum(
+        s"CAST(1 AS DOUBLE) - (${sqlPowExplicit(inner, b)})", 6) +
+        s" AS s_${b}_$r"
+    }.mkString(",\n    ")
+    val rows = ScurveConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |    CAST($r AS BIGINT) AS rows_per_band, n_true,
+         |    s_${b}_$r AS exp_detected,
+         |    s_${b}_$r / CAST(n_true AS DOUBLE) AS exp_recall
+         |  FROM sums""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${sqlBandsCtes()},
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(hs) AS sh FROM hashed
+       |), jr AS (
+       |  SELECT j FROM (
+       |    SELECT CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+       |      / (CAST(len(xa.sh) + len(xb.sh) AS DOUBLE)
+       |         - CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)) AS j
+       |    FROM prs p
+       |    JOIN sets xa ON p.doc_a = xa.doc_id
+       |    JOIN sets xb ON p.doc_b = xb.doc_id
+       |  ) WHERE j >= $ScurveTrueJ
+       |), sums AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       |    $cfgSums
+       |  FROM jr
+       |)
+       |SELECT bands, rows_per_band, n_true, exp_detected, exp_recall
+       |FROM (
+       |  $rows
+       |) ORDER BY bands""".stripMargin
+  }
+
   // --------------------------------------------- MinHash estimator error
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * SIGNATURE-based similarity estimate (agreeing components / k — the
