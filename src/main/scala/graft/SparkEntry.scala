@@ -5273,6 +5273,8 @@ object SparkEntry {
       graft.operators.Match.bestMatch(Tables.part(s, d))),
     "match_blocking"    -> ((s, d) =>
       graft.operators.Match.blockingAudit(Tables.part(s, d))),
+    "match_clusters"    -> ((s, d) =>
+      graft.operators.Match.matchClusters(Tables.part(s, d))),
     "events_attribution" -> qAttribution _,
     "events_agg_merge"  -> qAggMerge _,
     "events_rfm"        -> qRfm _,
@@ -5616,6 +5618,7 @@ object SparkEntry {
     "match_jw_pairs"    -> graft.operators.Match.sqlJwPairs,
     "match_best"        -> graft.operators.Match.sqlBestMatch,
     "match_blocking"    -> graft.operators.Match.sqlBlockingAudit,
+    "match_clusters"    -> graft.operators.Match.sqlMatchClusters,
     "events_agg_merge"  -> sqlAggMerge,
     "events_rfm"        -> sqlRfm,
     "events_gap_stats"  -> sqlGapStats,

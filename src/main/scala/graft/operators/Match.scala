@@ -87,6 +87,41 @@ object Match {
         expr("n_names * (n_names - 1) div 2"))
       .orderBy(col("block"))
 
+  /** Entity-resolution clusters: connected components over the accepted
+    * match pairs ([[jwPairs]] at the review threshold) — the step that
+    * turns pairwise verdicts into entity groups (transitivity: if A≈B
+    * and B≈C, one entity), each reported with its canonical
+    * representative (min name) and size. Completes the linkage
+    * pipeline: blocking → scoring → best-match → CLUSTERS.
+    *
+    * Scale shape: names get dense integer ids via a rank over the
+    * DISTINCT-name frame (vocabulary-bounded — never a corpus window),
+    * then the SAME pointer-jumping [[Dedup.connectedComponents]] the
+    * dedup tier runs; representative/size is one |clustered names|
+    * aggregate. Names absent from every pair are singletons and —
+    * matching the components contract — do not appear.
+    */
+  def matchClusters(part: DataFrame): DataFrame = {
+    val ids = names(part)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("name"))).cast("long"))
+    val p = jwPairs(part)
+      .join(ids.select(col("name").as("name_a"), col("id").as("doc_a")),
+        Seq("name_a"))
+      .join(ids.select(col("name").as("name_b"), col("id").as("doc_b")),
+        Seq("name_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.connectedComponents(p)
+    val m = comp.join(ids.select(col("id").as("doc_id"), col("name")),
+      Seq("doc_id"))
+    val rep = m.groupBy(col("component"))
+      .agg(min(col("name")).as("cluster_rep"),
+        count(lit(1)).as("cluster_size"))
+    m.join(rep, Seq("component"))
+      .select(col("name"), col("cluster_rep"), col("cluster_size"))
+      .orderBy(col("name"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   def sqlJwPairs: String =
@@ -116,6 +151,37 @@ object Match {
       |)
       |SELECT name, cand AS best_match, jw AS score
       |FROM scored WHERE rn = 1 ORDER BY name""".stripMargin
+
+  def sqlMatchClusters: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+       |), t AS (
+       |  SELECT name, split_part(name, ' ', 2) AS block FROM n
+       |), ids AS (
+       |  SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT)
+       |    AS id
+       |  FROM n
+       |), pairs0 AS (
+       |  SELECT a.name AS name_a, b.name AS name_b
+       |  FROM t a JOIN t b ON a.block = b.block AND a.name < b.name
+       |  WHERE jaro_winkler_similarity(a.name, b.name) >= $JwThreshold
+       |), pairs AS (
+       |  SELECT ia.id AS doc_a, ib.id AS doc_b
+       |  FROM pairs0
+       |  JOIN ids ia ON pairs0.name_a = ia.name
+       |  JOIN ids ib ON pairs0.name_b = ib.name
+       |),
+       |${Dedup.sqlComponentsCtes},
+       |m AS (
+       |  SELECT c.component, i.name FROM comp c JOIN ids i ON c.doc_id = i.id
+       |), rep AS (
+       |  SELECT component, MIN(name) AS cluster_rep,
+       |    CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM m GROUP BY component
+       |)
+       |SELECT m.name, rep.cluster_rep, rep.cluster_size
+       |FROM m JOIN rep USING (component)
+       |ORDER BY m.name""".stripMargin
 
   def sqlBlockingAudit: String =
     """WITH n AS (
