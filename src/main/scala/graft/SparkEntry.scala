@@ -3065,6 +3065,466 @@ object SparkEntry {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT $RetTopK""".stripMargin
 
+  // ------------------------------------------------- q58_promo_revenue
+  // TPC-H Q14 shape (promotion effect): the fraction of one month's
+  // revenue that came from promo-typed parts — a single fact⋈dim join
+  // with a conditional aggregate. The date band pushes to the lineitem
+  // scan, `part` broadcasts (it is the small side here; at 100 TB the
+  // same plan holds because part is ~1/30 of lineitem and only two
+  // columns survive pruning), and both sums ride ONE hash aggregate.
+  // The percentage is one IEEE multiply+divide over two exact-decimal
+  // sums — deterministic across engines.
+  private val PromoMonthStart = "1997-03-01 00:00:00"
+  private val PromoMonthEnd   = "1997-04-01 00:00:00"
+  private def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(PromoMonthStart).cast("timestamp") &&
+        col("l_shipdate") < lit(PromoMonthEnd).cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        xsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        xsum(rev).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  private val sqlPromoRevenue: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |  CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+       |FROM (
+       |  SELECT
+       |    ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * " +
+      "(CAST(1 AS DOUBLE) - l_discount) ELSE CAST(0 AS DOUBLE) END")}
+       |      AS promo_revenue,
+       |    ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |      AS total_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '$PromoMonthStart'
+       |    AND l_shipdate < TIMESTAMP '$PromoMonthEnd')""".stripMargin
+
+  // ------------------------------------------------- q59_large_orders
+  // TPC-H Q18 shape (large-volume customers): orders whose total
+  // quantity clears a threshold, joined back to customer — the
+  // aggregate-then-join plan. lineitem aggregates FIRST (one shuffle on
+  // the order key, partial map-side combine), the surviving hundreds of
+  // rows broadcast into orders and then into customer, so neither big
+  // table shuffles; the global top-k is TakeOrderedAndProject.
+  private val LargeOrderQty = 250.0
+  private val LargeOrderTopK = 50
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(xsum(col("l_quantity"), 6).as("total_qty"))
+      .filter(col("total_qty") > lit(LargeOrderQty))
+    val withOrders = Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    Tables.customer(s, dir)
+      .join(broadcast(withOrders), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(LargeOrderTopK)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  private val sqlLargeOrders: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM (
+       |  SELECT l_orderkey, ${graft.functions.Exact.sqlSum("l_quantity", 6)}
+       |    AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey) b
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |WHERE total_qty > CAST($LargeOrderQty AS DOUBLE)
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT $LargeOrderTopK""".stripMargin
+
+  // ------------------------------------------------- q60_market_share
+  // TPC-H Q8 shape (national market share): one nation's share of a
+  // region's yearly order revenue. Customer-side dims (nation⋈region)
+  // broadcast into the orders probe; the supplier→nation lookup
+  // broadcasts into lineitem; the two facts meet in ONE shuffle on the
+  // order key. The share is a conditional exact sum over the total
+  // exact sum — one IEEE divide, deterministic.
+  private val MktShareNation = "NATION_1"
+  private val MktShareRegion = "ASIA"
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val custAsia = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === MktShareRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        xsum(when(col("supp_nation") === MktShareNation, rev)
+          .otherwise(lit(0.0))).as("nation_revenue"),
+        xsum(rev).as("total_revenue"))
+      .withColumn("mkt_share",
+        col("nation_revenue") / col("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  private val sqlMarketShare: String =
+    s"""SELECT o_year, nation_revenue, total_revenue,
+       |  nation_revenue / total_revenue AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |    ${sqlSum("CASE WHEN supp_nation = '" + MktShareNation +
+      "' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) " +
+      "ELSE CAST(0 AS DOUBLE) END")} AS nation_revenue,
+       |    ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |      AS total_revenue
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN (SELECT n_nationkey AS sn_key, n_name AS supp_nation
+       |        FROM nation) sn ON s_nationkey = sn_key
+       |  WHERE r_name = '$MktShareRegion'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1)
+       |ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------- q61_small_qty_revenue
+  // TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+  // quantity is below a fraction of their part's average quantity. The
+  // correlated scalar subquery decorrelates into aggregate-then-self-
+  // join: ONE shuffle of lineitem on the part key computes the per-part
+  // average, the re-join meets on the same key (co-partitioned — AQE
+  // reuses the exchange), and the compare is one IEEE multiply against
+  // the deterministic exact average.
+  private val SmallQtyFrac = 0.2
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val avgq = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(xavg(col("l_quantity")).as("avg_qty"))
+    Tables.lineitem(s, dir)
+      .join(avgq, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(SmallQtyFrac) * col("avg_qty"))
+      .agg(xsum(col("l_extendedprice")).as("revenue_small"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val sqlSmallQtyRevenue: String =
+    s"""SELECT ${sqlSum("l_extendedprice")} AS revenue_small,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem l
+       |JOIN (SELECT l_partkey AS pk, ${sqlAvg("l_quantity")} AS avg_qty
+       |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.pk
+       |WHERE l.l_quantity < CAST($SmallQtyFrac AS DOUBLE) * avg_qty""".stripMargin
+
+  // ------------------------------------------------- q62_order_count_dist
+  // TPC-H Q13 shape (customer order-count distribution): how many
+  // customers placed 0, 1, 2… non-urgent orders — the left-join →
+  // count → histogram double aggregation. The priority filter rides the
+  // join condition (pushes to the orders scan), COUNT(o_custkey) skips
+  // the null-extended rows so no-order customers land in bucket 0, and
+  // the second aggregate is over |distinct counts| rows — trivially
+  // small at any scale.
+  private def qOrderCountDist(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val sqlOrderCountDist: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------------- q63_disjunctive_revenue
+  // TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+  // OR'd brand/size/quantity branches over a fact⋈dim join. Catalyst
+  // extracts the common conjuncts it can push (the join key) and leaves
+  // the disjunction as ONE codegen'd filter above the broadcast join —
+  // no plan blow-up, no cross product, and the part columns prune to
+  // (brand, size).
+  private def qDisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 15)
+    val branch2 = col("p_brand") === "Brand#5" &&
+      col("p_size").between(11, 25) && col("l_quantity").between(10, 25)
+    val branch3 = col("p_brand") === "Brand#9" &&
+      col("p_size").between(26, 50) && col("l_quantity").between(20, 35)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val sqlDisjunctiveRevenue: String =
+    s"""SELECT
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |    AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 11 AND 25
+       |       AND l_quantity BETWEEN 10 AND 25)
+       |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 26 AND 50
+       |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  // ------------------------------------------------- q64_dormant_customers
+  // TPC-H Q22 shape (global sales opportunity): well-funded customers
+  // with no recent orders, grouped by segment. The positive-balance
+  // average is a 1-row broadcast scalar (the standard scalar-subquery
+  // decorrelation), the "no recent order" probe is a LEFT ANTI join on
+  // the customer key, and the final aggregate has ≤5 groups. At 100 TB
+  // the anti join shuffles each side once on the customer key; nothing
+  // else moves.
+  private val DormantSince = "1999-01-01 00:00:00"
+  private def qDormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > lit(0.0))
+      .agg(xavg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(DormantSince).cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        xsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val sqlDormantCustomers: String =
+    s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  ${sqlSum("c_acctbal")} AS total_bal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |    SELECT ${sqlAvg("c_acctbal")} FROM customer
+       |    WHERE c_acctbal > CAST(0 AS DOUBLE))
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND o_orderdate >= TIMESTAMP '$DormantSince')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------- q65_waiting_suppliers
+  // TPC-H Q21 shape (suppliers who kept orders waiting): in finished
+  // multi-supplier orders, the supplier(s) whose shipment was the
+  // last — the canonical exists/not-exists pair, decorrelated here into
+  // aggregate-then-rejoin: ONE shuffle of lineitem on (orderkey,
+  // suppkey), a per-order rollup of that (same key prefix — no second
+  // wide shuffle), a co-partitioned re-join, and a semi join against
+  // the finished-orders scan. Ties on the order's last ship date count
+  // every tied supplier (the reference EXISTS semantics).
+  private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last"))
+    val ord = per.groupBy(col("l_orderkey").as("ok"))
+      .agg(max(col("supp_last")).as("order_last"),
+        count(lit(1)).as("n_supp"))
+    val finished = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    per.join(ord, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") >= 2 && col("supp_last") === col("order_last"))
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  private val sqlWaitingSuppliers: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+      |  FROM lineitem GROUP BY 1, 2),
+      |ord AS (
+      |  SELECT l_orderkey AS ok, MAX(supp_last) AS order_last,
+      |    COUNT(*) AS n_supp
+      |  FROM per GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM per p
+      |JOIN ord ON p.l_orderkey = ok
+      |JOIN supplier ON s_suppkey = p.l_suppkey
+      |WHERE n_supp >= 2 AND supp_last = order_last
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = p.l_orderkey
+      |                AND o_orderstatus = 'F')
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
+  // ------------------------------------------------- q66_volume_shipping
+  // TPC-H Q7 shape (volume shipping between two nations): yearly
+  // revenue in both directions between a nation pair. Both nation
+  // lookups pre-filter to the pair BEFORE joining (the dim filter
+  // prunes the fact probes), supplier-side broadcasts into lineitem,
+  // customer-side broadcasts into orders, the facts meet in ONE
+  // shuffle on the order key, and the cross-pair condition is a cheap
+  // post-join filter on two broadcast-sourced columns.
+  private val ShipNationA = "NATION_3"
+  private val ShipNationB = "NATION_8"
+  private def qVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(ShipNationA, ShipNationB)
+    val suppN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custN = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === ShipNationA &&
+          col("cust_nation") === ShipNationB) ||
+        (col("supp_nation") === ShipNationB &&
+          col("cust_nation") === ShipNationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val sqlVolumeShipping: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |    AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND ((sn.n_name = '$ShipNationA' AND cn.n_name = '$ShipNationB')
+       |    OR (sn.n_name = '$ShipNationB' AND cn.n_name = '$ShipNationA'))
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------- q67_late_priority
+  // TPC-H Q12 shape (shipping-mode priority audit; the fixture has no
+  // l_shipmode, so the grouping column is l_returnflag — same plan):
+  // late lineitems (shipped >60 days after the order date) counted as
+  // urgent vs non-urgent per group. ONE shuffle join on the order key,
+  // conditional integer counters in ONE hash aggregate.
+  private def qLatePriority(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(high, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val sqlLatePriority: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------- q68_top_supplier
+  // TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+  // quarterly revenue — the view-then-max-then-equijoin plan. The
+  // per-supplier rollup is ONE shuffle; its 1-row max broadcasts back
+  // over the same (reused) aggregate; the double equality is exact on
+  // both sides because both come from the same exact-decimal sum.
+  private val TopSuppQStart = "1997-01-01 00:00:00"
+  private val TopSuppQEnd   = "1997-04-01 00:00:00"
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(TopSuppQStart).cast("timestamp") &&
+        col("l_shipdate") < lit(TopSuppQEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val sqlTopSupplier: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |      AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$TopSuppQStart'
+       |    AND l_shipdate < TIMESTAMP '$TopSuppQEnd'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -5180,6 +5640,17 @@ object SparkEntry {
     "q55_order_priority" -> qOrderPriority _,
     "q56_forecast_revenue" -> qForecastRevenue _,
     "q57_returned_customers" -> qReturnedCustomers _,
+    "q58_promo_revenue" -> qPromoRevenue _,
+    "q59_large_orders"  -> qLargeOrders _,
+    "q60_market_share"  -> qMarketShare _,
+    "q61_small_qty_revenue" -> qSmallQtyRevenue _,
+    "q62_order_count_dist" -> qOrderCountDist _,
+    "q63_disjunctive_revenue" -> qDisjunctiveRevenue _,
+    "q64_dormant_customers" -> qDormantCustomers _,
+    "q65_waiting_suppliers" -> qWaitingSuppliers _,
+    "q66_volume_shipping" -> qVolumeShipping _,
+    "q67_late_priority" -> qLatePriority _,
+    "q68_top_supplier"  -> qTopSupplier _,
     "q47_session_incidents" -> qSessionIncidents _,
     "q48_window_funcs"  -> qWindowFuncs _,
     "q49_funnel_windowed" -> qFunnelWindowed _,
@@ -5541,6 +6012,17 @@ object SparkEntry {
     "q55_order_priority" -> sqlOrderPriority,
     "q56_forecast_revenue" -> sqlForecastRevenue,
     "q57_returned_customers" -> sqlReturnedCustomers,
+    "q58_promo_revenue" -> sqlPromoRevenue,
+    "q59_large_orders"  -> sqlLargeOrders,
+    "q60_market_share"  -> sqlMarketShare,
+    "q61_small_qty_revenue" -> sqlSmallQtyRevenue,
+    "q62_order_count_dist" -> sqlOrderCountDist,
+    "q63_disjunctive_revenue" -> sqlDisjunctiveRevenue,
+    "q64_dormant_customers" -> sqlDormantCustomers,
+    "q65_waiting_suppliers" -> sqlWaitingSuppliers,
+    "q66_volume_shipping" -> sqlVolumeShipping,
+    "q67_late_priority" -> sqlLatePriority,
+    "q68_top_supplier"  -> sqlTopSupplier,
     "q47_session_incidents" -> sqlSessionIncidents,
     "q48_window_funcs"  -> sqlWindowFuncs,
     "q49_funnel_windowed" -> sqlFunnelWindowed,
