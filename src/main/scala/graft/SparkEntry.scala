@@ -3525,6 +3525,60 @@ object SparkEntry {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------- events_user_entropy
+  // Per-user event-type Shannon entropy — the behavioral-diversity score
+  // (bots and scripted traffic sit at 0; engaged users spread mass).
+  // Two thin hash aggregates on the user key + a co-partitioned re-join
+  // (AQE reuses the exchange); the −p·ln p terms are fixed IEEE op
+  // sequences on exact count ratios and the per-user sum rides the
+  // exact-decimal detour, so the descending rank (ties broken by
+  // user_id) is engine-identical.
+  private val EntropyTopK = 20
+  private def qUserEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ue = Tables.events(s, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val ut = ue.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("tot").cast("double")
+    val w = Window.orderBy(col("entropy").desc, col("user_id"))
+    ue.join(ut, Seq("user_id"))
+      .groupBy(col("user_id"), col("tot"), col("n_types"))
+      .agg(xsum(-(p * log(p)), 12).as("entropy"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= EntropyTopK)
+      .select(col("rk").cast("long").as("rk"), col("user_id"),
+        col("tot").cast("long").as("n_events"), col("n_types"),
+        col("entropy"))
+      .orderBy(col("rk"))
+  }
+
+  private val sqlUserEntropy: String =
+    s"""WITH ue AS (
+       |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type IS NOT NULL
+       |  GROUP BY user_id, event_type
+       |), ut AS (
+       |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types
+       |  FROM ue GROUP BY user_id
+       |), ent AS (
+       |  SELECT ue.user_id, tot, n_types,
+       |    ${sqlSum("-(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) * " +
+      "ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)))", 12)} AS entropy
+       |  FROM ue JOIN ut ON ue.user_id = ut.user_id
+       |  GROUP BY ue.user_id, tot, n_types
+       |), ranked AS (
+       |  SELECT user_id, tot, n_types, entropy,
+       |    ROW_NUMBER() OVER (ORDER BY entropy DESC, user_id) AS rk
+       |  FROM ent
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, user_id, tot AS n_events,
+       |  n_types, entropy
+       |FROM ranked WHERE rk <= $EntropyTopK ORDER BY rk""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -5651,6 +5705,17 @@ object SparkEntry {
     "q66_volume_shipping" -> qVolumeShipping _,
     "q67_late_priority" -> qLatePriority _,
     "q68_top_supplier"  -> qTopSupplier _,
+    "events_user_entropy" -> qUserEntropy _,
+    "text_js_divergence" -> ((s, d) => TextOps.jsDivergence(docs(s, d))),
+    "sim_silhouette"    -> ((s, d) => Similarity.silhouette(emb(s, d))),
+    "sim_db_index"      -> ((s, d) => Similarity.dbIndex(emb(s, d))),
+    // degree-weighted link prediction reads the SAME edge/degree memos
+    // as the other link rankings
+    "graph_adamic_adar" -> ((s, d) =>
+      graft.operators.Graph.adamicAdar(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        scoredPre = Some(graft.operators.Graph.coPartAaCached(
+          Tables.lineitem(s, d), d)))),
     "q47_session_incidents" -> qSessionIncidents _,
     "q48_window_funcs"  -> qWindowFuncs _,
     "q49_funnel_windowed" -> qFunnelWindowed _,
@@ -6023,6 +6088,11 @@ object SparkEntry {
     "q66_volume_shipping" -> sqlVolumeShipping,
     "q67_late_priority" -> sqlLatePriority,
     "q68_top_supplier"  -> sqlTopSupplier,
+    "events_user_entropy" -> sqlUserEntropy,
+    "text_js_divergence" -> TextOps.sqlJsDivergence,
+    "sim_silhouette"    -> Similarity.sqlSilhouette,
+    "sim_db_index"      -> Similarity.sqlDbIndex,
+    "graph_adamic_adar" -> graft.operators.Graph.sqlAdamicAdar,
     "q47_session_incidents" -> sqlSessionIncidents,
     "q48_window_funcs"  -> sqlWindowFuncs,
     "q49_funnel_windowed" -> sqlFunnelWindowed,

@@ -1019,6 +1019,132 @@ object Graph {
       .orderBy(col("rk"))
   }
 
+  /** Top edges by Adamic-Adar score Σ_{z∈N(u)∩N(v)} 1/ln(deg z) (Adamic
+    * & Adar, "Friends and neighbors on the web", Social Networks 2003),
+    * with the Resource-Allocation index Σ 1/deg(z) (Zhou, Lü & Zhang,
+    * "Predicting missing links via local information", EPJ B 2009)
+    * alongside — the degree-weighted link-prediction pair that
+    * discounts hub-mediated overlap where [[commonNeighbors]]' raw
+    * count cannot.
+    *
+    * Scale shape: the SAME two adjacency-endpoint joins as
+    * [[commonNeighbors]], over a degree-CARRYING adjacency (neighbors
+    * packed v·2³¹+deg, built with one join on the undirected edge
+    * frame) —
+    * the scores then fold INSIDE the per-edge intersection array, so
+    * the wedge rows are never materialized and no degree re-join or
+    * re-aggregation follows (the dense-graph discipline). Cross-engine
+    * determinism: every term 1/ln(deg z) (deg ≥ 2 for any common
+    * neighbor, so ln > 0) is two IEEE ops on an exact integer, and
+    * both engines fold the terms in ascending-v order over the SAME
+    * sorted intersection — a fixed IEEE op sequence, bit-identical
+    * with no decimal detour.
+    */
+  /** Packing base for the degree-carrying adjacency of [[adamicAdar]]. */
+  val PackBase = 2147483648L
+
+  /** The Adamic-Adar / Resource-Allocation scoring pass alone: (pa, pb,
+    * n_common, aa_score, ra_score) per edge. Adjacency sides ride the
+    * same broadcast↔hash runtime switch as [[edgeCommonCounts]].
+    */
+  private def aaScores(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val adjBcast = edges.sparkSession.conf
+      .getOption("spark.graft.triangles.broadcastAdj").forall(_.toBoolean)
+    def adjSide(df: DataFrame): DataFrame =
+      if (adjBcast) broadcast(df) else df
+    // degree-carrying sorted adjacency (u, ns: array<long>) with each
+    // neighbor packed as v·2³¹ + deg(v) — deg is a FUNCTION of v, so
+    // intersecting packed keys ≡ intersecting neighbor ids, and the
+    // degree rides along for free (node ids must fit 2³², degrees 2³¹ —
+    // re-widen the packing for key spaces beyond that). ONE broadcast
+    // deg join on the |2E|-row undirected frame; never exploded again.
+    val und = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val adjD = und
+      .join(adjSide(deg.select(col("id").as("v"), col("deg").as("dv"))),
+        Seq("v"))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(
+        col("v") * lit(PackBase) + col("dv"))).as("ns"))
+    // per-edge: sorted packed intersection, then in-array folds — the
+    // wedge rows are never materialized (the dense-graph discipline) and
+    // the ascending fold order makes the IEEE sums bit-identical to
+    // the oracle's list_reduce without any decimal detour
+    val inter = array_sort(array_intersect(col("na"), col("nb")))
+    edges
+      .join(adjSide(adjD.select(col("u").as("pa"), col("ns").as("na"))),
+        Seq("pa"))
+      .join(adjSide(adjD.select(col("u").as("pb"), col("ns").as("nb"))),
+        Seq("pb"))
+      .select(col("pa"), col("pb"),
+        size(inter).cast("long").as("n_common"),
+        aggregate(inter, lit(0.0), (acc, z) =>
+          acc + lit(1.0) / log((z % lit(PackBase)).cast("double")))
+          .as("aa_score"),
+        aggregate(inter, lit(0.0), (acc, z) =>
+          acc + lit(1.0) / (z % lit(PackBase)).cast("double"))
+          .as("ra_score"))
+  }
+
+  /** Pinned per-(session, key) Adamic-Adar score frame over the co-part
+    * memos — the same share-the-pass discipline as
+    * [[coPartCommonCached]].
+    */
+  def coPartAaCached(lineitem: DataFrame, cacheKey: String): DataFrame = {
+    val edges = coPartEdgesCached(lineitem, cacheKey)
+    val deg = coPartDegreesCached(lineitem, cacheKey)
+    cachedPin(lineitem.sparkSession, s"cpaa|$cacheKey")(
+      aaScores(edges, deg))
+  }
+
+  def adamicAdar(edges: DataFrame, degPre: Option[DataFrame] = None,
+      scoredPre: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredPre.getOrElse(
+      aaScores(edges, degPre.getOrElse(degrees(edges))))
+    val w = Window.orderBy(col("aa_score").desc, col("pa"), col("pb"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CnTopK)
+      .select(col("rk").cast("long").as("rk"), col("pa"), col("pb"),
+        col("n_common"), col("aa_score"), col("ra_score"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlAdamicAdar: String =
+    s"""WITH $sqlCoPartCtes, und AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), adjd AS (
+       |  SELECT u, list_sort(list(und.v * $PackBase + deg.deg)) AS ns
+       |  FROM und JOIN deg ON und.v = deg.id GROUP BY u
+       |), scored AS (
+       |  SELECT pa, pb,
+       |    CAST(len(inter) AS BIGINT) AS n_common,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(inter,
+       |        z -> CAST(1 AS DOUBLE) / ln(CAST(z % $PackBase AS DOUBLE)))),
+       |      (x, y) -> x + y) AS aa_score,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(inter,
+       |        z -> CAST(1 AS DOUBLE) / CAST(z % $PackBase AS DOUBLE))),
+       |      (x, y) -> x + y) AS ra_score
+       |  FROM (
+       |    SELECT p.pa, p.pb,
+       |      list_sort(list_intersect(a.ns, b.ns)) AS inter
+       |    FROM pairs p
+       |    JOIN adjd a ON p.pa = a.u
+       |    JOIN adjd b ON p.pb = b.u
+       |  )
+       |), ranked AS (
+       |  SELECT pa, pb, n_common, aa_score, ra_score,
+       |    ROW_NUMBER() OVER (ORDER BY aa_score DESC, pa, pb) AS rk
+       |  FROM scored
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, pa, pb, n_common, aa_score,
+       |  ra_score
+       |FROM ranked WHERE rk <= $CnTopK ORDER BY rk""".stripMargin
+
   /** Minimum degree for the local-clustering ranking — nodes below it
     * have too few possible wedges for the coefficient to mean much.
     */

@@ -729,6 +729,172 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
+  // --------------------------------------------------- cluster quality
+  /** Per-label centroid ARRAYS (clabel, cv, cnrm) — [[centroids]]' exact
+    * long-form means reassembled in dim order, the broadcastable frame
+    * the cluster-quality audits probe against.
+    */
+  private def labelCents(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .groupBy(col("label"), col("dim0"))
+      .agg(graft.functions.Exact.xavg(col("x").cast("double")).as("cval"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim0"), col("cval"))))
+        .as("p"))
+      .select(col("label").as("clabel"),
+        transform(col("p"), s => s("cval")).as("cv"))
+      .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
+
+  /** (vec_id, label, v, nrm) double-widened working frame. */
+  private def labeledVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+
+  /** Per-label centroid silhouette (Rousseeuw, "Silhouettes: a graphical
+    * aid to the interpretation and validation of cluster analysis",
+    * J. Comput. Appl. Math. 1987, in its centroid approximation): for
+    * each vector, a = cosine distance to its own label centroid, b = the
+    * nearest OTHER label centroid's distance, s = (b−a)/max(a,b);
+    * reported as the per-label mean plus the count of well-placed
+    * (s > 0) vectors. The centroid form replaces Rousseeuw's O(n²)
+    * pairwise means with k centroid probes per vector — the only
+    * formulation that scales to corpus-size n.
+    *
+    * Scale shape: the k-row centroid frame broadcasts; scoring is ONE
+    * map-side pass over the vectors (k dots each, no shuffle); the a/b
+    * reduction and the per-label rollup are two thin hash aggregates.
+    * Determinism: each distance is a left-to-right fold dot + two IEEE
+    * ops; min/max comparisons and the single division are exact on both
+    * engines; the per-label mean goes through the exact-decimal detour.
+    */
+  def silhouette(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact.xavg
+    val scored = labeledVecs(emb).crossJoin(broadcast(labelCents(emb)))
+      .withColumn("dist", lit(1.0) -
+        dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(when(col("label") === col("clabel"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("dist"))).as("b"))
+      .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .groupBy(col("label"))
+      .agg(xavg(col("sil")).as("avg_silhouette"),
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("sil") > lit(0.0), 1L).otherwise(0L))
+          .as("n_well_placed"))
+      .orderBy(col("label"))
+  }
+
+  def sqlSilhouette: String =
+    s"""WITH cl AS (
+       |  SELECT label AS clabel, i AS dim,
+       |    ${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")} AS cval
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY label, i
+       |), cents AS (
+       |  SELECT clabel, list(cval ORDER BY dim) AS cv FROM cl
+       |  GROUP BY clabel
+       |), n AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT vec_id, label, clabel,
+       |    CAST(1 AS DOUBLE) - ${sqlDotD("v", "cv")}
+       |      / (sqrt(${sqlDotD("v", "v")}) * sqrt(${sqlDotD("cv", "cv")}))
+       |      AS dist
+       |  FROM n CROSS JOIN cents
+       |), ab AS (
+       |  SELECT vec_id, label,
+       |    MIN(CASE WHEN label = clabel THEN dist END) AS a,
+       |    MIN(CASE WHEN label <> clabel THEN dist END) AS b
+       |  FROM scored GROUP BY vec_id, label
+       |), sil AS (
+       |  SELECT label, (b - a) / greatest(a, b) AS sil FROM ab
+       |)
+       |SELECT label, ${graft.functions.Exact.sqlAvg("sil")}
+       |    AS avg_silhouette,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN sil > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_well_placed
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
+  /** Davies-Bouldin separation audit (Davies & Bouldin, "A cluster
+    * separation measure", IEEE TPAMI 1979): per label, the scatter
+    * S_i (mean cosine distance to the own centroid) and
+    * R_i = max_{j≠i} (S_i+S_j)/M_ij where M_ij is the centroid-pair
+    * distance — the worst-neighbor ratio whose mean is the DB index
+    * (lower = tighter, better-separated clusters).
+    *
+    * Scale shape: scatters ride the SAME broadcast-centroid map-side
+    * pass as [[silhouette]]; the pair matrix is k² rows of driver-free
+    * arithmetic on the k-row centroid frame. Nothing beyond the one
+    * corpus scan is corpus-sized.
+    */
+  def dbIndex(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact.xavg
+    val cents = labelCents(emb)
+    val own = labeledVecs(emb)
+      .join(broadcast(cents), col("label") === col("clabel"))
+      .withColumn("dist", lit(1.0) -
+        dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("label"))
+      .agg(xavg(col("dist")).as("scatter"), count(lit(1)).as("n_vectors"))
+    val c2 = cents.select(col("clabel").as("lb"), col("cv").as("cv2"),
+      col("cnrm").as("cnrm2"))
+    val si = own.select(col("label").as("li"), col("scatter").as("s_i"))
+    val sj = own.select(col("label").as("lj"), col("scatter").as("s_j"))
+    val pairs = cents.join(c2, col("clabel") =!= col("lb"))
+      .withColumn("m_ij", lit(1.0) -
+        dotD(col("cv"), col("cv2")) / (col("cnrm") * col("cnrm2")))
+      .join(si, col("clabel") === col("li"))
+      .join(sj, col("lb") === col("lj"))
+      .withColumn("r", (col("s_i") + col("s_j")) / col("m_ij"))
+      .groupBy(col("clabel").as("label"))
+      .agg(max(col("r")).as("r_max"))
+    own.join(pairs, Seq("label"))
+      .select(col("label"), col("n_vectors"), col("scatter"), col("r_max"))
+      .orderBy(col("label"))
+  }
+
+  def sqlDbIndex: String =
+    s"""WITH cl AS (
+       |  SELECT label AS clabel, i AS dim,
+       |    ${graft.functions.Exact.sqlAvg("embedding[i]::DOUBLE")} AS cval
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY label, i
+       |), cents AS (
+       |  SELECT clabel, list(cval ORDER BY dim) AS cv FROM cl
+       |  GROUP BY clabel
+       |), own AS (
+       |  SELECT e.label,
+       |    ${graft.functions.Exact.sqlAvg(
+      s"""CAST(1 AS DOUBLE) - ${sqlDotD("v", "cv")}
+         |      / (sqrt(${sqlDotD("v", "v")}) * sqrt(${sqlDotD("cv", "cv")}))"""
+        .stripMargin)} AS scatter,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings) e
+       |  JOIN cents ON e.label = cents.clabel
+       |  GROUP BY e.label
+       |), pairs AS (
+       |  SELECT a.clabel AS label,
+       |    MAX((si.scatter + sj.scatter) /
+       |      (CAST(1 AS DOUBLE) - ${sqlDotD("a.cv", "b.cv")}
+       |        / (sqrt(${sqlDotD("a.cv", "a.cv")})
+       |         * sqrt(${sqlDotD("b.cv", "b.cv")})))) AS r_max
+       |  FROM cents a
+       |  JOIN cents b ON a.clabel <> b.clabel
+       |  JOIN own si ON si.label = a.clabel
+       |  JOIN own sj ON sj.label = b.clabel
+       |  GROUP BY a.clabel
+       |)
+       |SELECT label, n_vectors, scatter, r_max
+       |FROM own JOIN pairs USING (label)
+       |ORDER BY label""".stripMargin
+
   // -------------------------------------------------------- k-means IVF
   /** Lloyd's-iterated IVF coarse quantizer (Lloyd 1982; the FAISS-style
     * trained replacement for [[ivfTopK]]'s training-free seed): start from

@@ -777,6 +777,97 @@ object TextOps {
        |  CAST(2 * n_s * n AS BIGINT) AS tvd_den
        |FROM pres ORDER BY source""".stripMargin
 
+  /** ln(2) as ONE shared literal — Spark and the oracle must read the
+    * identical double, never each compute `log(2)` through their own
+    * constant-folding path.
+    */
+  private val Ln2 = "0.6931471805599453"
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions (Lin, "Divergence measures based on the Shannon
+    * entropy", IEEE Trans. IT 1991) — the symmetric, bounded [0, ln 2]
+    * companion to [[sourceTvd]]'s L1 distance, the standard corpus-mix
+    * drift score.
+    *
+    * Out-of-vocabulary mass needs no per-word rows: every word present
+    * in P but absent from Q contributes exactly p·ln 2 to the P-side
+    * sum, so JSD = ½·Σ_{w∈P∩Q}[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    * + ½·ln 2·[(1−mP) + (1−mQ)] where mP, mQ are each side's SHARED
+    * vocabulary mass — exact integer count ratios.
+    *
+    * Scale shape: one (source, word) count exchange (the [[sourceTvd]]
+    * frame), one vocab-bounded self-join per source pair (|pairs| is
+    * |sources|², a handful), one hash aggregate. Determinism: p and q
+    * are single IEEE divisions of exact integers, each term is a fixed
+    * IEEE op sequence, the shared-term sum goes through the
+    * exact-decimal detour, and the closing combine is four IEEE ops on
+    * deterministic doubles.
+    */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.xsum
+    val sw = docs
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val withTot = sw.join(ns, Seq("source"))
+    val a = withTot.select(col("source").as("source_a"), col("w"),
+      col("c").as("ca"), col("n_s").as("na"))
+    val b = withTot.select(col("source").as("source_b"), col("w"),
+      col("c").as("cb"), col("n_s").as("nb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val term = pa * log(lit(2.0) * pa / (pa + pb)) +
+      pb * log(lit(2.0) * pb / (pa + pb))
+    a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("na"), col("nb"))
+      .agg(
+        xsum(term, 12).as("shared_term"),
+        sum(col("ca")).as("ma"),
+        sum(col("cb")).as("mb"),
+        count(lit(1)).as("n_shared_words"))
+      .select(col("source_a"), col("source_b"), col("n_shared_words"),
+        (lit(0.5) * col("shared_term") + lit(0.5) * lit(Ln2.toDouble) *
+          ((lit(1.0) - col("ma").cast("double") / col("na").cast("double")) +
+           (lit(1.0) - col("mb").cast("double") / col("nb").cast("double"))))
+          .as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sqlJsDivergence: String =
+    s"""WITH sw AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT source, unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) WHERE w <> '' GROUP BY source, w
+       |), ns AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM sw
+       |  GROUP BY source
+       |), wt AS (
+       |  SELECT sw.source, w, c, n_s FROM sw JOIN ns ON sw.source = ns.source
+       |), j AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n_s AS na, b.n_s AS nb, a.c AS ca, b.c AS cb,
+       |    CAST(a.c AS DOUBLE) / CAST(a.n_s AS DOUBLE) AS p,
+       |    CAST(b.c AS DOUBLE) / CAST(b.n_s AS DOUBLE) AS q
+       |  FROM wt a JOIN wt b ON a.w = b.w AND a.source < b.source
+       |), g AS (
+       |  SELECT source_a, source_b, na, nb,
+       |    ${graft.functions.Exact.sqlSum(
+      "p * ln(CAST(2 AS DOUBLE) * p / (p + q)) + " +
+        "q * ln(CAST(2 AS DOUBLE) * q / (p + q))", 12)} AS shared_term,
+       |    CAST(SUM(ca) AS BIGINT) AS ma, CAST(SUM(cb) AS BIGINT) AS mb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared_words
+       |  FROM j GROUP BY source_a, source_b, na, nb
+       |)
+       |SELECT source_a, source_b, n_shared_words,
+       |  CAST(0.5 AS DOUBLE) * shared_term + CAST(0.5 AS DOUBLE)
+       |    * CAST($Ln2 AS DOUBLE)
+       |    * ((CAST(1 AS DOUBLE) - CAST(ma AS DOUBLE) / CAST(na AS DOUBLE))
+       |     + (CAST(1 AS DOUBLE) - CAST(mb AS DOUBLE) / CAST(nb AS DOUBLE)))
+       |    AS jsd
+       |FROM g ORDER BY source_a, source_b""".stripMargin
+
   def sqlWinnowPairs: String =
     s"""WITH w AS (
        |  ${sqlWinnow.linesIterator.mkString("\n  ")}
