@@ -3579,6 +3579,53 @@ object SparkEntry {
        |  n_types, entropy
        |FROM ranked WHERE rk <= $EntropyTopK ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------- events_hill_tail
+  // Hill estimator of the power-law tail exponent (Hill, "A simple
+  // general approach to inference about the tail of a distribution",
+  // Annals of Statistics 1975): α = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over
+  // the k largest positive event values. The k+1 order statistics come
+  // from a global top-k (TakeOrderedAndProject / WindowGroupLimit —
+  // never a full sort), ties broken by event_id so the tail SET is
+  // engine-identical; each log-ratio is a fixed IEEE sequence and the
+  // sum rides the exact-decimal detour.
+  private val HillK = 100
+  private def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    val ranked = Tables.events(s, dir)
+      .filter(col("value") > lit(0.0))
+      .select(col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HillK + 1)
+    val ref = ranked.filter(col("rk") === HillK + 1)
+      .select(col("value").as("x_kplus1"))
+    ranked.filter(col("rk") <= HillK)
+      .crossJoin(broadcast(ref))
+      .agg(
+        count(lit(1)).as("n_tail"),
+        max(col("x_kplus1")).as("x_kplus1"),
+        xsum(log(col("value") / col("x_kplus1")), 12).as("log_sum"))
+      .select(col("n_tail"), col("x_kplus1"),
+        (col("n_tail").cast("double") / col("log_sum")).as("hill_alpha"))
+  }
+
+  private val sqlHillTail: String =
+    s"""WITH ranked AS (
+       |  SELECT event_id, value,
+       |    ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rk
+       |  FROM events WHERE value > CAST(0 AS DOUBLE)
+       |), ref AS (
+       |  SELECT value AS x_kplus1 FROM ranked WHERE rk = ${HillK + 1}
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       |    MAX(x_kplus1) AS x_kplus1,
+       |    ${sqlSum("ln(value / x_kplus1)", 12)} AS log_sum
+       |  FROM ranked CROSS JOIN ref WHERE rk <= $HillK
+       |)
+       |SELECT n_tail, x_kplus1,
+       |  CAST(n_tail AS DOUBLE) / log_sum AS hill_alpha
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -5706,6 +5753,9 @@ object SparkEntry {
     "q67_late_priority" -> qLatePriority _,
     "q68_top_supplier"  -> qTopSupplier _,
     "events_user_entropy" -> qUserEntropy _,
+    "events_hill_tail"  -> qHillTail _,
+    "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
+    "mm_rgb_hist"       -> ((s, d) => Multimodal.rgbHistogram(docs(s, d))),
     "text_js_divergence" -> ((s, d) => TextOps.jsDivergence(docs(s, d))),
     "sim_silhouette"    -> ((s, d) => Similarity.silhouette(emb(s, d))),
     "sim_db_index"      -> ((s, d) => Similarity.dbIndex(emb(s, d))),
@@ -6089,6 +6139,9 @@ object SparkEntry {
     "q67_late_priority" -> sqlLatePriority,
     "q68_top_supplier"  -> sqlTopSupplier,
     "events_user_entropy" -> sqlUserEntropy,
+    "events_hill_tail"  -> sqlHillTail,
+    "corpus_kfold"      -> TrainingData.sqlKfoldStats,
+    "mm_rgb_hist"       -> Multimodal.sqlRgbHistogram,
     "text_js_divergence" -> TextOps.sqlJsDivergence,
     "sim_silhouette"    -> Similarity.sqlSilhouette,
     "sim_db_index"      -> Similarity.sqlDbIndex,

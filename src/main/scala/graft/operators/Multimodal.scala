@@ -870,6 +870,76 @@ object Multimodal {
        |FROM hsh GROUP BY phash HAVING COUNT(*) > 1
        |ORDER BY phash""".stripMargin
 
+  // ------------------------------------------------ channel histograms
+  final case class ChannelBucket(channel: String, bucket: Int, n: Long)
+
+  /** Corpus-level RGB intensity histogram (16 buckets of 16 levels per
+    * channel) over the REAL BMP pixel decode — the color-distribution
+    * profile an image-corpus card reports (washed-out/clipped channels,
+    * synthetic-palette spikes). The decoder emits PER-IMAGE partial
+    * histograms (≤ 48 thin rows each, reduced inside the decode loop),
+    * so the corpus-scale pixel arrays never leave the map side; the
+    * global rollup is a 48-group hash aggregate. `mapPartitions` only
+    * amortizes decoder init, like every other decode stage here.
+    *
+    * Oracle: the generator's pixel planes (R = 2y+1, G = x+y, B =
+    * base+x; all < 256 at the fixture geometry, so no byte wrap)
+    * re-derived relationally over a range(w)×range(h) grid.
+    */
+  def rgbHistogram(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val partials = syntheticBmpMedia(docs).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, rgb) = decodeBmpPixels(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not an uncompressed 24-bpp BMP"))
+        val counts = Array.ofDim[Long](3, 16)
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          counts(0)((rgb(i * 3) & 0xff) >> 4) += 1
+          counts(1)((rgb(i * 3 + 1) & 0xff) >> 4) += 1
+          counts(2)((rgb(i * 3 + 2) & 0xff) >> 4) += 1
+          i += 1
+        }
+        val names = Array("r", "g", "b")
+        for {
+          c <- (0 until 3).iterator
+          b2 <- 0 until 16
+          if counts(c)(b2) > 0L
+        } yield ChannelBucket(names(c), b2, counts(c)(b2))
+      }
+    }
+    partials.toDF()
+      .groupBy(col("channel"), col("bucket"))
+      .agg(sum(col("n")).as("n_pixels"))
+      .orderBy(col("channel"), col("bucket"))
+  }
+
+  val sqlRgbHistogram: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 60 + 4 AS BIGINT) AS w,
+      |    CAST(n_chars % 40 + 2 AS BIGINT) AS h,
+      |    doc_id % 50 AS base
+      |  FROM documents
+      |), xy AS (
+      |  -- range() takes no lateral column args: cross the max geometry
+      |  -- (w ≤ 63, h ≤ 41) and filter to each image's own grid
+      |  SELECT g.doc_id, g.base, x.range AS x, y.range AS y
+      |  FROM g, range(64) x, range(42) y
+      |  WHERE x.range < g.w AND y.range < g.h
+      |), px AS (
+      |  SELECT 'r' AS channel, (2 * y + 1) // 16 AS bucket FROM xy
+      |  UNION ALL
+      |  SELECT 'g', (x + y) // 16 FROM xy
+      |  UNION ALL
+      |  SELECT 'b', (base + x) // 16 FROM xy
+      |)
+      |SELECT channel, CAST(bucket AS INT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pixels
+      |FROM px GROUP BY channel, bucket
+      |ORDER BY channel, bucket""".stripMargin
+
   // --------------------------------------------------- real audio decode
   /** Audio decode output: exact integer statistics over the PCM sample
     * stream. `pos_weighted` pairs each sample with its index, so a

@@ -71,6 +71,53 @@ object TrainingData {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  // ----------------------------------------------------------- k-fold
+  /** Folds and salt for [[kfoldStats]] — a different salt than the
+    * train/val/test split so the two assignments are independent.
+    */
+  val KFolds = 5
+  val KfoldSalt = "graft-kfold"
+
+  /** Deterministic k-fold cross-validation assignment audit: the salted
+    * md5 fold id (same map-side, growth-stable properties as
+    * [[withSplit]]) with per-fold accounting — doc/token mass balance
+    * and source coverage, plus the largest single-source count so a
+    * fold dominated by one source is visible. All-integer output, two
+    * thin hash aggregates (fold×source, then fold); at 100 TB the fold
+    * id is a pure scan-level expression any downstream filter pushes
+    * down.
+    */
+  def kfoldStats(docs: DataFrame): DataFrame = {
+    val fold = tokenHash(
+      concat(lit(KfoldSalt), lit(":"), col("doc_id").cast("string"))) %
+      KFolds
+    docs
+      .withColumn("fold", fold)
+      .groupBy(col("fold"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(words(col("text"))).cast("long")).as("tok"))
+      .groupBy(col("fold"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(col("tok")).cast("long").as("sum_tokens"),
+        count(lit(1)).as("n_sources"),
+        max(col("n")).cast("long").as("max_source_docs"))
+      .orderBy(col("fold"))
+  }
+
+  def sqlKfoldStats: String = {
+    val fold =
+      s"${sqlTokenHash(s"'$KfoldSalt:' || CAST(doc_id AS VARCHAR)")} % $KFolds"
+    s"""SELECT fold, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |  CAST(MAX(n) AS BIGINT) AS max_source_docs
+       |FROM (
+       |  SELECT $fold AS fold, source, COUNT(*) AS n,
+       |    SUM(len(${sqlWords("text")})) AS tok
+       |  FROM documents GROUP BY 1, 2)
+       |GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
   /** Train/eval near-duplicate leakage audit: how many LSH candidate
     * pairs straddle a split boundary. A near-dup of a training document
     * sitting in val/test silently inflates eval scores, so this is the
