@@ -3626,6 +3626,52 @@ object SparkEntry {
        |  CAST(n_tail AS DOUBLE) / log_sum AS hill_alpha
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------- events_time_to_convert
+  // First-touch conversion latency: per user, seconds from the FIRST
+  // 'view' to the first 'purchase' at-or-after it, summarized as exact
+  // interpolated percentiles (the q23 idiom: Spark `percentile` ↔
+  // DuckDB quantile_cont, ROUND 4 on both sides). Two thin user-keyed
+  // aggregates + one co-partitioned join; the delta is integer epoch
+  // seconds (`div` ↔ `//`), so the percentile inputs are exact.
+  private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val conv = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_buy"))
+      .select(expr("(unix_micros(t_buy) - unix_micros(t_view)) div 1000000")
+        .as("delta_sec"))
+    val nView = first.agg(count(lit(1)).as("n_view_users"))
+    conv.crossJoin(broadcast(nView))
+      .agg(max(col("n_view_users")).as("n_view_users"),
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta_sec, 0.5)"), 4).as("p50_sec"),
+        round(expr("percentile(delta_sec, 0.9)"), 4).as("p90_sec"))
+  }
+
+  private val sqlTimeToConvert: String =
+    """WITH fv AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), conv AS (
+      |  SELECT e.user_id,
+      |    (MIN(epoch_us(CAST(e.ts AS TIMESTAMP)))
+      |      - MIN(epoch_us(t_view))) // 1000000 AS delta_sec
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(e.ts AS TIMESTAMP) >= t_view
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_view_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  ROUND(quantile_cont(delta_sec, 0.5), 4) AS p50_sec,
+      |  ROUND(quantile_cont(delta_sec, 0.9), 4) AS p90_sec
+      |FROM conv""".stripMargin
+
   // ------------------------------------------------- events_ema
   // Truncated exponential moving average (α = 1/2, depth 8) per user —
   // the streaming-telemetry smoother. A true EMA is a per-key recursive
@@ -5754,6 +5800,8 @@ object SparkEntry {
     "q68_top_supplier"  -> qTopSupplier _,
     "events_user_entropy" -> qUserEntropy _,
     "events_hill_tail"  -> qHillTail _,
+    "events_time_to_convert" -> qTimeToConvert _,
+    "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
     "mm_rgb_hist"       -> ((s, d) => Multimodal.rgbHistogram(docs(s, d))),
     "text_js_divergence" -> ((s, d) => TextOps.jsDivergence(docs(s, d))),
@@ -6140,6 +6188,8 @@ object SparkEntry {
     "q68_top_supplier"  -> sqlTopSupplier,
     "events_user_entropy" -> sqlUserEntropy,
     "events_hill_tail"  -> sqlHillTail,
+    "events_time_to_convert" -> sqlTimeToConvert,
+    "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,
     "mm_rgb_hist"       -> Multimodal.sqlRgbHistogram,
     "text_js_divergence" -> TextOps.sqlJsDivergence,

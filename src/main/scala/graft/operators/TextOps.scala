@@ -868,6 +868,66 @@ object TextOps {
        |    AS jsd
        |FROM g ORDER BY source_a, source_b""".stripMargin
 
+  /** Window length and cut for the boilerplate leaderboard. */
+  val BoilerN = 8
+  val BoilerTopK = 20
+
+  /** Cross-document repeated-span leaderboard: the top sliding
+    * word-8-grams by distinct-document reach — the boilerplate /
+    * template detector (headers, footers, license blurbs) an LLM data
+    * pipeline runs before training, since repeated spans concentrate
+    * gradient mass (Lee et al., "Deduplicating training data makes
+    * language models better", ACL 2022 motivates span-level dedup).
+    *
+    * Scale shape: the gram explosion is linear in corpus tokens (each
+    * token starts ≤ 1 window) and aggregates with map-side partial
+    * counts on the gram key; the n_docs > 1 filter drops the unique-
+    * span tail BEFORE ranking and the leaderboard is one
+    * WindowGroupLimit top-k, never a global sort of the gram space.
+    */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), words(col("text")).as("toks"))
+      .filter(size(col("toks")) >= BoilerN)
+    val grams = base.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - (BoilerN - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(BoilerN))))).as("gram"))
+    val w = Window.orderBy(col("n_docs").desc, col("n_occurrences").desc,
+      col("gram"))
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BoilerTopK)
+      .select(col("rk").cast("long").as("rk"), col("gram"), col("n_docs"),
+        col("n_occurrences"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlBoilerplate: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${sqlWords("text")} AS toks FROM documents
+       |  WHERE len(${sqlWords("text")}) >= $BoilerN
+       |), grams AS (
+       |  SELECT doc_id, array_to_string(toks[i:i + ${BoilerN - 1}], ' ')
+       |    AS gram
+       |  FROM t, range(1, 101) r(i)
+       |  WHERE i <= len(toks) - ${BoilerN - 1}
+       |), g AS (
+       |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM grams GROUP BY gram
+       |), ranked AS (
+       |  SELECT gram, n_docs, n_occurrences,
+       |    ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occurrences DESC,
+       |      gram) AS rk
+       |  FROM g WHERE n_docs > 1
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, gram, n_docs, n_occurrences
+       |FROM ranked WHERE rk <= $BoilerTopK ORDER BY rk""".stripMargin
+
   def sqlWinnowPairs: String =
     s"""WITH w AS (
        |  ${sqlWinnow.linesIterator.mkString("\n  ")}
