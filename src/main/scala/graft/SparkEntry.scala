@@ -3626,6 +3626,211 @@ object SparkEntry {
        |  CAST(n_tail AS DOUBLE) / log_sum AS hill_alpha
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------- q69_skyline
+  // 2-D skyline / Pareto frontier (Börzsönyi, Kossmann & Stocker, "The
+  // skyline operator", ICDE 2001): parts minimizing (p_size,
+  // p_retailprice) — no other part is ≤ on both axes and < on one.
+  // Skyline is DISTRIBUTIVE (skyline(S) = skyline(∪ skyline(Sᵢ))), so
+  // the plan never sweeps the full table through one window: a per-size
+  // min aggregate (map-side partial) shrinks the frame to |sizes| rows,
+  // the textbook sort-sweep window runs on THAT tiny frame, and the
+  // surviving (size, min-price) pairs broadcast back as a semi-join
+  // filter. Exact double equality against the min is deterministic —
+  // both sides are raw parquet values.
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSize = Tables.part(s, dir)
+      .groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("minp"))
+    val wPrev = Window.orderBy(col("p_size"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sky = perSize
+      .withColumn("min_prev", min(col("minp")).over(wPrev))
+      .filter(col("min_prev").isNull || col("minp") < col("min_prev"))
+      .select(col("p_size").as("sz"), col("minp"))
+    Tables.part(s, dir)
+      .join(broadcast(sky), col("p_size") === col("sz") &&
+        col("p_retailprice") === col("minp"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
+  private val sqlSkyline: String =
+    """WITH ps AS (
+      |  SELECT p_size, MIN(p_retailprice) AS minp FROM part
+      |  GROUP BY p_size
+      |), sky AS (
+      |  SELECT p_size AS sz, minp,
+      |    MIN(minp) OVER (ORDER BY p_size
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_prev
+      |  FROM ps
+      |)
+      |SELECT p_partkey, p_size, p_retailprice
+      |FROM part JOIN sky ON p_size = sz AND p_retailprice = minp
+      |WHERE min_prev IS NULL OR minp < min_prev
+      |ORDER BY p_size, p_partkey""".stripMargin
+
+  // ------------------------------------------------- q70_min_cost_supplier
+  // TPC-H Q2 shape (minimum-cost supplier): for each part in a size
+  // class, the supplier(s) with the minimum account balance among those
+  // who actually shipped it (the fixture has no partsupp/supplycost;
+  // the shipped-pair frame from lineitem plays partsupp, acctbal plays
+  // supplycost — same correlated-min + tie-keeping equality join).
+  // The distinct ship-pair frame shuffles once; part filter and the
+  // 10-row supplier table broadcast; the per-part min re-joins on
+  // equality so ties are KEPT, as in the reference query.
+  private val McsPartSize = 10
+  private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val parts = Tables.part(s, dir)
+      .filter(col("p_size") === McsPartSize)
+      .select(col("p_partkey"), col("p_name"))
+    val cand = shipped
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val minb = cand.groupBy(col("p_partkey").as("pk"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    cand.join(broadcast(minb), col("p_partkey") === col("pk") &&
+        col("s_acctbal") === col("min_bal"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  private val sqlMinCostSupplier: String =
+    s"""WITH shipped AS (
+       |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+       |), cand AS (
+       |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+       |  FROM shipped
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE p_size = $McsPartSize
+       |), m AS (
+       |  SELECT p_partkey AS pk, MIN(s_acctbal) AS min_bal FROM cand
+       |  GROUP BY p_partkey
+       |)
+       |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+       |FROM cand JOIN m ON p_partkey = pk AND s_acctbal = min_bal
+       |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  // ------------------------------------------------- q71_important_parts
+  // TPC-H Q11 shape (important stock identification): parts whose
+  // shipped value exceeds a fraction of the corpus total — here the
+  // scale-free "1.5× the average part value" so the threshold is
+  // meaningful at every SF. One shuffle keyed on the part, a 1-row
+  // broadcast scalar for the threshold, and a bounded top-k.
+  private val ImpTopK = 50
+  private def qImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val value = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("part_value"),
+        count(lit(1)).as("n_items"))
+    val stats = value.agg(xsum(col("part_value")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(stats))
+      .filter(col("part_value") >
+        lit(1.5) * col("total_value") / col("n_parts"))
+      .select(col("l_partkey"), col("part_value"), col("n_items"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+      .limit(ImpTopK)
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  private val sqlImportantParts: String =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |    ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+       |      AS part_value,
+       |    CAST(COUNT(*) AS BIGINT) AS n_items
+       |  FROM lineitem GROUP BY l_partkey
+       |), t AS (
+       |  SELECT ${sqlSum("part_value")} AS total_value,
+       |    CAST(COUNT(*) AS BIGINT) AS n_parts
+       |  FROM v
+       |)
+       |SELECT l_partkey, part_value, n_items
+       |FROM v CROSS JOIN t
+       |WHERE part_value > CAST(1.5 AS DOUBLE) * total_value / n_parts
+       |ORDER BY part_value DESC, l_partkey
+       |LIMIT $ImpTopK""".stripMargin
+
+  // ------------------------------------------------- events_bot_score
+  // Scripted-traffic suspicion ranking: per user, the burst ceiling
+  // (max events in any one minute) and behavioral concentration
+  // (dominant event-type share), composed into one score — the
+  // abuse-filter pass a data pipeline runs before training on user
+  // traces. Two thin two-level aggregates on the user key + one
+  // co-partitioned join; the share is an exact integer ratio and the
+  // score one IEEE multiply, so the ranking (ties → user_id) is
+  // engine-identical.
+  private val BotTopK = 20
+  private def qBotScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+    val byMin = ev
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy(col("user_id"), col("minute"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).as("max_per_min"))
+    val byType = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).as("max_type"), sum(col("c")).as("n_events"))
+    val w = Window.orderBy(col("score").desc, col("user_id"))
+    byType.join(byMin, Seq("user_id"))
+      .withColumn("dominant_share",
+        col("max_type").cast("double") / col("n_events").cast("double"))
+      .withColumn("score",
+        col("dominant_share") * col("max_per_min").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BotTopK)
+      .select(col("rk").cast("long").as("rk"), col("user_id"),
+        col("n_events").cast("long").as("n_events"),
+        col("max_per_min").cast("long").as("max_per_min"),
+        col("dominant_share"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  private val sqlBotScore: String =
+    s"""WITH bm AS (
+       |  SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_per_min FROM (
+       |    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 60000000
+       |      AS minute, COUNT(*) AS c
+       |    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    GROUP BY 1, 2)
+       |  GROUP BY user_id
+       |), bt AS (
+       |  SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_type,
+       |    CAST(SUM(c) AS BIGINT) AS n_events
+       |  FROM (
+       |    SELECT user_id, event_type, COUNT(*) AS c
+       |    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    GROUP BY 1, 2)
+       |  GROUP BY user_id
+       |), scored AS (
+       |  SELECT bt.user_id, n_events, max_per_min,
+       |    CAST(max_type AS DOUBLE) / CAST(n_events AS DOUBLE)
+       |      AS dominant_share,
+       |    CAST(max_type AS DOUBLE) / CAST(n_events AS DOUBLE)
+       |      * CAST(max_per_min AS DOUBLE) AS score
+       |  FROM bt JOIN bm ON bt.user_id = bm.user_id
+       |), ranked AS (
+       |  SELECT user_id, n_events, max_per_min, dominant_share, score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, user_id, n_events, max_per_min,
+       |  dominant_share, score
+       |FROM ranked WHERE rk <= $BotTopK ORDER BY rk""".stripMargin
+
   // ------------------------------------------------- events_time_to_convert
   // First-touch conversion latency: per user, seconds from the FIRST
   // 'view' to the first 'purchase' at-or-after it, summarized as exact
@@ -5801,6 +6006,10 @@ object SparkEntry {
     "events_user_entropy" -> qUserEntropy _,
     "events_hill_tail"  -> qHillTail _,
     "events_time_to_convert" -> qTimeToConvert _,
+    "q69_skyline"       -> qSkyline _,
+    "q70_min_cost_supplier" -> qMinCostSupplier _,
+    "q71_important_parts" -> qImportantParts _,
+    "events_bot_score"  -> qBotScore _,
     "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
     "mm_rgb_hist"       -> ((s, d) => Multimodal.rgbHistogram(docs(s, d))),
@@ -6189,6 +6398,10 @@ object SparkEntry {
     "events_user_entropy" -> sqlUserEntropy,
     "events_hill_tail"  -> sqlHillTail,
     "events_time_to_convert" -> sqlTimeToConvert,
+    "q69_skyline"       -> sqlSkyline,
+    "q70_min_cost_supplier" -> sqlMinCostSupplier,
+    "q71_important_parts" -> sqlImportantParts,
+    "events_bot_score"  -> sqlBotScore,
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,
     "mm_rgb_hist"       -> Multimodal.sqlRgbHistogram,
