@@ -6011,8 +6011,11 @@ object SparkEntry {
     "q71_important_parts" -> qImportantParts _,
     "events_bot_score"  -> qBotScore _,
     "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
+    "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
+    "corpus_length_hist" -> ((s, d) => TrainingData.lengthHistogram(docs(s, d))),
     "mm_rgb_hist"       -> ((s, d) => Multimodal.rgbHistogram(docs(s, d))),
+    "mm_wav_hist"       -> ((s, d) => Multimodal.wavHistogram(docs(s, d))),
     "text_js_divergence" -> ((s, d) => TextOps.jsDivergence(docs(s, d))),
     "sim_silhouette"    -> ((s, d) => Similarity.silhouette(emb(s, d))),
     "sim_db_index"      -> ((s, d) => Similarity.dbIndex(emb(s, d))),
@@ -6403,8 +6406,11 @@ object SparkEntry {
     "q71_important_parts" -> sqlImportantParts,
     "events_bot_score"  -> sqlBotScore,
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
+    "text_vocab_coverage" -> TextOps.sqlVocabCoverage,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,
+    "corpus_length_hist" -> TrainingData.sqlLengthHistogram,
     "mm_rgb_hist"       -> Multimodal.sqlRgbHistogram,
+    "mm_wav_hist"       -> Multimodal.sqlWavHistogram,
     "text_js_divergence" -> TextOps.sqlJsDivergence,
     "sim_silhouette"    -> Similarity.sqlSilhouette,
     "sim_db_index"      -> Similarity.sqlDbIndex,

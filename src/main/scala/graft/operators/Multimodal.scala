@@ -1087,4 +1087,49 @@ object Multimodal {
       |    + 3 * ((n - 1) * n * (2 * n - 1) // 6) AS pos_weighted,
       |  CAST(a + 3 * (n - 1) AS INT) AS peak
       |FROM g ORDER BY doc_id""".stripMargin
+
+  final case class AmpBucket(bucket: Int, n: Long)
+
+  /** Corpus-level amplitude histogram over the REAL PCM decode (64-level
+    * buckets, offset by +16 so the bucket index never goes negative —
+    * floor-vs-truncate integer division on negatives differs across
+    * engines). Same per-payload partial-histogram reduction as
+    * [[rgbHistogram]]: the sample streams never leave the map side; the
+    * rollup is a ≤ 14-group aggregate.
+    */
+  def wavHistogram(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val partials = syntheticWavMedia(docs).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val s = decodeWav(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not a mono 16-bit PCM WAV"))
+        val counts = new scala.collection.mutable.HashMap[Int, Long]()
+        var i = 0
+        while (i < s.length) {
+          val b = (s(i) + 16) / 64
+          counts.update(b, counts.getOrElse(b, 0L) + 1L)
+          i += 1
+        }
+        counts.iterator.map { case (b, n) => AmpBucket(b, n) }
+      }
+    }
+    partials.toDF()
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_samples"))
+      .orderBy(col("bucket"))
+  }
+
+  val sqlWavHistogram: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(n_chars % 256 + 16 AS BIGINT) AS n,
+      |    CAST(doc_id % 40 - 16 AS BIGINT) AS a
+      |  FROM documents
+      |), smp AS (
+      |  SELECT (a + 3 * i.range + 16) // 64 AS bucket
+      |  FROM g, range(272) i WHERE i.range < g.n
+      |)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_samples
+      |FROM smp GROUP BY bucket ORDER BY bucket""".stripMargin
 }

@@ -868,6 +868,65 @@ object TextOps {
        |    AS jsd
        |FROM g ORDER BY source_a, source_b""".stripMargin
 
+  /** Rank cuts for [[vocabCoverage]]. */
+  val CoverageCuts: Seq[Int] = Seq(100, 1000, 10000)
+
+  /** Vocabulary coverage curve: the fraction of all corpus tokens
+    * covered by the top-k most frequent words, at k = 100 / 1 000 /
+    * 10 000 — the audit that sizes a tokenizer's vocabulary budget
+    * (diminishing-returns knee) and flags OOV-heavy corpora. The
+    * ranking window runs over the VOCAB frame (Heaps-bounded, not
+    * corpus-sized — the same justification as the Zipf audit); the
+    * cuts are conditional integer sums in ONE aggregate, and each
+    * coverage ratio is a single IEEE division of exact counts.
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w"))
+    val ranked = counts.withColumn("rk", row_number().over(w))
+    val cutCols = CoverageCuts.flatMap { k =>
+      Seq(sum(when(col("rk") <= k, col("c")).otherwise(lit(0L)))
+        .cast("long").as(s"tok_top$k"))
+    }
+    val aggCols = sum(col("c")).cast("long").as("n_tokens") +: cutCols
+    ranked
+      .agg(count(lit(1)).as("n_vocab"), aggCols: _*)
+      .select(col("n_vocab") +: col("n_tokens") +:
+        CoverageCuts.flatMap(k => Seq(col(s"tok_top$k"),
+          (col(s"tok_top$k").cast("double") /
+            col("n_tokens").cast("double")).as(s"coverage_$k"))): _*)
+  }
+
+  def sqlVocabCoverage: String = {
+    val cutSums = CoverageCuts.map(k =>
+      s"""CAST(SUM(CASE WHEN rk <= $k THEN c ELSE 0 END) AS BIGINT)
+         |    AS tok_top$k""".stripMargin).mkString(",\n  ")
+    val outCols = CoverageCuts.map(k =>
+      s"""tok_top$k,
+         |  CAST(tok_top$k AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    AS coverage_$k""".stripMargin).mkString(",\n  ")
+    s"""WITH vc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) WHERE w <> '' GROUP BY w
+       |), ranked AS (
+       |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM vc
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  $cutSums
+       |  FROM ranked
+       |)
+       |SELECT n_vocab, n_tokens,
+       |  $outCols
+       |FROM agg""".stripMargin
+  }
+
   /** Window length and cut for the boilerplate leaderboard. */
   val BoilerN = 8
   val BoilerTopK = 20

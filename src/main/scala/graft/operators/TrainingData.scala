@@ -118,6 +118,27 @@ object TrainingData {
        |GROUP BY fold ORDER BY fold""".stripMargin
   }
 
+  /** Per-source document-length histogram (10-token buckets) — the
+    * length-distribution panel of a corpus card: truncation cliffs,
+    * boilerplate spikes, and empty-doc mass show up here before any
+    * model does. One map-side tokenize + one hash aggregate on
+    * (source, bucket); integer-only output.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("len_toks"))
+      .select(col("source"), expr("len_toks div 10").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("bucket"))
+
+  def sqlLengthHistogram: String =
+    s"""SELECT source, len(${sqlWords("text")}) // 10 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY source, bucket
+       |ORDER BY source, bucket""".stripMargin
+
   /** Train/eval near-duplicate leakage audit: how many LSH candidate
     * pairs straddle a split boundary. A near-dup of a training document
     * sitting in val/test silently inflates eval scores, so this is the
