@@ -3831,6 +3831,113 @@ object SparkEntry {
        |  dominant_share, score
        |FROM ranked WHERE rk <= $BotTopK ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------- events_threshold_cross
+  // Upward threshold-crossing detector (the alerting primitive): per
+  // user, how many times the value series crossed above the alert line
+  // between consecutive events. ONE keyed window (lag), a conditional
+  // integer counter, and a bounded leaderboard; ts ties break by
+  // event_id in BOTH engines so the lag pairing is identical.
+  private val CrossThreshold = 100.0
+  private def qThresholdCross(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wr = Window.orderBy(col("n_cross").desc, col("user_id"))
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("cross",
+        when(col("prev") <= lit(CrossThreshold) &&
+          col("value") > lit(CrossThreshold), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cross")).as("n_cross"), count(lit(1)).as("n_events"))
+      .filter(col("n_cross") > 0)
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 20)
+      .select(col("rk").cast("long").as("rk"), col("user_id"),
+        col("n_events"), col("n_cross"))
+      .orderBy(col("rk"))
+  }
+
+  private val sqlThresholdCross: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, value,
+       |    LAG(value, 1) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+       |  FROM events WHERE ts IS NOT NULL
+       |), agg AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN prev <= CAST($CrossThreshold AS DOUBLE)
+       |      AND value > CAST($CrossThreshold AS DOUBLE)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM lagged GROUP BY user_id
+       |), ranked AS (
+       |  SELECT user_id, n_events, n_cross,
+       |    ROW_NUMBER() OVER (ORDER BY n_cross DESC, user_id) AS rk
+       |  FROM agg WHERE n_cross > 0
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, user_id, n_events, n_cross
+       |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // ------------------------------------------------- events_streak
+  // Longest daily-activity streak per user — the canonical
+  // gaps-and-islands shape: distinct active days, island id =
+  // day − row_number (constant within a consecutive run), then two
+  // thin aggregates. All-integer arithmetic (`div` ↔ `//`), so the
+  // leaderboard (ties → user_id) is engine-identical.
+  private def qStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wr = Window.orderBy(col("longest_streak").desc, col("user_id"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).cast("long").as("n_active_days"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 20)
+      .select(col("rk").cast("long").as("rk"), col("user_id"),
+        col("longest_streak"), col("n_streaks"), col("n_active_days"))
+      .orderBy(col("rk"))
+  }
+
+  private val sqlStreak: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events WHERE ts IS NOT NULL
+      |), isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM days
+      |), runs AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY user_id, island
+      |), agg AS (
+      |  SELECT user_id, MAX(len) AS longest_streak,
+      |    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |    CAST(SUM(len) AS BIGINT) AS n_active_days
+      |  FROM runs GROUP BY user_id
+      |), ranked AS (
+      |  SELECT user_id, longest_streak, n_streaks, n_active_days,
+      |    ROW_NUMBER() OVER (ORDER BY longest_streak DESC, user_id) AS rk
+      |  FROM agg
+      |)
+      |SELECT CAST(rk AS BIGINT) AS rk, user_id, longest_streak,
+      |  n_streaks, n_active_days
+      |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   // ------------------------------------------------- events_time_to_convert
   // First-touch conversion latency: per user, seconds from the FIRST
   // 'view' to the first 'purchase' at-or-after it, summarized as exact
@@ -6010,6 +6117,8 @@ object SparkEntry {
     "q70_min_cost_supplier" -> qMinCostSupplier _,
     "q71_important_parts" -> qImportantParts _,
     "events_bot_score"  -> qBotScore _,
+    "events_threshold_cross" -> qThresholdCross _,
+    "events_streak"     -> qStreak _,
     "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
@@ -6405,6 +6514,8 @@ object SparkEntry {
     "q70_min_cost_supplier" -> sqlMinCostSupplier,
     "q71_important_parts" -> sqlImportantParts,
     "events_bot_score"  -> sqlBotScore,
+    "events_threshold_cross" -> sqlThresholdCross,
+    "events_streak"     -> sqlStreak,
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "text_vocab_coverage" -> TextOps.sqlVocabCoverage,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,
