@@ -681,4 +681,53 @@ class PlanShapeSpec extends SparkSuite {
         s"$q has a single-partition corpus stage:\n" + p)
     }
   }
+
+  test("q58: dim broadcasts and the ship-date band reaches the scan") {
+    val p = plan("q58_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q59: aggregate-then-join keeps both big tables unshuffled") {
+    // lineitem aggregates first; the tiny survivor frame broadcasts into
+    // orders and then customer — no sort-merge join anywhere
+    val p = planTree("q59_large_orders")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("skyline: sweep window runs on the per-size frame, result joins broadcast") {
+    val p = planTree("q69_skyline")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // distributive pre-aggregation: no Generate, no cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("adamic-adar: scores fold in-array — no wedge explosion") {
+    // plan the UNCACHED scoring pass (the memo pin hides the shape):
+    // the dense-graph discipline says the intersection members are never
+    // exploded to rows, so no Generate may appear above the edge memo
+    val edges = graft.operators.Graph.coPartEdgesCached(
+      Tables.lineitem(spark, dir), dir)
+    val p = graft.operators.Graph.adamicAdar(edges)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), "wedge rows materialized:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("boilerplate: one gram explosion, leaderboard group-limited") {
+    val p = planTree("text_boilerplate")
+    assert("Generate".r.findAllIn(p).size == 1,
+      "gram stage must explode exactly once:\n" + p)
+    // the rank-limit prunes either way: WindowGroupLimit partial state,
+    // or (here — global empty-partition window) a TakeOrderedAndProject
+    // k-heap below the window. Either keeps the gram space un-sorted.
+    assert(p.contains("WindowGroupLimit") ||
+      p.contains("TakeOrderedAndProject"),
+      "leaderboard lost the rank-limit pushdown:\n" + p)
+  }
 }
