@@ -3831,6 +3831,78 @@ object SparkEntry {
        |  dominant_share, score
        |FROM ranked WHERE rk <= $BotTopK ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------- q72/q73 multiset ops
+  // EXCEPT ALL / INTERSECT ALL — the bag-semantics set operators
+  // (per-occurrence, no implicit distinct). Spark plans both as a
+  // single hash aggregation of signed/min counts + regenerate, one
+  // shuffle on the row key; the ordered multiset output (duplicates
+  // preserved) hashes deterministically.
+  private def qExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val sqlExceptAll: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  private def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val sqlIntersectAll: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------------- events_wow_change
+  // Week-over-week KPI deltas per event type — the reporting shape:
+  // epoch-aligned weekly exact-revenue rollup, ONE keyed lag window,
+  // and the percent change as a single IEEE ratio of two exact sums
+  // (NULL on each type's first week, by construction).
+  private def qWowChange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("week"), col("value"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(xsum(col("value")).as("revenue"), count(lit(1)).as("n_events"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("wow_pct",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  private val sqlWowChange: String =
+    s"""WITH wk AS (
+       |  SELECT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+       |    ${sqlSum("value")} AS revenue,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |)
+       |SELECT event_type, week, revenue, n_events,
+       |  LAG(revenue, 1) OVER (PARTITION BY event_type ORDER BY week)
+       |    AS prev_revenue,
+       |  (revenue - LAG(revenue, 1) OVER (PARTITION BY event_type
+       |    ORDER BY week))
+       |    / LAG(revenue, 1) OVER (PARTITION BY event_type ORDER BY week)
+       |    AS wow_pct
+       |FROM wk ORDER BY event_type, week""".stripMargin
+
   // ------------------------------------------------- events_threshold_cross
   // Upward threshold-crossing detector (the alerting primitive): per
   // user, how many times the value series crossed above the alert line
@@ -6119,6 +6191,13 @@ object SparkEntry {
     "events_bot_score"  -> qBotScore _,
     "events_threshold_cross" -> qThresholdCross _,
     "events_streak"     -> qStreak _,
+    "q72_except_all"    -> qExceptAll _,
+    "q73_intersect_all" -> qIntersectAll _,
+    "events_wow_change" -> qWowChange _,
+    "graph_conductance" -> ((s, d) =>
+      graft.operators.Graph.conductance(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        graft.operators.Graph.coPartDegreesCached(Tables.lineitem(s, d), d))),
     "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
@@ -6516,6 +6595,10 @@ object SparkEntry {
     "events_bot_score"  -> sqlBotScore,
     "events_threshold_cross" -> sqlThresholdCross,
     "events_streak"     -> sqlStreak,
+    "q72_except_all"    -> sqlExceptAll,
+    "q73_intersect_all" -> sqlIntersectAll,
+    "events_wow_change" -> sqlWowChange,
+    "graph_conductance" -> graft.operators.Graph.sqlConductance,
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "text_vocab_coverage" -> TextOps.sqlVocabCoverage,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,

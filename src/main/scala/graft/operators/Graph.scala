@@ -1145,6 +1145,78 @@ object Graph {
        |  ra_score
        |FROM ranked WHERE rk <= $CnTopK ORDER BY rk""".stripMargin
 
+  /** Degree cutoffs for [[conductance]]. */
+  val CondThresholds: Seq[Int] = Seq(2, 4, 8)
+
+  /** Conductance of the degree-threshold cuts φ(S) = cut(S) /
+    * min(vol S, vol V∖S) for S = {v : deg v ≥ t} (Kannan, Vempala &
+    * Vetta, "On clusterings: good, bad and spectral", JACM 2004) — how
+    * separable the hub core is from the periphery, the cut-quality
+    * companion to [[richClub]]'s density curve.
+    *
+    * Scale shape: one pass over the edge frame with both endpoint
+    * degrees attached (the same two joins every link ranking does),
+    * fanned ×|thresholds| by a literal-array explode — never by data;
+    * volumes are a |V|-frame aggregate. Integer counters + one IEEE
+    * division per threshold row.
+    */
+  def conductance(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val tArr = array(CondThresholds.map(t => lit(t.toLong)): _*)
+    val e = edges
+      .join(deg.select(col("id").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("id").as("pb"), col("deg").as("db")), Seq("pb"))
+    val cuts = e.select(explode(tArr).as("t"), col("da"), col("db"))
+      .groupBy(col("t"))
+      .agg(sum(when((col("da") >= col("t")) =!= (col("db") >= col("t")),
+        1L).otherwise(0L)).as("cut_edges"))
+    val vols = deg.select(explode(tArr).as("t"), col("deg"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("deg") >= col("t"), col("deg")).otherwise(0L))
+        .cast("long").as("vol_s"),
+        sum(col("deg")).cast("long").as("vol_total"),
+        sum(when(col("deg") >= col("t"), 1L).otherwise(0L)).cast("long")
+          .as("n_s"))
+    cuts.join(vols, Seq("t"))
+      .select(col("t").as("deg_threshold"), col("n_s"), col("vol_s"),
+        col("cut_edges"),
+        // NULL when one side of the cut is empty (φ undefined) — at the
+        // lowest threshold every co-part node can clear the bar
+        when(least(col("vol_s"), col("vol_total") - col("vol_s")) > 0L,
+          col("cut_edges").cast("double") /
+            least(col("vol_s"), col("vol_total") - col("vol_s"))
+              .cast("double")).as("conductance"))
+      .orderBy(col("deg_threshold"))
+  }
+
+  def sqlConductance: String = {
+    val ts = CondThresholds.mkString(", ")
+    s"""WITH $sqlCoPartCtes, e AS (
+       |  SELECT p.pa, p.pb, da.deg AS da, db.deg AS db
+       |  FROM pairs p
+       |  JOIN deg da ON p.pa = da.id
+       |  JOIN deg db ON p.pb = db.id
+       |), cuts AS (
+       |  SELECT t, CAST(SUM(CASE WHEN (da >= t) <> (db >= t)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges
+       |  FROM e, unnest([$ts]) u(t) GROUP BY t
+       |), vols AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN deg >= t THEN deg ELSE 0 END) AS BIGINT)
+       |      AS vol_s,
+       |    CAST(SUM(deg) AS BIGINT) AS vol_total,
+       |    CAST(SUM(CASE WHEN deg >= t THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_s
+       |  FROM deg, unnest([$ts]) u(t) GROUP BY t
+       |)
+       |SELECT CAST(t AS BIGINT) AS deg_threshold, n_s, vol_s, cut_edges,
+       |  CASE WHEN least(vol_s, vol_total - vol_s) > 0
+       |    THEN CAST(cut_edges AS DOUBLE)
+       |      / CAST(least(vol_s, vol_total - vol_s) AS DOUBLE)
+       |    ELSE NULL END AS conductance
+       |FROM cuts JOIN vols USING (t)
+       |ORDER BY deg_threshold""".stripMargin
+  }
+
   /** Minimum degree for the local-clustering ranking — nodes below it
     * have too few possible wedges for the coefficient to mean much.
     */
