@@ -895,6 +895,103 @@ object Similarity {
        |FROM own JOIN pairs USING (label)
        |ORDER BY label""".stripMargin
 
+  // ----------------------------------------------------------------- MMR
+  /** Selections and query id for [[mmrTopK]]. */
+  val MmrK = 4
+  val MmrQueryId = 0L
+
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein, "The use of MMR, diversity-based reranking", SIGIR
+    * 1998): greedily pick k results maximizing
+    * 0.7·rel(q, d) − 0.3·max_{s∈S} sim(d, s) — the reranker that stops
+    * a result list collapsing onto near-duplicates (for training-data
+    * retrieval: diversified exemplar selection).
+    *
+    * MMR is inherently sequential in k, so the plan is k bounded
+    * rounds, each ONE map-side pass over the pinned candidate frame
+    * (the ≤k selected vectors broadcast; anti-join by id, max-sim
+    * reduce, TakeOrdered(1)) — no driver-side collect, no quadratic
+    * pair frame. Determinism: every cosine is the shared left-to-right
+    * fold; 0.7/0.3 are two EXPLICIT literals on both engines (never
+    * 1−0.7, whose decimal-vs-binary evaluation differs); per-round
+    * argmax ties break by cand_id.
+    */
+  def mmrTopK(emb: DataFrame): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val q = vecs.filter(col("vec_id") === MmrQueryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cands = Iterate.pin(vecs.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("rel")))
+    var result = cands
+      .orderBy(col("rel").desc, col("cand_id")).limit(1)
+      .select(col("cand_id"), col("cv"), col("cn"), col("rel"),
+        lit(1L).as("step"), col("rel").as("score"))
+    for (r <- 2 to MmrK) {
+      val ms = cands
+        .join(broadcast(result.select(col("cand_id").as("sid"))),
+          col("cand_id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(
+          result.select(col("cv").as("sv"), col("cn").as("sn"))))
+        .withColumn("sim",
+          dotD(col("cv"), col("sv")) / (col("cn") * col("sn")))
+        .groupBy(col("cand_id")).agg(max(col("sim")).as("max_sim"))
+      val next = cands.join(ms, Seq("cand_id"))
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("max_sim"))
+        .orderBy(col("score").desc, col("cand_id")).limit(1)
+        .select(col("cand_id"), col("cv"), col("cn"), col("rel"),
+          lit(r.toLong).as("step"), col("score"))
+      result = Iterate.pin(result.unionByName(next))
+    }
+    result.select(col("step"), col("cand_id"), col("rel"), col("score"))
+      .orderBy(col("step"))
+  }
+
+  /** Oracle for [[mmrTopK]] — the same greedy rounds unrolled as CTEs
+    * by the same loop count.
+    */
+  def sqlMmr: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val selUnion = (1 until r).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      val selIds = (1 until r).map(i => s"SELECT cand_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""m$r AS (
+         |  SELECT c.cand_id,
+         |    MAX(${sqlCosine("c.cv", "s.cv", Dim)}) AS max_sim
+         |  FROM c, ($selUnion) s
+         |  WHERE c.cand_id NOT IN ($selIds)
+         |  GROUP BY c.cand_id
+         |), s$r AS (
+         |  SELECT c.cand_id, c.cv, c.rel, CAST($r AS BIGINT) AS step,
+         |    CAST(0.7 AS DOUBLE) * c.rel
+         |      - CAST(0.3 AS DOUBLE) * max_sim AS score
+         |  FROM c JOIN m$r USING (cand_id)
+         |  ORDER BY score DESC, cand_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val finalUnion = (1 to MmrK).map(i =>
+      s"SELECT step, cand_id, rel, score FROM s$i").mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = $MmrQueryId
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv,
+       |    ${sqlCosine("embedding", "qv", Dim)} AS rel
+       |  FROM embeddings, q WHERE vec_id <> $MmrQueryId
+       |), s1 AS (
+       |  SELECT cand_id, cv, rel, CAST(1 AS BIGINT) AS step,
+       |    rel AS score
+       |  FROM c ORDER BY rel DESC, cand_id LIMIT 1
+       |), $rounds
+       |SELECT step, cand_id, rel, score FROM ($finalUnion)
+       |ORDER BY step""".stripMargin
+  }
+
   // -------------------------------------------------------- k-means IVF
   /** Lloyd's-iterated IVF coarse quantizer (Lloyd 1982; the FAISS-style
     * trained replacement for [[ivfTopK]]'s training-free seed): start from
