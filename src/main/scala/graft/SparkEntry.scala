@@ -3831,6 +3831,126 @@ object SparkEntry {
        |  dominant_share, score
        |FROM ranked WHERE rk <= $BotTopK ORDER BY rk""".stripMargin
 
+  // ------------------------------------------------- events_rolling_median
+  // Trailing-7-day rolling MEDIAN of daily revenue — the robust
+  // companion to the moving average (Spark has no exact-percentile
+  // window function, so the window is an explicit |days|×7 spine
+  // self-join + grouped percentile, mirrored verbatim in the oracle;
+  // q23's ROUND-4 percentile idiom). The |days| frame is
+  // calendar-bounded — nothing here is corpus-sized after the first
+  // rollup.
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(xsum(col("value")).as("rev"))
+    val d2 = daily.select(col("day").as("day2"), col("rev").as("rev2"))
+    daily.join(d2,
+        col("day2") >= col("day") - 6 && col("day2") <= col("day"))
+      .groupBy(col("day"), col("rev"))
+      .agg(round(expr("percentile(rev2, 0.5)"), 4).as("rolling_median"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("day"))
+  }
+
+  private val sqlRollingMedian: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    ${sqlSum("value")} AS rev
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |)
+       |SELECT d.day, d.rev,
+       |  ROUND(quantile_cont(d2.rev, 0.5), 4) AS rolling_median,
+       |  CAST(COUNT(*) AS BIGINT) AS n_days
+       |FROM daily d JOIN daily d2
+       |  ON d2.day >= d.day - 6 AND d2.day <= d.day
+       |GROUP BY d.day, d.rev
+       |ORDER BY d.day""".stripMargin
+
+  // ------------------------------------------------- q74_rollup_share
+  // Share-of-parent reporting: nation revenue inside its region and
+  // region inside the total, with every level an EXACT-decimal rollup
+  // of the level below (never a window sum over doubles — that
+  // re-orders IEEE addition). Dims broadcast; one fact exchange.
+  private def qRollupShare(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val nat = Tables.orders(s, dir)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(xsum(col("o_totalprice")).as("revenue"))
+    val reg = nat.groupBy(col("r_name").as("rn"))
+      .agg(xsum(col("revenue")).as("region_revenue"))
+    val tot = reg.agg(xsum(col("region_revenue")).as("total_revenue"))
+    nat.join(broadcast(reg), col("r_name") === col("rn"))
+      .crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"), col("revenue"),
+        (col("revenue") / col("region_revenue")).as("nation_share"),
+        (col("region_revenue") / col("total_revenue")).as("region_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val sqlRollupShare: String =
+    s"""WITH nat AS (
+       |  SELECT r_name, n_name, ${sqlSum("o_totalprice")} AS revenue
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, n_name
+       |), reg AS (
+       |  SELECT r_name AS rn, ${sqlSum("revenue")} AS region_revenue
+       |  FROM nat GROUP BY r_name
+       |), tot AS (
+       |  SELECT ${sqlSum("region_revenue")} AS total_revenue FROM reg
+       |)
+       |SELECT r_name, n_name, revenue,
+       |  revenue / region_revenue AS nation_share,
+       |  region_revenue / total_revenue AS region_share
+       |FROM nat JOIN reg ON r_name = rn CROSS JOIN tot
+       |ORDER BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------- events_new_returning
+  // Daily new-vs-returning active users: each user's first-seen day
+  // from one thin aggregate, then per-day distinct splits. Two
+  // user-keyed exchanges; the conditional count-distincts share one
+  // aggregate.
+  private def qNewReturning(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("day") === col("first_day"),
+          col("user_id"))).as("n_new"),
+        countDistinct(when(col("day") =!= col("first_day"),
+          col("user_id"))).as("n_returning"))
+      .orderBy(col("day"))
+  }
+
+  private val sqlNewReturning: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events WHERE ts IS NOT NULL
+      |), f AS (
+      |  SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id
+      |)
+      |SELECT day,
+      |  CAST(COUNT(DISTINCT CASE WHEN day = first_day THEN ev.user_id
+      |    END) AS BIGINT) AS n_new,
+      |  CAST(COUNT(DISTINCT CASE WHEN day <> first_day THEN ev.user_id
+      |    END) AS BIGINT) AS n_returning
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |GROUP BY day ORDER BY day""".stripMargin
+
   // ------------------------------------------------- q72/q73 multiset ops
   // EXCEPT ALL / INTERSECT ALL — the bag-semantics set operators
   // (per-occurrence, no implicit distinct). Spark plans both as a
@@ -6193,7 +6313,10 @@ object SparkEntry {
     "events_streak"     -> qStreak _,
     "q72_except_all"    -> qExceptAll _,
     "q73_intersect_all" -> qIntersectAll _,
+    "q74_rollup_share"  -> qRollupShare _,
     "events_wow_change" -> qWowChange _,
+    "events_rolling_median" -> qRollingMedian _,
+    "events_new_returning" -> qNewReturning _,
     "graph_conductance" -> ((s, d) =>
       graft.operators.Graph.conductance(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
@@ -6598,7 +6721,10 @@ object SparkEntry {
     "events_streak"     -> sqlStreak,
     "q72_except_all"    -> sqlExceptAll,
     "q73_intersect_all" -> sqlIntersectAll,
+    "q74_rollup_share"  -> sqlRollupShare,
     "events_wow_change" -> sqlWowChange,
+    "events_rolling_median" -> sqlRollingMedian,
+    "events_new_returning" -> sqlNewReturning,
     "graph_conductance" -> graft.operators.Graph.sqlConductance,
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "text_vocab_coverage" -> TextOps.sqlVocabCoverage,
