@@ -2208,6 +2208,115 @@ object SparkEntry {
        |FROM bg LEFT JOIN lmk USING (prefix, next_word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- text_lm_sweep
+  // Perplexity-filter calibration: corpus survival (docs + bigram mass)
+  // at each candidate mean-inverse-probability cutoff — the knob-tuning
+  // table a CCNet-style quality filter publishes before anyone picks
+  // the threshold. One pass over the (already-oracled) LM score frame,
+  // fanned by a literal cutoff array; conditional integer sums only.
+  private val LmSweepCuts = Seq(700.0, 800.0, 850.0, 900.0, 950.0)
+  private def qLmSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.lmScore(docs(s, dir), LmMinPrefix, LmTopPerPrefix,
+      LmInvBackoff)
+    scored
+      .select(explode(array(LmSweepCuts.map(lit): _*)).as("cutoff"),
+        col("mean_inv_p"), col("n_bigrams"))
+      .groupBy(col("cutoff"))
+      .agg(
+        sum(when(col("mean_inv_p") <= col("cutoff"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("mean_inv_p") <= col("cutoff"), col("n_bigrams"))
+          .otherwise(0L)).cast("long").as("n_bigrams_kept"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cutoff"))
+  }
+
+  private val sqlLmSweep: String = {
+    val cutList = LmSweepCuts.map(c => s"CAST($c AS DOUBLE)").mkString(", ")
+    s"""SELECT cutoff,
+       |  CAST(SUM(CASE WHEN mean_inv_p <= cutoff THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(CASE WHEN mean_inv_p <= cutoff THEN n_bigrams ELSE 0
+       |    END) AS BIGINT) AS n_bigrams_kept,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM (
+       |  ${sqlLmScore.linesIterator.mkString("\n  ")}
+       |) scored, unnest([$cutList]) u(cutoff)
+       |GROUP BY cutoff ORDER BY cutoff""".stripMargin
+  }
+
+  // ------------------------------------------------- profile_eqdepth
+  // Equi-depth (quantile-bucketed) histogram of the event values — the
+  // profiling complement to profile_histogram's fixed-width buckets:
+  // edges adapt to the distribution so each bucket carries comparable
+  // mass. Edges are the q23 rounded-percentile idiom (bit-identical
+  // cross-engine BEFORE any comparison); assignment is one broadcast
+  // scalar row + a map-side CASE.
+  private def qEqdepth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val cuts = ev.agg(
+      round(expr("percentile(value, 0.25)"), 4).as("q1"),
+      round(expr("percentile(value, 0.5)"), 4).as("q2"),
+      round(expr("percentile(value, 0.75)"), 4).as("q3"))
+    ev.crossJoin(broadcast(cuts))
+      .select(
+        when(col("value") <= col("q1"), 0L)
+          .when(col("value") <= col("q2"), 1L)
+          .when(col("value") <= col("q3"), 2L)
+          .otherwise(3L).as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_values"),
+        xsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("bucket"))
+  }
+
+  private val sqlEqdepth: String =
+    s"""WITH cuts AS (
+       |  SELECT ROUND(quantile_cont(value, 0.25), 4) AS q1,
+       |    ROUND(quantile_cont(value, 0.5), 4) AS q2,
+       |    ROUND(quantile_cont(value, 0.75), 4) AS q3
+       |  FROM events WHERE value IS NOT NULL
+       |)
+       |SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+       |    WHEN value <= q3 THEN 2 ELSE 3 END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_values,
+       |  ${sqlSum("value")} AS sum_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events CROSS JOIN cuts
+       |WHERE value IS NOT NULL
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------- q75_calendar
+  // Calendar-function surface: month truncation, quarter/year
+  // extraction, and month-end (last_day) over the order dates, rolled
+  // up per month — the date-dimension derivations every reporting
+  // layer leans on, checked cross-engine (extraction widths CAST to
+  // INT; trunc to TIMESTAMP_NTZ for the hash compare).
+  private def qCalendar(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+          .as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .groupBy(col("month_start"), col("yr"), col("qtr"), col("month_end"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("month_start"))
+
+  private val sqlCalendar: String =
+    """SELECT date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY month_start, yr, qtr, month_end
+      |ORDER BY month_start""".stripMargin
+
   // ------------------------------------------------- text_novelty
   // Bigram-level novelty: the share of a document's bigram occurrences
   // whose corpus-wide document frequency is 1 (they appear in NO other
@@ -6449,6 +6558,9 @@ object SparkEntry {
     "corpus_curriculum" -> qCurriculum _,
     "text_ngram_lm"     -> qNgramLm _,
     "text_lm_score"     -> qLmScore _,
+    "text_lm_sweep"     -> qLmSweep _,
+    "profile_eqdepth"   -> qEqdepth _,
+    "q75_calendar"      -> qCalendar _,
     "text_novelty"      -> qNovelty _,
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
     "dedup_source_jaccard" -> ((s, d) => Dedup.sourceJaccard(docs(s, d))),
@@ -6832,6 +6944,9 @@ object SparkEntry {
     "corpus_curriculum" -> sqlCurriculum,
     "text_ngram_lm"     -> sqlNgramLm,
     "text_lm_score"     -> sqlLmScore,
+    "text_lm_sweep"     -> sqlLmSweep,
+    "profile_eqdepth"   -> sqlEqdepth,
+    "q75_calendar"      -> sqlCalendar,
     "text_novelty"      -> sqlNovelty,
     "dedup_band_profile" -> Dedup.sqlBandProfile(),
     "dedup_source_jaccard" -> Dedup.sqlSourceJaccard,
