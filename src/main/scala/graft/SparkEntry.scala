@@ -6432,6 +6432,7 @@ object SparkEntry {
         graft.operators.Graph.coPartDegreesCached(Tables.lineitem(s, d), d))),
     "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
+    "text_bm25"         -> ((s, d) => TextOps.bm25TopK(docs(s, d))),
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
     "corpus_length_hist" -> ((s, d) => TrainingData.lengthHistogram(docs(s, d))),
     "mm_rgb_hist"       -> ((s, d) => Multimodal.rgbHistogram(docs(s, d))),
@@ -6840,6 +6841,7 @@ object SparkEntry {
     "graph_conductance" -> graft.operators.Graph.sqlConductance,
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "text_vocab_coverage" -> TextOps.sqlVocabCoverage,
+    "text_bm25"         -> TextOps.sqlBm25,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,
     "corpus_length_hist" -> TrainingData.sqlLengthHistogram,
     "mm_rgb_hist"       -> Multimodal.sqlRgbHistogram,

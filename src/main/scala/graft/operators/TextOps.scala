@@ -927,6 +927,102 @@ object TextOps {
        |FROM agg""".stripMargin
   }
 
+  /** Query terms, BM25 parameters and cut for [[bm25TopK]]. k1/b are the
+    * Robertson defaults; 0.25 is written as ITS OWN literal (never
+    * 1 − 0.75 — a decimal-vs-binary subtraction hazard).
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "merge")
+  val Bm25TopK = 15
+
+  /** BM25 ranked retrieval (Robertson & Walker, SIGIR 1994; the Okapi
+    * weighting): top documents for a fixed query over the corpus —
+    * score(d) = Σ_t idf(t) · f·(k1+1) / (f + k1·(1−b+b·|d|/avgdl)) with
+    * idf(t) = ln((N−df+0.5)/(df+0.5)+1). The full-text ranking
+    * primitive that upgrades the postings/TF-IDF tier into an actual
+    * search engine, and the lexical half of hybrid (BM25 + ANN)
+    * retrieval next to `sim_rrf`.
+    *
+    * Scale shape: the term filter prunes the exploded stream to query
+    * terms BEFORE any aggregation (at 100 TB this is an index lookup on
+    * the postings table the suite already builds); doc lengths are one
+    * thin aggregate; df and the N/avgdl scalars broadcast. Per-term
+    * scores are fixed IEEE sequences over exact integers; the per-doc
+    * sum rides the exact-decimal detour; top-k ties break by doc_id.
+    */
+  def bm25TopK(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.xsum
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dlen"))
+    val stats = dl.agg(sum(col("dlen")).cast("long").as("total_len"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val term = idf * (col("f").cast("double") * lit(2.2)) /
+      (col("f").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dlen").cast("double") / avgdl))
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    tf.join(broadcast(dfr), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"), col("dlen"))
+      .agg(xsum(term, 12).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("rk").cast("long").as("rk"), col("doc_id"),
+        col("dlen"), col("n_terms_hit"), col("bm25"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlBm25: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(${sqlWords("text")}) AS BIGINT) AS dlen
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(SUM(dlen) AS BIGINT) AS total_len,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT doc_id, unnest(${sqlWords("text")}) AS w FROM documents
+       |  ) WHERE w IN ($termList) GROUP BY doc_id, w
+       |), dfr AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+       |), scored AS (
+       |  SELECT tf.doc_id, dl.dlen,
+       |    ${graft.functions.Exact.sqlSum(
+      """ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      + CAST(1 AS DOUBLE))
+        |     * (CAST(f AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |     / (CAST(f AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |         * CAST(dlen AS DOUBLE)
+        |         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+        .stripMargin, 12)} AS bm25,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       |  FROM tf
+       |  JOIN dfr ON tf.w = dfr.w
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id, dl.dlen
+       |), ranked AS (
+       |  SELECT doc_id, dlen, n_terms_hit, bm25,
+       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, dlen, n_terms_hit, bm25
+       |FROM ranked WHERE rk <= $Bm25TopK ORDER BY rk""".stripMargin
+  }
+
   /** Window length and cut for the boilerplate leaderboard. */
   val BoilerN = 8
   val BoilerTopK = 20
