@@ -2317,6 +2317,60 @@ object SparkEntry {
       |GROUP BY month_start, yr, qtr, month_end
       |ORDER BY month_start""".stripMargin
 
+  // ------------------------------------------------- text_hybrid_rrf
+  // Hybrid lexical+vector retrieval: the BM25 ranking and the exact
+  // cosine ranking (query vector 0, the documents' embedding twin —
+  // fixture id spaces coincide) fused by reciprocal-rank fusion
+  // (Cormack, Clarke & Buettcher, SIGIR 2009), score = Σ 1/(60+rank)
+  // with absent ranks contributing 0. This is the production RAG
+  // retrieval shape: two independent k-bounded rankings, one
+  // full-outer join on the doc key, integer ranks → exact IEEE terms.
+  private val HybridTopK = 10
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextOps.bm25TopK(docs(s, dir))
+      .select(col("doc_id"), col("rk").as("rk_text"))
+    val ann = Similarity.bruteTopK(emb(s, dir))
+      .filter(col("query_id") === 0L)
+      .select(col("cand_id").as("doc_id"), col("rk").cast("long").as("rk_vec"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rk_text").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("rk_vec").cast("double")),
+          lit(0.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HybridTopK)
+      .select(col("rk").cast("long").as("rk"), col("doc_id"),
+        col("rk_text"), col("rk_vec"), col("rrf"))
+      .orderBy(col("rk"))
+  }
+
+  private val sqlHybridRrf: String =
+    s"""WITH bt AS (
+       |  SELECT doc_id, rk AS rk_text FROM (
+       |    ${TextOps.sqlBm25.linesIterator.mkString("\n    ")}
+       |  )
+       |), av AS (
+       |  SELECT cand_id AS doc_id, CAST(rk AS BIGINT) AS rk_vec FROM (
+       |    ${Similarity.sqlBruteTopK.linesIterator.mkString("\n    ")}
+       |  ) WHERE query_id = 0
+       |), fused AS (
+       |  SELECT doc_id, rk_text, rk_vec,
+       |    COALESCE(CAST(1 AS DOUBLE)
+       |      / (CAST(60 AS DOUBLE) + CAST(rk_text AS DOUBLE)), 0)
+       |    + COALESCE(CAST(1 AS DOUBLE)
+       |      / (CAST(60 AS DOUBLE) + CAST(rk_vec AS DOUBLE)), 0) AS rrf
+       |  FROM bt FULL OUTER JOIN av USING (doc_id)
+       |), ranked AS (
+       |  SELECT doc_id, rk_text, rk_vec, rrf,
+       |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, rk_text, rk_vec, rrf
+       |FROM ranked WHERE rk <= $HybridTopK ORDER BY rk""".stripMargin
+
   // ------------------------------------------------- text_novelty
   // Bigram-level novelty: the share of a document's bigram occurrences
   // whose corpus-wide document frequency is 1 (they appear in NO other
@@ -6433,6 +6487,7 @@ object SparkEntry {
     "text_boilerplate"  -> ((s, d) => TextOps.boilerplate(docs(s, d))),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
     "text_bm25"         -> ((s, d) => TextOps.bm25TopK(docs(s, d))),
+    "text_hybrid_rrf"   -> qHybridRrf _,
     "corpus_kfold"      -> ((s, d) => TrainingData.kfoldStats(docs(s, d))),
     "corpus_length_hist" -> ((s, d) => TrainingData.lengthHistogram(docs(s, d))),
     "mm_rgb_hist"       -> ((s, d) => Multimodal.rgbHistogram(docs(s, d))),
@@ -6842,6 +6897,7 @@ object SparkEntry {
     "text_boilerplate"  -> TextOps.sqlBoilerplate,
     "text_vocab_coverage" -> TextOps.sqlVocabCoverage,
     "text_bm25"         -> TextOps.sqlBm25,
+    "text_hybrid_rrf"   -> sqlHybridRrf,
     "corpus_kfold"      -> TrainingData.sqlKfoldStats,
     "corpus_length_hist" -> TrainingData.sqlLengthHistogram,
     "mm_rgb_hist"       -> Multimodal.sqlRgbHistogram,
