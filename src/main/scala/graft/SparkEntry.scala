@@ -4624,6 +4624,94 @@ object SparkEntry {
       |    AS singletons
       |FROM classes""".stripMargin
 
+  // ------------------------------------------------- events_ldiversity
+  // l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+  // k-anonymity follow-up: within each quasi-identifier class
+  // (hour-of-day, value decade), how DIVERSE is the sensitive
+  // attribute (event_type)? A k-large class whose rows all share one
+  // sensitive value still leaks it. Same one-pass class build as
+  // events_kanon with a distinct count, then a single report row of
+  // exact integers.
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull
+        && col("value").isNotNull)
+      .select(
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        expr("cast(floor(value) as bigint) div 10").as("vb"),
+        col("event_type"))
+      .groupBy(col("hr"), col("vb"))
+      .agg(countDistinct(col("event_type")).as("l"),
+        count(lit(1)).as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("l")).as("min_l"),
+      max(col("l")).as("max_l"),
+      sum(when(col("l") < 3, lit(1L)).otherwise(lit(0L)))
+        .as("classes_lt3"),
+      sum(when(col("l") < 3, col("class_size")).otherwise(lit(0L)))
+        .as("rows_lt3"))
+  }
+
+  private val sqlLDiversity: String =
+    """WITH classes AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr,
+      |    CAST(floor(value) AS BIGINT) // 10 AS vb,
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |    AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(MAX(l) AS BIGINT) AS max_l,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_lt3,
+      |  CAST(SUM(CASE WHEN l < 3 THEN class_size ELSE 0 END) AS BIGINT)
+      |    AS rows_lt3
+      |FROM classes""".stripMargin
+
+  // ------------------------------------------------- q76_null_semantics
+  // Three-valued-logic surface: window heads produce genuine NULLs,
+  // then the null-skipping filter count vs the null-SAFE equality
+  // (Spark `<=>` ↔ SQL IS NOT DISTINCT FROM) are audited side by side
+  // per event type. The lag pairing is (ts, event_id)-tied like every
+  // lag in the suite.
+  private def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_heads"),
+        sum(when(col("value") <=> col("prev"), 1L).otherwise(0L))
+          .as("n_nullsafe_equal"),
+        count(col("prev")).as("n_prev_nonnull"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlNullSemantics: String =
+    """WITH lagged AS (
+      |  SELECT event_type, value,
+      |    LAG(value, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_heads,
+      |  CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM prev THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_nullsafe_equal,
+      |  CAST(COUNT(prev) AS BIGINT) AS n_prev_nonnull
+      |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- events_drift
   // Distribution drift of the event-type mix: first half of the observed
   // window vs second half — the input-shift monitor run before retraining
@@ -6563,6 +6651,8 @@ object SparkEntry {
     "events_chi2"       -> qChi2 _,
     "events_cramer"     -> qCramer _,
     "events_kanon"      -> qKAnon _,
+    "events_ldiversity" -> qLDiversity _,
+    "q76_null_semantics" -> qNullSemantics _,
     "events_drift"      -> qDrift _,
     "events_gapfill"    -> qGapfill _,
     "profile_histogram" -> ((s, d) =>
@@ -6961,6 +7051,8 @@ object SparkEntry {
     // its oracle IS the from-scratch rollup
     "events_cramer"     -> sqlCramer,
     "events_kanon"      -> sqlKAnon,
+    "events_ldiversity" -> sqlLDiversity,
+    "q76_null_semantics" -> sqlNullSemantics,
     "events_drift"      -> sqlDrift,
     "events_gapfill"    -> sqlGapfill,
     "profile_histogram" -> graft.operators.Profile.sqlHistogram,
