@@ -3688,6 +3688,125 @@ object SparkEntry {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------- q77_product_profit
+  // TPC-H Q9 shape (product-type profit): per supplier-nation, per
+  // order year, profit = revenue − cost (the fixture has no
+  // ps_supplycost; cost proxies as 10 % of retail price × quantity —
+  // same expression tree, same join web). Part and supplier→nation
+  // dims broadcast into lineitem, the facts meet in ONE order-key
+  // shuffle, the profit terms ride one exact-decimal sum.
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(xsum(amount).as("profit"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  private val sqlProductProfit: String =
+    s"""SELECT n_name,
+       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |  ${sqlSum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) " +
+      "- CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity")} AS profit,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_type = 'ECONOMY'
+       |GROUP BY n_name, o_year
+       |ORDER BY n_name, o_year DESC""".stripMargin
+
+  // ------------------------------------------------- q78_supplier_counts
+  // TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+  // able to ship each (brand, type, size) combination, excluding one
+  // brand — partsupp proxied by the distinct shipped-pair frame. The
+  // brand exclusion pushes to the part scan; one distinct-pair
+  // exchange; count-distinct per bounded group.
+  private def qSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    shipped.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val sqlSupplierCounts: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) s
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size <= 10
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ------------------------------------------------- q79_dominant_suppliers
+  // TPC-H Q20 shape (excess availability): suppliers holding more than
+  // 2x their FAIR share of a part's shipped quantity (share thresholds
+  // must be scale-free: with n suppliers per part growing with SF, any
+  // fixed share goes empty) — the nested-aggregate → co-partitioned
+  // re-join decorrelation (same discipline as Q17's average). Both
+  // aggregates key on the part, so the join reuses the exchange; the
+  // threshold is two IEEE ops on exact sums.
+  private def qDominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val pairQty = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(xsum(col("l_quantity"), 6).as("pair_qty"))
+    val partQty = pairQty.groupBy(col("l_partkey").as("pk"))
+      .agg(xsum(col("pair_qty"), 6).as("part_qty"),
+        count(lit(1)).as("n_suppliers"))
+    pairQty.join(partQty, col("l_partkey") === col("pk"))
+      .filter(col("n_suppliers") >= 2 &&
+        col("pair_qty") > lit(2.0) * col("part_qty") / col("n_suppliers")
+          .cast("double"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .orderBy(col("n_dominated_parts").desc, col("s_suppkey"))
+  }
+
+  private val sqlDominantSuppliers: String =
+    s"""WITH pq AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${graft.functions.Exact.sqlSum("l_quantity", 6)} AS pair_qty
+       |  FROM lineitem GROUP BY l_partkey, l_suppkey
+       |), tq AS (
+       |  SELECT l_partkey AS pk,
+       |    ${graft.functions.Exact.sqlSum("pair_qty", 6)} AS part_qty,
+       |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+       |  FROM pq GROUP BY l_partkey
+       |)
+       |SELECT s_suppkey, s_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+       |FROM pq
+       |JOIN tq ON l_partkey = pk
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE n_suppliers >= 2
+       |  AND pair_qty > CAST(2 AS DOUBLE) * part_qty
+       |    / CAST(n_suppliers AS DOUBLE)
+       |GROUP BY s_suppkey, s_name
+       |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin
+
   // ------------------------------------------------- events_user_entropy
   // Per-user event-type Shannon entropy — the behavioral-diversity score
   // (bots and scripted traffic sit at 0; engaged users spread mass).
@@ -6553,6 +6672,9 @@ object SparkEntry {
     "q66_volume_shipping" -> qVolumeShipping _,
     "q67_late_priority" -> qLatePriority _,
     "q68_top_supplier"  -> qTopSupplier _,
+    "q77_product_profit" -> qProductProfit _,
+    "q78_supplier_counts" -> qSupplierCounts _,
+    "q79_dominant_suppliers" -> qDominantSuppliers _,
     "events_user_entropy" -> qUserEntropy _,
     "events_hill_tail"  -> qHillTail _,
     "events_time_to_convert" -> qTimeToConvert _,
@@ -6968,6 +7090,9 @@ object SparkEntry {
     "q66_volume_shipping" -> sqlVolumeShipping,
     "q67_late_priority" -> sqlLatePriority,
     "q68_top_supplier"  -> sqlTopSupplier,
+    "q77_product_profit" -> sqlProductProfit,
+    "q78_supplier_counts" -> sqlSupplierCounts,
+    "q79_dominant_suppliers" -> sqlDominantSuppliers,
     "events_user_entropy" -> sqlUserEntropy,
     "events_hill_tail"  -> sqlHillTail,
     "events_time_to_convert" -> sqlTimeToConvert,
