@@ -6832,6 +6832,8 @@ object SparkEntry {
     "text_lm_score"     -> qLmScore _,
     "text_lm_sweep"     -> qLmSweep _,
     "profile_eqdepth"   -> qEqdepth _,
+    "profile_top_values" -> ((s, d) => graft.operators.Profile.topValues(
+      Tables.lineitem(s, d), Tables.orders(s, d))),
     "q75_calendar"      -> qCalendar _,
     "text_novelty"      -> qNovelty _,
     "dedup_band_profile" -> ((s, d) => Dedup.bandProfile(arts(s, d).bands)),
@@ -7225,6 +7227,7 @@ object SparkEntry {
     "text_lm_score"     -> sqlLmScore,
     "text_lm_sweep"     -> sqlLmSweep,
     "profile_eqdepth"   -> sqlEqdepth,
+    "profile_top_values" -> graft.operators.Profile.sqlTopValues,
     "q75_calendar"      -> sqlCalendar,
     "text_novelty"      -> sqlNovelty,
     "dedup_band_profile" -> Dedup.sqlBandProfile(),

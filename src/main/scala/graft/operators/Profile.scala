@@ -19,6 +19,70 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Top-k per column for [[topValues]]. */
+  val TopValK = 5
+
+  /** Most-frequent-values panel over the categorical order/lineitem
+    * columns — the "top values" card every data profiler shows, with
+    * each value's share of its column. One union of thin per-column
+    * hash aggregates (map-side partial; the value domains are tiny),
+    * per-column totals ride the same aggregate output, and the per-
+    * column top-k is a keyed rank window (WindowGroupLimit-pruned).
+    * Counts exact BIGINT; share is one IEEE division.
+    */
+  def topValues(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counted(df: DataFrame, colName: String): DataFrame =
+      df.groupBy(col(colName).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(colName).as("column_name"), col("value"), col("n"))
+    val all = counted(lineitem, "l_returnflag")
+      .unionByName(counted(lineitem, "l_linestatus"))
+      .unionByName(counted(orders, "o_orderstatus"))
+      .unionByName(counted(orders, "o_orderpriority"))
+    val w = Window.partitionBy(col("column_name"))
+      .orderBy(col("n").desc, col("value"))
+    val totals = all.groupBy(col("column_name").as("cn"))
+      .agg(sum(col("n")).cast("long").as("total"))
+    all.join(broadcast(totals), col("column_name") === col("cn"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopValK)
+      .select(col("column_name"), col("rk").cast("long").as("rk"),
+        col("value"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("column_name"), col("rk"))
+  }
+
+  def sqlTopValues: String =
+    s"""WITH counts AS (
+       |  SELECT 'l_returnflag' AS column_name, l_returnflag AS value,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM lineitem GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'l_linestatus', l_linestatus, CAST(COUNT(*) AS BIGINT)
+       |  FROM lineitem GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'o_orderstatus', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+       |  FROM orders GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'o_orderpriority', o_orderpriority,
+       |    CAST(COUNT(*) AS BIGINT)
+       |  FROM orders GROUP BY 2
+       |), totals AS (
+       |  SELECT column_name AS cn, CAST(SUM(n) AS BIGINT) AS total
+       |  FROM counts GROUP BY column_name
+       |), ranked AS (
+       |  SELECT column_name, value, n, total,
+       |    ROW_NUMBER() OVER (PARTITION BY column_name
+       |      ORDER BY n DESC, value) AS rk
+       |  FROM counts JOIN totals ON column_name = cn
+       |)
+       |SELECT column_name, CAST(rk AS BIGINT) AS rk, value, n,
+       |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM ranked WHERE rk <= $TopValK
+       |ORDER BY column_name, rk""".stripMargin
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
