@@ -200,4 +200,145 @@ class Round6Session5Spec extends SparkSuite {
     assert(r.getAs[Double]("p50_sec") <= r.getAs[Double]("p90_sec"))
     assert(r.getAs[Double]("p50_sec") >= 0.0)
   }
+
+  test("multiset ops: EXCEPT ALL keeps per-occurrence counts") {
+    // |A EXCEPT ALL B| = Σ_k max(0, a_k − b_k), and distinct EXCEPT is
+    // a subset of the values EXCEPT ALL keeps
+    val all = q("q72_except_all").collect().map(_.getLong(0))
+    val distinct = q("q17_except").collect().map(_.getLong(0))
+    assert(distinct.toSet.subsetOf(all.toSet))
+    assert(all.length >= distinct.length)
+  }
+
+  test("skyline: every surviving part is undominated in the part table") {
+    val sky = q("q69_skyline").collect()
+      .map(r => (r.getAs[Int]("p_size"), r.getAs[Double]("p_retailprice")))
+    assert(sky.nonEmpty)
+    // pairwise: no skyline point dominates another
+    for (a <- sky; b <- sky if a != b)
+      assert(!(a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)),
+        s"$a dominates $b inside the skyline")
+  }
+
+  test("MMR: selections are distinct, step-1 is the pure-relevance argmax") {
+    val rows = q("sim_mmr").collect()
+    assert(rows.length == graft.operators.Similarity.MmrK)
+    val ids = rows.map(_.getAs[Long]("cand_id"))
+    assert(ids.distinct.length == ids.length)
+    val byStep = rows.sortBy(_.getAs[Long]("step"))
+    // step 1 scores as raw relevance; later steps are diversity-penalized
+    assert(byStep.head.getAs[Double]("score") ==
+      byStep.head.getAs[Double]("rel"))
+    byStep.tail.foreach(r =>
+      assert(r.getAs[Double]("score") <= r.getAs[Double]("rel") + 1e-12))
+  }
+
+  test("BM25: every hit count is within the query size, ranking sorted") {
+    val rows = q("text_bm25").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_terms_hit")
+      assert(hits >= 1 && hits <= graft.operators.TextOps.Bm25Terms.size)
+      assert(r.getAs[Double]("bm25") > 0.0)
+    }
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hybrid RRF: fused score equals the rank formula, both routes present") {
+    val rows = q("text_hybrid_rrf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rt = Option(r.getAs[java.lang.Long]("rk_text")).map(_.toLong)
+      val rv = Option(r.getAs[java.lang.Long]("rk_vec")).map(_.toLong)
+      assert(rt.isDefined || rv.isDefined)
+      val expected = rt.map(k => 1.0 / (60.0 + k)).getOrElse(0.0) +
+        rv.map(k => 1.0 / (60.0 + k)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-12)
+    }
+  }
+
+  test("LM sweep: survival is monotone in the cutoff") {
+    val rows = q("text_lm_sweep").collect().sortBy(_.getAs[Double]("cutoff"))
+    val kept = rows.map(_.getAs[Long]("n_docs_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+  }
+
+  test("vocab coverage: monotone in k and bounded by 1") {
+    val r = q("text_vocab_coverage").collect().head
+    val c100 = r.getAs[Double]("coverage_100")
+    val c1k = r.getAs[Double]("coverage_1000")
+    val c10k = r.getAs[Double]("coverage_10000")
+    assert(c100 <= c1k && c1k <= c10k && c10k <= 1.0 + 1e-12)
+    assert(r.getAs[Long]("tok_top100") <= r.getAs[Long]("n_tokens"))
+  }
+
+  test("equi-depth histogram: buckets carry comparable mass") {
+    val rows = q("profile_eqdepth").collect()
+    assert(rows.length == 4)
+    val ns = rows.map(_.getAs[Long]("n_values"))
+    // quartile buckets: each within 2x of the smallest (ties at edges
+    // can shift mass, exact quarters are not guaranteed)
+    assert(ns.max <= ns.min * 2, ns.mkString(","))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_value") <= r.getAs[Double]("max_value"))
+    }
+  }
+
+  test("top values: shares within a column sum to ≤ 1, ranks dense") {
+    val rows = q("profile_top_values").collect()
+    rows.groupBy(_.getAs[String]("column_name")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to g.length.toLong))
+    }
+  }
+
+  test("conductance: cut bounded by the smaller volume where defined") {
+    val rows = q("graph_conductance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val phi = Option(r.getAs[java.lang.Double]("conductance"))
+      phi.foreach(p => assert(p >= 0.0 && p <= 1.0, s"phi=$p"))
+    }
+  }
+
+  test("streaks: longest streak never exceeds active days") {
+    val rows = q("events_streak").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1)
+    }
+  }
+
+  test("new vs returning: day-1 actives are all new") {
+    val rows = q("events_new_returning").collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.head.getAs[Long]("n_returning") == 0)
+    assert(rows.head.getAs[Long]("n_new") > 0)
+  }
+
+  test("l-diversity: min_l within [1, |event types|]") {
+    val r = q("events_ldiversity").collect().head
+    assert(r.getAs[Long]("min_l") >= 1)
+    assert(r.getAs[Long]("max_l") <= 5) // fixture has 5 event types
+    assert(r.getAs[Long]("min_l") <= r.getAs[Long]("max_l"))
+  }
+
+  test("wav histogram: total mass equals the sample count") {
+    val rows = q("mm_wav_hist").collect()
+    val mass = rows.map(_.getAs[Long]("n_samples")).sum
+    val expected = Tables.documents(spark, dir)
+      .select((col("n_chars") % 256 + 16).cast("long").as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(mass == expected)
+  }
+
+  test("dominant suppliers: every flagged pair beats 2x its fair share") {
+    val rows = q("q79_dominant_suppliers").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_dominated_parts") >= 1))
+  }
 }
