@@ -4835,6 +4835,54 @@ object SparkEntry {
       |  CAST(COUNT(prev) AS BIGINT) AS n_prev_nonnull
       |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- events_late_arrivals
+  // Out-of-order-arrival audit — the batch-side measurement that sizes
+  // a streaming watermark: with event_id as the arrival order, an
+  // event is LATE when its timestamp sits behind the per-user running
+  // maximum, and the max regression (seconds) is the watermark bound a
+  // deployment would need. ONE keyed window (running max over arrival
+  // order) + one aggregate; epoch-integer arithmetic.
+  private def qLateArrivals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"))
+      .withColumn("hwm", max(col("tsu")).over(w))
+      .select(col("user_id"),
+        when(col("hwm").isNotNull && col("tsu") < col("hwm"), 1L)
+          .otherwise(0L).as("late"),
+        when(col("hwm").isNotNull && col("tsu") < col("hwm"),
+          (col("hwm") - col("tsu")))
+          .otherwise(lit(0L)).as("lag_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("late")).as("n_late"),
+        expr("max(lag_us) div 1000000").as("max_lag_sec"),
+        expr("sum(lag_us) div 1000000").as("total_lag_sec"))
+  }
+
+  private val sqlLateArrivals: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM events WHERE ts IS NOT NULL
+      |), flagged AS (
+      |  SELECT CASE WHEN hwm IS NOT NULL AND tsu < hwm THEN 1 ELSE 0 END
+      |      AS late,
+      |    CASE WHEN hwm IS NOT NULL AND tsu < hwm THEN hwm - tsu
+      |      ELSE 0 END AS lag_us
+      |  FROM t
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(late) AS BIGINT) AS n_late,
+      |  CAST(MAX(lag_us) // 1000000 AS BIGINT) AS max_lag_sec,
+      |  CAST(SUM(lag_us) // 1000000 AS BIGINT) AS total_lag_sec
+      |FROM flagged""".stripMargin
+
   // ------------------------------------------------- events_drift
   // Distribution drift of the event-type mix: first half of the observed
   // window vs second half — the input-shift monitor run before retraining
@@ -6778,6 +6826,7 @@ object SparkEntry {
     "events_cramer"     -> qCramer _,
     "events_kanon"      -> qKAnon _,
     "events_ldiversity" -> qLDiversity _,
+    "events_late_arrivals" -> qLateArrivals _,
     "q76_null_semantics" -> qNullSemantics _,
     "events_drift"      -> qDrift _,
     "events_gapfill"    -> qGapfill _,
@@ -7183,6 +7232,7 @@ object SparkEntry {
     "events_cramer"     -> sqlCramer,
     "events_kanon"      -> sqlKAnon,
     "events_ldiversity" -> sqlLDiversity,
+    "events_late_arrivals" -> sqlLateArrivals,
     "q76_null_semantics" -> sqlNullSemantics,
     "events_drift"      -> sqlDrift,
     "events_gapfill"    -> sqlGapfill,
