@@ -6515,6 +6515,7 @@ object SparkEntry {
     "stream_join_state"  -> graft.streaming.StreamOracles.joinState _,
     "stream_window_state" -> graft.streaming.StreamOracles.windowState _,
     "stream_mg_state"   -> graft.streaming.StreamOracles.mgState _,
+    "stream_drop_state" -> graft.streaming.StreamOracles.dropState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -7024,6 +7025,7 @@ object SparkEntry {
     // the streamed MG sketch is exact at this capacity, so its final
     // state must match the SAME exact SQL the batch sketch matches
     "stream_mg_state"   -> sqlHeavyHitters,
+    "stream_drop_state" -> graft.streaming.StreamOracles.sqlDropState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
     "text_langid"       -> TextOps.sqlLangId,

@@ -580,6 +580,78 @@ object StreamOracles {
       .orderBy(col("est_count").desc, col("token"))
   }
 
+  // --------------------------------------------------- stream_drop_state
+  /** Watermark LATE-DATA DROP oracle: daily windowed aggregation in
+    * Append mode over a deliberately disordered THREE-batch split —
+    * batch 0 carries Jan 4–19, batch 1 Jan 20–26, batch 2 Jan 27–30
+    * PLUS the Jan 1–3 stragglers. By batch 2 the committed 72 h
+    * watermark sits near Jan 23, so the stragglers' windows end far
+    * below it and the rows MUST be dropped (measured: a TWO-batch
+    * split does NOT drop them — the very first watermark commit is not
+    * yet in force for the filter when they arrive, so they are
+    * aggregated and immediately finalized; Spark documents the drop as
+    * an at-least-this-late guarantee, not an exact one — three batches
+    * pin the guaranteed path). The final emitted set is exactly the
+    * windows ending at or before that same watermark: days 4–22 at
+    * full per-day counts, stragglers absent, the Jan 23+ tail still
+    * unfinalized in state. The batch oracle mirrors both effects
+    * arithmetically: keep day ≥ 4, emit windows with
+    * end ≤ max(ts | day < 27) − 72 h. This is the one streaming
+    * behavior the other eight oracles never exercise — rows REJECTED
+    * by the watermark, and Append-mode finalization timing.
+    */
+  def dropState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val src = cachedSrc(s"drop3|$dir") { d =>
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) >= 4 &&
+        dayofmonth(col("ts")) < 20), d, 0)
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) >= 20 &&
+        dayofmonth(col("ts")) < 27), d, 1)
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) >= 27 ||
+        dayofmonth(col("ts")) < 4), d, 2)
+    }
+    val ss = streamSession(spark)
+    val in = streamFiles(ss, src, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+    val agg = in
+      .withWatermark("ts", "72 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.xsum(col("value")).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("w.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val name = s"graft_stream_drop_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(agg, name, OutputMode.Append())
+    out.orderBy(col("window_start"), col("event_type"))
+  }
+
+  val sqlDropState: String = {
+    import graft.functions.Exact
+    s"""WITH fwm AS (
+       |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 72 HOUR AS wm
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND day(CAST(ts AS TIMESTAMP)) < 27
+       |), kept AS (
+       |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND day(CAST(ts AS TIMESTAMP)) >= 4
+       |)
+       |SELECT date_trunc('day', ts) AS window_start,
+       |  date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS total_value
+       |FROM kept, fwm
+       |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+       |GROUP BY 1, 2, 3
+       |ORDER BY window_start, event_type""".stripMargin
+  }
+
   val sqlJoinState: String =
     """WITH e AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
