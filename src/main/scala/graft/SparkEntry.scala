@@ -6757,6 +6757,7 @@ object SparkEntry {
     "mm_wav_hist"       -> ((s, d) => Multimodal.wavHistogram(docs(s, d))),
     "text_js_divergence" -> ((s, d) => TextOps.jsDivergence(docs(s, d))),
     "sim_mmr"           -> ((s, d) => Similarity.mmrTopK(emb(s, d))),
+    "sim_probe_cost"    -> ((s, d) => Similarity.ivfProbeCost(emb(s, d))),
     "sim_silhouette"    -> ((s, d) => Similarity.silhouette(emb(s, d))),
     "sim_db_index"      -> ((s, d) => Similarity.dbIndex(emb(s, d))),
     // degree-weighted link prediction reads the SAME edge/degree memos
@@ -7176,6 +7177,7 @@ object SparkEntry {
     "mm_wav_hist"       -> Multimodal.sqlWavHistogram,
     "text_js_divergence" -> TextOps.sqlJsDivergence,
     "sim_mmr"           -> Similarity.sqlMmr,
+    "sim_probe_cost"    -> Similarity.sqlIvfProbeCost,
     "sim_silhouette"    -> Similarity.sqlSilhouette,
     "sim_db_index"      -> Similarity.sqlDbIndex,
     "graph_adamic_adar" -> graft.operators.Graph.sqlAdamicAdar,

@@ -658,6 +658,77 @@ object Similarity {
        |FROM rk WHERE rk <= $AnnTopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** IVF probe COST curve: per query and probe depth 1–3, how many
+    * candidate vectors the probed cells force the scorer to touch —
+    * the cost half of the tuning story whose quality half is
+    * `sim_recall_sweep` (recall@nprobe means nothing without the
+    * candidates-scanned price next to it). One assignment pass, a
+    * |cells|-row size aggregate, and a |Q|·K-bounded probe ranking;
+    * the ×3 fan is a literal array. Integer-only output (bucket sizes
+    * include the query's own row — a probe scans its whole cell).
+    */
+  def ivfProbeCost(emb: DataFrame): DataFrame = {
+    val n = withNorm(emb, "embedding")
+    val cents = n.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val bsize = nearestCell(scored)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    scored.filter(col("vec_id") < NQueries)
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("bucket"),
+        col("rn"))
+      .join(broadcast(bsize), Seq("bucket"))
+      .select(explode(array(lit(1), lit(2), lit(3))).as("nprobe"),
+        col("query_id"), col("rn"), col("bsz"))
+      .filter(col("rn") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(sum(col("bsz")).cast("long").as("n_candidates"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
+  def sqlIvfProbeCost: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < $NCentroids
+       |), ranked AS (
+       |  SELECT vec_id, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cent_id) AS rn
+       |  FROM (
+       |    SELECT n.vec_id, cents.cent_id,
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)}
+       |        / (n.nrm * cents.cnrm) AS sim
+       |    FROM n, cents
+       |  )
+       |), bsize AS (
+       |  SELECT cent_id AS bucket, CAST(COUNT(*) AS BIGINT) AS bsz
+       |  FROM ranked WHERE rn = 1 GROUP BY 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS bucket, rn
+       |  FROM ranked WHERE vec_id < $NQueries AND rn <= 3
+       |)
+       |SELECT nprobe, query_id,
+       |  CAST(SUM(bsz) AS BIGINT) AS n_candidates,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets
+       |FROM probes JOIN bsize USING (bucket), unnest([1, 2, 3]) u(nprobe)
+       |WHERE rn <= nprobe
+       |GROUP BY nprobe, query_id
+       |ORDER BY nprobe, query_id""".stripMargin
+
   def sqlIvfTopK: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding,
