@@ -6589,6 +6589,8 @@ object SparkEntry {
       graft.operators.Layout.pruningAudit(Tables.lineitem(s, d))),
     "layout_hilbert"    -> ((s, d) =>
       graft.operators.Layout.hilbertAudit(Tables.lineitem(s, d))),
+    "layout_bloom_skip" -> ((s, d) =>
+      graft.operators.Layout.bloomSkipAudit(Tables.lineitem(s, d))),
     "layout_compaction" -> ((s, d) =>
       graft.operators.Layout.compactionPlan(Tables.lineitem(s, d))),
     "sim_dim_sweep"     -> ((s, d) => Similarity.dimSweepRecall(emb(s, d))),
@@ -6700,8 +6702,25 @@ object SparkEntry {
     "text_quality_rank" -> ((s, d) => TextOps.qualityRank(docs(s, d))),
     "dedup_weights"     -> ((s, d) =>
       Dedup.softWeightsFrom(docs(s, d), arts(s, d).components)),
+    // sim_knn_graph and sim_nsw_walk read the same memoized kNN edge list
     "sim_knn_graph"     -> ((s, d) =>
-      Similarity.knnGraph(Tables.embeddings(s, d))),
+      Similarity.knnGraph(Tables.embeddings(s, d),
+        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)))),
+    "sim_nsw_walk"      -> ((s, d) =>
+      Similarity.nswWalk(Tables.embeddings(s, d),
+        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
+        pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d)))),
+    "sim_nsw_recall"    -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(Tables.embeddings(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.nswWalk(Tables.embeddings(s, d),
+        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
+        pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d))))),
+    "sim_sdc_topk"      -> ((s, d) => Similarity.sdcTopK(emb(s, d))),
+    "sim_sdc_recall"    -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.sdcTopK(emb(s, d)))),
     "sim_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d))),
     "corpus_budget"     -> ((s, d) => TrainingData.budgetSelect(docs(s, d))),
@@ -7080,6 +7099,7 @@ object SparkEntry {
     "layout_zorder"     -> graft.operators.Layout.sqlZorderAudit,
     "layout_pruning"    -> graft.operators.Layout.sqlPruningAudit,
     "layout_hilbert"    -> graft.operators.Layout.sqlHilbertAudit,
+    "layout_bloom_skip" -> graft.operators.Layout.sqlBloomSkipAudit,
     "layout_compaction" -> graft.operators.Layout.sqlCompactionPlan,
     "sim_dim_sweep"     -> Similarity.sqlDimSweep,
     "graph_edges"       ->
@@ -7126,6 +7146,16 @@ object SparkEntry {
     "text_quality_rank" -> TextOps.sqlQualityRank,
     "dedup_weights"     -> Dedup.sqlSoftWeights,
     "sim_knn_graph"     -> Similarity.sqlKnnGraph,
+    "sim_nsw_walk"      -> Similarity.sqlNswWalk,
+    "sim_nsw_recall"    -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlNswWalk),
+    "sim_sdc_topk"      -> Similarity.sqlSdcTopK,
+    "sim_sdc_recall"    -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlSdcTopK),
     "sim_hard_negatives" -> Similarity.sqlHardNegatives,
     "corpus_budget"     -> TrainingData.sqlBudgetSelect,
     "sim_rrf"           -> Similarity.sqlRrf,

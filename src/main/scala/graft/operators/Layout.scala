@@ -385,4 +385,156 @@ object Layout {
        |SELECT probe, files_total, files_scanned, rows_scanned, rows_matching
        |FROM scan JOIN m USING (probe), ft
        |ORDER BY probe""".stripMargin
+
+  // --------------------------------------------- bloom file-skipping audit
+  /** Per-file Bloom-filter skipping audit — the EQUALITY-probe complement
+    * of [[pruningAudit]]'s min/max zone maps. Zone maps prune RANGE
+    * predicates, but an equality probe on a high-cardinality key inside a
+    * file whose [min, max] spans most of the domain prunes nothing — the
+    * lakehouse answer is a per-file Bloom filter over the key column
+    * (Parquet's bloom_filter pages / Delta & Iceberg file-level blooms do
+    * exactly this). This operator builds one [[BloomSkipBits]]-bit,
+    * [[BloomSkipHashes]]-hash filter per Z-order file over `l_partkey`
+    * and reports, for [[BloomSkipProbes]] deterministic point probes:
+    * how many files the bloom would scan (`files_maybe`) vs how many
+    * truly contain the key (`files_actual`). `files_maybe − files_actual`
+    * is the false-positive scan cost; blooms have NO false negatives, so
+    * `files_actual ≤ files_maybe` always (spec-pinned).
+    *
+    * Scale shape: file ids are the same map-side Z-key division as
+    * [[zorderAudit]]; the per-file distinct-key frame shuffles ONCE on
+    * (file_id, key); bit positions are three affine probes mod a prime
+    * mod m (the [[graft.operators.TrainingData]] Bloom hash idiom —
+    * integer-exact in both engines); the probe set is 16 broadcast rows,
+    * so every join against it is map-side. Nothing materializes a bitset:
+    * the filter IS the distinct (file_id, pos) frame, ≤ NFiles·m rows,
+    * which is also how a real writer would spill footer-level bloom
+    * pages — per file, sorted by position.
+    */
+  val BloomSkipBits = 4096L
+  val BloomSkipHashes = 3
+  val BloomSkipProbes = 16
+
+  private def bsA(j: Int): Long = 1000003L * (j + 11) + 12345L
+  private def bsB(j: Int): Long = 7919L * (j + 11) + 104729L
+  private def bsPos(h: Column, j: Int): Column =
+    (h.cast("long") * lit(bsA(j)) + lit(bsB(j))) %
+      lit(Dedup.MinhashP) % lit(BloomSkipBits)
+  private def sqlBsPos(h: String, j: Int): String =
+    s"((CAST($h AS BIGINT) * ${bsA(j)} + ${bsB(j)}) % ${Dedup.MinhashP} % $BloomSkipBits)"
+
+  def bloomSkipAudit(lineitem: DataFrame): DataFrame = {
+    val width = (1L << (2 * BitsPerDim)) / NFiles
+    val bounds = lineitem.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    // same file assignment as zorderAudit, reduced to the bloom's key
+    // column; ONE shuffle builds the per-file distinct-key frame that
+    // both the filter and the ground truth read
+    val fileKeys = lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("qx", expr(
+        s"((l_partkey - pmin) * ${1L << BitsPerDim}) div (pmax - pmin + 1)"))
+      .withColumn("qy", expr(
+        s"((l_suppkey - smin) * ${1L << BitsPerDim}) div (smax - smin + 1)"))
+      .withColumn("zkey", zkey(col("qx"), col("qy")))
+      .select(expr(s"zkey div $width").as("file_id"), col("l_partkey"))
+      .distinct()
+      .transform(Iterate.pin)
+    val filesTotal = fileKeys.select(col("file_id")).distinct()
+      .agg(count(lit(1)).as("files_total"))
+    // 16 deterministic equality probes spread across the key domain —
+    // some land on present keys, some in gaps (both verdicts exercised)
+    val probes = bounds.select(explode(array(
+      (0 until BloomSkipProbes).map(i =>
+        expr(s"CAST(pmin + ((pmax - pmin + 1) * $i) div $BloomSkipProbes" +
+          " AS BIGINT)")): _*)).as("probe_key"))
+    val probePos = probes.select(col("probe_key"), explode(array(
+        (0 until BloomSkipHashes).map(j => bsPos(col("probe_key"), j)): _*))
+        .as("pos")).distinct()
+    val probeNeed = probePos.groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("need"))
+    val filePos = fileKeys.select(col("file_id"), explode(array(
+        (0 until BloomSkipHashes).map(j => bsPos(col("l_partkey"), j)): _*))
+        .as("pos")).distinct()
+    // a file is a bloom "maybe" iff EVERY probe position is set in it
+    val maybe = filePos.join(broadcast(probePos), Seq("pos"))
+      .groupBy(col("probe_key"), col("file_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(probeNeed), Seq("probe_key"))
+      .filter(col("n_hit") === col("need"))
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("files_maybe"))
+    val actual = fileKeys
+      .join(broadcast(probes), col("l_partkey") === col("probe_key"))
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("files_actual"))
+    probes.crossJoin(broadcast(filesTotal))
+      .join(maybe, Seq("probe_key"), "left")
+      .join(actual, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("files_total"),
+        coalesce(col("files_maybe"), lit(0L)).as("files_maybe"),
+        coalesce(col("files_actual"), lit(0L)).as("files_actual"))
+      .orderBy(col("probe_key"))
+  }
+
+  def sqlBloomSkipAudit: String = {
+    val width = (1L << (2 * BitsPerDim)) / NFiles
+    val probeDefs = (0 until BloomSkipProbes).map(i =>
+      s"SELECT CAST(pmin + ((pmax - pmin + 1) * $i) // $BloomSkipProbes AS BIGINT) AS probe_key FROM b")
+      .mkString("\n  UNION ALL\n  ")
+    def posRows(h: String, extra: String): String =
+      (0 until BloomSkipHashes).map(j =>
+        s"SELECT $extra, ${sqlBsPos(h, j)} AS pos FROM SRC")
+        .mkString("\n    UNION ALL\n    ")
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+       |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT l_partkey,
+       |    ((l_partkey - pmin) * ${1L << BitsPerDim}) // (pmax - pmin + 1) AS qx,
+       |    ((l_suppkey - smin) * ${1L << BitsPerDim}) // (smax - smin + 1) AS qy
+       |  FROM lineitem, b
+       |), fk AS (
+       |  SELECT DISTINCT (${sqlZkey("qx", "qy")}) // $width AS file_id,
+       |    l_partkey
+       |  FROM q
+       |), ft AS (
+       |  SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) AS files_total FROM fk
+       |), probes AS (
+       |  $probeDefs
+       |), probepos AS (
+       |  SELECT DISTINCT probe_key, pos FROM (
+       |    ${posRows("probe_key", "probe_key").replace("SRC", "probes")}
+       |  )
+       |), need AS (
+       |  SELECT probe_key, CAST(COUNT(*) AS BIGINT) AS need
+       |  FROM probepos GROUP BY probe_key
+       |), filepos AS (
+       |  SELECT DISTINCT file_id, pos FROM (
+       |    ${posRows("l_partkey", "file_id").replace("SRC", "fk")}
+       |  )
+       |), hits AS (
+       |  SELECT p.probe_key, f.file_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM filepos f JOIN probepos p ON f.pos = p.pos
+       |  GROUP BY p.probe_key, f.file_id
+       |), maybe AS (
+       |  SELECT h.probe_key, CAST(COUNT(*) AS BIGINT) AS files_maybe
+       |  FROM hits h JOIN need n ON h.probe_key = n.probe_key
+       |  WHERE h.n_hit = n.need
+       |  GROUP BY h.probe_key
+       |), act AS (
+       |  SELECT p.probe_key, CAST(COUNT(*) AS BIGINT) AS files_actual
+       |  FROM fk JOIN probes p ON fk.l_partkey = p.probe_key
+       |  GROUP BY p.probe_key
+       |)
+       |SELECT p.probe_key, ft.files_total,
+       |  COALESCE(m.files_maybe, 0) AS files_maybe,
+       |  COALESCE(a.files_actual, 0) AS files_actual
+       |FROM probes p
+       |LEFT JOIN maybe m ON p.probe_key = m.probe_key
+       |LEFT JOIN act a ON p.probe_key = a.probe_key
+       |CROSS JOIN ft
+       |ORDER BY p.probe_key""".stripMargin
+  }
 }

@@ -225,24 +225,36 @@ object Similarity {
 
   private def planeCoef(i: Int, j: Int): Int = ((i * 37 + j * 101) % 7) - 3
 
-  /** Bucket id = bits of sign(v · r_j). */
-  def lshBucket(v: Column): Column =
+  /** Bucket id = bits of sign(v · r_j), planes `off..off+NPlanes-1`. */
+  private def lshBucketAt(v: Column, off: Int): Column =
     (0 until NPlanes).map { j =>
       val proj = aggregate(
-        zip_with(v, array((0 until Dim).map(i => lit(planeCoef(i, j))): _*),
+        zip_with(v, array((0 until Dim).map(i =>
+          lit(planeCoef(i, j + off))): _*),
           (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def sqlLshBucket(v: String): String =
+  def lshBucket(v: Column): Column = lshBucketAt(v, 0)
+
+  /** Second, independent hyperplane bucketing (plane ids
+    * [[NPlanes]]..2·[[NPlanes]]−1) — the hash behind [[nswWalk]]'s
+    * cross-partition edge set.
+    */
+  def lshBucket2(v: Column): Column = lshBucketAt(v, NPlanes)
+
+  private def sqlLshBucketAt(v: String, off: Int): String =
     (0 until NPlanes).map { j =>
-      val coefs = (0 until Dim).map(planeCoef(_, j)).mkString(", ")
+      val coefs = (0 until Dim).map(planeCoef(_, j + off)).mkString(", ")
       s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list_transform(range(1, ${Dim + 1}),
          |      i -> $v[i]::DOUBLE * ([$coefs][i])::DOUBLE)),
          |    (x, y) -> x + y) >= 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString("\n + ")
+
+  def sqlLshBucket(v: String): String = sqlLshBucketAt(v, 0)
+  def sqlLshBucket2(v: String): String = sqlLshBucketAt(v, NPlanes)
 
   def annTopK(emb: DataFrame): DataFrame = {
     val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
@@ -302,24 +314,59 @@ object Similarity {
     */
   val KnnGraphK = 3
 
-  def knnGraph(emb: DataFrame): DataFrame = {
+  /** The LSH-bucketed kNN edge list (src, rk, dst, cos) — the shared
+    * subtree of [[knnGraph]] and [[nswWalk]]. Pinned: both consumers
+    * read it at least twice within their own plans, and the suite memo
+    * ([[knnEdgesCached]]) builds it once per (session, fixture).
+    */
+  private def knnEdges(emb: DataFrame): DataFrame =
+    knnEdgesWith(emb, lshBucket(col("embedding")))
+
+  private def knnEdgesWith(emb: DataFrame, bucketExpr: Column): DataFrame = {
     val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
-      col("embedding"), col("norm"), lshBucket(col("embedding")).as("bucket"))
+      col("embedding"), col("norm"), bucketExpr.as("bucket"))
     val a = bucketed.select(col("vec_id").as("src"), col("embedding").as("av"),
       col("norm").as("an"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("dst"), col("embedding").as("bv"),
       col("norm").as("bn"), col("bucket"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    val edges = a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+    a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
       .withColumn("cos", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnGraphK)
       .select(col("src"), col("rk"), col("dst"), col("cos"))
-      // both sides of the mutual self-join read this k·N edge list;
-      // without materialization the bucket join + scoring + rank window
-      // execute twice (ReuseExchange dedups at most the shuffle)
+      // both sides of knnGraph's mutual self-join (and every nswWalk
+      // round) read this k·N edge list; without materialization the
+      // bucket join + scoring + rank window execute once per consumer
+      // (ReuseExchange dedups at most the shuffle)
       .transform(Iterate.pin)
+  }
+
+  private val knnCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** [[knnEdges]] memoized per (session, fixture dir) — `sim_knn_graph`
+    * and `sim_nsw_walk` read the same physical edge list in a suite run.
+    */
+  def knnEdgesCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    knnCache.computeIfAbsent((emb.sparkSession, cacheKey),
+      _ => knnEdges(emb))
+  }
+
+  /** The second-hash edge list ([[lshBucket2]]) memoized per (session,
+    * fixture dir) — both `sim_nsw_*` registrations read one copy.
+    */
+  def knnEdges2Cached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    knnCache.computeIfAbsent((emb.sparkSession, "lsh2:" + cacheKey),
+      _ => knnEdgesWith(emb, lshBucket2(col("embedding"))))
+  }
+
+  def knnGraph(emb: DataFrame,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val edges = pre.getOrElse(knnEdges(emb))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       lit(true).as("rev"))
     edges.join(rev, Seq("src", "dst"), "left")
@@ -350,6 +397,208 @@ object Similarity {
        |  (r.src IS NOT NULL) AS mutual
        |FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
        |ORDER BY e.src, e.rk""".stripMargin
+
+  // ------------------------------------------------ graph-walk ANN (NSW)
+  /** Greedy beam search over the kNN graph — the navigable-small-world
+    * search primitive (Malkov et al., "Approximate nearest neighbor
+    * algorithm based on navigable small world graphs", Inf. Systems 2014
+    * §3; the single-layer ancestor of HNSW): start every query at a fixed
+    * entry node, repeatedly expand the current beam's out-neighbors in
+    * the SYMMETRIZED kNN graph, keep the [[NswBeam]] best by true cosine,
+    * and answer top-[[AnnTopK]] from everything visited. The graph-walk
+    * route is the third ANN family beside hashing (LSH) and partitioning
+    * (IVF): no cells, no codes — candidate quality comes from the graph's
+    * navigability, and per-query cost is rounds·beam·degree vertex
+    * touches instead of a cell scan.
+    *
+    * Navigability (two structural fixes, both measured necessary):
+    * [[knnEdges]] links vectors only WITHIN an LSH bucket, so that graph
+    * alone is a disjoint union of ≤2^[[NPlanes]] components and a
+    * single-entry walk can never leave the entry's bucket (measured:
+    * recall 0.0 at every query). (1) The walk graph is therefore the
+    * UNION of two edge sets built under INDEPENDENT hyperplane hashes
+    * ([[lshBucket]] / [[lshBucket2]]): two different partitions of the
+    * sphere cross each other's boundaries, the deterministic stand-in
+    * for NSW's long-range links from early insertions (Malkov §4 — and
+    * the standard multi-table LSH coverage trick). (2) Entries descend
+    * from a sparse upper layer, as in HNSW: every vector with
+    * `vec_id % `[[NswPivotMod]]` = 0` is a layer-1 pivot (fixed-rate
+    * stand-in for the exponential level draw), each query scans the
+    * pivot tier exhaustively (|P| = N/[[NswPivotMod]] — the upper-layer
+    * cost; at billion scale you stack more layers, same plan shape) and
+    * its top-[[NswBeam]] pivots seed the base-layer walk.
+    *
+    * Determinism (what makes it oracle-expressible): pivot membership is
+    * arithmetic (no random level draw), rounds are pinned at
+    * [[NswRounds]], and beam/final ranks tie by node id. The oracle
+    * unrolls the identical rounds over the identical edge list.
+    *
+    * Scale shape: the edge list is the memoized [[knnEdgesCached]] frame
+    * (built once per suite, LSH-bucketed — never all-pairs); the pivot
+    * scan is one map-side pass over an N/64 frame against the |Q|
+    * broadcast query vectors; each round joins a |Q|·beam frontier
+    * (broadcast) against edges keyed by src, then scores |Q|·beam·k rows
+    * map-side. Nothing rescans the corpus: after the one-time graph
+    * build, a query touches O(|P| + rounds·beam·k) vertices — the
+    * property that makes graph ANN the billion-scale in-memory route.
+    */
+  val NswBeam = 8
+  val NswRounds = 3
+  val NswPivotMod = 16 // layer-1 pivots: vec_id % NswPivotMod == 0
+
+  def nswWalk(emb: DataFrame, pre: Option[DataFrame] = None,
+      pre2: Option[DataFrame] = None): DataFrame = {
+    val e = pre.getOrElse(knnEdges(emb))
+      .select(col("src"), col("dst"))
+      .unionByName(
+        pre2.getOrElse(knnEdgesWith(emb, lshBucket2(col("embedding"))))
+          .select(col("src"), col("dst")))
+    // symmetrize: NSW search walks edges in both directions
+    val sym = e.select(col("src").as("node"), col("dst"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("dst")))
+      .distinct()
+      .transform(Iterate.pin)
+    val n = withNorm(emb, "embedding")
+    val q = n.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val corpus = n.select(col("vec_id").as("node"),
+      col("embedding").as("nv"), col("norm").as("nn"))
+    def score(frontier: DataFrame): DataFrame =
+      frontier.join(corpus, Seq("node")).join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          (ndot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    // layer-1 search: exhaustive scan of the N/64 pivot tier picks each
+    // query's entry beam (HNSW's upper-layer descent, one fixed layer)
+    var cand = score(q.select(col("query_id"))
+        .crossJoin(corpus.filter(col("node") % NswPivotMod === 0)
+          .select(col("node"))))
+      .withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= NswBeam)
+      .select(col("query_id"), col("node"))
+      .transform(Iterate.pin)
+    var visited = cand
+    for (_ <- 1 to NswRounds) {
+      val expanded = cand
+        .unionByName(cand.join(sym, Seq("node"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+        .transform(Iterate.pin)
+      visited = visited.unionByName(expanded)
+      cand = score(expanded)
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= NswBeam)
+        .select(col("query_id"), col("node"))
+        .transform(Iterate.pin)
+    }
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    score(visited.distinct())
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wFin))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("node").as("cand_id"),
+        col("cos").as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlNswWalk: String = {
+    // per-round CTE pair: expand the beam through the symmetric edges,
+    // then re-rank by true cosine to the query
+    val rounds = (1 to NswRounds).map { r =>
+      s"""x$r AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT query_id, node FROM c${r - 1}
+         |    UNION ALL
+         |    SELECT c.query_id, s.dst AS node
+         |    FROM c${r - 1} c JOIN sym s ON c.node = s.src
+         |  )
+         |), c$r AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT x.query_id, x.node, ROW_NUMBER() OVER (
+         |      PARTITION BY x.query_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding", Dim)
+                           .linesIterator.mkString(" ")} DESC, x.node
+         |    ) AS rk
+         |    FROM x$r x
+         |    JOIN embeddings e ON e.vec_id = x.node
+         |    JOIN embeddings q ON q.vec_id = x.query_id
+         |  ) WHERE rk <= $NswBeam
+         |)""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (1 to NswRounds).map(r => s"SELECT query_id, node FROM x$r")
+      .mkString("\n    UNION\n    ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), edges AS (
+       |  SELECT src, rk, dst FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= $KnnGraphK
+       |), b2 AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket2("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored2 AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), edges2 AS (
+       |  SELECT src, rk, dst FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM scored2
+       |  ) WHERE rk <= $KnnGraphK
+       |), sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT dst, src FROM edges
+       |    UNION ALL SELECT src, dst FROM edges2
+       |    UNION ALL SELECT dst, src FROM edges2
+       |  )
+       |), c0 AS (
+       |  SELECT query_id, node FROM (
+       |    SELECT q.vec_id AS query_id, p.vec_id AS node, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.embedding", "p.embedding", Dim)
+                         .linesIterator.mkString(" ")} DESC, p.vec_id
+       |    ) AS rk
+       |    FROM embeddings q, embeddings p
+       |    WHERE q.vec_id < $NQueries AND p.vec_id % $NswPivotMod = 0
+       |  ) WHERE rk <= $NswBeam
+       |),
+       |$rounds,
+       |vis AS (
+       |  SELECT query_id, node FROM c0
+       |  UNION
+       |    $visUnion
+       |)
+       |SELECT query_id, rk, cand_id, cos_sim FROM (
+       |  SELECT v.query_id, v.node AS cand_id,
+       |    ${sqlCosine("q.embedding", "e.embedding", Dim)} AS cos_sim,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY v.query_id
+       |      ORDER BY ${sqlCosine("q.embedding", "e.embedding", Dim)
+                         .linesIterator.mkString(" ")} DESC, v.node
+       |    ) AS rk
+       |  FROM vis v
+       |  JOIN embeddings e ON e.vec_id = v.node
+       |  JOIN embeddings q ON q.vec_id = v.query_id
+       |  WHERE v.node <> v.query_id
+       |) WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   // ------------------------------------------------ hard-negative mining
   /** Hard-negative mining for contrastive training (Karpukhin et al.,
@@ -1569,6 +1818,111 @@ object Similarity {
        |SELECT query_id, rk, cand_id, adc FROM (
        |  SELECT query_id, cand_id, adc, ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rk
+       |  FROM scored
+       |) WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** PQ symmetric-distance top-k — SDC, the other column of Jégou 2011
+    * §III.A Table 1: the QUERY is quantized too, so the distance is
+    * approximated code-to-code, d²(q, x) ≈ Σ_m d²(c(q_m), c(x_m)), and
+    * scoring never touches a raw vector — only the data-independent
+    * M·K² centroid-pair table. SDC pays one extra quantization error
+    * (the query's) versus [[pqTopK]]'s ADC, in exchange for a query
+    * pipeline that runs entirely on precomputed codes — the shape a
+    * code-only store (pre-encoded query logs, code-to-code dedup of an
+    * already-quantized corpus) needs.
+    *
+    * Scale shape: the corpus is encoded by the SAME map-side broadcast
+    * argmin as ADC and touched once; the centroid-pair LUT is codebook²
+    * (M·K² = 256 rows here, 4·2¹⁶ at production K=256) and broadcasts;
+    * the scoring join carries only (id, m, code) rows keyed by
+    * (m, code), exactly ADC's join width; the distance sum goes through
+    * the exact-decimal detour so the ASCENDING rank ties identically
+    * cross-engine (ties then by cand_id).
+    */
+  def sdcTopK(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val subs = subvectors(emb, "id")
+    val codebook = subs.filter(col("id") < PqK)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val codes = encode(subs, codebook).transform(Iterate.pin)
+    // centroid-pair squared-L2 LUT: data-independent, M·K² rows. The
+    // (|a|² − 2a·b) + |b|² association mirrors the oracle token-for-token
+    // — single IEEE ops, never refactored.
+    val cc = codebook.select(col("m"), col("code").as("code_q"),
+        col("cv").as("cq"))
+      .join(broadcast(codebook.select(col("m"), col("code").as("code_x"),
+        col("cv").as("cx"))), Seq("m"))
+      .select(col("m"), col("code_q"), col("code_x"),
+        (dotD(col("cq"), col("cq")) - lit(2.0) * dotD(col("cq"), col("cx"))
+          + dotD(col("cx"), col("cx"))).as("pd2"))
+    // per-query LUT rows (query_id, m, code_x, pd2): |Q|·M·K, broadcast —
+    // the corpus-code join below is therefore map-side, like ADC's.
+    val qlut = codes.filter(col("id") < NQueries)
+      .select(col("id").as("query_id"), col("m"), col("code").as("code_q"))
+      .join(cc, Seq("m", "code_q"))
+      .select(col("query_id"), col("m"), col("code_x"), col("pd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sdc").asc, col("cand_id"))
+    codes.select(col("id").as("cand_id"), col("m"),
+        col("code").as("code_x"))
+      .join(broadcast(qlut), Seq("m", "code_x"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(Exact.xsum(col("pd2"), 9).as("sdc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("sdc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlSdcTopK: String = {
+    import graft.functions.Exact
+    val subDefs = (0 until PqM).map { m =>
+      s"SELECT vec_id AS id, $m AS m, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS sv FROM dv"
+    }.mkString("\n  UNION ALL\n  ")
+    def dotSub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), subs AS (
+       |  $subDefs
+       |), codebook AS (
+       |  SELECT m, CAST(id AS INTEGER) AS code, sv AS cv
+       |  FROM subs WHERE id < $PqK
+       |), codes AS (
+       |  SELECT id, m, code FROM (
+       |    SELECT s.id, s.m, c.code, ROW_NUMBER() OVER (
+       |      PARTITION BY s.id, s.m
+       |      ORDER BY ${dotSub("c.cv", "c.cv")}
+       |             - CAST(2 AS DOUBLE) * ${dotSub("s.sv", "c.cv")}, c.code
+       |    ) AS rn
+       |    FROM subs s JOIN codebook c ON s.m = c.m
+       |  ) WHERE rn = 1
+       |), cc AS (
+       |  SELECT a.m, a.code AS code_q, b.code AS code_x,
+       |    ${dotSub("a.cv", "a.cv")}
+       |      - CAST(2 AS DOUBLE) * ${dotSub("a.cv", "b.cv")}
+       |      + ${dotSub("b.cv", "b.cv")} AS pd2
+       |  FROM codebook a JOIN codebook b ON a.m = b.m
+       |), qlut AS (
+       |  SELECT q.id AS query_id, cc.m, cc.code_x, cc.pd2
+       |  FROM codes q JOIN cc ON q.m = cc.m AND q.code = cc.code_q
+       |  WHERE q.id < $NQueries
+       |), scored AS (
+       |  SELECT l.query_id, co.id AS cand_id,
+       |    ${Exact.sqlSum("l.pd2", 9)} AS sdc
+       |  FROM codes co JOIN qlut l ON co.m = l.m AND co.code = l.code_x
+       |  WHERE l.query_id <> co.id
+       |  GROUP BY l.query_id, co.id
+       |)
+       |SELECT query_id, rk, cand_id, sdc FROM (
+       |  SELECT query_id, cand_id, sdc, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sdc ASC, cand_id) AS rk
        |  FROM scored
        |) WHERE rk <= $AnnTopK
        |ORDER BY query_id, rk""".stripMargin
