@@ -6830,6 +6830,11 @@ object SparkEntry {
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         Some(graft.operators.Graph.coPartDegreesCached(
           Tables.lineitem(s, d), d)))),
+    "graph_closeness"   -> ((s, d) =>
+      graft.operators.Graph.closeness(
+        graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
+        Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)))),
     "sim_cell_balance"  -> ((s, d) => Similarity.cellBalance(emb(s, d))),
     "sim_pq_distortion" -> ((s, d) => Similarity.pqDistortion(emb(s, d))),
     "scd_snapshot_diff" -> qSnapshotDiff _,
@@ -7246,6 +7251,7 @@ object SparkEntry {
     "corpus_pad_audit"  -> TrainingData.sqlPadAudit,
     "corpus_pack_audit" -> TrainingData.sqlPackAudit,
     "graph_bfs"         -> graft.operators.Graph.sqlBfsLevels,
+    "graph_closeness"   -> graft.operators.Graph.sqlCloseness,
     "sim_cell_balance"  -> Similarity.sqlCellBalance,
     "sim_pq_distortion" -> Similarity.sqlPqDistortion,
     "scd_snapshot_diff" -> sqlSnapshotDiff,

@@ -463,6 +463,96 @@ object Graph {
        |) ORDER BY level""".stripMargin
   }
 
+  /** Seeded harmonic closeness centrality (Eppstein-Wang, "Fast
+    * approximation of centrality", SODA 2001: exact closeness needs
+    * all-pairs BFS, so estimate from a bounded pivot sample; harmonic
+    * form per Boldi-Vigna, "Axioms for centrality", 2014 — Σ 1/d handles
+    * unreachable nodes without a convention). For each of the
+    * [[BfsSeeds]] fixed seed vertices, a LABELED level-synchronous BFS
+    * (the (seed, node) product of [[bfsLevels]]' frontier) counts
+    * newly-reached nodes per distance 1..[[BfsLevels]]; harmonic
+    * centrality is then the closed form n1 + n2/2 + n3/3 over those
+    * INTEGER counts — the only doubles are three final IEEE ops,
+    * mirrored token-for-token in the oracle.
+    *
+    * Scale shape per level: the frontier is ≤ |seeds|·|V| rows of two
+    * BIGINTs (broadcast both sides, same flip-to-hash note as
+    * [[bfsLevels]]); the edge frame is the memoized co-part pair memo,
+    * scanned map-side per level; the only shuffles are the per-level
+    * DISTINCT and the |seeds|-row count aggregates. Sampling more seeds
+    * to tighten the Eppstein-Wang bound widens ONLY the frontier frame —
+    * the level count, not the seed count, sets the job chain length.
+    */
+  def closeness(edges: DataFrame,
+      degPre: Option[DataFrame] = None): DataFrame = {
+    val und = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = degPre.getOrElse(degrees(edges))
+      .select(col("id")).filter(col("id") < BfsSeeds)
+      .select(col("id").as("seed"))
+    var frontier = seeds.select(col("seed"), col("seed").as("id"))
+    var visited = frontier
+    var out = seeds
+    for (l <- 1 to BfsLevels) {
+      val next = und.join(
+          broadcast(frontier.select(col("seed"), col("id").as("u"))),
+          Seq("u"))
+        .select(col("seed"), col("v").as("id")).distinct()
+        .join(broadcast(visited), Seq("seed", "id"), "left_anti")
+      frontier = Iterate.pin(next)
+      visited = visited.unionByName(frontier)
+      out = out.join(
+        frontier.groupBy(col("seed")).agg(count(lit(1)).as(s"n$l")),
+        Seq("seed"), "left")
+    }
+    val ns = (1 to BfsLevels).map(l =>
+      coalesce(col(s"n$l"), lit(0L)).as(s"n$l"))
+    out.select((col("seed") +: ns): _*)
+      .withColumn("harmonic",
+        (1 to BfsLevels).map(l =>
+          col(s"n$l").cast("double") / lit(l.toDouble)).reduce(_ + _))
+      .orderBy(col("seed"))
+  }
+
+  def sqlCloseness: String = {
+    val rounds = (1 to BfsLevels).map { l =>
+      s"""f$l AS (
+         |  SELECT DISTINCT f.seed, e.v AS id
+         |  FROM und e JOIN f${l - 1} f ON e.u = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} w
+         |                    WHERE w.seed = f.seed AND w.id = e.v)
+         |), vis$l AS (
+         |  SELECT seed, id FROM vis${l - 1}
+         |  UNION SELECT seed, id FROM f$l
+         |), c$l AS (
+         |  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n$l
+         |  FROM f$l GROUP BY seed
+         |)""".stripMargin
+    }.mkString(",\n")
+    val njoins = (1 to BfsLevels)
+      .map(l => s"LEFT JOIN c$l ON s.seed = c$l.seed").mkString("\n")
+    val ncols = (1 to BfsLevels)
+      .map(l => s"COALESCE(c$l.n$l, 0) AS n$l").mkString(",\n  ")
+    val harm = (1 to BfsLevels)
+      .map(l => s"CAST(COALESCE(c$l.n$l, 0) AS DOUBLE) / CAST($l AS DOUBLE)")
+      .mkString("\n    + ")
+    s"""WITH $sqlCoPartCtes, und AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), s AS (
+       |  SELECT id AS seed FROM deg WHERE id < $BfsSeeds
+       |), f0 AS (
+       |  SELECT seed, seed AS id FROM s
+       |), vis0 AS (SELECT seed, id FROM f0),
+       |$rounds
+       |SELECT s.seed,
+       |  $ncols,
+       |  $harm AS harmonic
+       |FROM s
+       |$njoins
+       |ORDER BY s.seed""".stripMargin
+  }
+
   /** Degree assortativity (Newman, "Assortative mixing in networks",
     * PRL 2002): the Pearson correlation of (deg u, deg v) over the
     * DIRECTED edge list (each undirected edge contributes both

@@ -88,6 +88,25 @@ class Round6Session6Spec extends SparkSuite {
       r.getAs[Long]("files_maybe") < r.getAs[Long]("files_total")))
   }
 
+  test("closeness: level-1 count is the seed's degree, harmonic coherent") {
+    val rows = q("graph_closeness").collect()
+    assert(rows.nonEmpty)
+    val deg = graft.operators.Graph.coPartDegreesCached(
+        Tables.lineitem(spark, dir), dir)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("deg")).toMap
+    rows.foreach { r =>
+      val seed = r.getAs[Long]("seed")
+      val n1 = r.getAs[Long]("n1")
+      val n2 = r.getAs[Long]("n2")
+      val n3 = r.getAs[Long]("n3")
+      // distance-1 set IS the seed's neighborhood
+      assert(n1 == deg(seed), s"seed $seed: n1=$n1 deg=${deg(seed)}")
+      val h = r.getAs[Double]("harmonic")
+      assert(math.abs(h - (n1 + n2 / 2.0 + n3 / 3.0)) < 1e-9)
+      assert(n1 + n2 + n3 <= deg.size - 1) // can't reach more than V-1
+    }
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
