@@ -4755,6 +4755,106 @@ object SparkEntry {
   // sensitive value still leaks it. Same one-pass class build as
   // events_kanon with a distinct count, then a single report row of
   // exact integers.
+  /** t-closeness audit (Li-Li-Venkatasubramanian, ICDE 2007) — the third
+    * rung of the anonymity ladder after k-anonymity (`events_kanon`) and
+    * l-diversity (`events_ldiversity`), over the SAME quasi-identifier
+    * classes (hr, vb) and sensitive attribute (event_type): l-diversity
+    * counts distinct sensitive values per class, t-closeness bounds how
+    * far each class's sensitive DISTRIBUTION drifts from the corpus-wide
+    * one. Categorical sensitive attribute → the paper's variational
+    * distance instance of EMD: t_c = ½ Σ_s |p(s|c) − p(s)|.
+    *
+    * Exactness: the TVD numerator folds to INTEGERS over a common
+    * denominator — Σ_s |n_cs·N − n_s·n_c| for present values plus
+    * n_c·(N − Σ_present n_s) for the class's MISSING sensitive values
+    * (|0 − n_s·n_c| summed in closed form — no domain explosion) — and
+    * t_c is ONE IEEE division of exact BIGINTs, bit-identical in both
+    * engines. Fixture counts keep the products under 2^63; at 100 TB the
+    * same fold runs in DECIMAL(38,0).
+    *
+    * Scale shape: one (QI, s) hash aggregate over the fact table, two
+    * thin re-aggregates of THAT frame (class totals, global totals — the
+    * pinned cs frame is read three times, never the fact table), a
+    * broadcast join of the |s|-row global frame, one final scalar row.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull
+        && col("value").isNotNull)
+      .select(
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        expr("cast(floor(value) as bigint) div 10").as("vb"),
+        col("event_type"))
+      .groupBy(col("hr"), col("vb"), col("event_type"))
+      .agg(count(lit(1)).as("n_cs"))
+      .transform(graft.operators.Iterate.pin)
+    val c = cs.groupBy(col("hr"), col("vb"))
+      .agg(sum(col("n_cs")).as("n_c"))
+    val g = cs.groupBy(col("event_type")).agg(sum(col("n_cs")).as("n_s"))
+    val nTot = cs.agg(sum(col("n_cs")).as("n_tot"))
+    val per = cs.join(c, Seq("hr", "vb"))
+      .join(broadcast(g), Seq("event_type"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("hr"), col("vb"))
+      .agg(max(col("n_c")).as("n_c"), max(col("n_tot")).as("n_tot"),
+        sum(abs(col("n_cs") * col("n_tot") - col("n_s") * col("n_c")))
+          .as("num_present"),
+        sum(col("n_s")).as("ns_present"))
+      .withColumn("t",
+        (col("num_present") + col("n_c") * (col("n_tot") - col("ns_present")))
+          .cast("double")
+          / (lit(2L) * col("n_c") * col("n_tot")).cast("double"))
+    per.agg(
+      count(lit(1)).as("n_classes"),
+      max(col("t")).as("max_t"),
+      sum(when(col("t") > 0.2, lit(1L)).otherwise(lit(0L)))
+        .as("classes_above"),
+      sum(when(col("t") > 0.2, col("n_c")).otherwise(lit(0L)))
+        .as("rows_above"),
+      max(col("n_tot")).as("n_rows"))
+  }
+
+  private val sqlTCloseness: String =
+    """WITH cs AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr,
+      |    CAST(floor(value) AS BIGINT) // 10 AS vb,
+      |    event_type, CAST(COUNT(*) AS BIGINT) AS n_cs
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |    AND value IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |), c AS (
+      |  SELECT hr, vb, CAST(SUM(n_cs) AS BIGINT) AS n_c
+      |  FROM cs GROUP BY hr, vb
+      |), g AS (
+      |  SELECT event_type, CAST(SUM(n_cs) AS BIGINT) AS n_s
+      |  FROM cs GROUP BY event_type
+      |), n AS (
+      |  SELECT CAST(SUM(n_cs) AS BIGINT) AS n_tot FROM cs
+      |), per AS (
+      |  SELECT cs.hr, cs.vb, MAX(c.n_c) AS n_c, MAX(n.n_tot) AS n_tot,
+      |    CAST(SUM(ABS(cs.n_cs * n.n_tot - g.n_s * c.n_c)) AS BIGINT)
+      |      AS num_present,
+      |    CAST(SUM(g.n_s) AS BIGINT) AS ns_present
+      |  FROM cs
+      |  JOIN c ON cs.hr = c.hr AND cs.vb = c.vb
+      |  JOIN g ON cs.event_type = g.event_type, n
+      |  GROUP BY cs.hr, cs.vb
+      |), t AS (
+      |  SELECT hr, vb, n_c, n_tot,
+      |    CAST(num_present + n_c * (n_tot - ns_present) AS DOUBLE)
+      |      / CAST(2 * n_c * n_tot AS DOUBLE) AS t
+      |  FROM per
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  MAX(t) AS max_t,
+      |  CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_above,
+      |  CAST(SUM(CASE WHEN t > 0.2 THEN n_c ELSE 0 END) AS BIGINT)
+      |    AS rows_above,
+      |  CAST(MAX(n_tot) AS BIGINT) AS n_rows
+      |FROM t""".stripMargin
+
   private def qLDiversity(s: SparkSession, dir: String): DataFrame = {
     val classes = Tables.events(s, dir)
       .filter(col("ts").isNotNull && col("event_type").isNotNull
@@ -6716,6 +6816,7 @@ object SparkEntry {
       Similarity.nswWalk(Tables.embeddings(s, d),
         pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
         pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d))))),
+    "sim_maxmin_init"   -> ((s, d) => Similarity.maxminInit(emb(s, d))),
     "sim_sdc_topk"      -> ((s, d) => Similarity.sdcTopK(emb(s, d))),
     "sim_sdc_recall"    -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
@@ -6851,6 +6952,7 @@ object SparkEntry {
     "events_chi2"       -> qChi2 _,
     "events_cramer"     -> qCramer _,
     "events_kanon"      -> qKAnon _,
+    "events_tcloseness" -> qTCloseness _,
     "events_ldiversity" -> qLDiversity _,
     "events_late_arrivals" -> qLateArrivals _,
     "q76_null_semantics" -> qNullSemantics _,
@@ -7156,6 +7258,7 @@ object SparkEntry {
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlNswWalk),
+    "sim_maxmin_init"   -> Similarity.sqlMaxminInit,
     "sim_sdc_topk"      -> Similarity.sqlSdcTopK,
     "sim_sdc_recall"    -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
@@ -7271,6 +7374,7 @@ object SparkEntry {
     // its oracle IS the from-scratch rollup
     "events_cramer"     -> sqlCramer,
     "events_kanon"      -> sqlKAnon,
+    "events_tcloseness" -> sqlTCloseness,
     "events_ldiversity" -> sqlLDiversity,
     "events_late_arrivals" -> sqlLateArrivals,
     "q76_null_semantics" -> sqlNullSemantics,

@@ -1928,6 +1928,98 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // --------------------------------------------------- maxmin k-center init
+  /** Farthest-first k-center seeding (Gonzalez, "Clustering to minimize
+    * the maximum intercluster distance", TCS 1985): start from a fixed
+    * vector, then k−1 times pick the point FARTHEST from its nearest
+    * chosen center. The classic deterministic alternative to k-means++'s
+    * D² sampling (same 2-approximation flavor without the random draw —
+    * the property that makes it oracle-expressible), and the principled
+    * upgrade over this suite's first-k-ids seed convention: emitted
+    * `maxmin_d2` values are the k-center radii, a read-off diagnostic of
+    * how well k covers the corpus (they should fall fast, then flatten).
+    *
+    * Scale shape per round: ONE map-side pass updating the running
+    * min-distance column against the single new broadcast center (the
+    * incremental form — never |V|·k distances at once), then a global
+    * top-1 (TakeOrderedAndProject). k full passes total — the known
+    * Gonzalez cost; at 100 TB you run it on a uniform sample (or switch
+    * to k-means‖ oversampling, Bahmani VLDB 2012), which changes the
+    * input frame, not this plan. Lineage is pinned per round.
+    */
+  def maxminInit(emb: DataFrame): DataFrame = {
+    val dv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .transform(Iterate.pin)
+    val c0 = dv.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var out = c0.select(lit(0).as("round"), col("cid").as("center_id"),
+      lit(null).cast("double").as("maxmin_d2"))
+    var minD = dv.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("v"),
+        (dotD(col("v"), col("v")) - lit(2.0) * dotD(col("v"), col("cv"))
+          + dotD(col("cv"), col("cv"))).as("md"))
+      .transform(Iterate.pin)
+    for (r <- 1 until NCentroids) {
+      val pick = minD.orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .transform(Iterate.pin)
+      out = out.unionByName(pick.select(lit(r).as("round"),
+        col("vec_id").as("center_id"), col("md").as("maxmin_d2")))
+      if (r < NCentroids - 1) {
+        val c = pick.select(col("v").as("cv"))
+        minD = minD.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("v"),
+            least(col("md"),
+              dotD(col("v"), col("v"))
+                - lit(2.0) * dotD(col("v"), col("cv"))
+                + dotD(col("cv"), col("cv"))).as("md"))
+          .transform(Iterate.pin)
+      }
+    }
+    out.orderBy(col("round"))
+  }
+
+  def sqlMaxminInit: String = {
+    def d2(a: String, b: String): String =
+      s"""${sqlDotD(a, a)}
+         |      - CAST(2 AS DOUBLE) * ${sqlDotD(a, b)}
+         |      + ${sqlDotD(b, b)}""".stripMargin
+    val rounds = (1 until NCentroids).map { r =>
+      val src = if (r == 1) "m1" else s"m$r"
+      val prev = s"m${r - 1}"
+      val mDef = if (r == 1) "" else
+        s"""m$r AS (
+           |  SELECT m.vec_id, m.v,
+           |    LEAST(m.md, ${d2("m.v", "p.v")}) AS md
+           |  FROM $prev m, p${r - 1} p
+           |), """.stripMargin
+      s"""${mDef}p$r AS (
+         |  SELECT vec_id, v, md FROM $src
+         |  ORDER BY md DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val outRows = (1 until NCentroids).map(r =>
+      s"SELECT $r AS round, vec_id AS center_id, md AS maxmin_d2 FROM p$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM dv WHERE vec_id = 0
+       |), m1 AS (
+       |  SELECT d.vec_id, d.v,
+       |    ${d2("d.v", "c.cv")} AS md
+       |  FROM dv d, c0 c
+       |),
+       |$rounds
+       |SELECT round, center_id, maxmin_d2 FROM (
+       |  SELECT 0 AS round, cid AS center_id,
+       |    CAST(NULL AS DOUBLE) AS maxmin_d2 FROM c0
+       |  UNION ALL
+       |  $outRows
+       |) ORDER BY round""".stripMargin
+  }
+
   // ------------------------------------------------------------- IVF + PQ
   /** IVFADC (Jégou 2011 §IV): the composition a production-scale ANN
     * actually deploys — IVF coarse pruning picks WHICH vectors to score,

@@ -107,6 +107,30 @@ class Round6Session6Spec extends SparkSuite {
     }
   }
 
+  test("t-closeness: bounded TVD, coherent with the l-diversity classes") {
+    val r = q("events_tcloseness").collect().head
+    val maxT = r.getAs[Double]("max_t")
+    assert(maxT >= 0.0 && maxT <= 1.0)
+    assert(r.getAs[Long]("classes_above") <= r.getAs[Long]("n_classes"))
+    assert(r.getAs[Long]("rows_above") <= r.getAs[Long]("n_rows"))
+    // same quasi-identifier build as events_ldiversity → same class count
+    val ld = q("events_ldiversity").collect().head
+    assert(r.getAs[Long]("n_classes") == ld.getAs[Long]("n_classes"))
+  }
+
+  test("maxmin init: distinct centers, monotone non-increasing radii") {
+    val rows = q("sim_maxmin_init").collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.length == Similarity.NCentroids)
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length ==
+      rows.length)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("maxmin_d2")))
+    val radii = rows.tail.map(_.getAs[Double]("maxmin_d2"))
+    assert(radii.forall(_ >= 0.0))
+    // each round removes the farthest point, so the k-center radius can
+    // only shrink (Gonzalez's monotonicity)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
