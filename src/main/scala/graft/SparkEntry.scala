@@ -5359,6 +5359,150 @@ object SparkEntry {
   // exact BIGINTs; each round's mass sums through the scale-12 decimal
   // detour in engine-independent order.
   private val MsIters = 3
+  /** Index of dispersion of hourly arrivals per event type (Cox-Lewis,
+    * "The Statistical Analysis of Series of Events", 1966 §4: the
+    * variance-to-mean ratio of counts in equal windows — 1 under
+    * Poisson, >1 overdispersed/bursty, <1 regular). Complements
+    * `events_burstiness` (inter-arrival CV) with the COUNT-side test on
+    * a shared observation window.
+    *
+    * Exactness: D = Var/Mean over hourly counts folds entirely to
+    * integer moments — D = (H·ΣQ − S²)/(H·S) with S = Σc, ΣQ = Σc²,
+    * H = the GLOBAL hour span (so empty hours count as zeros without
+    * materializing them) — one IEEE division of exact BIGINTs.
+    * Scale shape: one (type, hour) hash aggregate, one thin re-aggregate,
+    * a broadcast 1-row span.
+    */
+  private def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+    val span = ev.agg(min(col("hr")).as("hmin"), max(col("hr")).as("hmax"))
+    ev.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        (col("hmax") - col("hmin") + lit(1L)).as("n_hours"),
+        col("n_events"), col("sum_sq"))
+      .withColumn("dispersion",
+        (col("n_hours") * col("sum_sq") - col("n_events") * col("n_events"))
+          .cast("double")
+          / (col("n_hours") * col("n_events")).cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlDispersion: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |), span AS (
+      |  SELECT MIN(hr) AS hmin, MAX(hr) AS hmax FROM ev
+      |), hc AS (
+      |  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      |  FROM hc GROUP BY 1
+      |)
+      |SELECT event_type, hmax - hmin + 1 AS n_hours, n_events, sum_sq,
+      |  CAST((hmax - hmin + 1) * sum_sq - n_events * n_events AS DOUBLE)
+      |    / CAST((hmax - hmin + 1) * n_events AS DOUBLE) AS dispersion
+      |FROM m, span
+      |ORDER BY event_type""".stripMargin
+
+  /** Entropy rate of the event-type Markov chain (Shannon 1948 §7 /
+    * Cover-Thomas ch.4): the plug-in conditional entropy of the next
+    * type given the current one, H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·), over
+    * the SAME per-user transition frame as `events_markov_stationary` —
+    * with the marginal type entropy H₀ beside it, the H/H₀ ratio reads
+    * as how much sequence structure the chain captures (1 = memoryless).
+    * Uses the EMPIRICAL origin distribution n_i·/N (the MLE plug-in), not
+    * the power-iterated π, so the estimate carries no iteration error.
+    *
+    * Exactness: each term is single IEEE ops on exact-integer ratios;
+    * both sums go through the scale-12 exact detour; negation and the
+    * final ratio are single ops — the `events_user_entropy` discipline.
+    * Scale shape: one keyed lead window + one (i,j) hash aggregate
+    * (|types|² rows), everything after is |types|²-bounded.
+    */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.operators.Iterate.pin)
+    val ft = t.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    val tot = t.agg(sum(col("n")).as("n_tot"),
+      countDistinct(col("from_type")).as("n_states"))
+    val hRate = t.join(broadcast(ft), Seq("from_type"))
+      .crossJoin(broadcast(tot))
+      .select(((col("n").cast("double") / col("n_tot").cast("double"))
+        * log(col("n").cast("double") / col("n_from").cast("double")))
+        .as("term"))
+      .agg((-Exact.xsum(col("term"), 12)).as("h_rate"))
+    val hMarg = t.groupBy(col("to_type")).agg(sum(col("n")).as("n_to"))
+      .crossJoin(broadcast(tot))
+      .select(((col("n_to").cast("double") / col("n_tot").cast("double"))
+        * log(col("n_to").cast("double") / col("n_tot").cast("double")))
+        .as("term"))
+      .agg((-Exact.xsum(col("term"), 12)).as("h_marginal"))
+    tot.crossJoin(broadcast(hRate)).crossJoin(broadcast(hMarg))
+      .select(col("n_tot").as("n_transitions"), col("n_states"),
+        col("h_rate"), col("h_marginal"),
+        (col("h_rate") / col("h_marginal")).as("structure_ratio"))
+  }
+
+  private val sqlEntropyRate: String = {
+    import graft.functions.Exact
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+       |  FROM events WHERE ts IS NOT NULL
+       |), t AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), ft AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+       |  FROM t GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+       |    CAST(COUNT(DISTINCT from_type) AS BIGINT) AS n_states
+       |  FROM t
+       |), hr AS (
+       |  SELECT -(${Exact.sqlSum(
+                "(CAST(t.n AS DOUBLE) / CAST(tot.n_tot AS DOUBLE)) * " +
+                "ln(CAST(t.n AS DOUBLE) / CAST(ft.n_from AS DOUBLE))", 12)})
+       |    AS h_rate
+       |  FROM t JOIN ft ON t.from_type = ft.from_type, tot
+       |), mg AS (
+       |  SELECT to_type, CAST(SUM(n) AS BIGINT) AS n_to FROM t GROUP BY 1
+       |), hm AS (
+       |  SELECT -(${Exact.sqlSum(
+                "(CAST(n_to AS DOUBLE) / CAST(tot.n_tot AS DOUBLE)) * " +
+                "ln(CAST(n_to AS DOUBLE) / CAST(tot.n_tot AS DOUBLE))", 12)})
+       |    AS h_marginal
+       |  FROM mg, tot
+       |)
+       |SELECT tot.n_tot AS n_transitions, tot.n_states,
+       |  hr.h_rate, hm.h_marginal,
+       |  hr.h_rate / hm.h_marginal AS structure_ratio
+       |FROM tot, hr, hm""".stripMargin
+  }
+
   private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Exact
     val w = org.apache.spark.sql.expressions.Window
@@ -6817,6 +6961,7 @@ object SparkEntry {
         pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
         pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d))))),
     "sim_maxmin_init"   -> ((s, d) => Similarity.maxminInit(emb(s, d))),
+    "sim_maxmin_cells"  -> ((s, d) => Similarity.maxminCells(emb(s, d))),
     "sim_sdc_topk"      -> ((s, d) => Similarity.sdcTopK(emb(s, d))),
     "sim_sdc_recall"    -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
@@ -6953,6 +7098,8 @@ object SparkEntry {
     "events_cramer"     -> qCramer _,
     "events_kanon"      -> qKAnon _,
     "events_tcloseness" -> qTCloseness _,
+    "events_dispersion" -> qDispersion _,
+    "events_entropy_rate" -> qEntropyRate _,
     "events_ldiversity" -> qLDiversity _,
     "events_late_arrivals" -> qLateArrivals _,
     "q76_null_semantics" -> qNullSemantics _,
@@ -7259,6 +7406,7 @@ object SparkEntry {
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlNswWalk),
     "sim_maxmin_init"   -> Similarity.sqlMaxminInit,
+    "sim_maxmin_cells"  -> Similarity.sqlMaxminCells,
     "sim_sdc_topk"      -> Similarity.sqlSdcTopK,
     "sim_sdc_recall"    -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
@@ -7375,6 +7523,8 @@ object SparkEntry {
     "events_cramer"     -> sqlCramer,
     "events_kanon"      -> sqlKAnon,
     "events_tcloseness" -> sqlTCloseness,
+    "events_dispersion" -> sqlDispersion,
+    "events_entropy_rate" -> sqlEntropyRate,
     "events_ldiversity" -> sqlLDiversity,
     "events_late_arrivals" -> sqlLateArrivals,
     "q76_null_semantics" -> sqlNullSemantics,

@@ -830,6 +830,64 @@ object Similarity {
        |  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share
        |FROM counts, t ORDER BY bucket""".stripMargin
 
+  /** [[cellBalance]] under [[maxminInit]] centers — the payoff readout
+    * of the k-center seeding: the same cosine assignment and share
+    * report, with the first-k-ids seed set swapped for the Gonzalez
+    * picks, so `sim_cell_balance` vs `sim_maxmin_cells` reads as a
+    * before/after of coverage-aware seeding (maxmin centers are spread
+    * by construction, so the max cell share should not exceed the seed
+    * convention's). Plan adds ONE broadcast semi-join (8 ids) on top of
+    * cellBalance's shape.
+    */
+  def maxminCells(emb: DataFrame): DataFrame = {
+    val ids = maxminInit(emb).select(col("center_id"))
+    val n = withNorm(emb, "embedding")
+    val cents = n.join(broadcast(ids), n("vec_id") === col("center_id"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("norm").as("cnrm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (ndot(col("embedding"), col("cv")) / (col("norm") * col("cnrm")))
+          .as("sim"),
+        col("cent_id"))
+    val counts = nearestCell(scored)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  def sqlMaxminCells: String =
+    s"""WITH mmc AS (
+       |  SELECT center_id FROM (
+       |    ${sqlMaxminInit.linesIterator.mkString("\n    ")}
+       |  )
+       |), n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding", Dim)}) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT n.vec_id AS cent_id, n.embedding AS cv, n.nrm AS cnrm
+       |  FROM n JOIN mmc ON n.vec_id = mmc.center_id
+       |), assigned AS (
+       |  SELECT vec_id, cent_id AS bucket FROM (
+       |    SELECT n.vec_id, cents.cent_id, ROW_NUMBER() OVER (
+       |      PARTITION BY n.vec_id ORDER BY
+       |      ${sqlDot("n.embedding", "cents.cv", Dim)} / (n.nrm * cents.cnrm)
+       |        DESC, cents.cent_id) AS rn
+       |    FROM n, cents
+       |  ) WHERE rn = 1
+       |), counts AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM assigned GROUP BY bucket
+       |), t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM counts)
+       |SELECT bucket, n_vectors,
+       |  CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM counts, t ORDER BY bucket""".stripMargin
+
   /** Multiprobe IVF: queries probe their top-`nprobe` cells (candidates
     * stay in their own cell) — recall grows with nprobe at linear candidate
     * cost, same hash-partitioned join. This is the knob a 100 TB ANN

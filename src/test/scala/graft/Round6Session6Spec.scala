@@ -131,6 +131,45 @@ class Round6Session6Spec extends SparkSuite {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dispersion: integer-moment identity and count coherence") {
+    val rows = q("events_dispersion").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hours")
+      val s = r.getAs[Long]("n_events")
+      val q2 = r.getAs[Long]("sum_sq")
+      assert(h > 0 && s > 0)
+      assert(q2 >= s) // sum of c^2 over positive counts >= sum of c
+      val d = r.getAs[Double]("dispersion")
+      assert(math.abs(d - (h * q2 - s * s).toDouble / (h * s).toDouble)
+        < 1e-12)
+    }
+  }
+
+  test("entropy rate: conditioning never increases entropy") {
+    val r = q("events_entropy_rate").collect().head
+    val hRate = r.getAs[Double]("h_rate")
+    val hMarg = r.getAs[Double]("h_marginal")
+    val k = r.getAs[Long]("n_states")
+    assert(hRate >= 0.0)
+    // H(next | current) <= H(next) <= ln(k), both exact for the
+    // empirical plug-in distributions
+    assert(hRate <= hMarg + 1e-9)
+    assert(hMarg <= math.log(k.toDouble) + 1e-9)
+    assert(math.abs(r.getAs[Double]("structure_ratio") - hRate / hMarg)
+      < 1e-12)
+  }
+
+  test("maxmin cells: buckets are exactly the chosen centers, all used") {
+    val cells = q("sim_maxmin_cells").collect()
+    val centers = q("sim_maxmin_init").collect()
+      .map(_.getAs[Long]("center_id")).toSet
+    assert(cells.map(_.getAs[Long]("bucket")).toSet == centers)
+    assert(cells.forall(_.getAs[Long]("n_vectors") > 0))
+    val shares = cells.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
