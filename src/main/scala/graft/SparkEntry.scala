@@ -6962,6 +6962,11 @@ object SparkEntry {
         pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d))))),
     "sim_maxmin_init"   -> ((s, d) => Similarity.maxminInit(emb(s, d))),
     "sim_maxmin_cells"  -> ((s, d) => Similarity.maxminCells(emb(s, d))),
+    "sim_lsh_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(emb(s, d))),
+    "sim_multiprobe_recall" -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.multiprobeTopK(emb(s, d)))),
     "sim_sdc_topk"      -> ((s, d) => Similarity.sdcTopK(emb(s, d))),
     "sim_sdc_recall"    -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
@@ -7407,6 +7412,11 @@ object SparkEntry {
       Similarity.sqlNswWalk),
     "sim_maxmin_init"   -> Similarity.sqlMaxminInit,
     "sim_maxmin_cells"  -> Similarity.sqlMaxminCells,
+    "sim_lsh_multiprobe" -> Similarity.sqlMultiprobeTopK,
+    "sim_multiprobe_recall" -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlMultiprobeTopK),
     "sim_sdc_topk"      -> Similarity.sqlSdcTopK,
     "sim_sdc_recall"    -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +

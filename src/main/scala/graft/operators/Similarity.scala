@@ -295,6 +295,76 @@ object Similarity {
        |FROM ranked WHERE rk <= $AnnTopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ------------------------------------------------------ multi-probe LSH
+  /** Multi-probe LSH top-k (Lv-Josephson-Wang-Charikar-Li, "Multi-probe
+    * LSH: efficient indexing for high-dimensional similarity search",
+    * VLDB 2007): instead of more hash tables, each query ALSO probes the
+    * buckets whose codes differ from its own in one hyperplane bit — the
+    * perturbation set §4.1 restricted to Hamming distance 1, which for
+    * sign-random-projection LSH is exactly "the neighboring cells across
+    * one hyperplane". Recall rises because near neighbors that straddle
+    * a single plane (the dominant LSH miss mode) land in those cells;
+    * cost rises linearly with the probe count, never table count.
+    * Measured here: the 1-probe route ([[annTopK]]) scores recall@5 of
+    * 0 on several fixture queries (the query's true neighbors straddle
+    * a plane); 5 probes lift the mean to ~0.6 — spec-pinned per-query
+    * monotone in `Round6Session6Spec`.
+    *
+    * Scale shape: identical to [[annTopK]] with the QUERY side exploded
+    * ×(1+[[NPlanes]]) before the same bucket-equality join — the corpus
+    * side is untouched (each candidate still sits in ONE bucket, so no
+    * dedup pass is needed), and the probe fan rides the small side of
+    * the join.
+    */
+  def multiprobeTopK(emb: DataFrame): DataFrame = {
+    val bucketed = withNorm(emb, "embedding").select(col("vec_id"),
+      col("embedding"), col("norm"), lshBucket(col("embedding")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("bucket"),
+        explode(array((0 to NPlanes).map(j =>
+          lit(if (j == 0) 0 else 1 << (j - 1))): _*)).as("flip"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val c = bucketed.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("norm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def sqlMultiprobeTopK: String = {
+    val flips = (0 +: (0 until NPlanes).map(1 << _)).mkString(", ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), qp AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    xor(bucket, f.flip) AS bucket
+       |  FROM b, (SELECT unnest([$flips]) AS flip) f
+       |  WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT qp.query_id, c.vec_id AS cand_id,
+       |    ${sqlCosine("qp.qv", "c.embedding", Dim)} AS cos
+       |  FROM qp JOIN b c ON qp.bucket = c.bucket AND qp.query_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, cand_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= $AnnTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   // ----------------------------------------------------------- k-NN graph
   /** Approximate k-NN graph over the WHOLE collection — every vector's
     * [[KnnGraphK]] nearest within-bucket neighbors plus a `mutual` flag

@@ -170,6 +170,27 @@ class Round6Session6Spec extends SparkSuite {
     assert(math.abs(shares.sum - 1.0) < 1e-9)
   }
 
+  test("multiprobe: dominates single-probe LSH query by query") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteTopK(emb)
+      .filter(col("rk") <= Similarity.AnnTopK)
+    def rec(approx: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Similarity.recallAtK(brute, approx).collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall"))
+        .toMap
+    val single = rec(Similarity.annTopK(emb))
+    val multi = rec(q("sim_lsh_multiprobe"))
+    // the probe set is a superset of the single bucket, so per-query
+    // recall can only rise (the Lv et al. guarantee this operator exists
+    // to buy)
+    single.keys.foreach { qid =>
+      assert(multi(qid) >= single(qid) - 1e-12,
+        s"query $qid: multiprobe ${multi(qid)} < single ${single(qid)}")
+    }
+    // and on this fixture it genuinely rises in aggregate
+    assert(multi.values.sum > single.values.sum)
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
