@@ -6811,6 +6811,11 @@ object SparkEntry {
         .filter(col("rk") <= Similarity.AnnTopK),
       Similarity.sqTopK(emb(s, d)))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
+    "sim_pq_rerank"     -> ((s, d) => Similarity.pqRerank(emb(s, d))),
+    "sim_pq_rerank_recall" -> ((s, d) => Similarity.recallAtK(
+      Similarity.bruteTopK(emb(s, d))
+        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.pqRerank(emb(s, d)))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     // the three residual-IVFADC queries share one pinned
     // assignment + residual-explode memo (residualSubvectorsCached)
@@ -7347,7 +7352,12 @@ object SparkEntry {
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlSqTopK()),
-    "sim_pq_topk"       -> Similarity.sqlPqTopK,
+    "sim_pq_topk"       -> Similarity.sqlPqTopK(),
+    "sim_pq_rerank"     -> Similarity.sqlPqRerank,
+    "sim_pq_rerank_recall" -> Similarity.sqlRecall(
+      s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
+        s"WHERE rk <= ${Similarity.AnnTopK}",
+      Similarity.sqlPqRerank),
     "sim_ivfpq_topk"    -> Similarity.sqlIvfPqTopK,
     "sim_ivfadc_topk"   -> Similarity.sqlIvfPqResidualTopK(),
     "sim_ivfadc_trained" -> Similarity.sqlIvfPqResidualTopK(trained = true),

@@ -191,6 +191,28 @@ class Round6Session6Spec extends SparkSuite {
     assert(multi.values.sum > single.values.sum)
   }
 
+  test("pq rerank: refine stays inside the ADC shortlist and recovers recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val shortlist = Similarity.pqTopK(emb, Similarity.PqCandK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val rr = q("sim_pq_rerank").collect()
+    assert(rr.length == Similarity.NQueries * Similarity.AnnTopK)
+    rr.foreach(r => assert(shortlist(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")))))
+    val brute = Similarity.bruteTopK(emb)
+      .filter(col("rk") <= Similarity.AnnTopK)
+    def mean(approx: org.apache.spark.sql.DataFrame): Double = {
+      val v = Similarity.recallAtK(brute, approx).collect()
+        .map(_.getAs[Double]("recall"))
+      v.sum / v.length
+    }
+    // exact refine of a 2k shortlist beats the raw code ranking's top-k
+    // on this fixture (the +R stage's whole point)
+    assert(mean(Similarity.pqRerank(emb)) >=
+      mean(Similarity.pqTopK(emb)
+        .select(col("query_id"), col("cand_id"))))
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
