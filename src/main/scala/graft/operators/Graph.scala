@@ -502,7 +502,7 @@ object Graph {
       frontier = Iterate.pin(next)
       visited = visited.unionByName(frontier)
       out = out.join(
-        frontier.groupBy(col("seed")).agg(count(lit(1)).as(s"n$l")),
+        broadcast(frontier.groupBy(col("seed")).agg(count(lit(1)).as(s"n$l"))),
         Seq("seed"), "left")
     }
     val ns = (1 to BfsLevels).map(l =>

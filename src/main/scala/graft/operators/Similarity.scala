@@ -1989,7 +1989,7 @@ object Similarity {
     // the corpus-code join below is therefore map-side, like ADC's.
     val qlut = codes.filter(col("id") < NQueries)
       .select(col("id").as("query_id"), col("m"), col("code").as("code_q"))
-      .join(cc, Seq("m", "code_q"))
+      .join(broadcast(cc), Seq("m", "code_q"))
       .select(col("query_id"), col("m"), col("code_x"), col("pd2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sdc").asc, col("cand_id"))

@@ -730,4 +730,34 @@ class PlanShapeSpec extends SparkSuite {
       p.contains("TakeOrderedAndProject"),
       "leaderboard lost the rank-limit pushdown:\n" + p)
   }
+
+  test("sdc: code-space scoring joins broadcast, top-k group-limited") {
+    val p = planTree("sim_sdc_topk")
+    assert(!p.contains("SortMergeJoin"),
+      "a tiny LUT frame regressed to a sort-merge join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("multiprobe: probe fan explodes the QUERY side only, broadcast join") {
+    val p = planTree("sim_lsh_multiprobe")
+    // exactly one Generate — the 5-way probe explode on the query slice;
+    // the corpus side must stay a plain bucketed scan
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("bloom skip: bounds and probes ride broadcasts, no sort-merge join") {
+    val p = planTree("layout_bloom_skip")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("closeness: per-level seed-count joins broadcast") {
+    val p = planTree("graph_closeness")
+    assert(!p.contains("SortMergeJoin"),
+      "a |seeds|-row count frame regressed to a sort-merge join:\n" + p)
+  }
 }
