@@ -588,6 +588,48 @@ object SparkEntry {
       |FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.rt
       |ORDER BY event_id""".stripMargin
 
+  /** `q50_asof_phys` with `outer = true` — the LEFT variant of the custom
+    * physical operator: left rows with no qualifying right row (early
+    * events before their key's first order, and NULL-time rows) are KEPT
+    * with NULL matched columns, matching DuckDB's native ASOF LEFT JOIN,
+    * which is also the oracle. Same merge, one extra null-projection per
+    * unmatched row — row count equals the left side's by construction
+    * (spec-pinned). The right side keeps only keys < 12 so 8 of the 20
+    * key groups are GENUINELY unmatched — on q50's unfiltered fixture
+    * every event matches and the null branch would go unexercised by
+    * the gate.
+    */
+  private def qAsOfPhysOuter(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.events(s, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    val r = Tables.orders(s, dir)
+      .select((col("o_custkey") % 20).as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_totalprice"))
+      .filter(col("k") < 12)
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_totalprice")).as("v"))
+    graft.plans.AsOfJoinPhys.asOf(l, r, Seq("k"), "ts", "rt", Seq("v"),
+        outer = true)
+      .select(col("event_id"),
+        col("matched_time").cast("timestamp_ntz").as("matched_time"),
+        col("v").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val sqlAsOfPhysOuter: String =
+    """WITH l AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id % 20 AS k
+      |  FROM events
+      |), r AS (
+      |  SELECT o_custkey % 20 AS k, CAST(o_orderdate AS TIMESTAMP) AS rt,
+      |    MAX(o_totalprice) AS v
+      |  FROM orders WHERE o_custkey % 20 < 12 GROUP BY 1, 2
+      |)
+      |SELECT l.event_id, r.rt AS matched_time, r.v AS matched_value
+      |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.rt
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------- q45_asof_tolerance
   // Bounded backward as-of (merge_asof tolerance): right-side state times
   // are synthesized INTO the events window (q31's shift trick) so the
@@ -6649,6 +6691,7 @@ object SparkEntry {
     "q19_distinct_topn" -> qTopN _,
     "q20_asof"          -> qAsOf _,
     "q50_asof_phys"     -> qAsOfPhys _,
+    "q80_asof_phys_outer" -> qAsOfPhysOuter _,
     "q51_asof_phys_tol" -> qAsOfPhysTol _,
     "q52_asof_phys_fwd" -> qAsOfPhysFwd _,
     "q53_asof_phys_nearest" -> qAsOfPhysNearest _,
@@ -7228,6 +7271,7 @@ object SparkEntry {
     "q19_distinct_topn" -> sqlTopN,
     "q20_asof"          -> sqlAsOf,
     "q50_asof_phys"     -> sqlAsOfPhys,
+    "q80_asof_phys_outer" -> sqlAsOfPhysOuter,
     // the physical tolerance route answers the SAME SQL as the composed
     // q45 — one oracle, two execution strategies
     "q51_asof_phys_tol" -> sqlAsOfTolerance,

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   * [[graft.operators.AsOfJoin.asOf]] (each left row picks the latest
   * right row with `rightTime <= leftTime` on its key; ties among right
   * rows at one (key, time) resolve to the greatest value tuple; NULL
-  * times never match; inner — unmatched left rows drop). The two
+  * times never match; inner by default — unmatched left rows drop, or
+  * are kept with NULL matched columns under `outer = true`, DuckDB's
+  * ASOF LEFT JOIN semantics). The two
   * formulations are property-tested equal and share the same DuckDB
   * `ASOF JOIN` oracle.
   *
@@ -55,7 +57,7 @@ object AsOfJoinPhys {
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
       tolerance: Option[Long] = None, forward: Boolean = false,
-      nearest: Boolean = false)
+      nearest: Boolean = false, outer: Boolean = false)
     extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
     // matchedAttrs ride in `expressions` (constructor params), so without
@@ -73,7 +75,7 @@ object AsOfJoinPhys {
       case n: AsOfJoinNode =>
         AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
           n.valueAttrs, n.matchedAttrs, n.tolerance, n.forward, n.nearest,
-          planLater(n.left), planLater(n.right)) :: Nil
+          n.outer, planLater(n.left), planLater(n.right)) :: Nil
       case _ => Nil
     }
   }
@@ -83,6 +85,7 @@ object AsOfJoinPhys {
       leftTime: Attribute, rightTime: Attribute,
       valueAttrs: Seq[Attribute], matchedAttrs: Seq[Attribute],
       tolerance: Option[Long], forward: Boolean, nearest: Boolean,
+      outer: Boolean,
       left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
     override def output: Seq[Attribute] = left.output ++ matchedAttrs
@@ -142,6 +145,14 @@ object AsOfJoinPhys {
           UnsafeProjection.create(lOut ++ (rTime +: values), lOut ++ rOut)
         val joined = new JoinedRow
         val rBuf = ri.buffered
+        // LEFT-outer emission: a null-filled right row, projected through
+        // a null-tolerant twin of resultProj (the right-side attrs may be
+        // statically non-nullable; the outer row is not)
+        val nullRight = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(rOut.size)
+        val nullProj = UnsafeProjection.create(
+          lOut ++ (rTime +: values).map(_.withNullability(true)),
+          lOut ++ rOut)
 
         if (forward) new Iterator[InternalRow] {
           // FORWARD merge: no buffered state at all — rows strictly
@@ -179,7 +190,11 @@ object AsOfJoinPhys {
                 }
                 if (keyMatch && rt - lts <= tolV) {
                   nextRow = resultProj(joined(l, rBuf.head))
+                } else if (outer) {
+                  nextRow = nullProj(joined(l, nullRight))
                 }
+              } else if (outer) { // NULL left time: unmatched, kept
+                nextRow = nullProj(joined(l, nullRight))
               }
             }
           }
@@ -242,7 +257,11 @@ object AsOfJoinPhys {
                   nextRow = resultProj(joined(l, cur))
                 } else if (fwdOk) {
                   nextRow = resultProj(joined(l, rBuf.head))
+                } else if (outer) {
+                  nextRow = nullProj(joined(l, nullRight))
                 }
+              } else if (outer) { // NULL left time: unmatched, kept
+                nextRow = nullProj(joined(l, nullRight))
               }
             }
           }
@@ -297,7 +316,11 @@ object AsOfJoinPhys {
                     keyOrd.compare(curKey, lk) == 0 &&
                     lts - curRt <= tolV) {
                   nextRow = resultProj(joined(l, cur))
+                } else if (outer) {
+                  nextRow = nullProj(joined(l, nullRight))
                 }
+              } else if (outer) { // NULL left time: unmatched, kept
+                nextRow = nullProj(joined(l, nullRight))
               }
             }
           }
@@ -373,7 +396,8 @@ object AsOfJoinPhys {
       valueCols: Seq[String],
       toleranceMicros: Option[Long] = None,
       forward: Boolean = false,
-      nearest: Boolean = false): DataFrame = {
+      nearest: Boolean = false,
+      outer: Boolean = false): DataFrame = {
     require(!(nearest && (forward || toleranceMicros.isDefined)),
       "nearest is its own direction: combine with neither forward nor " +
         "tolerance (the composed asOfNearest defines no bounded variant)")
@@ -402,6 +426,6 @@ object AsOfJoinPhys {
         values.map(v => AttributeReference(v.name, v.dataType)())
     org.apache.spark.sql.graft.Shim.ofRows(spark,
       AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, values, matched,
-        toleranceMicros, forward, nearest))
+        toleranceMicros, forward, nearest, outer))
   }
 }

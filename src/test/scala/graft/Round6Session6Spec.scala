@@ -213,6 +213,31 @@ class Round6Session6Spec extends SparkSuite {
         .select(col("query_id"), col("cand_id"))))
   }
 
+  test("as-of outer: total over the left side, agrees with inner per route") {
+    import graft.plans.AsOfJoinPhys.asOf
+    val l = Tables.events(spark, dir).select(col("event_id"),
+      col("ts"), (col("user_id") % 20).as("k"))
+    val r = Tables.orders(spark, dir)
+      .select((col("o_custkey") % 20).as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"), col("o_totalprice"))
+      .filter(col("k") < 12)
+      .groupBy(col("k"), col("rt"))
+      .agg(max(col("o_totalprice")).as("v"))
+    val nLeft = l.count()
+    for ((fwd, near) <- Seq((false, false), (true, false), (false, true))) {
+      val outer = asOf(l, r, Seq("k"), "ts", "rt", Seq("v"),
+        forward = fwd, nearest = near, outer = true)
+      assert(outer.count() == nLeft, s"fwd=$fwd near=$near not total")
+      // the matched slice IS the inner route's result, row for row
+      val inner = asOf(l, r, Seq("k"), "ts", "rt", Seq("v"),
+        forward = fwd, nearest = near)
+      assert(outer.filter(col("matched_time").isNotNull)
+        .exceptAll(inner).isEmpty &&
+        inner.exceptAll(outer.filter(col("matched_time").isNotNull)).isEmpty,
+        s"fwd=$fwd near=$near matched slice diverged from inner")
+    }
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
