@@ -4897,6 +4897,64 @@ object SparkEntry {
       |  CAST(MAX(n_tot) AS BIGINT) AS n_rows
       |FROM t""".stripMargin
 
+  /** Referential-integrity audit across the star schema's six FK edges —
+    * the dbt-style `relationships` test a lake pipeline runs before
+    * trusting joins (an orphaned fact row silently vanishes from every
+    * inner join downstream). Parents are thinned by `pk % 97 <> 0`
+    * (the `scd_overlap_audit` convention: the fixture is
+    * integrity-clean by construction, so the audit synthesizes the
+    * defect class to prove both verdicts fire; run with the filter off
+    * in production).
+    *
+    * Orphans are counted with a LEFT JOIN + IS NULL (anti join) — never
+    * NOT IN, whose three-valued NULL semantics silently un-orphans
+    * NULL FKs. Scale shape per edge: dimension keysets broadcast into
+    * the anti probe; the one fact-sized parent (orders) anti-joins on
+    * its shuffle key. Six thin scalar aggregates union into the report.
+    */
+  private val riEdges = Seq(
+    ("cust_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("li_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("li_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("li_supp", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("ord_cust", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supp_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def tbl(n: String): DataFrame = n match {
+      case "lineitem" => Tables.lineitem(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "customer" => Tables.customer(s, dir)
+      case "supplier" => Tables.supplier(s, dir)
+      case "part"     => Tables.part(s, dir)
+      case "nation"   => Tables.nation(s, dir)
+    }
+    riEdges.map { case (e, ct, fk, pt, pk) =>
+      val par = tbl(pt).select(col(pk).as("pk"))
+        .filter(col("pk") % 97 =!= 0).distinct()
+      val ch = tbl(ct).select(col(fk).as("fk"))
+      ch.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(par.agg(count(lit(1)).as("n_parents"))))
+        .crossJoin(broadcast(ch.join(par, col("fk") === col("pk"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(e).as("edge"), col("n_child"), col("n_parents"),
+          col("n_orphans"))
+    }.reduce(_ unionByName _).orderBy(col("edge"))
+  }
+
+  private val sqlRefIntegrity: String = riEdges.map {
+    case (e, ct, fk, pt, pk) =>
+      s"""SELECT '$e' AS edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct) AS n_child,
+         |  (SELECT CAST(COUNT(DISTINCT $pk) AS BIGINT) FROM $pt
+         |   WHERE $pk % 97 <> 0) AS n_parents,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct c
+         |   LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $pt
+         |              WHERE $pk % 97 <> 0) p
+         |   ON c.$fk = p.pk WHERE p.pk IS NULL) AS n_orphans""".stripMargin
+  }.mkString("\nUNION ALL\n") + "\nORDER BY edge"
+
   private def qLDiversity(s: SparkSession, dir: String): DataFrame = {
     val classes = Tables.events(s, dir)
       .filter(col("ts").isNotNull && col("event_type").isNotNull
@@ -7152,6 +7210,9 @@ object SparkEntry {
     "events_kanon"      -> qKAnon _,
     "events_tcloseness" -> qTCloseness _,
     "events_dispersion" -> qDispersion _,
+    "profile_ref_integrity" -> qRefIntegrity _,
+    "text_burstiness_words" -> ((s, d) =>
+      TextOps.wordBurstiness(docs(s, d))),
     "events_entropy_rate" -> qEntropyRate _,
     "events_ldiversity" -> qLDiversity _,
     "events_late_arrivals" -> qLateArrivals _,
@@ -7588,6 +7649,8 @@ object SparkEntry {
     "events_kanon"      -> sqlKAnon,
     "events_tcloseness" -> sqlTCloseness,
     "events_dispersion" -> sqlDispersion,
+    "profile_ref_integrity" -> sqlRefIntegrity,
+    "text_burstiness_words" -> TextOps.sqlWordBurstiness,
     "events_entropy_rate" -> sqlEntropyRate,
     "events_ldiversity" -> sqlLDiversity,
     "events_late_arrivals" -> sqlLateArrivals,

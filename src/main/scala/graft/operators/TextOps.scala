@@ -2064,4 +2064,59 @@ object TextOps {
        |  FROM r$iters
        |) WHERE rk <= $TrTopK ORDER BY rk""".stripMargin
   }
+
+  // -------------------------------------------------------- word burstiness
+  /** Word burstiness (Church-Gale, "Poisson mixtures", Natural Language
+    * Engineering 1995): burstiness = total occurrences / document
+    * frequency — the mean repeat rate inside documents that contain the
+    * word at all. Under an independence (Poisson) model every word's
+    * rate would sit near the corpus mean; content words repeat within
+    * their documents (bursty), function words spread evenly — the
+    * classic keyword/topicality signal, and for a TRAINING corpus the
+    * cheap detector of template/boilerplate tokens (extreme burstiness
+    * at low df). Df floor [[BurstDfMin]] guards the rate's denominator.
+    *
+    * Scale shape: one token explode → one (word, doc) distinct-counting
+    * hash aggregate (tf via count, df via count-distinct in the SAME
+    * aggregate); the leaderboard is a rank-limited top-[[BurstTopK]].
+    * The rate is ONE IEEE division of exact BIGINTs, ties by word.
+    */
+  val BurstDfMin = 5
+  val BurstTopK = 20
+
+  def wordBurstiness(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("burstiness").desc, col("word"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BurstDfMin)
+      .withColumn("burstiness",
+        col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BurstTopK)
+      .select(col("rk"), col("word"), col("tf"), col("df"),
+        col("burstiness"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlWordBurstiness: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${sqlWords("text")}) AS word
+       |  FROM documents
+       |), stats AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM toks WHERE word <> '' GROUP BY word
+       |)
+       |SELECT rk, word, tf, df, burstiness FROM (
+       |  SELECT word, tf, df,
+       |    CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+       |    ROW_NUMBER() OVER (ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)
+       |      DESC, word) AS rk
+       |  FROM stats WHERE df >= $BurstDfMin
+       |) WHERE rk <= $BurstTopK
+       |ORDER BY rk""".stripMargin
 }

@@ -238,6 +238,31 @@ class Round6Session6Spec extends SparkSuite {
     }
   }
 
+  test("ref integrity: all six edges report, synthesized orphans fire") {
+    val rows = q("profile_ref_integrity").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parents") > 0)
+      assert(r.getAs[Long]("n_orphans") <= r.getAs[Long]("n_child"))
+    }
+    // the pk % 97 thinning must actually orphan someone, or the audit
+    // never proves its violating verdict
+    assert(rows.exists(_.getAs[Long]("n_orphans") > 0))
+  }
+
+  test("word burstiness: rate is bounded below by 1 and df-floored") {
+    val rows = q("text_burstiness_words").collect()
+    assert(rows.length == graft.operators.TextOps.BurstTopK)
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df")
+      assert(df >= graft.operators.TextOps.BurstDfMin)
+      assert(tf >= df) // every containing doc contributes >= 1 occurrence
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+    }
+    val b = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("burstiness"))
+    assert(b.zip(b.tail).forall { case (x, y) => x >= y })
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
