@@ -145,14 +145,19 @@ object AsOfJoinPhys {
           UnsafeProjection.create(lOut ++ (rTime +: values), lOut ++ rOut)
         val joined = new JoinedRow
         val rBuf = ri.buffered
-        // LEFT-outer emission: a null-filled right row, projected through
-        // a null-tolerant twin of resultProj (the right-side attrs may be
-        // statically non-nullable; the outer row is not)
-        val nullRight = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(rOut.size)
+        // LEFT-outer emission: left row + NULL literals for the matched
+        // columns. NOT a null-filled right row through resultProj:
+        // BindReferences takes nullability from the CHILD's attribute, so
+        // a statically non-nullable right column (e.g. a source int)
+        // would skip the null check and read 0 instead of NULL — caught
+        // by AsOfProperties' outer property.
         val nullProj = UnsafeProjection.create(
-          lOut ++ (rTime +: values).map(_.withNullability(true)),
-          lOut ++ rOut)
+          lOut.map(a =>
+            a: org.apache.spark.sql.catalyst.expressions.Expression) ++
+            (rTime +: values).map(a =>
+              org.apache.spark.sql.catalyst.expressions.Literal
+                .create(null, a.dataType)),
+          lOut)
 
         if (forward) new Iterator[InternalRow] {
           // FORWARD merge: no buffered state at all — rows strictly
@@ -191,10 +196,10 @@ object AsOfJoinPhys {
                 if (keyMatch && rt - lts <= tolV) {
                   nextRow = resultProj(joined(l, rBuf.head))
                 } else if (outer) {
-                  nextRow = nullProj(joined(l, nullRight))
+                  nextRow = nullProj(l)
                 }
               } else if (outer) { // NULL left time: unmatched, kept
-                nextRow = nullProj(joined(l, nullRight))
+                nextRow = nullProj(l)
               }
             }
           }
@@ -258,10 +263,10 @@ object AsOfJoinPhys {
                 } else if (fwdOk) {
                   nextRow = resultProj(joined(l, rBuf.head))
                 } else if (outer) {
-                  nextRow = nullProj(joined(l, nullRight))
+                  nextRow = nullProj(l)
                 }
               } else if (outer) { // NULL left time: unmatched, kept
-                nextRow = nullProj(joined(l, nullRight))
+                nextRow = nullProj(l)
               }
             }
           }
@@ -317,10 +322,10 @@ object AsOfJoinPhys {
                     lts - curRt <= tolV) {
                   nextRow = resultProj(joined(l, cur))
                 } else if (outer) {
-                  nextRow = nullProj(joined(l, nullRight))
+                  nextRow = nullProj(l)
                 }
               } else if (outer) { // NULL left time: unmatched, kept
-                nextRow = nullProj(joined(l, nullRight))
+                nextRow = nullProj(l)
               }
             }
           }

@@ -382,4 +382,43 @@ class AsOfProperties extends SparkSuite {
       assert(got == want, s"seed=$seed bucket=${bucketSec}s")
     }
   }
+
+  test("property: physical OUTER as-of keeps every left row exactly once") {
+    // totality over random frames including NULL left times (kept with
+    // NULL matched columns), duplicate left rows (each emits its own
+    // output row), and one-sided keys
+    def bruteOuter(ls: List[L], rs: List[R]) =
+      ls.map { case (lk, lt, pay) =>
+        val m = lt.flatMap { t =>
+          val cands = rs.filter { case (rk, rt, _) =>
+            rk == lk && rt.exists(_ <= t) }
+          if (cands.isEmpty) None
+          else {
+            val nearest = cands.map(_._2.get).max
+            val best = cands.filter(_._2.get == nearest).maxBy(_._3)
+            Some((best._2.get, best._3))
+          }
+        }
+        (lk, lt, pay, m.map(_._1), m.map(_._2))
+      }.sorted
+    for (seed <- 341L to 352L) {
+      val (ls, rs) = (sample(lGen, seed), sample(rGen, seed + 100))
+      val ldf = ls.toDF("k", "lt_s", "pay")
+        .withColumn("lt", col("lt_s").cast("timestamp"))
+      val rdf = rs.toDF("k", "rt_s", "v")
+        .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+      val out = graft.plans.AsOfJoinPhys
+        .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"), outer = true)
+        .select(col("k"), col("lt_s"), col("pay"),
+          col("matched_time").cast("long").cast("int").as("mt"), col("v"))
+        .collect()
+        .map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))
+        .toList.sorted
+      assert(out == bruteOuter(ls, rs), s"seed=$seed left=$ls right=$rs")
+    }
+  }
 }
