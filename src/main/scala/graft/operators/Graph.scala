@@ -428,8 +428,9 @@ object Graph {
       // only the frontier pins (it feeds the expansion join, the anti
       // probe AND the count); visited is a shallow union of ALREADY
       // pinned frontiers, so pinning it would just double the
-      // materialization jobs per level
-      frontier = Iterate.pin(next)
+      // materialization jobs per level. The LAST level's frontier feeds
+      // only its count — skipping that pin saves one job outright.
+      frontier = if (l < BfsLevels) Iterate.pin(next) else next
       visited = visited.unionByName(frontier)
       out = out.unionByName(
         frontier.agg(count(lit(1)).as("n_reached"))
@@ -499,7 +500,10 @@ object Graph {
           Seq("u"))
         .select(col("seed"), col("v").as("id")).distinct()
         .join(broadcast(visited), Seq("seed", "id"), "left_anti")
-      frontier = Iterate.pin(next)
+      // the LAST level's frontier feeds only its count aggregate (visited
+      // is never read after the loop) — skipping its pin saves one
+      // materialization job without recomputing anything twice
+      frontier = if (l < BfsLevels) Iterate.pin(next) else next
       visited = visited.unionByName(frontier)
       out = out.join(
         broadcast(frontier.groupBy(col("seed")).agg(count(lit(1)).as(s"n$l"))),
