@@ -7073,6 +7073,10 @@ object SparkEntry {
       Similarity.bruteTopK(emb(s, d))
         .filter(col("rk") <= Similarity.AnnTopK),
       Similarity.multiprobeTopK(emb(s, d)))),
+    "sim_nsw_sweep"     -> ((s, d) =>
+      Similarity.nswBeamSweep(Tables.embeddings(s, d),
+        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
+        pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d)))),
     "sim_sdc_topk"      -> ((s, d) => Similarity.sdcTopK(emb(s, d))),
     "sim_sdc_recall"    -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTopK(emb(s, d))
@@ -7532,6 +7536,7 @@ object SparkEntry {
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +
         s"WHERE rk <= ${Similarity.AnnTopK}",
       Similarity.sqlMultiprobeTopK),
+    "sim_nsw_sweep"     -> Similarity.sqlNswBeamSweep,
     "sim_sdc_topk"      -> Similarity.sqlSdcTopK,
     "sim_sdc_recall"    -> Similarity.sqlRecall(
       s"SELECT * FROM (\n${Similarity.sqlBruteTopK}\n) " +

@@ -516,8 +516,10 @@ object Similarity {
   val NswRounds = 3
   val NswPivotMod = 16 // layer-1 pivots: vec_id % NswPivotMod == 0
 
-  def nswWalk(emb: DataFrame, pre: Option[DataFrame] = None,
-      pre2: Option[DataFrame] = None): DataFrame = {
+  /** The walk's shared frames: symmetrized two-hash edge list (pinned),
+    * query vectors, and normed corpus. */
+  private def nswParts(emb: DataFrame, pre: Option[DataFrame],
+      pre2: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
     val e = pre.getOrElse(knnEdges(emb))
       .select(col("src"), col("dst"))
       .unionByName(
@@ -534,44 +536,217 @@ object Similarity {
         col("norm").as("qn"))
     val corpus = n.select(col("vec_id").as("node"),
       col("embedding").as("nv"), col("norm").as("nn"))
-    def score(frontier: DataFrame): DataFrame =
-      frontier.join(corpus, Seq("node")).join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("node"),
-          (ndot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    (sym, q, corpus)
+  }
+
+  private def nswScore(q: DataFrame, corpus: DataFrame)(
+      frontier: DataFrame): DataFrame =
+    frontier.join(corpus, Seq("node")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("node"),
+        (ndot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+
+  /** The walk's visited set (query_id, node) at a given beam width —
+    * [[nswWalk]] reads it at [[NswBeam]], [[nswBeamSweep]] at each sweep
+    * point. The FINAL round's beam pick is never consumed (only the
+    * expanded set reaches `visited`), so it is skipped outright.
+    */
+  private def nswVisited(sym: DataFrame, q: DataFrame, corpus: DataFrame,
+      beam: Int): DataFrame = {
+    val score = nswScore(q, corpus) _
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
-    // layer-1 search: exhaustive scan of the N/64 pivot tier picks each
+    // layer-1 search: exhaustive scan of the pivot tier picks each
     // query's entry beam (HNSW's upper-layer descent, one fixed layer)
     var cand = score(q.select(col("query_id"))
         .crossJoin(corpus.filter(col("node") % NswPivotMod === 0)
           .select(col("node"))))
       .withColumn("rk", row_number().over(wBeam))
-      .filter(col("rk") <= NswBeam)
+      .filter(col("rk") <= beam)
       .select(col("query_id"), col("node"))
       .transform(Iterate.pin)
     var visited = cand
-    for (_ <- 1 to NswRounds) {
+    for (r <- 1 to NswRounds) {
       val expanded = cand
         .unionByName(cand.join(sym, Seq("node"))
           .select(col("query_id"), col("dst").as("node")))
         .distinct()
         .transform(Iterate.pin)
       visited = visited.unionByName(expanded)
-      cand = score(expanded)
-        .withColumn("rk", row_number().over(wBeam))
-        .filter(col("rk") <= NswBeam)
-        .select(col("query_id"), col("node"))
-        .transform(Iterate.pin)
+      if (r < NswRounds)
+        cand = score(expanded)
+          .withColumn("rk", row_number().over(wBeam))
+          .filter(col("rk") <= beam)
+          .select(col("query_id"), col("node"))
+          .transform(Iterate.pin)
     }
+    visited.distinct()
+  }
+
+  def nswWalk(emb: DataFrame, pre: Option[DataFrame] = None,
+      pre2: Option[DataFrame] = None): DataFrame = {
+    val (sym, q, corpus) = nswParts(emb, pre, pre2)
     val wFin = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
-    score(visited.distinct())
+    nswScore(q, corpus)(nswVisited(sym, q, corpus, NswBeam))
       .filter(col("node") =!= col("query_id"))
       .withColumn("rk", row_number().over(wFin))
       .filter(col("rk") <= AnnTopK)
       .select(col("query_id"), col("rk"), col("node").as("cand_id"),
         col("cos").as("cos_sim"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Beam-width sweep for the graph walk — recall@k AND vertices touched
+    * per (beam, query): the tuning curve a graph-ANN deployment reads
+    * before fixing ef/beam (Malkov-Yashunin's ef parameter study), the
+    * NSW twin of `sim_recall_sweep`/`sim_probe_cost` on the IVF side.
+    * `n_visited` is the honest cost axis: the walk scores exactly the
+    * visited set, so recall-per-vertex-touched is read straight off the
+    * two columns. Shares one pinned symmetric edge frame and ONE brute
+    * truth frame across all sweep points.
+    */
+  val NswSweepBeams: Seq[Int] = Seq(2, 4, 8)
+
+  def nswBeamSweep(emb: DataFrame, pre: Option[DataFrame] = None,
+      pre2: Option[DataFrame] = None): DataFrame = {
+    val (sym, q, corpus) = nswParts(emb, pre, pre2)
+    val truth = bruteTopK(emb).filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("cand_id"))
+      .transform(Iterate.pin)
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    NswSweepBeams.map { b =>
+      val vis = nswVisited(sym, q, corpus, b)
+      val nVis = vis.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_visited"))
+      val top = nswScore(q, corpus)(vis)
+        .filter(col("node") =!= col("query_id"))
+        .withColumn("rk", row_number().over(wFin))
+        .filter(col("rk") <= AnnTopK)
+        .select(col("query_id"), col("node").as("cand_id"))
+      nVis.join(recallAtK(truth, top), Seq("query_id"))
+        .select(lit(b).as("beam"), col("query_id"), col("n_visited"),
+          col("recall"))
+    }.reduce(_ unionByName _).orderBy(col("beam"), col("query_id"))
+  }
+
+  def sqlNswBeamSweep: String = {
+    def beamCtes(b: Int): String = {
+      val rounds = (1 to NswRounds).map { r =>
+        val pick = if (r < NswRounds)
+          s""", c${r}_$b AS (
+             |  SELECT query_id, node FROM (
+             |    SELECT x.query_id, x.node, ROW_NUMBER() OVER (
+             |      PARTITION BY x.query_id
+             |      ORDER BY ${sqlCosine("q.embedding", "e.embedding", Dim)
+                               .linesIterator.mkString(" ")} DESC, x.node
+             |    ) AS rk
+             |    FROM x${r}_$b x
+             |    JOIN embeddings e ON e.vec_id = x.node
+             |    JOIN embeddings q ON q.vec_id = x.query_id
+             |  ) WHERE rk <= $b
+             |)""".stripMargin
+        else ""
+        s"""x${r}_$b AS (
+           |  SELECT DISTINCT query_id, node FROM (
+           |    SELECT query_id, node FROM c${r - 1}_$b
+           |    UNION ALL
+           |    SELECT c.query_id, s.dst AS node
+           |    FROM c${r - 1}_$b c JOIN sym s ON c.node = s.src
+           |  )
+           |)$pick""".stripMargin
+      }.mkString(",\n")
+      val visUnion = (1 to NswRounds)
+        .map(r => s"SELECT query_id, node FROM x${r}_$b")
+        .mkString("\n    UNION\n    ")
+      s"""c0_$b AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT q.vec_id AS query_id, p.vec_id AS node, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "p.embedding", Dim)
+                           .linesIterator.mkString(" ")} DESC, p.vec_id
+         |    ) AS rk
+         |    FROM embeddings q, embeddings p
+         |    WHERE q.vec_id < $NQueries AND p.vec_id % $NswPivotMod = 0
+         |  ) WHERE rk <= $b
+         |),
+         |$rounds,
+         |vis_$b AS (
+         |  SELECT query_id, node FROM c0_$b
+         |  UNION
+         |    $visUnion
+         |), top_$b AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT v.query_id, v.node, ROW_NUMBER() OVER (
+         |      PARTITION BY v.query_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding", Dim)
+                           .linesIterator.mkString(" ")} DESC, v.node
+         |    ) AS rk
+         |    FROM vis_$b v
+         |    JOIN embeddings e ON e.vec_id = v.node
+         |    JOIN embeddings q ON q.vec_id = v.query_id
+         |    WHERE v.node <> v.query_id
+         |  ) WHERE rk <= $AnnTopK
+         |)""".stripMargin
+    }
+    val beamRows = NswSweepBeams.map { b =>
+      s"""SELECT $b AS beam, nv.query_id, nv.n_visited, r.recall
+         |  FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_visited
+         |        FROM vis_$b GROUP BY query_id) nv
+         |  JOIN (SELECT e.query_id,
+         |          CAST(SUM(CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END)
+         |               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |        FROM brute e LEFT JOIN top_$b a
+         |          ON e.query_id = a.query_id AND e.cand_id = a.node
+         |        GROUP BY e.query_id) r
+         |    ON nv.query_id = r.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), edges AS (
+       |  SELECT src, rk, dst FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= $KnnGraphK
+       |), b2 AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket2("embedding")} AS bucket
+       |  FROM embeddings
+       |), scored2 AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), edges2 AS (
+       |  SELECT src, rk, dst FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM scored2
+       |  ) WHERE rk <= $KnnGraphK
+       |), sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT dst, src FROM edges
+       |    UNION ALL SELECT src, dst FROM edges2
+       |    UNION ALL SELECT dst, src FROM edges2
+       |  )
+       |), brute AS (
+       |  SELECT query_id, cand_id FROM (
+       |    ${sqlBruteTopK.linesIterator.mkString("\n    ")}
+       |  ) WHERE rk <= $AnnTopK
+       |),
+       |${NswSweepBeams.map(beamCtes).mkString(",\n")}
+       |SELECT beam, query_id, n_visited, recall FROM (
+       |  $beamRows
+       |) ORDER BY beam, query_id""".stripMargin
   }
 
   def sqlNswWalk: String = {

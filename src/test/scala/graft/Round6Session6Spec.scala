@@ -263,6 +263,30 @@ class Round6Session6Spec extends SparkSuite {
     assert(b.zip(b.tail).forall { case (x, y) => x >= y })
   }
 
+  test("nsw sweep: coherent with the walk at its beam, cost grows with beam") {
+    val rows = q("sim_nsw_sweep").collect()
+    assert(rows.length ==
+      Similarity.NswSweepBeams.length * Similarity.NQueries)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_visited") >= r.getAs[Int]("beam").toLong)
+    }
+    // the sweep point at the walk's own beam IS the walk: per-query
+    // recall must equal sim_nsw_recall's
+    val atBeam = rows.filter(_.getAs[Int]("beam") == Similarity.NswBeam)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall"))
+      .toMap
+    q("sim_nsw_recall").collect().foreach { r =>
+      assert(atBeam(r.getAs[Long]("query_id")) == r.getAs[Double]("recall"))
+    }
+    // wider beams touch more vertices in aggregate
+    val byBeam = rows.groupBy(_.getAs[Int]("beam"))
+      .map { case (b, g) => b -> g.map(_.getAs[Long]("n_visited")).sum }
+    val sorted = byBeam.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, c) => a <= c })
+  }
+
   test("nsw: beam search actually navigates — positive recall vs brute") {
     // measured 0.52 on this fixture (0.0 before the two structural
     // fixes); the floor guards navigability, not the exact value
