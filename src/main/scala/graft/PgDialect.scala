@@ -29,6 +29,28 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.PgDialect <sfDir> <outDir>
   */
 object PgDialect {
+
+  private def dumpCase(outDir: String, name: String, table: String,
+      stateCols: Seq[String], keyCols: Seq[String],
+      seed: org.apache.spark.sql.DataFrame,
+      rows: org.apache.spark.sql.DataFrame): Unit = {
+    val caseDir = s"$outDir/$name"
+    seed.coalesce(1).write.mode("overwrite").parquet(s"$caseDir/seed")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$caseDir/rows")
+    val Seq((sql, bindOrder)) = Sinks.upsertStatements(
+      stateCols, keyCols, table, Sinks.PostgresOnConflict)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(caseDir, "statement.sql"),
+      sql.getBytes("UTF-8"))
+    val meta =
+      s"""{"table": "$table",
+         | "bind_order": [${bindOrder.map("\"" + _ + "\"").mkString(", ")}],
+         | "key_cols": [${keyCols.map("\"" + _ + "\"").mkString(", ")}]}
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(caseDir, "meta.json"), meta.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val spark = SparkSession.builder()
@@ -40,35 +62,64 @@ object PgDialect {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- case "rates": the reference rates shape (2-col key), merged
+    // state from q8_upsert_type1 — the original round-6 dump
     val stateCols = Seq("key1", "key2", "value", "batch_id")
     val keyCols = Seq("key1", "key2")
-
     // the same construction as q8_upsert_type1's target frame (b0 state)
     val c = Tables.customer(spark, sfDir)
     val m = col("c_custkey") % 4
     val seed = c.filter(m <= 2).select(
       col("c_custkey").as("key1"), col("c_mktsegment").as("key2"),
       col("c_acctbal").as("value"), lit("b0").as("batch_id"))
-
     // the merged Type-1 state jdbcUpsert would ship (telemetry dropped)
     val rows = SparkEntry.queries("q8_upsert_type1")(spark, sfDir)
       .select(stateCols.map(col): _*)
+    dumpCase(outDir, "rates", "rates", stateCols, keyCols, seed, rows)
 
-    seed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/seed")
-    rows.coalesce(1).write.mode("overwrite").parquet(s"$outDir/rows")
+    // ---- case "bank": the reference bank shape — ONE key column
+    // (SQL:188 world_banks PRIMARY KEY (bank)), with a nullable
+    // timestamp column carrying real NULLs (the SCD contract writes
+    // NULL updated_at on every insert row, SQL:88,109) so the grammar's
+    // NULL-binding path executes in both the INSERT and DO UPDATE arms
+    val bankCols = Seq("bank_id", "bank_name", "n_banks", "updated_at")
+    val n = Tables.nation(spark, sfDir)
+    val bankRows = n.select(
+      col("n_nationkey").cast("long").as("bank_id"),
+      col("n_name").as("bank_name"),
+      col("n_regionkey").cast("long").as("n_banks"),
+      when(col("n_nationkey") % 3 === 0, lit(null))
+        .otherwise(to_timestamp(lit("2021-01-02 03:04:05")))
+        .cast("timestamp").as("updated_at"))
+    // stale seed: present keys carry wrong counts and swapped-nullability
+    // timestamps, so DO UPDATE must overwrite BOTH (including NULL→value
+    // and value→NULL transitions); keys % 4 == 3 are absent → INSERT arm
+    val bankSeed = bankRows.filter(col("bank_id") % 4 <= 2).select(
+      col("bank_id"), col("bank_name"),
+      (col("n_banks") + 100).as("n_banks"),
+      when(col("updated_at").isNull,
+          to_timestamp(lit("1999-12-31 00:00:00")))
+        .otherwise(lit(null)).cast("timestamp").as("updated_at"))
+    dumpCase(outDir, "bank", "world_banks", bankCols, Seq("bank_id"),
+      bankSeed, bankRows)
 
-    val Seq((sql, bindOrder)) = Sinks.upsertStatements(
-      stateCols, keyCols, "rates", Sinks.PostgresOnConflict)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "statement.sql"),
-      sql.getBytes("UTF-8"))
-    val meta =
-      s"""{"table": "rates",
-         | "bind_order": [${bindOrder.map("\"" + _ + "\"").mkString(", ")}],
-         | "key_cols": [${keyCols.map("\"" + _ + "\"").mkString(", ")}]}
-         |""".stripMargin
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "meta.json"), meta.getBytes("UTF-8"))
+    // ---- case "rates3": a THREE-column composite key (the widest key
+    // shape the sink API is exercised with), nullable value column
+    val r3Cols = Seq("key1", "key2", "key3", "value", "batch_id")
+    val r3Keys = Seq("key1", "key2", "key3")
+    val r3Rows = c.select(
+      col("c_custkey").as("key1"), col("c_mktsegment").as("key2"),
+      (col("c_nationkey") % 5).cast("long").as("key3"),
+      when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_acctbal")).cast("double").as("value"),
+      lit("b1").as("batch_id"))
+    val r3Seed = r3Rows.filter(col("key1") % 4 <= 2).select(
+      col("key1"), col("key2"), col("key3"),
+      // stale: never NULL, so NULL-valued rows must transition to NULL
+      (coalesce(col("value"), lit(0.0)) + 1.0).as("value"),
+      lit("b0").as("batch_id"))
+    dumpCase(outDir, "rates3", "rates3", r3Cols, r3Keys, r3Seed, r3Rows)
+
     spark.stop()
   }
 }

@@ -1000,19 +1000,44 @@ object SparkEntry {
       |ORDER BY p.event_id""".stripMargin
 
   // --------------------------------------------------- sketch_distinct
-  // Distinct-count sketch (HLL++). PERMANENT rows-only waiver: HLL
-  // register layouts differ across engines, so no hash oracle can exist —
-  // by design, not a gap. The oracle-exact twin is sketch_kmv (same
-  // distinct-count task, cross-engine-identical KMV estimator); the exact
-  // companion is q19_distinct_topn.
+  // Distinct-count sketch (HLL++) + approximate-percentile sketch,
+  // oracled by CONTRACT instead of by value: HLL register layouts and
+  // KLL compaction schedules differ across engines, so the raw estimates
+  // can never hash-match — what IS cross-engine checkable is the error
+  // BOUND each sketch promises. The query emits the exact answers (which
+  // DuckDB reproduces) plus one boolean per sketch asserting the
+  // estimate honors its bound (rsd 0.01 HLL given 5× headroom; the
+  // approx p50 must land within the exact p45..p55 value band). The
+  // DuckDB side asserts TRUE — so a sketch drifting out of contract
+  // fails the hash gate. The value-exact twin is sketch_kmv (same
+  // distinct-count task, cross-engine-identical KMV estimator); the
+  // exact companion is q19_distinct_topn.
   private def qSketch(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("hll"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_p50"),
-        count(lit(1)).as("n"))
+          .as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        (abs(col("hll") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.05)
+          .as("hll_within_bound"),
+        (col("ap50") >= col("p45") && col("ap50") <= col("p55"))
+          .as("p50_within_bound"))
       .orderBy(col("l_returnflag"))
+
+  private val sqlSketch: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS hll_within_bound,
+      |  TRUE AS p50_within_bound
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------- q21_array_agg
   // Array aggregation + array scalar functions: collect_set → sort → join
@@ -1174,9 +1199,9 @@ object SparkEntry {
        |ORDER BY l_returnflag, measure""".stripMargin
 
   // ------------------------------------------------------- sketch_kmv
-  // KMV distinct sketch (operators.Sketch) — the oracle-checkable companion
-  // to sketch_distinct's HLL: same shared md5 hash on both engines, so the
-  // ESTIMATE itself hash-matches.
+  // KMV distinct sketch (operators.Sketch) — the VALUE-exact companion
+  // to sketch_distinct's contract-oracled HLL: same shared md5 hash on
+  // both engines, so the ESTIMATE itself hash-matches.
   private def qKmv(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketch.kmvDistinct(
       Tables.lineitem(s, dir), "l_returnflag", "l_partkey")
@@ -6804,8 +6829,7 @@ object SparkEntry {
     // mismatched depths is structurally capped at k_approx/k_exact and
     // can never reach its target
     "sim_recall"        -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.ivfTopK(emb(s, d)))),
     "sim_mips_topk"     -> ((s, d) => Similarity.mipsTopK(emb(s, d))),
     "sim_mips_lsh"      -> ((s, d) => Similarity.mipsLsh(emb(s, d))),
@@ -6820,16 +6844,13 @@ object SparkEntry {
     // quantization + pruning loss the 100 TB recipe trades for its scan
     // shape (compare with sim_recall = IVF-only loss at the same depth)
     "sim_ivfpq_recall"  -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.ivfPqTopK(emb(s, d)))),
     "sim_ivf_probe2"    -> ((s, d) => Similarity.ivfTopKProbe(emb(s, d), 2)),
     // recall-vs-nprobe tuning curve: the table an operator reads to pick
     // the probe count; exact side computed once and pinned across probes
     "sim_recall_sweep"  -> ((s, d) => {
-      val exact = graft.operators.Iterate.pin(
-        Similarity.bruteTopK(emb(s, d))
-          .filter(col("rk") <= Similarity.AnnTopK))
+      val exact = Similarity.bruteTruthCached(emb(s, d), d)
       (1 to 3).map(p =>
         Similarity.recallAtK(exact, Similarity.ivfTopKProbe(emb(s, d), p))
           .withColumn("nprobe", lit(p)))
@@ -6908,14 +6929,12 @@ object SparkEntry {
     "sim_sq_rerank"     -> ((s, d) => Similarity.sqRerank(emb(s, d))),
     "sim_filtered_topk" -> ((s, d) => Similarity.filteredTopK(emb(s, d))),
     "sim_sq_recall"     -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.sqTopK(emb(s, d)))),
     "sim_pq_topk"       -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     "sim_pq_rerank"     -> ((s, d) => Similarity.pqRerank(emb(s, d))),
     "sim_pq_rerank_recall" -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.pqRerank(emb(s, d)))),
     "sim_ivfpq_topk"    -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     // the three residual-IVFADC queries share one pinned
@@ -6929,8 +6948,7 @@ object SparkEntry {
         pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d)),
         book = Some(Similarity.residualBookCached(emb(s, d), d)))),
     "sim_ivfadc_recall" -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.ivfPqResidualTopK(emb(s, d),
         pre = Some(Similarity.residualSubvectorsCached(emb(s, d), d))))),
     "layout_zorder"     -> ((s, d) =>
@@ -7057,30 +7075,21 @@ object SparkEntry {
       Similarity.knnGraph(Tables.embeddings(s, d),
         pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)))),
     "sim_nsw_walk"      -> ((s, d) =>
-      Similarity.nswWalk(Tables.embeddings(s, d),
-        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
-        pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d)))),
+      Similarity.nswWalkCached(Tables.embeddings(s, d), d)),
     "sim_nsw_recall"    -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(Tables.embeddings(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
-      Similarity.nswWalk(Tables.embeddings(s, d),
-        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
-        pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d))))),
+      Similarity.bruteTruthCached(Tables.embeddings(s, d), d),
+      Similarity.nswWalkCached(Tables.embeddings(s, d), d))),
     "sim_maxmin_init"   -> ((s, d) => Similarity.maxminInit(emb(s, d))),
     "sim_maxmin_cells"  -> ((s, d) => Similarity.maxminCells(emb(s, d))),
     "sim_lsh_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(emb(s, d))),
     "sim_multiprobe_recall" -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.multiprobeTopK(emb(s, d)))),
     "sim_nsw_sweep"     -> ((s, d) =>
-      Similarity.nswBeamSweep(Tables.embeddings(s, d),
-        pre = Some(Similarity.knnEdgesCached(Tables.embeddings(s, d), d)),
-        pre2 = Some(Similarity.knnEdges2Cached(Tables.embeddings(s, d), d)))),
+      Similarity.nswBeamSweepCached(Tables.embeddings(s, d), d)),
     "sim_sdc_topk"      -> ((s, d) => Similarity.sdcTopK(emb(s, d))),
     "sim_sdc_recall"    -> ((s, d) => Similarity.recallAtK(
-      Similarity.bruteTopK(emb(s, d))
-        .filter(col("rk") <= Similarity.AnnTopK),
+      Similarity.bruteTruthCached(emb(s, d), d),
       Similarity.sdcTopK(emb(s, d)))),
     "sim_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d))),
@@ -7352,6 +7361,7 @@ object SparkEntry {
     "q25_cube"          -> sqlCube,
     "q26_salted_join"   -> sqlSaltedJoin,
     "q27_unpivot"       -> sqlUnpivot,
+    "sketch_distinct"   -> sqlSketch,
     "sketch_kmv"        -> sqlKmv,
     "q30_grouping_sets" -> sqlGroupingSets,
     "q31_range_join"    -> sqlRangeJoin,

@@ -491,12 +491,16 @@ object Similarity {
     * sphere cross each other's boundaries, the deterministic stand-in
     * for NSW's long-range links from early insertions (Malkov §4 — and
     * the standard multi-table LSH coverage trick). (2) Entries descend
-    * from a sparse upper layer, as in HNSW: every vector with
-    * `vec_id % `[[NswPivotMod]]` = 0` is a layer-1 pivot (fixed-rate
-    * stand-in for the exponential level draw), each query scans the
-    * pivot tier exhaustively (|P| = N/[[NswPivotMod]] — the upper-layer
-    * cost; at billion scale you stack more layers, same plan shape) and
-    * its top-[[NswBeam]] pivots seed the base-layer walk.
+    * through a TWO-LEVEL pivot hierarchy, as in HNSW: every vector with
+    * `vec_id % `[[NswPivotMod]]` = 0` is a layer-1 pivot and every
+    * vector with `vec_id % `[[NswL2Mod]]` = 0` a layer-2 pivot
+    * (fixed-rate stand-ins for the exponential level draw). Each query
+    * scans only the layer-2 tier exhaustively (|P₂| = N/[[NswL2Mod]]),
+    * its top-beam seeds take one greedy expand-and-rank round through
+    * the layer-1 pivot graph ([[pivotSym]] — the same two-hash kNN
+    * construction restricted to pivots), and the resulting beam seeds
+    * the base-layer walk. Entry cost is sublinear at every level; a
+    * deeper corpus stacks more layers, same plan shape.
     *
     * Determinism (what makes it oracle-expressible): pivot membership is
     * arithmetic (no random level draw), rounds are pinned at
@@ -504,39 +508,110 @@ object Similarity {
     * unrolls the identical rounds over the identical edge list.
     *
     * Scale shape: the edge list is the memoized [[knnEdgesCached]] frame
-    * (built once per suite, LSH-bucketed — never all-pairs); the pivot
-    * scan is one map-side pass over an N/64 frame against the |Q|
-    * broadcast query vectors; each round joins a |Q|·beam frontier
-    * (broadcast) against edges keyed by src, then scores |Q|·beam·k rows
-    * map-side. Nothing rescans the corpus: after the one-time graph
-    * build, a query touches O(|P| + rounds·beam·k) vertices — the
-    * property that makes graph ANN the billion-scale in-memory route.
+    * (built once per suite, LSH-bucketed — never all-pairs). Entry is
+    * HIERARCHICAL (two fixed layers, HNSW's descent): the exhaustive scan
+    * touches only the layer-2 tier (`vec_id % `[[NswL2Mod]]` = 0`,
+    * |P₂| = N/[[NswL2Mod]]), and one greedy expand-and-rank round over
+    * the LAYER-1 PIVOT GRAPH ([[pivotSymCached]] — the same two-hash kNN
+    * construction restricted to the N/[[NswPivotMod]] pivot tier) refines
+    * those seeds into the base-layer entry beam. Entry cost is
+    * O(|P₂| + beam·deg₁) per query instead of a flat O(|P₁|) tier scan —
+    * sublinear in the corpus at every level, and a third layer is the
+    * same plan shape again (filter tighter, one more descent round).
+    * Each base round then joins a |Q|·beam frontier (broadcast) against
+    * edges keyed by src and scores |Q|·beam·k rows map-side. Nothing
+    * rescans the corpus: after the one-time graph build, a query touches
+    * O(|P₂| + beam·deg₁ + rounds·beam·k) vertices — the property that
+    * makes graph ANN the billion-scale in-memory route.
     */
   val NswBeam = 8
   val NswRounds = 3
   val NswPivotMod = 16 // layer-1 pivots: vec_id % NswPivotMod == 0
+  val NswL2Mod = 64 // layer-2 pivots (pivots-of-pivots): vec_id % NswL2Mod == 0
 
-  /** The walk's shared frames: symmetrized two-hash edge list (pinned),
-    * query vectors, and normed corpus. */
-  private def nswParts(emb: DataFrame, pre: Option[DataFrame],
-      pre2: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
-    val e = pre.getOrElse(knnEdges(emb))
+  /** The layer-1 pivot graph: the SAME two-hash kNN construction as the
+    * base layer, restricted to the pivot tier (`vec_id % `
+    * [[NswPivotMod]]` = 0`), symmetrized. This is the upper layer the
+    * entry descent walks — N/[[NswPivotMod]] nodes, so the one-time
+    * build is 1/[[NswPivotMod]]² of the base edge-list cost.
+    */
+  private def pivotSym(emb: DataFrame): DataFrame = {
+    val piv = emb.filter(col("vec_id") % NswPivotMod === 0)
+    val e = knnEdgesWith(piv, lshBucket(col("embedding")))
       .select(col("src"), col("dst"))
-      .unionByName(
-        pre2.getOrElse(knnEdgesWith(emb, lshBucket2(col("embedding"))))
-          .select(col("src"), col("dst")))
-    // symmetrize: NSW search walks edges in both directions
-    val sym = e.select(col("src").as("node"), col("dst"))
+      .unionByName(knnEdgesWith(piv, lshBucket2(col("embedding")))
+        .select(col("src"), col("dst")))
+    e.select(col("src").as("node"), col("dst"))
       .unionByName(e.select(col("dst").as("node"), col("src").as("dst")))
       .distinct()
       .transform(Iterate.pin)
+  }
+
+  /** [[pivotSym]] memoized per (session, fixture dir) — all `sim_nsw_*`
+    * registrations descend through one physical pivot graph. */
+  def pivotSymCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    knnCache.computeIfAbsent((emb.sparkSession, "l1sym:" + cacheKey),
+      _ => pivotSym(emb))
+  }
+
+  /** Query vectors and normed corpus — the map-side frames every NSW
+    * stage scores against. */
+  private def nswQCorpus(emb: DataFrame): (DataFrame, DataFrame) = {
     val n = withNorm(emb, "embedding")
     val q = n.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("norm").as("qn"))
     val corpus = n.select(col("vec_id").as("node"),
       col("embedding").as("nv"), col("norm").as("nn"))
-    (sym, q, corpus)
+    (q, corpus)
+  }
+
+  /** Symmetrize the union of two directed edge lists (NSW search walks
+    * edges in both directions), pinned. */
+  private def symmetrized(e1: DataFrame, e2: DataFrame): DataFrame = {
+    val e = e1.select(col("src"), col("dst"))
+      .unionByName(e2.select(col("src"), col("dst")))
+    e.select(col("src").as("node"), col("dst"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("dst")))
+      .distinct()
+      .transform(Iterate.pin)
+  }
+
+  /** The symmetrized base walk graph memoized per (session, fixture) —
+    * `sim_nsw_walk`, `sim_nsw_recall` and `sim_nsw_sweep` all expand
+    * through ONE physical frame instead of re-materializing the union
+    * per query. */
+  def nswSymCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // dependencies resolved BEFORE the computeIfAbsent below: a nested
+    // computeIfAbsent on the same map throws "Recursive update"
+    val e1 = knnEdgesCached(emb, cacheKey)
+    val e2 = knnEdges2Cached(emb, cacheKey)
+    knnCache.computeIfAbsent((emb.sparkSession, "nswsym:" + cacheKey),
+      _ => symmetrized(e1, e2))
+  }
+
+  /** The exact brute-force top-[[AnnTopK]] truth set memoized per
+    * (session, fixture) — every `sim_*_recall` query and the sweep
+    * compare against ONE pinned ranking instead of re-scoring the
+    * corpus per query. */
+  def bruteTruthCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    knnCache.computeIfAbsent((emb.sparkSession, "brute:" + cacheKey),
+      _ => Iterate.pin(bruteTopK(emb).filter(col("rk") <= AnnTopK)
+        .select(col("query_id"), col("cand_id"))))
+  }
+
+  /** The walk's shared frames: symmetrized two-hash edge list (pinned),
+    * the layer-1 pivot graph, query vectors, and normed corpus. */
+  private def nswParts(emb: DataFrame, pre: Option[DataFrame],
+      pre2: Option[DataFrame], preL1: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val sym = symmetrized(pre.getOrElse(knnEdges(emb)),
+      pre2.getOrElse(knnEdgesWith(emb, lshBucket2(col("embedding")))))
+    val (q, corpus) = nswQCorpus(emb)
+    (sym, preL1.getOrElse(pivotSym(emb)), q, corpus)
   }
 
   private def nswScore(q: DataFrame, corpus: DataFrame)(
@@ -545,55 +620,149 @@ object Similarity {
       .select(col("query_id"), col("node"),
         (ndot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
 
-  /** The walk's visited set (query_id, node) at a given beam width —
-    * [[nswWalk]] reads it at [[NswBeam]], [[nswBeamSweep]] at each sweep
-    * point. The FINAL round's beam pick is never consumed (only the
-    * expanded set reaches `visited`), so it is skipped outright.
+  /** Beam-tagged scoring: like [[nswScore]] but the frontier carries a
+    * `beam` column (the sweep point the row belongs to) which rides
+    * through unchanged — all sweep points score in ONE map-side pass. */
+  private def nswScoreB(q: DataFrame, corpus: DataFrame)(
+      frontier: DataFrame): DataFrame =
+    frontier.join(corpus, Seq("node")).join(broadcast(q), Seq("query_id"))
+      .select(col("beam"), col("query_id"), col("node"),
+        (ndot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+
+  /** Per-(beam, query) rank window: each sweep point is its own window
+    * group, so every beam's walk advances in the SAME physical window
+    * pass. */
+  private def wBeamB: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("beam"), col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+
+  /** The hierarchical entry's SHARED stage: every layer-2 pivot scored
+    * against every query, ranked — beam-INDEPENDENT, so [[nswBeamSweep]]
+    * computes it once and every sweep point rank-filters the one pinned
+    * frame. |Q| · N/[[NswL2Mod]] rows, the only exhaustive scan in the
+    * walk.
+    */
+  private def nswEntryScored(q: DataFrame, corpus: DataFrame): DataFrame =
+    nswScore(q, corpus)(q.select(col("query_id"))
+        .crossJoin(corpus.filter(col("node") % NswL2Mod === 0)
+          .select(col("node"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node"))))
+      .select(col("query_id"), col("node"), col("rk"))
+      .transform(Iterate.pin)
+
+  /** The entry descent for ALL requested beams at once: each beam's
+    * top-`b` layer-2 seeds expand one greedy round through the layer-1
+    * pivot graph and re-rank by true cosine — HNSW's upper-layer descent
+    * with a fixed round count (deterministic, so the oracle unrolls it
+    * verbatim). The seeds stay in the candidate set (greedy keeps the
+    * current best when no neighbor improves). Output is beam-tagged:
+    * (beam, query_id, node).
+    */
+  private def nswEntry(entryScored: DataFrame, symL1: DataFrame,
+      q: DataFrame, corpus: DataFrame, beams: Seq[Int]): DataFrame = {
+    val l2 = beams.map(b => entryScored.filter(col("rk") <= b)
+        .select(lit(b).as("beam"), col("query_id"), col("node")))
+      .reduce(_ unionByName _)
+    val x = l2.unionByName(l2.join(symL1, Seq("node"))
+        .select(col("beam"), col("query_id"), col("dst").as("node")))
+      .distinct()
+    nswScoreB(q, corpus)(x)
+      .withColumn("rk", row_number().over(wBeamB))
+      .filter(col("rk") <= col("beam"))
+      .select(col("beam"), col("query_id"), col("node"))
+      .transform(Iterate.pin)
+  }
+
+  /** The walk's visited set (beam, query_id, node), every beam advancing
+    * in LOCKSTEP: the sweep's three beam widths ride one pin chain
+    * (4 eager jobs total) instead of one chain per beam — the rank
+    * filter is per-row (`rk <= beam`), so each sweep point still cuts at
+    * its own width inside the shared window pass. The FINAL round's beam
+    * pick is never consumed (only the expanded set reaches `visited`),
+    * so it is skipped outright. Only the per-round CAND frame and the
+    * final set are pinned: `expanded` derives from cand by one tiny
+    * in-memory join, cheaper recomputed than materialized.
     */
   private def nswVisited(sym: DataFrame, q: DataFrame, corpus: DataFrame,
-      beam: Int): DataFrame = {
-    val score = nswScore(q, corpus) _
-    val wBeam = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("node"))
-    // layer-1 search: exhaustive scan of the pivot tier picks each
-    // query's entry beam (HNSW's upper-layer descent, one fixed layer)
-    var cand = score(q.select(col("query_id"))
-        .crossJoin(corpus.filter(col("node") % NswPivotMod === 0)
-          .select(col("node"))))
-      .withColumn("rk", row_number().over(wBeam))
-      .filter(col("rk") <= beam)
-      .select(col("query_id"), col("node"))
-      .transform(Iterate.pin)
+      entry: DataFrame): DataFrame = {
+    val score = nswScoreB(q, corpus) _
+    var cand = entry
     var visited = cand
     for (r <- 1 to NswRounds) {
       val expanded = cand
         .unionByName(cand.join(sym, Seq("node"))
-          .select(col("query_id"), col("dst").as("node")))
+          .select(col("beam"), col("query_id"), col("dst").as("node")))
         .distinct()
-        .transform(Iterate.pin)
       visited = visited.unionByName(expanded)
       if (r < NswRounds)
         cand = score(expanded)
-          .withColumn("rk", row_number().over(wBeam))
-          .filter(col("rk") <= beam)
-          .select(col("query_id"), col("node"))
+          .withColumn("rk", row_number().over(wBeamB))
+          .filter(col("rk") <= col("beam"))
+          .select(col("beam"), col("query_id"), col("node"))
           .transform(Iterate.pin)
     }
-    visited.distinct()
+    // pinned: the sweep consumes the visited set TWICE (n_visited count +
+    // final scoring); without the pin each consumer re-runs the whole
+    // union-of-expansions tree
+    Iterate.pin(visited.distinct())
   }
 
-  def nswWalk(emb: DataFrame, pre: Option[DataFrame] = None,
-      pre2: Option[DataFrame] = None): DataFrame = {
-    val (sym, q, corpus) = nswParts(emb, pre, pre2)
+  /** [[nswEntryScored]] memoized per (session, fixture). */
+  def nswEntryScoredCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    knnCache.computeIfAbsent((emb.sparkSession, "nswentry:" + cacheKey),
+      _ => { val (q, corpus) = nswQCorpus(emb); nswEntryScored(q, corpus) })
+  }
+
+  /** The beam-[[NswBeam]] visited set (query_id, node) memoized per
+    * (session, fixture) — `sim_nsw_walk` and `sim_nsw_recall` run the
+    * SAME deterministic walk, so the second consumer reuses the pinned
+    * set and pays only its own final scoring pass. */
+  def nswVisitedCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // dependencies resolved BEFORE the computeIfAbsent below: a nested
+    // computeIfAbsent on the same map throws "Recursive update"
+    val es = nswEntryScoredCached(emb, cacheKey)
+    val l1 = pivotSymCached(emb, cacheKey)
+    val sym = nswSymCached(emb, cacheKey)
+    knnCache.computeIfAbsent((emb.sparkSession, "nswvis:" + cacheKey), _ => {
+      val (q, corpus) = nswQCorpus(emb)
+      // beam is the constant NswBeam: dropping it keeps the set distinct
+      nswVisited(sym, q, corpus,
+        nswEntry(es, l1, q, corpus, Seq(NswBeam))).drop("beam")
+    })
+  }
+
+  /** Final answer from a visited set: score, drop self, top-[[AnnTopK]]. */
+  private def nswFinal(q: DataFrame, corpus: DataFrame,
+      visited: DataFrame): DataFrame = {
     val wFin = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
-    nswScore(q, corpus)(nswVisited(sym, q, corpus, NswBeam))
+    nswScore(q, corpus)(visited)
       .filter(col("node") =!= col("query_id"))
       .withColumn("rk", row_number().over(wFin))
       .filter(col("rk") <= AnnTopK)
       .select(col("query_id"), col("rk"), col("node").as("cand_id"),
         col("cos").as("cos_sim"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  def nswWalk(emb: DataFrame, pre: Option[DataFrame] = None,
+      pre2: Option[DataFrame] = None,
+      preL1: Option[DataFrame] = None): DataFrame = {
+    val (sym, symL1, q, corpus) = nswParts(emb, pre, pre2, preL1)
+    val entry = nswEntry(nswEntryScored(q, corpus), symL1, q, corpus,
+      Seq(NswBeam))
+    nswFinal(q, corpus, nswVisited(sym, q, corpus, entry).drop("beam"))
+  }
+
+  /** The registry route: every shared artifact (edge lists, pivot graph,
+    * entry scan, visited set) memoized per (session, fixture), so the
+    * walk itself is one scoring pass over the pinned visited set. */
+  def nswWalkCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    val (q, corpus) = nswQCorpus(emb)
+    nswFinal(q, corpus, nswVisitedCached(emb, cacheKey))
   }
 
   /** Beam-width sweep for the graph walk — recall@k AND vertices touched
@@ -608,26 +777,51 @@ object Similarity {
   val NswSweepBeams: Seq[Int] = Seq(2, 4, 8)
 
   def nswBeamSweep(emb: DataFrame, pre: Option[DataFrame] = None,
-      pre2: Option[DataFrame] = None): DataFrame = {
-    val (sym, q, corpus) = nswParts(emb, pre, pre2)
-    val truth = bruteTopK(emb).filter(col("rk") <= AnnTopK)
-      .select(col("query_id"), col("cand_id"))
-      .transform(Iterate.pin)
-    val wFin = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("node"))
-    NswSweepBeams.map { b =>
-      val vis = nswVisited(sym, q, corpus, b)
-      val nVis = vis.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_visited"))
-      val top = nswScore(q, corpus)(vis)
-        .filter(col("node") =!= col("query_id"))
-        .withColumn("rk", row_number().over(wFin))
-        .filter(col("rk") <= AnnTopK)
-        .select(col("query_id"), col("node").as("cand_id"))
-      nVis.join(recallAtK(truth, top), Seq("query_id"))
-        .select(lit(b).as("beam"), col("query_id"), col("n_visited"),
-          col("recall"))
-    }.reduce(_ unionByName _).orderBy(col("beam"), col("query_id"))
+      pre2: Option[DataFrame] = None,
+      preL1: Option[DataFrame] = None): DataFrame = {
+    val (sym, symL1, q, corpus) = nswParts(emb, pre, pre2, preL1)
+    // the layer-2 scan is beam-independent: scored and ranked ONCE, each
+    // sweep point rank-filters this one pinned frame
+    nswSweepFrom(sym, symL1, q, corpus, nswEntryScored(q, corpus),
+      Iterate.pin(bruteTopK(emb).filter(col("rk") <= AnnTopK)
+        .select(col("query_id"), col("cand_id"))))
+  }
+
+  /** The registry route for the sweep: all shared artifacts memoized. */
+  def nswBeamSweepCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    val (q, corpus) = nswQCorpus(emb)
+    nswSweepFrom(nswSymCached(emb, cacheKey), pivotSymCached(emb, cacheKey),
+      q, corpus, nswEntryScoredCached(emb, cacheKey),
+      bruteTruthCached(emb, cacheKey))
+  }
+
+  private def nswSweepFrom(sym: DataFrame, symL1: DataFrame, q: DataFrame,
+      corpus: DataFrame, entryScored: DataFrame,
+      truth: DataFrame): DataFrame = {
+    // ALL sweep points walk in lockstep through one beam-tagged chain
+    val vis = nswVisited(sym, q, corpus,
+      nswEntry(entryScored, symL1, q, corpus, NswSweepBeams))
+    val nVis = vis.groupBy(col("beam"), col("query_id"))
+      .agg(count(lit(1)).as("n_visited"))
+    val top = nswScoreB(q, corpus)(vis)
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wBeamB))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("beam"), col("query_id"), col("node").as("cand_id"))
+    // recallAtK, beam-tagged: same join + exact-int-over-exact-int double
+    // division, grouped by (beam, query) so one pass covers the sweep
+    val truthB = NswSweepBeams.map(b =>
+        truth.select(lit(b).as("beam"), col("query_id"), col("cand_id")))
+      .reduce(_ unionByName _)
+    val recall = truthB
+      .join(top.withColumn("hit", lit(1)),
+        Seq("beam", "query_id", "cand_id"), "left")
+      .groupBy(col("beam"), col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double")).as("recall"))
+    nVis.join(recall, Seq("beam", "query_id"))
+      .select(col("beam"), col("query_id"), col("n_visited"), col("recall"))
+      .orderBy(col("beam"), col("query_id"))
   }
 
   def sqlNswBeamSweep: String = {
@@ -659,18 +853,7 @@ object Similarity {
       val visUnion = (1 to NswRounds)
         .map(r => s"SELECT query_id, node FROM x${r}_$b")
         .mkString("\n    UNION\n    ")
-      s"""c0_$b AS (
-         |  SELECT query_id, node FROM (
-         |    SELECT q.vec_id AS query_id, p.vec_id AS node, ROW_NUMBER() OVER (
-         |      PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCosine("q.embedding", "p.embedding", Dim)
-                           .linesIterator.mkString(" ")} DESC, p.vec_id
-         |    ) AS rk
-         |    FROM embeddings q, embeddings p
-         |    WHERE q.vec_id < $NQueries AND p.vec_id % $NswPivotMod = 0
-         |  ) WHERE rk <= $b
-         |),
-         |$rounds,
+      s"""$rounds,
          |vis_$b AS (
          |  SELECT query_id, node FROM c0_$b
          |  UNION
@@ -701,44 +884,13 @@ object Similarity {
          |        GROUP BY e.query_id) r
          |    ON nv.query_id = r.query_id""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding,
-       |    ${sqlLshBucket("embedding")} AS bucket
-       |  FROM embeddings
-       |), scored AS (
-       |  SELECT q.vec_id AS src, c.vec_id AS dst,
-       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
-       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |), edges AS (
-       |  SELECT src, rk, dst FROM (
-       |    SELECT src, dst, cos,
-       |      ROW_NUMBER() OVER (PARTITION BY src
-       |                         ORDER BY cos DESC, dst) AS rk
-       |    FROM scored
-       |  ) WHERE rk <= $KnnGraphK
-       |), b2 AS (
-       |  SELECT vec_id, embedding,
-       |    ${sqlLshBucket2("embedding")} AS bucket
-       |  FROM embeddings
-       |), scored2 AS (
-       |  SELECT q.vec_id AS src, c.vec_id AS dst,
-       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
-       |  FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |), edges2 AS (
-       |  SELECT src, rk, dst FROM (
-       |    SELECT src, dst, cos,
-       |      ROW_NUMBER() OVER (PARTITION BY src
-       |                         ORDER BY cos DESC, dst) AS rk
-       |    FROM scored2
-       |  ) WHERE rk <= $KnnGraphK
-       |), sym AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM edges
-       |    UNION ALL SELECT dst, src FROM edges
-       |    UNION ALL SELECT src, dst FROM edges2
-       |    UNION ALL SELECT dst, src FROM edges2
-       |  )
-       |), brute AS (
+    s"""WITH ${sqlSymCtes("", "embeddings")},
+       |pv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $NswPivotMod = 0
+       |), ${sqlSymCtes("p", "pv")},
+       |${sqlEntryCtes(NswSweepBeams)},
+       |brute AS (
        |  SELECT query_id, cand_id FROM (
        |    ${sqlBruteTopK.linesIterator.mkString("\n    ")}
        |  ) WHERE rk <= $AnnTopK
@@ -747,6 +899,89 @@ object Similarity {
        |SELECT beam, query_id, n_visited, recall FROM (
        |  $beamRows
        |) ORDER BY beam, query_id""".stripMargin
+  }
+
+  /** The two-hash symmetrized kNN edge CTEs over relation `rel`,
+    * prefix-namespaced — shared verbatim by the base layer (`rel` =
+    * embeddings) and the layer-1 pivot graph (`rel` = the pivot-filtered
+    * tier), mirroring [[knnEdgesWith]] + [[pivotSym]].
+    */
+  private def sqlSymCtes(p: String, rel: String): String =
+    s"""${p}b AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket("embedding")} AS bucket
+       |  FROM $rel
+       |), ${p}scored AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM ${p}b q JOIN ${p}b c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), ${p}edges AS (
+       |  SELECT src, rk, dst FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM ${p}scored
+       |  ) WHERE rk <= $KnnGraphK
+       |), ${p}b2 AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlLshBucket2("embedding")} AS bucket
+       |  FROM $rel
+       |), ${p}scored2 AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS dst,
+       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
+       |  FROM ${p}b2 q JOIN ${p}b2 c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |), ${p}edges2 AS (
+       |  SELECT src, rk, dst FROM (
+       |    SELECT src, dst, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY cos DESC, dst) AS rk
+       |    FROM ${p}scored2
+       |  ) WHERE rk <= $KnnGraphK
+       |), ${p}sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ${p}edges
+       |    UNION ALL SELECT dst, src FROM ${p}edges
+       |    UNION ALL SELECT src, dst FROM ${p}edges2
+       |    UNION ALL SELECT dst, src FROM ${p}edges2
+       |  )
+       |)""".stripMargin
+
+  /** The hierarchical-entry CTEs: the shared ranked layer-2 scan (`l2s`)
+    * plus, per beam, the seed filter and one descent round through
+    * `psym` — mirrors [[nswEntryScored]] + [[nswEntry]]. */
+  private def sqlEntryCtes(beams: Seq[Int]): String = {
+    val l2s =
+      s"""l2s AS (
+         |  SELECT q.vec_id AS query_id, p.vec_id AS node, ROW_NUMBER() OVER (
+         |    PARTITION BY q.vec_id
+         |    ORDER BY ${sqlCosine("q.embedding", "p.embedding", Dim)
+                         .linesIterator.mkString(" ")} DESC, p.vec_id
+         |  ) AS rk
+         |  FROM embeddings q, embeddings p
+         |  WHERE q.vec_id < $NQueries AND p.vec_id % $NswL2Mod = 0
+         |)""".stripMargin
+    val perBeam = beams.map { b =>
+      s"""c0_$b AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT x.query_id, x.node, ROW_NUMBER() OVER (
+         |      PARTITION BY x.query_id
+         |      ORDER BY ${sqlCosine("q.embedding", "e.embedding", Dim)
+                           .linesIterator.mkString(" ")} DESC, x.node
+         |    ) AS rk
+         |    FROM (SELECT DISTINCT query_id, node FROM (
+         |        SELECT query_id, node FROM l2s WHERE rk <= $b
+         |        UNION ALL
+         |        SELECT l.query_id, s.dst AS node
+         |        FROM (SELECT query_id, node FROM l2s WHERE rk <= $b) l
+         |        JOIN psym s ON l.node = s.src)) x
+         |    JOIN embeddings e ON e.vec_id = x.node
+         |    JOIN embeddings q ON q.vec_id = x.query_id
+         |  ) WHERE rk <= $b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$l2s,\n$perBeam"
   }
 
   def sqlNswWalk: String = {
@@ -775,54 +1010,13 @@ object Similarity {
     }.mkString(",\n")
     val visUnion = (1 to NswRounds).map(r => s"SELECT query_id, node FROM x$r")
       .mkString("\n    UNION\n    ")
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding,
-       |    ${sqlLshBucket("embedding")} AS bucket
-       |  FROM embeddings
-       |), scored AS (
-       |  SELECT q.vec_id AS src, c.vec_id AS dst,
-       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
-       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |), edges AS (
-       |  SELECT src, rk, dst FROM (
-       |    SELECT src, dst, cos,
-       |      ROW_NUMBER() OVER (PARTITION BY src
-       |                         ORDER BY cos DESC, dst) AS rk
-       |    FROM scored
-       |  ) WHERE rk <= $KnnGraphK
-       |), b2 AS (
-       |  SELECT vec_id, embedding,
-       |    ${sqlLshBucket2("embedding")} AS bucket
-       |  FROM embeddings
-       |), scored2 AS (
-       |  SELECT q.vec_id AS src, c.vec_id AS dst,
-       |    ${sqlCosine("q.embedding", "c.embedding", Dim)} AS cos
-       |  FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |), edges2 AS (
-       |  SELECT src, rk, dst FROM (
-       |    SELECT src, dst, cos,
-       |      ROW_NUMBER() OVER (PARTITION BY src
-       |                         ORDER BY cos DESC, dst) AS rk
-       |    FROM scored2
-       |  ) WHERE rk <= $KnnGraphK
-       |), sym AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM edges
-       |    UNION ALL SELECT dst, src FROM edges
-       |    UNION ALL SELECT src, dst FROM edges2
-       |    UNION ALL SELECT dst, src FROM edges2
-       |  )
-       |), c0 AS (
-       |  SELECT query_id, node FROM (
-       |    SELECT q.vec_id AS query_id, p.vec_id AS node, ROW_NUMBER() OVER (
-       |      PARTITION BY q.vec_id
-       |      ORDER BY ${sqlCosine("q.embedding", "p.embedding", Dim)
-                         .linesIterator.mkString(" ")} DESC, p.vec_id
-       |    ) AS rk
-       |    FROM embeddings q, embeddings p
-       |    WHERE q.vec_id < $NQueries AND p.vec_id % $NswPivotMod = 0
-       |  ) WHERE rk <= $NswBeam
-       |),
+    s"""WITH ${sqlSymCtes("", "embeddings")},
+       |pv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $NswPivotMod = 0
+       |), ${sqlSymCtes("p", "pv")},
+       |${sqlEntryCtes(Seq(NswBeam))},
+       |c0 AS (SELECT query_id, node FROM c0_$NswBeam),
        |$rounds,
        |vis AS (
        |  SELECT query_id, node FROM c0

@@ -95,6 +95,19 @@ object AsOfJoinPhys {
       org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttrs)
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
+    // at cluster scale the Spark UI is otherwise blind inside the merge:
+    // numMatched/numUnmatched split the left side by match outcome
+    // (inner drops unmatched; outer emits them null-padded), so a skewed
+    // or empty match rate is visible per-stage without a debug run
+    override lazy val metrics: Map[String,
+        org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows"),
+      "numUnmatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of unmatched left rows"))
+
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(leftKeys) ::
         ClusteredDistribution(rightKeys) :: Nil
@@ -130,7 +143,16 @@ object AsOfJoinPhys {
       // unlimited tolerance = MaxValue: one uniform bound check per match,
       // no per-row Option branching
       val tolV = tolerance.getOrElse(Long.MaxValue)
+      val mOut = longMetric("numOutputRows")
+      val mMatch = longMetric("numMatched")
+      val mUnmatch = longMetric("numUnmatched")
       left.execute().zipPartitions(right.execute()) { (li, ri) =>
+        @inline def emitMatched(r: InternalRow): InternalRow = {
+          mMatch.add(1); r
+        }
+        @inline def emitUnmatched(r: InternalRow): InternalRow = {
+          mUnmatch.add(1); r
+        }
         val lKeyProj = UnsafeProjection.create(lKeys, lOut)
         val rKeyProj = UnsafeProjection.create(rKeys, rOut)
         val keyOrd =
@@ -194,12 +216,12 @@ object AsOfJoinPhys {
                   }
                 }
                 if (keyMatch && rt - lts <= tolV) {
-                  nextRow = resultProj(joined(l, rBuf.head))
+                  nextRow = emitMatched(resultProj(joined(l, rBuf.head)))
                 } else if (outer) {
-                  nextRow = nullProj(l)
+                  nextRow = emitUnmatched(nullProj(l))
                 }
               } else if (outer) { // NULL left time: unmatched, kept
-                nextRow = nullProj(l)
+                nextRow = emitUnmatched(nullProj(l))
               }
             }
           }
@@ -212,6 +234,7 @@ object AsOfJoinPhys {
             if (nextRow == null) advance()
             val r = nextRow
             nextRow = null
+            mOut.add(1)
             r
           }
         } else if (nearest) new Iterator[InternalRow] {
@@ -259,14 +282,14 @@ object AsOfJoinPhys {
                 val bwdOk = cur != null && curKey != null &&
                   keyOrd.compare(curKey, lk) == 0
                 if (bwdOk && (!fwdOk || lts - curRt <= fwdRt - lts)) {
-                  nextRow = resultProj(joined(l, cur))
+                  nextRow = emitMatched(resultProj(joined(l, cur)))
                 } else if (fwdOk) {
-                  nextRow = resultProj(joined(l, rBuf.head))
+                  nextRow = emitMatched(resultProj(joined(l, rBuf.head)))
                 } else if (outer) {
-                  nextRow = nullProj(l)
+                  nextRow = emitUnmatched(nullProj(l))
                 }
               } else if (outer) { // NULL left time: unmatched, kept
-                nextRow = nullProj(l)
+                nextRow = emitUnmatched(nullProj(l))
               }
             }
           }
@@ -279,6 +302,7 @@ object AsOfJoinPhys {
             if (nextRow == null) advance()
             val r = nextRow
             nextRow = null
+            mOut.add(1)
             r
           }
         } else new Iterator[InternalRow] {
@@ -320,12 +344,12 @@ object AsOfJoinPhys {
                 if (cur != null && curKey != null &&
                     keyOrd.compare(curKey, lk) == 0 &&
                     lts - curRt <= tolV) {
-                  nextRow = resultProj(joined(l, cur))
+                  nextRow = emitMatched(resultProj(joined(l, cur)))
                 } else if (outer) {
-                  nextRow = nullProj(l)
+                  nextRow = emitUnmatched(nullProj(l))
                 }
               } else if (outer) { // NULL left time: unmatched, kept
-                nextRow = nullProj(l)
+                nextRow = emitUnmatched(nullProj(l))
               }
             }
           }
@@ -338,6 +362,7 @@ object AsOfJoinPhys {
             if (nextRow == null) advance()
             val r = nextRow
             nextRow = null
+            mOut.add(1)
             r
           }
         }

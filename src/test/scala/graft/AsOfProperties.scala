@@ -421,4 +421,40 @@ class AsOfProperties extends SparkSuite {
       assert(out == bruteOuter(ls, rs), s"seed=$seed left=$ls right=$rs")
     }
   }
+
+  test("physical as-of exposes SQLMetrics: matched/unmatched split the left") {
+    val (ls, rs) = (sample(lGen, 777L), sample(rGen, 778L))
+    val ldf = ls.toDF("k", "lt_s", "pay")
+      .withColumn("lt", col("lt_s").cast("timestamp"))
+    val rdf = rs.toDF("k", "rt_s", "v")
+      .withColumn("rt", col("rt_s").cast("timestamp")).drop("rt_s")
+    val out = graft.plans.AsOfJoinPhys
+      .asOf(ldf, rdf, Seq("k"), "lt", "rt", Seq("v"), outer = true)
+    val rows = out.collect()
+    // AQE wraps the physical plan; the final plan is on the adaptive
+    // root, and QueryStageExec nodes hide their inner plan from
+    // `children` — descend through both explicitly
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinPhys.AsOfJoinExec] = p match {
+      case e: graft.plans.AsOfJoinPhys.AsOfJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case other => other.children.iterator.map(find)
+        .collectFirst { case Some(e) => e }
+    }
+    val exec = find(out.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec not in executed plan:\n" +
+        out.queryExecution.executedPlan))
+    val m = exec.metrics
+    assert(Set("numOutputRows", "numMatched", "numUnmatched")
+      .subsetOf(m.keySet))
+    // outer: every left row is emitted exactly once
+    assert(rows.length == ls.length)
+    assert(m("numOutputRows").value == rows.length)
+    val matched = brute(ls, rs, forward = false).size
+    assert(m("numMatched").value == matched)
+    assert(m("numUnmatched").value == rows.length - matched)
+  }
 }

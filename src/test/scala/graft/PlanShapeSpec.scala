@@ -760,4 +760,43 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       "a |seeds|-row count frame regressed to a sort-merge join:\n" + p)
   }
+
+  test("registry sweep: every unpartitioned window sits above an aggregate") {
+    // The "global order without global windows" discipline (SCALE.md):
+    // a Window with NO partitionBy serializes its whole input through one
+    // task, which is only acceptable when an upstream Aggregate has
+    // already bounded the cardinality (daily rollups, per-group stats).
+    // Nothing used to ENFORCE that for new queries — this sweep walks
+    // every registry plan and flags any single-partition window whose
+    // input subtree contains no cardinality bound. A bound is an
+    // Aggregate, a GlobalLimit (rank-filtered top-k windows are
+    // rewritten by LimitPushDownThroughWindow into a distributed
+    // Sort+Limit BELOW the window — the TakeOrdered shape), or a
+    // WindowGroupLimit (the partial per-partition rank cut). Streaming
+    // oracles are skipped (building them runs real micro-batch
+    // pipelines, and their final state frames are tiny aggregations by
+    // construction); whitelisted names would be ones whose bounding
+    // aggregate hides UPSTREAM of an Iterate.pin lineage cut (the pin
+    // materializes as a LogicalRDD, so the optimizer — and this sweep —
+    // cannot see past it); currently none.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow, WindowGroupLimit}
+    val whitelist = Set[String]()
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("stream_") && !whitelist(name)) {
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case a: Aggregate => a
+              case l: GlobalLimit => l
+              case g: WindowGroupLimit => g
+            }.isEmpty => w
+      }
+      if (bad.nonEmpty) offenders += name
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned window over an unbounded input in: " +
+        offenders.mkString(", "))
+  }
 }

@@ -10,11 +10,12 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has a matching oracle (sketches rows-only by design)") {
+  test("every query has a matching oracle — zero waivers") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // non-SQL-expressible ops (sketch outputs) are the only rows-only checks
+    // sketch_distinct, the last rows-only entry, is now oracled by
+    // CONTRACT (within-bound booleans the DuckDB side asserts TRUE)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ==
-      Set("sketch_distinct"))
+      Set.empty[String])
   }
 
   for ((name, fn) <- SparkEntry.queries) {
