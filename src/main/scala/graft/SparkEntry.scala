@@ -2312,6 +2312,98 @@ object SparkEntry {
        |GROUP BY cutoff ORDER BY cutoff""".stripMargin
   }
 
+  // --------------------------------------- text_kn_lm / text_kn_score
+  // Interpolated Kneser–Ney smoothing over the SAME pair-count CTEs as
+  // text_ngram_lm (see TextOps.knLm/knScore scaladoc): absolute discount
+  // D frees per-prefix mass λ(u) = D·N1+(u,·)/c(u,·), redistributed by
+  // continuation fan-in P_cont(w) = N1+(·,w)/N1+(·,·). All inputs are
+  // exact BIGINT counts; both engines evaluate the identical IEEE
+  // multiply/divide/add tree, so probabilities hash-match bit for bit.
+  private val KnDiscount = 0.75
+
+  private def qKnLm(s: SparkSession, dir: String): DataFrame =
+    TextOps.knLm(docs(s, dir), LmMinPrefix, LmTopPerPrefix, KnDiscount)
+      .orderBy(col("prefix"), col("rk"))
+
+  /** KN stat CTEs layered on [[sqlLmCtes]] (which ends at the ranked,
+    * min-prefix-filtered `lm`): per-prefix type fan-out, per-word type
+    * fan-in, total bigram-type count.
+    */
+  private val sqlKnCtes: String =
+    s"""pstat AS (
+       |  SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_types
+       |  FROM pc GROUP BY prefix
+       |), wstat AS (
+       |  SELECT next_word, CAST(COUNT(*) AS BIGINT) AS n_prec
+       |  FROM pc GROUP BY next_word
+       |), tstat AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM pc
+       |)""".stripMargin
+
+  /** The P_KN expression tree — spelled identically in Spark (TextOps.knLm)
+    * and here so every IEEE step rounds the same way.
+    */
+  private val sqlKnD = s"CAST($KnDiscount AS DOUBLE)"
+  private val sqlKnBackoffW: String =
+    s"($sqlKnD * CAST(n_types AS DOUBLE)) / CAST(n_prefix AS DOUBLE)"
+  private val sqlKnPCont: String =
+    "CAST(n_prec AS DOUBLE) / CAST(t_types AS DOUBLE)"
+  private val sqlKnP: String =
+    s"""greatest(CAST(n_pair AS DOUBLE) - $sqlKnD, CAST(0.0 AS DOUBLE))
+       |    / CAST(n_prefix AS DOUBLE)
+       |    + ($sqlKnBackoffW) * ($sqlKnPCont)""".stripMargin
+
+  private val sqlKnLm: String =
+    s"""WITH $sqlLmCtes,
+       |$sqlKnCtes
+       |SELECT lm.prefix, lm.rk, lm.next_word, lm.n_pair, lm.n_prefix,
+       |  pstat.n_types, wstat.n_prec, tstat.t_types,
+       |  $sqlKnBackoffW AS backoff_w,
+       |  $sqlKnPCont AS p_cont,
+       |  $sqlKnP AS p_kn
+       |FROM lm JOIN pstat USING (prefix) JOIN wstat USING (next_word)
+       |  CROSS JOIN tstat
+       |WHERE rk <= $LmTopPerPrefix
+       |ORDER BY prefix, rk""".stripMargin
+
+  private def qKnScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.knScore(docs(s, dir), LmMinPrefix, LmTopPerPrefix, KnDiscount)
+      .orderBy(col("doc_id"))
+
+  private val sqlKnScore: String = {
+    val pExpr =
+      s"""CASE WHEN p_kn IS NOT NULL THEN p_kn
+         |    WHEN backoff_w IS NOT NULL AND n_prec IS NOT NULL
+         |      THEN backoff_w * (CAST(n_prec AS DOUBLE)
+         |        / CAST(t_types AS DOUBLE))
+         |    ELSE CAST(1 AS DOUBLE) / CAST(t_types AS DOUBLE) END"""
+        .stripMargin.linesIterator.mkString(" ")
+    s"""WITH $sqlLmCtes,
+       |$sqlKnCtes,
+       |knt AS (
+       |  SELECT lm.prefix, lm.next_word, $sqlKnP AS p_kn
+       |  FROM lm JOIN pstat USING (prefix) JOIN wstat USING (next_word)
+       |    CROSS JOIN tstat
+       |  WHERE rk <= $LmTopPerPrefix
+       |), lamt AS (
+       |  SELECT prefix, $sqlKnBackoffW AS backoff_w
+       |  FROM t JOIN pstat USING (prefix)
+       |  WHERE n_prefix >= $LmMinPrefix
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN p_kn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN p_kn IS NULL AND backoff_w IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  ${graft.functions.Exact.sqlSum(pExpr, 9)} / COUNT(*) AS mean_p
+       |FROM bg
+       |  LEFT JOIN knt USING (prefix, next_word)
+       |  LEFT JOIN lamt USING (prefix)
+       |  LEFT JOIN wstat USING (next_word)
+       |  CROSS JOIN tstat
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- profile_eqdepth
   // Equi-depth (quantile-bucketed) histogram of the event values — the
   // profiling complement to profile_histogram's fixed-width buckets:
@@ -6881,6 +6973,7 @@ object SparkEntry {
     "stream_join_state"  -> graft.streaming.StreamOracles.joinState _,
     "stream_window_state" -> graft.streaming.StreamOracles.windowState _,
     "stream_mg_state"   -> graft.streaming.StreamOracles.mgState _,
+    "stream_asof_state" -> graft.streaming.StreamOracles.asOfState _,
     "stream_drop_state" -> graft.streaming.StreamOracles.dropState _,
     "text_tokens"       -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality"      -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
@@ -6913,8 +7006,8 @@ object SparkEntry {
     "corpus_mix_temp"   -> ((s, d) => TrainingData.mixtureTemperature(docs(s, d))),
     "text_repetition"   -> ((s, d) => TrainingData.repetition(docs(s, d))),
     "events_redact"     -> ((s, d) => TrainingData.redact(Tables.events(s, d))),
-    "decon_overlap"     -> ((s, d) => TrainingData.decontaminate(docs(s, d))),
-    "decon_bloom"       -> ((s, d) => TrainingData.bloomDecon(docs(s, d))),
+    "decon_overlap"     -> ((s, d) => TrainingData.decontaminate(docs(s, d), d)),
+    "decon_bloom"       -> ((s, d) => TrainingData.bloomDecon(docs(s, d), d)),
     "dedup_canonical"   -> ((s, d) =>
       Dedup.canonicalFrom(docs(s, d), arts(s, d).components)),
     "dedup_communities" -> ((s, d) =>
@@ -7282,6 +7375,8 @@ object SparkEntry {
     "text_ngram_lm"     -> qNgramLm _,
     "text_lm_score"     -> qLmScore _,
     "text_lm_sweep"     -> qLmSweep _,
+    "text_kn_lm"        -> qKnLm _,
+    "text_kn_score"     -> qKnScore _,
     "profile_eqdepth"   -> qEqdepth _,
     "profile_top_values" -> ((s, d) => graft.operators.Profile.topValues(
       Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -7428,6 +7523,7 @@ object SparkEntry {
     // the streamed MG sketch is exact at this capacity, so its final
     // state must match the SAME exact SQL the batch sketch matches
     "stream_mg_state"   -> sqlHeavyHitters,
+    "stream_asof_state" -> graft.streaming.StreamOracles.sqlAsOfState,
     "stream_drop_state" -> graft.streaming.StreamOracles.sqlDropState,
     "text_tokens"       -> TextOps.sqlTokenCounts,
     "text_quality"      -> TextOps.sqlQuality,
@@ -7712,6 +7808,8 @@ object SparkEntry {
     "text_ngram_lm"     -> sqlNgramLm,
     "text_lm_score"     -> sqlLmScore,
     "text_lm_sweep"     -> sqlLmSweep,
+    "text_kn_lm"        -> sqlKnLm,
+    "text_kn_score"     -> sqlKnScore,
     "profile_eqdepth"   -> sqlEqdepth,
     "profile_top_values" -> graft.operators.Profile.sqlTopValues,
     "q75_calendar"      -> sqlCalendar,

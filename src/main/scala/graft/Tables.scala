@@ -48,6 +48,7 @@ object Tables {
     // likewise the shared cluster artifacts pin corpus-derived blocks
     graft.operators.Dedup.invalidateArtifacts(spark)
     graft.operators.CorpusClean.invalidate(spark)
+    graft.operators.TrainingData.invalidateShingles(spark)
     graft.operators.Graph.invalidateEdges(spark)
     graft.operators.Similarity.invalidateResiduals(spark)
   }

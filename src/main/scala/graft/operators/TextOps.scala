@@ -1866,6 +1866,110 @@ object TextOps {
           .as("mean_inv_p"))
   }
 
+  // --------------------------------------------- Kneser–Ney LM + scoring
+  /** Interpolated Kneser–Ney bigram table (Kneser & Ney, ICASSP 1995;
+    * Chen & Goodman, CSL 1999 — the smoothing KenLM ships as its default
+    * and CCNet-style quality filters score with). Upgrades [[bigramLm]]'s
+    * raw conditional counts with absolute discounting plus a continuation
+    * back-off:
+    *
+    *   P_KN(w|u) = max(c(u,w) − D, 0)/c(u,·) + λ(u) · P_cont(w)
+    *   λ(u)      = D · N1+(u,·)/c(u,·)        (mass freed by discounting)
+    *   P_cont(w) = N1+(·,w)/N1+(·,·)          (type fan-in, not frequency)
+    *
+    * Every input is an exact BIGINT count off ONE pair aggregation; the
+    * emitted probabilities are fixed trees of IEEE multiply/divide/add over
+    * those counts — the SQL twin spells the identical tree, so both engines
+    * round identically at every step (no libm anywhere).
+    *
+    * Scale shape: one corpus explode → pair hash agg (map-side partial);
+    * the prefix stats (c(u,·), N1+(u,·)), word fan-in (N1+(·,w)) and total
+    * type count all derive from the vocab²-bounded pair frame — the corpus
+    * is never rescanned, and the identical pair-agg subtrees collapse into
+    * one exchange via Spark's ReuseExchange (the [[bigramLm]] discipline).
+    * Top-k per prefix is a WindowGroupLimit rank; the type-total attaches
+    * as a broadcast 1-row aggregate.
+    */
+  def knLm(docs: DataFrame, minPrefix: Long, topK: Int,
+      discount: Double): DataFrame = {
+    val pc = bigrams(docs)
+      .groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("n_pair"))
+    val pre = pc.groupBy(col("prefix"))
+      .agg(sum(col("n_pair")).as("n_prefix"),
+        count(lit(1)).as("n_types"))
+    val wrd = pc.groupBy(col("next_word")).agg(count(lit(1)).as("n_prec"))
+    val tot = pc.agg(count(lit(1)).as("t_types"))
+    val byPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix")).orderBy(col("n_pair").desc, col("next_word"))
+    val d = lit(discount)
+    val backoffW = (d * col("n_types").cast("double")) /
+      col("n_prefix").cast("double")
+    val pCont = col("n_prec").cast("double") / col("t_types").cast("double")
+    pc.join(pre, Seq("prefix"))
+      .filter(col("n_prefix") >= minPrefix)
+      .withColumn("rk", row_number().over(byPrefix))
+      .filter(col("rk") <= topK)
+      .join(wrd, Seq("next_word"))
+      .crossJoin(broadcast(tot))
+      .select(col("prefix"), col("rk"), col("next_word"), col("n_pair"),
+        col("n_prefix"), col("n_types"), col("n_prec"), col("t_types"),
+        backoffW.as("backoff_w"), pCont.as("p_cont"),
+        (greatest(col("n_pair").cast("double") - d, lit(0.0)) /
+          col("n_prefix").cast("double") + backoffW * pCont).as("p_kn"))
+  }
+
+  /** Document scoring under the interpolated KN model — the [[lmScore]]
+    * shape with a principled back-off chain instead of a flat miss
+    * penalty: a bigram in the top-k table scores its interpolated P_KN; a
+    * miss under a FREQUENT prefix (≥ minPrefix, so the model has a λ for
+    * it) scores λ(u)·P_cont(w); a rare prefix falls to the flat 1/N1+(·,·)
+    * continuation floor. Emits the MEAN PREDICTED PROBABILITY (higher =
+    * more predictable text) rather than mean inverse: every addend is in
+    * (0, 1], so the exact-decimal sum needs no magnitude guard and the
+    * score is bounded regardless of how tiny a back-off product gets.
+    *
+    * Scale shape: the KN table, prefix-λ frame and word-fan-in frame are
+    * all vocabulary-sized → BROADCAST joins against the corpus bigram
+    * stream; the type total rides as a broadcast 1-row aggregate; one
+    * doc-keyed hash agg ends the plan. The corpus shuffles once.
+    */
+  def knScore(docs: DataFrame, minPrefix: Long, topK: Int,
+      discount: Double): DataFrame = {
+    val d = lit(discount)
+    val pc = bigrams(docs)
+      .groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("n_pair"))
+    val kn = knLm(docs, minPrefix, topK, discount)
+      .select(col("prefix"), col("next_word"), col("p_kn"))
+    val lam = pc.groupBy(col("prefix"))
+      .agg(sum(col("n_pair")).as("n_prefix"), count(lit(1)).as("n_types"))
+      .filter(col("n_prefix") >= minPrefix)
+      .select(col("prefix"),
+        ((d * col("n_types").cast("double")) / col("n_prefix").cast("double"))
+          .as("backoff_w"))
+    val wrd = pc.groupBy(col("next_word")).agg(count(lit(1)).as("n_prec"))
+    val tot = pc.agg(count(lit(1)).as("t_types"))
+    val p = when(col("p_kn").isNotNull, col("p_kn"))
+      .when(col("backoff_w").isNotNull && col("n_prec").isNotNull,
+        col("backoff_w") *
+          (col("n_prec").cast("double") / col("t_types").cast("double")))
+      .otherwise(lit(1.0) / col("t_types").cast("double"))
+    bigrams(docs)
+      .join(broadcast(kn), Seq("prefix", "next_word"), "left")
+      .join(broadcast(lam), Seq("prefix"), "left")
+      .join(broadcast(wrd), Seq("next_word"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_kn").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_hits"),
+        sum(when(col("p_kn").isNull && col("backoff_w").isNotNull, lit(1L))
+          .otherwise(lit(0L))).as("n_backoff"),
+        (graft.functions.Exact.xsum(p, 9) / count(lit(1))).as("mean_p"))
+  }
+
   // ------------------------------------------------------- collocations
   /** Collocation extraction by LIFT — the rational form of PMI
     * (Church & Hanks, "Word association norms, mutual information, and

@@ -541,8 +541,38 @@ object TrainingData {
       .select(col("doc_id"),
         array_distinct(Dedup.shingleHashes(col("wh"), DeconK)).as("hs"))
 
-  def decontaminate(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
+  /** Per-(session, key) memo of the PINNED [[shingleSets]] frame. The
+    * md5 word-hash + k-gram chains are the decon family's CPU; the frame
+    * is read THREE times by [[bloomDecon]] (eval grams, train probes,
+    * exact verify) and twice by [[decontaminate]], and both queries share
+    * the same corpus — without the pin each consumer re-evaluates the
+    * whole chain per document (higher-order map/transform expressions
+    * don't codegen, so no subexpression elimination applies and there is
+    * no exchange below them for ReuseExchange to collapse). Same
+    * composition-cache discipline as [[Dedup.clusterArtifactsCached]]:
+    * stopped sessions are swept on access; a fixture rewrite must call
+    * [[invalidateShingles]] (wired into `Tables.invalidate`). An empty
+    * cacheKey (the unit-test path) pins without memoizing.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  private def shingleSetsCached(docs: DataFrame, cacheKey: String): DataFrame =
+    if (cacheKey.isEmpty) Iterate.pin(shingleSets(docs))
+    else {
+      shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      shingleCache.computeIfAbsent((docs.sparkSession, cacheKey),
+        _ => Iterate.pin(shingleSets(docs)))
+    }
+
+  def invalidateShingles(spark: org.apache.spark.sql.SparkSession): Unit = {
+    shingleCache.keySet.removeIf(_._1 eq spark)
+    ()
+  }
+
+  def decontaminate(docs: DataFrame, cacheKey: String = ""): DataFrame = {
+    val sh = shingleSetsCached(docs, cacheKey)
     // explode_outer, NOT explode: for plain explode Catalyst infers a
     // `size(hs) > 0 AND isnotnull(hs)` filter below the Generate, and
     // predicate pushdown re-inlines the whole shingle chain into that
@@ -636,8 +666,8 @@ object TrainingData {
   private def sqlBloomPos(h: String, j: Int): String =
     s"(($h * ${bloomA(j)} + ${bloomB(j)}) % ${Dedup.MinhashP} % $BloomBits)"
 
-  def bloomDecon(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
+  def bloomDecon(docs: DataFrame, cacheKey: String = ""): DataFrame = {
+    val sh = shingleSetsCached(docs, cacheKey)
     val evalGrams = sh.filter(col("doc_id") % EvalMod === 0)
       .select(explode_outer(col("hs")).as("h")).distinct()
     // filter build: distinct positions → distinct single-bit masks per

@@ -541,6 +541,75 @@ object StreamOracles {
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  // ----------------------------------------------------- stream_asof_state
+  /** Streaming AS-OF enrichment ([[Streams.asOfStream]]): purchases
+    * stamped with the user's latest preceding view, run as
+    * `flatMapGroupsWithState` over TWO time-ordered micro-batches split at
+    * mid-month — the per-key ORDERED-REPLAY state shape none of the other
+    * oracles exercises (the carried state is a single latest-version
+    * triple, not an aggregate or a window). Cross-batch continuity is the
+    * point: a batch-2 purchase whose preceding view arrived in batch 1
+    * must read that view from the state store. Time-ordered split is the
+    * oracle contract (see [[Streams.asOfFunc]]); the batch oracle is the
+    * plain lexicographic as-of join.
+    */
+  def asOfState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val src = cachedSrc(s"asof|$dir") { d =>
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) < 16), d, 0)
+      writeBatchFile(ev.filter(dayofmonth(col("ts")) >= 16), d, 1)
+    }
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val in = streamFiles(ss, src, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))).as[Streams.AsOfEv]
+    val name = s"graft_stream_asof_${seq.incrementAndGet()}"
+    val out = Streams.runToMemory(
+      Streams.asOfStream(in).toDF(), name, OutputMode.Append())
+    out.select(col("user_id"), col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("view_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("view_value"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** The lexicographic as-of join: latest (view_ts, view_id) strictly
+    * below (purchase_ts, purchase_id); LEFT so view-less purchases keep a
+    * NULL stamp (their single unmatched row ranks rn=1).
+    */
+  val sqlAsOfState: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |    value
+      |  FROM events WHERE ts IS NOT NULL
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      |  FROM e WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts,
+      |    value AS view_value
+      |  FROM e WHERE event_type = 'view'
+      |), j AS (
+      |  SELECT p.user_id, p.purchase_id, p.purchase_ts,
+      |    v.view_id, v.view_ts, v.view_value,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+      |  FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |    AND (v.view_ts < p.purchase_ts
+      |      OR (v.view_ts = p.purchase_ts AND v.view_id < p.purchase_id))
+      |)
+      |SELECT user_id, purchase_id, purchase_ts, view_id, view_ts, view_value
+      |FROM j WHERE rn = 1
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   // ------------------------------------------------------ stream_mg_state
   /** Misra–Gries heavy hitters as a REAL streaming aggregation: the
     * custom `TypedImperativeAggregate` ([[graft.functions.HeavyHitters]])

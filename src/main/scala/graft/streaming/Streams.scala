@@ -133,6 +133,71 @@ object Streams {
         GroupStateTimeout.NoTimeout)(sessionFunc)
   }
 
+  // ----------------------------------------------- streaming as-of enrich
+  final case class AsOfEv(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  /** The carried right side: the max-(ts, id) "view" seen so far per key. */
+  final case class AsOfState(viewTsUs: Long, viewId: Long, viewValue: Double)
+  final case class AsOfOut(user_id: Long, purchase_id: Long,
+      purchase_ts: java.sql.Timestamp, view_id: Option[Long],
+      view_ts: Option[java.sql.Timestamp], view_value: Option[Double])
+
+  /** Per-key streaming AS-OF enrichment: each "purchase" is stamped with
+    * the same user's LATEST PRECEDING "view" — the classic as-of join
+    * (quote-at-trade) run as keyed state instead of a buffered two-sided
+    * join. The right side needs no buffer at all: as-of(backward) only
+    * ever reads the most recent version, so the whole right-side history
+    * collapses to ONE (ts, id, value) triple per key — the reason this
+    * shape scales where an interval join's state would hold an hour of
+    * both sides.
+    *
+    * "Preceding" is the TOTAL order (ts, event_id) — unique ids break ts
+    * ties exactly like the batch oracle's lexicographic predicate, so the
+    * semantics are deterministic even on tie timestamps. Within a batch the
+    * group sorts by that key; across batches the state-replace guard is
+    * max-keyed (a later batch may replay an OLDER view without rewinding
+    * the carried version — the [[sessionFunc]] discipline). Purchases,
+    * unlike views, must arrive in as-of order across batches: the oracle
+    * contract requires time-split micro-batches (the [[StreamOracles]]
+    * split), since a purchase delivered before its preceding view would be
+    * stamped with an earlier version — exactly what a production as-of
+    * stream would emit, and why trading systems sequence their feeds.
+    */
+  def asOfFunc(userId: Long, rows: Iterator[AsOfEv],
+      state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    def toTs(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000)
+      t.setNanos((u % 1000000).toInt * 1000)
+      t
+    }
+    val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+    var st = state.getOption
+    val out = Seq.newBuilder[AsOfOut]
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" =>
+          val t = us(e.ts)
+          if (st.forall(s =>
+              t > s.viewTsUs || (t == s.viewTsUs && e.event_id > s.viewId)))
+            st = Some(AsOfState(t, e.event_id, e.value))
+        case "purchase" =>
+          out += AsOfOut(userId, e.event_id, e.ts, st.map(_.viewId),
+            st.map(s => toTs(s.viewTsUs)), st.map(_.viewValue))
+        case _ => ()
+      }
+    }
+    st.foreach(state.update)
+    out.result().iterator
+  }
+
+  def asOfStream(events: Dataset[AsOfEv]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(asOfFunc)
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the collected table (local test harness path).
     */
