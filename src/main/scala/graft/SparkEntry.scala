@@ -6409,6 +6409,91 @@ object SparkEntry {
           col("n_ids").cast("double")).as("collision_rate"))
   }
 
+  // ------------------------------------------------ events_bootstrap
+  // Poisson bootstrap confidence intervals (Chamandy et al., "Estimating
+  // Uncertainty for Massive Data Streams", Google TR 2012; Kleiner et al.
+  // BLB is the heavier cousin): per replicate j, each row's resample
+  // multiplicity is an independent Poisson(1) draw — at n→∞ this matches
+  // the multinomial bootstrap, and UNLIKE it needs no global n or
+  // coordination, so it runs as ONE map-side pass per replicate. The
+  // draw inverts the Poisson(1) CDF on a md5-uniform u(event_id, j):
+  // deterministic, engine-agnostic literals, so the oracle reproduces
+  // every weight bit for bit. 100 TB shape: the ×REPS explode is map-side
+  // fanout feeding a partial agg on (type, j) — no corpus-sized shuffle;
+  // the CI percentile runs over REPS means per type.
+  private val BootReps = 20
+  // cumulative Poisson(1) CDF at k=0..4 (shared literals, both engines)
+  private val BootCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563)
+
+  private def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val u = conv(substring(md5(concat(lit("b:"),
+      col("event_id").cast("string"), lit("#"), col("j").cast("string"))),
+      1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val w = BootCdf.zipWithIndex.foldRight(lit(BootCdf.size): Column) {
+      case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
+    }
+    val perRep = ev
+      .withColumn("j", explode(sequence(lit(1), lit(BootReps))))
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(xsum(col("w").cast("double") * col("value"), 6).as("sv"),
+        sum(col("w")).as("sw"))
+      .select(col("event_type"), col("j"),
+        (col("sv") / col("sw").cast("double")).as("m"))
+    val full = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), xavg(col("value")).as("mean_full"))
+    perRep.groupBy(col("event_type"))
+      .agg(round(expr("percentile(m, 0.05)"), 6).as("ci_lo"),
+        round(expr("percentile(m, 0.5)"), 6).as("ci_mid"),
+        round(expr("percentile(m, 0.95)"), 6).as("ci_hi"))
+      .join(full, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_full"),
+        col("ci_lo"), col("ci_mid"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sqlBootstrap: String = {
+    val cases = BootCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type, value FROM events
+       |  WHERE value IS NOT NULL
+       |), reps AS (
+       |  SELECT event_type, value, j,
+       |    CAST(('0x' || substr(md5('b:' || CAST(event_id AS VARCHAR)
+       |      || '#' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      / 4503599627370496.0 AS u
+       |  FROM ev CROSS JOIN (SELECT unnest(range(1, ${BootReps + 1})) AS j)
+       |), wtd AS (
+       |  SELECT event_type, j, value,
+       |    CASE $cases ELSE ${BootCdf.size} END AS w
+       |  FROM reps
+       |), pr AS (
+       |  SELECT event_type, j,
+       |    ${graft.functions.Exact.sqlSum("CAST(w AS DOUBLE) * value", 6)}
+       |      / CAST(SUM(w) AS DOUBLE) AS m
+       |  FROM wtd GROUP BY event_type, j
+       |), fl AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${graft.functions.Exact.sqlAvg("value")} AS mean_full
+       |  FROM ev GROUP BY event_type
+       |), ci AS (
+       |  SELECT event_type,
+       |    ROUND(quantile_cont(m, 0.05), 6) AS ci_lo,
+       |    ROUND(quantile_cont(m, 0.5), 6) AS ci_mid,
+       |    ROUND(quantile_cont(m, 0.95), 6) AS ci_hi
+       |  FROM pr GROUP BY event_type
+       |)
+       |SELECT fl.event_type, fl.n, fl.mean_full, ci.ci_lo, ci.ci_mid,
+       |  ci.ci_hi
+       |FROM ci JOIN fl USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   private val sqlPseudonymize: String =
     """WITH u AS (
       |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
@@ -7068,6 +7153,13 @@ object SparkEntry {
     "graph_ppr"         -> ((s, d) =>
       graft.operators.Graph.pprCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_katz"        -> ((s, d) =>
+      graft.operators.Graph.katzCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_anf"         -> ((s, d) =>
+      graft.operators.Graph.anfCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "events_bootstrap"  -> qBootstrap _,
     "graph_hits"        -> ((s, d) =>
       graft.operators.Graph.hitsCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
@@ -7149,6 +7241,11 @@ object SparkEntry {
         Tables.customer(s, d))),
     "profile_corr_matrix" -> ((s, d) =>
       Profile.corrMatrix(Tables.lineitem(s, d))),
+    "profile_mi"        -> ((s, d) => Profile.mutualInfo(docs(s, d))),
+    "corpus_dsir"       -> ((s, d) => TrainingData.dsir(docs(s, d))),
+    "text_pii"          -> ((s, d) => TextOps.piiScan(docs(s, d))),
+    "text_pii_stats"    -> ((s, d) => TextOps.piiStats(docs(s, d))),
+    "sim_ndcg"          -> ((s, d) => Similarity.ndcgAtK(emb(s, d))),
     "bucket_join"       -> ((s, d) =>
       graft.operators.Bucketing.bucketJoin(s, d)),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
@@ -7591,6 +7688,9 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY cust, supp""".stripMargin,
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
+    "graph_katz"        -> graft.operators.Graph.sqlKatz(),
+    "graph_anf"         -> graft.operators.Graph.sqlAnf(),
+    "events_bootstrap"  -> sqlBootstrap,
     "graph_ppr"         -> graft.operators.Graph.sqlPpr(),
     "graph_hits"        -> graft.operators.Graph.sqlHits,
     "graph_components"  -> graft.operators.Graph.sqlComponents,
@@ -7617,6 +7717,11 @@ object SparkEntry {
     "profile_checks"    -> Profile.sqlExpectations,
     "profile_fd"        -> Profile.sqlFdAudit,
     "profile_corr_matrix" -> Profile.sqlCorrMatrix,
+    "profile_mi"        -> Profile.sqlMutualInfo,
+    "corpus_dsir"       -> TrainingData.sqlDsir,
+    "text_pii"          -> TextOps.sqlPiiScan,
+    "text_pii_stats"    -> TextOps.sqlPiiStats,
+    "sim_ndcg"          -> Similarity.sqlNdcg,
     "bucket_join"       -> graft.operators.Bucketing.sqlBucketJoin,
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,

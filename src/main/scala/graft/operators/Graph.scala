@@ -1455,6 +1455,202 @@ object Graph {
        |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
   }
 
+  // ------------------------------------------------- Katz centrality
+  /** Katz attenuation factor — well under 1/λ_max for this graph, so the
+    * truncated series is already near its fixed point at [[PrIters]]. */
+  val KatzAlpha = 0.05
+
+  /** Katz centrality (Katz, "A new status index derived from sociometric
+    * analysis", Psychometrika 1953), truncated power series: x_{k+1}(v) =
+    * 1 + α·Σ_{u→v} x_k(u) from x_0 = 1 — the path-counting centrality
+    * that, unlike PageRank, does NOT normalize by out-degree, so a node
+    * is important for having many walks of any length ending at it.
+    * Complements `graph_pagerank` (stationary mass) and `graph_hits`
+    * (mutual reinforcement) with the attenuated-walk-count axis.
+    *
+    * Scale shape: identical to [[pagerankCached]] — composes over the
+    * SAME pinned directed-edge and degree memos (`prede`/`prdeg`, zero
+    * extra suite cost), each round is one hash join on src + one
+    * exact-decimal aggregation on dst; the update is a literal-α
+    * multiply-add. Top-k exits through the WindowGroupLimit shape. The
+    * oracle unrolls the identical rounds as CTEs.
+    */
+  def katzCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, iters: Int = PrIters): DataFrame = {
+    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+    val spark = orders.sparkSession
+    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
+    katzRounds(edges, degN, iters)
+  }
+
+  private def katzRounds(edges: DataFrame, degN: DataFrame,
+      iters: Int): DataFrame = {
+    import graft.functions.Exact
+    var x = degN.select(col("id"), lit(1.0).as("x"))
+    for (i <- 1 to iters) {
+      val incoming = edges.join(x, edges("src") === x("id"))
+        .select(col("dst"), col("x").as("c"))
+        .groupBy(col("dst"))
+        .agg(Exact.xsum(col("c"), 12).as("s"))
+      x = x.join(incoming, x("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (lit(1.0) + lit(KatzAlpha) * coalesce(col("s"), lit(0.0)))
+            .as("x"))
+      if (i % 3 == 0 && i < iters) x = Iterate.pin(x)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("x").desc, col("id"))
+    x.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PrTopK)
+      .select(col("rk"), col("id").as("node_id"), col("x").as("katz"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlKatz(iters: Int = PrIters): String = {
+    import graft.functions.Exact
+    val a = s"CAST($KatzAlpha AS DOUBLE)"
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT e.dst, ${Exact.sqlSum("r.x", 12)} AS s
+         |  FROM edges e JOIN x${k - 1} r ON e.src = r.id GROUP BY e.dst
+         |), x$k AS (
+         |  SELECT r.id,
+         |    CAST(1 AS DOUBLE) + $a * COALESCE(s$k.s, CAST(0 AS DOUBLE))
+         |      AS x
+         |  FROM x${k - 1} r LEFT JOIN s$k ON r.id = s$k.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $SuppBase AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $SuppBase, cust FROM e0
+       |), deg AS (
+       |  SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src
+       |),
+       |x0 AS (
+       |  SELECT id, CAST(1 AS DOUBLE) AS x FROM deg
+       |),
+       |$rounds
+       |SELECT rk, id AS node_id, x AS katz FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY x DESC, id) AS rk
+       |  FROM x$iters
+       |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
+  }
+
+  // --------------------------------------- approximate neighborhood fn
+  /** KMV sketch size for [[anfCached]] — k=8 keeps the per-node state at
+    * 8 rows while the (k−1)/u_k estimator stays within ~40 % rel. error,
+    * the standard ANF operating point for diameter-shape questions. */
+  val AnfK = 8
+  val AnfRounds = 2
+
+  /** Approximate neighborhood function (Palmer-Gibbons-Faloutsos, "ANF: a
+    * fast and scalable tool for data mining in massive graphs", KDD 2002;
+    * HyperANF, Boldi-Rosa-Vigna WWW 2011 swaps in HLL): N(h) = Σ_v
+    * |ball(v,h)| estimated by propagating a fixed-size distinct-value
+    * sketch along edges for h rounds — THE way to ask "how far is
+    * everything from everything" on a graph where all-pairs BFS is
+    * impossible. Here the sketch is KMV (k smallest md5-uniforms of
+    * reachable node ids), kept RELATIONAL: a sketch is ≤k (node, hash)
+    * rows, a round is one src-keyed join + a per-node rank cut, so the
+    * whole operator is joins/windows the optimizer can see — and because
+    * KMV union is a deterministic function of the input sets (unlike
+    * HLL register layouts), the DuckDB oracle reproduces every sketch
+    * row and the estimator is hash-exact cross-engine.
+    *
+    * Scale shape: state is |V|·k rows forever (never |ball|); each round
+    * shuffles edge-join output partitioned by dst — the exact
+    * Pregel-style ANF layout. The estimator per (node, h) is exact-int
+    * arithmetic: est = cnt if cnt<k else (k−1)·2^52/kth_hash; the
+    * per-round reduce is an exact-decimal sum.
+    */
+  def anfCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = AnfRounds): DataFrame = {
+    import graft.functions.Exact
+    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+    val spark = orders.sparkSession
+    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
+    val h0 = conv(substring(md5(concat(lit("anf:"),
+      col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    var s = degN.select(col("id").as("node"), h0.as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("h"))
+    val perRound = (1 to rounds).map { r =>
+      val cand = s.unionByName(
+        edges.join(s, edges("src") === s("node"))
+          .select(col("dst").as("node"), col("h"))).distinct()
+      s = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= AnfK).select(col("node"), col("h"))
+      if (r % 3 == 0 && r < rounds) s = Iterate.pin(s)
+      val est = s.groupBy(col("node"))
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
+        .select(when(col("cnt") < AnfK, col("cnt").cast("double"))
+          .otherwise(lit((AnfK - 1) * 4503599627370496.0) /
+            col("kth").cast("double")).as("est"))
+      est.agg(count(lit(1)).as("n_nodes"),
+        Exact.xsum(col("est"), 6).as("sum_est"))
+        .select(lit(r.toLong).as("h"), col("n_nodes"), col("sum_est"),
+          (col("sum_est") / col("n_nodes").cast("double")).as("avg_ball"))
+    }
+    perRound.reduce(_ unionByName _).orderBy(col("h"))
+  }
+
+  def sqlAnf(rounds: Int = AnfRounds): String = {
+    import graft.functions.Exact
+    val kth = s"(${AnfK - 1} * 4503599627370496.0)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT node, h FROM s${r - 1}
+         |  UNION
+         |  SELECT e.dst AS node, s.h
+         |  FROM edges e JOIN s${r - 1} s ON e.src = s.node
+         |), s$r AS (
+         |  SELECT node, h FROM (
+         |    SELECT node, h,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY h) AS rk
+         |    FROM c$r
+         |  ) WHERE rk <= $AnfK
+         |), est$r AS (
+         |  SELECT CASE WHEN COUNT(*) < $AnfK
+         |      THEN CAST(COUNT(*) AS DOUBLE)
+         |      ELSE $kth / CAST(MAX(h) AS DOUBLE) END AS est
+         |  FROM s$r GROUP BY node
+         |), agg$r AS (
+         |  SELECT CAST($r AS BIGINT) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    ${Exact.sqlSum("est", 6)} AS sum_est
+         |  FROM est$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map { r =>
+      s"SELECT h, n_nodes, sum_est FROM agg$r"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $SuppBase AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $SuppBase, cust FROM e0
+       |), s0 AS (
+       |  SELECT DISTINCT src AS node,
+       |    CAST(('0x' || substr(md5('anf:' || CAST(src AS VARCHAR)),
+       |      1, 13)) AS BIGINT) AS h
+       |  FROM edges
+       |),
+       |$roundCtes
+       |SELECT h, n_nodes, sum_est,
+       |  sum_est / CAST(n_nodes AS DOUBLE) AS avg_ball
+       |FROM (
+       |  $sel
+       |) ORDER BY h""".stripMargin
+  }
+
   // --------------------------------------------- personalized PageRank
   /** Seed-node count for [[pprCached]]: customers with id < PprSeeds. */
   val PprSeeds = 10L

@@ -540,4 +540,67 @@ object Profile {
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
   }
+
+  // ------------------------------------------------ mutual information
+  /** Pointwise and total mutual information between two categorical
+    * columns (lang × source on documents) — the dependence audit that
+    * catches a skewed corpus mix before training (a language confined to
+    * one source means source-dedup silently deletes that language).
+    * Complements `profile_corr_matrix` (linear, numeric) and
+    * `events_cramer` (χ²-normalized) with the information-theoretic
+    * readout: pmi per cell plus each cell's contribution p(x,y)·pmi to
+    * total MI.
+    *
+    * Cross-engine determinism: pmi = ln((n·tot)/(n_lang·n_src)) — the ln
+    * argument is a single divide of exact BIGINT products, bit-identical
+    * cross-engine. The ln ITSELF is not: this query found the suite's
+    * first real Java `Math.log` vs DuckDB `std::log` last-ulp split
+    * (argument 1.2435…, off by one ulp at sf0.001), so both outputs are
+    * rounded to 9 decimals — the entropy family's xsum(…,12) forgiveness,
+    * applied at emit time since nothing here aggregates.
+    *
+    * Scale shape: one map-side hash agg to cells (|langs|·|sources| rows),
+    * two window margins over that tiny frame, broadcast total. At 100 TB
+    * the only corpus-wide work is the first count shuffle on the
+    * composite key.
+    */
+  def mutualInfo(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_lang", sum(col("n")).over(
+        Window.partitionBy(col("lang"))))
+      .withColumn("n_src", sum(col("n")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy()))
+      .select(col("lang"), col("source"), col("n"), col("n_lang"),
+        col("n_src"),
+        round(log((col("n") * col("tot")).cast("double") /
+          (col("n_lang") * col("n_src")).cast("double")), 9).as("pmi"),
+        round((col("n").cast("double") / col("tot").cast("double")) *
+          log((col("n") * col("tot")).cast("double") /
+            (col("n_lang") * col("n_src")).cast("double")), 9).as("mi_term"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def sqlMutualInfo: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY lang, source
+       |), m AS (
+       |  SELECT lang, source, n,
+       |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+       |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+       |  FROM cells
+       |)
+       |SELECT lang, source, n, n_lang, n_src,
+       |  ROUND(ln(CAST(n * tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE)),
+       |    9) AS pmi,
+       |  ROUND((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+       |    * ln(CAST(n * tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE)),
+       |    9) AS mi_term
+       |FROM m ORDER BY lang, source""".stripMargin
 }

@@ -4157,6 +4157,98 @@ object Similarity {
        |    ON t.query_id = a.query_id AND t.truth_id = a.cand_id
        |) ORDER BY route, query_id""".stripMargin
 
+  // ----------------------------------------------------------- NDCG@k
+  /** NDCG@k of the two ANN routes against the exact ranking (Järvelin &
+    * Kekäläinen, "Cumulated Gain-based Evaluation of IR Techniques", TOIS
+    * 2002): a candidate's graded relevance is its exact-rank grade
+    * (k+1−rk — the true nearest neighbor is worth k, the k-th worth 1),
+    * discounted by ln(rank+1) at the position the ROUTE put it, and
+    * normalized by the ideal ordering's DCG. `sim_mrr` sees only the
+    * single top answer and `sim_recall` ignores order entirely; NDCG is
+    * the whole-list position-sensitive readout between them — the metric
+    * that separates a route that finds all k neighbors but shuffles them
+    * from one that ranks them exactly.
+    *
+    * Cross-engine determinism: grades and ranks are exact small ints;
+    * each term is one IEEE divide over the suite's ln parity (the entropy
+    * family pins Spark `log` == DuckDB `ln` bit-for-bit); DCG and IDCG
+    * both sum through [[graft.functions.Exact.xsum]]; the final ndcg is a
+    * single division of two bit-identical doubles (suite convention:
+    * never round after a division).
+    *
+    * Scale shape: truth and both route frames are |Q|·k rows — producing
+    * the rankings dominates; the eval itself is a bounded join, one exact
+    * agg per route, and a broadcast scalar IDCG attach.
+    */
+  def ndcgAtK(emb: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val truth = Iterate.pin(bruteTopK(emb).filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("cand_id"),
+        (lit(AnnTopK + 1) - col("rk")).cast("double").as("rel")))
+    val qs = truth.select(col("query_id")).distinct()
+    val idcg = emb.sparkSession.range(1, AnnTopK + 1).toDF("i")
+      .agg(Exact.xsum((lit(AnnTopK + 1) - col("i")).cast("double") /
+        log((col("i") + 1).cast("double")), 9).as("idcg"))
+    def route(name: String, app: DataFrame): DataFrame = {
+      val dcg = app.filter(col("rk") <= AnnTopK)
+        .select(col("query_id"), col("cand_id"), col("rk"))
+        .join(truth, Seq("query_id", "cand_id"))
+        .groupBy(col("query_id"))
+        .agg(Exact.xsum(col("rel") /
+          log((col("rk") + 1).cast("double")), 9).as("dcg"))
+      qs.join(dcg, Seq("query_id"), "left")
+        .crossJoin(broadcast(idcg))
+        .select(lit(name).as("route"), col("query_id"),
+          coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+          (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+    }
+    route("ivf", ivfTopK(emb)).unionByName(route("lsh", annTopK(emb)))
+      .orderBy(col("route"), col("query_id"))
+  }
+
+  def sqlNdcg: String = {
+    import graft.functions.Exact.sqlSum
+    val k = AnnTopK
+    def dcgCte(tbl: String): String =
+      s"""SELECT a.query_id,
+         |    ${sqlSum(s"t.rel / ln(CAST(a.rk + 1 AS DOUBLE))", 9)} AS dcg
+         |  FROM $tbl a JOIN truth t
+         |    ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+         |  WHERE a.rk <= $k GROUP BY a.query_id""".stripMargin
+    def row(name: String, d: String): String =
+      s"""SELECT '$name' AS route, qs.query_id,
+         |    COALESCE(d.dcg, CAST(0 AS DOUBLE)) AS dcg, idcg.idcg,
+         |    COALESCE(d.dcg, CAST(0 AS DOUBLE)) / idcg.idcg AS ndcg
+         |  FROM qs LEFT JOIN $d d USING (query_id) CROSS JOIN idcg"""
+        .stripMargin
+    s"""WITH ex AS (
+       |  ${sqlBruteTopK.linesIterator.mkString("\n  ")}
+       |), truth AS (
+       |  SELECT query_id, cand_id, CAST(${k + 1} - rk AS DOUBLE) AS rel
+       |  FROM ex WHERE rk <= $k
+       |), qs AS (
+       |  SELECT DISTINCT query_id FROM truth
+       |), idcg AS (
+       |  SELECT ${sqlSum(
+            s"CAST(${k + 1} - i AS DOUBLE) / ln(CAST(i + 1 AS DOUBLE))", 9)}
+       |    AS idcg
+       |  FROM (SELECT unnest(range(1, ${k + 1})) AS i)
+       |), ivf_r AS (
+       |  ${sqlIvfTopK.linesIterator.mkString("\n  ")}
+       |), lsh_r AS (
+       |  ${sqlAnnTopK.linesIterator.mkString("\n  ")}
+       |), ivf_d AS (
+       |  ${dcgCte("ivf_r")}
+       |), lsh_d AS (
+       |  ${dcgCte("lsh_r")}
+       |)
+       |SELECT route, query_id, dcg, idcg, ndcg FROM (
+       |  ${row("ivf", "ivf_d")}
+       |  UNION ALL
+       |  ${row("lsh", "lsh_d")}
+       |) ORDER BY route, query_id""".stripMargin
+  }
+
   // ------------------------------------------------- triplet margin audit
   /** Triplet-margin audit of the embedding space (the evaluation half of
     * triplet-loss training, Schroff et al., "FaceNet: A Unified Embedding

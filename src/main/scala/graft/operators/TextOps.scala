@@ -2223,4 +2223,112 @@ object TextOps {
        |  FROM stats WHERE df >= $BurstDfMin
        |) WHERE rk <= $BurstTopK
        |ORDER BY rk""".stripMargin
+
+  // --------------------------------------------------- PII scan + redact
+  /** PII detection and redaction over document text — the pre-release
+    * scrub every training-data export runs (emails, phone numbers,
+    * internal-range IPs), as regex scans that stay inside whole-stage
+    * codegen. The fixture corpus is synthetic word-soup with no PII, so
+    * the query first plants deterministic entities (doc_id-derived, the
+    * suite's injection idiom — the SAME expression on both engines) and
+    * the scan must then find EXACTLY the planted set: the oracle asserts
+    * detector precision and recall at once, not just plumbing.
+    *
+    * Patterns are RE2-safe (plain classes + bounded repeats — no
+    * backrefs/lookaround), so Java regex and DuckDB RE2 agree. Redaction
+    * replaces in a fixed email→phone→ip order; the redacted text ships as
+    * an md5 (the suite's digest discipline) so the oracle proves the
+    * rewrite byte-identical without hauling full text through the gate.
+    *
+    * Scale shape: per-row expressions only — no shuffle at all until the
+    * harness's total ORDER BY; at 100 TB this is a pure map stage that
+    * pipelines into the export write.
+    */
+  val PiiEmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val PiiPhoneRe = "555-[0-9]{4}"
+  val PiiIpRe = "10\\.0\\.[0-9]+\\.[0-9]+"
+
+  /** doc_id-derived planted entities; `%3/%5/%7` overlap so some docs
+    * carry several kinds and some none (both sides of the detector). */
+  private def piiAugmented(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("aug"))
+
+  def piiScan(docs: DataFrame): DataFrame =
+    piiAugmented(docs)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("aug"), lit(PiiEmailRe)).cast("long").as("n_email"),
+        regexp_count(col("aug"), lit(PiiPhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("aug"), lit(PiiIpRe)).cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"),
+          PiiIpRe, "<IP>")).as("redacted_md5"))
+      .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ip"))
+      .orderBy(col("doc_id"))
+
+  private def sqlPiiAug: String =
+    s"""text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+       |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  def sqlPiiScan: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, source, $sqlPiiAug AS aug FROM documents
+       |)
+       |SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(aug, '$PiiEmailRe')) AS BIGINT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(aug, '$PiiPhoneRe')) AS BIGINT)
+       |    AS n_phone,
+       |  CAST(len(regexp_extract_all(aug, '$PiiIpRe')) AS BIGINT) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g'),
+       |    '$PiiIpRe', '<IP>', 'g')) AS redacted_md5,
+       |  CAST(len(regexp_extract_all(aug, '$PiiEmailRe'))
+       |    + len(regexp_extract_all(aug, '$PiiPhoneRe'))
+       |    + len(regexp_extract_all(aug, '$PiiIpRe')) AS BIGINT) AS n_pii
+       |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** Per-source PII exposure rollup — the dataset-card number ("x % of
+    * docs in source S carried PII before scrubbing"). Same augmented
+    * frame; one hash agg on the 20-key source column. */
+  def piiStats(docs: DataFrame): DataFrame =
+    piiScan(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_pii") > 0).cast("long")).as("docs_with_pii"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_phone")).as("phones"),
+        sum(col("n_ip")).as("ips"))
+      .orderBy(col("source"))
+
+  def sqlPiiStats: String =
+    s"""WITH scan AS (
+       |  ${sqlPiiScan.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_pii,
+       |  CAST(SUM(n_email) AS BIGINT) AS emails,
+       |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+       |  CAST(SUM(n_ip) AS BIGINT) AS ips
+       |FROM scan GROUP BY source ORDER BY source""".stripMargin
 }

@@ -929,6 +929,98 @@ object TrainingData {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  // ---------------------------------------- DSIR importance resampling
+  /** Data Selection with Importance Resampling (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023) reduced to its unigram form: score every document by the
+    * log-likelihood ratio between a TARGET-domain unigram LM and the
+    * corpus-wide background LM (both add-1 smoothed over the shared
+    * vocabulary), then keep the top corpus fraction (1/[[DsirKeepDenom]])
+    * by that weight — the classifier-free recipe for steering a 100 TB
+    * crawl toward a curated domain.
+    *
+    * Cross-engine determinism: both LMs are exact BIGINT count frames;
+    * the per-token term is ln over ratios of exact ints (the suite's ln
+    * parity), summed per doc through [[graft.functions.Exact.xsum]]; the
+    * selection rank orders by that bit-identical double with a doc_id
+    * tiebreak.
+    *
+    * Scale shape: ONE token explode feeds BOTH LMs (the target counter is
+    * a conditional agg on the same map-side hash agg, not a second scan);
+    * scoring is tokens ⋈ word-stats on the word key — the bounded-fanout
+    * tfidf shape; scalars (N_t, N_b, |V|) ride one broadcast row. The
+    * selection rank window is unpartitioned but sits above the per-doc
+    * Aggregate (the registry sweep's discipline); production writes the
+    * `selected` filter, not an ordered dump.
+    */
+  val DsirTarget = "src0"
+  val DsirKeepDenom = 10L
+
+  def dsir(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(words(col("text"))).as("w"))
+    val bg = tok.groupBy(col("w")).agg(count(lit(1)).as("c_b"),
+      count(when(col("source") === DsirTarget, 1)).as("c_t"))
+    val scal = bg.agg(sum(col("c_b")).as("n_b"), sum(col("c_t")).as("n_t"),
+      count(lit(1)).as("v"))
+    val term = log((col("c_t") + lit(1L)).cast("double") /
+        (col("n_t") + col("v")).cast("double")) -
+      log((col("c_b") + lit(1L)).cast("double") /
+        (col("n_b") + col("v")).cast("double"))
+    val perDoc = tok.join(bg, Seq("w")).crossJoin(broadcast(scal))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), Exact.xsum(term, 9).as("log_ratio"))
+    val nsel = perDoc.agg(ceil(count(lit(1)).cast("double") /
+      lit(DsirKeepDenom.toDouble)).cast("long").as("n_sel"))
+    perDoc.crossJoin(broadcast(nsel))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("log_ratio").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("log_ratio"),
+        col("rk"), (col("rk") <= col("n_sel")).as("selected"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlDsir: String = {
+    import graft.functions.Exact.sqlSum
+    val term =
+      """ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+        |    - ln(CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE))"""
+        .stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(${sqlWords("text")}) AS w
+       |  FROM documents
+       |), bg AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_b,
+       |    CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS c_t
+       |  FROM tok GROUP BY w
+       |), scal AS (
+       |  SELECT CAST(SUM(c_b) AS BIGINT) AS n_b,
+       |    CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |    CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM bg
+       |), perdoc AS (
+       |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |    ${sqlSum(term.linesIterator.mkString(" "), 9)} AS log_ratio
+       |  FROM tok JOIN bg USING (w) CROSS JOIN scal
+       |  GROUP BY doc_id, source
+       |), nsel AS (
+       |  SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
+       |    / CAST($DsirKeepDenom AS DOUBLE)) AS BIGINT) AS n_sel
+       |  FROM perdoc
+       |), ranked AS (
+       |  SELECT doc_id, source, n_tok, log_ratio,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY log_ratio DESC, doc_id)
+       |         AS BIGINT) AS rk
+       |  FROM perdoc
+       |)
+       |SELECT doc_id, source, n_tok, log_ratio, rk,
+       |  rk <= n_sel AS selected
+       |FROM ranked CROSS JOIN nsel
+       |ORDER BY rk""".stripMargin
+  }
+
   def sqlBudgetSelect: String =
     s"""SELECT doc_id, score, n_tok, cum_tokens,
        |  cum_tokens <= $TokenBudget AS selected
