@@ -6494,6 +6494,56 @@ object SparkEntry {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------ events_rolling_mau
+  // Rolling 7-day active users per day — the DAU/MAU-style engagement
+  // series. Distinct-over-a-sliding-window is the classic scale trap
+  // (a window frame cannot dedup): the scalable shape is a MAP-SIDE
+  // fanout — each active (user, day) feeds the 7 windows ending on
+  // day..day+6 — then ONE distinct and ONE count per window end. The
+  // fanout is a bounded ×7 on the (user, day)-deduped frame (not raw
+  // events), windows are reported only for days with activity, and the
+  // whole plan is two hash aggregates; no range join, no per-window
+  // re-scan. stickiness = dau/mau7 is the exact-int division idiom.
+  private val MauWindowDays = 7
+
+  private def qRollingMau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val wins = ud
+      .withColumn("i", explode(sequence(lit(0), lit(MauWindowDays - 1))))
+      .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
+      .distinct()
+    val days = ud.select(col("d").as("wd")).distinct()
+    val mau = wins.join(days, Seq("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("mau7"))
+    val dau = ud.groupBy(col("d").as("wd")).agg(count(lit(1)).as("dau"))
+    mau.join(dau, Seq("wd"))
+      .select(col("wd").as("day"), col("dau"), col("mau7"),
+        (col("dau").cast("double") / col("mau7").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private val sqlRollingMau: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+       |  FROM events WHERE user_id IS NOT NULL
+       |), wins AS (
+       |  SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
+       |  FROM ud CROSS JOIN (SELECT unnest(range(0, $MauWindowDays)) AS i)
+       |), days AS (
+       |  SELECT DISTINCT d AS wd FROM ud
+       |), mau AS (
+       |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS mau7
+       |  FROM wins JOIN days USING (wd) GROUP BY wd
+       |), dau AS (
+       |  SELECT d AS wd, CAST(COUNT(*) AS BIGINT) AS dau
+       |  FROM ud GROUP BY d
+       |)
+       |SELECT wd AS day, dau, mau7,
+       |  CAST(dau AS DOUBLE) / CAST(mau7 AS DOUBLE) AS stickiness
+       |FROM mau JOIN dau USING (wd) ORDER BY day""".stripMargin
+
   private val sqlPseudonymize: String =
     """WITH u AS (
       |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
@@ -7160,6 +7210,8 @@ object SparkEntry {
       graft.operators.Graph.anfCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "events_bootstrap"  -> qBootstrap _,
+    "events_rolling_mau" -> qRollingMau _,
+    "corpus_epochs"     -> ((s, d) => TrainingData.epochs(docs(s, d))),
     "graph_hits"        -> ((s, d) =>
       graft.operators.Graph.hitsCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
@@ -7691,6 +7743,8 @@ object SparkEntry {
     "graph_katz"        -> graft.operators.Graph.sqlKatz(),
     "graph_anf"         -> graft.operators.Graph.sqlAnf(),
     "events_bootstrap"  -> sqlBootstrap,
+    "events_rolling_mau" -> sqlRollingMau,
+    "corpus_epochs"     -> TrainingData.sqlEpochs,
     "graph_ppr"         -> graft.operators.Graph.sqlPpr(),
     "graph_hits"        -> graft.operators.Graph.sqlHits,
     "graph_components"  -> graft.operators.Graph.sqlComponents,

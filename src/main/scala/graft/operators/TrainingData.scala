@@ -489,6 +489,76 @@ object TrainingData {
        |  sqrt(token_share) / token_share AS boost
        |FROM t ORDER BY source""".stripMargin
 
+  // ------------------------------------------- epoch / repeat accounting
+  /** Data-constrained scaling repeat accounting (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models", NeurIPS 2023: repeating
+    * data up to ~4 epochs is near-free, beyond that returns decay): given
+    * a token budget of [[EpochsBudgetMult]]× the corpus and
+    * temperature-τ=2 mixing weights (w_s ∝ √tokens_s, the same upweighting
+    * as `corpus_mix_temp`), compute per source how many EPOCHS its data
+    * must repeat to fill its allocation, cap at [[EpochsCap]], and report
+    * the effective (post-cap) token supply — the planning table that says
+    * which sources run out of unique data first.
+    *
+    * Scale shape: one map-side token-count agg to |sources| rows;
+    * Σ√tokens rides a broadcast one-row exact-decimal aggregate; all
+    * downstream arithmetic is per-row IEEE on bit-identical inputs
+    * (sqrt is IEEE-exact in every engine, unlike ln).
+    */
+  val EpochsBudgetMult = 2.0
+  val EpochsCap = 4.0
+
+  def epochs(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    val per = docs.groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+    val tots = per.agg(sum(col("n_tokens")).as("tot"),
+      Exact.xsum(sqrt(col("n_tokens").cast("double")), 6).as("sum_sqrt"))
+    per.crossJoin(broadcast(tots))
+      .withColumn("weight",
+        sqrt(col("n_tokens").cast("double")) / col("sum_sqrt"))
+      .withColumn("target_tokens",
+        lit(EpochsBudgetMult) * col("tot").cast("double") * col("weight"))
+      .withColumn("epochs", col("target_tokens") /
+        col("n_tokens").cast("double"))
+      .withColumn("epochs_capped", least(col("epochs"), lit(EpochsCap)))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("epochs"), col("epochs_capped"),
+        (col("n_tokens").cast("double") * col("epochs_capped"))
+          .as("effective_tokens"),
+        (col("epochs") > lit(EpochsCap)).as("data_constrained"))
+      .orderBy(col("source"))
+  }
+
+  def sqlEpochs: String = {
+    import graft.functions.Exact
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(SUM(len(${sqlWords("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), tots AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+       |    ${Exact.sqlSum("sqrt(CAST(n_tokens AS DOUBLE))", 6)} AS sum_sqrt
+       |  FROM per
+       |), w AS (
+       |  SELECT source, n_tokens,
+       |    sqrt(CAST(n_tokens AS DOUBLE)) / sum_sqrt AS weight,
+       |    $EpochsBudgetMult * CAST(tot AS DOUBLE)
+       |      * (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sqrt) AS target_tokens
+       |  FROM per CROSS JOIN tots
+       |), e AS (
+       |  SELECT source, n_tokens, weight, target_tokens,
+       |    target_tokens / CAST(n_tokens AS DOUBLE) AS epochs
+       |  FROM w
+       |)
+       |SELECT source, n_tokens, weight, target_tokens, epochs,
+       |  least(epochs, $EpochsCap) AS epochs_capped,
+       |  CAST(n_tokens AS DOUBLE) * least(epochs, $EpochsCap)
+       |    AS effective_tokens,
+       |  epochs > $EpochsCap AS data_constrained
+       |FROM e ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------- redaction
   /** PII-style scrubbing: replace every digit run in the payload with a
     * mask and count the replacements. Pure map-side regex (codegen'd, no

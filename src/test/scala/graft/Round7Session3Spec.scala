@@ -180,6 +180,49 @@ class Round7Session3Spec extends SparkSuite {
     }
   }
 
+  // source A: 9 tokens, B: 1 token → weights 3/4, 1/4 of budget 2·10=20:
+  // target 15 and 5 → epochs 5/3 and 5 (capped at 4, data-constrained).
+  test("epochs matches hand-computed repeat accounting") {
+    import spark.implicits._
+    import graft.operators.TrainingData
+    val docs = Seq(
+      (0L, "a a a a a a a a a", "A"), (1L, "b", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = TrainingData.epochs(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("A"); val b = got("B")
+    assert(a.getAs[Long]("n_tokens") == 9 && b.getAs[Long]("n_tokens") == 1)
+    assert(math.abs(a.getAs[Double]("weight") - 0.75) < eps)
+    assert(math.abs(a.getAs[Double]("epochs") - 15.0 / 9.0) < eps)
+    assert(!a.getAs[Boolean]("data_constrained"))
+    assert(math.abs(b.getAs[Double]("epochs") - 5.0) < eps)
+    assert(math.abs(b.getAs[Double]("epochs_capped") - 4.0) < eps)
+    assert(math.abs(b.getAs[Double]("effective_tokens") - 4.0) < eps)
+    assert(b.getAs[Boolean]("data_constrained"))
+  }
+
+  test("rolling MAU agrees with a brute-force trailing-window recount") {
+    val rows = SparkEntry.queries("events_rolling_mau")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent recount on the driver (fixture is small)
+    val ud = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val mau = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }
+        .map(_._1).distinct.length
+      val dau = ud.filter(_._2 == day).map(_._1).distinct.length
+      assert(r.getAs[Long]("mau7") == mau, s"mau mismatch on $day")
+      assert(r.getAs[Long]("dau") == dau)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0 && st <= 1 + eps)
+    }
+  }
+
   test("ndcgAtK: bounded in [0,1], dcg <= idcg, both routes cover all queries") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.ndcgAtK(emb).collect()
