@@ -6507,8 +6507,11 @@ object SparkEntry {
   private val MauWindowDays = 7
 
   private def qRollingMau(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir).filter(col("user_id").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    // pinned: the deduped (user, day) frame feeds the window fanout, the
+    // active-day list, AND the DAU aggregate — one events scan + distinct
+    val ud = graft.operators.Iterate.pin(
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
     val wins = ud
       .withColumn("i", explode(sequence(lit(0), lit(MauWindowDays - 1))))
       .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
@@ -7124,6 +7127,7 @@ object SparkEntry {
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
     "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),
+    "mm_downsample"     -> ((s, d) => Multimodal.downsample(docs(s, d))),
     "mm_png_pixels"     -> ((s, d) => Multimodal.pngPixels(docs(s, d))),
     "mm_wav"            -> ((s, d) => Multimodal.wav(docs(s, d))),
     "mm_phash"          -> ((s, d) => Multimodal.phash(docs(s, d))),
@@ -7688,6 +7692,7 @@ object SparkEntry {
     "mm_frames"         -> Multimodal.sqlFrameSamples(64),
     "mm_decode"         -> Multimodal.sqlDecode,
     "mm_pixels"         -> Multimodal.sqlPixels,
+    "mm_downsample"     -> Multimodal.sqlDownsample,
     "mm_png_pixels"     -> Multimodal.sqlPngPixels,
     "mm_wav"            -> Multimodal.sqlWav,
     "mm_phash"          -> Multimodal.sqlPhash,

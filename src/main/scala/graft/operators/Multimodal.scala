@@ -334,6 +334,10 @@ object Multimodal {
   final case class PixelStats(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, pos_weighted_r: Long)
 
+  final case class DownsampleStats(doc_id: Long, out_w: Int, out_h: Int,
+      sum_r2: Long, sum_g2: Long, sum_b2: Long, blockpos_r: Long,
+      corner_b: Long)
+
   /** A complete 24-bpp bottom-up BMP (BITMAPINFOHEADER, BI_RGB): real
     * pixel array with the spec's layout quirks — BGR byte order, rows
     * stored bottom-up, each row padded to a 4-byte boundary. Pixel values
@@ -660,6 +664,92 @@ object Multimodal {
     import docs.sparkSession.implicits._
     pixelStats(syntheticBmpMedia(docs)).toDF().orderBy(col("doc_id"))
   }
+
+  /** REAL 2×2 box downsample over the decoded BMP pixel array — the
+    * "resize" stage of an image-ingest pipeline done for real (unlike the
+    * honest byte-stride thumbnail stub in [[mediaFeatures]]): decode,
+    * materialize the per-block channel sums (the downsampled image, up to
+    * the final /4), and reduce to exact integer checksums. `blockpos_r`
+    * pairs every block's R sum with its block-major index, so the oracle
+    * asserts the block↔pixel mapping itself, not just totals; `corner_b`
+    * reads one specific output pixel. Odd trailing rows/columns are
+    * cropped (floor semantics), matching the closed-form oracle.
+    *
+    * Scale shape: identical to [[pixelStats]] — per-partition batch
+    * decode inside ONE mapPartitions pass, constant memory per image
+    * (the w2·h2 block accumulators), no shuffle until the final per-doc
+    * frame. The 100 TB layout (binary column + typed stats out) is the
+    * same as every mm_* operator.
+    */
+  def downsampleStats(media: Dataset[MediaBin]): Dataset[DownsampleStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = decodeBmpPixels(r.media).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: payload is not an uncompressed 24-bpp BMP"))
+        val w2 = w / 2; val h2 = h / 2
+        val br = new Array[Long](w2 * h2)
+        val bg = new Array[Long](w2 * h2)
+        val bb = new Array[Long](w2 * h2)
+        var y = 0
+        while (y < 2 * h2) {
+          var x = 0
+          while (x < 2 * w2) {
+            val p = (y * w + x) * 3
+            val b = (y / 2) * w2 + (x / 2)
+            br(b) += rgb(p) & 0xff     // R
+            bg(b) += rgb(p + 1) & 0xff // G
+            bb(b) += rgb(p + 2) & 0xff // B
+            x += 1
+          }
+          y += 1
+        }
+        var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+        var i = 0
+        while (i < w2 * h2) {
+          sr += br(i); sg += bg(i); sb += bb(i)
+          wr += i.toLong * br(i)
+          i += 1
+        }
+        DownsampleStats(r.doc_id, w2, h2, sr, sg, sb, wr,
+          bb(w2 * h2 - 1))
+      }
+    }
+  }
+
+  def downsample(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    downsampleStats(syntheticBmpMedia(docs)).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the 2×2 block structure of the generator stated in closed
+    * form. blocksum_R(bx,by) = 16by+8 (R = 2y+1 is x-free), so
+    * Σ_blocks idx·blocksum_R = 16w2²S2 + 8w2²S1 + 16·T·S1 + 8·T·h2 with
+    * S1 = Σby, S2 = Σby², T = w2(w2−1)/2; the corner block's B sum is
+    * 4·(id%50) + 8w2 − 6. Truncated-region channel sums reuse the
+    * [[sqlPixels]] derivation at (2w2, 2h2).
+    */
+  val sqlDownsample: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS idp,
+      |    CAST((doc_id % 60 + 4) // 2 AS BIGINT) AS w2,
+      |    CAST((n_chars % 40 + 2) // 2 AS BIGINT) AS h2
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, idp, w2, h2, 2 * w2 AS w, 2 * h2 AS h,
+      |    w2 * (w2 - 1) // 2 AS tw, h2 * (h2 - 1) // 2 AS s1,
+      |    (h2 - 1) * h2 * (2 * h2 - 1) // 6 AS s2
+      |  FROM g
+      |)
+      |SELECT doc_id, CAST(w2 AS INT) AS out_w, CAST(h2 AS INT) AS out_h,
+      |  w * h * h AS sum_r2,
+      |  h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS sum_g2,
+      |  h * (w * idp + w * (w - 1) // 2) AS sum_b2,
+      |  16 * w2 * w2 * s2 + 8 * w2 * w2 * s1 + 16 * tw * s1 + 8 * tw * h2
+      |    AS blockpos_r,
+      |  4 * idp + 8 * w2 - 6 AS corner_b
+      |FROM d ORDER BY doc_id""".stripMargin
 
   /** Oracle: the generator's linear pixel values summed in closed form
     * (B = id%50 + x, G = x + y, R = 2y + 1 over w×h) — integer-exact, so

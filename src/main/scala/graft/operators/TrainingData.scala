@@ -510,8 +510,10 @@ object TrainingData {
 
   def epochs(docs: DataFrame): DataFrame = {
     import graft.functions.Exact
-    val per = docs.groupBy(col("source"))
-      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+    // pinned: the corpus-wide token count feeds both the totals row and
+    // the final projection — one scan, not two
+    val per = Iterate.pin(docs.groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens")))
     val tots = per.agg(sum(col("n_tokens")).as("tot"),
       Exact.xsum(sqrt(col("n_tokens").cast("double")), 6).as("sum_sqrt"))
     per.crossJoin(broadcast(tots))
@@ -1030,17 +1032,24 @@ object TrainingData {
     import graft.functions.Exact
     val tok = docs.select(col("doc_id"), col("source"),
       explode(words(col("text"))).as("w"))
-    val bg = tok.groupBy(col("w")).agg(count(lit(1)).as("c_b"),
-      count(when(col("source") === DsirTarget, 1)).as("c_t"))
+    // pin the vocabulary-sized LM frame: it feeds the scalar totals, the
+    // broadcast to the scoring join, and (transitively) the selection
+    // threshold — unpinned, Catalyst re-runs the corpus explode+agg for
+    // each consumer (4 Generates observed in the physical plan)
+    val bg = Iterate.pin(tok.groupBy(col("w")).agg(count(lit(1)).as("c_b"),
+      count(when(col("source") === DsirTarget, 1)).as("c_t")))
     val scal = bg.agg(sum(col("c_b")).as("n_b"), sum(col("c_t")).as("n_t"),
       count(lit(1)).as("v"))
     val term = log((col("c_t") + lit(1L)).cast("double") /
         (col("n_t") + col("v")).cast("double")) -
       log((col("c_b") + lit(1L)).cast("double") /
         (col("n_b") + col("v")).cast("double"))
-    val perDoc = tok.join(bg, Seq("w")).crossJoin(broadcast(scal))
+    // pinned: read once for the selection threshold, once for the ranked
+    // output — the second corpus pass (scoring) runs exactly once
+    val perDoc = Iterate.pin(tok.join(bg, Seq("w"))
+      .crossJoin(broadcast(scal))
       .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_tok"), Exact.xsum(term, 9).as("log_ratio"))
+      .agg(count(lit(1)).as("n_tok"), Exact.xsum(term, 9).as("log_ratio")))
     val nsel = perDoc.agg(ceil(count(lit(1)).cast("double") /
       lit(DsirKeepDenom.toDouble)).cast("long").as("n_sel"))
     perDoc.crossJoin(broadcast(nsel))

@@ -164,6 +164,25 @@ class Round7Session3Spec extends SparkSuite {
     assert(sums.head >= rows.head.getAs[Long]("n_nodes").toDouble - eps)
   }
 
+  // 5×3 BMP, id=7 → w2=2, h2=1. Generator R=2y+1 (x-free): every block R
+  // sum = 16·by+8 = 8; G=x+y: block(0,0) = 0+1+1+2 = 4, block(1,0) =
+  // 2+3+3+4 = 12; B=idp+x: block(1,0) = 9+10+9+10 = 38 = 4·7+8·2−6.
+  // Trailing odd column (x=4) and row (y=2) are cropped.
+  test("downsample: hand-computed 2x2 block sums on a tiny real BMP") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(Multimodal.MediaBin(7L,
+      Multimodal.bmpPixelBytes(7L, 5, 3))).toDS()
+    val r = Multimodal.downsampleStats(media).collect().head
+    assert(r.out_w == 2 && r.out_h == 1)
+    assert(r.sum_r2 == 16L)           // two blocks × 8
+    assert(r.sum_g2 == 4L + 12L)
+    assert(r.sum_b2 == (7 + 0) + (7 + 1) + (7 + 2) + (7 + 3)
+      + (7 + 0) + (7 + 1) + (7 + 2) + (7 + 3)) // B is y-free
+    assert(r.blockpos_r == 0L * 8 + 1L * 8)
+    assert(r.corner_b == 38L)
+  }
+
   test("events_bootstrap: CI brackets are ordered and cover the full mean") {
     val rows = SparkEntry.queries("events_bootstrap")(spark, dir).collect()
     assert(rows.nonEmpty)
