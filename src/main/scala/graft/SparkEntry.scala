@@ -5259,6 +5259,102 @@ object SparkEntry {
        |    - CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE) AS share_delta
        |FROM per, tot ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- events_psi
+  // Population Stability Index over the VALUE distribution (the standard
+  // model-monitoring drift score; Siddiqi, "Credit Risk Scorecards",
+  // 2006 popularized the 0.1/0.25 alert thresholds): decile buckets are
+  // CUT ON THE BASELINE (first DriftSplitDays, the q23 rounded-percentile
+  // idiom so the edges are bit-identical before any comparison), both
+  // halves are bucketed by the same broadcast edge row, and
+  // psi_term = (q−p)·ln(q/p) with add-1 smoothing. events_drift is the
+  // categorical type-mix twin; this is the numeric-distribution side.
+  //
+  // Determinism: the ln argument is ONE divide of exact BIGINT products
+  // ((n_cur+1)(t_base+B)) / ((n_base+1)(t_cur+B)) and the emitted pmi-like
+  // terms are ROUND(…,9) — the profile_mi ln-parity discipline. Shape:
+  // one scan tags early/late (pinned — edges, cells, and totals all read
+  // it), bucket assignment is a map-side 9-comparison sum against a
+  // broadcast row; everything after is a 10-row frame.
+  private def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("value"), expr("unix_micros(ts) div 86400000000").as("d"))
+    val mn = ev.agg(min(col("d")).as("d0"))
+    val tagged = graft.operators.Iterate.pin(ev.crossJoin(broadcast(mn))
+      .select(col("value"),
+        (col("d") - col("d0") >= DriftSplitDays).as("late")))
+    val edges = tagged.filter(!col("late"))
+      .agg(round(expr("percentile(value, 0.1)"), 4).as("e1"),
+        round(expr("percentile(value, 0.2)"), 4).as("e2"),
+        round(expr("percentile(value, 0.3)"), 4).as("e3"),
+        round(expr("percentile(value, 0.4)"), 4).as("e4"),
+        round(expr("percentile(value, 0.5)"), 4).as("e5"),
+        round(expr("percentile(value, 0.6)"), 4).as("e6"),
+        round(expr("percentile(value, 0.7)"), 4).as("e7"),
+        round(expr("percentile(value, 0.8)"), 4).as("e8"),
+        round(expr("percentile(value, 0.9)"), 4).as("e9"))
+    val bucket = (1 to 9)
+      .map(i => when(col("value") > col(s"e$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val cells = tagged.crossJoin(broadcast(edges))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = cells.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("nb"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("n_base") + 1L).cast("double") /
+          (col("tb") + col("nb")).cast("double")).as("share_base"),
+        ((col("n_cur") + 1L).cast("double") /
+          (col("tc") + col("nb")).cast("double")).as("share_cur"),
+        round((((col("n_cur") + 1L).cast("double") /
+            (col("tc") + col("nb")).cast("double")) -
+          ((col("n_base") + 1L).cast("double") /
+            (col("tb") + col("nb")).cast("double"))) *
+          log(((col("n_cur") + 1L) * (col("tb") + col("nb"))).cast("double") /
+            ((col("n_base") + 1L) * (col("tc") + col("nb"))).cast("double")),
+          9).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
+  private val sqlPsi: String = {
+    val edgeCols = (1 to 9).map(i =>
+      s"ROUND(quantile_cont(value, 0.$i), 4) AS e$i").mkString(", ")
+    val bucketExpr = (1 to 9).map(i =>
+      s"CASE WHEN value > e$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |), mn AS (SELECT MIN(d) AS d0 FROM ev),
+       |tagged AS (
+       |  SELECT value, d - d0 >= $DriftSplitDays AS late FROM ev, mn
+       |), edges AS (
+       |  SELECT $edgeCols
+       |  FROM tagged WHERE NOT late
+       |), cells AS (
+       |  SELECT CAST($bucketExpr AS BIGINT) AS bucket,
+       |    CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM tagged, edges GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+       |    CAST(SUM(n_cur) AS BIGINT) AS tc,
+       |    CAST(COUNT(*) AS BIGINT) AS nb
+       |  FROM cells
+       |)
+       |SELECT bucket, n_base, n_cur,
+       |  CAST(n_base + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE) AS share_base,
+       |  CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE) AS share_cur,
+       |  ROUND((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)
+       |      - CAST(n_base + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))
+       |    * ln(CAST((n_cur + 1) * (tb + nb) AS DOUBLE)
+       |        / CAST((n_base + 1) * (tc + nb) AS DOUBLE)), 9) AS psi_term
+       |FROM cells, tot ORDER BY bucket""".stripMargin
+  }
+
   // ------------------------------------------------- events_gapfill
   // Dense hourly series with gaps filled: the calendar spine (generated
   // from the observed min/max hour, NOT collected to the driver) left-
@@ -7215,6 +7311,7 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "events_bootstrap"  -> qBootstrap _,
     "events_rolling_mau" -> qRollingMau _,
+    "events_psi"        -> qPsi _,
     "corpus_epochs"     -> ((s, d) => TrainingData.epochs(docs(s, d))),
     "graph_hits"        -> ((s, d) =>
       graft.operators.Graph.hitsCached(
@@ -7749,6 +7846,7 @@ object SparkEntry {
     "graph_anf"         -> graft.operators.Graph.sqlAnf(),
     "events_bootstrap"  -> sqlBootstrap,
     "events_rolling_mau" -> sqlRollingMau,
+    "events_psi"        -> sqlPsi,
     "corpus_epochs"     -> TrainingData.sqlEpochs,
     "graph_ppr"         -> graft.operators.Graph.sqlPpr(),
     "graph_hits"        -> graft.operators.Graph.sqlHits,

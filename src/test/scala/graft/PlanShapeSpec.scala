@@ -799,4 +799,28 @@ class PlanShapeSpec extends SparkSuite {
       "unpartitioned window over an unbounded input in: " +
         offenders.mkString(", "))
   }
+
+  test("text_pii: pure map stage — no shuffle before the output order") {
+    // the scrub's scale claim (SCALE.md): regex scan + redact stay inside
+    // whole-stage codegen with ZERO exchanges until the harness's total
+    // ORDER BY (one range partitioning)
+    val p = planTree("text_pii")
+    assert(!p.contains("Aggregate") && !p.contains("Join") &&
+      !p.contains("Window"), "PII scan must stay map-only:\n" + p)
+    // allowed exchanges: the documents loader's own repartition + the
+    // harness's final ORDER BY range partitioning — nothing computed
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "extra exchange in the PII scan:\n" + p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("events_rolling_mau: two aggregate stages, no range join") {
+    // distinct-over-sliding-window discipline: map-side ×7 fanout + hash
+    // aggregates; a regression to a per-window re-scan or a range join
+    // would show up as extra joins/exchanges
+    val p = planTree("events_rolling_mau")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Generate".r.findAllIn(p).size == 1,
+      "MAU fanout must be ONE explode:\n" + p)
+  }
 }

@@ -242,6 +242,16 @@ class Round7Session3Spec extends SparkSuite {
     }
   }
 
+  test("events_psi: smoothed shares sum to 1, every psi term nonnegative") {
+    val rows = SparkEntry.queries("events_psi")(spark, dir).collect()
+    assert(rows.length == 10) // baseline deciles → 10 buckets
+    val sb = rows.map(_.getAs[Double]("share_base")).sum
+    val sc = rows.map(_.getAs[Double]("share_cur")).sum
+    assert(math.abs(sb - 1.0) < 1e-9 && math.abs(sc - 1.0) < 1e-9)
+    // (q−p) and ln(q/p) always share sign, so each addend of PSI is ≥ 0
+    rows.foreach(r => assert(r.getAs[Double]("psi_term") >= -eps))
+  }
+
   test("ndcgAtK: bounded in [0,1], dcg <= idcg, both routes cover all queries") {
     val emb = Tables.embeddings(spark, dir)
     val rows = Similarity.ndcgAtK(emb).collect()
