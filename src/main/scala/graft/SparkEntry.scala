@@ -5355,6 +5355,79 @@ object SparkEntry {
        |FROM cells, tot ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------- events_locf
+  // Last-observation-carried-forward imputation over a dense daily spine
+  // — the other half of gap handling (events_gapfill zero-fills counts;
+  // LOCF carries STATE, the right semantics for balances/settings/
+  // sensor readings). Per watched user: daily last value (rank window),
+  // dense user×day spine (generated, never collected), then ONE
+  // partitioned ignoreNulls-last window. Leading days before a user's
+  // first observation stay NULL — the LOCF contract.
+  //
+  // Scale shape: the rank window and the LOCF window both shuffle on
+  // user_id (AQE coalesces to one partitioning); the spine is
+  // |users|·|days| rows bounded by the watchlist cut, the production
+  // shape for a metric-serving backfill.
+  private val LocfUsers = 20L
+
+  private def qLocf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("user_id") < LocfUsers && col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("value"))
+    val wDay = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = graft.operators.Iterate.pin(
+      ev.withColumn("rk", row_number().over(wDay))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("d"), col("value")))
+    val days = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d")).distinct()
+    val users = daily.select(col("user_id")).distinct()
+    val wLocf = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "d"), "left")
+      .withColumn("locf", last(col("value"), ignoreNulls = true).over(wLocf))
+      .select(col("user_id"), col("d").as("day"), col("value"), col("locf"),
+        (col("value").isNull && col("locf").isNotNull).as("filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val sqlLocf: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       |    CAST(ts AS TIMESTAMP) AS ts, event_id, value
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND user_id < $LocfUsers AND value IS NOT NULL
+       |), daily AS (
+       |  SELECT user_id, d, value FROM (
+       |    SELECT user_id, d, value,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, d
+       |                         ORDER BY ts DESC, event_id DESC) AS rk
+       |    FROM ev
+       |  ) WHERE rk = 1
+       |), days AS (
+       |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+       |  FROM events WHERE ts IS NOT NULL
+       |), users AS (
+       |  SELECT DISTINCT user_id FROM daily
+       |)
+       |SELECT user_id, day, value, locf,
+       |  value IS NULL AND locf IS NOT NULL AS filled
+       |FROM (
+       |  SELECT s.user_id, s.d AS day, daily.value,
+       |    last_value(daily.value IGNORE NULLS) OVER (
+       |      PARTITION BY s.user_id ORDER BY s.d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+       |  FROM (SELECT user_id, d FROM users CROSS JOIN days) s
+       |  LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+       |)
+       |ORDER BY user_id, day""".stripMargin
+
   // ------------------------------------------------- events_gapfill
   // Dense hourly series with gaps filled: the calendar spine (generated
   // from the observed min/max hour, NOT collected to the driver) left-
@@ -7312,6 +7385,9 @@ object SparkEntry {
     "events_bootstrap"  -> qBootstrap _,
     "events_rolling_mau" -> qRollingMau _,
     "events_psi"        -> qPsi _,
+    "events_locf"       -> qLocf _,
+    "scd_type3"         -> ((s, d) =>
+      graft.operators.Changelog.type3(Tables.events(s, d))),
     "corpus_epochs"     -> ((s, d) => TrainingData.epochs(docs(s, d))),
     "graph_hits"        -> ((s, d) =>
       graft.operators.Graph.hitsCached(
@@ -7847,6 +7923,8 @@ object SparkEntry {
     "events_bootstrap"  -> sqlBootstrap,
     "events_rolling_mau" -> sqlRollingMau,
     "events_psi"        -> sqlPsi,
+    "events_locf"       -> sqlLocf,
+    "scd_type3"         -> graft.operators.Changelog.sqlType3,
     "corpus_epochs"     -> TrainingData.sqlEpochs,
     "graph_ppr"         -> graft.operators.Graph.sqlPpr(),
     "graph_hits"        -> graft.operators.Graph.sqlHits,

@@ -47,6 +47,52 @@ object Changelog {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** SCD Type 3 from the changelog (Kimball's limited-history variant:
+    * the dimension keeps the CURRENT and the PREVIOUS value as columns,
+    * not as version rows — the shape reports want when "what changed
+    * last" matters but full history doesn't). One user-keyed rank window
+    * picks the two newest versions; one conditional aggregate pivots
+    * them into (current_*, prev_*) with an n_versions audit. Keys with a
+    * single version get NULL prev columns, the Type-3 contract.
+    *
+    * Scale shape: the changelog shuffles exactly once on its key (the
+    * window), and the pivot aggregate reuses that partitioning — no
+    * second exchange, no self-join of history against itself.
+    */
+  def type3(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("rk") === 1, col("value"))).as("current_value"),
+        max(when(col("rk") === 1, col("ts"))).as("current_ts"),
+        max(when(col("rk") === 2, col("value"))).as("prev_value"),
+        max(when(col("rk") === 2, col("ts"))).as("prev_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val sqlType3: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), r AS (
+      |  SELECT user_id, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  MAX(CASE WHEN rk = 1 THEN value END) AS current_value,
+      |  MAX(CASE WHEN rk = 1 THEN ts END) AS current_ts,
+      |  MAX(CASE WHEN rk = 2 THEN value END) AS prev_value,
+      |  MAX(CASE WHEN rk = 2 THEN ts END) AS prev_ts
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Point-in-time state: per key, the last change with ts ≤ cutoff. A
     * thin per-key argmax over a (ts, event_id, …) struct — NOT
     * intervals-then-filter: the argmax partial-aggregates map-side, so

@@ -242,6 +242,56 @@ class Round7Session3Spec extends SparkSuite {
     }
   }
 
+  test("scd type3 pivots the two newest versions into columns") {
+    import spark.implicits._
+    import graft.operators.Changelog
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, 1.0),
+      (1L, "2024-01-02 00:00:00", 11L, 2.0),
+      (1L, "2024-01-03 00:00:00", 12L, 3.0),
+      (2L, "2024-01-05 00:00:00", 13L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Changelog.type3(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_versions") == 3)
+    assert(u1.getAs[Double]("current_value") == 3.0)
+    assert(u1.getAs[Double]("prev_value") == 2.0)
+    val u2 = got(2L)
+    assert(u2.getAs[Long]("n_versions") == 1)
+    assert(u2.getAs[Double]("current_value") == 9.0)
+    assert(u2.isNullAt(u2.fieldIndex("prev_value")))
+    assert(u2.isNullAt(u2.fieldIndex("prev_ts")))
+  }
+
+  test("locf carries the latest prior daily value, leading days stay null") {
+    val rows = SparkEntry.queries("events_locf")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent brute recount from the fixture
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("user_id") < 20 && col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val upto = ev.filter(e => e._1 == u && !e._2.isAfter(day))
+      if (upto.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("locf")), s"expected null locf $u $day")
+        assert(!r.getAs[Boolean]("filled"))
+      } else {
+        val latestDay = upto.map(_._2).maxBy(_.toEpochDay)
+        val expect = upto.filter(_._2 == latestDay)
+          .maxBy(e => (e._3.getTime, e._4))._5
+        assert(r.getAs[Double]("locf") == expect, s"locf mismatch $u $day")
+      }
+    }
+  }
+
   test("events_psi: smoothed shares sum to 1, every psi term nonnegative") {
     val rows = SparkEntry.queries("events_psi")(spark, dir).collect()
     assert(rows.length == 10) // baseline deciles → 10 buckets
