@@ -1555,22 +1555,27 @@ object Graph {
     * sketch along edges for h rounds — THE way to ask "how far is
     * everything from everything" on a graph where all-pairs BFS is
     * impossible. Here the sketch is KMV (k smallest md5-uniforms of
-    * reachable node ids), kept RELATIONAL: a sketch is ≤k (node, hash)
-    * rows, a round is one src-keyed join + a per-node rank cut, so the
-    * whole operator is joins/windows the optimizer can see — and because
-    * KMV union is a deterministic function of the input sets (unlike
-    * HLL register layouts), the DuckDB oracle reproduces every sketch
-    * row and the estimator is hash-exact cross-engine.
+    * reachable node ids): state between rounds is ≤k (node, hash) rows,
+    * and a round is one src-keyed join + ONE mergeable k-bounded
+    * aggregation ([[graft.functions.KmvSketch]] — dedup inside the
+    * buffer, map-side partial combine, ≤k longs per (partition, node) on
+    * the wire). Because KMV union is a deterministic set function
+    * (unlike HLL register layouts), the DuckDB oracle reproduces every
+    * kept hash through its relational sorted-distinct-limit-k twin and
+    * the estimator is hash-exact cross-engine — the same
+    * aggregate-vs-relational equivalence sketch_kmv pins.
     *
     * Scale shape: state is |V|·k rows forever (never |ball|); each round
-    * shuffles edge-join output partitioned by dst — the exact
-    * Pregel-style ANF layout. The estimator per (node, h) is exact-int
+    * shuffles k-bounded partial sketches partitioned by dst — the exact
+    * Pregel/HyperANF layout. The estimator per (node, h) is exact-int
     * arithmetic: est = cnt if cnt<k else (k−1)·2^52/kth_hash; the
     * per-round reduce is an exact-decimal sum.
     */
   def anfCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String, rounds: Int = AnfRounds): DataFrame = {
     import graft.functions.Exact
+    import graft.functions.VectorExprs
+    VectorExprs.register(orders.sparkSession)
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
     val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
@@ -1578,20 +1583,23 @@ object Graph {
     val h0 = conv(substring(md5(concat(lit("anf:"),
       col("id").cast("string"))), 1, 13), 16, 10).cast("long")
     var s = degN.select(col("id").as("node"), h0.as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("h"))
     val perRound = (1 to rounds).map { r =>
+      // the round's |E|·k candidate stream collapses through the
+      // k-bounded mergeable KMV aggregate (KmvSketch): dedup happens
+      // inside the buffer, partial combine is map-side, the exchange
+      // moves ≤ k longs per (partition, node) — vs the relational
+      // distinct+rank form this removed the suite's then-slowest query's
+      // corpus-sized distinct shuffle (4.4 s → the agg rounds alone)
       val cand = s.unionByName(
         edges.join(s, edges("src") === s("node"))
-          .select(col("dst").as("node"), col("h"))).distinct()
-      s = cand.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= AnfK).select(col("node"), col("h"))
-      if (r % 3 == 0 && r < rounds) s = Iterate.pin(s)
-      val est = s.groupBy(col("node"))
-        .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
-        .select(when(col("cnt") < AnfK, col("cnt").cast("double"))
+          .select(col("dst").as("node"), col("h")))
+      val sk = Iterate.pin(cand.groupBy(col("node"))
+        .agg(VectorExprs.kmvMinHashes(col("h"), AnfK).as("hs")))
+      if (r < rounds) s = sk.select(col("node"), explode(col("hs")).as("h"))
+      val est = sk.select(
+        when(size(col("hs")) < AnfK, size(col("hs")).cast("double"))
           .otherwise(lit((AnfK - 1) * 4503599627370496.0) /
-            col("kth").cast("double")).as("est"))
+            element_at(col("hs"), -1).cast("double")).as("est"))
       est.agg(count(lit(1)).as("n_nodes"),
         Exact.xsum(col("est"), 6).as("sum_est"))
         .select(lit(r.toLong).as("h"), col("n_nodes"), col("sum_est"),
