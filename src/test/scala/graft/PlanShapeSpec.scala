@@ -800,6 +800,23 @@ class PlanShapeSpec extends SparkSuite {
         offenders.mkString(", "))
   }
 
+  test("registry sweep: no CartesianProduct in any physical plan") {
+    // every intentional cross join in the suite is crossJoin(broadcast(…))
+    // — a scalar attach or a bounded query-side frame — which plans as
+    // BroadcastNestedLoopJoin. A CartesianProduct means BOTH sides were
+    // too big to broadcast: the one physical shape that cannot survive a
+    // 100× scale-up. Nothing currently plans one; this pins that for
+    // every future query.
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("stream_")) {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) offenders += name
+    }
+    assert(offenders.isEmpty,
+      "CartesianProduct planned in: " + offenders.mkString(", "))
+  }
+
   test("text_pii: pure map stage — no shuffle before the output order") {
     // the scrub's scale claim (SCALE.md): regex scan + redact stay inside
     // whole-stage codegen with ZERO exchanges until the harness's total

@@ -37,7 +37,16 @@ class ReliableCheckpointSpec extends SparkSuite {
       Dedup.labelPropagation(Dedup.minhashPairs(docs), docs)),
     "lloyds_kmeans" -> (() => Similarity.ivfKmeans(emb)),
     "bpe_merges" -> (() => TextOps.bpeMerges(docs)),
-    "nsw_walk" -> (() => Similarity.nswWalk(emb)))
+    "nsw_walk" -> (() => Similarity.nswWalk(emb)),
+    // fresh cache keys per call: the prede/prdeg memos would otherwise
+    // hand run 2 the run-1 pinned frames (the vacuous-comparison trap)
+    "katz_4rounds" -> (() =>
+      Graph.katzCached(Tables.orders(spark, dir),
+        Tables.lineitem(spark, dir), "ck-katz-" + System.nanoTime,
+        iters = 4)), // 4 rounds so the every-3rd-round pin actually fires
+    "anf_kmv" -> (() =>
+      Graph.anfCached(Tables.orders(spark, dir),
+        Tables.lineitem(spark, dir), "ck-anf-" + System.nanoTime)))
 
   private def snapshot(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.map(col)
