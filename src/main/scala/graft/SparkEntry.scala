@@ -7382,6 +7382,9 @@ object SparkEntry {
     "graph_anf"         -> ((s, d) =>
       graft.operators.Graph.anfCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_louvain"     -> ((s, d) =>
+      graft.operators.Graph.louvainCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "events_bootstrap"  -> qBootstrap _,
     "events_rolling_mau" -> qRollingMau _,
     "events_psi"        -> qPsi _,
@@ -7920,6 +7923,7 @@ object SparkEntry {
     "graph_pagerank"    -> graft.operators.Graph.sqlPagerank(),
     "graph_katz"        -> graft.operators.Graph.sqlKatz(),
     "graph_anf"         -> graft.operators.Graph.sqlAnf(),
+    "graph_louvain"     -> graft.operators.Graph.sqlLouvain(),
     "events_bootstrap"  -> sqlBootstrap,
     "events_rolling_mau" -> sqlRollingMau,
     "events_psi"        -> sqlPsi,

@@ -1659,6 +1659,145 @@ object Graph {
        |) ORDER BY h""".stripMargin
   }
 
+  // ------------------------------------------------- Louvain (one level)
+  val LouvainRounds = 2
+
+  /** Synchronized Louvain local-moving rounds (Blondel-Guillaume-Lambiotte-
+    * Lefebvre, "Fast unfolding of communities in large networks", J. Stat.
+    * Mech. 2008, §2; the synchronized variant is the distributed form —
+    * every node evaluates its move against the PREVIOUS round's
+    * assignment, then all moves apply at once): starting from singleton
+    * communities, each round moves node i to the neighbor community C
+    * maximizing ΔQ(i: D→C) = (e_iC − e_iD)/m − k_i·(Σtot_C − (Σtot_D −
+    * k_i))/(2m²), staying put unless ΔQ > 0. Two rounds of the LOCAL
+    * phase (no graph coarsening — one Louvain level), which is where the
+    * method's work happens; `dedup_communities` is the label-propagation
+    * alternative and `dedup_modularity` scores any assignment.
+    *
+    * Scale shape: a round is one dst-keyed join (edges ⋈ assignment) +
+    * one (src, community) hash agg + two small joins against the
+    * community-degree table — all key-partitioned, nothing all-pairs.
+    * Determinism: ΔQ is a difference of two exact-int-over-exact-int
+    * IEEE divisions (2·(e_iC−e_iD)/2m and 2·k_i·(Σtot_C−Σtot_D+k_i)/(2m)²
+    * — every numerator/denominator an exact BIGINT), so the argmax rank
+    * (ΔQ desc, community asc) orders bit-identical cross-engine.
+    */
+  def louvainCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+    val spark = orders.sparkSession
+    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
+    val deg = degN.select(col("id"), col("deg"))
+    val m2 = degN.agg(sum(col("deg")).as("m2")) // = 2m (directed count)
+    var comm = deg.select(col("id").as("node"), col("id").as("c"))
+    for (r <- 1 to rounds) {
+      val a = comm.select(col("node").as("dst"), col("c"))
+      // edges from i into each adjacent community under the PREVIOUS
+      // assignment (synchronized round)
+      val eic = edges.join(a, Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("e_ic"))
+      val stot = comm.join(deg, comm("node") === deg("id"))
+        .groupBy(col("c")).agg(sum(col("deg")).as("stot"))
+      val own = comm.join(eic, Seq("node", "c"), "left")
+        .join(stot, Seq("c"))
+        .select(col("node"), col("c").as("d_c"),
+          coalesce(col("e_ic"), lit(0L)).as("e_id"),
+          col("stot").as("stot_d"))
+      val cand = eic.join(own, Seq("node"))
+        .filter(col("c") =!= col("d_c"))
+        .join(stot, Seq("c"))
+        .join(deg, eic("node") === deg("id"))
+        .crossJoin(broadcast(m2))
+        .withColumn("dq",
+          (lit(2L) * (col("e_ic") - col("e_id"))).cast("double") /
+            col("m2").cast("double") -
+          (lit(2L) * col("deg") *
+            (col("stot") - col("stot_d") + col("deg"))).cast("double") /
+            (col("m2") * col("m2")).cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("dq").desc, col("c"))
+      val best = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("dq") > 0)
+        .select(col("node"), col("c").as("new_c"), col("dq"))
+      comm = Iterate.pin(comm.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_c"), col("c")).as("c")))
+    }
+    // canonical community labels: min member id (stable across engines)
+    val label = comm.groupBy(col("c")).agg(min(col("node")).as("label"))
+    comm.join(label, Seq("c"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("size"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("size").desc, col("label"))
+      .limit(PrTopK)
+  }
+
+  def sqlLouvain(rounds: Int = LouvainRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""eic$r AS (
+         |  SELECT e.src AS node, a.c, CAST(COUNT(*) AS BIGINT) AS e_ic
+         |  FROM edges e JOIN $prev a ON e.dst = a.node
+         |  GROUP BY e.src, a.c
+         |), stot$r AS (
+         |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS stot
+         |  FROM $prev a JOIN deg d ON a.node = d.id
+         |  GROUP BY a.c
+         |), own$r AS (
+         |  SELECT a.node, a.c AS d_c,
+         |    CAST(COALESCE(e.e_ic, 0) AS BIGINT) AS e_id, s.stot AS stot_d
+         |  FROM $prev a
+         |  LEFT JOIN eic$r e ON a.node = e.node AND a.c = e.c
+         |  JOIN stot$r s ON a.c = s.c
+         |), cand$r AS (
+         |  SELECT e.node, e.c,
+         |    CAST(2 * (e.e_ic - o.e_id) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+         |      - CAST(2 * d.deg * (s.stot - o.stot_d + d.deg) AS DOUBLE)
+         |        / CAST(m2.m2 * m2.m2 AS DOUBLE) AS dq
+         |  FROM eic$r e
+         |  JOIN own$r o ON e.node = o.node AND e.c <> o.d_c
+         |  JOIN stot$r s ON e.c = s.c
+         |  JOIN deg d ON e.node = d.id
+         |  CROSS JOIN m2
+         |), best$r AS (
+         |  SELECT node, c AS new_c FROM (
+         |    SELECT node, c, dq,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |                         ORDER BY dq DESC, c) AS rk
+         |    FROM cand$r
+         |  ) WHERE rk = 1 AND dq > 0
+         |), c$r AS (
+         |  SELECT a.node, COALESCE(b.new_c, a.c) AS c
+         |  FROM $prev a LEFT JOIN best$r b ON a.node = b.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $SuppBase AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $SuppBase, cust FROM e0
+       |), deg AS (
+       |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY src
+       |), m2 AS (SELECT CAST(SUM(deg) AS BIGINT) AS m2 FROM deg),
+       |c0 AS (SELECT id AS node, id AS c FROM deg),
+       |$roundCtes,
+       |lab AS (
+       |  SELECT c, CAST(MIN(node) AS BIGINT) AS label
+       |  FROM c$rounds GROUP BY c
+       |)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS size,
+       |  CAST(MIN(node) AS BIGINT) AS min_node,
+       |  CAST(MAX(node) AS BIGINT) AS max_node
+       |FROM c$rounds JOIN lab USING (c)
+       |GROUP BY label
+       |ORDER BY size DESC, label LIMIT $PrTopK""".stripMargin
+  }
+
   // --------------------------------------------- personalized PageRank
   /** Seed-node count for [[pprCached]]: customers with id < PprSeeds. */
   val PprSeeds = 10L

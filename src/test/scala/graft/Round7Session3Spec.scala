@@ -183,6 +183,33 @@ class Round7Session3Spec extends SparkSuite {
     assert(r.corner_b == 38L)
   }
 
+  // Two K2,2 bipartite cliques bridged by one edge (c2—s3). Hand-run of
+  // two SYNCHRONIZED local-moving rounds from singletons: round 1 pairs
+  // each node with its min-degree neighbor (customers→s-side labels and
+  // vice versa); round 2 re-partitions into the four side-pure pairs —
+  // the documented synchronized-variant behavior on bipartite graphs
+  // (sides never merge in lockstep updates). All four communities have
+  // size 2 with min-id labels {c1, c3, s1, s3}.
+  test("louvain: hand-run synchronized rounds on two bridged bicliques") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 3L), (40L, 4L)
+    ).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.louvainCached(orders, lineitem,
+      "toy-louvain-" + System.nanoTime)
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("size"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))
+    val B = Graph.SuppBase
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 2L), (3L, 2L, 3L, 4L),
+      (B + 1, 2L, B + 1, B + 2), (B + 3, 2L, B + 3, B + 4)))
+  }
+
   test("events_bootstrap: CI brackets are ordered and cover the full mean") {
     val rows = SparkEntry.queries("events_bootstrap")(spark, dir).collect()
     assert(rows.nonEmpty)
