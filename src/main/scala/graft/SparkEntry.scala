@@ -7478,6 +7478,8 @@ object SparkEntry {
     "text_pii"          -> ((s, d) => TextOps.piiScan(docs(s, d))),
     "text_pii_stats"    -> ((s, d) => TextOps.piiStats(docs(s, d))),
     "sim_ndcg"          -> ((s, d) => Similarity.ndcgAtK(emb(s, d))),
+    "sim_cluster_topics" -> ((s, d) => Similarity.clusterTopics(
+      emb(s, d), docs(s, d), Similarity.ivfCentsCached(emb(s, d), d))),
     "bucket_join"       -> ((s, d) =>
       graft.operators.Bucketing.bucketJoin(s, d)),
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
@@ -7961,6 +7963,7 @@ object SparkEntry {
     "text_pii"          -> TextOps.sqlPiiScan,
     "text_pii_stats"    -> TextOps.sqlPiiStats,
     "sim_ndcg"          -> Similarity.sqlNdcg,
+    "sim_cluster_topics" -> Similarity.sqlClusterTopics(),
     "bucket_join"       -> graft.operators.Bucketing.sqlBucketJoin,
     "text_gopher"       -> TextOps.sqlGopher,
     "text_simpson"      -> TextOps.sqlSimpson,

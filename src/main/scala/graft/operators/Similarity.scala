@@ -1955,6 +1955,81 @@ object Similarity {
     s"""WITH ${sqlIvfKmeansCtes(iters)}
        |SELECT vec_id, bucket FROM fin ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------- cluster topics
+  val TopicTermsK = 5
+
+  /** Topic labels for the trained k-means clusters: top-[[TopicTermsK]]
+    * terms per cluster by SUMMED tf·idf over the cluster's member
+    * documents — the human-readable readout that turns "cluster 7" into
+    * "the cluster about joins and filters", and the first cross-family
+    * composition joining the EMBEDDING space (cells) with the TEXT space
+    * (terms) on the shared doc/vec id.
+    *
+    * Determinism: the summed score FACTORS — Σ_docs tf·(N+1)/(df+1) =
+    * (Σtf)·(N+1)/(df+1) — so it is computed as ONE division of exact
+    * BIGINT products (no double summation at all), and the per-cluster
+    * rank (score desc, term) orders bit-identical cross-engine.
+    *
+    * Scale shape: assignment is the memoized trained-centroid broadcast
+    * pass; the term side is the tfidf explode + two hash aggs; the
+    * bridge join is (doc, term)-grained against a |docs|-row assignment
+    * — all key-partitioned, and the output is |cells|·k rows.
+    */
+  def clusterTopics(emb: DataFrame, docs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val assign = ivfKmeans(emb, cents = Some(cents))
+      .select(col("vec_id"), col("bucket"))
+    val terms = docs.select(col("doc_id"),
+      explode_outer(TextOps.words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val ct = tf.join(assign, tf("doc_id") === assign("vec_id"))
+      .groupBy(col("bucket"), col("term"))
+      .agg(sum(col("tf")).as("sum_tf"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("term"))
+    ct.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("sum_tf") * (col("n_docs") + 1)).cast("double") /
+          (col("df") + 1).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopicTermsK)
+      .select(col("bucket"), col("rk"), col("term"), col("sum_tf"),
+        col("df"), col("score"))
+      .orderBy(col("bucket"), col("rk"))
+  }
+
+  def sqlClusterTopics(iters: Int = KmeansIters): String =
+    s"""WITH ${sqlIvfKmeansCtes(iters)},
+       |terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), tfp AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM terms GROUP BY 1, 2
+       |), dfp AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfp GROUP BY 1
+       |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+       |), ct AS (
+       |  SELECT f.bucket, t.term, CAST(SUM(t.tf) AS BIGINT) AS sum_tf
+       |  FROM tfp t JOIN fin f ON t.doc_id = f.vec_id
+       |  GROUP BY f.bucket, t.term
+       |), ranked AS (
+       |  SELECT ct.bucket, ct.term, ct.sum_tf, dfp.df,
+       |    CAST(ct.sum_tf * (nd.n_docs + 1) AS DOUBLE)
+       |      / CAST(dfp.df + 1 AS DOUBLE) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY ct.bucket ORDER BY
+       |      CAST(ct.sum_tf * (nd.n_docs + 1) AS DOUBLE)
+       |        / CAST(dfp.df + 1 AS DOUBLE) DESC, ct.term) AS rk
+       |  FROM ct JOIN dfp USING (term) CROSS JOIN nd
+       |)
+       |SELECT bucket, rk, term, sum_tf, df, score
+       |FROM ranked WHERE rk <= $TopicTermsK
+       |ORDER BY bucket, rk""".stripMargin
+
   /** [[ivfBalanceTrained]] oracle: cell counts over the same unrolled
     * Lloyd's rounds' final assignment.
     */

@@ -210,6 +210,27 @@ class Round7Session3Spec extends SparkSuite {
       (B + 1, 2L, B + 1, B + 2), (B + 3, 2L, B + 3, B + 4)))
   }
 
+  test("cluster topics: ranked per cluster, factored score recomputes") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Similarity.clusterTopics(emb, Tables.documents(spark, dir),
+      Similarity.ivfCentsCached(emb, dir)).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, g) =>
+      val rks = g.map(_.getAs[Int]("rk").toLong).sorted
+      assert(rks.sameElements(1L to rks.length)) // dense 1..k
+      val byRk = g.sortBy(_.getAs[Int]("rk"))
+      val scores = byRk.map(_.getAs[Double]("score"))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      byRk.foreach { r =>
+        val expect = (r.getAs[Long]("sum_tf") * (nDocs + 1)).toDouble /
+          (r.getAs[Long]("df") + 1).toDouble
+        assert(r.getAs[Double]("score") == expect)
+      }
+    }
+  }
+
   test("events_bootstrap: CI brackets are ordered and cover the full mean") {
     val rows = SparkEntry.queries("events_bootstrap")(spark, dir).collect()
     assert(rows.nonEmpty)
