@@ -5269,8 +5269,11 @@ object SparkEntry {
   // psi_term = (q−p)·ln(q/p) with add-1 smoothing. events_drift is the
   // categorical type-mix twin; this is the numeric-distribution side.
   //
-  // Determinism: the ln argument is ONE divide of exact BIGINT products
-  // ((n_cur+1)(t_base+B)) / ((n_base+1)(t_cur+B)) and the emitted pmi-like
+  // Determinism: the ln argument is a product of two double-cast ratios
+  // ((n_cur+1)/(n_base+1)) · ((t_base+B)/(t_cur+B)) — each factor cast
+  // BEFORE the divide so the BIGINT cross-products never form (they
+  // would wrap Int64 past ~3e9 counts); both engines evaluate the same
+  // cast-divide-multiply sequence, and the emitted pmi-like
   // terms are ROUND(…,9) — the profile_mi ln-parity discipline. Shape:
   // one scan tags early/late (pinned — edges, cells, and totals all read
   // it), bucket assignment is a map-side 9-comparison sum against a
@@ -5313,8 +5316,10 @@ object SparkEntry {
             (col("tc") + col("nb")).cast("double")) -
           ((col("n_base") + 1L).cast("double") /
             (col("tb") + col("nb")).cast("double"))) *
-          log(((col("n_cur") + 1L) * (col("tb") + col("nb"))).cast("double") /
-            ((col("n_base") + 1L) * (col("tc") + col("nb"))).cast("double")),
+          log(((col("n_cur") + 1L).cast("double") /
+              (col("n_base") + 1L).cast("double")) *
+            ((col("tb") + col("nb")).cast("double") /
+              (col("tc") + col("nb")).cast("double"))),
           9).as("psi_term"))
       .orderBy(col("bucket"))
   }
@@ -5350,8 +5355,9 @@ object SparkEntry {
        |  CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE) AS share_cur,
        |  ROUND((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)
        |      - CAST(n_base + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))
-       |    * ln(CAST((n_cur + 1) * (tb + nb) AS DOUBLE)
-       |        / CAST((n_base + 1) * (tc + nb) AS DOUBLE)), 9) AS psi_term
+       |    * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(n_base + 1 AS DOUBLE))
+       |        * (CAST(tb + nb AS DOUBLE) / CAST(tc + nb AS DOUBLE))),
+       |      9) AS psi_term
        |FROM cells, tot ORDER BY bucket""".stripMargin
   }
 
@@ -6679,7 +6685,8 @@ object SparkEntry {
     // pinned: the deduped (user, day) frame feeds the window fanout, the
     // active-day list, AND the DAU aggregate — one events scan + distinct
     val ud = graft.operators.Iterate.pin(
-      Tables.events(s, dir).filter(col("user_id").isNotNull)
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
     val wins = ud
       .withColumn("i", explode(sequence(lit(0), lit(MauWindowDays - 1))))
@@ -6699,7 +6706,7 @@ object SparkEntry {
   private val sqlRollingMau: String =
     s"""WITH ud AS (
        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
-       |  FROM events WHERE user_id IS NOT NULL
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
        |), wins AS (
        |  SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
        |  FROM ud CROSS JOIN (SELECT unnest(range(0, $MauWindowDays)) AS i)

@@ -1456,8 +1456,12 @@ object Graph {
   }
 
   // ------------------------------------------------- Katz centrality
-  /** Katz attenuation factor — well under 1/λ_max for this graph, so the
-    * truncated series is already near its fixed point at [[PrIters]]. */
+  /** Katz attenuation factor. The score is DEFINED as the series
+    * truncated at [[PrIters]] rounds (both engines unroll the identical
+    * rounds, so cross-engine determinism never depends on convergence);
+    * on dense graphs where α ≥ 1/λ_max the infinite series would
+    * diverge, and the truncated form is simply an attenuated
+    * walk-count of bounded length. */
   val KatzAlpha = 0.05
 
   /** Katz centrality (Katz, "A new status index derived from sociometric
@@ -1677,10 +1681,13 @@ object Graph {
     * Scale shape: a round is one dst-keyed join (edges ⋈ assignment) +
     * one (src, community) hash agg + two small joins against the
     * community-degree table — all key-partitioned, nothing all-pairs.
-    * Determinism: ΔQ is a difference of two exact-int-over-exact-int
-    * IEEE divisions (2·(e_iC−e_iD)/2m and 2·k_i·(Σtot_C−Σtot_D+k_i)/(2m)²
-    * — every numerator/denominator an exact BIGINT), so the argmax rank
-    * (ΔQ desc, community asc) orders bit-identical cross-engine.
+    * Determinism: ΔQ is a difference of two IEEE divisions —
+    * 2·(e_iC−e_iD)/2m (exact BIGINT over exact BIGINT) and
+    * 2·k_i·(Σtot_C−Σtot_D+k_i) / (double(2m)·double(2m)); the square is
+    * taken AFTER the double cast so m2 up to 2^53 (|E| ≈ 4.5e15, far past
+    * 100 TB) never wraps Int64, and both engines evaluate the identical
+    * cast-then-multiply sequence — so the argmax rank (ΔQ desc,
+    * community asc) orders bit-identical cross-engine.
     */
   def louvainCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
@@ -1715,7 +1722,7 @@ object Graph {
             col("m2").cast("double") -
           (lit(2L) * col("deg") *
             (col("stot") - col("stot_d") + col("deg"))).cast("double") /
-            (col("m2") * col("m2")).cast("double"))
+            (col("m2").cast("double") * col("m2").cast("double")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node")).orderBy(col("dq").desc, col("c"))
       val best = cand.withColumn("rk", row_number().over(w))
@@ -1755,7 +1762,7 @@ object Graph {
          |  SELECT e.node, e.c,
          |    CAST(2 * (e.e_ic - o.e_id) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
          |      - CAST(2 * d.deg * (s.stot - o.stot_d + d.deg) AS DOUBLE)
-         |        / CAST(m2.m2 * m2.m2 AS DOUBLE) AS dq
+         |        / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)) AS dq
          |  FROM eic$r e
          |  JOIN own$r o ON e.node = o.node AND e.c <> o.d_c
          |  JOIN stot$r s ON e.c = s.c

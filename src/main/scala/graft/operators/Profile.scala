@@ -551,8 +551,12 @@ object Profile {
     * readout: pmi per cell plus each cell's contribution p(x,y)·pmi to
     * total MI.
     *
-    * Cross-engine determinism: pmi = ln((n·tot)/(n_lang·n_src)) — the ln
-    * argument is a single divide of exact BIGINT products, bit-identical
+    * Cross-engine determinism: pmi = ln((n/n_lang)·(tot/n_src)) — the ln
+    * argument is a product of two double-cast ratios, each factor cast
+    * BEFORE the divide so the BIGINT products n·tot / n_lang·n_src are
+    * never formed (they would wrap Int64 once per-cell counts pass ~3e9 —
+    * silent in Spark, an error in DuckDB); both engines evaluate the
+    * identical cast-divide-multiply sequence, bit-identical
     * cross-engine. The ln ITSELF is not: this query found the suite's
     * first real Java `Math.log` vs DuckDB `std::log` last-ulp split
     * (argument 1.2435…, off by one ulp at sf0.001), so both outputs are
@@ -577,11 +581,13 @@ object Profile {
         Window.partitionBy()))
       .select(col("lang"), col("source"), col("n"), col("n_lang"),
         col("n_src"),
-        round(log((col("n") * col("tot")).cast("double") /
-          (col("n_lang") * col("n_src")).cast("double")), 9).as("pmi"),
+        round(log((col("n").cast("double") / col("n_lang").cast("double")) *
+          (col("tot").cast("double") / col("n_src").cast("double"))), 9)
+          .as("pmi"),
         round((col("n").cast("double") / col("tot").cast("double")) *
-          log((col("n") * col("tot")).cast("double") /
-            (col("n_lang") * col("n_src")).cast("double")), 9).as("mi_term"))
+          log((col("n").cast("double") / col("n_lang").cast("double")) *
+            (col("tot").cast("double") / col("n_src").cast("double"))), 9)
+          .as("mi_term"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -597,10 +603,12 @@ object Profile {
        |  FROM cells
        |)
        |SELECT lang, source, n, n_lang, n_src,
-       |  ROUND(ln(CAST(n * tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE)),
+       |  ROUND(ln((CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE))
+       |    * (CAST(tot AS DOUBLE) / CAST(n_src AS DOUBLE))),
        |    9) AS pmi,
        |  ROUND((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
-       |    * ln(CAST(n * tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE)),
+       |    * ln((CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE))
+       |      * (CAST(tot AS DOUBLE) / CAST(n_src AS DOUBLE))),
        |    9) AS mi_term
        |FROM m ORDER BY lang, source""".stripMargin
 }

@@ -274,7 +274,7 @@ class Round7Session3Spec extends SparkSuite {
     assert(rows.nonEmpty)
     // independent recount on the driver (fixture is small)
     val ud = Tables.events(spark, dir)
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
       .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
     rows.foreach { r =>
