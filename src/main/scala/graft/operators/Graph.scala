@@ -189,7 +189,14 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val edges = cachedPin(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the pin (localCheckpoint
+      // preserves outputPartitioning): every iterative consumer
+      // (pagerank, katz, ANF, louvain) probes this frame BY src each
+      // round, so the per-round edges-side exchange disappears — the
+      // memo pays one |E| shuffle once per session instead of
+      // rounds×consumers times
+      directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     pagerankRounds(edges, degN, iters)
   }
@@ -1483,7 +1490,14 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val edges = cachedPin(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the pin (localCheckpoint
+      // preserves outputPartitioning): every iterative consumer
+      // (pagerank, katz, ANF, louvain) probes this frame BY src each
+      // round, so the per-round edges-side exchange disappears — the
+      // memo pays one |E| shuffle once per session instead of
+      // rounds×consumers times
+      directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     katzRounds(edges, degN, iters)
   }
@@ -1582,7 +1596,14 @@ object Graph {
     VectorExprs.register(orders.sparkSession)
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val edges = cachedPin(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the pin (localCheckpoint
+      // preserves outputPartitioning): every iterative consumer
+      // (pagerank, katz, ANF, louvain) probes this frame BY src each
+      // round, so the per-round edges-side exchange disappears — the
+      // memo pays one |E| shuffle once per session instead of
+      // rounds×consumers times
+      directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     val h0 = conv(substring(md5(concat(lit("anf:"),
       col("id").cast("string"))), 1, 13), 16, 10).cast("long")
@@ -1678,9 +1699,17 @@ object Graph {
     * method's work happens; `dedup_communities` is the label-propagation
     * alternative and `dedup_modularity` scores any assignment.
     *
-    * Scale shape: a round is one dst-keyed join (edges ⋈ assignment) +
-    * one (src, community) hash agg + two small joins against the
-    * community-degree table — all key-partitioned, nothing all-pairs.
+    * Scale shape (round-8 fused form): the assignment frame carries each
+    * node's static degree, so Σtot is ONE |V|-row aggregate (no comm⋈deg
+    * join) and the candidate frame never joins the degree table. A round
+    * is: one src-keyed probe of the pre-partitioned edge memo (edges side
+    * exchange-free), ONE |E| repartition by node that the (node, c)
+    * aggregate, the node-context join, AND both windows all reuse
+    * (hashpartitioning(node) satisfies every downstream clustering), two
+    * |C|-row Σtot lookups (broadcast under AQE when |C| is small), and
+    * e_iD recovered by an unordered window sum over the node partition
+    * instead of a separate own-community left-join frame — two big
+    * exchanges per round total, nothing all-pairs.
     * Determinism: ΔQ is a difference of two IEEE divisions —
     * 2·(e_iC−e_iD)/2m (exact BIGINT over exact BIGINT) and
     * 2·k_i·(Σtot_C−Σtot_D+k_i) / (double(2m)·double(2m)); the square is
@@ -1693,43 +1722,65 @@ object Graph {
       cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val edges = cachedPin(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the pin (localCheckpoint
+      // preserves outputPartitioning): every iterative consumer
+      // (pagerank, katz, ANF, louvain) probes this frame BY src each
+      // round, so the per-round edges-side exchange disappears — the
+      // memo pays one |E| shuffle once per session instead of
+      // rounds×consumers times
+      directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     val deg = degN.select(col("id"), col("deg"))
     val m2 = degN.agg(sum(col("deg")).as("m2")) // = 2m (directed count)
-    var comm = deg.select(col("id").as("node"), col("id").as("c"))
+    // deg rides the assignment frame: Σtot becomes one aggregate and the
+    // candidate frame never re-joins the degree table
+    var comm = deg.select(col("id").as("node"), col("id").as("c"),
+      col("deg"))
+    val wNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+    val wBest = wNode.orderBy(col("dq").desc, col("c"))
     for (r <- 1 to rounds) {
-      val a = comm.select(col("node").as("dst"), col("c"))
-      // edges from i into each adjacent community under the PREVIOUS
-      // assignment (synchronized round)
-      val eic = edges.join(a, Seq("dst"))
-        .groupBy(col("src").as("node"), col("c"))
+      // neighbor communities under the PREVIOUS assignment (synchronized
+      // round). The undirected list is symmetric, so probing the
+      // assignment BY src and gathering by dst counts the same multiset
+      // as the dst-probe form — and rides the memo's src partitioning.
+      val a = comm.select(col("node").as("src"), col("c"))
+      val eic = edges.join(a, Seq("src"))
+        .repartition(col("dst"))
+        .groupBy(col("dst").as("node"), col("c"))
         .agg(count(lit(1)).as("e_ic"))
-      val stot = comm.join(deg, comm("node") === deg("id"))
-        .groupBy(col("c")).agg(sum(col("deg")).as("stot"))
-      val own = comm.join(eic, Seq("node", "c"), "left")
+      val stot = comm.groupBy(col("c")).agg(sum(col("deg")).as("stot"))
+      val x = eic
+        .join(comm.select(col("node"), col("c").as("d_c"), col("deg")),
+          Seq("node"))
+        .join(stot.select(col("c").as("d_c"), col("stot").as("stot_d")),
+          Seq("d_c"))
         .join(stot, Seq("c"))
-        .select(col("node"), col("c").as("d_c"),
-          coalesce(col("e_ic"), lit(0L)).as("e_id"),
-          col("stot").as("stot_d"))
-      val cand = eic.join(own, Seq("node"))
-        .filter(col("c") =!= col("d_c"))
-        .join(stot, Seq("c"))
-        .join(deg, eic("node") === deg("id"))
         .crossJoin(broadcast(m2))
+        // e_iD (edges into the node's own community) via an unordered
+        // window over the node partition — the c = d_c row, if the node
+        // has any intra-community edge, or 0
+        .withColumn("e_id", sum(when(col("c") === col("d_c"),
+          col("e_ic")).otherwise(lit(0L))).over(wNode))
+      val cand = x.filter(col("c") =!= col("d_c"))
         .withColumn("dq",
           (lit(2L) * (col("e_ic") - col("e_id"))).cast("double") /
             col("m2").cast("double") -
           (lit(2L) * col("deg") *
             (col("stot") - col("stot_d") + col("deg"))).cast("double") /
             (col("m2").cast("double") * col("m2").cast("double")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node")).orderBy(col("dq").desc, col("c"))
-      val best = cand.withColumn("rk", row_number().over(w))
+      val best = cand.withColumn("rk", row_number().over(wBest))
         .filter(col("rk") === 1 && col("dq") > 0)
-        .select(col("node"), col("c").as("new_c"), col("dq"))
+        .select(col("node"), col("c").as("new_c"))
+      // pin EVERY round here (not the Katz every-3rd discipline): the
+      // next round reads comm four times (probe frame, Σtot aggregate,
+      // node context, update join) — unpinned, only the exchanges dedup
+      // via ReuseExchange while the window sort/compute above them runs
+      // once per reference (measured 5.6 s vs 3.1 s at sf0.1)
       comm = Iterate.pin(comm.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_c"), col("c")).as("c")))
+        .select(col("node"), coalesce(col("new_c"), col("c")).as("c"),
+          col("deg")))
     }
     // canonical community labels: min member id (stable across engines)
     val label = comm.groupBy(col("c")).agg(min(col("node")).as("label"))
@@ -1831,7 +1882,14 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(directedEdges(e0))
+    val edges = cachedPin(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the pin (localCheckpoint
+      // preserves outputPartitioning): every iterative consumer
+      // (pagerank, katz, ANF, louvain) probes this frame BY src each
+      // round, so the per-round edges-side exchange disappears — the
+      // memo pays one |E| shuffle once per session instead of
+      // rounds×consumers times
+      directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     pprRounds(edges, degN, iters)
   }
