@@ -7392,6 +7392,9 @@ object SparkEntry {
     "graph_louvain"     -> ((s, d) =>
       graft.operators.Graph.louvainCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_louvain_coarse" -> ((s, d) =>
+      graft.operators.Graph.louvainCoarseCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "events_bootstrap"  -> qBootstrap _,
     "events_rolling_mau" -> qRollingMau _,
     "events_psi"        -> qPsi _,
@@ -7933,6 +7936,7 @@ object SparkEntry {
     "graph_katz"        -> graft.operators.Graph.sqlKatz(),
     "graph_anf"         -> graft.operators.Graph.sqlAnf(),
     "graph_louvain"     -> graft.operators.Graph.sqlLouvain(),
+    "graph_louvain_coarse" -> graft.operators.Graph.sqlLouvainCoarse(),
     "events_bootstrap"  -> sqlBootstrap,
     "events_rolling_mau" -> sqlRollingMau,
     "events_psi"        -> sqlPsi,

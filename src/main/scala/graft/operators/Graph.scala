@@ -65,20 +65,47 @@ object Graph {
 
   def custSuppEdgesCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String): DataFrame = {
-    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeCache.computeIfAbsent((orders.sparkSession, cacheKey),
-      _ => Iterate.pin(custSuppEdges(orders, lineitem)))
+    memoize(orders.sparkSession, cacheKey)(
+      Iterate.pin(custSuppEdges(orders, lineitem)))
   }
 
   /** Generic per-(session, key) pin memo over [[edgeCache]] — derived
     * graph artifacts (directed edge frames, degree tables) share the
     * edge set's lifecycle and invalidation.
     */
-  private def cachedPin(spark: org.apache.spark.sql.SparkSession,
-      key: String)(build: => DataFrame): DataFrame = {
+  // get-then-put rather than computeIfAbsent: memo builders compose
+  // (louvainAssignCached resolves the edge memos inside its own build),
+  // and nested computeIfAbsent on one ConcurrentHashMap throws
+  // "Recursive update". A rare race just builds the frame twice.
+  private def memoize(spark: org.apache.spark.sql.SparkSession,
+      key: String)(make: => DataFrame): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeCache.computeIfAbsent((spark, key), _ => Iterate.pin(build))
+    val k = (spark, key)
+    val existing = edgeCache.get(k)
+    if (existing != null) existing
+    else { val df = make; edgeCache.put(k, df); df }
   }
+
+  private def cachedPin(spark: org.apache.spark.sql.SparkSession,
+      key: String)(build: => DataFrame): DataFrame =
+    memoize(spark, key)(Iterate.pin(build))
+
+  /** Like [[cachedPin]] but materializes through an eager `persist`
+    * instead of a checkpoint: the cached InMemoryRelation KEEPS its
+    * child's outputPartitioning in the planner (a checkpointed RDD scan
+    * reports unknown partitioning under AQE — measured, see
+    * `Round8Spec`), so a pre-repartitioned memo lets every per-round
+    * probe join skip the memo-side exchange. Lineage is retained, which
+    * for a static derived artifact is the BETTER fault-tolerance story:
+    * a lost block recomputes from source, no checkpoint dir needed.
+    */
+  private def cachedPersist(spark: org.apache.spark.sql.SparkSession,
+      key: String)(build: => DataFrame): DataFrame =
+    memoize(spark, key) {
+      val df = build.persist()
+      df.count()
+      df
+    }
 
   def invalidateEdges(spark: org.apache.spark.sql.SparkSession): Unit =
     edgeCache.keySet.removeIf(_._1 eq spark)
@@ -189,13 +216,13 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the pin (localCheckpoint
-      // preserves outputPartitioning): every iterative consumer
-      // (pagerank, katz, ANF, louvain) probes this frame BY src each
-      // round, so the per-round edges-side exchange disappears — the
-      // memo pays one |E| shuffle once per session instead of
-      // rounds×consumers times
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the eager persist (the
+      // cached InMemoryRelation keeps this partitioning in the planner;
+      // a checkpointed scan would not — Round8Spec): every iterative
+      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
+      // src each round, so the per-round memo-side exchange disappears
+      // — one |E| shuffle per session instead of rounds×consumers times
       directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     pagerankRounds(edges, degN, iters)
@@ -269,11 +296,9 @@ object Graph {
     * by `graph_triangles` and `graph_degrees` exactly as
     * [[custSuppEdgesCached]] is shared by `graph_edges`/`graph_pagerank`.
     */
-  def coPartEdgesCached(lineitem: DataFrame, cacheKey: String): DataFrame = {
-    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeCache.computeIfAbsent((lineitem.sparkSession, s"copart|$cacheKey"),
-      _ => Iterate.pin(coPartEdges(lineitem)))
-  }
+  def coPartEdgesCached(lineitem: DataFrame, cacheKey: String): DataFrame =
+    memoize(lineitem.sparkSession, s"copart|$cacheKey")(
+      Iterate.pin(coPartEdges(lineitem)))
 
   /** Pinned degree table of the cached co-occurrence edge set — five
     * queries (triangles, degree histogram, assortativity, BFS, peel round
@@ -1490,13 +1515,13 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the pin (localCheckpoint
-      // preserves outputPartitioning): every iterative consumer
-      // (pagerank, katz, ANF, louvain) probes this frame BY src each
-      // round, so the per-round edges-side exchange disappears — the
-      // memo pays one |E| shuffle once per session instead of
-      // rounds×consumers times
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the eager persist (the
+      // cached InMemoryRelation keeps this partitioning in the planner;
+      // a checkpointed scan would not — Round8Spec): every iterative
+      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
+      // src each round, so the per-round memo-side exchange disappears
+      // — one |E| shuffle per session instead of rounds×consumers times
       directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     katzRounds(edges, degN, iters)
@@ -1596,13 +1621,13 @@ object Graph {
     VectorExprs.register(orders.sparkSession)
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the pin (localCheckpoint
-      // preserves outputPartitioning): every iterative consumer
-      // (pagerank, katz, ANF, louvain) probes this frame BY src each
-      // round, so the per-round edges-side exchange disappears — the
-      // memo pays one |E| shuffle once per session instead of
-      // rounds×consumers times
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the eager persist (the
+      // cached InMemoryRelation keeps this partitioning in the planner;
+      // a checkpointed scan would not — Round8Spec): every iterative
+      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
+      // src each round, so the per-round memo-side exchange disappears
+      // — one |E| shuffle per session instead of rounds×consumers times
       directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     val h0 = conv(substring(md5(concat(lit("anf:"),
@@ -1718,17 +1743,30 @@ object Graph {
     * cast-then-multiply sequence — so the argmax rank (ΔQ desc,
     * community asc) orders bit-identical cross-engine.
     */
-  def louvainCached(orders: DataFrame, lineitem: DataFrame,
+  /** The local-moving assignment (node, c, deg) after `rounds`
+    * synchronized rounds, pinned per (session, key, rounds): both the
+    * flat summary ([[louvainCached]]) and the phase-2 contraction
+    * ([[louvainCoarseCached]]) read this ONE memo, so the iterative cost
+    * is paid once per session no matter how many readouts consume it.
+    */
+  def louvainAssignCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    cachedPin(spark, s"louvc|$cacheKey|$rounds")(
+      louvainAssign(orders, lineitem, cacheKey, rounds))
+  }
+
+  private def louvainAssign(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the pin (localCheckpoint
-      // preserves outputPartitioning): every iterative consumer
-      // (pagerank, katz, ANF, louvain) probes this frame BY src each
-      // round, so the per-round edges-side exchange disappears — the
-      // memo pays one |E| shuffle once per session instead of
-      // rounds×consumers times
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the eager persist (the
+      // cached InMemoryRelation keeps this partitioning in the planner;
+      // a checkpointed scan would not — Round8Spec): every iterative
+      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
+      // src each round, so the per-round memo-side exchange disappears
+      // — one |E| shuffle per session instead of rounds×consumers times
       directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     val deg = degN.select(col("id"), col("deg"))
@@ -1777,11 +1815,19 @@ object Graph {
       // next round reads comm four times (probe frame, Σtot aggregate,
       // node context, update join) — unpinned, only the exchanges dedup
       // via ReuseExchange while the window sort/compute above them runs
-      // once per reference (measured 5.6 s vs 3.1 s at sf0.1)
-      comm = Iterate.pin(comm.join(best, Seq("node"), "left")
+      // once per reference (measured 5.6 s vs 3.1 s at sf0.1). The LAST
+      // round is left unpinned: the memo wrapper's pin is the final cut.
+      val next = comm.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_c"), col("c")).as("c"),
-          col("deg")))
+          col("deg"))
+      comm = if (r < rounds) Iterate.pin(next) else next
     }
+    comm
+  }
+
+  def louvainCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
     // canonical community labels: min member id (stable across engines)
     val label = comm.groupBy(col("c")).agg(min(col("node")).as("label"))
     comm.join(label, Seq("c"))
@@ -1792,7 +1838,77 @@ object Graph {
       .limit(PrTopK)
   }
 
-  def sqlLouvain(rounds: Int = LouvainRounds): String = {
+  /** Louvain phase 2 (Blondel et al. 2008 §2, second half): contract the
+    * converged local-moving assignment to a WEIGHTED super-graph — one
+    * node per community, edge weight w(C, D) = number of directed fine
+    * edges between members of C and D, weighted degree k_C = Σ member
+    * degrees — then run ONE synchronized weighted local-moving round on
+    * the coarse graph (each super-node starts as its own singleton, so
+    * the move gain reduces to ΔQ = 2·w_CD/2m − 2·k_C·Σtot_D/(2m)²) and
+    * report the resulting coarse communities. This is the full Louvain
+    * loop's first contraction step and the suite's first weighted-graph
+    * operator.
+    *
+    * Synchronized-round artifact, stated for the record: a symmetric
+    * pair of super-nodes that each pick the other swaps labels instead
+    * of merging (both engines compute the identical swap, so the
+    * canonical min-member labels make the readout stable anyway) — the
+    * same known artifact as synchronized LPA, accepted in exchange for
+    * determinism.
+    *
+    * Scale shape: contraction is one double probe of the pinned edge
+    * memo (src then dst, both |E|-keyed) + one (cs, cd) hash agg; the
+    * weighted round runs on the |C|-node coarse graph — strictly smaller
+    * than one fine round. Reads the SAME pinned assignment memo as
+    * `graph_louvain`, so the iterative prefix is shared, not re-run.
+    */
+  def louvainCoarseCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+    val spark = orders.sparkSession
+    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      directedEdges(e0).repartition(col("src")))
+    val m2 = comm.agg(sum(col("deg")).as("m2"))
+    // contraction: weighted coarse edges + weighted super-node degrees
+    val w = edges
+      .join(comm.select(col("node").as("src"), col("c").as("cs")),
+        Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("c").as("cd")),
+        Seq("dst"))
+      .groupBy(col("cs"), col("cd")).agg(count(lit(1)).as("w"))
+    val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+    val cand = w.filter(col("cs") =!= col("cd"))
+      .join(kc.select(col("c").as("cs"), col("k").as("ks")), Seq("cs"))
+      .join(kc.select(col("c").as("cd"), col("k").as("kd")), Seq("cd"))
+      .crossJoin(broadcast(m2))
+      .withColumn("dq",
+        (lit(2L) * col("w")).cast("double") / col("m2").cast("double") -
+        (lit(2L) * col("ks")).cast("double") * col("kd").cast("double") /
+          (col("m2").cast("double") * col("m2").cast("double")))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cs")).orderBy(col("dq").desc, col("cd"))
+    val best = cand.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") === 1 && col("dq") > 0)
+      .select(col("cs").as("c"), col("cd").as("cc"))
+    val coarse = comm.join(best, Seq("c"), "left")
+      .select(col("node"), col("c"),
+        coalesce(col("cc"), col("c")).as("cc"))
+    val label = coarse.groupBy(col("cc")).agg(min(col("node")).as("label"))
+    coarse.join(label, Seq("cc"))
+      .groupBy(col("label"))
+      .agg(countDistinct(col("c")).as("n_comms"),
+        count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(PrTopK)
+  }
+
+  /** Shared CTE prefix (edge set, degrees, 2m, the `rounds` unrolled
+    * synchronized local-moving rounds ending at `c$rounds`) for
+    * [[sqlLouvain]] and [[sqlLouvainCoarse]].
+    */
+  private def sqlLouvainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"c${r - 1}"
       s"""eic$r AS (
@@ -1843,7 +1959,11 @@ object Graph {
        |  FROM edges GROUP BY src
        |), m2 AS (SELECT CAST(SUM(deg) AS BIGINT) AS m2 FROM deg),
        |c0 AS (SELECT id AS node, id AS c FROM deg),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  def sqlLouvain(rounds: Int = LouvainRounds): String =
+    s"""${sqlLouvainCtes(rounds)},
        |lab AS (
        |  SELECT c, CAST(MIN(node) AS BIGINT) AS label
        |  FROM c$rounds GROUP BY c
@@ -1854,7 +1974,54 @@ object Graph {
        |FROM c$rounds JOIN lab USING (c)
        |GROUP BY label
        |ORDER BY size DESC, label LIMIT $PrTopK""".stripMargin
-  }
+
+  /** Oracle for [[louvainCoarseCached]]: the shared local-moving prefix,
+    * then contraction to the weighted super-graph and one synchronized
+    * weighted round, unrolled in plain SQL.
+    */
+  def sqlLouvainCoarse(rounds: Int = LouvainRounds): String =
+    s"""${sqlLouvainCtes(rounds)},
+       |wgt AS (
+       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM edges e
+       |  JOIN c$rounds a ON e.src = a.node
+       |  JOIN c$rounds b ON e.dst = b.node
+       |  GROUP BY a.c, b.c
+       |), kc AS (
+       |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
+       |  FROM c$rounds a JOIN deg d ON a.node = d.id
+       |  GROUP BY a.c
+       |), candc AS (
+       |  SELECT w.cs, w.cd,
+       |    CAST(2 * w.w AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+       |      - CAST(2 * ks.k AS DOUBLE) * CAST(kd.k AS DOUBLE)
+       |        / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)) AS dq
+       |  FROM wgt w
+       |  JOIN kc ks ON w.cs = ks.c
+       |  JOIN kc kd ON w.cd = kd.c
+       |  CROSS JOIN m2
+       |  WHERE w.cs <> w.cd
+       |), bestc AS (
+       |  SELECT cs, cd FROM (
+       |    SELECT cs, cd, dq,
+       |      ROW_NUMBER() OVER (PARTITION BY cs
+       |                         ORDER BY dq DESC, cd) AS rk
+       |    FROM candc
+       |  ) WHERE rk = 1 AND dq > 0
+       |), coarse AS (
+       |  SELECT a.node, a.c, COALESCE(b.cd, a.c) AS cc
+       |  FROM c$rounds a LEFT JOIN bestc b ON a.c = b.cs
+       |), labc AS (
+       |  SELECT cc, CAST(MIN(node) AS BIGINT) AS label
+       |  FROM coarse GROUP BY cc
+       |)
+       |SELECT label, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_comms,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(MIN(node) AS BIGINT) AS min_node,
+       |  CAST(MAX(node) AS BIGINT) AS max_node
+       |FROM coarse JOIN labc USING (cc)
+       |GROUP BY label
+       |ORDER BY n_nodes DESC, label LIMIT $PrTopK""".stripMargin
 
   // --------------------------------------------- personalized PageRank
   /** Seed-node count for [[pprCached]]: customers with id < PprSeeds. */
@@ -1882,13 +2049,13 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPin(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the pin (localCheckpoint
-      // preserves outputPartitioning): every iterative consumer
-      // (pagerank, katz, ANF, louvain) probes this frame BY src each
-      // round, so the per-round edges-side exchange disappears — the
-      // memo pays one |E| shuffle once per session instead of
-      // rounds×consumers times
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      // hash-partition the memo ON src before the eager persist (the
+      // cached InMemoryRelation keeps this partitioning in the planner;
+      // a checkpointed scan would not — Round8Spec): every iterative
+      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
+      // src each round, so the per-round memo-side exchange disappears
+      // — one |E| shuffle per session instead of rounds×consumers times
       directedEdges(e0).repartition(col("src")))
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     pprRounds(edges, degN, iters)

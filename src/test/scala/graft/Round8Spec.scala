@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: Louvain phase-2 contraction, fused local-moving
+  * rounds, and the src-partitioned directed-edge memo.
+  */
+class Round8Spec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  // Same two bridged K2,2 bicliques as the phase-1 toy. Phase 1 ends at
+  // four side-pure pairs A={c1,c2}, B={c3,c4}, S1={s1,s2}, S2={s3,s4}.
+  // Hand-run of the weighted coarse round (m2 = 18, k_A = 5, k_B = 4,
+  // k_S1 = 4, k_S2 = 5; directed weights w(A,S1) = 4, w(A,S2) = 1,
+  // w(B,S2) = 4):
+  //   dq(A→S1) = 8/18 − 2·5·4/324 ≈ 0.321 > 0   (beats A→S2 < 0)
+  //   dq(S1→A) = 8/18 − 2·4·5/324 ≈ 0.321 > 0
+  //   dq(B→S2) = dq(S2→B) ≈ 0.321 > 0
+  // Both pairs pick each other simultaneously → the documented
+  // synchronized label SWAP: partition structure unchanged, each coarse
+  // community still one fine community, canonical labels stable.
+  test("louvain coarse: hand-run weighted round on two bridged bicliques") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 3L), (40L, 4L)
+    ).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.louvainCoarseCached(orders, lineitem,
+      "toy-louvain-coarse-" + System.nanoTime)
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n_comms"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node"),
+        r.getAs[Long]("max_node")))
+    val B = Graph.SuppBase
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 1L, 2L), (3L, 1L, 2L, 3L, 4L),
+      (B + 1, 1L, 2L, B + 1, B + 2), (B + 3, 1L, 2L, B + 3, B + 4)))
+  }
+
+  // On the sf0.001 fixture the coarse round performs REAL merges (the
+  // oracle gate proves the values; this pins the structural contract):
+  // strictly fewer coarse communities than fine ones, node total
+  // conserved, and every coarse community covers >= 1 fine community.
+  test("louvain coarse: contraction merges communities on the fixture") {
+    import graft.operators.Graph
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val fine = Graph.louvainCached(orders, lineitem, dir).collect()
+    val coarse = Graph.louvainCoarseCached(orders, lineitem, dir).collect()
+    assert(coarse.nonEmpty && coarse.length <= fine.length)
+    val fineNodes = fine.map(_.getAs[Long]("size")).sum
+    val coarseNodes = coarse.map(_.getAs[Long]("n_nodes")).sum
+    assert(coarseNodes == fineNodes)
+    assert(coarse.map(_.getAs[Long]("n_comms")).sum >= fine.length)
+    assert(coarse.exists(_.getAs[Long]("n_comms") > 1),
+      "expected at least one genuine merge on the fixture")
+  }
+
+  // The shared directed-edge memo relies on an eager persist keeping its
+  // repartition's outputPartitioning in the planner: a src-partitioned
+  // cached frame joined on src must NOT be re-exchanged — only the probe
+  // side shuffles. (Shuffle join forced: broadcast would hide the
+  // exchange; structural count so the memo-internal build exchange,
+  // hidden behind InMemoryTableScan, is not miscounted.)
+  test("persisted repartition rides its partitioning into round joins") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1L to 100L).map(i => (i, i % 7)).toDF("src", "dst")
+        .repartition(col("src")).persist()
+      edges.count()
+      val joined = edges.join(
+        (1L to 100L).map(i => (i, i % 3)).toDF("src", "c"), Seq("src"))
+      assert(joined.count() == 100)
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = finalPlan.collect {
+        case s: ShuffleQueryStageExec => s
+        case e: SparkPlan with ShuffleExchangeLike => e
+      }
+      assert(shuffles.length == 1,
+        s"expected only the probe side to shuffle:\n$finalPlan")
+      edges.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
