@@ -7299,7 +7299,7 @@ object SparkEntry {
     "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d))),
     "text_source_tvd"   -> ((s, d) => TextOps.sourceTvd(docs(s, d))),
     "text_lexical_profile" -> ((s, d) => TextOps.lexicalProfile(docs(s, d))),
-    "mm_features"       -> ((s, d) => Multimodal.features(s, docs(s, d))),
+    "mm_features"       -> ((s, d) => Multimodal.features(docs(s, d))),
     "mm_frames"         -> ((s, d) => Multimodal.frameSamples(docs(s, d), 64)),
     "mm_decode"         -> ((s, d) => Multimodal.decode(docs(s, d))),
     "mm_pixels"         -> ((s, d) => Multimodal.pixels(docs(s, d))),

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * (bottom-up rows, BGR order, 4-byte padding) — see `mm_pixels` — and
   * [[decodePngPixels]] runs the full compressed path for 8-bit truecolor
   * PNGs (IDAT concat, zlib inflate via `java.util.zip`, all five scanline
-  * filter predictors) — see `mm_png_pixels`. Entropy-coded DCT codecs
-  * (JPEG) stay out of scope (no codec libs in this environment); the
-  * legacy feature stage keeps its clearly-marked byte-derived stand-in.
+  * filter predictors) — see `mm_png_pixels`. The FEATURE stage
+  * (`mm_features`, [[mediaFeatures]]) routes through those real decoders
+  * since round 8 — container sniffed from magic bytes, full pixel
+  * decode, real 2×2 thumbnail statistics; the byte-stride stand-in is
+  * gone. Entropy-coded DCT codecs (JPEG) stay out of scope (no codec
+  * libs in this environment).
   * What is real and load-bearing for a 100 TB pipeline:
   *  - the schema contract (binary payload + typed metadata columns);
   *  - `mapPartitions` batch shape: the decoder amortizes per-partition init
@@ -30,60 +33,93 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
-  final case class MediaFeatures(doc_id: Long, mime: String, byte_len: Int,
-      content_hash: String, head_sum: Long, frame_count: Int,
-      thumb_hash: String)
+  final case class MediaFeats(doc_id: Long, mime: String, width: Int,
+      height: Int, n_px: Long, thumb_w: Int, thumb_h: Int,
+      thumb_sum_r: Long, thumb_sum_g: Long, thumb_sum_b: Long,
+      thumb_wsum: Long)
 
-  /** Resize stub: every `ResizeStride`-th byte — the deterministic stand-in
-    * for a real downscale; the hash of the "thumbnail" is the verifiable
-    * output.
+  /** Mixed-container media column: even doc_ids carry a REAL
+    * uncompressed 24-bpp BMP, odd ones a REAL zlib-compressed 8-bit
+    * truecolor PNG — the feature stage must sniff the container and
+    * route to the right decoder, exactly like a production ingest stage
+    * facing a mixed bucket. Geometry from (doc_id, n_chars) reuses the
+    * two pixel queries' generators, so the oracle states every decoded
+    * statistic in closed form.
     */
-  val ResizeStride = 4
+  def syntheticMixedMedia(docs: DataFrame): Dataset[MediaBin] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        if (id % 2 == 0)
+          MediaBin(id,
+            bmpPixelBytes(id, (id % 60 + 4).toInt, (nc % 40 + 2).toInt))
+        else
+          MediaBin(id,
+            pngPixelBytes(id, (id % 48 + 4).toInt, (nc % 32 + 2).toInt))
+      }
+  }
 
-  /** Build the media table: text payload → binary column + metadata.
-    * (In production this is the raw image/audio bytes column.)
+  /** REAL partition-batched feature stage (round 8 replaced the byte-
+    * stride thumbnail stand-in that lived here since round 1): sniff the
+    * container from its magic bytes, decode the FULL pixel array through
+    * the matching real decoder ([[decodeBmpPixels]] /
+    * [[decodePngPixels]] — zlib inflate, all five filter predictors),
+    * and emit decode-derived features: sniffed mime, geometry, and the
+    * 2×2 box-downsampled thumbnail's exact channel statistics
+    * ([[downsampleStats]] semantics — floor crop, integer sums, and the
+    * block-index-weighted R sum that pins the block↔pixel mapping).
+    * Unrecognized or malformed payloads fail loudly, the
+    * [[decodeHeaders]] contract.
     */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      when(col("doc_id") % 3 === 0, "image/png")
-        .when(col("doc_id") % 3 === 1, "audio/wav")
-        .otherwise("video/mp4").as("mime"))
-
-  /** Partition-batched "decode" + feature extraction. The per-partition
-    * block is where a real decoder would initialize once.
-    */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def mediaFeatures(media: Dataset[MediaBin]): Dataset[MediaFeats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real pipeline: init codec/model HERE, once per partition
-      val digest = MessageDigest.getInstance("MD5")
+      // real pipeline: codec contexts init HERE, once per partition
       rows.map { r =>
-        digest.reset()
-        val hash = digest.digest(r.media).map("%02x".format(_)).mkString
-        // STUB decode: deterministic byte-derived stand-ins for
-        // (decoded frame count, content checksum, header bytes)
-        val headSum = r.media.take(8).map(b => (b & 0xff).toLong).sum
-        // STUB resize: stride-subsampled "thumbnail", hashed. Index-stride
-        // loop, not zipWithIndex.collect — the tuple form boxes an
-        // N-element Array[(Byte, Int)] per row, tens of MB of garbage on a
-        // multi-MB payload
-        val thumb = Array.range(0, r.media.length, ResizeStride)
-          .map(r.media)
-        digest.reset()
-        val thumbHash = digest.digest(thumb).map("%02x".format(_)).mkString
-        MediaFeatures(r.doc_id, r.mime, r.media.length, hash, headSum,
-          r.media.length / 100 + 1, thumbHash)
+        val b = r.media
+        val isPng = b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+          b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+        val isBmp = !isPng && b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+        val decoded =
+          if (isPng) decodePngPixels(b)
+          else if (isBmp) decodeBmpPixels(b)
+          else None
+        val (w, h, rgb) = decoded.getOrElse(
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: unrecognized or malformed container"))
+        val mime = if (isPng) "image/png" else "image/bmp"
+        val w2 = w / 2; val h2 = h / 2
+        val br = new Array[Long](w2 * h2)
+        var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < 2 * h2) {
+          var x = 0
+          while (x < 2 * w2) {
+            val p = (y * w + x) * 3
+            br((y / 2) * w2 + (x / 2)) += rgb(p) & 0xff
+            sg += rgb(p + 1) & 0xff
+            sb += rgb(p + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        var sr = 0L; var wsum = 0L
+        var i = 0
+        while (i < w2 * h2) {
+          sr += br(i); wsum += i.toLong * br(i); i += 1
+        }
+        MediaFeats(r.doc_id, mime, w, h, w.toLong * h, w2, h2,
+          sr, sg, sb, wsum)
       }
     }
   }
 
-  /** End-to-end: docs → media table → typed decode stage. */
-  def features(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    extractFeatures(mediaTable(docs).as[MediaRow]).toDF()
-      .orderBy(col("doc_id"))
+  /** End-to-end: docs → mixed-container media → sniff + decode +
+    * thumbnail features.
+    */
+  def features(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    mediaFeatures(syntheticMixedMedia(docs)).toDF().orderBy(col("doc_id"))
   }
 
   /** Frame sampling plumbing: every `stride` bytes yields a "frame" row
@@ -806,25 +842,37 @@ object Multimodal {
        |)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** Oracle mirror: the fixture text is ASCII, so byte-level features equal
-    * char-level SQL (octet_length(encode(text)) == length(text), md5 of the
-    * UTF-8 bytes == DuckDB md5(VARCHAR)).
+  /** Oracle: closed forms of the generator's linear pixel values
+    * (R = 2y+1, G = x+y, B = id%50 + x) box-summed over the floor-cropped
+    * even region (x < 2·w2, y < 2·h2), with geometry selected by
+    * container parity. thumb_wsum restates the [[sqlDownsample]]
+    * derivation: blocksum_R(bx, by) = 16·by + 8, so
+    * Σ idx·blocksum_R = 16w2²S2 + 8w2²S1 + 16TS1 + 8Th2 with
+    * S1 = Σby, S2 = Σby², T = w2(w2−1)/2.
     */
   def sqlFeatures: String =
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |       ELSE 'video/mp4' END AS mime,
-      |  octet_length(encode(text)) AS byte_len,
-      |  md5(text) AS content_hash,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(range(1, 9), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-      |    (a, b) -> a + b) AS head_sum,
-      |  octet_length(encode(text)) // 100 + 1 AS frame_count,
-      |  md5(array_to_string(
-      |    list_transform(range(1, (length(text) - 1) // 4 + 2),
-      |                   i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS thumb_hash
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS idp,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+      |         ELSE 'image/png' END AS mime,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 60 + 4
+      |              ELSE doc_id % 48 + 4 END AS BIGINT) AS w,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 40 + 2
+      |              ELSE n_chars % 32 + 2 END AS BIGINT) AS h
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, mime, w, h, idp, w // 2 AS w2, h // 2 AS h2 FROM g
+      |)
+      |SELECT doc_id, mime, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  w * h AS n_px, CAST(w2 AS INT) AS thumb_w, CAST(h2 AS INT) AS thumb_h,
+      |  8 * w2 * h2 * h2 AS thumb_sum_r,
+      |  2 * w2 * h2 * (2 * w2 + 2 * h2 - 2) AS thumb_sum_g,
+      |  4 * w2 * h2 * idp + 2 * h2 * w2 * (2 * w2 - 1) AS thumb_sum_b,
+      |  16 * w2 * w2 * ((h2 - 1) * h2 * (2 * h2 - 1) // 6)
+      |    + 8 * w2 * w2 * (h2 * (h2 - 1) // 2)
+      |    + 16 * (w2 * (w2 - 1) // 2) * (h2 * (h2 - 1) // 2)
+      |    + 8 * (w2 * (w2 - 1) // 2) * h2 AS thumb_wsum
+      |FROM t ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------- perceptual image hash
   /** Average-hash (aHash) perceptual fingerprint over the DECODED pixel

@@ -253,4 +253,44 @@ class MultimodalSpec extends SparkSuite {
       assert(got(id) == want, s"id=$id ${got(id)} vs $want")
     }
   }
+
+  // mediaFeatures must agree with the independent single-container
+  // stages: on a BMP payload its thumbnail sums equal downsampleStats'
+  // (same decode, same box loop), and on a PNG payload the full-region
+  // identity sum_channel(cropped) ≤ sum_channel(full) ties it to
+  // pngPixelStats — plus an exact recompute of the cropped G/B sums from
+  // the decoded array.
+  test("mediaFeatures agrees with downsampleStats and the pixel decoders") {
+    import spark.implicits._
+    val cases = Seq((6L, 10, 7), (44L, 9, 9), (120L, 16, 5))
+    val bmp = cases.map { case (id, w, h) =>
+      Multimodal.MediaBin(id, Multimodal.bmpPixelBytes(id, w, h)) }
+    val viaFeatures = Multimodal
+      .mediaFeatures(spark.createDataset(bmp)).collect()
+      .map(r => r.doc_id -> r).toMap
+    val viaDown = Multimodal
+      .downsampleStats(spark.createDataset(bmp)).collect()
+      .map(r => r.doc_id -> r).toMap
+    cases.foreach { case (id, _, _) =>
+      val f = viaFeatures(id); val d = viaDown(id)
+      assert(f.mime == "image/bmp")
+      assert(f.thumb_w == d.out_w && f.thumb_h == d.out_h)
+      assert(f.thumb_sum_r == d.sum_r2 && f.thumb_sum_g == d.sum_g2 &&
+        f.thumb_sum_b == d.sum_b2)
+      assert(f.thumb_wsum == d.blockpos_r)
+    }
+    // PNG route: recompute the cropped sums directly from the real decode
+    val png = Seq(Multimodal.MediaBin(9L, Multimodal.pngPixelBytes(9L, 7, 6)))
+    val pf = Multimodal.mediaFeatures(spark.createDataset(png))
+      .collect().head
+    assert(pf.mime == "image/png" && pf.width == 7 && pf.height == 6)
+    val (w, h, rgb) = Multimodal.decodePngPixels(png.head.media).get
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until (h / 2) * 2; x <- 0 until (w / 2) * 2) {
+      val p = (y * w + x) * 3
+      sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff; sb += rgb(p + 2) & 0xff
+    }
+    assert(pf.thumb_sum_r == sr && pf.thumb_sum_g == sg &&
+      pf.thumb_sum_b == sb)
+  }
 }

@@ -351,18 +351,23 @@ class OpsSpec extends SparkSuite {
     assert(r.getAs[Int]("bpe_tokens") == 4) // hello|world|42|ok
   }
 
-  test("multimodal features: deterministic stub decode over binary column") {
+  test("multimodal features: sniffed containers route to real decoders") {
+    // doc 2 (even) → BMP w = 2%60+4 = 6, h = len%40+2; doc 1 (odd) → PNG
+    // w = 1%48+4 = 5, h = len%32+2
     val d = docsOf((1, "abcdefghij"), (2, "zz"))
-    val f = Multimodal.features(spark, d).collect()
+    val f = Multimodal.features(d).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Int]("byte_len"), r.getAs[Long]("head_sum"))).toMap
-    assert(f(1) == ((10, "abcdefgh".map(_.toLong).sum)))
-    assert(f(2) == ((2, 'z'.toLong * 2)))
-    // content hash matches engine md5 of the text bytes
-    val hashes = Multimodal.features(spark, d)
-      .join(d.select(col("doc_id"), md5(col("text")).as("expect")), "doc_id")
-      .filter(col("content_hash") =!= col("expect")).count()
-    assert(hashes == 0)
+        (r.getAs[String]("mime"), r.getAs[Int]("width"),
+          r.getAs[Int]("height"))).toMap
+    assert(f(1) == (("image/png", 5, 12)))
+    assert(f(2) == (("image/bmp", 6, 4)))
+    // thumbnail R channel: generator R = 2y+1 is x-free, so the cropped
+    // 2×2 box sum is 8·w2·h2² exactly
+    Multimodal.features(d).collect().foreach { r =>
+      val w2 = r.getAs[Int]("thumb_w").toLong
+      val h2 = r.getAs[Int]("thumb_h").toLong
+      assert(r.getAs[Long]("thumb_sum_r") == 8 * w2 * h2 * h2)
+    }
   }
 
   test("winnowing: shared text regions select shared fingerprints") {
