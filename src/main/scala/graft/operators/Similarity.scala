@@ -527,16 +527,38 @@ object Similarity {
   val NswBeam = 8
   val NswRounds = 3
   val NswPivotMod = 16 // layer-1 pivots: vec_id % NswPivotMod == 0
-  val NswL2Mod = 64 // layer-2 pivots (pivots-of-pivots): vec_id % NswL2Mod == 0
+  val NswTierFanout = 4 // each higher tier keeps 1/fanout of the previous
+  val NswL2Mod = NswPivotMod * NswTierFanout // layer-2 pivots
+  /** Max nodes in the TOP tier — the one tier each query scans
+    * exhaustively, so its size is the walk's only linear entry cost. */
+  val NswTierScanMax = 40
 
-  /** The layer-1 pivot graph: the SAME two-hash kNN construction as the
-    * base layer, restricted to the pivot tier (`vec_id % `
-    * [[NswPivotMod]]` = 0`), symmetrized. This is the upper layer the
-    * entry descent walks — N/[[NswPivotMod]] nodes, so the one-time
-    * build is 1/[[NswPivotMod]]² of the base edge-list cost.
+  /** The tier ladder as a function of corpus size |V| (round 8 — the
+    * generalization of the fixed two-level entry): tier i keeps every
+    * `NswPivotMod`·`NswTierFanout`^(i−1)-th vector (the fixed-rate
+    * stand-in for HNSW's exponential level draw), the ladder always has
+    * the HNSW-minimum two levels, and STACKS another while the top tier
+    * still holds more than [[NswTierScanMax]] nodes. The fixture sizes
+    * (500–2000 vectors) produce exactly the historical (16, 64) ladder —
+    * which is what the static SQL oracles unroll — and a deeper corpus
+    * adds tiers with the same plan shape (one more pivot graph, one more
+    * greedy descent round); `Round8Spec` pins a 4096-vector corpus
+    * planning three tiers.
     */
-  private def pivotSym(emb: DataFrame): DataFrame = {
-    val piv = emb.filter(col("vec_id") % NswPivotMod === 0)
+  def nswTierMods(n: Long): Seq[Int] = {
+    var mods = Vector(NswPivotMod, NswL2Mod)
+    while (n / mods.last > NswTierScanMax)
+      mods = mods :+ mods.last * NswTierFanout
+    mods
+  }
+
+  /** A tier's pivot graph: the SAME two-hash kNN construction as the
+    * base layer, restricted to the tier (`vec_id % mod = 0`),
+    * symmetrized. N/mod nodes, so the one-time build is 1/mod² of the
+    * base edge-list cost.
+    */
+  private def pivotSymAt(emb: DataFrame, mod: Int): DataFrame = {
+    val piv = emb.filter(col("vec_id") % mod === 0)
     val e = knnEdgesWith(piv, lshBucket(col("embedding")))
       .select(col("src"), col("dst"))
       .unionByName(knnEdgesWith(piv, lshBucket2(col("embedding")))
@@ -547,13 +569,32 @@ object Similarity {
       .transform(Iterate.pin)
   }
 
-  /** [[pivotSym]] memoized per (session, fixture dir) — all `sim_nsw_*`
-    * registrations descend through one physical pivot graph. */
-  def pivotSymCached(emb: DataFrame, cacheKey: String): DataFrame = {
+  /** [[pivotSymAt]] memoized per (session, fixture dir, tier mod) — all
+    * `sim_nsw_*` registrations descend through one physical pivot graph
+    * per tier. */
+  def pivotSymCached(emb: DataFrame, cacheKey: String,
+      mod: Int = NswPivotMod): DataFrame = {
     knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    knnCache.computeIfAbsent((emb.sparkSession, "l1sym:" + cacheKey),
-      _ => pivotSym(emb))
+    knnCache.computeIfAbsent((emb.sparkSession, s"l1sym:$mod:" + cacheKey),
+      _ => pivotSymAt(emb, mod))
   }
+
+  /** Corpus size memo (one parquet row-count per fixture) feeding the
+    * data-driven tier ladder. */
+  private val nCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+
+  def nswModsCached(emb: DataFrame, cacheKey: String): Seq[Int] = {
+    nCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    nswTierMods(nCache.computeIfAbsent((emb.sparkSession, cacheKey),
+      _ => Long.box(emb.count())))
+  }
+
+  /** The DESCENT graphs (all tiers below the top, sparsest first), each
+    * memoized per (session, fixture, mod). */
+  def pivotSymsCached(emb: DataFrame, cacheKey: String): Seq[DataFrame] =
+    nswModsCached(emb, cacheKey).init.reverse
+      .map(m => pivotSymCached(emb, cacheKey, m))
 
   /** Query vectors and normed corpus — the map-side frames every NSW
     * stage scores against. */
@@ -604,14 +645,18 @@ object Similarity {
   }
 
   /** The walk's shared frames: symmetrized two-hash edge list (pinned),
-    * the layer-1 pivot graph, query vectors, and normed corpus. */
+    * the descent pivot graphs (sparsest first), query vectors, normed
+    * corpus, and the top-tier mod — ladder derived from |V|. */
   private def nswParts(emb: DataFrame, pre: Option[DataFrame],
       pre2: Option[DataFrame], preL1: Option[DataFrame])
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, Seq[DataFrame], DataFrame, DataFrame, Int) = {
+    val mods = nswTierMods(emb.count())
     val sym = symmetrized(pre.getOrElse(knnEdges(emb)),
       pre2.getOrElse(knnEdgesWith(emb, lshBucket2(col("embedding")))))
     val (q, corpus) = nswQCorpus(emb)
-    (sym, preL1.getOrElse(pivotSym(emb)), q, corpus)
+    val descent = preL1.map(Seq(_))
+      .getOrElse(mods.init.reverse.map(m => pivotSymAt(emb, m)))
+    (sym, descent, q, corpus, mods.last)
   }
 
   private def nswScore(q: DataFrame, corpus: DataFrame)(
@@ -642,9 +687,10 @@ object Similarity {
     * frame. |Q| · N/[[NswL2Mod]] rows, the only exhaustive scan in the
     * walk.
     */
-  private def nswEntryScored(q: DataFrame, corpus: DataFrame): DataFrame =
+  private def nswEntryScored(q: DataFrame, corpus: DataFrame,
+      topMod: Int): DataFrame =
     nswScore(q, corpus)(q.select(col("query_id"))
-        .crossJoin(corpus.filter(col("node") % NswL2Mod === 0)
+        .crossJoin(corpus.filter(col("node") % topMod === 0)
           .select(col("node"))))
       .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("node"))))
@@ -659,19 +705,26 @@ object Similarity {
     * current best when no neighbor improves). Output is beam-tagged:
     * (beam, query_id, node).
     */
-  private def nswEntry(entryScored: DataFrame, symL1: DataFrame,
+  private def nswEntry(entryScored: DataFrame, descent: Seq[DataFrame],
       q: DataFrame, corpus: DataFrame, beams: Seq[Int]): DataFrame = {
-    val l2 = beams.map(b => entryScored.filter(col("rk") <= b)
+    var cur = beams.map(b => entryScored.filter(col("rk") <= b)
         .select(lit(b).as("beam"), col("query_id"), col("node")))
       .reduce(_ unionByName _)
-    val x = l2.unionByName(l2.join(symL1, Seq("node"))
-        .select(col("beam"), col("query_id"), col("dst").as("node")))
-      .distinct()
-    nswScoreB(q, corpus)(x)
-      .withColumn("rk", row_number().over(wBeamB))
-      .filter(col("rk") <= col("beam"))
-      .select(col("beam"), col("query_id"), col("node"))
-      .transform(Iterate.pin)
+    // one greedy expand-and-rank round per descent tier, sparsest graph
+    // first — the fixture ladder has exactly one round (the historical
+    // two-level entry); a deeper corpus folds through more tiers with
+    // the identical per-round plan shape
+    for (g <- descent) {
+      val x = cur.unionByName(cur.join(g, Seq("node"))
+          .select(col("beam"), col("query_id"), col("dst").as("node")))
+        .distinct()
+      cur = nswScoreB(q, corpus)(x)
+        .withColumn("rk", row_number().over(wBeamB))
+        .filter(col("rk") <= col("beam"))
+        .select(col("beam"), col("query_id"), col("node"))
+        .transform(Iterate.pin)
+    }
+    cur
   }
 
   /** The walk's visited set (beam, query_id, node), every beam advancing
@@ -708,11 +761,16 @@ object Similarity {
     Iterate.pin(visited.distinct())
   }
 
-  /** [[nswEntryScored]] memoized per (session, fixture). */
+  /** [[nswEntryScored]] memoized per (session, fixture); the top mod
+    * rides the key so a fixture-size change can never serve a stale
+    * tier scan. */
   def nswEntryScoredCached(emb: DataFrame, cacheKey: String): DataFrame = {
     knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    knnCache.computeIfAbsent((emb.sparkSession, "nswentry:" + cacheKey),
-      _ => { val (q, corpus) = nswQCorpus(emb); nswEntryScored(q, corpus) })
+    val topMod = nswModsCached(emb, cacheKey).last
+    knnCache.computeIfAbsent(
+      (emb.sparkSession, s"nswentry:$topMod:" + cacheKey),
+      _ => { val (q, corpus) = nswQCorpus(emb)
+        nswEntryScored(q, corpus, topMod) })
   }
 
   /** The beam-[[NswBeam]] visited set (query_id, node) memoized per
@@ -724,13 +782,13 @@ object Similarity {
     // dependencies resolved BEFORE the computeIfAbsent below: a nested
     // computeIfAbsent on the same map throws "Recursive update"
     val es = nswEntryScoredCached(emb, cacheKey)
-    val l1 = pivotSymCached(emb, cacheKey)
+    val descent = pivotSymsCached(emb, cacheKey)
     val sym = nswSymCached(emb, cacheKey)
     knnCache.computeIfAbsent((emb.sparkSession, "nswvis:" + cacheKey), _ => {
       val (q, corpus) = nswQCorpus(emb)
       // beam is the constant NswBeam: dropping it keeps the set distinct
       nswVisited(sym, q, corpus,
-        nswEntry(es, l1, q, corpus, Seq(NswBeam))).drop("beam")
+        nswEntry(es, descent, q, corpus, Seq(NswBeam))).drop("beam")
     })
   }
 
@@ -751,9 +809,9 @@ object Similarity {
   def nswWalk(emb: DataFrame, pre: Option[DataFrame] = None,
       pre2: Option[DataFrame] = None,
       preL1: Option[DataFrame] = None): DataFrame = {
-    val (sym, symL1, q, corpus) = nswParts(emb, pre, pre2, preL1)
-    val entry = nswEntry(nswEntryScored(q, corpus), symL1, q, corpus,
-      Seq(NswBeam))
+    val (sym, descent, q, corpus, topMod) = nswParts(emb, pre, pre2, preL1)
+    val entry = nswEntry(nswEntryScored(q, corpus, topMod), descent, q,
+      corpus, Seq(NswBeam))
     nswFinal(q, corpus, nswVisited(sym, q, corpus, entry).drop("beam"))
   }
 
@@ -779,10 +837,10 @@ object Similarity {
   def nswBeamSweep(emb: DataFrame, pre: Option[DataFrame] = None,
       pre2: Option[DataFrame] = None,
       preL1: Option[DataFrame] = None): DataFrame = {
-    val (sym, symL1, q, corpus) = nswParts(emb, pre, pre2, preL1)
-    // the layer-2 scan is beam-independent: scored and ranked ONCE, each
+    val (sym, descent, q, corpus, topMod) = nswParts(emb, pre, pre2, preL1)
+    // the top-tier scan is beam-independent: scored and ranked ONCE, each
     // sweep point rank-filters this one pinned frame
-    nswSweepFrom(sym, symL1, q, corpus, nswEntryScored(q, corpus),
+    nswSweepFrom(sym, descent, q, corpus, nswEntryScored(q, corpus, topMod),
       Iterate.pin(bruteTopK(emb).filter(col("rk") <= AnnTopK)
         .select(col("query_id"), col("cand_id"))))
   }
@@ -790,17 +848,17 @@ object Similarity {
   /** The registry route for the sweep: all shared artifacts memoized. */
   def nswBeamSweepCached(emb: DataFrame, cacheKey: String): DataFrame = {
     val (q, corpus) = nswQCorpus(emb)
-    nswSweepFrom(nswSymCached(emb, cacheKey), pivotSymCached(emb, cacheKey),
+    nswSweepFrom(nswSymCached(emb, cacheKey), pivotSymsCached(emb, cacheKey),
       q, corpus, nswEntryScoredCached(emb, cacheKey),
       bruteTruthCached(emb, cacheKey))
   }
 
-  private def nswSweepFrom(sym: DataFrame, symL1: DataFrame, q: DataFrame,
-      corpus: DataFrame, entryScored: DataFrame,
+  private def nswSweepFrom(sym: DataFrame, descent: Seq[DataFrame],
+      q: DataFrame, corpus: DataFrame, entryScored: DataFrame,
       truth: DataFrame): DataFrame = {
     // ALL sweep points walk in lockstep through one beam-tagged chain
     val vis = nswVisited(sym, q, corpus,
-      nswEntry(entryScored, symL1, q, corpus, NswSweepBeams))
+      nswEntry(entryScored, descent, q, corpus, NswSweepBeams))
     val nVis = vis.groupBy(col("beam"), col("query_id"))
       .agg(count(lit(1)).as("n_visited"))
     val top = nswScoreB(q, corpus)(vis)

@@ -59,6 +59,47 @@ class Round8Spec extends SparkSuite {
       "expected at least one genuine merge on the fixture")
   }
 
+  // The NSW tier ladder is a function of |V|: the fixture sizes keep the
+  // historical (16, 64) two-level entry that the static SQL oracles
+  // unroll, and a deeper corpus stacks more tiers while the top tier
+  // stays under the exhaustive-scan cap.
+  test("NSW ladder stacks a third tier for a larger corpus") {
+    import graft.operators.Similarity
+    assert(Similarity.nswTierMods(500) == Seq(16, 64))
+    assert(Similarity.nswTierMods(2000) == Seq(16, 64))
+    assert(Similarity.nswTierMods(4096) == Seq(16, 64, 256))
+    assert(Similarity.nswTierMods(100000) == Seq(16, 64, 256, 1024, 4096))
+    // every ladder's top tier is scannable and its depth is logarithmic
+    for (n <- Seq(100L, 10000L, 1000000L)) {
+      val mods = Similarity.nswTierMods(n)
+      assert(n / mods.last <= Similarity.NswTierScanMax)
+      assert(mods.length <= 2 + (math.log(n.toDouble) /
+        math.log(Similarity.NswTierFanout.toDouble)).toInt)
+    }
+  }
+
+  // End-to-end on a 4096-vector synthetic corpus: the walk derives a
+  // THREE-tier ladder (pinned above), descends through two pivot
+  // graphs, and still returns a full ranked top-k per query.
+  test("NSW walk descends a three-tier ladder end-to-end") {
+    import graft.operators.Similarity
+    val emb = spark.range(4096).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(1, 8), j -> cast(sin(id * j + j) as float)) " +
+        "AS embedding")
+    val rows = Similarity.nswWalk(emb).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until Similarity.NQueries).toSet)
+    byQ.values.foreach { g =>
+      val rks = g.map(_.getAs[Int]("rk")).sorted
+      assert(rks.sameElements(1 to rks.length) &&
+        rks.length == Similarity.AnnTopK)
+      // ranked by true cosine, descending
+      val cs = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   // The shared directed-edge memo relies on an eager persist keeping its
   // repartition's outputPartitioning in the planner: a src-partitioned
   // cached frame joined on src must NOT be re-exchanged — only the probe
