@@ -7395,6 +7395,13 @@ object SparkEntry {
     "graph_louvain_coarse" -> ((s, d) =>
       graft.operators.Graph.louvainCoarseCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_louvain_segments" -> ((s, d) =>
+      graft.operators.Graph.louvainSegmentsCached(
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.customer(s, d), d)),
+    "dedup_lpa_agreement" -> ((s, d) =>
+      Dedup.lpaAgreement(arts(s, d).components,
+        Dedup.labelPropagation(arts(s, d).pairs, docs(s, d)))),
     "events_bootstrap"  -> qBootstrap _,
     "events_rolling_mau" -> qRollingMau _,
     "events_psi"        -> qPsi _,
@@ -7937,6 +7944,9 @@ object SparkEntry {
     "graph_anf"         -> graft.operators.Graph.sqlAnf(),
     "graph_louvain"     -> graft.operators.Graph.sqlLouvain(),
     "graph_louvain_coarse" -> graft.operators.Graph.sqlLouvainCoarse(),
+    "graph_louvain_segments" -> graft.operators.Graph.sqlLouvainSegments(),
+    "dedup_lpa_agreement" ->
+      Dedup.sqlLpaAgreement(Dedup.sqlMinhashPairs()),
     "events_bootstrap"  -> sqlBootstrap,
     "events_rolling_mau" -> sqlRollingMau,
     "events_psi"        -> sqlPsi,

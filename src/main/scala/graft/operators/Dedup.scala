@@ -809,11 +809,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  def sqlLabelPropagation(pairsSql: String, iters: Int = LpIters): String = {
-    val rounds = (1 to iters).map { k =>
+  /** The unrolled LPA rounds, parameterized on the edge CTE name so the
+    * agreement oracle (which also carries the components CTEs, whose
+    * `edges` uses UNION dedup rather than LPA's UNION ALL) can reuse
+    * them verbatim. */
+  private def lpaRoundCtes(iters: Int, edges: String = "edges"): String =
+    (1 to iters).map { k =>
       s"""c$k AS (
          |  SELECT e.dst, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM edges e JOIN l${k - 1} l ON e.src = l.id
+         |  FROM $edges e JOIN l${k - 1} l ON e.src = l.id
          |  GROUP BY e.dst, l.label
          |), b$k AS (
          |  SELECT dst,
@@ -824,6 +828,9 @@ object Dedup {
          |  FROM l${k - 1} l LEFT JOIN b$k b ON l.id = b.dst
          |)""".stripMargin
     }.mkString(",\n")
+
+  def sqlLabelPropagation(pairsSql: String, iters: Int = LpIters): String = {
+    val rounds = lpaRoundCtes(iters)
     s"""WITH pairs AS (
        |  ${pairsSql.linesIterator.mkString("\n  ")}
        |), edges AS (
@@ -909,6 +916,109 @@ object Dedup {
        |  CAST(4 * mm.m * w.se - en.sa2 AS DOUBLE)
        |    / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
        |FROM mm, w, en, nc""".stripMargin
+
+  // --------------------------------------------- partition agreement
+  /** Rand and Jaccard agreement between TWO clusterings of the same
+    * near-dup graph — exact connected components vs label-propagation
+    * communities (Rand, "Objective criteria for the evaluation of
+    * clustering methods", JASA 1971): the audit a pipeline runs before
+    * swapping the expensive exact clustering for the cheaper iterative
+    * one. Over the clustered-doc set (docs that appear in some pair;
+    * both partitions are restricted to it), all pair counts come from
+    * ONE contingency table: with S2 = Σ n_ij², Sr = Σ n_i·², Sc = Σ n_·j²
+    * and N docs, a = (S2−N)/2 pairs agree-in-both, r = (Sr−N)/2 same-
+    * component, c = (Sc−N)/2 same-community, and
+    * Rand = (tot + 2a − r − c)/tot, Jaccard = a/(r + c − a). Every
+    * quantity is an exact BIGINT; the only floating ops are the two
+    * final single divisions (bit-identical cross-engine). Long-safe to
+    * ~10⁹ clustered docs (squared counts) — past that the moments ride
+    * DECIMAL, the [[modularityFrom]] caveat.
+    *
+    * Scale shape: one |clustered docs| join + one (component, community)
+    * hash agg; everything after is a |cells| frame. No corpus pass —
+    * both inputs are the memoized artifacts.
+    */
+  def lpaAgreement(components: DataFrame,
+      communities: DataFrame): DataFrame = {
+    val joined = components.join(communities, Seq("doc_id"))
+    val cells = Iterate.pin(joined
+      .groupBy(col("component"), col("community"))
+      .agg(count(lit(1)).as("n")))
+    val m = cells.agg(sum(col("n")).as("n_docs"),
+      sum(col("n") * col("n")).as("s_both2"),
+      countDistinct(col("component")).as("n_components"),
+      countDistinct(col("community")).as("n_communities"))
+    val mc = cells.groupBy(col("component"))
+      .agg(sum(col("n")).as("ni"))
+      .agg(sum(col("ni") * col("ni")).as("s_comp2"))
+    val ml = cells.groupBy(col("community"))
+      .agg(sum(col("n")).as("nj"))
+      .agg(sum(col("nj") * col("nj")).as("s_lpa2"))
+    m.crossJoin(broadcast(mc)).crossJoin(broadcast(ml))
+      .select(col("n_docs"), col("n_components"), col("n_communities"),
+        expr("(s_both2 - n_docs) div 2").as("pairs_both"),
+        expr("(s_comp2 - n_docs) div 2").as("pairs_comp"),
+        expr("(s_lpa2 - n_docs) div 2").as("pairs_lpa"),
+        (expr("n_docs * (n_docs - 1) div 2 + (s_both2 - n_docs)" +
+            " - (s_comp2 - n_docs) div 2 - (s_lpa2 - n_docs) div 2")
+            .cast("double") /
+          expr("n_docs * (n_docs - 1) div 2").cast("double"))
+          .as("rand_index"),
+        (expr("(s_both2 - n_docs) div 2").cast("double") /
+          expr("(s_comp2 - n_docs) div 2 + (s_lpa2 - n_docs) div 2" +
+            " - (s_both2 - n_docs) div 2").cast("double"))
+          .as("jaccard_index"))
+  }
+
+  /** Oracle: the components CTEs (UNION-deduped edges, recursive
+    * closure) and the LPA rounds (UNION ALL edges) side by side over ONE
+    * pairs CTE, then the contingency moments in closed form.
+    */
+  def sqlLpaAgreement(pairsSql: String, iters: Int = LpIters): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${pairsSql.linesIterator.mkString("\n  ")}
+       |),
+       |$sqlComponentsCtes,
+       |ledges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), l0 AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM documents
+       |),
+       |${lpaRoundCtes(iters, "ledges")},
+       |joined AS (
+       |  SELECT c.doc_id, c.component, l.label AS community
+       |  FROM comp c JOIN l$iters l ON c.doc_id = l.id
+       |), cells AS (
+       |  SELECT component, community, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM joined GROUP BY component, community
+       |), m AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n * n) AS BIGINT) AS s_both2,
+       |    CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+       |    CAST(COUNT(DISTINCT community) AS BIGINT) AS n_communities
+       |  FROM cells
+       |), mc AS (
+       |  SELECT CAST(SUM(ni * ni) AS BIGINT) AS s_comp2 FROM (
+       |    SELECT CAST(SUM(n) AS BIGINT) AS ni FROM cells
+       |    GROUP BY component)
+       |), ml AS (
+       |  SELECT CAST(SUM(nj * nj) AS BIGINT) AS s_lpa2 FROM (
+       |    SELECT CAST(SUM(n) AS BIGINT) AS nj FROM cells
+       |    GROUP BY community)
+       |)
+       |SELECT n_docs, n_components, n_communities,
+       |  (s_both2 - n_docs) // 2 AS pairs_both,
+       |  (s_comp2 - n_docs) // 2 AS pairs_comp,
+       |  (s_lpa2 - n_docs) // 2 AS pairs_lpa,
+       |  CAST(n_docs * (n_docs - 1) // 2 + (s_both2 - n_docs)
+       |      - (s_comp2 - n_docs) // 2 - (s_lpa2 - n_docs) // 2 AS DOUBLE)
+       |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) AS rand_index,
+       |  CAST((s_both2 - n_docs) // 2 AS DOUBLE)
+       |    / CAST((s_comp2 - n_docs) // 2 + (s_lpa2 - n_docs) // 2
+       |        - (s_both2 - n_docs) // 2 AS DOUBLE) AS jaccard_index
+       |FROM m, mc, ml""".stripMargin
 
   // ------------------------------------------------- connected components
   /** Duplicate-cluster assembly: near-dup PAIRS are not clusters — picking

@@ -1904,6 +1904,77 @@ object Graph {
       .limit(PrTopK)
   }
 
+  /** What IS each Louvain community, in business terms — the label
+    * readout a real pipeline runs after community detection (the
+    * cross-family companion of `sim_cluster_topics`, which labels
+    * embedding cells with tf-idf terms): for the `TopComms` largest
+    * communities of the local-moving assignment, the top-`TopSegs`
+    * customer market segments by member count. Rides the SAME pinned
+    * assignment memo as `graph_louvain`/`graph_louvain_coarse` — zero
+    * new heavy subtrees; the only new work is one |V|-keyed join against
+    * customer and two small ranked aggregates.
+    *
+    * Scale shape: the segment join is key-partitioned on custkey
+    * (suppliers fall out of the inner join), the community ranking's
+    * unpartitioned window sits above the |communities|-row aggregate
+    * (cardinality-bounded, the registry-wide window rule), and the
+    * segment ranking is partitioned by community.
+    */
+  val LouvTopComms = 5
+  val LouvTopSegs = 3
+
+  def louvainSegmentsCached(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame, cacheKey: String,
+      rounds: Int = LouvainRounds): DataFrame = {
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+    val lab = comm.groupBy(col("c"))
+      .agg(min(col("node")).as("label"), count(lit(1)).as("n_nodes"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_nodes").desc, col("label"))
+    val topc = lab.withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= LouvTopComms)
+      .select(col("c"), col("label"))
+    val seg = comm.join(topc, Seq("c"))
+      .join(customer.select(col("c_custkey").as("node"),
+        col("c_mktsegment").as("segment")), Seq("node"))
+      .groupBy(col("label"), col("segment"))
+      .agg(count(lit(1)).as("n_cust"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("n_cust").desc, col("segment"))
+    seg.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= LouvTopSegs)
+      .select(col("label"), col("segment"), col("n_cust"), col("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  def sqlLouvainSegments(rounds: Int = LouvainRounds): String =
+    s"""${sqlLouvainCtes(rounds)},
+       |lab AS (
+       |  SELECT c, CAST(MIN(node) AS BIGINT) AS label,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM c$rounds GROUP BY c
+       |), topc AS (
+       |  SELECT c, label FROM (
+       |    SELECT c, label,
+       |      ROW_NUMBER() OVER (ORDER BY n_nodes DESC, label) AS crk
+       |    FROM lab
+       |  ) WHERE crk <= $LouvTopComms
+       |), seg AS (
+       |  SELECT t.label, cu.c_mktsegment AS segment,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cust
+       |  FROM c$rounds a
+       |  JOIN topc t ON a.c = t.c
+       |  JOIN customer cu ON a.node = cu.c_custkey
+       |  GROUP BY t.label, cu.c_mktsegment
+       |)
+       |SELECT label, segment, n_cust, rk FROM (
+       |  SELECT label, segment, n_cust,
+       |    ROW_NUMBER() OVER (PARTITION BY label
+       |                       ORDER BY n_cust DESC, segment) AS rk
+       |  FROM seg
+       |) WHERE rk <= $LouvTopSegs
+       |ORDER BY label, rk""".stripMargin
+
   /** Shared CTE prefix (edge set, degrees, 2m, the `rounds` unrolled
     * synchronized local-moving rounds ending at `c$rounds`) for
     * [[sqlLouvain]] and [[sqlLouvainCoarse]].

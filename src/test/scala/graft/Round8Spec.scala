@@ -59,6 +59,65 @@ class Round8Spec extends SparkSuite {
       "expected at least one genuine merge on the fixture")
   }
 
+  // LPA labels spread only along edges, so every community is contained
+  // in one connected component: same-community pairs are a subset of
+  // same-component pairs (pairs_both == pairs_lpa exactly), and a
+  // driver-side recompute of the Rand/Jaccard indices from the two
+  // partition queries must match the fused query bit-for-bit.
+  test("lpa agreement: refinement identity and brute-force recompute") {
+    val row = SparkEntry.queries("dedup_lpa_agreement")(spark, dir)
+      .collect().head
+    val a = row.getAs[Long]("pairs_both")
+    val r = row.getAs[Long]("pairs_comp")
+    val c = row.getAs[Long]("pairs_lpa")
+    assert(a == c && a <= r)
+    val rand = row.getAs[Double]("rand_index")
+    val jac = row.getAs[Double]("jaccard_index")
+    assert(rand >= 0 && rand <= 1 && jac >= 0 && jac <= 1)
+    val comp = SparkEntry.queries("dedup_components")(spark, dir)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("component")).toMap
+    val lpa = SparkEntry.queries("dedup_communities")(spark, dir)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("community")).toMap
+    val ids = comp.keys.toArray.sorted
+    var ba = 0L; var br = 0L; var bc = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (x, y) = (ids(i), ids(j))
+      val sc = comp(x) == comp(y)
+      val sl = lpa(x) == lpa(y)
+      if (sc) br += 1
+      if (sl) bc += 1
+      if (sc && sl) ba += 1
+    }
+    assert(row.getAs[Long]("n_docs") == ids.length)
+    assert((a, r, c) == ((ba, br, bc)))
+    val tot = ids.length.toLong * (ids.length - 1) / 2
+    assert(rand == (tot + 2 * ba - br - bc).toDouble / tot.toDouble)
+    assert(jac == ba.toDouble / (br + bc - ba).toDouble)
+  }
+
+  // The segment readout labels exactly the top-LouvTopComms communities
+  // of the flat summary, with dense per-community segment ranks ordered
+  // by count.
+  test("louvain segments: labels the summary's largest communities") {
+    import graft.operators.Graph
+    val segs = SparkEntry.queries("graph_louvain_segments")(spark, dir)
+      .collect()
+    val fine = SparkEntry.queries("graph_louvain")(spark, dir).collect()
+    val expectLabels = fine
+      .sortBy(r => (-r.getAs[Long]("size"), r.getAs[Long]("label")))
+      .take(Graph.LouvTopComms).map(_.getAs[Long]("label")).toSet
+    assert(segs.map(_.getAs[Long]("label")).toSet.subsetOf(expectLabels))
+    segs.groupBy(_.getAs[Long]("label")).foreach { case (_, g) =>
+      val byRk = g.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).sameElements(1 to g.length))
+      assert(g.length <= Graph.LouvTopSegs)
+      val counts = byRk.map(_.getAs[Long]("n_cust"))
+      assert(counts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   // The NSW tier ladder is a function of |V|: the fixture sizes keep the
   // historical (16, 64) two-level entry that the static SQL oracles
   // unroll, and a deeper corpus stacks more tiers while the top tier
