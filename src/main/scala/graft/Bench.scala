@@ -77,7 +77,18 @@ object Bench {
     val gateJson = gate.map(g =>
       s""","gate_config":{"cpus":4,"shuffle":4,"value":${g.total},"unit":"sec","queries":${queriesJson(g.queries)}}""")
       .getOrElse("")
-    val full = s"""{"metric":"total","value":${primary.total},"unit":"sec","queries":${queriesJson(primary.queries)},"sf":"$sfDir","cpus":$cpus,"shuffle":$shuffle$gateJson}"""
+    // Per-family subtotals (prefix before the first '_'; the parity core
+    // is the q* family): as the suite grows past ~400 queries the 2×-of-
+    // baseline gate stays interpretable per family, not only as a total.
+    def famJson(qs: Map[String, Double]): String =
+      qs.groupBy { case (k, _) =>
+          if (k.matches("^q\\d+.*")) "q" // the reference-parity core
+          else { val i = k.indexOf('_'); if (i > 0) k.substring(0, i) else k } }
+        .toSeq.sortBy(_._1)
+        .map { case (f, m) =>
+          s"\"" + f + "\":" + (math.rint(m.values.sum * 1000) / 1000) }
+        .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${primary.total},"unit":"sec","queries":${queriesJson(primary.queries)},"families":${famJson(primary.queries)},"sf":"$sfDir","cpus":$cpus,"shuffle":$shuffle$gateJson}"""
     println(full)
     // The full line above exceeds tail-capturing harnesses (158 queries ×
     // two configs ≫ 2000 chars), so ALSO land it on disk and finish with a

@@ -7395,6 +7395,9 @@ object SparkEntry {
     "graph_louvain_coarse" -> ((s, d) =>
       graft.operators.Graph.louvainCoarseCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_louvain_gain" -> ((s, d) =>
+      graft.operators.Graph.louvainGainCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_louvain_segments" -> ((s, d) =>
       graft.operators.Graph.louvainSegmentsCached(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -7944,6 +7947,7 @@ object SparkEntry {
     "graph_anf"         -> graft.operators.Graph.sqlAnf(),
     "graph_louvain"     -> graft.operators.Graph.sqlLouvain(),
     "graph_louvain_coarse" -> graft.operators.Graph.sqlLouvainCoarse(),
+    "graph_louvain_gain" -> graft.operators.Graph.sqlLouvainGain(),
     "graph_louvain_segments" -> graft.operators.Graph.sqlLouvainSegments(),
     "dedup_lpa_agreement" ->
       Dedup.sqlLpaAgreement(Dedup.sqlMinhashPairs()),

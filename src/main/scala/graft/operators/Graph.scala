@@ -1862,38 +1862,51 @@ object Graph {
     * than one fine round. Reads the SAME pinned assignment memo as
     * `graph_louvain`, so the iterative prefix is shared, not re-run.
     */
+  /** The coarse assignment (node, c, cc, deg) after contraction + one
+    * synchronized weighted round, pinned per (session, key, rounds) —
+    * the summary ([[louvainCoarseCached]]) and the modularity-gain audit
+    * ([[louvainGainCached]]) both read this one memo.
+    */
+  def louvainCoarseAssignCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    memoize(spark, s"louvcc|$cacheKey|$rounds")(Iterate.pin {
+      val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+      val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+      val edges = cachedPersist(spark, s"prede|$cacheKey")(
+        directedEdges(e0).repartition(col("src")))
+      val m2 = comm.agg(sum(col("deg")).as("m2"))
+      // contraction: weighted coarse edges + weighted super-node degrees
+      val w = edges
+        .join(comm.select(col("node").as("src"), col("c").as("cs")),
+          Seq("src"))
+        .join(comm.select(col("node").as("dst"), col("c").as("cd")),
+          Seq("dst"))
+        .groupBy(col("cs"), col("cd")).agg(count(lit(1)).as("w"))
+      val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+      val cand = w.filter(col("cs") =!= col("cd"))
+        .join(kc.select(col("c").as("cs"), col("k").as("ks")), Seq("cs"))
+        .join(kc.select(col("c").as("cd"), col("k").as("kd")), Seq("cd"))
+        .crossJoin(broadcast(m2))
+        .withColumn("dq",
+          (lit(2L) * col("w")).cast("double") / col("m2").cast("double") -
+          (lit(2L) * col("ks")).cast("double") * col("kd").cast("double") /
+            (col("m2").cast("double") * col("m2").cast("double")))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cs")).orderBy(col("dq").desc, col("cd"))
+      val best = cand.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") === 1 && col("dq") > 0)
+        .select(col("cs").as("c"), col("cd").as("cc"))
+      comm.join(best, Seq("c"), "left")
+        .select(col("node"), col("c"),
+          coalesce(col("cc"), col("c")).as("cc"), col("deg"))
+    })
+  }
+
   def louvainCoarseCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
-    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
-    val spark = orders.sparkSession
-    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      directedEdges(e0).repartition(col("src")))
-    val m2 = comm.agg(sum(col("deg")).as("m2"))
-    // contraction: weighted coarse edges + weighted super-node degrees
-    val w = edges
-      .join(comm.select(col("node").as("src"), col("c").as("cs")),
-        Seq("src"))
-      .join(comm.select(col("node").as("dst"), col("c").as("cd")),
-        Seq("dst"))
-      .groupBy(col("cs"), col("cd")).agg(count(lit(1)).as("w"))
-    val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
-    val cand = w.filter(col("cs") =!= col("cd"))
-      .join(kc.select(col("c").as("cs"), col("k").as("ks")), Seq("cs"))
-      .join(kc.select(col("c").as("cd"), col("k").as("kd")), Seq("cd"))
-      .crossJoin(broadcast(m2))
-      .withColumn("dq",
-        (lit(2L) * col("w")).cast("double") / col("m2").cast("double") -
-        (lit(2L) * col("ks")).cast("double") * col("kd").cast("double") /
-          (col("m2").cast("double") * col("m2").cast("double")))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cs")).orderBy(col("dq").desc, col("cd"))
-    val best = cand.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") === 1 && col("dq") > 0)
-      .select(col("cs").as("c"), col("cd").as("cc"))
-    val coarse = comm.join(best, Seq("c"), "left")
-      .select(col("node"), col("c"),
-        coalesce(col("cc"), col("c")).as("cc"))
+    val coarse = louvainCoarseAssignCached(orders, lineitem, cacheKey,
+      rounds)
     val label = coarse.groupBy(col("cc")).agg(min(col("node")).as("label"))
     coarse.join(label, Seq("cc"))
       .groupBy(col("label"))
@@ -1902,6 +1915,65 @@ object Graph {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy(col("n_nodes").desc, col("label"))
       .limit(PrTopK)
+  }
+
+  /** Did contraction actually help? Newman modularity of the fine
+    * (local-moving) and coarse (post-contraction) assignments over the
+    * SAME edge set, plus the gain — the convergence audit a Louvain
+    * deployment reads to decide whether another level is worth running
+    * (Blondel et al. 2008 report exactly this per-level Q sequence).
+    * Q = Σ_c [e_c/2m − (Σtot_c/2m)²], computed per assignment as
+    * within/m2 − Σstot²/m2² with each ratio formed from double-cast
+    * BIGINTs (no BIGINT cross-products — the profile_mi overflow
+    * discipline; every aggregate itself is exact).
+    *
+    * Scale shape: ONE pass tags each directed edge with both ends' fine
+    * and coarse labels (two |E|-keyed joins against the pinned coarse
+    * memo, which carries both labels), one 2-counter aggregate, and two
+    * |C|-row Σtot² aggregates off the same memo (deg rides it — no
+    * degree join). Nothing new is iterated.
+    *
+    * What the audit showed on the fixtures: on the BIPARTITE cust–supp
+    * graph the synchronized rounds settle into side-pure communities
+    * (zero within edges at sf0.001) and Q is negative — the documented
+    * lockstep-update artifact, surfaced as a number instead of buried.
+    * A deployment reading gain ≤ 0 here stops contracting; that
+    * decision rule is the point of the query.
+    */
+  def louvainGainCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val coarse = louvainCoarseAssignCached(orders, lineitem, cacheKey,
+      rounds)
+    val spark = orders.sparkSession
+    val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+    val edges = cachedPersist(spark, s"prede|$cacheKey")(
+      directedEdges(e0).repartition(col("src")))
+    val m2 = coarse.agg(sum(col("deg")).as("m2"))
+    val x = edges
+      .join(coarse.select(col("node").as("src"), col("c").as("c_s"),
+        col("cc").as("cc_s")), Seq("src"))
+      .join(coarse.select(col("node").as("dst"), col("c").as("c_d"),
+        col("cc").as("cc_d")), Seq("dst"))
+      .agg(sum(when(col("c_s") === col("c_d"), 1L).otherwise(0L))
+          .as("within_fine"),
+        sum(when(col("cc_s") === col("cc_d"), 1L).otherwise(0L))
+          .as("within_coarse"))
+    val ssF = coarse.groupBy(col("c")).agg(sum(col("deg")).as("s"))
+      .agg(sum(col("s") * col("s")).as("ss_f"))
+    val ssC = coarse.groupBy(col("cc")).agg(sum(col("deg")).as("s"))
+      .agg(sum(col("s") * col("s")).as("ss_c"))
+    val m2d = col("m2").cast("double")
+    def q(within: org.apache.spark.sql.Column,
+        ss: org.apache.spark.sql.Column) =
+      within.cast("double") / m2d - ss.cast("double") / (m2d * m2d)
+    x.crossJoin(broadcast(m2)).crossJoin(broadcast(ssF))
+      .crossJoin(broadcast(ssC))
+      .select(col("m2").as("n_dir_edges"),
+        col("within_fine"), col("within_coarse"),
+        q(col("within_fine"), col("ss_f")).as("q_fine"),
+        q(col("within_coarse"), col("ss_c")).as("q_coarse"),
+        (q(col("within_coarse"), col("ss_c")) -
+          q(col("within_fine"), col("ss_f"))).as("gain"))
   }
 
   /** What IS each Louvain community, in business terms — the label
@@ -2046,11 +2118,11 @@ object Graph {
        |GROUP BY label
        |ORDER BY size DESC, label LIMIT $PrTopK""".stripMargin
 
-  /** Oracle for [[louvainCoarseCached]]: the shared local-moving prefix,
-    * then contraction to the weighted super-graph and one synchronized
-    * weighted round, unrolled in plain SQL.
+  /** Shared CTE chain through the contraction + one weighted round,
+    * ending at `coarse` (node, c, cc) — the prefix of
+    * [[sqlLouvainCoarse]] and [[sqlLouvainGain]].
     */
-  def sqlLouvainCoarse(rounds: Int = LouvainRounds): String =
+  private def sqlLouvainCoarseCtes(rounds: Int): String =
     s"""${sqlLouvainCtes(rounds)},
        |wgt AS (
        |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
@@ -2082,7 +2154,15 @@ object Graph {
        |), coarse AS (
        |  SELECT a.node, a.c, COALESCE(b.cd, a.c) AS cc
        |  FROM c$rounds a LEFT JOIN bestc b ON a.c = b.cs
-       |), labc AS (
+       |)""".stripMargin
+
+  /** Oracle for [[louvainCoarseCached]]: the shared local-moving prefix,
+    * then contraction to the weighted super-graph and one synchronized
+    * weighted round, unrolled in plain SQL.
+    */
+  def sqlLouvainCoarse(rounds: Int = LouvainRounds): String =
+    s"""${sqlLouvainCoarseCtes(rounds)},
+       |labc AS (
        |  SELECT cc, CAST(MIN(node) AS BIGINT) AS label
        |  FROM coarse GROUP BY cc
        |)
@@ -2093,6 +2173,46 @@ object Graph {
        |FROM coarse JOIN labc USING (cc)
        |GROUP BY label
        |ORDER BY n_nodes DESC, label LIMIT $PrTopK""".stripMargin
+
+  /** Oracle for [[louvainGainCached]]: both assignments' modularities
+    * off one double-labeled edge pass; every ratio is double-cast
+    * BIGINT over double-cast BIGINT (no BIGINT cross-products).
+    */
+  def sqlLouvainGain(rounds: Int = LouvainRounds): String =
+    s"""${sqlLouvainCoarseCtes(rounds)},
+       |x AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS within_fine,
+       |    CAST(SUM(CASE WHEN a.cc = b.cc THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS within_coarse
+       |  FROM edges e
+       |  JOIN coarse a ON e.src = a.node
+       |  JOIN coarse b ON e.dst = b.node
+       |), sf AS (
+       |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss_f FROM (
+       |    SELECT CAST(SUM(d.deg) AS BIGINT) AS s
+       |    FROM coarse a JOIN deg d ON a.node = d.id GROUP BY a.c)
+       |), sc AS (
+       |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss_c FROM (
+       |    SELECT CAST(SUM(d.deg) AS BIGINT) AS s
+       |    FROM coarse a JOIN deg d ON a.node = d.id GROUP BY a.cc)
+       |)
+       |SELECT m2.m2 AS n_dir_edges, x.within_fine, x.within_coarse,
+       |  CAST(x.within_fine AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+       |    - CAST(sf.ss_f AS DOUBLE)
+       |      / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)) AS q_fine,
+       |  CAST(x.within_coarse AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+       |    - CAST(sc.ss_c AS DOUBLE)
+       |      / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)) AS q_coarse,
+       |  (CAST(x.within_coarse AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+       |    - CAST(sc.ss_c AS DOUBLE)
+       |      / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)))
+       |  - (CAST(x.within_fine AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+       |    - CAST(sf.ss_f AS DOUBLE)
+       |      / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)))
+       |  AS gain
+       |FROM x, sf, sc, m2""".stripMargin
 
   // --------------------------------------------- personalized PageRank
   /** Seed-node count for [[pprCached]]: customers with id < PprSeeds. */

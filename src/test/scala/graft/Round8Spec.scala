@@ -118,6 +118,20 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  // Modularity-gain audit invariants: gain is exactly q_coarse − q_fine,
+  // both Qs are in the Newman bound (−1, 1], and the directed within
+  // counts are even (each undirected edge appears in both directions).
+  test("louvain gain: identity, bounds, and directed-count parity") {
+    val r = SparkEntry.queries("graph_louvain_gain")(spark, dir)
+      .collect().head
+    val qf = r.getAs[Double]("q_fine"); val qc = r.getAs[Double]("q_coarse")
+    assert(r.getAs[Double]("gain") == qc - qf)
+    assert(qf > -1 && qf <= 1 && qc > -1 && qc <= 1)
+    assert(r.getAs[Long]("within_fine") % 2 == 0)
+    assert(r.getAs[Long]("within_coarse") % 2 == 0)
+    assert(r.getAs[Long]("n_dir_edges") % 2 == 0)
+  }
+
   // The NSW tier ladder is a function of |V|: the fixture sizes keep the
   // historical (16, 64) two-level entry that the static SQL oracles
   // unroll, and a deeper corpus stacks more tiers while the top tier
