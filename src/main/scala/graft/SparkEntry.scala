@@ -5470,6 +5470,88 @@ object SparkEntry {
       |FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
       |ORDER BY s.hr""".stripMargin
 
+  // ------------------------------------------------ events_seasonal
+  // Classical additive decomposition (the moving-average method of
+  // Macaulay 1931, textbook form): daily event counts on a zero-filled
+  // spine split into trend (centered 7-day moving average, interior
+  // days only), day-of-week seasonal (per-dow mean of the detrended
+  // series — uncentered simple form), and residual. The series audit
+  // run before any anomaly rule: a spike is judged against
+  // trend+seasonal, not the raw mean.
+  //
+  // Determinism: y and the window sum s7 are exact BIGINTs; the per-dow
+  // seasonal mean is computed as ONE division of integer moments
+  // (7·Σy − Σs7)/(7·n) — never a sum of per-row doubles, whose
+  // partition order would differ across engines — and trend/residual
+  // are fixed expression trees over those exact inputs. dow = day
+  // number % 7 (engine-neutral; no locale weekday).
+  //
+  // Shape: one event-side hash agg, the gapfill spine idiom (broadcast
+  // bounds row, |days| explode), ONE unpartitioned ordered window over
+  // the calendar-sized daily frame (cardinality-bounded — the registry
+  // window rule), one |dow| join back.
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val dense = spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val interior = dense
+      .withColumn("s7", sum(col("y")).over(w))
+      .withColumn("nwin", count(lit(1)).over(w))
+      .filter(col("nwin") === 7)
+      .select(col("d"), col("y"), col("s7"), (col("d") % 7).as("dow"))
+    val seas = interior.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_dow"), sum(col("y")).as("sy"),
+        sum(col("s7")).as("ss"))
+    val trend = col("s7").cast("double") / lit(7L).cast("double")
+    val seasonal = (lit(7L) * col("sy") - col("ss")).cast("double") /
+      (lit(7L) * col("n_dow")).cast("double")
+    interior.join(seas, Seq("dow"))
+      .select(col("d").as("day_num"), col("y"), trend.as("trend"),
+        seasonal.as("seasonal"),
+        (col("y").cast("double") - trend - seasonal).as("resid"))
+      .orderBy(col("day_num"))
+  }
+
+  private val sqlSeasonal: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+      |), b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      |spine AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+      |dense AS (
+      |  SELECT s.d, COALESCE(dd.y, 0) AS y
+      |  FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+      |), win AS (
+      |  SELECT d, y,
+      |    CAST(SUM(y) OVER (ORDER BY d
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+      |    CAST(COUNT(*) OVER (ORDER BY d
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS nwin
+      |  FROM dense
+      |), interior AS (
+      |  SELECT d, y, s7, d % 7 AS dow FROM win WHERE nwin = 7
+      |), seas AS (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_dow,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(s7) AS BIGINT) AS ss
+      |  FROM interior GROUP BY dow
+      |)
+      |SELECT i.d AS day_num, i.y,
+      |  CAST(i.s7 AS DOUBLE) / CAST(7 AS DOUBLE) AS trend,
+      |  CAST(7 * s.sy - s.ss AS DOUBLE)
+      |    / CAST(7 * s.n_dow AS DOUBLE) AS seasonal,
+      |  CAST(i.y AS DOUBLE) - CAST(i.s7 AS DOUBLE) / CAST(7 AS DOUBLE)
+      |    - CAST(7 * s.sy - s.ss AS DOUBLE)
+      |      / CAST(7 * s.n_dow AS DOUBLE) AS resid
+      |FROM interior i JOIN seas s USING (dow)
+      |ORDER BY day_num""".stripMargin
+
   // ------------------------------------------------- events_cuped
   // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
   // "Improving the Sensitivity of Online Controlled Experiments by
@@ -7322,6 +7404,7 @@ object SparkEntry {
     "text_repetition"   -> ((s, d) => TrainingData.repetition(docs(s, d))),
     "events_redact"     -> ((s, d) => TrainingData.redact(Tables.events(s, d))),
     "decon_overlap"     -> ((s, d) => TrainingData.decontaminate(docs(s, d), d)),
+    "decon_minhash"     -> ((s, d) => Dedup.minhashDecon(docs(s, d), d)),
     "decon_bloom"       -> ((s, d) => TrainingData.bloomDecon(docs(s, d), d)),
     "dedup_canonical"   -> ((s, d) =>
       Dedup.canonicalFrom(docs(s, d), arts(s, d).components)),
@@ -7408,6 +7491,7 @@ object SparkEntry {
     "events_bootstrap"  -> qBootstrap _,
     "events_rolling_mau" -> qRollingMau _,
     "events_psi"        -> qPsi _,
+    "events_seasonal"   -> qSeasonal _,
     "events_locf"       -> qLocf _,
     "scd_type3"         -> ((s, d) =>
       graft.operators.Changelog.type3(Tables.events(s, d))),
@@ -7905,6 +7989,7 @@ object SparkEntry {
     "text_repetition"   -> TrainingData.sqlRepetition,
     "events_redact"     -> TrainingData.sqlRedact,
     "decon_overlap"     -> TrainingData.sqlDecontaminate,
+    "decon_minhash"     -> Dedup.sqlMinhashDecon(),
     "decon_bloom"       -> TrainingData.sqlBloomDecon,
     "dedup_canonical"   -> Dedup.sqlCanonical,
     "dedup_communities" -> Dedup.sqlLabelPropagation(Dedup.sqlMinhashPairs()),
@@ -7954,6 +8039,7 @@ object SparkEntry {
     "events_bootstrap"  -> sqlBootstrap,
     "events_rolling_mau" -> sqlRollingMau,
     "events_psi"        -> sqlPsi,
+    "events_seasonal"   -> sqlSeasonal,
     "events_locf"       -> sqlLocf,
     "scd_type3"         -> graft.operators.Changelog.sqlType3,
     "corpus_epochs"     -> TrainingData.sqlEpochs,

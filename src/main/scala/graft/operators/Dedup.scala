@@ -1721,6 +1721,100 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------- minhash decontamination
+  /** Train/eval NEAR-DUP decontamination via the LSH band pre-screen —
+    * the minhash route to what `decon_overlap` does with an exact k-gram
+    * index (GPT-3's appendix-C contamination analysis is this shape):
+    * candidate (train, eval) pairs are the band-colliding pairs of the
+    * SHARED artifact memo restricted to cross-split pairs, and the exact
+    * sorted-merge Jaccard verify runs ONLY over those candidates — the
+    * `decon_bloom` confinement discipline with LSH instead of Bloom as
+    * the screen, which is the cheaper candidate generator once the EVAL
+    * side is too big to broadcast as an index. Reports, per contaminated
+    * train doc, how many verified eval near-dups it collides with and
+    * its worst (highest-Jaccard) eval neighbor.
+    *
+    * Determinism: the verify is exact-int intersections over sorted
+    * distinct shingle-hash sets; Jaccard is one exact-int division; the
+    * argmax neighbor ties by eval id through the lexicographic
+    * max-struct idiom.
+    */
+  def minhashDecon(docs: DataFrame, cacheKey: String,
+      evalMod: Int = TrainingData.EvalMod): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val pairs = clusterArtifactsCached(docs, cacheKey).pairs
+    val cands = pairs
+      .filter((col("doc_a") % evalMod === 0) =!=
+        (col("doc_b") % evalMod === 0))
+      .select(
+        when(col("doc_a") % evalMod =!= 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("train_id"),
+        when(col("doc_a") % evalMod === 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("eval_id"))
+    // pinned: the sorted shingle sets feed BOTH sides of the verify join
+    val sets = Iterate.pin(docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("doc_id"), array_sort(array_distinct(
+        shingleHashes(wordHashes(col("w")), ShingleK))).as("sh")))
+    cands
+      .join(sets.select(col("doc_id").as("train_id"),
+        col("sh").as("sh_t")), Seq("train_id"))
+      .join(sets.select(col("doc_id").as("eval_id"),
+        col("sh").as("sh_e")), Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"),
+        graft.functions.VectorExprs
+          .intersectCountSorted(col("sh_t"), col("sh_e")).as("i"),
+        size(col("sh_t")).cast("long").as("nt"),
+        size(col("sh_e")).cast("long").as("ne"))
+      .filter(col("i") > 0)
+      .withColumn("jac", col("i").cast("double") /
+        (col("nt") + col("ne") - col("i")).cast("double"))
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("jac").as("j"),
+          (lit(0L) - col("eval_id")).as("ni"))).as("b"))
+      .select(col("train_id"), col("n_eval_hits"),
+        (lit(0L) - col("b.ni")).as("best_eval"),
+        col("b.j").as("best_jaccard"))
+      .orderBy(col("train_id"))
+  }
+
+  def sqlMinhashDecon(evalMod: Int = TrainingData.EvalMod): String =
+    s"""WITH pairs AS (
+       |  ${sqlMinhashPairs().linesIterator.mkString("\n  ")}
+       |), sets AS (
+       |  SELECT doc_id,
+       |    list_distinct(${sqlShingleHashes("wh", ShingleK)}) AS sh
+       |  FROM (SELECT doc_id, ${sqlWordHashes("text")} AS wh
+       |        FROM documents
+       |        WHERE len(${sqlWords("text")}) >= $ShingleK)
+       |), cands AS (
+       |  SELECT
+       |    CASE WHEN doc_a % $evalMod <> 0 THEN doc_a ELSE doc_b END
+       |      AS train_id,
+       |    CASE WHEN doc_a % $evalMod = 0 THEN doc_a ELSE doc_b END
+       |      AS eval_id
+       |  FROM pairs
+       |  WHERE (doc_a % $evalMod = 0) <> (doc_b % $evalMod = 0)
+       |), v AS (
+       |  SELECT c.train_id, c.eval_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+       |    CAST(len(a.sh) AS BIGINT) AS nt,
+       |    CAST(len(b.sh) AS BIGINT) AS ne
+       |  FROM cands c
+       |  JOIN sets a ON c.train_id = a.doc_id
+       |  JOIN sets b ON c.eval_id = b.doc_id
+       |), j AS (
+       |  SELECT train_id, eval_id,
+       |    CAST(i AS DOUBLE) / CAST(nt + ne - i AS DOUBLE) AS jac
+       |  FROM v WHERE i > 0
+       |)
+       |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       |  -((max(struct_pack(j := jac, ni := -eval_id))).ni) AS best_eval,
+       |  (max(struct_pack(j := jac, ni := -eval_id))).j AS best_jaccard
+       |FROM j GROUP BY train_id ORDER BY train_id""".stripMargin
+
   // --------------------------------------------- prefix-filtered containment
   /** Containment (sub-document) near-dup pairs via a PREFIX-FILTERED
     * overlap self-join — the set-similarity-join family (Chaudhuri et al.,

@@ -118,6 +118,70 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  // Additive decomposition invariants: interior days are consecutive and
+  // exactly span−6 of the observed span, the identity y = trend +
+  // seasonal + resid holds to float tolerance (resid is defined as the
+  // difference), seasonal is constant per day-of-week, and trend equals
+  // a brute-force centered 7-day mean over the zero-filled spine.
+  test("seasonal decomposition: span, identity, per-dow constancy") {
+    val rows = SparkEntry.queries("events_seasonal")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getAs[Long]("day_num")).sorted
+    assert(days.zip(days.tail).forall(p => p._2 == p._1 + 1))
+    val observed = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(min(col("d")), max(col("d"))).collect().head
+    val span = observed.getLong(1) - observed.getLong(0) + 1
+    assert(days.length == span - 6)
+    assert(days.head == observed.getLong(0) + 3)
+    rows.foreach { r =>
+      val y = r.getAs[Long]("y").toDouble
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(y - sum) < 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("day_num") % 7).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Double]("seasonal")).distinct.length == 1)
+    }
+    // brute-force trend recount over the zero-filled daily counts
+    val daily = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_num")
+      val s7 = (d - 3 to d + 3).map(daily.getOrElse(_, 0L)).sum
+      assert(r.getAs[Double]("trend") == s7.toDouble / 7.0)
+    }
+  }
+
+  // decon_minhash: split-side contracts, and exact-Jaccard agreement
+  // with dedup_jaccard wherever both candidate generators surfaced the
+  // same pair (both verify in the same shingle space).
+  test("minhash decon: split contracts and cross-query jaccard agreement") {
+    import graft.operators.TrainingData
+    val rows = SparkEntry.queries("decon_minhash")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_id") % TrainingData.EvalMod != 0)
+      assert(r.getAs[Long]("best_eval") % TrainingData.EvalMod == 0)
+      val j = r.getAs[Double]("best_jaccard")
+      assert(j > 0 && j <= 1)
+      assert(r.getAs[Long]("n_eval_hits") >= 1)
+    }
+    val jacPairs = SparkEntry.queries("dedup_jaccard")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    rows.foreach { r =>
+      val t = r.getAs[Long]("train_id"); val e = r.getAs[Long]("best_eval")
+      val key = (math.min(t, e), math.max(t, e))
+      jacPairs.get(key).foreach { j =>
+        assert(j == r.getAs[Double]("best_jaccard"),
+          s"jaccard mismatch for $key")
+      }
+    }
+  }
+
   // Modularity-gain audit invariants: gain is exactly q_coarse − q_fine,
   // both Qs are in the Newman bound (−1, 1], and the directed within
   // counts are even (each undirected edge appears in both directions).
