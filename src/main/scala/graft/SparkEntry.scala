@@ -5552,6 +5552,74 @@ object SparkEntry {
       |FROM interior i JOIN seas s USING (dow)
       |ORDER BY day_num""".stripMargin
 
+  // ------------------------------------------------- events_ewma
+  // One-step-ahead EWMA forecast + deviation over the daily count spine
+  // (Roberts 1959's EWMA control chart, the standard ops anomaly
+  // baseline) with α = 1/2 and the window truncated at 14 lags: the
+  // smoothing weights become 2^-i, so the normalized forecast is the
+  // EXACT integer expression (Σ 2^(14−i)·y_{t−i}) / (2^14 − 1) — one
+  // BIGINT dot product with power-of-two literals and ONE division, no
+  // pow(), no per-row double accumulation, bit-identical cross-engine.
+  // deviation = y − forecast is the control-chart residual.
+  //
+  // Shape: the gapfill spine, then 14 lag() reads inside ONE ordered
+  // window pass over the calendar-sized frame (unpartitioned window
+  // above the daily aggregate — the registry rule); rows without a full
+  // history are dropped via the 14th lag's null.
+  private val EwmaLags = 14
+
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val dense = spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("d"))
+    val lagged = (1 to EwmaLags).foldLeft(dense) { (df, i) =>
+      df.withColumn(s"l$i", lag(col("y"), i).over(w))
+    }
+    val num = (1 to EwmaLags)
+      .map(i => lit(1L << (EwmaLags - i)) * col(s"l$i"))
+      .reduce(_ + _)
+    val den = lit(((1L << EwmaLags) - 1).toDouble)
+    lagged.filter(col(s"l$EwmaLags").isNotNull)
+      .select(col("d").as("day_num"), col("y"),
+        (num.cast("double") / den).as("ewma"),
+        (col("y").cast("double") - num.cast("double") / den)
+          .as("deviation"))
+      .orderBy(col("day_num"))
+  }
+
+  private val sqlEwma: String = {
+    val lagDefs = (1 to EwmaLags).map(i =>
+      s"lag(y, $i) OVER (ORDER BY d) AS l$i").mkString(",\n      |    ")
+    val num = (1 to EwmaLags)
+      .map(i => s"${1L << (EwmaLags - i)} * l$i").mkString(" + ")
+    val den = ((1L << EwmaLags) - 1).toDouble
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+       |), b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+       |dense AS (
+       |  SELECT s.d, COALESCE(dd.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+       |), lagged AS (
+       |  SELECT d, y,
+       |    $lagDefs
+       |  FROM dense
+       |)
+       |SELECT d AS day_num, y,
+       |  CAST($num AS DOUBLE) / $den AS ewma,
+       |  CAST(y AS DOUBLE) - CAST($num AS DOUBLE) / $den AS deviation
+       |FROM lagged WHERE l$EwmaLags IS NOT NULL
+       |ORDER BY day_num""".stripMargin
+  }
+
   // ------------------------------------------------- events_cuped
   // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
   // "Improving the Sensitivity of Online Controlled Experiments by
@@ -7492,6 +7560,7 @@ object SparkEntry {
     "events_rolling_mau" -> qRollingMau _,
     "events_psi"        -> qPsi _,
     "events_seasonal"   -> qSeasonal _,
+    "events_ewma"       -> qEwma _,
     "events_locf"       -> qLocf _,
     "scd_type3"         -> ((s, d) =>
       graft.operators.Changelog.type3(Tables.events(s, d))),
@@ -8040,6 +8109,7 @@ object SparkEntry {
     "events_rolling_mau" -> sqlRollingMau,
     "events_psi"        -> sqlPsi,
     "events_seasonal"   -> sqlSeasonal,
+    "events_ewma"       -> sqlEwma,
     "events_locf"       -> sqlLocf,
     "scd_type3"         -> graft.operators.Changelog.sqlType3,
     "corpus_epochs"     -> TrainingData.sqlEpochs,

@@ -46,7 +46,13 @@ class ReliableCheckpointSpec extends SparkSuite {
         iters = 4)), // 4 rounds so the every-3rd-round pin actually fires
     "anf_kmv" -> (() =>
       Graph.anfCached(Tables.orders(spark, dir),
-        Tables.lineitem(spark, dir), "ck-anf-" + System.nanoTime)))
+        Tables.lineitem(spark, dir), "ck-anf-" + System.nanoTime)),
+    // the round-8 fused local-moving rounds + weighted contraction: the
+    // per-round assignment pins and the coarse memo must flip to the
+    // durable path like every other iteration
+    "louvain_coarse" -> (() =>
+      Graph.louvainCoarseCached(Tables.orders(spark, dir),
+        Tables.lineitem(spark, dir), "ck-louv-" + System.nanoTime)))
 
   private def snapshot(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.map(col)

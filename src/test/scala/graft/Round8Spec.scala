@@ -155,6 +155,27 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  // EWMA forecast: brute-force recompute of the binary-weighted dot
+  // product over the zero-filled spine, exact equality (the weights are
+  // powers of two, so no tolerance is needed anywhere).
+  test("ewma: binary-weight recompute matches exactly") {
+    val rows = SparkEntry.queries("events_ewma")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy(col("d")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_num")
+      val num = (1 to 14)
+        .map(i => (1L << (14 - i)) * daily.getOrElse(d - i, 0L)).sum
+      val ewma = num.toDouble / 16383.0
+      assert(r.getAs[Double]("ewma") == ewma)
+      assert(r.getAs[Double]("deviation") ==
+        r.getAs[Long]("y").toDouble - ewma)
+    }
+  }
+
   // decon_minhash: split-side contracts, and exact-Jaccard agreement
   // with dedup_jaccard wherever both candidate generators surfaced the
   // same pair (both verify in the same shingle space).
