@@ -7549,6 +7549,9 @@ object SparkEntry {
     "graph_louvain_gain" -> ((s, d) =>
       graft.operators.Graph.louvainGainCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_wpagerank" -> ((s, d) =>
+      graft.operators.Graph.louvainWPagerankCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_louvain_segments" -> ((s, d) =>
       graft.operators.Graph.louvainSegmentsCached(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -8102,6 +8105,7 @@ object SparkEntry {
     "graph_louvain"     -> graft.operators.Graph.sqlLouvain(),
     "graph_louvain_coarse" -> graft.operators.Graph.sqlLouvainCoarse(),
     "graph_louvain_gain" -> graft.operators.Graph.sqlLouvainGain(),
+    "graph_wpagerank" -> graft.operators.Graph.sqlLouvainWPagerank(),
     "graph_louvain_segments" -> graft.operators.Graph.sqlLouvainSegments(),
     "dedup_lpa_agreement" ->
       Dedup.sqlLpaAgreement(Dedup.sqlMinhashPairs()),

@@ -1867,22 +1867,36 @@ object Graph {
     * the summary ([[louvainCoarseCached]]) and the modularity-gain audit
     * ([[louvainGainCached]]) both read this one memo.
     */
-  def louvainCoarseAssignCached(orders: DataFrame, lineitem: DataFrame,
+  /** The contraction's weighted super-graph edge list (cs, cd, w) —
+    * w(C, D) = number of directed fine edges between members — pinned
+    * per (session, key, rounds): the coarse round, the modularity gain,
+    * and the weighted PageRank all read this ONE frame.
+    */
+  def louvainWeightsCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
     val spark = orders.sparkSession
-    memoize(spark, s"louvcc|$cacheKey|$rounds")(Iterate.pin {
+    memoize(spark, s"louvw|$cacheKey|$rounds")(Iterate.pin {
       val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
       val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
       val edges = cachedPersist(spark, s"prede|$cacheKey")(
         directedEdges(e0).repartition(col("src")))
-      val m2 = comm.agg(sum(col("deg")).as("m2"))
-      // contraction: weighted coarse edges + weighted super-node degrees
-      val w = edges
+      edges
         .join(comm.select(col("node").as("src"), col("c").as("cs")),
           Seq("src"))
         .join(comm.select(col("node").as("dst"), col("c").as("cd")),
           Seq("dst"))
         .groupBy(col("cs"), col("cd")).agg(count(lit(1)).as("w"))
+    })
+  }
+
+  def louvainCoarseAssignCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    memoize(spark, s"louvcc|$cacheKey|$rounds")(Iterate.pin {
+      val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+      val m2 = comm.agg(sum(col("deg")).as("m2"))
+      // contraction: weighted coarse edges + weighted super-node degrees
+      val w = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
       val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
       val cand = w.filter(col("cs") =!= col("cd"))
         .join(kc.select(col("c").as("cs"), col("k").as("ks")), Seq("cs"))
@@ -2117,6 +2131,92 @@ object Graph {
        |FROM c$rounds JOIN lab USING (c)
        |GROUP BY label
        |ORDER BY size DESC, label LIMIT $PrTopK""".stripMargin
+
+  /** PageRank over the WEIGHTED Louvain super-graph — which communities
+    * hold the transaction graph's stationary mass (the standard coarse
+    * readout: rank the contracted graph instead of paying |V| rank
+    * state). Same update as [[pagerankRounds]] with weighted mass
+    * splitting: r' (C) = (1−d)/|C*| + d·Σ_D w(D,C)/k_D · r(D), where
+    * k_D = Σ_C w(D,C) (= summed member degrees, self-loops included —
+    * intra-community mass recirculates, the natural contraction
+    * semantics). Per-round double contributions ride the
+    * [[graft.functions.Exact]] decimal detour like the fine PageRank.
+    *
+    * Scale shape: the rank state is |C| rows (communities, not nodes) and
+    * each round is one |wgt|-keyed join + one exact aggregate over the
+    * pinned weighted-edge memo shared with `graph_louvain_coarse` /
+    * `graph_louvain_gain` — the contraction is what makes iterating to
+    * convergence affordable at 100 TB.
+    */
+  def louvainWPagerankCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds,
+      iters: Int = PrIters): DataFrame = {
+    import graft.functions.Exact
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+    val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
+    val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+    var ranks = kc
+      .crossJoin(broadcast(kc.agg(count(lit(1)).as("n"))))
+      .select(col("c").as("id"), (lit(1.0) / col("n")).as("rank"),
+        col("k"), col("n"))
+    for (_ <- 1 to iters) {
+      val incoming = wgt.join(ranks, wgt("cs") === ranks("id"))
+        .select(col("cd"),
+          (col("w") * col("rank") / col("k")).as("contrib"))
+        .groupBy(col("cd")).agg(Exact.xsum(col("contrib"), 12).as("s"))
+      ranks = ranks.join(incoming, ranks("id") === incoming("cd"), "left")
+        .select(col("id"),
+          (lit(1.0 - Damping) / col("n")
+            + lit(Damping) * coalesce(col("s"), lit(0.0))).as("rank"),
+          col("k"), col("n"))
+    }
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("id"))
+    ranks.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= PrTopK)
+      .select(col("rk"), col("id").as("community"), col("rank"),
+        col("k").as("w_degree"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlLouvainWPagerank(rounds: Int = LouvainRounds,
+      iters: Int = PrIters): String = {
+    import graft.functions.Exact
+    val oneMinusD = s"CAST(${1.0 - Damping} AS DOUBLE)"
+    val dD = s"CAST($Damping AS DOUBLE)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT e.cd, ${Exact.sqlSum("e.w * r.rank / r.k", 12)} AS s
+         |  FROM wgt e JOIN r${k - 1} r ON e.cs = r.id GROUP BY e.cd
+         |), r$k AS (
+         |  SELECT r.id, $oneMinusD / r.n
+         |      + $dD * COALESCE(s$k.s, CAST(0 AS DOUBLE)) AS rank,
+         |    r.k, r.n
+         |  FROM r${k - 1} r LEFT JOIN s$k ON r.id = s$k.cd
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${sqlLouvainCtes(rounds)},
+       |wgt AS (
+       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM edges e
+       |  JOIN c$rounds a ON e.src = a.node
+       |  JOIN c$rounds b ON e.dst = b.node
+       |  GROUP BY a.c, b.c
+       |), kc AS (
+       |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
+       |  FROM c$rounds a JOIN deg d ON a.node = d.id
+       |  GROUP BY a.c
+       |), ncomm AS (SELECT COUNT(*) AS n FROM kc),
+       |r0 AS (
+       |  SELECT c AS id, CAST(1 AS DOUBLE) / n AS rank, k, n
+       |  FROM kc, ncomm
+       |),
+       |$iterCtes
+       |SELECT rk, id AS community, rank, k AS w_degree FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, id) AS rk
+       |  FROM r$iters
+       |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
+  }
 
   /** Shared CTE chain through the contraction + one weighted round,
     * ending at `coarse` (node, c, cc) — the prefix of

@@ -203,6 +203,22 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  // Weighted PageRank over the super-graph: dense ranks ordered by rank,
+  // strictly positive mass, and (the fixture has fewer communities than
+  // the top-k cut, so the output is the full state) total mass 1 within
+  // the decimal-detour rounding.
+  test("weighted pagerank: ordering, positivity, mass conservation") {
+    val rows = SparkEntry.queries("graph_wpagerank")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val rks = rows.map(_.getAs[Int]("rk")).sorted
+    assert(rks.sameElements(1 to rows.length))
+    val ranked = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("rank"))
+    assert(ranked.forall(_ > 0))
+    assert(ranked.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val nComms = SparkEntry.queries("graph_louvain")(spark, dir).count()
+    if (nComms <= 20) assert(math.abs(ranked.sum - 1.0) < 1e-9)
+  }
+
   // Modularity-gain audit invariants: gain is exactly q_coarse − q_fine,
   // both Qs are in the Newman bound (−1, 1], and the directed within
   // counts are even (each undirected edge appears in both directions).
