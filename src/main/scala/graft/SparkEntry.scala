@@ -5490,6 +5490,14 @@ object SparkEntry {
   // bounds row, |days| explode), ONE unpartitioned ordered window over
   // the calendar-sized daily frame (cardinality-bounded — the registry
   // window rule), one |dow| join back.
+  //
+  // POSITIVE-EPOCH ASSUMPTION (suite-wide, for every `unix_micros(ts)
+  // div 86400000000` day-bucket site): Spark's `div` truncates toward
+  // zero while DuckDB's `//` floors, so the two engines would assign
+  // pre-1970 timestamps (negative epoch micros) to DIFFERENT day
+  // numbers. All event fixtures carry post-epoch timestamps — pinned by
+  // Round9Spec's non-negative-epoch guard — so truncation and floor
+  // coincide at every site.
   private def qSeasonal(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(s, dir).filter(col("ts").isNotNull)

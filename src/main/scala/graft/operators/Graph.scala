@@ -76,14 +76,24 @@ object Graph {
   // get-then-put rather than computeIfAbsent: memo builders compose
   // (louvainAssignCached resolves the edge memos inside its own build),
   // and nested computeIfAbsent on one ConcurrentHashMap throws
-  // "Recursive update". A rare race just builds the frame twice.
+  // "Recursive update". A lost putIfAbsent race means the frame was
+  // built twice; the loser's copy is unpersisted before returning the
+  // winner so a cachedPersist duplicate doesn't leak cached blocks
+  // until context shutdown (a cachedPin loser's checkpoint files are
+  // reclaimed with the checkpoint dir; unpersist on an unpersisted
+  // frame is a no-op).
   private def memoize(spark: org.apache.spark.sql.SparkSession,
       key: String)(make: => DataFrame): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val k = (spark, key)
     val existing = edgeCache.get(k)
     if (existing != null) existing
-    else { val df = make; edgeCache.put(k, df); df }
+    else {
+      val df = make
+      val prior = edgeCache.putIfAbsent(k, df)
+      if (prior == null) df
+      else { df.unpersist(blocking = false); prior }
+    }
   }
 
   private def cachedPin(spark: org.apache.spark.sql.SparkSession,

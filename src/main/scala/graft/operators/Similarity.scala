@@ -586,8 +586,21 @@ object Similarity {
 
   def nswModsCached(emb: DataFrame, cacheKey: String): Seq[Int] = {
     nCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    nswTierMods(nCache.computeIfAbsent((emb.sparkSession, cacheKey),
+    val mods = nswTierMods(nCache.computeIfAbsent((emb.sparkSession, cacheKey),
       _ => Long.box(emb.count())))
+    // Only the registry (oracled) route resolves the ladder through this
+    // memo, and the sim_nsw_* SQL oracles statically unroll the
+    // two-tier (NswPivotMod, NswL2Mod) ladder. A fixture big enough to
+    // plan a third tier (≥ NswTierScanMax·NswL2Mod = 2560 vectors) would
+    // silently diverge from its oracle — fail loudly instead, naming the
+    // fix. Spec-path corpora call nswTierMods/nswWalk directly and are
+    // not gated.
+    require(mods == Seq(NswPivotMod, NswL2Mod),
+      s"NSW tier ladder for fixture '$cacheKey' is $mods, but the " +
+        s"sim_nsw_* SQL oracles unroll the static (${NswPivotMod}, " +
+        s"${NswL2Mod}) ladder — regenerate the oracles from the computed " +
+        "ladder (sqlNswWalk/sqlNswBeamSweep) before enlarging the fixture")
+    mods
   }
 
   /** The DESCENT graphs (all tiers below the top, sparsest first), each
