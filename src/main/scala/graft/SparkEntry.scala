@@ -7560,6 +7560,9 @@ object SparkEntry {
     "graph_wpagerank" -> ((s, d) =>
       graft.operators.Graph.louvainWPagerankCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_louvain_levels" -> ((s, d) =>
+      graft.operators.Graph.louvainLevelsCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_louvain_segments" -> ((s, d) =>
       graft.operators.Graph.louvainSegmentsCached(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -8113,6 +8116,7 @@ object SparkEntry {
     "graph_louvain"     -> graft.operators.Graph.sqlLouvain(),
     "graph_louvain_coarse" -> graft.operators.Graph.sqlLouvainCoarse(),
     "graph_louvain_gain" -> graft.operators.Graph.sqlLouvainGain(),
+    "graph_louvain_levels" -> graft.operators.Graph.sqlLouvainLevels(),
     "graph_wpagerank" -> graft.operators.Graph.sqlLouvainWPagerank(),
     "graph_louvain_segments" -> graft.operators.Graph.sqlLouvainSegments(),
     "dedup_lpa_agreement" ->

@@ -2078,11 +2078,11 @@ object Graph {
   private def sqlLouvainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"c${r - 1}"
-      s"""eic$r AS (
+      s"""eic$r AS MATERIALIZED (
          |  SELECT e.src AS node, a.c, CAST(COUNT(*) AS BIGINT) AS e_ic
          |  FROM edges e JOIN $prev a ON e.dst = a.node
          |  GROUP BY e.src, a.c
-         |), stot$r AS (
+         |), stot$r AS MATERIALIZED (
          |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS stot
          |  FROM $prev a JOIN deg d ON a.node = d.id
          |  GROUP BY a.c
@@ -2109,23 +2109,23 @@ object Graph {
          |                         ORDER BY dq DESC, c) AS rk
          |    FROM cand$r
          |  ) WHERE rk = 1 AND dq > 0
-         |), c$r AS (
+         |), c$r AS MATERIALIZED (
          |  SELECT a.node, COALESCE(b.new_c, a.c) AS c
          |  FROM $prev a LEFT JOIN best$r b ON a.node = b.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT cust AS src, supp + $SuppBase AS dst FROM e0
        |  UNION ALL
        |  SELECT supp + $SuppBase, cust FROM e0
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
        |  FROM edges GROUP BY src
-       |), m2 AS (SELECT CAST(SUM(deg) AS BIGINT) AS m2 FROM deg),
-       |c0 AS (SELECT id AS node, id AS c FROM deg),
+       |), m2 AS MATERIALIZED (SELECT CAST(SUM(deg) AS BIGINT) AS m2 FROM deg),
+       |c0 AS MATERIALIZED (SELECT id AS node, id AS c FROM deg),
        |$roundCtes""".stripMargin
   }
 
@@ -2234,13 +2234,13 @@ object Graph {
     */
   private def sqlLouvainCoarseCtes(rounds: Int): String =
     s"""${sqlLouvainCtes(rounds)},
-       |wgt AS (
+       |wgt AS MATERIALIZED (
        |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
        |  FROM edges e
        |  JOIN c$rounds a ON e.src = a.node
        |  JOIN c$rounds b ON e.dst = b.node
        |  GROUP BY a.c, b.c
-       |), kc AS (
+       |), kc AS MATERIALIZED (
        |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
        |  FROM c$rounds a JOIN deg d ON a.node = d.id
        |  GROUP BY a.c
@@ -2261,7 +2261,7 @@ object Graph {
        |                         ORDER BY dq DESC, cd) AS rk
        |    FROM candc
        |  ) WHERE rk = 1 AND dq > 0
-       |), coarse AS (
+       |), coarse AS MATERIALIZED (
        |  SELECT a.node, a.c, COALESCE(b.cd, a.c) AS cc
        |  FROM c$rounds a LEFT JOIN bestc b ON a.c = b.cs
        |)""".stripMargin
@@ -2323,6 +2323,334 @@ object Graph {
        |      / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)))
        |  AS gain
        |FROM x, sf, sc, m2""".stripMargin
+
+  // ------------------------------------- Louvain multi-level loop (r9)
+  /** The FULL Louvain level loop (Blondel et al. 2008 §2 — "the passes
+    * are iterated ... until there are no more changes and a maximum of
+    * modularity is attained"): two guarded contraction levels above the
+    * local-moving assignment, with two deliberate deltas from the r8
+    * `graph_louvain_coarse` round, both of which exist to make the LOOP
+    * converge rather than oscillate:
+    *
+    *  1. SYMMETRY-BROKEN moves: a community may only move to a target
+    *     with a SMALLER label (cd < cs). The synchronized singleton
+    *     round's move gain is symmetric in (C, D), so a mutual-best
+    *     pair always swaps labels instead of merging — a 320k-graph
+    *     search found ZERO bipartite fixtures where the symmetric round
+    *     increases Q, because the only merges it can produce attach
+    *     third parties to the WRONG half of a swapped pair. Restricting
+    *     to descending labels turns the 2-cycle into an actual merge
+    *     (the smaller-labeled side stays put) — the standard
+    *     oscillation fix for synchronized label updates, applied to
+    *     Louvain's move step. `graph_louvain_coarse` intentionally
+    *     keeps the symmetric round (its swap artifact is documented and
+    *     spec-pinned); this operator is the loop that must make
+    *     progress.
+    *  2. GUARDED accept: each level's contraction is applied only when
+    *     its measured modularity gain is > 0 — computed purely from the
+    *     level's OWN weighted artifacts (within = Σ diag(w), Σtot² from
+    *     the contracted degree table; contracting preserves Q, so the
+    *     coarse numbers ARE the fine numbers). The per-level Q sequence
+    *     is therefore monotone non-decreasing BY CONSTRUCTION, and a
+    *     rejected level is idempotent: the next level re-derives the
+    *     same candidates and rejects again — Blondel's stopping rule.
+    *
+    * On the audit fixtures the loop does REAL work: sf0.001 runs
+    * Q = −0.461 (side-pure local moving) → −0.0036 (level 1 merges a
+    * crossed pair) → 0.0 (level 2 completes the merge; a graph with no
+    * community structure tops out at the single-community Q = 0).
+    *
+    * Scale shape (the geometric-shrink property the paper's multi-level
+    * loop is FOR): after the shared assignment/weight memos, EVERYTHING
+    * here is |wgt|-keyed joins and |C_k|-row aggregates — no fine-edge
+    * or fine-node pass at any level; each level's frame is the previous
+    * level's community count, so the loop's total cost is a geometric
+    * series dominated by its first contraction. The accept guards are
+    * broadcast 1-row scalars riding crossJoins.
+    */
+  /** One symmetry-broken, gain-guarded contraction level: given the
+    * current level's weighted community graph `w (cs, cd, w)` and
+    * degrees `k (lab, k)`, returns the ACCEPTED label map
+    * (lab, nxt) — `nxt` = the merged-into label when the level's total
+    * gain is > 0, else `lab` (identity). All frames are |w|/|labels|
+    * sized; `m2` rides as a broadcast scalar.
+    */
+  private def louvainLevelStep(w: DataFrame, k: DataFrame,
+      m2: DataFrame): DataFrame = {
+    val m2d = col("m2").cast("double")
+    val cand = w.filter(col("cd") < col("cs"))
+      .join(k.select(col("lab").as("cs"), col("k").as("ks")), Seq("cs"))
+      .join(k.select(col("lab").as("cd"), col("k").as("kd")), Seq("cd"))
+      .crossJoin(broadcast(m2))
+      .withColumn("dq",
+        (lit(2L) * col("w")).cast("double") / m2d -
+        (lit(2L) * col("ks")).cast("double") * col("kd").cast("double") /
+          (m2d * m2d))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cs")).orderBy(col("dq").desc, col("cd"))
+    val best = cand.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") === 1 && col("dq") > 0)
+      .select(col("cs").as("lab"), col("cd").as("mv"))
+    val a = k.join(best, Seq("lab"), "left")
+      .select(col("lab"), coalesce(col("mv"), col("lab")).as("mv"),
+        col("k"))
+    // level gain from the level's own artifacts: within rises by the
+    // newly-internal weight, Σtot² moves to the merged groups — every
+    // operand a double-cast exact BIGINT (the gain-audit discipline)
+    val w1 = w.filter(col("cs") === col("cd")).agg(sum(col("w")).as("x"))
+      .select(coalesce(col("x"), lit(0L)).as("w1"))
+    val w2 = w
+      .join(a.select(col("lab").as("cs"), col("mv").as("ls")), Seq("cs"))
+      .join(a.select(col("lab").as("cd"), col("mv").as("ld")), Seq("cd"))
+      .filter(col("ls") === col("ld")).agg(sum(col("w")).as("x"))
+      .select(coalesce(col("x"), lit(0L)).as("w2"))
+    val s1 = k.agg(sum(col("k") * col("k")).as("s1"))
+    val s2 = a.groupBy(col("mv")).agg(sum(col("k")).as("s"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+    val g = w2.crossJoin(broadcast(w1)).crossJoin(broadcast(s1))
+      .crossJoin(broadcast(s2)).crossJoin(broadcast(m2))
+      .select(((col("w2").cast("double") - col("w1").cast("double")) /
+          m2d -
+        (col("s2").cast("double") - col("s1").cast("double")) /
+          (m2d * m2d)).as("g"))
+    a.crossJoin(broadcast(g))
+      .select(col("lab"),
+        when(col("g") > 0, col("mv")).otherwise(col("lab")).as("nxt"))
+  }
+
+  /** The level map (c, l1, l2) — fine community → accepted level-1 →
+    * accepted level-2 labels — pinned per (session, key, rounds). A
+    * |C₀|-row frame: node-level readouts join it against the shared
+    * assignment memo; the levels audit never needs to. */
+  def louvainLevelMapsCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    memoize(spark, s"louvlv|$cacheKey|$rounds")(Iterate.pin {
+      val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+      val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
+      val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+        .select(col("c").as("lab"), col("k"))
+      val m2 = comm.agg(sum(col("deg")).as("m2"))
+      val st1 = louvainLevelStep(wgt, kc, m2) // (lab, nxt) over fine comms
+      val map1 = st1.select(col("lab").as("c"), col("nxt").as("l1"))
+      // level-2 weighted graph/degrees contract THROUGH the accepted map
+      val w2 = wgt
+        .join(map1.select(col("c").as("cs"), col("l1").as("ls")),
+          Seq("cs"))
+        .join(map1.select(col("c").as("cd"), col("l1").as("ld")),
+          Seq("cd"))
+        .groupBy(col("ls").as("cs"), col("ld").as("cd"))
+        .agg(sum(col("w")).as("w"))
+      val k2 = kc.join(map1.select(col("c").as("lab"), col("l1")),
+          Seq("lab"))
+        .groupBy(col("l1").as("lab")).agg(sum(col("k")).as("k"))
+      val st2 = louvainLevelStep(w2, k2, m2)
+      map1.join(st2.select(col("nxt").as("l2"), col("lab").as("l1")),
+          Seq("l1"))
+        .select(col("c"), col("l1"), col("l2"))
+    })
+  }
+
+  /** Per-level audit readout: one row per level (0 = local moving,
+    * 1 = first guarded contraction, 2 = second) with its community
+    * count, within-community directed fine-edge count, Newman Q, and
+    * gain vs the previous level. Monotone non-decreasing Q is the
+    * full-loop convergence audit (Blondel et al. report exactly this
+    * per-pass Q series); `Round9Spec` pins the monotonicity AND the
+    * genuine-merge path at both audit SFs plus a hand-run toy.
+    *
+    * Scale shape: every aggregate below reads the |wgt| memo or the
+    * |C₀|-row level map — within_l = Σ w over same-label weight rows,
+    * Σtot_l² off the contracted degree table — broadcast into a 3-row
+    * readout. NOTHING here touches fine edges or nodes.
+    */
+  def louvainLevelsCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+    val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
+    val maps = louvainLevelMapsCached(orders, lineitem, cacheKey, rounds)
+    val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+    val m2 = comm.agg(sum(col("deg")).as("m2"))
+    val m2d = col("m2").cast("double")
+    // one |wgt| pass tags both ends with all three levels' labels
+    val tagged = wgt
+      .join(maps.select(col("c").as("cs"), col("l1").as("l1s"),
+        col("l2").as("l2s")), Seq("cs"))
+      .join(maps.select(col("c").as("cd"), col("l1").as("l1d"),
+        col("l2").as("l2d")), Seq("cd"))
+    val x = tagged.agg(
+      sum(when(col("cs") === col("cd"), col("w")).otherwise(0L))
+        .as("w0"),
+      sum(when(col("l1s") === col("l1d"), col("w")).otherwise(0L))
+        .as("w1"),
+      sum(when(col("l2s") === col("l2d"), col("w")).otherwise(0L))
+        .as("w2"))
+    val kl = kc.join(maps, Seq("c"))
+    def ssOf(cn: String, as_ : String): DataFrame =
+      kl.groupBy(col(cn)).agg(sum(col("k")).as("s"))
+        .agg(sum(col("s") * col("s")).as(as_))
+    val nc = maps.agg(countDistinct(col("c")).as("n0"),
+      countDistinct(col("l1")).as("n1"),
+      countDistinct(col("l2")).as("n2"))
+    def q(w: org.apache.spark.sql.Column,
+        ss: org.apache.spark.sql.Column) =
+      w.cast("double") / m2d - ss.cast("double") / (m2d * m2d)
+    val q0 = q(col("w0"), col("ss0"))
+    val q1 = q(col("w1"), col("ss1"))
+    val q2 = q(col("w2"), col("ss2"))
+    x.crossJoin(broadcast(ssOf("c", "ss0")))
+      .crossJoin(broadcast(ssOf("l1", "ss1")))
+      .crossJoin(broadcast(ssOf("l2", "ss2")))
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(m2))
+      .select(explode(array(
+        struct(lit(0).as("level"), col("n0").as("n_comms"),
+          col("w0").as("within"), q0.as("q"),
+          lit(0.0).as("gain")),
+        struct(lit(1).as("level"), col("n1").as("n_comms"),
+          col("w1").as("within"), q1.as("q"),
+          (q1 - q0).as("gain")),
+        struct(lit(2).as("level"), col("n2").as("n_comms"),
+          col("w2").as("within"), q2.as("q"),
+          (q2 - q1).as("gain")))).as("r"))
+      .select(col("r.level").as("level"), col("r.n_comms").as("n_comms"),
+        col("r.within").as("within"), col("r.q").as("q"),
+        col("r.gain").as("gain"))
+      .orderBy(col("level"))
+  }
+
+  /** One symmetry-broken, gain-guarded level step in SQL — the oracle
+    * twin of [[louvainLevelStep]], emitted with suffix `$sfx` over the
+    * weight CTE `$wName (cs, cd, w)` and degree CTE `$kName (lab, k)`;
+    * ends at `st$sfx (lab, nxt)`. */
+  private def sqlLevelStepCtes(sfx: String, wName: String,
+      kName: String): String = {
+    val m2d = "CAST(m2.m2 AS DOUBLE)"
+    s"""cand$sfx AS (
+       |  SELECT w.cs, w.cd,
+       |    CAST(2 * w.w AS DOUBLE) / $m2d
+       |      - CAST(2 * ks.k AS DOUBLE) * CAST(kd.k AS DOUBLE)
+       |        / ($m2d * $m2d) AS dq
+       |  FROM $wName w
+       |  JOIN $kName ks ON w.cs = ks.lab
+       |  JOIN $kName kd ON w.cd = kd.lab
+       |  CROSS JOIN m2
+       |  WHERE w.cd < w.cs
+       |), best$sfx AS (
+       |  SELECT lab, mv FROM (
+       |    SELECT cs AS lab, cd AS mv, dq,
+       |      ROW_NUMBER() OVER (PARTITION BY cs
+       |                         ORDER BY dq DESC, cd) AS rk
+       |    FROM cand$sfx
+       |  ) WHERE rk = 1 AND dq > 0
+       |), a$sfx AS MATERIALIZED (
+       |  SELECT k.lab, COALESCE(b.mv, k.lab) AS mv, k.k
+       |  FROM $kName k LEFT JOIN best$sfx b ON k.lab = b.lab
+       |), w1$sfx AS (
+       |  SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w1
+       |  FROM $wName WHERE cs = cd
+       |), w2$sfx AS (
+       |  SELECT CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS w2
+       |  FROM $wName w
+       |  JOIN a$sfx s ON w.cs = s.lab
+       |  JOIN a$sfx t ON w.cd = t.lab
+       |  WHERE s.mv = t.mv
+       |), s1$sfx AS (
+       |  SELECT CAST(SUM(k * k) AS BIGINT) AS s1 FROM $kName
+       |), s2$sfx AS (
+       |  SELECT CAST(SUM(s * s) AS BIGINT) AS s2 FROM (
+       |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM a$sfx GROUP BY mv)
+       |), g$sfx AS (
+       |  SELECT (CAST(w2$sfx.w2 AS DOUBLE) - CAST(w1$sfx.w1 AS DOUBLE))
+       |      / $m2d
+       |    - (CAST(s2$sfx.s2 AS DOUBLE) - CAST(s1$sfx.s1 AS DOUBLE))
+       |      / ($m2d * $m2d) AS g
+       |  FROM w1$sfx, w2$sfx, s1$sfx, s2$sfx, m2
+       |), st$sfx AS MATERIALIZED (
+       |  SELECT a.lab, CASE WHEN g.g > 0 THEN a.mv ELSE a.lab END AS nxt
+       |  FROM a$sfx a, g$sfx g
+       |)""".stripMargin
+  }
+
+  /** Oracle for [[louvainLevelsCached]]: the local-moving prefix, the
+    * fine-community weight/degree contraction, two suffixed level steps
+    * through the guarded maps, then the |wgt|-bounded per-level Q
+    * readout — 3 rows. */
+  def sqlLouvainLevels(rounds: Int = LouvainRounds): String = {
+    val m2d = "CAST(m2.m2 AS DOUBLE)"
+    def qe(w: String, ss: String) =
+      s"CAST($w AS DOUBLE) / $m2d - CAST($ss AS DOUBLE) / ($m2d * $m2d)"
+    s"""${sqlLouvainCtes(rounds)},
+       |wgt AS MATERIALIZED (
+       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM edges e
+       |  JOIN c$rounds a ON e.src = a.node
+       |  JOIN c$rounds b ON e.dst = b.node
+       |  GROUP BY a.c, b.c
+       |), kc0 AS MATERIALIZED (
+       |  SELECT a.c AS lab, CAST(SUM(d.deg) AS BIGINT) AS k
+       |  FROM c$rounds a JOIN deg d ON a.node = d.id
+       |  GROUP BY a.c
+       |),
+       |${sqlLevelStepCtes("lv1", "wgt", "kc0")},
+       |map1 AS MATERIALIZED (
+       |  SELECT lab AS c, nxt AS l1 FROM stlv1
+       |), wgt2 AS MATERIALIZED (
+       |  SELECT a.l1 AS cs, b.l1 AS cd, CAST(SUM(w.w) AS BIGINT) AS w
+       |  FROM wgt w
+       |  JOIN map1 a ON w.cs = a.c
+       |  JOIN map1 b ON w.cd = b.c
+       |  GROUP BY a.l1, b.l1
+       |), kc1 AS MATERIALIZED (
+       |  SELECT m.l1 AS lab, CAST(SUM(k.k) AS BIGINT) AS k
+       |  FROM kc0 k JOIN map1 m ON k.lab = m.c
+       |  GROUP BY m.l1
+       |),
+       |${sqlLevelStepCtes("lv2", "wgt2", "kc1")},
+       |maps AS MATERIALIZED (
+       |  SELECT m.c, m.l1, s.nxt AS l2
+       |  FROM map1 m JOIN stlv2 s ON m.l1 = s.lab
+       |), lx AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN w.cs = w.cd THEN w.w ELSE 0 END) AS BIGINT)
+       |      AS w0,
+       |    CAST(SUM(CASE WHEN a.l1 = b.l1 THEN w.w ELSE 0 END) AS BIGINT)
+       |      AS w1,
+       |    CAST(SUM(CASE WHEN a.l2 = b.l2 THEN w.w ELSE 0 END) AS BIGINT)
+       |      AS w2
+       |  FROM wgt w
+       |  JOIN maps a ON w.cs = a.c
+       |  JOIN maps b ON w.cd = b.c
+       |), kl AS (
+       |  SELECT k.lab, k.k, m.l1, m.l2
+       |  FROM kc0 k JOIN maps m ON k.lab = m.c
+       |), ssl0 AS (
+       |  SELECT CAST(SUM(k * k) AS BIGINT) AS ss0 FROM kc0
+       |), ssl1 AS (
+       |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss1 FROM (
+       |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM kl GROUP BY l1)
+       |), ssl2 AS (
+       |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss2 FROM (
+       |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM kl GROUP BY l2)
+       |), ncc AS (
+       |  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n0,
+       |    CAST(COUNT(DISTINCT l1) AS BIGINT) AS n1,
+       |    CAST(COUNT(DISTINCT l2) AS BIGINT) AS n2
+       |  FROM maps
+       |), qv AS (
+       |  SELECT lx.w0, lx.w1, lx.w2, ncc.n0, ncc.n1, ncc.n2,
+       |    ${qe("lx.w0", "ssl0.ss0")} AS q0,
+       |    ${qe("lx.w1", "ssl1.ss1")} AS q1,
+       |    ${qe("lx.w2", "ssl2.ss2")} AS q2
+       |  FROM lx, ssl0, ssl1, ssl2, ncc, m2
+       |)
+       |SELECT 0 AS level, n0 AS n_comms, w0 AS within, q0 AS q,
+       |  CAST(0 AS DOUBLE) AS gain FROM qv
+       |UNION ALL
+       |SELECT 1, n1, w1, q1, q1 - q0 FROM qv
+       |UNION ALL
+       |SELECT 2, n2, w2, q2, q2 - q1 FROM qv
+       |ORDER BY level""".stripMargin
+  }
 
   // --------------------------------------------- personalized PageRank
   /** Seed-node count for [[pprCached]]: customers with id < PprSeeds. */
@@ -2462,7 +2790,7 @@ object Graph {
        |), h1 AS (
        |  SELECT cust, CAST(SUM(a) AS BIGINT) AS h
        |  FROM e0 JOIN a1 USING (supp) GROUP BY cust
-       |), a2 AS (
+       |), a2 AS MATERIALIZED (
        |  SELECT supp, CAST(SUM(h) AS BIGINT) AS a
        |  FROM e0 JOIN h1 USING (cust) GROUP BY supp
        |), h2 AS (

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: the guarded multi-level Louvain loop and the
+  * suite-wide positive-epoch day-bucket guard.
+  */
+class Round9Spec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  // The suite's day-bucket idiom (`unix_micros(ts) div 86400000000`)
+  // truncates toward zero in Spark but floors in DuckDB — identical ONLY
+  // for non-negative epoch micros. This pins the assumption the oracles
+  // rely on (see qSeasonal's POSITIVE-EPOCH ASSUMPTION note).
+  test("events fixture carries only post-epoch timestamps") {
+    val minMicros = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .agg(min(expr("unix_micros(ts)")).as("m"))
+      .collect().head.getAs[Long]("m")
+    assert(minMicros >= 0L,
+      s"pre-epoch timestamp in events fixture (min micros $minMicros): " +
+        "the div-vs-floor day-bucket idiom diverges across engines")
+  }
+
+  // Same two bridged K2,2 bicliques as the Round8Spec coarse toy. Phase 1
+  // settles side-pure: A={c1,c2} (label 1), B={c3,c4} (3), S1={s1,s2}
+  // (SuppBase+1), S2={s3,s4} (SuppBase+4 — s3 moved to s4's singleton in
+  // round 1's lockstep), within = 0, m2 = 18, Q0 = −(5²+4²+4²+5²)/324 =
+  // −82/324. The SYMMETRIC coarse round swaps the mutual-best pairs
+  // (Round8Spec pins that artifact); the level loop's symmetry-broken
+  // round instead merges each supplier community into its cust partner
+  // (only cd < cs moves are legal, so S1→A and S2→B while A, B hold
+  // still): within 16 of 18, Σtot² = 9²+9², Q1 = 16/18 − 162/324 = 7/18.
+  // Level 2 re-derives candidates on the merged pair graph and rejects
+  // (gain ≤ 0) — converged, rows identical to level 1.
+  test("louvain levels: hand-run accept path on two bridged bicliques") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 3L), (40L, 4L)
+    ).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.louvainLevelsCached(orders, lineitem,
+      "toy-louvain-levels-" + System.nanoTime)
+      .collect()
+      .map(r => (r.getAs[Int]("level"), r.getAs[Long]("n_comms"),
+        r.getAs[Long]("within"), r.getAs[Double]("q"),
+        r.getAs[Double]("gain")))
+    val q0 = 0.0 / 18.0 - 82.0 / (18.0 * 18.0)
+    val q1 = 16.0 / 18.0 - 162.0 / (18.0 * 18.0)
+    assert(got.toSeq == Seq(
+      (0, 4L, 0L, q0, 0.0),
+      (1, 2L, 16L, q1, q1 - q0),
+      (2, 2L, 16L, q1, 0.0)))
+  }
+
+  // The monotone-Q contract on the fixture: Q never decreases across
+  // levels (the guard's whole point), community counts never increase,
+  // and the loop does REAL work at sf0.001 (3 → 2 → 1 communities with
+  // two accepted contractions — a graph with no community structure
+  // tops out at the single-community Q = 0).
+  test("louvain levels: monotone Q and genuine merges on the fixture") {
+    val rows = SparkEntry.queries("graph_louvain_levels")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("level")).toSeq == Seq(0, 1, 2))
+    val qs = rows.map(_.getAs[Double]("q")).toSeq
+    assert(qs.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"Q sequence not monotone: $qs")
+    val ns = rows.map(_.getAs[Long]("n_comms")).toSeq
+    assert(ns.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"community counts increased: $ns")
+    assert(ns.last < ns.head, "expected at least one accepted contraction")
+    val gains = rows.map(_.getAs[Double]("gain")).toSeq
+    assert(gains.head == 0.0 && gains.tail.forall(_ >= 0.0))
+    // rejected level ⇒ identical partition stats (idempotent stall)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (b.getAs[Double]("gain") == 0.0)
+        assert(b.getAs[Long]("n_comms") == a.getAs[Long]("n_comms") &&
+          b.getAs[Long]("within") == a.getAs[Long]("within"))
+      case _ =>
+    }
+  }
+
+  // The level map memo is |C0|-sized and consistent with the levels
+  // readout: one row per fine community, l2 refines l1's grouping.
+  test("louvain levels: level map shape and refinement") {
+    import graft.operators.Graph
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val maps = Graph.louvainLevelMapsCached(orders, lineitem, dir)
+      .collect()
+    val fine = Graph.louvainAssignCached(orders, lineitem, dir)
+      .select(col("c")).distinct().count()
+    assert(maps.length == fine)
+    // l2 is a function of l1 (levels contract, never split)
+    val byL1 = maps.groupBy(_.getAs[Long]("l1"))
+      .view.mapValues(_.map(_.getAs[Long]("l2")).distinct).toMap
+    assert(byL1.values.forall(_.length == 1),
+      "a level-1 community mapped to more than one level-2 label")
+  }
+}
