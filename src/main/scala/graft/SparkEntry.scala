@@ -7563,6 +7563,9 @@ object SparkEntry {
     "graph_louvain_levels" -> ((s, d) =>
       graft.operators.Graph.louvainLevelsCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_wkatz" -> ((s, d) =>
+      graft.operators.Graph.louvainWKatzCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_louvain_segments" -> ((s, d) =>
       graft.operators.Graph.louvainSegmentsCached(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -8117,6 +8120,7 @@ object SparkEntry {
     "graph_louvain_coarse" -> graft.operators.Graph.sqlLouvainCoarse(),
     "graph_louvain_gain" -> graft.operators.Graph.sqlLouvainGain(),
     "graph_louvain_levels" -> graft.operators.Graph.sqlLouvainLevels(),
+    "graph_wkatz"       -> graft.operators.Graph.sqlLouvainWKatz(),
     "graph_wpagerank" -> graft.operators.Graph.sqlLouvainWPagerank(),
     "graph_louvain_segments" -> graft.operators.Graph.sqlLouvainSegments(),
     "dedup_lpa_agreement" ->

@@ -2228,6 +2228,90 @@ object Graph {
        |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
   }
 
+  /** Katz centrality over the WEIGHTED Louvain super-graph — attenuated
+    * weighted-walk counts between communities, the walk-count axis next
+    * to `graph_wpagerank`'s stationary-mass axis on the SAME contracted
+    * graph (Katz 1953, truncated power series; the weighted form sums
+    * α^len over walks counted with edge multiplicities):
+    * x_{k+1}(C) = 1 + α·Σ_D w(D,C)·x_k(D), x_0 = 1.
+    *
+    * Scale shape: the second consumer of the pinned weighted-edge memo —
+    * rank state is |communities| rows, each round one |wgt|-keyed join +
+    * one exact aggregate; zero new heavy subtrees (assignment, weights,
+    * degrees all shared with the coarse/gain/wpagerank family). The
+    * truncated series needs no spectral-radius guard (finite rounds);
+    * per-round contributions w·x ride the exact-decimal detour at
+    * scale 2 — |Σ w·x| stays under ~10^13 at the audit SFs, far inside
+    * the 2^53/10² exactness bound, and a 100 TB deployment would bump
+    * the scale down (or α) rather than lose the order-independence.
+    */
+  def louvainWKatzCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds,
+      iters: Int = PrIters): DataFrame = {
+    import graft.functions.Exact
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+    val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
+    val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+    var x = kc.select(col("c").as("id"), lit(1.0).as("x"), col("k"))
+    for (_ <- 1 to iters) {
+      val incoming = wgt.join(x, wgt("cs") === x("id"))
+        .select(col("cd"),
+          (col("w").cast("double") * col("x")).as("contrib"))
+        .groupBy(col("cd")).agg(Exact.xsum(col("contrib"), 2).as("s"))
+      x = x.join(incoming, x("id") === incoming("cd"), "left")
+        .select(col("id"),
+          (lit(1.0) + lit(KatzAlpha) * coalesce(col("s"), lit(0.0)))
+            .as("x"),
+          col("k"))
+    }
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc, col("id"))
+    x.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= PrTopK)
+      .select(col("rk"), col("id").as("community"), col("x").as("wkatz"),
+        col("k").as("w_degree"))
+      .orderBy(col("rk"))
+  }
+
+  def sqlLouvainWKatz(rounds: Int = LouvainRounds,
+      iters: Int = PrIters): String = {
+    import graft.functions.Exact
+    val a = s"CAST($KatzAlpha AS DOUBLE)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""ws$k AS (
+         |  SELECT e.cd,
+         |    ${Exact.sqlSum("CAST(e.w AS DOUBLE) * r.x", 2)} AS s
+         |  FROM wgt e JOIN wr${k - 1} r ON e.cs = r.id GROUP BY e.cd
+         |), wr$k AS (
+         |  SELECT r.id,
+         |    CAST(1 AS DOUBLE) + $a * COALESCE(ws$k.s, CAST(0 AS DOUBLE))
+         |      AS x,
+         |    r.k
+         |  FROM wr${k - 1} r LEFT JOIN ws$k ON r.id = ws$k.cd
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${sqlLouvainCtes(rounds)},
+       |wgt AS MATERIALIZED (
+       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM edges e
+       |  JOIN c$rounds a ON e.src = a.node
+       |  JOIN c$rounds b ON e.dst = b.node
+       |  GROUP BY a.c, b.c
+       |), kc AS MATERIALIZED (
+       |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
+       |  FROM c$rounds a JOIN deg d ON a.node = d.id
+       |  GROUP BY a.c
+       |),
+       |wr0 AS (
+       |  SELECT c AS id, CAST(1 AS DOUBLE) AS x, k FROM kc
+       |),
+       |$iterCtes
+       |SELECT rk, id AS community, x AS wkatz, k AS w_degree FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY x DESC, id) AS rk
+       |  FROM wr$iters
+       |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
+  }
+
   /** Shared CTE chain through the contraction + one weighted round,
     * ending at `coarse` (node, c, cc) — the prefix of
     * [[sqlLouvainCoarse]] and [[sqlLouvainGain]].

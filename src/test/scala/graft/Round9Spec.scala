@@ -83,6 +83,30 @@ class Round9Spec extends SparkSuite {
     }
   }
 
+  // Weighted Katz at iters=1 has a closed form — x(C) = 1 + α·(weighted
+  // in-degree of C) — pinned against an independent recompute straight
+  // off the weight memo (the same discipline as graph_katz's iters=1
+  // pin, one level up).
+  test("weighted katz: iters=1 closed form off the weight memo") {
+    import graft.operators.Graph
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val got = Graph.louvainWKatzCached(orders, lineitem, dir, iters = 1)
+      .collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Double]("wkatz"))
+      .toMap
+    val inW = Graph.louvainWeightsCached(orders, lineitem, dir)
+      .groupBy(col("cd")).agg(sum(col("w")).as("iw"))
+      .collect()
+      .map(r => r.getAs[Long]("cd") -> r.getAs[Long]("iw")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (c, x) =>
+      val expect = 1.0 + Graph.KatzAlpha * inW.getOrElse(c, 0L).toDouble
+      assert(math.abs(x - expect) < 1e-9,
+        s"community $c: wkatz $x vs closed form $expect")
+    }
+  }
+
   // The level map memo is |C0|-sized and consistent with the levels
   // readout: one row per fine community, l2 refines l1's grouping.
   test("louvain levels: level map shape and refinement") {
