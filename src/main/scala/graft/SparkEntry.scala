@@ -7439,6 +7439,7 @@ object SparkEntry {
     // is the durable state, hash-checked against a batch oracle
     "stream_scd_state"   -> graft.streaming.StreamOracles.scdState _,
     "stream_dedup_state" -> graft.streaming.StreamOracles.dedupState _,
+    "stream_decon_state" -> graft.streaming.StreamOracles.deconState _,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
     "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
     "stream_session_state" -> graft.streaming.StreamOracles.sessionState _,
@@ -8036,6 +8037,7 @@ object SparkEntry {
     "sim_ivf_radius_trained" -> Similarity.sqlIvfRadiusTrained(),
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
+    "stream_decon_state" -> graft.streaming.StreamOracles.sqlDeconState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
     "stream_cms_state"   -> graft.streaming.StreamOracles.sqlCmsState,
     "stream_session_state" -> graft.streaming.StreamOracles.sqlSessionState,

@@ -1739,6 +1739,22 @@ object Dedup {
     * argmax neighbor ties by eval id through the lexicographic
     * max-struct idiom.
     */
+  /** Sorted distinct shingle-hash set per doc, (doc_id, sh) — the exact
+    * side of every near-dup verify join. Staged projections, NOT one
+    * nested expression: shingleHashes references its argument k+1
+    * times, so inlining wordHashes(words(text)) directly would
+    * duplicate (and re-evaluate) the whole tokenize+hash subtree per
+    * reference — measured 46 s vs 2 s at sf0.1 (higher-order functions
+    * don't codegen, so no subexpression elimination rescues the inlined
+    * form). Shared by [[minhashDecon]] and the streaming decon batch.
+    */
+  def shingleSets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), words(col("text")).as("w"))
+    .filter(size(col("w")) >= ShingleK)
+    .select(col("doc_id"), wordHashes(col("w")).as("wh"))
+    .select(col("doc_id"), array_sort(array_distinct(
+      shingleHashes(col("wh"), ShingleK))).as("sh"))
+
   def minhashDecon(docs: DataFrame, cacheKey: String,
       evalMod: Int = TrainingData.EvalMod): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
@@ -1752,18 +1768,8 @@ object Dedup {
         when(col("doc_a") % evalMod === 0, col("doc_a"))
           .otherwise(col("doc_b")).as("eval_id"))
     // pinned: the sorted shingle sets feed BOTH sides of the verify
-    // join. Staged projections, NOT one nested expression:
-    // shingleHashes references its argument k+1 times, so inlining
-    // wordHashes(words(text)) directly would duplicate (and re-evaluate)
-    // the whole tokenize+hash subtree per reference — measured 46 s vs
-    // 2 s at sf0.1 (higher-order functions don't codegen, so no
-    // subexpression elimination rescues the inlined form).
-    val sets = Iterate.pin(docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleK)
-      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"), array_sort(array_distinct(
-        shingleHashes(col("wh"), ShingleK))).as("sh")))
+    // join.
+    val sets = Iterate.pin(shingleSets(docs))
     cands
       .join(sets.select(col("doc_id").as("train_id"),
         col("sh").as("sh_t")), Seq("train_id"))

@@ -269,6 +269,48 @@ object Streams {
     (admitted, admittedBands)
   }
 
+  /** Incremental train/eval decontamination: screen a micro-batch of
+    * TRAINING docs against a STATIC eval-side LSH index (the durable
+    * band + shingle-set tables a deployment builds ONCE from its eval
+    * suites), verify the band-colliding candidates with exact Jaccard,
+    * and emit the verified hits — the streaming admission-check form of
+    * [[graft.operators.Dedup.minhashDecon]]. Candidate generation is
+    * the band join (never all-pairs); the exact verify touches ONLY
+    * colliding (train, eval) pairs; each train doc's verdict depends on
+    * nothing but its own text and the static index, so the hit stream
+    * is order- and batching-independent.
+    *
+    * @param evalBands static (doc_id, band_idx, band_key) eval index
+    * @param evalSets  static (doc_id, sh) sorted shingle sets
+    * @return verified hits (train_id, eval_id, jac) for this batch
+    */
+  def deconBatch(newDocs: DataFrame, evalBands: DataFrame,
+      evalSets: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(newDocs.sparkSession)
+    val newBands = graft.operators.Iterate.pin(
+      graft.operators.Dedup.minhashBands(newDocs))
+    val cands = newBands
+      .join(evalBands.select(col("doc_id").as("eval_id"), col("band_idx"),
+        col("band_key")), Seq("band_idx", "band_key"))
+      .select(col("doc_id").as("train_id"), col("eval_id"))
+      .distinct()
+    val trainSets = graft.operators.Dedup.shingleSets(newDocs)
+    cands
+      .join(trainSets.select(col("doc_id").as("train_id"),
+        col("sh").as("sh_t")), Seq("train_id"))
+      .join(evalSets.select(col("doc_id").as("eval_id"),
+        col("sh").as("sh_e")), Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"),
+        graft.functions.VectorExprs
+          .intersectCountSorted(col("sh_t"), col("sh_e")).as("i"),
+        size(col("sh_t")).cast("long").as("nt"),
+        size(col("sh_e")).cast("long").as("ne"))
+      .filter(col("i") > 0)
+      .select(col("train_id"), col("eval_id"),
+        (col("i").cast("double") /
+          (col("nt") + col("ne") - col("i")).cast("double")).as("jac"))
+  }
+
   // ---------------------------------------------- incremental KMV sketch
   /** `h` is the PRE-HASHED value: [[kmvHash]] as a codegen'd map-side
     * expression (or [[kmvHashJvm]] for object inputs). Hashing upstream of

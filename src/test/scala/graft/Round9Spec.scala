@@ -107,6 +107,42 @@ class Round9Spec extends SparkSuite {
     }
   }
 
+  // The streamed decontamination state must land exactly where the
+  // one-shot screen lands: every reported contaminated doc is a TRAIN
+  // doc, its worst neighbor is an EVAL doc, and because each train
+  // doc's verdict depends only on its own text and the static eval
+  // index, the batched result equals a single deconBatch over the whole
+  // train split (order/batching independence — the oracle argument).
+  test("stream decon: split membership and one-shot equivalence") {
+    import graft.operators.{Dedup, Iterate, TrainingData}
+    val rows = SparkEntry.queries("stream_decon_state")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val m = TrainingData.EvalMod
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_id") % m != 0)
+      assert(r.getAs[Long]("best_eval") % m == 0)
+      assert(r.getAs[Long]("n_eval_hits") >= 1)
+      val j = r.getAs[Double]("best_jaccard")
+      assert(j > 0 && j <= 1)
+    }
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % m === 0)
+    val oneShot = graft.streaming.Streams.deconBatch(
+        docs.filter(col("doc_id") % m =!= 0),
+        Iterate.pin(Dedup.minhashBands(eval)), Dedup.shingleSets(eval))
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("jac").as("j"),
+          (lit(0L) - col("eval_id")).as("ni"))).as("b"))
+      .select(col("train_id"), col("n_eval_hits"),
+        (lit(0L) - col("b.ni")).as("best_eval"),
+        col("b.j").as("best_jaccard"))
+      .orderBy(col("train_id"))
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == oneShot.map(_.toSeq).toSeq)
+  }
+
   // The level map memo is |C0|-sized and consistent with the levels
   // readout: one row per fine community, l2 refines l1's grouping.
   test("louvain levels: level map shape and refinement") {
