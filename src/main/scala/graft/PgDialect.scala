@@ -120,6 +120,88 @@ object PgDialect {
       lit("b0").as("batch_id"))
     dumpCase(outDir, "rates3", "rates3", r3Cols, r3Keys, r3Seed, r3Rows)
 
+    // ---- case "deact": the stale-record deactivation UPDATE
+    // (SQL:126-140) executed for real. Seed covers every predicate arm:
+    // batch residue 0 → current batch (kept); residue 1 with yesterday's
+    // stamp → DEACTIVATED; residue 2 with TODAY's stamp → kept (the
+    // same-day shield, SQL:134-135); residue 3 → NULL updated_at (kept)
+    // or already-inactive (untouched).
+    val clockTs = "2021-06-01 12:00:00"
+    val clockDate = "2021-06-01"
+    val deactCols = Seq("bank_id", "bank_name", "batch_id", "active",
+      "updated_at")
+    val r = col("bank_id") % 4
+    val deactSeed = n.select(
+      col("n_nationkey").cast("long").as("bank_id"),
+      col("n_name").as("bank_name"),
+      when(r === 0, lit("b1")).otherwise(lit("b0")).as("batch_id"),
+      (r =!= 3 || col("n_nationkey") % 8 =!= 3).as("active"),
+      when(r === 1, to_timestamp(lit("2021-05-31 09:00:00")))
+        .when(r === 2, to_timestamp(lit(s"$clockDate 08:00:00")))
+        .when(r === 3 && col("n_nationkey") % 8 === 3,
+          to_timestamp(lit("2021-05-30 10:00:00")))
+        .otherwise(lit(null)).cast("timestamp").as("updated_at"))
+    // expected post state: the procedure's own predicate with the
+    // injected clock, applied declaratively
+    val hit = col("batch_id") =!= "b1" && col("active") &&
+      col("updated_at").isNotNull &&
+      col("updated_at") < to_date(lit(clockDate)).cast("timestamp")
+    val deactRows = deactSeed.select(
+      col("bank_id"), col("bank_name"), col("batch_id"),
+      when(hit, lit(false)).otherwise(col("active")).as("active"),
+      when(hit, to_timestamp(lit(clockTs))).otherwise(col("updated_at"))
+        .as("updated_at"))
+    val deactDir = s"$outDir/deact"
+    deactSeed.coalesce(1).write.mode("overwrite")
+      .parquet(s"$deactDir/seed")
+    deactRows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$deactDir/rows")
+    val (dSql, dBind) = Sinks.deactivateStatement("world_bank_data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(deactDir, "statement.sql"),
+      dSql.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(deactDir, "meta.json"),
+      s"""{"kind": "deactivate",
+         | "table": "world_bank_data",
+         | "bind_order": [${dBind.map("\"" + _ + "\"").mkString(", ")}],
+         | "key_cols": ["bank_id"],
+         | "binds": {"clock_ts": "$clockTs", "batch_id": "b1",
+         |           "clock_date": "$clockDate"}}
+         |""".stripMargin.getBytes("UTF-8"))
+
+    // ---- case "summary": the batch-summary SELECTs + counter reset
+    // (SQL:147-177) executed for real: counts over a target table, the
+    // batch's counter row, then the reset (idempotent on replay).
+    val sumDir = s"$outDir/summary"
+    val logSeed = spark.range(1, 4).select(
+      concat(lit("b"), col("id")).as("batch_id"),
+      lit("world_bank_data").as("table_name"),
+      (col("id") * 10).as("no_update_count"),
+      (col("id") * 3).as("update_count"),
+      (col("id") + 1).as("new_inserts_count"))
+    logSeed.coalesce(1).write.mode("overwrite")
+      .parquet(s"$sumDir/seed")
+    // the target whose COUNT(*) the procedure reports — the bank case's
+    // merged state, re-dumped here so the case is self-contained
+    bankRows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$sumDir/target")
+    val stmts = Sinks.summaryStatements("world_bank_data", "log_counts")
+    stmts.zip(Seq("count", "select", "reset")).foreach {
+      case ((sql, _), name) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(sumDir, s"$name.sql"),
+          sql.getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sumDir, "meta.json"),
+      s"""{"kind": "summary",
+         | "table": "log_counts",
+         | "target_table": "world_bank_data",
+         | "key_cols": ["batch_id", "table_name"],
+         | "binds": {"batch_id": "b2", "table_name": "world_bank_data"}}
+         |""".stripMargin.getBytes("UTF-8"))
+
     spark.stop()
   }
 }

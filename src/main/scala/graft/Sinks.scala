@@ -108,6 +108,54 @@ object Sinks {
     }
   }
 
+  /** The stale-record deactivation UPDATE grammar —
+    * `etl.deactivate_bank_records` (SQL/etl_world_banks.sql:126-140)
+    * verbatim, with the procedure's CURRENT_TIMESTAMP / CURRENT_DATE
+    * replaced by bind parameters (the library's injected-clock
+    * discipline, same as [[graft.operators.ScdMerge.Config]]): rows of
+    * OTHER batches that are active, have a non-NULL `updated_at`, and
+    * were last touched before today are flipped inactive and stamped.
+    * The `updated_at IS NOT NULL AND updated_at < ?date` pair is the
+    * reference's same-day shield (SQL:134-135). Returns (sql, bind
+    * order) with binds (clock_ts, batch_id, clock_date); idempotent —
+    * a replay finds the flipped rows inactive and matches nothing.
+    */
+  def deactivateStatement(table: String, batchCol: String = "batch_id",
+      activeCol: String = "active", tsCol: String = "updated_at")
+      : (String, Seq[String]) = {
+    val sql =
+      s"""UPDATE ${q(table)}
+         |SET ${q(activeCol)} = FALSE,
+         |    ${q(tsCol)} = ?
+         |WHERE ${q(batchCol)} != ?
+         | AND ${q(activeCol)} = TRUE
+         | AND ${q(tsCol)} IS NOT NULL
+         | AND ${q(tsCol)} < ?""".stripMargin
+    sql -> Seq("clock_ts", "batch_id", "clock_date")
+  }
+
+  /** The batch-summary grammar —
+    * `etl.insert_or_update_world_bank_data_summary`
+    * (SQL/etl_world_banks.sql:147-177): total-record count over the
+    * target, the batch's three counters from the log table, and the
+    * counter RESET (the procedure's "Reset Temporary TABLE" update).
+    * Returns the three statements in procedure order, each with its
+    * bind columns; the reset is idempotent (re-running zeroes zeros).
+    */
+  def summaryStatements(targetTable: String, logTable: String)
+      : Seq[(String, Seq[String])] = Seq(
+    s"SELECT COUNT(*) AS total_records FROM ${q(targetTable)}" -> Nil,
+    s"""SELECT ${q("no_update_count")}, ${q("update_count")},
+       |  ${q("new_inserts_count")}
+       |FROM ${q(logTable)}
+       |WHERE ${q("batch_id")} = ? AND ${q("table_name")} = ?""".stripMargin
+      -> Seq("batch_id", "table_name"),
+    s"""UPDATE ${q(logTable)}
+       |SET ${q("no_update_count")} = 0, ${q("update_count")} = 0,
+       |    ${q("new_inserts_count")} = 0
+       |WHERE ${q("batch_id")} = ? AND ${q("table_name")} = ?""".stripMargin
+      -> Seq("batch_id", "table_name"))
+
   def jdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], props: java.util.Properties,
       batchSize: Int = 1000,
