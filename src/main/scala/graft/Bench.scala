@@ -143,10 +143,14 @@ object Bench {
     val primary = runSuite(cpus, shuffle, sfDir, only, passes = 3)
     // the gate-shape anchor: skipped for subsets, when disabled, or when
     // the primary IS the gate shape already
+    // 3 passes, not 2: the spread diagnostic needs ≥2 STEADY samples
+    // (the first pass pays codegen), and a 2-pass gate run always read
+    // spread 0 / contended false — the one config that couldn't
+    // self-diagnose was the one anchoring the driver's 2× gate
     val gate =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_GATE_CONFIG").contains("off")
           || (cpus == "4" && shuffle == "4")) None
-      else Some(runSuite("4", "4", sfDir, only, passes = 2))
+      else Some(runSuite("4", "4", sfDir, only, passes = 3))
     val gateJson = gate.map(g =>
       s""","gate_config":{"cpus":4,"shuffle":4,${configJson(g)}}""")
       .getOrElse("")
