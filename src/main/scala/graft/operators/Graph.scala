@@ -2502,9 +2502,18 @@ object Graph {
         when(col("g") > 0, col("mv")).otherwise(col("lab")).as("nxt"))
   }
 
-  /** The level map (c, l1, l2) — fine community → accepted level-1 →
-    * accepted level-2 labels — pinned per (session, key, rounds). A
-    * |C₀|-row frame: node-level readouts join it against the shared
+  /** How many guarded contraction levels the loop unrolls above the
+    * local-moving assignment. Blondel's loop runs "until no gain";
+    * the guarded accept makes a converged level IDEMPOTENT (identity
+    * map, zero new heavy subtrees), so a fixed unroll ≥ the data's
+    * natural depth IS the full loop — both audit fixtures converge by
+    * level 2 and spend level 3 in the stall path, which the spec pins.
+    */
+  val LouvainLevelCount = 3
+
+  /** The level map (c, l1, …, l[[LouvainLevelCount]]) — fine community
+    * → accepted per-level labels — pinned per (session, key, rounds).
+    * A |C₀|-row frame: node-level readouts join it against the shared
     * assignment memo; the levels audit never needs to. */
   def louvainLevelMapsCached(orders: DataFrame, lineitem: DataFrame,
       cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
@@ -2512,26 +2521,44 @@ object Graph {
     memoize(spark, s"louvlv|$cacheKey|$rounds")(Iterate.pin {
       val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
       val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
-      val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
-        .select(col("c").as("lab"), col("k"))
       val m2 = comm.agg(sum(col("deg")).as("m2"))
-      val st1 = louvainLevelStep(wgt, kc, m2) // (lab, nxt) over fine comms
-      val map1 = st1.select(col("lab").as("c"), col("nxt").as("l1"))
-      // level-2 weighted graph/degrees contract THROUGH the accepted map
-      val w2 = wgt
-        .join(map1.select(col("c").as("cs"), col("l1").as("ls")),
-          Seq("cs"))
-        .join(map1.select(col("c").as("cd"), col("l1").as("ld")),
-          Seq("cd"))
-        .groupBy(col("ls").as("cs"), col("ld").as("cd"))
-        .agg(sum(col("w")).as("w"))
-      val k2 = kc.join(map1.select(col("c").as("lab"), col("l1")),
-          Seq("lab"))
-        .groupBy(col("l1").as("lab")).agg(sum(col("k")).as("k"))
-      val st2 = louvainLevelStep(w2, k2, m2)
-      map1.join(st2.select(col("nxt").as("l2"), col("lab").as("l1")),
-          Seq("l1"))
-        .select(col("c"), col("l1"), col("l2"))
+      // per-level state: the CURRENT level's weighted community graph
+      // and degree table (both |C_i|-bounded, shrinking per accepted
+      // level), plus the accumulated (c, l1..li) map
+      var w = wgt
+      var k = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+        .select(col("c").as("lab"), col("k"))
+      var maps: DataFrame = null
+      for (i <- 1 to LouvainLevelCount) {
+        // pin the step's map: it is referenced by the accumulated maps
+        // frame AND (twice each) by the next level's weight/degree
+        // contractions, and the unpinned tree grows exponentially with
+        // the level count — level 3 spent minutes in the ANALYZER
+        // before this pin. The frame is |C_{i-1}| rows; the pin is
+        // cheap and also caps the lineage the level loop accumulates.
+        val st = Iterate.pin(louvainLevelStep(w, k, m2))
+        maps =
+          if (i == 1) st.select(col("lab").as("c"), col("nxt").as("l1"))
+          else maps.join(
+            st.select(col("lab").as(s"l${i - 1}"), col("nxt").as(s"l$i")),
+            Seq(s"l${i - 1}"))
+        if (i < LouvainLevelCount) {
+          // contract the level's graph THROUGH the accepted map — the
+          // next step never touches anything finer than |C_i|
+          val m = st.select(col("lab"), col("nxt"))
+          w = w
+            .join(m.select(col("lab").as("cs"), col("nxt").as("ls")),
+              Seq("cs"))
+            .join(m.select(col("lab").as("cd"), col("nxt").as("ld")),
+              Seq("cd"))
+            .groupBy(col("ls").as("cs"), col("ld").as("cd"))
+            .agg(sum(col("w")).as("w"))
+          k = k.join(m, Seq("lab"))
+            .groupBy(col("nxt").as("lab")).agg(sum(col("k")).as("k"))
+        }
+      }
+      maps.select(col("c") +:
+        (1 to LouvainLevelCount).map(i => col(s"l$i")): _*)
     })
   }
 
@@ -2556,46 +2583,41 @@ object Graph {
     val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
     val m2 = comm.agg(sum(col("deg")).as("m2"))
     val m2d = col("m2").cast("double")
-    // one |wgt| pass tags both ends with all three levels' labels
+    val N = LouvainLevelCount
+    // level-l label column name inside the map frame (level 0 = c)
+    def lc(l: Int): String = if (l == 0) "c" else s"l$l"
+    // one |wgt| pass tags both ends with every level's labels
     val tagged = wgt
-      .join(maps.select(col("c").as("cs"), col("l1").as("l1s"),
-        col("l2").as("l2s")), Seq("cs"))
-      .join(maps.select(col("c").as("cd"), col("l1").as("l1d"),
-        col("l2").as("l2d")), Seq("cd"))
+      .join(maps.select(col("c").as("cs") +:
+        (1 to N).map(i => col(s"l$i").as(s"l${i}s")): _*), Seq("cs"))
+      .join(maps.select(col("c").as("cd") +:
+        (1 to N).map(i => col(s"l$i").as(s"l${i}d")): _*), Seq("cd"))
+    def sideCol(l: Int, side: String): org.apache.spark.sql.Column =
+      if (l == 0) col("c" + side) else col(s"l$l$side")
     val x = tagged.agg(
-      sum(when(col("cs") === col("cd"), col("w")).otherwise(0L))
-        .as("w0"),
-      sum(when(col("l1s") === col("l1d"), col("w")).otherwise(0L))
-        .as("w1"),
-      sum(when(col("l2s") === col("l2d"), col("w")).otherwise(0L))
-        .as("w2"))
+      sum(when(sideCol(0, "s") === sideCol(0, "d"), col("w"))
+        .otherwise(0L)).as("w0"),
+      (1 to N).map(l =>
+        sum(when(sideCol(l, "s") === sideCol(l, "d"), col("w"))
+          .otherwise(0L)).as(s"w$l")): _*)
     val kl = kc.join(maps, Seq("c"))
-    def ssOf(cn: String, as_ : String): DataFrame =
-      kl.groupBy(col(cn)).agg(sum(col("k")).as("s"))
-        .agg(sum(col("s") * col("s")).as(as_))
-    val nc = maps.agg(countDistinct(col("c")).as("n0"),
-      countDistinct(col("l1")).as("n1"),
-      countDistinct(col("l2")).as("n2"))
-    def q(w: org.apache.spark.sql.Column,
-        ss: org.apache.spark.sql.Column) =
-      w.cast("double") / m2d - ss.cast("double") / (m2d * m2d)
-    val q0 = q(col("w0"), col("ss0"))
-    val q1 = q(col("w1"), col("ss1"))
-    val q2 = q(col("w2"), col("ss2"))
-    x.crossJoin(broadcast(ssOf("c", "ss0")))
-      .crossJoin(broadcast(ssOf("l1", "ss1")))
-      .crossJoin(broadcast(ssOf("l2", "ss2")))
+    def ssOf(l: Int): DataFrame =
+      kl.groupBy(col(lc(l))).agg(sum(col("k")).as("s"))
+        .agg(sum(col("s") * col("s")).as(s"ss$l"))
+    val nc = maps.agg(countDistinct(col(lc(0))).as("n0"),
+      (1 to N).map(l => countDistinct(col(lc(l))).as(s"n$l")): _*)
+    def q(l: Int) =
+      col(s"w$l").cast("double") / m2d -
+        col(s"ss$l").cast("double") / (m2d * m2d)
+    val wide = (0 to N).foldLeft(x)((f, l) =>
+        f.crossJoin(broadcast(ssOf(l))))
       .crossJoin(broadcast(nc)).crossJoin(broadcast(m2))
-      .select(explode(array(
-        struct(lit(0).as("level"), col("n0").as("n_comms"),
-          col("w0").as("within"), q0.as("q"),
-          lit(0.0).as("gain")),
-        struct(lit(1).as("level"), col("n1").as("n_comms"),
-          col("w1").as("within"), q1.as("q"),
-          (q1 - q0).as("gain")),
-        struct(lit(2).as("level"), col("n2").as("n_comms"),
-          col("w2").as("within"), q2.as("q"),
-          (q2 - q1).as("gain")))).as("r"))
+    val rows = (0 to N).map { l =>
+      struct(lit(l).as("level"), col(s"n$l").as("n_comms"),
+        col(s"w$l").as("within"), q(l).as("q"),
+        (if (l == 0) lit(0.0) else q(l) - q(l - 1)).as("gain"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
       .select(col("r.level").as("level"), col("r.n_comms").as("n_comms"),
         col("r.within").as("within"), col("r.q").as("q"),
         col("r.gain").as("gain"))
@@ -2656,15 +2678,69 @@ object Graph {
   }
 
   /** Oracle for [[louvainLevelsCached]]: the local-moving prefix, the
-    * fine-community weight/degree contraction, two suffixed level steps
-    * through the guarded maps, then the |wgt|-bounded per-level Q
-    * readout — 3 rows. */
+    * fine-community weight/degree contraction, [[LouvainLevelCount]]
+    * suffixed level steps through the guarded maps, then the
+    * |wgt|-bounded per-level Q readout — LouvainLevelCount+1 rows. */
   def sqlLouvainLevels(rounds: Int = LouvainRounds): String = {
+    val N = LouvainLevelCount
     val m2d = "CAST(m2.m2 AS DOUBLE)"
     def qe(w: String, ss: String) =
       s"CAST($w AS DOUBLE) / $m2d - CAST($ss AS DOUBLE) / ($m2d * $m2d)"
+    // per-level chain: step lv$i over (wgt$(i-1), kc$(i-1)), then the
+    // accumulated map and — below the last level — the next contracted
+    // weight/degree CTEs (wgt0/kc0 are the fine-community frames)
+    val levelCtes = (1 to N).map { i =>
+      val mapSel =
+        if (i == 1) s"SELECT lab AS c, nxt AS l1 FROM stlv1"
+        else s"""SELECT m.c${(1 until i).map(l => s", m.l$l").mkString},
+                |    s.nxt AS l$i
+                |  FROM map${i - 1} m JOIN stlv$i s ON m.l${i - 1} = s.lab"""
+          .stripMargin
+      val contraction =
+        if (i == N) ""
+        else s""",
+           |wgt$i AS MATERIALIZED (
+           |  SELECT a.l$i AS cs, b.l$i AS cd, CAST(SUM(w.w) AS BIGINT) AS w
+           |  FROM wgt${i - 1} w
+           |  JOIN map$i a ON w.cs = a.${if (i == 1) "c" else s"l${i - 1}"}
+           |  JOIN map$i b ON w.cd = b.${if (i == 1) "c" else s"l${i - 1}"}
+           |  GROUP BY a.l$i, b.l$i
+           |), kc$i AS MATERIALIZED (
+           |  SELECT m.l$i AS lab, CAST(SUM(k.k) AS BIGINT) AS k
+           |  FROM kc${i - 1} k
+           |  JOIN map$i m ON k.lab = m.${if (i == 1) "c" else s"l${i - 1}"}
+           |  GROUP BY m.l$i
+           |)""".stripMargin
+      s"""${sqlLevelStepCtes(s"lv$i", s"wgt${i - 1}", s"kc${i - 1}")},
+         |map$i AS MATERIALIZED (
+         |  $mapSel
+         |)$contraction""".stripMargin
+    }.mkString(",\n")
+    val lxCols = (s"""CAST(SUM(CASE WHEN w.cs = w.cd THEN w.w ELSE 0 END)
+       |      AS BIGINT) AS w0""".stripMargin) +:
+      (1 to N).map(l =>
+        s"""CAST(SUM(CASE WHEN a.l$l = b.l$l THEN w.w ELSE 0 END)
+           |      AS BIGINT) AS w$l""".stripMargin)
+    val sslCtes = (s"""ssl0 AS (
+       |  SELECT CAST(SUM(k * k) AS BIGINT) AS ss0 FROM kc0
+       |)""".stripMargin) +:
+      (1 to N).map(l =>
+        s"""ssl$l AS (
+           |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss$l FROM (
+           |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM kl GROUP BY l$l)
+           |)""".stripMargin)
+    val ncCols = s"CAST(COUNT(DISTINCT c) AS BIGINT) AS n0" +:
+      (1 to N).map(l => s"CAST(COUNT(DISTINCT l$l) AS BIGINT) AS n$l")
+    val qvCols = (0 to N).flatMap(l =>
+      Seq(s"lx.w$l", s"ncc.n$l", s"${qe(s"lx.w$l", s"ssl$l.ss$l")} AS q$l"))
+    val arms = (0 to N).map { l =>
+      val gain = if (l == 0) "CAST(0 AS DOUBLE)" else s"q$l - q${l - 1}"
+      if (l == 0)
+        s"SELECT 0 AS level, n0 AS n_comms, w0 AS within, q0 AS q,\n  $gain AS gain FROM qv"
+      else s"SELECT $l, n$l, w$l, q$l, $gain FROM qv"
+    }.mkString("\nUNION ALL\n")
     s"""${sqlLouvainCtes(rounds)},
-       |wgt AS MATERIALIZED (
+       |wgt0 AS MATERIALIZED (
        |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
        |  FROM edges e
        |  JOIN c$rounds a ON e.src = a.node
@@ -2675,64 +2751,24 @@ object Graph {
        |  FROM c$rounds a JOIN deg d ON a.node = d.id
        |  GROUP BY a.c
        |),
-       |${sqlLevelStepCtes("lv1", "wgt", "kc0")},
-       |map1 AS MATERIALIZED (
-       |  SELECT lab AS c, nxt AS l1 FROM stlv1
-       |), wgt2 AS MATERIALIZED (
-       |  SELECT a.l1 AS cs, b.l1 AS cd, CAST(SUM(w.w) AS BIGINT) AS w
-       |  FROM wgt w
-       |  JOIN map1 a ON w.cs = a.c
-       |  JOIN map1 b ON w.cd = b.c
-       |  GROUP BY a.l1, b.l1
-       |), kc1 AS MATERIALIZED (
-       |  SELECT m.l1 AS lab, CAST(SUM(k.k) AS BIGINT) AS k
-       |  FROM kc0 k JOIN map1 m ON k.lab = m.c
-       |  GROUP BY m.l1
-       |),
-       |${sqlLevelStepCtes("lv2", "wgt2", "kc1")},
-       |maps AS MATERIALIZED (
-       |  SELECT m.c, m.l1, s.nxt AS l2
-       |  FROM map1 m JOIN stlv2 s ON m.l1 = s.lab
-       |), lx AS (
+       |$levelCtes,
+       |lx AS (
        |  SELECT
-       |    CAST(SUM(CASE WHEN w.cs = w.cd THEN w.w ELSE 0 END) AS BIGINT)
-       |      AS w0,
-       |    CAST(SUM(CASE WHEN a.l1 = b.l1 THEN w.w ELSE 0 END) AS BIGINT)
-       |      AS w1,
-       |    CAST(SUM(CASE WHEN a.l2 = b.l2 THEN w.w ELSE 0 END) AS BIGINT)
-       |      AS w2
-       |  FROM wgt w
-       |  JOIN maps a ON w.cs = a.c
-       |  JOIN maps b ON w.cd = b.c
+       |    ${lxCols.mkString(",\n    ")}
+       |  FROM wgt0 w
+       |  JOIN map$N a ON w.cs = a.c
+       |  JOIN map$N b ON w.cd = b.c
        |), kl AS (
-       |  SELECT k.lab, k.k, m.l1, m.l2
-       |  FROM kc0 k JOIN maps m ON k.lab = m.c
-       |), ssl0 AS (
-       |  SELECT CAST(SUM(k * k) AS BIGINT) AS ss0 FROM kc0
-       |), ssl1 AS (
-       |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss1 FROM (
-       |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM kl GROUP BY l1)
-       |), ssl2 AS (
-       |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss2 FROM (
-       |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM kl GROUP BY l2)
-       |), ncc AS (
-       |  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n0,
-       |    CAST(COUNT(DISTINCT l1) AS BIGINT) AS n1,
-       |    CAST(COUNT(DISTINCT l2) AS BIGINT) AS n2
-       |  FROM maps
+       |  SELECT k.lab, k.k${(1 to N).map(l => s", m.l$l").mkString}
+       |  FROM kc0 k JOIN map$N m ON k.lab = m.c
+       |), ${sslCtes.mkString(", ")}, ncc AS (
+       |  SELECT ${ncCols.mkString(",\n    ")}
+       |  FROM map$N
        |), qv AS (
-       |  SELECT lx.w0, lx.w1, lx.w2, ncc.n0, ncc.n1, ncc.n2,
-       |    ${qe("lx.w0", "ssl0.ss0")} AS q0,
-       |    ${qe("lx.w1", "ssl1.ss1")} AS q1,
-       |    ${qe("lx.w2", "ssl2.ss2")} AS q2
-       |  FROM lx, ssl0, ssl1, ssl2, ncc, m2
+       |  SELECT ${qvCols.mkString(",\n    ")}
+       |  FROM lx, ${(0 to N).map(l => s"ssl$l").mkString(", ")}, ncc, m2
        |)
-       |SELECT 0 AS level, n0 AS n_comms, w0 AS within, q0 AS q,
-       |  CAST(0 AS DOUBLE) AS gain FROM qv
-       |UNION ALL
-       |SELECT 1, n1, w1, q1, q1 - q0 FROM qv
-       |UNION ALL
-       |SELECT 2, n2, w2, q2, q2 - q1 FROM qv
+       |$arms
        |ORDER BY level""".stripMargin
   }
 

@@ -50,10 +50,12 @@ class Round9Spec extends SparkSuite {
         r.getAs[Double]("gain")))
     val q0 = 0.0 / 18.0 - 82.0 / (18.0 * 18.0)
     val q1 = 16.0 / 18.0 - 162.0 / (18.0 * 18.0)
+    val stall = (3 to graft.operators.Graph.LouvainLevelCount)
+      .map(l => (l, 2L, 16L, q1, 0.0))
     assert(got.toSeq == Seq(
       (0, 4L, 0L, q0, 0.0),
       (1, 2L, 16L, q1, q1 - q0),
-      (2, 2L, 16L, q1, 0.0)))
+      (2, 2L, 16L, q1, 0.0)) ++ stall)
   }
 
   // The monotone-Q contract on the fixture: Q never decreases across
@@ -64,7 +66,8 @@ class Round9Spec extends SparkSuite {
   test("louvain levels: monotone Q and genuine merges on the fixture") {
     val rows = SparkEntry.queries("graph_louvain_levels")(spark, dir)
       .collect()
-    assert(rows.map(_.getAs[Int]("level")).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_.getAs[Int]("level")).toSeq ==
+      (0 to graft.operators.Graph.LouvainLevelCount))
     val qs = rows.map(_.getAs[Double]("q")).toSeq
     assert(qs.sliding(2).forall { case Seq(a, b) => b >= a },
       s"Q sequence not monotone: $qs")
