@@ -43,7 +43,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleAudit {
 
-  val Replicas = 10
+  /** Replica count (default 10×). SPARK_GRAFT_SCALE_REPS overrides —
+    * e.g. 100 for a two-decade spot check; the key-offset strides
+    * (10⁵…10⁹) keep every id range disjoint and under [[Graph.SuppBase]]
+    * through k = 999. SPARK_GRAFT_SCALE_QUERIES (comma-separated)
+    * restricts the audited set for such spot checks. */
+  val Replicas: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
   /** The audit set: the heaviest non-stream dedup/sim/text/graph
     * queries of the round-8 bench (stream oracles carry a fixed
     * micro-batch lifecycle floor — wall time there measures the state
@@ -131,13 +137,18 @@ object ScaleAudit {
       SparkEntry.queries(name)(fresh, dir).count()
       (System.nanoTime() - t) / 1e9
     }
-    val rows = Queries.map { q =>
+    val audited = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(Queries)(s => Queries.filter(s))
+    val logN = math.log10(Replicas.toDouble)
+    val rows = audited.map { q =>
       val a1 = time(q, base); val b1 = time(q, base)
       val a10 = time(q, out10); val b10 = time(q, out10)
-      val exp = math.log10(math.min(a10, b10) / math.min(a1, b1))
+      // exponent vs the ACTUAL replica factor (log base Replicas)
+      val exp = math.log10(math.min(a10, b10) / math.min(a1, b1)) / logN
       System.err.println(f"[scale] $q%-20s 1x ${math.min(a1, b1)}%7.2f s  " +
-        f"10x ${math.min(a10, b10)}%7.2f s  exp $exp%5.2f  " +
-        f"(cold-jit 1x $a1%.2f 10x $a10%.2f)")
+        f"${Replicas}x ${math.min(a10, b10)}%7.2f s  exp $exp%5.2f  " +
+        f"(cold-jit 1x $a1%.2f ${Replicas}x $a10%.2f)")
       (q, a1, b1, a10, b10, exp)
     }
     val json = rows.map { case (q, a1, b1, a10, b10, e) =>
