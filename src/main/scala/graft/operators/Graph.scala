@@ -2459,7 +2459,10 @@ object Graph {
     * gain is > 0, else `lab` (identity). All frames are |w|/|labels|
     * sized; `m2` rides as a broadcast scalar.
     */
-  private def louvainLevelStep(w: DataFrame, k: DataFrame,
+  // private[graft]: Round9Spec drives the step over seeded random
+  // weighted graphs to verify the guard's monotone-Q invariant against
+  // a driver-side recompute
+  private[graft] def louvainLevelStep(w: DataFrame, k: DataFrame,
       m2: DataFrame): DataFrame = {
     val m2d = col("m2").cast("double")
     val cand = w.filter(col("cd") < col("cs"))

@@ -146,6 +146,59 @@ class Round9Spec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq == oneShot.map(_.toSeq).toSeq)
   }
 
+  // The guard's core invariant, checked against a driver-side recompute
+  // on seeded RANDOM weighted community graphs (symmetric weights,
+  // self-loops, degrees = row sums — the shape every contraction
+  // produces): the ACCEPTED map of one level step never decreases
+  // Newman Q. The fixtures exercise two specific graphs; this drives
+  // the join/coalesce logic (diagonal handling, empty-within sums,
+  // merge bookkeeping) across 20 adversarial ones.
+  test("level step: accepted map never decreases Q on random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(6) // communities
+      val labs = (1 to n).map(_ * 7L)
+      // symmetric weights incl. random self-loops, some zero pairs
+      val pairs = for {
+        i <- labs.indices; j <- i until n
+        w = rnd.nextInt(5).toLong if w > 0 || i == j
+      } yield (labs(i), labs(j), if (i == j) w + rnd.nextInt(3) else w)
+      val wRows = pairs.flatMap { case (a, b, w) =>
+        if (a == b) Seq((a, b, 2 * w)) // self-loop = both directions
+        else Seq((a, b, w), (b, a, w))
+      }.filter(_._3 > 0)
+      if (wRows.nonEmpty) {
+        val wDf = wRows.toDF("cs", "cd", "w")
+        val kMap = wRows.groupBy(_._1).view
+          .mapValues(_.map(_._3).sum).toMap
+        val kDf = kMap.toSeq.toDF("lab", "k")
+        val m2v = wRows.map(_._3).sum
+        val m2Df = Seq(m2v).toDF("m2")
+        val step = Graph.louvainLevelStep(wDf, kDf, m2Df)
+          .collect().map(r =>
+            r.getAs[Long]("lab") -> r.getAs[Long]("nxt")).toMap
+        def q(lab: Long => Long): Double = {
+          val within = wRows.filter(r => lab(r._1) == lab(r._2))
+            .map(_._3).sum.toDouble
+          val st = kMap.groupBy(kv => lab(kv._1)).values
+            .map(_.values.sum.toDouble)
+          within / m2v - st.map(s => s * s).sum / (m2v.toDouble * m2v)
+        }
+        val qBefore = q(identity)
+        val qAfter = q(step)
+        assert(qAfter >= qBefore - 1e-12,
+          s"trial $trial: Q dropped $qBefore -> $qAfter (step $step, " +
+            s"w $wRows)")
+        // moves only toward smaller labels, never to a foreign label
+        step.foreach { case (lab, nxt) =>
+          assert(nxt <= lab && (nxt == lab || kMap.contains(nxt)))
+        }
+      }
+    }
+  }
+
   // The level map memo is |C0|-sized and consistent with the levels
   // readout: one row per fine community, l2 refines l1's grouping.
   test("louvain levels: level map shape and refinement") {
