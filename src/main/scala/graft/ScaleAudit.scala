@@ -67,8 +67,18 @@ object ScaleAudit {
 
   private def gen10x(spark: SparkSession, base: String,
       out: String): Unit = {
+    // the marker records the replica count: a re-run with a different
+    // SPARK_GRAFT_SCALE_REPS against the same dir must regenerate, or
+    // it would silently time the stale corpus while normalizing by the
+    // NEW factor (halving every exponent of a 100x run over a 10x dir)
     val done = new java.io.File(s"$out/_DONE")
-    if (done.exists()) return
+    if (done.exists()) {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8").trim
+      if (recorded == Replicas.toString) return
+      System.err.println(s"[scale] $out holds a ${recorded}x corpus, " +
+        s"regenerating at ${Replicas}x")
+    }
     def reps(df: DataFrame)(shift: (DataFrame, Int) => DataFrame)
         : DataFrame =
       (0 until Replicas).map(k => shift(df, k)).reduce(_ unionByName _)
@@ -110,7 +120,8 @@ object ScaleAudit {
     }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     done.getParentFile.mkdirs()
-    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    java.nio.file.Files.write(done.toPath,
+      (Replicas.toString + "\n").getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,11 +146,22 @@ object ScaleAudit {
       val fresh = spark.newSession() // cold memos: all caches key on it
       val t = System.nanoTime()
       SparkEntry.queries(name)(fresh, dir).count()
-      (System.nanoTime() - t) / 1e9
+      val dt = (System.nanoTime() - t) / 1e9
+      // release the dead session's eagerly persisted memo blocks: the
+      // memo maps only sweep entries when the CONTEXT stops, so without
+      // this every measurement's cachedPersist frames accumulate in the
+      // shared block manager and later (especially 10x) measurements
+      // run under eviction/spill pressure the early ones didn't face —
+      // skewing exactly the ratio this tool reports
+      fresh.sharedState.cacheManager.clearCache()
+      dt
     }
-    val audited = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-      .fold(Queries)(s => Queries.filter(s))
+    val audited = only.fold(Queries)(s => Queries.filter(s))
+    require(audited.nonEmpty,
+      s"SPARK_GRAFT_SCALE_QUERIES matched no audit query: " +
+        s"${only.get.diff(Queries.toSet).mkString(", ")}")
     val logN = math.log10(Replicas.toDouble)
     val rows = audited.map { q =>
       val a1 = time(q, base); val b1 = time(q, base)

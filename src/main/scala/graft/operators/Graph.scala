@@ -77,11 +77,16 @@ object Graph {
   // (louvainAssignCached resolves the edge memos inside its own build),
   // and nested computeIfAbsent on one ConcurrentHashMap throws
   // "Recursive update". A lost putIfAbsent race means the frame was
-  // built twice; the loser's copy is unpersisted before returning the
-  // winner so a cachedPersist duplicate doesn't leak cached blocks
-  // until context shutdown (a cachedPin loser's checkpoint files are
-  // reclaimed with the checkpoint dir; unpersist on an unpersisted
-  // frame is a no-op).
+  // built twice. Cleanup must be PLAN-AWARE: Spark's CacheManager keys
+  // cached data by logical-plan equivalence (sameResult), so when the
+  // loser's plan matches the winner's — the common case, both builds
+  // resolved the same inner memos — the loser's persist() was a no-op
+  // against ONE shared InMemoryRelation and unpersisting it would evict
+  // the WINNER's cache too. Only a plan that genuinely differs (inner
+  // memos also raced) holds its own entry and is safe to release. A
+  // cachedPin loser's checkpoint files are reclaimed with the
+  // checkpoint dir either way; unpersist on an unpersisted frame is a
+  // no-op.
   private def memoize(spark: org.apache.spark.sql.SparkSession,
       key: String)(make: => DataFrame): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -92,7 +97,12 @@ object Graph {
       val df = make
       val prior = edgeCache.putIfAbsent(k, df)
       if (prior == null) df
-      else { df.unpersist(blocking = false); prior }
+      else {
+        if (!df.queryExecution.analyzed
+            .sameResult(prior.queryExecution.analyzed))
+          df.unpersist(blocking = false)
+        prior
+      }
     }
   }
 
@@ -2206,17 +2216,7 @@ object Graph {
          |)""".stripMargin
     }.mkString(",\n")
     s"""${sqlLouvainCtes(rounds)},
-       |wgt AS (
-       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM edges e
-       |  JOIN c$rounds a ON e.src = a.node
-       |  JOIN c$rounds b ON e.dst = b.node
-       |  GROUP BY a.c, b.c
-       |), kc AS (
-       |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
-       |  FROM c$rounds a JOIN deg d ON a.node = d.id
-       |  GROUP BY a.c
-       |), ncomm AS (SELECT COUNT(*) AS n FROM kc),
+       |${sqlWgtKcCtes(rounds)}, ncomm AS (SELECT COUNT(*) AS n FROM kc),
        |r0 AS (
        |  SELECT c AS id, CAST(1 AS DOUBLE) / n AS rank, k, n
        |  FROM kc, ncomm
@@ -2227,6 +2227,27 @@ object Graph {
        |  FROM r$iters
        |) WHERE rk <= $PrTopK ORDER BY rk""".stripMargin
   }
+
+  /** The contraction's weighted super-graph edge + degree CTEs over the
+    * `c$rounds` assignment — ONE source of truth for the text that
+    * [[sqlLouvainWKatz]], [[sqlLouvainCoarseCtes]] and
+    * [[sqlLouvainLevels]] previously each emitted verbatim (a drift in
+    * any copy would silently fork the oracles' shared prefix).
+    * `labAs` renames the degree table's community column (the level
+    * chain wants `lab`). */
+  private def sqlWgtKcCtes(rounds: Int, wgtName: String = "wgt",
+      kcName: String = "kc", labAs: String = ""): String =
+    s"""$wgtName AS MATERIALIZED (
+       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM edges e
+       |  JOIN c$rounds a ON e.src = a.node
+       |  JOIN c$rounds b ON e.dst = b.node
+       |  GROUP BY a.c, b.c
+       |), $kcName AS MATERIALIZED (
+       |  SELECT a.c${if (labAs.isEmpty) "" else s" AS $labAs"}, CAST(SUM(d.deg) AS BIGINT) AS k
+       |  FROM c$rounds a JOIN deg d ON a.node = d.id
+       |  GROUP BY a.c
+       |)""".stripMargin
 
   /** Katz centrality over the WEIGHTED Louvain super-graph — attenuated
     * weighted-walk counts between communities, the walk-count axis next
@@ -2291,17 +2312,7 @@ object Graph {
          |)""".stripMargin
     }.mkString(",\n")
     s"""${sqlLouvainCtes(rounds)},
-       |wgt AS MATERIALIZED (
-       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM edges e
-       |  JOIN c$rounds a ON e.src = a.node
-       |  JOIN c$rounds b ON e.dst = b.node
-       |  GROUP BY a.c, b.c
-       |), kc AS MATERIALIZED (
-       |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
-       |  FROM c$rounds a JOIN deg d ON a.node = d.id
-       |  GROUP BY a.c
-       |),
+       |${sqlWgtKcCtes(rounds)},
        |wr0 AS (
        |  SELECT c AS id, CAST(1 AS DOUBLE) AS x, k FROM kc
        |),
@@ -2318,17 +2329,7 @@ object Graph {
     */
   private def sqlLouvainCoarseCtes(rounds: Int): String =
     s"""${sqlLouvainCtes(rounds)},
-       |wgt AS MATERIALIZED (
-       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM edges e
-       |  JOIN c$rounds a ON e.src = a.node
-       |  JOIN c$rounds b ON e.dst = b.node
-       |  GROUP BY a.c, b.c
-       |), kc AS MATERIALIZED (
-       |  SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS k
-       |  FROM c$rounds a JOIN deg d ON a.node = d.id
-       |  GROUP BY a.c
-       |), candc AS (
+       |${sqlWgtKcCtes(rounds)}, candc AS (
        |  SELECT w.cs, w.cd,
        |    CAST(2 * w.w AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
        |      - CAST(2 * ks.k AS DOUBLE) * CAST(kd.k AS DOUBLE)
@@ -2743,17 +2744,7 @@ object Graph {
       else s"SELECT $l, n$l, w$l, q$l, $gain FROM qv"
     }.mkString("\nUNION ALL\n")
     s"""${sqlLouvainCtes(rounds)},
-       |wgt0 AS MATERIALIZED (
-       |  SELECT a.c AS cs, b.c AS cd, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM edges e
-       |  JOIN c$rounds a ON e.src = a.node
-       |  JOIN c$rounds b ON e.dst = b.node
-       |  GROUP BY a.c, b.c
-       |), kc0 AS MATERIALIZED (
-       |  SELECT a.c AS lab, CAST(SUM(d.deg) AS BIGINT) AS k
-       |  FROM c$rounds a JOIN deg d ON a.node = d.id
-       |  GROUP BY a.c
-       |),
+       |${sqlWgtKcCtes(rounds, "wgt0", "kc0", "lab")},
        |$levelCtes,
        |lx AS (
        |  SELECT

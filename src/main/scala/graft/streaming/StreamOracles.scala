@@ -135,6 +135,21 @@ object StreamOracles {
     })
   }
 
+  /** Await an AvailableNow query's natural termination, failing LOUDLY
+    * on timeout: a timed-out stream stopped mid-ingest would otherwise
+    * hand the readout a well-formed PARTIAL state (only the completed
+    * batches' deltas) — a wrong answer that surfaces as a confusing
+    * oracle data diff instead of the actual problem. */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 300000): Unit = {
+    val finished =
+      try q.awaitTermination(timeoutMs)
+      finally if (q.isActive) q.stop()
+    require(finished,
+      s"streaming oracle did not finish within ${timeoutMs} ms — " +
+        "refusing to read a partial final state")
+  }
+
   // ------------------------------------------------------ stream_scd_state
   /** How many micro-batches each stream oracle ingests. Multi-batch is the
     * point (state must survive batch boundaries); MORE batches only re-pay
@@ -198,7 +213,7 @@ object StreamOracles {
         current = Some(next)
       })
     val q = writer.start()
-    try q.awaitTermination(300000) finally if (q.isActive) q.stop()
+    awaitOrFail(q)
     ss.read.parquet(current.getOrElse(sys.error("no micro-batch ran")))
       .select(col("k"), col("v")).orderBy(col("k"))
   }
@@ -274,7 +289,7 @@ object StreamOracles {
         ()
       }
       .start()
-    try q.awaitTermination(300000) finally if (q.isActive) q.stop()
+    awaitOrFail(q)
     val signatureless = docs.filter(
       size(graft.operators.TextOps.words(col("text"))) < Dedup.ShingleK)
       .select(col("doc_id"))
@@ -415,7 +430,7 @@ object StreamOracles {
         ()
       }
       .start()
-    try q.awaitTermination(300000) finally if (q.isActive) q.stop()
+    awaitOrFail(q)
     ss.read.parquet(hitDirs.toSeq: _*)
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_eval_hits"),
