@@ -7438,11 +7438,14 @@ object SparkEntry {
     // (file source, AvailableNow/processAllAvailable) — the returned frame
     // is the durable state, hash-checked against a batch oracle
     "stream_scd_state"   -> graft.streaming.StreamOracles.scdState _,
-    "stream_dedup_state" -> graft.streaming.StreamOracles.dedupState _,
-    "stream_decon_state" -> graft.streaming.StreamOracles.deconState _,
+    "stream_dedup_state" -> ((s, d) =>
+      graft.streaming.StreamOracles.dedupState(s, d)),
+    "stream_decon_state" -> ((s, d) =>
+      graft.streaming.StreamOracles.deconState(s, d)),
     "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
     "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
-    "stream_session_state" -> graft.streaming.StreamOracles.sessionState _,
+    "stream_session_state" -> ((s, d) =>
+      graft.streaming.StreamOracles.sessionState(s, d)),
     "stream_join_state"  -> graft.streaming.StreamOracles.joinState _,
     "stream_window_state" -> graft.streaming.StreamOracles.windowState _,
     "stream_mg_state"   -> graft.streaming.StreamOracles.mgState _,

@@ -196,25 +196,32 @@ object StreamOracles {
       StructType(Seq(StructField("k", LongType), StructField("v", DoubleType),
         StructField("batch_id", StringType))))
     // versioned state dirs: each batch reads v(n-1) and writes v(n) — never
-    // overwrites what it is lazily reading (the scaladoc'd swap discipline)
-    var current: Option[String] = None
+    // overwrites what it is lazily reading (the scaladoc'd swap discipline).
+    // Keyed by batch id so a RETRIED micro-batch re-reads the version
+    // strictly before its own id — a bare `current` pointer would make the
+    // retry merge into (and lazily read) the very v$id path it overwrites.
+    val versions = scala.collection.mutable.SortedMap.empty[Long, String]
     val writer = Streams.scdLoadStream(
       streamFiles(ss, src, StructType(Seq(
         StructField("k", LongType), StructField("v", DoubleType)))),
       cfg, clockTs, clockDate,
       mergeAndSwap = (batch, id) => {
-        val target = current.map(ss.read.parquet(_)).getOrElse(emptyState)
+        val prior = versions.synchronized {
+          versions.rangeUntil(id).lastOption.map(_._2)
+        }
+        val target = prior.map(ss.read.parquet(_)).getOrElse(emptyState)
         val merged = ScdMerge.merge(
           batch.withColumn("batch_id", lit(s"stream-$id")),
           target, cfg, clockTs, clockDate, lit(s"stream-$id"))
           .drop(ScdMerge.ChangeCol)
         val next = s"$stateBase/v$id"
         merged.write.mode("overwrite").parquet(next)
-        current = Some(next)
+        versions.synchronized { versions(id) = next }
       })
     val q = writer.start()
     awaitOrFail(q)
-    ss.read.parquet(current.getOrElse(sys.error("no micro-batch ran")))
+    val last = versions.synchronized { versions.lastOption }
+    ss.read.parquet(last.getOrElse(sys.error("no micro-batch ran"))._2)
       .select(col("k"), col("v")).orderBy(col("k"))
   }
 
@@ -251,11 +258,12 @@ object StreamOracles {
     */
   val DedupBatches = 3
 
-  def dedupState(spark: SparkSession, dir: String): DataFrame = {
+  def dedupState(spark: SparkSession, dir: String,
+      batches: Int = DedupBatches): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val src = cachedSrc(s"dedup|$dir") { d =>
-      (0 until DedupBatches).foreach { i =>
-        writeBatchFile(docs.filter(col("doc_id") % DedupBatches === i), d, i)
+    val src = cachedSrc(s"dedup|$dir|$batches") { d =>
+      (0 until batches).foreach { i =>
+        writeBatchFile(docs.filter(col("doc_id") % batches === i), d, i)
       }
     }
     val ss = streamSession(spark)
@@ -268,7 +276,11 @@ object StreamOracles {
     // the per-batch actions for a derivable frame); signature-less docs
     // — fewer words than a shingle — have no bands, can never collide,
     // and are admitted vacuously at readout.
-    val bandDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // keyed by batch id, and each batch's state read takes only dirs of
+    // STRICTLY EARLIER ids: a retried micro-batch (same id) must not see
+    // its own failed attempt's bands as prior state — its docs would
+    // self-collide and be rejected — nor double-register its path
+    val bandDirs = scala.collection.mutable.SortedMap.empty[Long, String]
     val q = streamFiles(ss, src, StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
@@ -276,16 +288,19 @@ object StreamOracles {
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val prior = bandDirs.synchronized {
+          bandDirs.rangeUntil(id).values.toSeq
+        }
         val state =
-          if (bandDirs.isEmpty) Dedup.minhashBands(batch).limit(0)
-          else ss.read.parquet(bandDirs.toSeq: _*)
+          if (prior.isEmpty) Dedup.minhashBands(batch).limit(0)
+          else ss.read.parquet(prior: _*)
         // a micro-batch arrives as ONE source file = one partition; the
         // md5 shingle/minhash chains are the batch's CPU, so spread the
         // thin document rows across the session's width first
         val (_, newBands) = Streams.dedupBatch(batch.repartition(4), state)
         val nextBands = s"$stateBase/bands$id"
         newBands.write.mode("overwrite").parquet(nextBands)
-        bandDirs += nextBands
+        bandDirs.synchronized { bandDirs(id) = nextBands }
         ()
       }
       .start()
@@ -293,7 +308,7 @@ object StreamOracles {
     val signatureless = docs.filter(
       size(graft.operators.TextOps.words(col("text"))) < Dedup.ShingleK)
       .select(col("doc_id"))
-    ss.read.parquet(bandDirs.toSeq: _*)
+    ss.read.parquet(bandDirs.values.toSeq: _*)
       .select(col("doc_id")).distinct()
       .unionByName(signatureless)
       .orderBy(col("doc_id"))
@@ -387,15 +402,16 @@ object StreamOracles {
     */
   val DeconBatches = 3
 
-  def deconState(spark: SparkSession, dir: String): DataFrame = {
+  def deconState(spark: SparkSession, dir: String,
+      batches: Int = DeconBatches): DataFrame = {
     import graft.operators.{Dedup, Iterate}
     val evalMod = graft.operators.TrainingData.EvalMod
     val docs = graft.Tables.documents(spark, dir)
-    val src = cachedSrc(s"decon|$dir") { d =>
+    val src = cachedSrc(s"decon|$dir|$batches") { d =>
       val train = docs.filter(col("doc_id") % evalMod =!= 0)
-      (0 until DeconBatches).foreach { i =>
+      (0 until batches).foreach { i =>
         writeBatchFile(
-          train.filter(col("doc_id") % DeconBatches === i), d, i)
+          train.filter(col("doc_id") % batches === i), d, i)
       }
     }
     // the static eval-side index: built once per fixture (deterministic
@@ -412,7 +428,12 @@ object StreamOracles {
     val evalBands = ss.read.parquet(idx.resolve("bands").toString)
     val evalSets = ss.read.parquet(idx.resolve("sets").toString)
     val hitsBase = scratchDir("graft_decon_hits").toString
-    val hitDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // keyed by batch id, NOT appended per invocation: a retried
+    // micro-batch re-enters foreachBatch with the same id — the
+    // overwrite write is idempotent, but a second append of the same
+    // path would double-count that batch's hits in the readout
+    val hitDirs =
+      scala.collection.mutable.SortedMap.empty[Long, String]
     val q = streamFiles(ss, src, StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
@@ -426,12 +447,12 @@ object StreamOracles {
           batch.repartition(4), evalBands, evalSets)
         val out = s"$hitsBase/hits$id"
         hits.write.mode("overwrite").parquet(out)
-        hitDirs += out
+        hitDirs.synchronized { hitDirs(id) = out }
         ()
       }
       .start()
     awaitOrFail(q)
-    ss.read.parquet(hitDirs.toSeq: _*)
+    ss.read.parquet(hitDirs.values.toSeq: _*)
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_eval_hits"),
         max(struct(col("jac").as("j"),
@@ -565,13 +586,14 @@ object StreamOracles {
     * `sessionsBuiltin` answer no matter how the stream was batched — the
     * oracle IS q28's SQL.
     */
-  def sessionState(spark: SparkSession, dir: String): DataFrame = {
+  def sessionState(spark: SparkSession, dir: String,
+      batches: Int = 2): DataFrame = {
     import graft.functions.Exact
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-    val src = cachedSrc(s"session|$dir") { d =>
-      (0 until 2).foreach { i =>
-        writeBatchFile(ev.filter(col("event_id") % 2 === i), d, i)
+    val src = cachedSrc(s"session|$dir|$batches") { d =>
+      (0 until batches).foreach { i =>
+        writeBatchFile(ev.filter(col("event_id") % batches === i), d, i)
       }
     }
     val ss = streamSession(spark)
