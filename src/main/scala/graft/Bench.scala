@@ -34,10 +34,45 @@ object Bench {
   /** Median steady-pass spread above which the run is flagged contended. */
   val SpreadContended = 0.30
 
+  /** Steady-pass spread above which a SINGLE query is flagged noisy. */
+  val QueryNoisySpread = 0.30
+
+  /** All-pass monotone-drift ratio above which a query is flagged noisy:
+    * an uncontended pass sequence has its MAX in the first pass (codegen +
+    * JIT), so samples that only ever climb — and climb past this ratio —
+    * are a foreign-load signature, not a property of the query. */
+  val MonotoneDriftRatio = 1.5
+
+  /** Per-query noise classifier over the pass-ordered samples (first pass
+    * included). The round-9 artifact shipped `contended: false` (median
+    * spread 0.222) beside a graph_pagerank sample vector
+    * [2.729, 4.609, 6.897] — localized contention the run-level MEDIAN
+    * dilutes; this flags such queries individually. Noisy when the
+    * steady (non-first) passes spread past [[QueryNoisySpread]], or when
+    * ALL passes drift monotonically upward past [[MonotoneDriftRatio]].
+    * Sub-50ms queries are excluded (they spread wildly in relative terms
+    * while moving the total by nothing — same rule as the run-level
+    * median). Graders exclude noisy queries from per-query regression
+    * math and fall back to the committed quiet-host numbers (README
+    * grading protocol). */
+  private[graft] def queryNoisy(samples: Seq[Double]): Boolean = {
+    val valid = samples.filter(_ >= 0)
+    val steady = if (valid.length > 1) valid.tail else valid
+    if (steady.length < 2 || steady.min < 0.05) false
+    else {
+      val spread = (steady.max - steady.min) / steady.min
+      val monotone = valid.length >= 3 &&
+        valid.sliding(2).forall(p => p(1) >= p(0)) &&
+        valid.last / valid.head > MonotoneDriftRatio
+      spread > QueryNoisySpread || monotone
+    }
+  }
+
   private final case class SuiteRun(total: Double,
       queries: Map[String, Double], samples: Map[String, Seq[Double]],
       loadBefore: Double, loadAfter: Double,
-      spreadMedian: Double, contended: Boolean)
+      spreadMedian: Double, contended: Boolean,
+      noisyQueries: Seq[String])
 
   /** 1-min load average from /proc/loadavg; -1 when unreadable (keeps
     * the artifact portable off Linux). */
@@ -101,8 +136,11 @@ object Bench {
       if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
     spark.stop()
     val contended = spreadMedian > SpreadContended
+    val noisy = names.collect {
+      case (name, _) if queryNoisy(sampled.map(_(name))) => name
+    }
     SuiteRun(if (results.nonEmpty) results.values.sum else 0.0,
-      results, samples, lb, loadAvg1(), spreadMedian, contended)
+      results, samples, lb, loadAvg1(), spreadMedian, contended, noisy)
   }
 
   private def r3(d: Double) = math.rint(d * 1000) / 1000
@@ -130,7 +168,10 @@ object Bench {
     * gate_config: totals, per-query mins, ALL pass samples, family
     * subtotals, and the contention evidence. */
   private def configJson(run: SuiteRun): String =
-    s""""value":${run.total},"unit":"sec","queries":${queriesJson(run.queries)},"families":${famJson(run.queries)},"samples":${samplesJson(run.samples)},"loadavg":{"before":${r3(run.loadBefore)},"after":${r3(run.loadAfter)}},"spread_median":${r3(run.spreadMedian)},"contended":${run.contended}"""
+    s""""value":${run.total},"unit":"sec","queries":${queriesJson(run.queries)},"families":${famJson(run.queries)},"samples":${samplesJson(run.samples)},"loadavg":{"before":${r3(run.loadBefore)},"after":${r3(run.loadAfter)}},"spread_median":${r3(run.spreadMedian)},"contended":${run.contended},"noisy_queries":${jsonStrArr(run.noisyQueries)}"""
+
+  private def jsonStrArr(ss: Seq[String]): String =
+    ss.sorted.map(s => "\"" + s + "\"").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,8 +210,8 @@ object Bench {
     val slow = primary.queries.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val gateTot = gate.map(g =>
-      s""","gate_total":${r3(g.total)},"gate_contended":${g.contended}""")
+      s""","gate_total":${r3(g.total)},"gate_contended":${g.contended},"gate_noisy_queries":${jsonStrArr(g.noisyQueries)}""")
       .getOrElse("")
-    println(s"""{"metric":"summary","value":${r3(primary.total)},"unit":"sec","n_queries":${primary.queries.size},"contended":${primary.contended},"spread_median":${r3(primary.spreadMedian)},"loadavg_before":${r3(primary.loadBefore)},"top10_slowest":$slow$gateTot,"full_json":"$outPath","sf":"$sfDir","cpus":$cpus,"shuffle":$shuffle}""")
+    println(s"""{"metric":"summary","value":${r3(primary.total)},"unit":"sec","n_queries":${primary.queries.size},"contended":${primary.contended},"spread_median":${r3(primary.spreadMedian)},"noisy_queries":${jsonStrArr(primary.noisyQueries)},"loadavg_before":${r3(primary.loadBefore)},"top10_slowest":$slow$gateTot,"full_json":"$outPath","sf":"$sfDir","cpus":$cpus,"shuffle":$shuffle}""")
   }
 }
