@@ -7570,6 +7570,9 @@ object SparkEntry {
     "graph_wkatz" -> ((s, d) =>
       graft.operators.Graph.louvainWKatzCached(
         Tables.orders(s, d), Tables.lineitem(s, d), d)),
+    "graph_louvain_refine" -> ((s, d) =>
+      graft.operators.Graph.louvainRefineCached(
+        Tables.orders(s, d), Tables.lineitem(s, d), d)),
     "graph_louvain_segments" -> ((s, d) =>
       graft.operators.Graph.louvainSegmentsCached(
         Tables.orders(s, d), Tables.lineitem(s, d),
@@ -8126,6 +8129,7 @@ object SparkEntry {
     "graph_louvain_gain" -> graft.operators.Graph.sqlLouvainGain(),
     "graph_louvain_levels" -> graft.operators.Graph.sqlLouvainLevels(),
     "graph_wkatz"       -> graft.operators.Graph.sqlLouvainWKatz(),
+    "graph_louvain_refine" -> graft.operators.Graph.sqlLouvainRefine(),
     "graph_wpagerank" -> graft.operators.Graph.sqlLouvainWPagerank(),
     "graph_louvain_segments" -> graft.operators.Graph.sqlLouvainSegments(),
     "dedup_lpa_agreement" ->

@@ -209,6 +209,46 @@ object Graph {
     .unionByName(e0.select((col("supp") + SuppBase).as("src"),
       col("cust").as("dst")))
 
+  /** Directed-edge-row cap per shuffle partition of the iterative edge
+    * memo. 2M rows ≈ 32 MB of (long, long) pairs plus join-side
+    * amplification — comfortably in-memory per task, far from the
+    * 2 GB shuffle-block wall. */
+  val EdgeRowsPerPartition = 2000000L
+
+  /** Shuffle width for the |E|-row edge memo, derived from the measured
+    * edge count the way `nswTierMods` derives the tier ladder from |V|:
+    * never narrower than the session's width (fixture plans stay
+    * byte-identical — at the audit SFs the derived width IS the session
+    * width), widened so no partition holds more than
+    * [[EdgeRowsPerPartition]] directed rows. This is the round-10 answer
+    * to the measured 100× pagerank point: at a fixed width=32 the
+    * per-round probe shuffle turns disk-resident around two decades of
+    * growth, which is a partition-POLICY artifact, not a plan defect —
+    * every iterative consumer inherits the memo's width through the
+    * join, so deriving it here re-plans all of them at once. */
+  private def edgePartitions(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Long): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(session,
+      ((edgeRows + EdgeRowsPerPartition - 1) / EdgeRowsPerPartition).toInt)
+  }
+
+  /** The ONE builder of the `prede` memo — the src-partitioned directed
+    * edge frame every iterative consumer (pagerank, PPR, katz, ANF,
+    * louvain, refine) probes per round. Hash-partitioned ON src at the
+    * |E|-derived width BEFORE the eager persist (the cached
+    * InMemoryRelation keeps this partitioning in the planner; a
+    * checkpointed scan would not — Round8Spec), so the per-round
+    * memo-side exchange disappears: one |E| shuffle per session instead
+    * of rounds×consumers. The e0 count that feeds the width is a count
+    * of the PINNED pair memo — one cheap job per (session, key),
+    * amortized inside this memo's own build. */
+  private def directedEdgeMemo(spark: org.apache.spark.sql.SparkSession,
+      e0: DataFrame, cacheKey: String): DataFrame =
+    cachedPersist(spark, s"prede|$cacheKey")(
+      directedEdges(e0).repartition(
+        edgePartitions(spark, 2L * e0.count()), col("src")))
+
   /** (id, deg, n) — per-node degree with |V| riding along as a column
     * (broadcast 1-row aggregate): the plan stays fully declarative, no
     * driver-side scalar round trip.
@@ -236,14 +276,7 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the eager persist (the
-      // cached InMemoryRelation keeps this partitioning in the planner;
-      // a checkpointed scan would not — Round8Spec): every iterative
-      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
-      // src each round, so the per-round memo-side exchange disappears
-      // — one |E| shuffle per session instead of rounds×consumers times
-      directedEdges(e0).repartition(col("src")))
+    val edges = directedEdgeMemo(spark, e0, cacheKey)
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     pagerankRounds(edges, degN, iters)
   }
@@ -1535,14 +1568,7 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the eager persist (the
-      // cached InMemoryRelation keeps this partitioning in the planner;
-      // a checkpointed scan would not — Round8Spec): every iterative
-      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
-      // src each round, so the per-round memo-side exchange disappears
-      // — one |E| shuffle per session instead of rounds×consumers times
-      directedEdges(e0).repartition(col("src")))
+    val edges = directedEdgeMemo(spark, e0, cacheKey)
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     katzRounds(edges, degN, iters)
   }
@@ -1641,14 +1667,7 @@ object Graph {
     VectorExprs.register(orders.sparkSession)
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the eager persist (the
-      // cached InMemoryRelation keeps this partitioning in the planner;
-      // a checkpointed scan would not — Round8Spec): every iterative
-      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
-      // src each round, so the per-round memo-side exchange disappears
-      // — one |E| shuffle per session instead of rounds×consumers times
-      directedEdges(e0).repartition(col("src")))
+    val edges = directedEdgeMemo(spark, e0, cacheKey)
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     val h0 = conv(substring(md5(concat(lit("anf:"),
       col("id").cast("string"))), 1, 13), 16, 10).cast("long")
@@ -1780,14 +1799,7 @@ object Graph {
       cacheKey: String, rounds: Int): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the eager persist (the
-      // cached InMemoryRelation keeps this partitioning in the planner;
-      // a checkpointed scan would not — Round8Spec): every iterative
-      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
-      // src each round, so the per-round memo-side exchange disappears
-      // — one |E| shuffle per session instead of rounds×consumers times
-      directedEdges(e0).repartition(col("src")))
+    val edges = directedEdgeMemo(spark, e0, cacheKey)
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     val deg = degN.select(col("id"), col("deg"))
     val m2 = degN.agg(sum(col("deg")).as("m2")) // = 2m (directed count)
@@ -1898,8 +1910,7 @@ object Graph {
     memoize(spark, s"louvw|$cacheKey|$rounds")(Iterate.pin {
       val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
       val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
-      val edges = cachedPersist(spark, s"prede|$cacheKey")(
-        directedEdges(e0).repartition(col("src")))
+      val edges = directedEdgeMemo(spark, e0, cacheKey)
       edges
         .join(comm.select(col("node").as("src"), col("c").as("cs")),
           Seq("src"))
@@ -1980,8 +1991,7 @@ object Graph {
       rounds)
     val spark = orders.sparkSession
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      directedEdges(e0).repartition(col("src")))
+    val edges = directedEdgeMemo(spark, e0, cacheKey)
     val m2 = coarse.agg(sum(col("deg")).as("m2"))
     val x = edges
       .join(coarse.select(col("node").as("src"), col("c").as("c_s"),
@@ -2526,12 +2536,26 @@ object Graph {
       val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
       val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
       val m2 = comm.agg(sum(col("deg")).as("m2"))
+      levelMapsFrom(wgt,
+        comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+          .select(col("c").as("lab"), col("k")), m2)
+    })
+  }
+
+  /** The guarded level loop over an arbitrary base partition's weighted
+    * community graph `w0 (cs, cd, w)` and degree table `k0 (lab, k)` —
+    * the shared core of [[louvainLevelMapsCached]] (base = the raw
+    * local-moving partition) and [[louvainRefineLevelMapsCached]]
+    * (base = the connectivity-refined partition). Returns the
+    * accumulated map (c, l1..l[[LouvainLevelCount]]) with `c` = base
+    * label. */
+  private[graft] def levelMapsFrom(w0: DataFrame, k0: DataFrame,
+      m2: DataFrame): DataFrame = {
       // per-level state: the CURRENT level's weighted community graph
       // and degree table (both |C_i|-bounded, shrinking per accepted
       // level), plus the accumulated (c, l1..li) map
-      var w = wgt
-      var k = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
-        .select(col("c").as("lab"), col("k"))
+      var w = w0
+      var k = k0
       var maps: DataFrame = null
       for (i <- 1 to LouvainLevelCount) {
         // pin the step's map: it is referenced by the accumulated maps
@@ -2563,7 +2587,6 @@ object Graph {
       }
       maps.select(col("c") +:
         (1 to LouvainLevelCount).map(i => col(s"l$i")): _*)
-    })
   }
 
   /** Per-level audit readout: one row per level (0 = local moving,
@@ -2580,10 +2603,19 @@ object Graph {
     * readout. NOTHING here touches fine edges or nodes.
     */
   def louvainLevelsCached(orders: DataFrame, lineitem: DataFrame,
-      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
-    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
-    val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
-    val maps = louvainLevelMapsCached(orders, lineitem, cacheKey, rounds)
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame =
+    levelsReadoutFrom(
+      louvainAssignCached(orders, lineitem, cacheKey, rounds),
+      louvainWeightsCached(orders, lineitem, cacheKey, rounds),
+      louvainLevelMapsCached(orders, lineitem, cacheKey, rounds))
+
+  /** The per-level Q readout over an arbitrary base partition `comm`
+    * (node, c, deg), its contracted weighted graph `wgt` (cs, cd, w),
+    * and the accumulated level map `maps` (c, l1..lN) — the shared core
+    * of [[louvainLevelsCached]] and the refined-level rows of
+    * [[louvainRefineCached]]. */
+  private[graft] def levelsReadoutFrom(comm: DataFrame, wgt: DataFrame,
+      maps: DataFrame): DataFrame = {
     val kc = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
     val m2 = comm.agg(sum(col("deg")).as("m2"))
     val m2d = col("m2").cast("double")
@@ -2626,6 +2658,185 @@ object Graph {
         col("r.within").as("within"), col("r.q").as("q"),
         col("r.gain").as("gain"))
       .orderBy(col("level"))
+  }
+
+  // ------------------------------------- Leiden-style refinement level
+  /** Split every community of `comm` (node, c, deg) into its connected
+    * components over the within-community restriction of `edges`
+    * (src, dst) — the Leiden remedy (Traag, Waltman & van Eck, "From
+    * Louvain to Leiden: guaranteeing well-connected communities",
+    * Sci. Rep. 2019) for local moving's known defect: a round can move
+    * a community's cut vertex OUT, leaving the members it bridged in
+    * one label with no path between them. Returns (node, c, rc, deg)
+    * where `rc` is the refined label = the node's within-community
+    * component id (min member, via [[Dedup.connectedComponents]] — the
+    * library's ONE reachability algorithm); nodes with no
+    * within-community edge are their own singleton component.
+    *
+    * Q never decreases under this split: within-weight is untouched
+    * (by definition there are no edges between two components of the
+    * same community) while Σtot² strictly shrinks whenever a community
+    * actually splits (Σ(aᵢ)² > Σaᵢ² for a split into nonempty parts) —
+    * the monotone-Q leg `Round10Spec` pins on random graphs.
+    *
+    * Scale shape: the within-edge restriction is two probes of the
+    * src-partitioned edge memo + an equality filter (|E|-bounded); the
+    * component iteration is [[Dedup.connectedComponents]]'s (per round
+    * one hash join + thin min-agg on the ≤|E| within-subset, pointer
+    * jumping ⇒ ~log₂(diameter) rounds, per-round lineage pinned).
+    */
+  private[graft] def refineAssign(comm: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val within = edges
+      .join(comm.select(col("node").as("src"), col("c").as("cs")),
+        Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("c").as("cd")),
+        Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val cc = Dedup.connectedComponents(within)
+    comm
+      .join(cc.select(col("doc_id").as("node"), col("component")),
+        Seq("node"), "left")
+      .select(col("node"), col("c"),
+        coalesce(col("component"), col("node")).as("rc"), col("deg"))
+  }
+
+  /** The connectivity-refined assignment (node, c, rc, deg), pinned per
+    * (session, key, rounds) — the refined weights, the refined level
+    * maps, and the [[louvainRefineCached]] readout all read this one
+    * memo (the component iteration runs once per session). */
+  def louvainRefineAssignCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    memoize(spark, s"louvrf|$cacheKey|$rounds")(Iterate.pin {
+      val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+      val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+      val edges = directedEdgeMemo(spark, e0, cacheKey)
+      refineAssign(comm, edges)
+    })
+  }
+
+  /** The refined partition's contracted weighted graph (cs, cd, w) —
+    * the `rc`-keyed twin of [[louvainWeightsCached]], pinned per
+    * (session, key, rounds). */
+  def louvainRefinedWeightsCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    memoize(spark, s"louvrw|$cacheKey|$rounds")(Iterate.pin {
+      val refc = louvainRefineAssignCached(orders, lineitem, cacheKey,
+        rounds)
+      val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
+      val edges = directedEdgeMemo(spark, e0, cacheKey)
+      edges
+        .join(refc.select(col("node").as("src"), col("rc").as("cs")),
+          Seq("src"))
+        .join(refc.select(col("node").as("dst"), col("rc").as("cd")),
+          Seq("dst"))
+        .groupBy(col("cs"), col("cd")).agg(count(lit(1)).as("w"))
+    })
+  }
+
+  /** The guarded level loop run from the REFINED base partition —
+    * [[levelMapsFrom]] over the refined weights/degrees, pinned per
+    * (session, key, rounds). Connectivity is preserved through every
+    * subsequent level BY CONSTRUCTION: each accepted level-step merge
+    * group is a star around its center `cd` in which every merged `cs`
+    * has an actual weighted edge to the center (candidates come from
+    * the `w` frame, so w(cs, cd) ≥ 1), and a union of connected
+    * communities pairwise linked by real fine edges is connected — so
+    * the one refinement pass per accepted level that Leiden prescribes
+    * is IDENTITY at every level above the base here, and the loop runs
+    * it implicitly for free. The defect lives entirely in the
+    * local-moving base partition, which [[refineAssign]] repairs. */
+  def louvainRefineLevelMapsCached(orders: DataFrame,
+      lineitem: DataFrame, cacheKey: String,
+      rounds: Int = LouvainRounds): DataFrame = {
+    val spark = orders.sparkSession
+    memoize(spark, s"louvrlv|$cacheKey|$rounds")(Iterate.pin {
+      val refc = louvainRefineAssignCached(orders, lineitem, cacheKey,
+        rounds)
+      val rwgt = louvainRefinedWeightsCached(orders, lineitem, cacheKey,
+        rounds)
+      val m2 = refc.agg(sum(col("deg")).as("m2"))
+      levelMapsFrom(rwgt,
+        refc.groupBy(col("rc")).agg(sum(col("deg")).as("k"))
+          .select(col("rc").as("lab"), col("k")), m2)
+    })
+  }
+
+  /** The refinement audit readout — one row per stage:
+    *
+    *   - `moved` — the raw local-moving partition: community count,
+    *     `n_split` = how many of its communities are internally
+    *     DISCONNECTED (>1 within-community component — the measured
+    *     Leiden defect), within-weight, Q;
+    *   - `refined` — after the connectivity split: `n_split` = 0 by
+    *     construction (the refined labels ARE the component ids),
+    *     `gain` = Q_refined − Q_moved ≥ 0 (the monotone refine leg);
+    *   - `level1..N` — the guarded contraction levels run from the
+    *     REFINED base, gains chained level-over-level (the monotone
+    *     contract legs). `n_split` is NULL on level rows: connectivity
+    *     there is proved, not re-measured (see
+    *     [[louvainRefineLevelMapsCached]] — star merges over real
+    *     edges preserve connectedness).
+    *
+    * Scale shape: the one new iterative cost vs `graph_louvain_levels`
+    * is the within-community component pass (|E|-bounded rounds, see
+    * [[refineAssign]]); everything else reads |wgt|-bounded memos and
+    * the |C₀|-row level map exactly like the unrefined readout, and the
+    * per-level cost is |C_i|-bounded (same as the level step).
+    */
+  def louvainRefineCached(orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, rounds: Int = LouvainRounds): DataFrame = {
+    val comm = louvainAssignCached(orders, lineitem, cacheKey, rounds)
+    val wgt = louvainWeightsCached(orders, lineitem, cacheKey, rounds)
+    val refc = louvainRefineAssignCached(orders, lineitem, cacheKey,
+      rounds)
+    val rwgt = louvainRefinedWeightsCached(orders, lineitem, cacheKey,
+      rounds)
+    val rmaps = louvainRefineLevelMapsCached(orders, lineitem, cacheKey,
+      rounds)
+    val m2d = col("m2").cast("double")
+    // moved-partition scalars (all 1-row aggregates off shared memos)
+    val m2 = comm.agg(sum(col("deg")).as("m2"))
+    val wMv = wgt.filter(col("cs") === col("cd"))
+      .agg(sum(col("w")).as("x"))
+      .select(coalesce(col("x"), lit(0L)).as("w_mv"))
+    val ssMv = comm.groupBy(col("c")).agg(sum(col("deg")).as("k"))
+      .agg(sum(col("k") * col("k")).as("ss_mv"))
+    val nMv = comm.agg(countDistinct(col("c")).as("n_mv"))
+    // the measured defect: communities whose members span >1 refined
+    // component label
+    val split = refc.groupBy(col("c"))
+      .agg(countDistinct(col("rc")).as("ncc"))
+      .agg(sum(when(col("ncc") > 1, 1L).otherwise(0L)).as("x"))
+      .select(coalesce(col("x"), lit(0L)).as("n_split"))
+    val qMv = col("w_mv").cast("double") / m2d -
+      col("ss_mv").cast("double") / (m2d * m2d)
+    val movedWide = wMv.crossJoin(broadcast(ssMv))
+      .crossJoin(broadcast(nMv)).crossJoin(broadcast(split))
+      .crossJoin(broadcast(m2))
+    val movedRow = movedWide.select(lit(0L).as("stage_id"),
+      lit("moved").as("stage"), col("n_mv").as("n_comms"),
+      col("n_split"), col("w_mv").as("within"), qMv.as("q"),
+      lit(0.0).as("gain"))
+    val qMvScalar = movedWide.select(qMv.as("q_mv"))
+    val refLevels = levelsReadoutFrom(
+      refc.select(col("node"), col("rc").as("c"), col("deg")),
+      rwgt, rmaps)
+    val refinedRow = refLevels.filter(col("level") === 0)
+      .crossJoin(broadcast(qMvScalar))
+      .select(lit(1L).as("stage_id"), lit("refined").as("stage"),
+        col("n_comms"), lit(0L).as("n_split"), col("within"),
+        col("q"), (col("q") - col("q_mv")).as("gain"))
+    val levelRows = refLevels.filter(col("level") >= 1)
+      .select((col("level") + 1).cast("long").as("stage_id"),
+        concat(lit("level"), col("level").cast("string")).as("stage"),
+        col("n_comms"), lit(null).cast("long").as("n_split"),
+        col("within"), col("q"), col("gain"))
+    movedRow.unionByName(refinedRow).unionByName(levelRows)
+      .orderBy(col("stage_id"))
   }
 
   /** One symmetry-broken, gain-guarded level step in SQL — the oracle
@@ -2681,62 +2892,107 @@ object Graph {
        |)""".stripMargin
   }
 
+  /** The guarded level chain in SQL: [[LouvainLevelCount]] suffixed
+    * level steps plus accumulated maps and per-level contractions, over
+    * the base frames `${wp}0 (cs, cd, w)` / `${kp}0 (lab, k)`. Names
+    * are prefix-parameterized so [[sqlLouvainLevels]] (`wgt`/`kc`/
+    * `map`/`lv`) and [[sqlLouvainRefine]] (`rwgt`/`rkc`/`rmap`/`rlv`)
+    * emit disjoint CTE sets from ONE generator. */
+  private def sqlLevelChainCtes(wp: String, kp: String, mp: String,
+      sp: String): String = {
+    val N = LouvainLevelCount
+    (1 to N).map { i =>
+      val mapSel =
+        if (i == 1) s"SELECT lab AS c, nxt AS l1 FROM st${sp}1"
+        else s"""SELECT m.c${(1 until i).map(l => s", m.l$l").mkString},
+                |    s.nxt AS l$i
+                |  FROM $mp${i - 1} m JOIN st$sp$i s ON m.l${i - 1} = s.lab"""
+          .stripMargin
+      // contract through the per-label STEP map st$sp$i (lab, nxt) —
+      // one row per level-(i-1) label — mirroring the DataFrame side's
+      // `st`. The accumulated map has one row per FINE community, so
+      // joining it on l${i-1} would multiply each weight/degree row by
+      // the community's fine-member count once level i-1 accepts merges
+      // (non-uniform group-size inflation of SUM(w)/SUM(k)).
+      val contraction =
+        if (i == N) ""
+        else s""",
+           |$wp$i AS MATERIALIZED (
+           |  SELECT a.nxt AS cs, b.nxt AS cd, CAST(SUM(w.w) AS BIGINT) AS w
+           |  FROM $wp${i - 1} w
+           |  JOIN st$sp$i a ON w.cs = a.lab
+           |  JOIN st$sp$i b ON w.cd = b.lab
+           |  GROUP BY a.nxt, b.nxt
+           |), $kp$i AS MATERIALIZED (
+           |  SELECT s.nxt AS lab, CAST(SUM(k.k) AS BIGINT) AS k
+           |  FROM $kp${i - 1} k
+           |  JOIN st$sp$i s ON k.lab = s.lab
+           |  GROUP BY s.nxt
+           |)""".stripMargin
+      s"""${sqlLevelStepCtes(s"$sp$i", s"$wp${i - 1}", s"$kp${i - 1}")},
+         |$mp$i AS MATERIALIZED (
+         |  $mapSel
+         |)$contraction""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Exact cross-engine Q text: both operands are exact BIGINTs, the
+    * divisions and the subtraction run in the one IEEE order both
+    * engines share. */
+  private def sqlQExpr(w: String, ss: String): String = {
+    val m2d = "CAST(m2.m2 AS DOUBLE)"
+    s"CAST($w AS DOUBLE) / $m2d - CAST($ss AS DOUBLE) / ($m2d * $m2d)"
+  }
+
+  /** The per-level readout CTEs over a finished chain: per-level
+    * within-weights (`${p}lx`), Σtot² (`${p}ssl\$l`), community counts
+    * (`${p}ncc`), and the q/n/w value row (`${p}qv`). Same prefixing
+    * contract as [[sqlLevelChainCtes]]. */
+  private def sqlLevelsReadoutCtes(wp: String, kp: String, mp: String,
+      p: String): String = {
+    val N = LouvainLevelCount
+    val lxCols = (s"""CAST(SUM(CASE WHEN w.cs = w.cd THEN w.w ELSE 0 END)
+       |      AS BIGINT) AS w0""".stripMargin) +:
+      (1 to N).map(l =>
+        s"""CAST(SUM(CASE WHEN a.l$l = b.l$l THEN w.w ELSE 0 END)
+           |      AS BIGINT) AS w$l""".stripMargin)
+    val sslCtes = (s"""${p}ssl0 AS (
+       |  SELECT CAST(SUM(k * k) AS BIGINT) AS ss0 FROM ${kp}0
+       |)""".stripMargin) +:
+      (1 to N).map(l =>
+        s"""${p}ssl$l AS (
+           |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss$l FROM (
+           |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM ${p}kl GROUP BY l$l)
+           |)""".stripMargin)
+    val ncCols = s"CAST(COUNT(DISTINCT c) AS BIGINT) AS n0" +:
+      (1 to N).map(l => s"CAST(COUNT(DISTINCT l$l) AS BIGINT) AS n$l")
+    val qvCols = (0 to N).flatMap(l =>
+      Seq(s"${p}lx.w$l", s"${p}ncc.n$l",
+        s"${sqlQExpr(s"${p}lx.w$l", s"${p}ssl$l.ss$l")} AS q$l"))
+    s"""${p}lx AS (
+       |  SELECT
+       |    ${lxCols.mkString(",\n    ")}
+       |  FROM ${wp}0 w
+       |  JOIN $mp$N a ON w.cs = a.c
+       |  JOIN $mp$N b ON w.cd = b.c
+       |), ${p}kl AS (
+       |  SELECT k.lab, k.k${(1 to N).map(l => s", m.l$l").mkString}
+       |  FROM ${kp}0 k JOIN $mp$N m ON k.lab = m.c
+       |), ${sslCtes.mkString(", ")}, ${p}ncc AS (
+       |  SELECT ${ncCols.mkString(",\n    ")}
+       |  FROM $mp$N
+       |), ${p}qv AS (
+       |  SELECT ${qvCols.mkString(",\n    ")}
+       |  FROM ${p}lx, ${(0 to N).map(l => s"${p}ssl$l").mkString(", ")}, ${p}ncc, m2
+       |)""".stripMargin
+  }
+
   /** Oracle for [[louvainLevelsCached]]: the local-moving prefix, the
     * fine-community weight/degree contraction, [[LouvainLevelCount]]
     * suffixed level steps through the guarded maps, then the
     * |wgt|-bounded per-level Q readout — LouvainLevelCount+1 rows. */
   def sqlLouvainLevels(rounds: Int = LouvainRounds): String = {
     val N = LouvainLevelCount
-    val m2d = "CAST(m2.m2 AS DOUBLE)"
-    def qe(w: String, ss: String) =
-      s"CAST($w AS DOUBLE) / $m2d - CAST($ss AS DOUBLE) / ($m2d * $m2d)"
-    // per-level chain: step lv$i over (wgt$(i-1), kc$(i-1)), then the
-    // accumulated map and — below the last level — the next contracted
-    // weight/degree CTEs (wgt0/kc0 are the fine-community frames)
-    val levelCtes = (1 to N).map { i =>
-      val mapSel =
-        if (i == 1) s"SELECT lab AS c, nxt AS l1 FROM stlv1"
-        else s"""SELECT m.c${(1 until i).map(l => s", m.l$l").mkString},
-                |    s.nxt AS l$i
-                |  FROM map${i - 1} m JOIN stlv$i s ON m.l${i - 1} = s.lab"""
-          .stripMargin
-      val contraction =
-        if (i == N) ""
-        else s""",
-           |wgt$i AS MATERIALIZED (
-           |  SELECT a.l$i AS cs, b.l$i AS cd, CAST(SUM(w.w) AS BIGINT) AS w
-           |  FROM wgt${i - 1} w
-           |  JOIN map$i a ON w.cs = a.${if (i == 1) "c" else s"l${i - 1}"}
-           |  JOIN map$i b ON w.cd = b.${if (i == 1) "c" else s"l${i - 1}"}
-           |  GROUP BY a.l$i, b.l$i
-           |), kc$i AS MATERIALIZED (
-           |  SELECT m.l$i AS lab, CAST(SUM(k.k) AS BIGINT) AS k
-           |  FROM kc${i - 1} k
-           |  JOIN map$i m ON k.lab = m.${if (i == 1) "c" else s"l${i - 1}"}
-           |  GROUP BY m.l$i
-           |)""".stripMargin
-      s"""${sqlLevelStepCtes(s"lv$i", s"wgt${i - 1}", s"kc${i - 1}")},
-         |map$i AS MATERIALIZED (
-         |  $mapSel
-         |)$contraction""".stripMargin
-    }.mkString(",\n")
-    val lxCols = (s"""CAST(SUM(CASE WHEN w.cs = w.cd THEN w.w ELSE 0 END)
-       |      AS BIGINT) AS w0""".stripMargin) +:
-      (1 to N).map(l =>
-        s"""CAST(SUM(CASE WHEN a.l$l = b.l$l THEN w.w ELSE 0 END)
-           |      AS BIGINT) AS w$l""".stripMargin)
-    val sslCtes = (s"""ssl0 AS (
-       |  SELECT CAST(SUM(k * k) AS BIGINT) AS ss0 FROM kc0
-       |)""".stripMargin) +:
-      (1 to N).map(l =>
-        s"""ssl$l AS (
-           |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss$l FROM (
-           |    SELECT CAST(SUM(k) AS BIGINT) AS s FROM kl GROUP BY l$l)
-           |)""".stripMargin)
-    val ncCols = s"CAST(COUNT(DISTINCT c) AS BIGINT) AS n0" +:
-      (1 to N).map(l => s"CAST(COUNT(DISTINCT l$l) AS BIGINT) AS n$l")
-    val qvCols = (0 to N).flatMap(l =>
-      Seq(s"lx.w$l", s"ncc.n$l", s"${qe(s"lx.w$l", s"ssl$l.ss$l")} AS q$l"))
     val arms = (0 to N).map { l =>
       val gain = if (l == 0) "CAST(0 AS DOUBLE)" else s"q$l - q${l - 1}"
       if (l == 0)
@@ -2745,25 +3001,88 @@ object Graph {
     }.mkString("\nUNION ALL\n")
     s"""${sqlLouvainCtes(rounds)},
        |${sqlWgtKcCtes(rounds, "wgt0", "kc0", "lab")},
-       |$levelCtes,
-       |lx AS (
-       |  SELECT
-       |    ${lxCols.mkString(",\n    ")}
-       |  FROM wgt0 w
-       |  JOIN map$N a ON w.cs = a.c
-       |  JOIN map$N b ON w.cd = b.c
-       |), kl AS (
-       |  SELECT k.lab, k.k${(1 to N).map(l => s", m.l$l").mkString}
-       |  FROM kc0 k JOIN map$N m ON k.lab = m.c
-       |), ${sslCtes.mkString(", ")}, ncc AS (
-       |  SELECT ${ncCols.mkString(",\n    ")}
-       |  FROM map$N
-       |), qv AS (
-       |  SELECT ${qvCols.mkString(",\n    ")}
-       |  FROM lx, ${(0 to N).map(l => s"ssl$l").mkString(", ")}, ncc, m2
-       |)
+       |${sqlLevelChainCtes("wgt", "kc", "map", "lv")},
+       |${sqlLevelsReadoutCtes("wgt", "kc", "map", "")}
        |$arms
        |ORDER BY level""".stripMargin
+  }
+
+  /** Oracle for [[louvainRefineCached]]: the local-moving prefix, the
+    * within-community transitive closure (the same recursive-CTE
+    * reachability as [[Dedup.sqlComponentsCtes]], restricted to edges
+    * whose ends share a community), the refined contraction, the level
+    * chain + readout over the REFINED base (prefix-disjoint from
+    * [[sqlLouvainLevels]]'s via [[sqlLevelChainCtes]]), and the
+    * moved-partition scalars for the stage-0 row and the refine gain. */
+  def sqlLouvainRefine(rounds: Int = LouvainRounds): String = {
+    val N = LouvainLevelCount
+    val arms = ((0 to N).map { l =>
+      if (l == 0)
+        s"""SELECT CAST(1 AS BIGINT) AS stage_id, 'refined' AS stage,
+           |  n0 AS n_comms, CAST(0 AS BIGINT) AS n_split, w0 AS within,
+           |  q0 AS q, q0 - qm.q_mv AS gain FROM rqv, qm""".stripMargin
+      else
+        s"SELECT CAST(${l + 1} AS BIGINT), 'level$l', n$l, " +
+          s"CAST(NULL AS BIGINT), w$l, q$l, q$l - q${l - 1} FROM rqv"
+    }).mkString("\nUNION ALL\n")
+    s"""${sqlLouvainCtes(rounds).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |${sqlWgtKcCtes(rounds, "wgtm", "kcm", "lab")},
+       |wpairs AS (
+       |  SELECT e.src AS doc_a, e.dst AS doc_b
+       |  FROM edges e
+       |  JOIN c$rounds a ON e.src = a.node
+       |  JOIN c$rounds b ON e.dst = b.node
+       |  WHERE a.c = b.c
+       |), wedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM wpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM wpairs
+       |), wreach(src, dst) AS (
+       |  SELECT src, dst FROM wedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM wreach r JOIN wedges e ON r.dst = e.src
+       |), wcomp AS (
+       |  SELECT src AS node, least(src, MIN(dst)) AS rc
+       |  FROM wreach GROUP BY src
+       |), refc AS MATERIALIZED (
+       |  SELECT a.node, a.c, COALESCE(w.rc, a.node) AS rc, d.deg
+       |  FROM c$rounds a
+       |  JOIN deg d ON a.node = d.id
+       |  LEFT JOIN wcomp w ON a.node = w.node
+       |), rwgt0 AS MATERIALIZED (
+       |  SELECT a.rc AS cs, b.rc AS cd, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM edges e
+       |  JOIN refc a ON e.src = a.node
+       |  JOIN refc b ON e.dst = b.node
+       |  GROUP BY a.rc, b.rc
+       |), rkc0 AS MATERIALIZED (
+       |  SELECT rc AS lab, CAST(SUM(deg) AS BIGINT) AS k
+       |  FROM refc GROUP BY rc
+       |),
+       |${sqlLevelChainCtes("rwgt", "rkc", "rmap", "rlv")},
+       |${sqlLevelsReadoutCtes("rwgt", "rkc", "rmap", "r")},
+       |wm AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN cs = cd THEN w ELSE 0 END),
+       |    0) AS BIGINT) AS w_mv FROM wgtm
+       |), ssm AS (
+       |  SELECT CAST(SUM(k * k) AS BIGINT) AS ss_mv FROM kcm
+       |), nm AS (
+       |  SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_mv FROM kcm
+       |), spl AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN ncc > 1 THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS n_split
+       |  FROM (SELECT c, COUNT(DISTINCT rc) AS ncc FROM refc GROUP BY c)
+       |), qm AS (
+       |  SELECT ${sqlQExpr("wm.w_mv", "ssm.ss_mv")} AS q_mv
+       |  FROM wm, ssm, m2
+       |)
+       |SELECT CAST(0 AS BIGINT) AS stage_id, 'moved' AS stage,
+       |  nm.n_mv AS n_comms, spl.n_split, wm.w_mv AS within,
+       |  qm.q_mv AS q, CAST(0 AS DOUBLE) AS gain
+       |FROM nm, spl, wm, qm
+       |UNION ALL
+       |$arms
+       |ORDER BY stage_id""".stripMargin
   }
 
   // --------------------------------------------- personalized PageRank
@@ -2792,14 +3111,7 @@ object Graph {
       cacheKey: String, iters: Int = PrIters): DataFrame = {
     val e0 = custSuppEdgesCached(orders, lineitem, cacheKey)
     val spark = orders.sparkSession
-    val edges = cachedPersist(spark, s"prede|$cacheKey")(
-      // hash-partition the memo ON src before the eager persist (the
-      // cached InMemoryRelation keeps this partitioning in the planner;
-      // a checkpointed scan would not — Round8Spec): every iterative
-      // consumer (pagerank, katz, ANF, louvain) probes this frame BY
-      // src each round, so the per-round memo-side exchange disappears
-      // — one |E| shuffle per session instead of rounds×consumers times
-      directedEdges(e0).repartition(col("src")))
+    val edges = directedEdgeMemo(spark, e0, cacheKey)
     val degN = cachedPin(spark, s"prdeg|$cacheKey")(degWithN(edges))
     pprRounds(edges, degN, iters)
   }

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: the per-query bench noise classifier, the
+  * Spark-executed Louvain-levels oracle cross-check (incl. the
+  * merge-accepting regime the fixtures mask), and the Leiden-style
+  * refinement level.
+  */
+class Round10Spec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------ noise classifier
+  // The round-9 driver artifact shipped contended:false (median spread
+  // 0.222) beside graph_pagerank samples [2.729, 4.609, 6.897] — the
+  // exact vector the classifier exists for. Samples are pass-ordered
+  // with the first pass included (it pays codegen + JIT).
+  test("queryNoisy: flags the round-9 graph_pagerank drift vector") {
+    assert(Bench.queryNoisy(Seq(2.729, 4.609, 6.897)))
+  }
+
+  test("queryNoisy: flags a steady-pass spread above 30%") {
+    // first pass ignored for the spread; steady [1.0, 1.4] spreads 40%
+    assert(Bench.queryNoisy(Seq(2.0, 1.0, 1.4)))
+  }
+
+  test("queryNoisy: tight steady passes are quiet") {
+    assert(!Bench.queryNoisy(Seq(2.318, 1.885, 1.916)))
+  }
+
+  test("queryNoisy: the normal first-pass-pays-codegen shape is quiet") {
+    // max in the FIRST pass is the uncontended signature, not drift
+    assert(!Bench.queryNoisy(Seq(2.0, 1.0, 1.02)))
+  }
+
+  test("queryNoisy: gentle monotone rise below both thresholds is quiet") {
+    // steady [1.1, 1.3] spreads 18% <= 30%; monotone ratio 1.3 <= 1.5
+    assert(!Bench.queryNoisy(Seq(1.0, 1.1, 1.3)))
+  }
+
+  test("queryNoisy: monotone drift past 1.5x flags even at modest " +
+      "steady spread") {
+    // steady [1.25, 1.55] spreads 24% (under the spread gate) but the
+    // full pass sequence only ever climbs and ends 55% up
+    assert(Bench.queryNoisy(Seq(1.0, 1.25, 1.55)))
+  }
+
+  test("queryNoisy: sub-50ms queries are excluded") {
+    assert(!Bench.queryNoisy(Seq(0.04, 0.01, 0.03)))
+  }
+
+  test("queryNoisy: failed passes (-1) never flag") {
+    assert(!Bench.queryNoisy(Seq(-1.0, -1.0, -1.0)))
+    assert(!Bench.queryNoisy(Seq(1.0, -1.0, 1.02)))
+  }
+
+  // ------------------------------------------- oracle cross-checks
+  // The level-chain contraction is the one oracle region the fixtures
+  // mask (the round-9 ADVICE found it joining the accumulated map — one
+  // row per FINE community — instead of the per-label step map; hidden
+  // because level 3 stalls there). The DuckDB-executed equality net for
+  // that regime is `graft.LouvainOracleDump` + `tools/check.py` over
+  // the merge-accepting uneven toy (committed evidence:
+  // tools/check_louvain_r10.json); Spark cannot execute the oracle text
+  // itself — without DuckDB's MATERIALIZED hints the re-referenced
+  // round/level CTEs inline exponentially in the analyzer.
+  private def levelRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Int]("level"),
+      r.getAs[Long]("n_comms"), r.getAs[Long]("within"),
+      r.getAs[Double]("q"), r.getAs[Double]("gain"))).toSeq
+
+  private def refineRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("stage_id"),
+      r.getAs[String]("stage"), r.getAs[Long]("n_comms"),
+      Option(r.getAs[java.lang.Long]("n_split")).map(_.longValue),
+      r.getAs[Long]("within"), r.getAs[Double]("q"),
+      r.getAs[Double]("gain"))).toSeq
+
+  // A searched 6×6 bipartite divergence witness (see the toy's
+  // scaladoc): the level chain accepts merges at all three levels with
+  // group sizes [3, 2, 1, 1] — exactly the regime where contracting
+  // through the accumulated map (one row per fine community) inflates
+  // SUM(w)/SUM(k) by NON-uniform group-size products. The pre-round-10
+  // sqlLouvainLevels did that; the DuckDB-executed equality over THIS
+  // toy (LouvainOracleDump + tools/check.py) is the net that catches
+  // it, and tools/louvain_ab.py proves the net potent by regenerating
+  // the buggy text and showing it diverge here.
+  // the ONE toy definition lives beside the dump main — the committed
+  // DuckDB evidence and this potency pin must see the same graph
+  private def unevenToy() = LouvainOracleDump.toy(spark)
+
+  test("louvain levels: the uneven toy accepts uneven merge groups and " +
+      "keeps Q monotone") {
+    import graft.operators.Graph
+    val (orders, lineitem) = unevenToy()
+    val key = "toy-uneven-" + System.nanoTime
+    val engine = levelRows(
+      Graph.louvainLevelsCached(orders, lineitem, key))
+    val qs = engine.map(_._4)
+    assert(qs.sliding(2).forall { case Seq(a, b) => b >= a }, s"$qs")
+    // potency guard for the DuckDB cross-check: the chain must actually
+    // accept merges with uneven group sizes on this toy, else the
+    // committed check_louvain evidence exercises nothing
+    val maps = Graph.louvainLevelMapsCached(orders, lineitem, key)
+      .collect()
+    val l1Sizes = maps.groupBy(_.getAs[Long]("l1")).map(_._2.length)
+    assert(l1Sizes.exists(_ > 1), "no accepted merge at level 1")
+    assert(l1Sizes.toSet.size > 1, "merge groups are uniform — the " +
+      "group-size-inflation regime is not exercised")
+  }
+
+  // ------------------------------------------ Leiden-style refinement
+  test("refineAssign: splits a disconnected community, keeps a " +
+      "connected one, singles out edge-less nodes") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // community 1: nodes 1,2,3 but only 1-2 linked (3 stranded by a
+    // departed cut vertex); community 7: nodes 7,8 linked; node 9 in
+    // community 7 with NO within edge at all
+    val comm = Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (7L, 7L, 1L), (8L, 7L, 1L), (9L, 7L, 1L))
+      .toDF("node", "c", "deg")
+    val edges = Seq((1L, 2L), (2L, 1L), (7L, 8L), (8L, 7L),
+      // cross-community edges must NOT glue refined labels
+      (3L, 7L), (7L, 3L), (9L, 1L), (1L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.refineAssign(comm, edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("c"), r.getAs[Long]("rc"))).toMap
+    assert(got == Map(
+      1L -> (1L, 1L), 2L -> (1L, 1L), 3L -> (1L, 3L),
+      7L -> (7L, 7L), 8L -> (7L, 7L), 9L -> (7L, 9L)))
+  }
+
+  test("louvain refine: stage chain on the fixture — monotone Q, " +
+      "measured split repair, refined n_split 0") {
+    val rows = refineRows(
+      SparkEntry.queries("graph_louvain_refine")(spark, dir))
+    val n = graft.operators.Graph.LouvainLevelCount
+    assert(rows.map(r => (r._1, r._2)) ==
+      (0L, "moved") +: (1L, "refined") +:
+        (1 to n).map(l => (l + 1L, s"level$l")))
+    val qs = rows.map(_._6)
+    assert(qs.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"Q not monotone across refine+contract: $qs")
+    // gains chain exactly: gain_i = q_i - q_{i-1}, gain_0 = 0
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._7 == b._6 - a._6); case _ => }
+    assert(rows.head._7 == 0.0)
+    // moved n_split measured, refined repaired by construction
+    assert(rows.head._4.exists(_ >= 0L))
+    assert(rows(1)._4.contains(0L))
+    assert(rows.drop(2).forall(_._4.isEmpty))
+    // refine never decreases Q and never decreases community count by
+    // itself (it only splits)
+    assert(rows(1)._6 >= rows.head._6)
+    assert(rows(1)._3 >= rows.head._3)
+    // within-weight is untouched by the split (no edges between two
+    // components of one community)
+    assert(rows(1)._5 == rows.head._5)
+  }
+
+  test("louvain refine: monotone stage chain on the uneven toy") {
+    import graft.operators.Graph
+    val (orders, lineitem) = unevenToy()
+    val key = "toy-uneven-refine-" + System.nanoTime
+    val rows = refineRows(
+      Graph.louvainRefineCached(orders, lineitem, key))
+    val qs = rows.map(_._6)
+    assert(qs.sliding(2).forall { case Seq(a, b) => b >= a }, s"$qs")
+    assert(rows(1)._4.contains(0L))
+    assert(rows(1)._5 == rows.head._5)
+  }
+
+  // Monotone-Q across refine+contract on seeded random bipartite
+  // graphs — the Round9Spec level-step property extended to the full
+  // round-10 stage chain (the refine split can only shrink Sigma-tot²
+  // at unchanged within-weight, so Q must never drop anywhere).
+  test("louvain refine: monotone Q property on random bipartite graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(1006L)
+    for (g <- 1 to 5) {
+      val nCust = 4 + rnd.nextInt(5)
+      val nSupp = 4 + rnd.nextInt(5)
+      val orders = (1L to nCust.toLong).map(c => (c * 100, c))
+        .toDF("o_orderkey", "o_custkey")
+      val pairs = for {
+        c <- 1 to nCust; s <- 1 to nSupp
+        if rnd.nextDouble() < 0.35
+      } yield (c * 100L, s.toLong)
+      // keep every node attached so degrees are all >= 1
+      val spine = (1 to math.max(nCust, nSupp)).map(i =>
+        (math.min(i, nCust) * 100L, math.min(i, nSupp).toLong))
+      val lineitem = (pairs ++ spine).distinct
+        .toDF("l_orderkey", "l_suppkey")
+      val rows = refineRows(Graph.louvainRefineCached(
+        orders, lineitem, s"prop-refine-$g-" + System.nanoTime))
+      val qs = rows.map(_._6)
+      assert(qs.sliding(2).forall { case Seq(a, b) => b >= a },
+        s"graph $g: Q not monotone: $qs")
+      assert(rows(1)._4.contains(0L))
+      assert(rows(1)._5 == rows.head._5,
+        s"graph $g: refine changed within-weight")
+    }
+  }
+}

@@ -30,6 +30,7 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
+results = []
 for name in sorted(oracle):
     sql = oracle[name]
     try:
@@ -37,6 +38,7 @@ for name in sorted(oracle):
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fails += 1
+        results.append({"query": name, "result": "FAIL"})
         continue
     try:
         got = pd.concat([pd.read_parquet(p) for p in
@@ -45,18 +47,21 @@ for name in sorted(oracle):
     except Exception as e:
         print(f"FAIL {name}: spark result missing: {e}")
         fails += 1
+        results.append({"query": name, "result": "FAIL"})
         continue
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
         print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
         fails += 1
+        results.append({"query": name, "result": "FAIL"})
         continue
     exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
     got = got.sort_values(list(got.columns)).reset_index(drop=True)
     if len(exp) != len(got):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
         fails += 1
+        results.append({"query": name, "result": "FAIL"})
         continue
     ok = True
     for c in exp.columns:
@@ -89,6 +94,19 @@ for name in sorted(oracle):
             break
     if ok:
         print(f"PASS {name} ({len(exp)} rows)")
+        results.append({"query": name, "result": "PASS",
+                        "rows": int(len(exp))})
+    else:
+        results.append({"query": name, "result": "FAIL"})
 
 print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+# optional machine-readable evidence artifact (committed per round for
+# out-of-band checks like the louvain uneven-toy cross-check)
+out_json = os.environ.get("CHECK_OUT")
+if out_json:
+    with open(out_json, "w") as f:
+        json.dump({"sf": os.path.abspath(sf), "out": os.path.abspath(out),
+                   "fails": fails, "checks": results}, f, indent=1)
+        f.write("\n")
+    print(f"evidence artifact written: {out_json}")
 sys.exit(1 if fails else 0)
