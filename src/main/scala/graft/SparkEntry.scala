@@ -7799,6 +7799,13 @@ object SparkEntry {
           .filter(col("kept")).select(col("doc_id")),
           Seq("doc_id"), "left_semi"))),
     "corpus_interleave" -> ((s, d) => TrainingData.interleave(docs(s, d))),
+    // round-10 capstone: clean -> canonical dedup -> decon vs eval split
+    // -> pack -> mixture, every stage riding its family's shared memo
+    "corpus_e2e"        -> ((s, d) => TrainingData.corpusE2e(
+      docs(s, d),
+      graft.operators.CorpusClean.cleanCached(docs(s, d), d),
+      Dedup.canonicalFrom(docs(s, d), arts(s, d).components),
+      Dedup.minhashDecon(docs(s, d), d))),
     "text_classifier"   -> ((s, d) => TextOps.classifierScore(docs(s, d))),
     "embed_outliers"    -> ((s, d) => Similarity.embedOutliers(emb(s, d))),
     "events_winsorize"  -> qWinsorize _,
@@ -8277,6 +8284,7 @@ object SparkEntry {
          |  ${Dedup.sqlCanonical.linesIterator.mkString("\n  ")}
          |) WHERE kept)""".stripMargin),
     "corpus_interleave" -> TrainingData.sqlInterleave,
+    "corpus_e2e"        -> TrainingData.sqlCorpusE2e(),
     "text_classifier"   -> TextOps.sqlClassifierScore,
     "embed_outliers"    -> Similarity.sqlEmbedOutliers,
     "events_winsorize"  -> sqlWinsorize,

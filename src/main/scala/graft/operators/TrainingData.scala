@@ -1395,4 +1395,98 @@ object TrainingData {
        |    AS pos,
        |  n_tok, score, cum_tokens
        |FROM hb ORDER BY shard, pos""".stripMargin
+
+  // ------------------------------------- end-to-end capstone (round 10)
+  /** The full training-data path as ONE composed plan, each stage the
+    * already-oracled family operator riding its shared memo:
+    *
+    *   1. '''clean''' — membership in the [[CorpusClean]] survivor
+    *      frame (quality gate + exact dedup + near-dup victim removal);
+    *   2. '''canonical dedup''' — keep only each near-dup cluster's
+    *      keep-longest representative ([[Dedup.canonicalFrom]] over the
+    *      shared component memo);
+    *   3. '''decontamination vs the eval split''' — drop eval docs
+    *      (`doc_id % evalMod = 0`) and every train doc the minhash
+    *      screen flags against them ([[Dedup.minhashDecon]] over the
+    *      shared pair memo);
+    *   4. '''pack''' — the [[pack]] layout over the surviving corpus in
+    *      doc_id order (per-doc context-window span count);
+    *   5. '''mixture''' — [[mixture]]'s per-source token shares and
+    *      uniform-rebalance weights over the same survivors.
+    *
+    * Output: one row per surviving source — (source, n_docs, n_tokens,
+    * token_share, uniform_weight, pack_spans). Each family is green in
+    * isolation; this capstone is the net for INTER-family interface
+    * drift (id/schema/ordering contracts), the role `q15` plays for the
+    * reference-parity pipeline.
+    *
+    * Scale shape: the three membership stages are semi/anti joins of
+    * thin id frames against memoized family artifacts (no text moves);
+    * the survivor corpus is pinned ONCE and feeds both the pack prefix
+    * sum (bucketed, never a global single-partition window) and the
+    * mixture aggregate; everything after the two hash aggregates runs
+    * on |sources| rows.
+    */
+  def corpusE2e(docs: DataFrame, cleaned: DataFrame, canonical: DataFrame,
+      decon: DataFrame, evalMod: Int = EvalMod): DataFrame = {
+    val keep = cleaned.select(col("doc_id"))
+      .join(canonical.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % evalMod =!= 0)
+      .join(decon.select(col("train_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val corpus = Iterate.pin(docs.join(keep, Seq("doc_id"), "left_semi"))
+    val spans = pack(corpus)
+      .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(sum(col("n_packs")).as("pack_spans"))
+    mixture(corpus)
+      .join(spans, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("uniform_weight"), col("pack_spans"))
+      .orderBy(col("source"))
+  }
+
+  def sqlCorpusE2e(evalMod: Int = EvalMod): String = {
+    def sub(sql: String) = sql.linesIterator.mkString("\n    ")
+    s"""WITH keep AS (
+       |  SELECT c.doc_id FROM (
+       |    ${sub(CorpusClean.sqlClean)}
+       |  ) c
+       |  WHERE c.doc_id IN (SELECT doc_id FROM (
+       |    ${sub(Dedup.sqlCanonical)}
+       |  ) WHERE kept)
+       |  AND c.doc_id % $evalMod <> 0
+       |  AND c.doc_id NOT IN (SELECT train_id FROM (
+       |    ${sub(Dedup.sqlMinhashDecon(evalMod))}
+       |  ))
+       |), corpus AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(${sqlWords("d.text")}) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM keep)
+       |), cum AS (
+       |  SELECT source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS tok_offset
+       |  FROM corpus
+       |), pk AS (
+       |  SELECT source, n_tokens,
+       |    (tok_offset + n_tokens - 1) // $CtxLen
+       |      - tok_offset // $CtxLen + 1 AS n_packs
+       |  FROM cum
+       |), per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_packs) AS BIGINT) AS pack_spans
+       |  FROM pk GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+       |    AS token_share,
+       |  CAST(SUM(n_tokens) OVER () AS DOUBLE)
+       |    / CAST(COUNT(*) OVER () * n_tokens AS DOUBLE) AS uniform_weight,
+       |  pack_spans
+       |FROM per ORDER BY source""".stripMargin
+  }
 }
