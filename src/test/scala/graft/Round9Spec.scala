@@ -12,14 +12,22 @@ class Round9Spec extends SparkSuite {
   // truncates toward zero in Spark but floors in DuckDB — identical ONLY
   // for non-negative epoch micros. This pins the assumption the oracles
   // rely on (see qSeasonal's POSITIVE-EPOCH ASSUMPTION note).
-  test("events fixture carries only post-epoch timestamps") {
-    val minMicros = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .agg(min(expr("unix_micros(ts)")).as("m"))
-      .collect().head.getAs[Long]("m")
-    assert(minMicros >= 0L,
-      s"pre-epoch timestamp in events fixture (min micros $minMicros): " +
-        "the div-vs-floor day-bucket idiom diverges across engines")
+  test("events fixtures carry only post-epoch timestamps") {
+    // every fixture dir the oracle suite runs (the driver verifies at
+    // sf0.01; sf0.1 is the bench fixture) — the note at qSeasonal claims
+    // the invariant suite-wide, so pin it suite-wide
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+        if new java.io.File(d).isDirectory) {
+      val minMicros = Tables.events(spark, d)
+        .filter(col("ts").isNotNull)
+        .agg(min(expr("unix_micros(ts)")).as("m"))
+        .collect().head.getAs[Long]("m")
+      assert(minMicros >= 0L,
+        s"pre-epoch timestamp in events fixture $d (min micros " +
+          s"$minMicros): the div-vs-floor day-bucket idiom diverges " +
+          "across engines")
+    }
   }
 
   // Same two bridged K2,2 bicliques as the Round8Spec coarse toy. Phase 1

@@ -30,7 +30,11 @@ assert the table now equals the merged state. Then REPLAY the whole
 batch and assert it again: the reference's procedure is an idempotent
 upsert, so a re-run of the same batch must be a no-op.
 
-PASS/FAIL per (case, phase); exit 0 iff all pass.
+PASS/FAIL per (case, phase); exit 0 iff all pass. Set CHECK_PG_OUT to a
+path to also write the machine-readable evidence artifact (the list of
+(case, phase, result) checks) — the committed `tools/check_pg_r10.json`
+is that artifact for the round-10 run, so the grammar-execution claim
+is auditable from the repo alone.
 """
 import duckdb, glob, json, os, sys
 
@@ -45,6 +49,15 @@ if not cases:
     sys.exit(1)
 
 fails = 0
+results = []
+out_json = os.environ.get("CHECK_PG_OUT")
+
+
+def record(case, phase, ok, detail=""):
+    """One PASS/FAIL line of the evidence artifact (CHECK_PG_OUT)."""
+    results.append({"case": case, "phase": phase,
+                    "result": "PASS" if ok else "FAIL",
+                    "detail": detail})
 
 
 def read_parquet_dir(d):
@@ -87,7 +100,11 @@ def check_upsert(out, case, meta):
                .reset_index(drop=True))
         exp = (rows.reindex(got.columns, axis=1)
                .sort_values(keys).reset_index(drop=True))
-        if got.equals(exp):
+        ok = got.equals(exp)
+        record(case, phase, ok,
+               f"{len(got)} rows, {len(keys)}-col key, "
+               f"{nulls} NULL-bound rows")
+        if ok:
             print(f"PASS {case}/{phase}: table matches merged state "
                   f"({len(got)} rows, {len(keys)}-col key, "
                   f"{nulls} NULL-bound rows) after the ON CONFLICT text")
@@ -123,7 +140,10 @@ def check_deactivate(out, case, meta):
                .reset_index(drop=True))
         exp = (rows.reindex(got.columns, axis=1)
                .sort_values(keys).reset_index(drop=True))
-        if got.equals(exp):
+        ok = got.equals(exp)
+        record(case, phase, ok,
+               f"{n_flip} stale rows deactivated, {len(got)} rows")
+        if ok:
             print(f"PASS {case}/{phase}: {n_flip} stale rows deactivated, "
                   f"shields held ({len(got)} rows) after the UPDATE text")
         else:
@@ -162,6 +182,8 @@ def check_summary(out, case, meta):
            exp_row.new_inserts_count)
     ok_sel = tuple(got) == exp
 
+    record(case, "readout", ok_total and ok_sel,
+           f"total_records {total}, counters {tuple(got)}")
     if ok_total and ok_sel:
         print(f"PASS {case}/readout: total_records {total}, counters "
               f"{tuple(got)} match the log row")
@@ -177,7 +199,10 @@ def check_summary(out, case, meta):
             f'SELECT COUNT(*) FROM "{log_table}" '
             "WHERE no_update_count <> 0 AND batch_id <> ?",
             (b["batch_id"],)).fetchone()[0]
-        if tuple(after) == (0, 0, 0) and others == len(seed) - 1:
+        ok = tuple(after) == (0, 0, 0) and others == len(seed) - 1
+        record(case, phase, ok,
+               f"counters {tuple(after)}, {others} untouched rows")
+        if ok:
             print(f"PASS {case}/{phase}: batch counters zeroed, other "
                   f"batches untouched after the reset text")
         else:
@@ -198,5 +223,13 @@ for out in cases:
         check_summary(out, case, meta)
     else:
         check_upsert(out, case, meta)
+
+if out_json:
+    with open(out_json, "w") as f:
+        json.dump({"source": os.path.abspath(root),
+                   "n_cases": len(cases), "fails": fails,
+                   "checks": results}, f, indent=1)
+        f.write("\n")
+    print(f"evidence artifact written: {out_json}")
 
 sys.exit(1 if fails else 0)
