@@ -212,8 +212,12 @@ object Graph {
   /** Directed-edge-row cap per shuffle partition of the iterative edge
     * memo. 2M rows ≈ 32 MB of (long, long) pairs plus join-side
     * amplification — comfortably in-memory per task, far from the
-    * 2 GB shuffle-block wall. */
-  val EdgeRowsPerPartition = 2000000L
+    * 2 GB shuffle-block wall. SPARK_GRAFT_EDGE_ROWS_PER_PART overrides
+    * for the scaling audit's A/B (a huge value forces the pre-round-10
+    * fixed session width). */
+  val EdgeRowsPerPartition: Long = sys.env
+    .get("SPARK_GRAFT_EDGE_ROWS_PER_PART").map(_.toLong)
+    .getOrElse(2000000L)
 
   /** Shuffle width for the |E|-row edge memo, derived from the measured
     * edge count the way `nswTierMods` derives the tier ladder from |V|:
