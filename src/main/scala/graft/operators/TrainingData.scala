@@ -1427,14 +1427,22 @@ object TrainingData {
     * mixture aggregate; everything after the two hash aggregates runs
     * on |sources| rows.
     */
-  def corpusE2e(docs: DataFrame, cleaned: DataFrame, canonical: DataFrame,
-      decon: DataFrame, evalMod: Int = EvalMod): DataFrame = {
-    val keep = cleaned.select(col("doc_id"))
+  /** The capstone's survivor-id frame (stages 1–3) before the corpus
+    * pin — exposed so `Round10Spec` can pin its plan (each family memo
+    * scanned exactly once; no heavy family expression recomputed). */
+  private[graft] def corpusE2eKeep(cleaned: DataFrame,
+      canonical: DataFrame, decon: DataFrame,
+      evalMod: Int = EvalMod): DataFrame =
+    cleaned.select(col("doc_id"))
       .join(canonical.filter(col("kept")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .filter(col("doc_id") % evalMod =!= 0)
       .join(decon.select(col("train_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
+
+  def corpusE2e(docs: DataFrame, cleaned: DataFrame, canonical: DataFrame,
+      decon: DataFrame, evalMod: Int = EvalMod): DataFrame = {
+    val keep = corpusE2eKeep(cleaned, canonical, decon, evalMod)
     val corpus = Iterate.pin(docs.join(keep, Seq("doc_id"), "left_semi"))
     val spans = pack(corpus)
       .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))

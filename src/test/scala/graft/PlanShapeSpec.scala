@@ -800,6 +800,47 @@ class PlanShapeSpec extends SparkSuite {
         offenders.mkString(", "))
   }
 
+  test("registry sweep: no physical single-partition window over an " +
+      "unbounded child") {
+    // The PHYSICAL complement of the logical sweep above: the planner
+    // turns a partition-less Window into a WindowExec over a SINGLE
+    // partition (the log's "No Partition Defined" warning), so this
+    // walks every registry query's sparkPlan and requires each such
+    // WindowExec to sit above a physical cardinality bound — an
+    // aggregate, a limit, a TakeOrderedAndProject, or a
+    // WindowGroupLimit — catching both a logical shape the optimizer
+    // failed to rewrite (LimitPushDownThroughWindow off, a frame that
+    // defeats WindowGroupLimit) and a future physical-strategy change
+    // the logical sweep cannot see. Cached memo scans are looked
+    // THROUGH (the bound may live in the cached build plan).
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec => true
+      case _: CollectLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: WindowGroupLimitExec => true
+      case s: InMemoryTableScanExec if bounded(s.relation.cachedPlan) =>
+        true
+    }.isDefined
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("stream_")) {
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !bounded(w.child) => w
+      }
+      if (bad.nonEmpty) offenders += name
+    }
+    assert(offenders.isEmpty,
+      "physical single-partition window over an unbounded child in: " +
+        offenders.mkString(", "))
+  }
+
   test("registry sweep: no CartesianProduct in any physical plan") {
     // every intentional cross join in the suite is crossJoin(broadcast(…))
     // — a scalar attach or a bounded query-side frame — which plans as

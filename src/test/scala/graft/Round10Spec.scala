@@ -109,6 +109,52 @@ class Round10Spec extends SparkSuite {
       "group-size-inflation regime is not exercised")
   }
 
+  // --------------------------------------------- corpus_e2e capstone
+  test("corpus_e2e: each family memo is scanned once in the keep plan " +
+      "and no family chain is recomputed") {
+    import graft.operators.{CorpusClean, Dedup, TrainingData}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val d = Tables.documents(spark, dir)
+    val arts = Dedup.clusterArtifactsCached(d, dir)
+    val keep = TrainingData.corpusE2eKeep(
+      CorpusClean.cleanCached(d, dir),
+      Dedup.canonicalFrom(d, arts.components),
+      Dedup.minhashDecon(d, dir))
+    val plan = keep.queryExecution.optimizedPlan
+    // the family artifacts are Iterate.pin products — LogicalRDD scans.
+    // Identify each by a schema marker and count scans BY RDD IDENTITY:
+    // the near-dup component pin (its RDD carries the raw
+    // pointer-jumping state, marker new_label) and the decon pair pin
+    // scan once; the decon shingle-set pin feeds BOTH sides of its
+    // verify join (twice by design); the clean survivor pin scans twice
+    // because InjectRuntimeFilter builds the semi join's bloom filter
+    // from it — same RDD, which the distinct-identity leg proves (a
+    // REBUILT memo would be a different RDD).
+    val rdds = plan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    } ++ plan.subqueriesAll.flatMap(_.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    })
+    def scans(marker: String) = rdds
+      .filter(_.output.exists(_.name == marker))
+      .map(r => System.identityHashCode(r.rdd))
+    for ((marker, want) <- Seq("quality_score" -> 2, "new_label" -> 1,
+        "doc_a" -> 1, "sh" -> 2)) {
+      val s = scans(marker)
+      assert(s.size == want,
+        s"family pin '$marker': ${s.size} scans, want $want:\n$plan")
+      assert(s.distinct.size == 1 || s.isEmpty,
+        s"family pin '$marker' resolves to ${s.distinct.size} DIFFERENT " +
+          s"RDDs — a memo was rebuilt instead of shared:\n$plan")
+    }
+    // the heavy family chains (shingle/minhash md5 towers) live inside
+    // the memo builds and the pre-pinned shingle-set frame — none of
+    // them may be recomputed in the composed membership plan
+    val s = plan.toString
+    assert(!s.contains("md5(") && !s.contains("crc32("),
+      "a hash chain is recomputed outside its memo:\n" + s)
+  }
+
   // ------------------------------------------ Leiden-style refinement
   test("refineAssign: splits a disconnected community, keeps a " +
       "connected one, singles out edge-less nodes") {
