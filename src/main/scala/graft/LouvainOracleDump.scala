@@ -59,19 +59,29 @@ object LouvainOracleDump {
   /** Write `df` as the single parquet FILE `dst` (check.py registers
     * one DuckDB view per file, the fixture layout). */
   private def writeOne(df: DataFrame, dst: String): Unit = {
-    val staging = java.nio.file.Files.createTempDirectory("graft_dump")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Files.createTempDirectory("graft_dump")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = java.nio.file.Files.list(staging).iterator()
-    var src: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
-    }
+    val listing = Files.list(staging)
+    val src =
+      try {
+        val it = listing.iterator()
+        var found: java.nio.file.Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) found = p
+        }
+        found
+      } finally listing.close()
     require(src != null, s"no parquet part under $staging")
-    val tgt = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.createDirectories(tgt.getParent)
-    java.nio.file.Files.move(src, tgt,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tgt = Paths.get(dst)
+    Files.createDirectories(tgt.getParent)
+    Files.move(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+    // drop the staging dir and its _SUCCESS/.crc leftovers
+    val rest = Files.list(staging)
+    try rest.iterator().forEachRemaining(p => Files.delete(p))
+    finally rest.close()
+    Files.delete(staging)
   }
 
   def main(args: Array[String]): Unit = {

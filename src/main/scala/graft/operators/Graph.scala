@@ -2697,6 +2697,10 @@ object Graph {
       .join(comm.select(col("node").as("dst"), col("c").as("cd")),
         Seq("dst"))
       .filter(col("cs") === col("cd"))
+      // ONE orientation only: the edge memo carries both directions and
+      // connectedComponents re-symmetrizes internally — passing both
+      // would double every row of each pointer-jumping round's join
+      .filter(col("src") < col("dst"))
       .select(col("src").as("doc_a"), col("dst").as("doc_b"))
     val cc = Dedup.connectedComponents(within)
     comm
