@@ -7442,6 +7442,8 @@ object SparkEntry {
       graft.streaming.StreamOracles.dedupState(s, d)),
     "stream_decon_state" -> ((s, d) =>
       graft.streaming.StreamOracles.deconState(s, d)),
+    "stream_corpus_state" -> ((s, d) =>
+      graft.streaming.StreamOracles.corpusState(s, d)),
     "stream_kmv_state"   -> graft.streaming.StreamOracles.kmvState _,
     "stream_cms_state"   -> graft.streaming.StreamOracles.cmsState _,
     "stream_session_state" -> ((s, d) =>
@@ -8051,6 +8053,7 @@ object SparkEntry {
     "stream_scd_state"   -> graft.streaming.StreamOracles.sqlScdState,
     "stream_dedup_state" -> graft.streaming.StreamOracles.sqlDedupState,
     "stream_decon_state" -> graft.streaming.StreamOracles.sqlDeconState,
+    "stream_corpus_state" -> graft.streaming.StreamOracles.sqlCorpusState,
     "stream_kmv_state"   -> graft.streaming.StreamOracles.sqlKmvState,
     "stream_cms_state"   -> graft.streaming.StreamOracles.sqlCmsState,
     "stream_session_state" -> graft.streaming.StreamOracles.sqlSessionState,

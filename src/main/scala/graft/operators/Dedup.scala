@@ -193,25 +193,28 @@ object Dedup {
     * [[sqlBandProfile]] so the two oracles can never disagree on the
     * signature pipeline.
     */
-  def sqlBandsCtes(table: String = "documents"): String = {
+  /** The wordhash → shingle → minhash-sig → band-row CTE chain over
+    * `$table (doc_id, text)`; `p` prefixes every CTE name so two chains
+    * (e.g. a train side and an eval side) can coexist in one WITH. */
+  def sqlBandsCtes(table: String = "documents", p: String = ""): String = {
     val sigDefs = (0 until MinhashK).map(j =>
       s"${sqlMinhashSig("hs", j)} AS sig$j").mkString(",\n    ")
     val bandRows = (0 until MinhashK / BandSize).map { b =>
       val key = (b * BandSize until (b + 1) * BandSize)
         .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigs"
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM ${p}sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""wordhashed AS (
+    s"""${p}wordhashed AS (
        |  SELECT doc_id, ${sqlWordHashes("text")} AS wh FROM $table
        |  WHERE len(${sqlWords("text")}) >= $ShingleK
-       |), hashed AS (
+       |), ${p}hashed AS (
        |  SELECT doc_id, ${sqlShingleHashes("wh", ShingleK)} AS hs
-       |  FROM wordhashed
-       |), sigs AS (
+       |  FROM ${p}wordhashed
+       |), ${p}sigs AS (
        |  SELECT doc_id,
        |    $sigDefs
-       |  FROM hashed
-       |), bands AS (
+       |  FROM ${p}hashed
+       |), ${p}bands AS (
        |  $bandRows
        |)""".stripMargin
   }

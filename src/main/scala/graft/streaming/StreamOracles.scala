@@ -414,16 +414,7 @@ object StreamOracles {
           train.filter(col("doc_id") % batches === i), d, i)
       }
     }
-    // the static eval-side index: built once per fixture (deterministic
-    // input artifact, same cache discipline as the source splits) and
-    // served as durable parquet tables to every micro-batch
-    val idx = cachedSrc(s"deconidx|$dir") { d =>
-      val eval = docs.filter(col("doc_id") % evalMod === 0)
-      Iterate.pin(Dedup.minhashBands(eval))
-        .write.mode("overwrite").parquet(d.resolve("bands").toString)
-      Dedup.shingleSets(eval)
-        .write.mode("overwrite").parquet(d.resolve("sets").toString)
-    }
+    val idx = deconIndex(docs, dir)
     val ss = streamSession(spark)
     val evalBands = ss.read.parquet(idx.resolve("bands").toString)
     val evalSets = ss.read.parquet(idx.resolve("sets").toString)
@@ -499,6 +490,210 @@ object StreamOracles {
        |  -((max(struct_pack(j := jac, ni := -eval_id))).ni) AS best_eval,
        |  (max(struct_pack(j := jac, ni := -eval_id))).j AS best_jaccard
        |FROM j GROUP BY train_id ORDER BY train_id""".stripMargin
+  }
+
+  /** The static eval-side decon index (band + shingle-set parquet
+    * tables over the `doc_id % EvalMod = 0` split), built once per
+    * fixture and shared by [[deconState]] and [[corpusState]] — exactly
+    * how a deployment holds its eval suites as durable tables. */
+  private def deconIndex(docs: DataFrame, dir: String): Path =
+    cachedSrc(s"deconidx|$dir") { d =>
+      import graft.operators.{Dedup, Iterate}
+      val eval = docs.filter(
+        col("doc_id") % graft.operators.TrainingData.EvalMod === 0)
+      Iterate.pin(Dedup.minhashBands(eval))
+        .write.mode("overwrite").parquet(d.resolve("bands").toString)
+      Dedup.shingleSets(eval)
+        .write.mode("overwrite").parquet(d.resolve("sets").toString)
+    }
+
+  // ---------------------------------------------------- stream_corpus_state
+  /** The streaming twin of the `corpus_e2e` capstone — the corpus
+    * FUNNEL run incrementally: training docs (doc_id % EvalMod ≠ 0)
+    * arrive in [[CorpusBatches]] micro-batches, and each batch is
+    *
+    *   1. '''quality-cleaned''' — the stateless [[CorpusClean]] gate
+    *      (token metrics + quality score ≥ threshold), map-side;
+    *   2. '''dedup-admitted''' — [[Streams.dedupBatch]] against the
+    *      band state of previously ADMITTED docs (first arrival wins,
+    *      within-batch lower-id wins — the real streaming-ingest
+    *      policy, vs the batch capstone's keep-longest canonical);
+    *   3. '''decontaminated''' — [[Streams.deconBatch]]'s LSH screen +
+    *      exact verify against the STATIC eval index ([[deconIndex]]);
+    *      hits are dropped AND their bands never enter the state, so a
+    *      contaminated doc cannot shadow a later clean near-dup.
+    *
+    * State is append-only per-batch deltas (admitted rows + admitted
+    * bands), id-keyed with strictly-earlier reads (retry-idempotent
+    * like the other stream oracles). Readout: per-source survivor
+    * counts and token totals — the funnel's yield report.
+    *
+    * The oracle is order-AWARE (the dedup discipline, not the kmv one):
+    * [[sqlCorpusState]] unrolls the same admission recursion per batch
+    * over the same band/set relations, with the decon verdict as a
+    * per-doc predicate (it depends only on the doc's text and the
+    * static index, so staging it after state admission is equivalent).
+    *
+    * Scale shape: per batch one signature pass over the batch's docs
+    * (k-bounded band rows), one band join against the state DELTAS, one
+    * |eval|-bounded screen — nothing rescans admitted text, and state
+    * grows only by admitted bands. The composed funnel is measured on
+    * both streaming axes by `StreamScaleAudit`.
+    */
+  val CorpusBatches = 3
+
+  def corpusState(spark: SparkSession, dir: String,
+      batches: Int = CorpusBatches): DataFrame = {
+    import graft.operators.{CorpusClean, Dedup, TextOps}
+    val evalMod = graft.operators.TrainingData.EvalMod
+    val docs = graft.Tables.documents(spark, dir)
+    val src = cachedSrc(s"corpus|$dir|$batches") { d =>
+      val train = docs.filter(col("doc_id") % evalMod =!= 0)
+      (0 until batches).foreach { i =>
+        writeBatchFile(
+          train.filter(col("doc_id") % batches === i), d, i)
+      }
+    }
+    val idx = deconIndex(docs, dir)
+    val ss = streamSession(spark)
+    val evalBands = ss.read.parquet(idx.resolve("bands").toString)
+    val evalSets = ss.read.parquet(idx.resolve("sets").toString)
+    val stateBase = scratchDir("graft_corpus_state").toString
+    val admDirs = scala.collection.mutable.SortedMap.empty[Long, String]
+    val bandDirs = scala.collection.mutable.SortedMap.empty[Long, String]
+    val q = streamFiles(ss, src, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // spread the one-file batch first: the quality metrics and the
+        // signature chains are the batch's CPU
+        val clean = batch.repartition(4)
+          .withColumn("w", TextOps.words(col("text")))
+          .withColumn("n_tokens", size(col("w")).cast("long"))
+          .filter(TextOps.qualityScore(col("w"))
+            >= CorpusClean.QualityThreshold)
+          .drop("w")
+        val prior = bandDirs.synchronized {
+          bandDirs.rangeUntil(id).values.toSeq
+        }
+        val state =
+          if (prior.isEmpty) Dedup.minhashBands(clean).limit(0)
+          else ss.read.parquet(prior: _*)
+        val (adm0, adm0Bands) = Streams.dedupBatch(clean, state)
+        val hits = Streams.deconBatch(adm0, evalBands, evalSets)
+          .select(col("train_id").as("doc_id")).distinct()
+        val admitted = adm0.join(hits, Seq("doc_id"), "left_anti")
+        val admittedBands = adm0Bands.join(hits, Seq("doc_id"), "left_anti")
+        val vDir = s"$stateBase/v$id"
+        val bDir = s"$stateBase/bands$id"
+        admitted.select(col("doc_id"), col("source"), col("n_tokens"))
+          .write.mode("overwrite").parquet(vDir)
+        admittedBands.write.mode("overwrite").parquet(bDir)
+        admDirs.synchronized { admDirs(id) = vDir }
+        bandDirs.synchronized { bandDirs(id) = bDir }
+        ()
+      }
+      .start()
+    awaitOrFail(q)
+    ss.read.parquet(admDirs.values.toSeq: _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** [[corpusState]]'s order-aware oracle: the clean gate, the two band
+    * chains (train side over the kept docs, `e`-prefixed eval side),
+    * the symmetric share relation, the per-doc decon verdict, then the
+    * per-batch admission recursion — state collisions against
+    * previously ADMITTED docs only, within-batch victims against the
+    * CLEAN batch (the pre-state, pre-decon frame [[Streams.dedupBatch]]
+    * derives victims from). */
+  def sqlCorpusState: String = {
+    import Dedup.{ShingleK, sqlBandsCtes, sqlShingleHashes, sqlWordHashes}
+    import graft.operators.TextOps.sqlWords
+    val evalMod = graft.operators.TrainingData.EvalMod
+    val thr = graft.operators.CorpusClean.QualityThreshold
+    val set = graft.operators.TextOps.Stopwords
+      .map(s => s"'$s'").mkString(", ")
+    val B = CorpusBatches
+    val rounds = (0 until B).map { b =>
+      val stateRejected =
+        if (b == 0) ""
+        else s"""AND NOT EXISTS (
+                 |    SELECT 1 FROM share s JOIN prev$b p ON s.da = p.doc_id
+                 |    WHERE s.db = x.doc_id)
+                 |  """.stripMargin
+      val adm =
+        s"""adm$b AS (
+           |  SELECT x.doc_id FROM kept x WHERE x.doc_id % $B = $b
+           |  ${stateRejected}AND NOT EXISTS (
+           |    SELECT 1 FROM share s JOIN kept e ON s.da = e.doc_id
+           |    WHERE s.db = x.doc_id AND e.doc_id % $B = $b
+           |      AND e.doc_id < x.doc_id)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM deconhit h WHERE h.doc_id = x.doc_id)
+           |)""".stripMargin
+      if (b == B - 1) adm
+      else adm + s""",
+         |prev${b + 1} AS (
+         |  ${(0 to b).map(i => s"SELECT doc_id FROM adm$i")
+              .mkString("\n  UNION ALL\n  ")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 until B)
+      .map(b => s"SELECT doc_id FROM adm$b").mkString("\n  UNION ALL\n  ")
+    s"""WITH traind AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id % $evalMod <> 0
+       |), m0 AS (
+       |  SELECT doc_id, source, text, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(w) AS DOUBLE) AS nwords,
+       |    CAST(len(list_filter(w, x -> x IN ($set))) AS DOUBLE) AS nstop,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) AS ndistinct
+       |  FROM (SELECT doc_id, source, text, ${sqlWords("text")} AS w
+       |        FROM traind)
+       |), kept AS (
+       |  SELECT doc_id, source, text, n_tokens FROM m0
+       |  WHERE (nwords / (nwords + 100.0)) * (ndistinct / nwords)
+       |    * (1.0 - nstop / nwords) >= $thr
+       |), ${sqlBandsCtes("kept")},
+       |share AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id <> b.doc_id
+       |), evald AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $evalMod = 0
+       |), ${sqlBandsCtes("evald", "e")},
+       |tsets AS (
+       |  SELECT doc_id,
+       |    list_distinct(${sqlShingleHashes("wh", ShingleK)}) AS sh
+       |  FROM wordhashed
+       |), esets AS (
+       |  SELECT doc_id,
+       |    list_distinct(${sqlShingleHashes("wh", ShingleK)}) AS sh
+       |  FROM ewordhashed
+       |), ecand AS (
+       |  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+       |  FROM bands t JOIN ebands e
+       |    ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+       |), deconhit AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM ecand c
+       |  JOIN tsets a ON c.doc_id = a.doc_id
+       |  JOIN esets b ON c.eval_id = b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |),
+       |$rounds
+       |SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(k.n_tokens) AS BIGINT) AS n_tokens
+       |FROM (
+       |  $unionAll
+       |) a JOIN kept k ON a.doc_id = k.doc_id
+       |GROUP BY k.source ORDER BY k.source""".stripMargin
   }
 
   // ------------------------------------------------------ stream_kmv_state
@@ -586,8 +781,13 @@ object StreamOracles {
     * `sessionsBuiltin` answer no matter how the stream was batched — the
     * oracle IS q28's SQL.
     */
+  /** Default micro-batch count for [[sessionState]] — shared with
+    * `StreamScaleAudit` so the audit always measures the same batching
+    * as the registry query. */
+  val SessionBatches = 2
+
   def sessionState(spark: SparkSession, dir: String,
-      batches: Int = 2): DataFrame = {
+      batches: Int = SessionBatches): DataFrame = {
     import graft.functions.Exact
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
