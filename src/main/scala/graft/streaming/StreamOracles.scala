@@ -569,13 +569,18 @@ object StreamOracles {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // spread the one-file batch first: the quality metrics and the
-        // signature chains are the batch's CPU
-        val clean = batch.repartition(4)
+        // signature chains are the batch's CPU. Pinned (eager, once per
+        // batch): every downstream consumer — the dedup band pin, the
+        // decon verify, BOTH state writes — re-evaluates its inputs per
+        // action, and without the pin each of them re-ran the scan +
+        // word split + quality score (measured: this batch body was
+        // 6.2 s of the bench, ~3× the other stream oracles' floor).
+        val clean = graft.operators.Iterate.pin(batch.repartition(4)
           .withColumn("w", TextOps.words(col("text")))
           .withColumn("n_tokens", size(col("w")).cast("long"))
           .filter(TextOps.qualityScore(col("w"))
             >= CorpusClean.QualityThreshold)
-          .drop("w")
+          .drop("w"))
         val prior = bandDirs.synchronized {
           bandDirs.rangeUntil(id).values.toSeq
         }
@@ -583,8 +588,13 @@ object StreamOracles {
           if (prior.isEmpty) Dedup.minhashBands(clean).limit(0)
           else ss.read.parquet(prior: _*)
         val (adm0, adm0Bands) = Streams.dedupBatch(clean, state)
-        val hits = Streams.deconBatch(adm0, evalBands, evalSets)
-          .select(col("train_id").as("doc_id")).distinct()
+        // bands are a per-doc map of the text, so the admitted docs'
+        // band rows ARE minhashBands(adm0) — feed them to the decon
+        // screen instead of paying the signature chain a second time
+        // per micro-batch. Pinned hits: consumed by both state writes.
+        val hits = graft.operators.Iterate.pin(
+          Streams.deconBatchFrom(adm0, adm0Bands, evalBands, evalSets)
+            .select(col("train_id").as("doc_id")).distinct())
         val admitted = adm0.join(hits, Seq("doc_id"), "left_anti")
         val admittedBands = adm0Bands.join(hits, Seq("doc_id"), "left_anti")
         val vDir = s"$stateBase/v$id"

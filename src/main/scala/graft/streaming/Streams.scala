@@ -285,16 +285,34 @@ object Streams {
     * @return verified hits (train_id, eval_id, jac) for this batch
     */
   def deconBatch(newDocs: DataFrame, evalBands: DataFrame,
-      evalSets: DataFrame): DataFrame = {
+      evalSets: DataFrame): DataFrame =
+    deconBatchFrom(newDocs, graft.operators.Iterate.pin(
+      graft.operators.Dedup.minhashBands(newDocs)), evalBands, evalSets)
+
+  /** [[deconBatch]] with the batch's band frame supplied by the caller —
+    * the composition point for funnels that ALREADY computed the batch's
+    * bands for dedup admission ([[graft.streaming.StreamOracles.corpusState]]):
+    * bands are a per-doc deterministic map of the text, so the admitted
+    * docs' band rows ARE `minhashBands(admitted)` and re-running the
+    * signature chain (words → md5 token hashes → shingles → 8 minhash
+    * components) a second time per micro-batch buys nothing. The exact
+    * verify's shingle sets are additionally built only for docs that
+    * band-collide with the eval index (a semi-join on the candidate ids
+    * — an inner join on train_id follows, so the restriction is
+    * result-identical and the O(|batch| · tokens) set construction
+    * shrinks to the collision set).
+    */
+  def deconBatchFrom(newDocs: DataFrame, newBands: DataFrame,
+      evalBands: DataFrame, evalSets: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(newDocs.sparkSession)
-    val newBands = graft.operators.Iterate.pin(
-      graft.operators.Dedup.minhashBands(newDocs))
     val cands = newBands
       .join(evalBands.select(col("doc_id").as("eval_id"), col("band_idx"),
         col("band_key")), Seq("band_idx", "band_key"))
       .select(col("doc_id").as("train_id"), col("eval_id"))
       .distinct()
-    val trainSets = graft.operators.Dedup.shingleSets(newDocs)
+    val trainSets = graft.operators.Dedup.shingleSets(
+      newDocs.join(cands.select(col("train_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
     cands
       .join(trainSets.select(col("doc_id").as("train_id"),
         col("sh").as("sh_t")), Seq("train_id"))
