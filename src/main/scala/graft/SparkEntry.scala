@@ -7458,9 +7458,13 @@ object SparkEntry {
     "text_langid"       -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint"  -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy(col("doc_id"))),
     "text_langid_ngram" -> ((s, d) => TextOps.langIdNgram(docs(s, d)).orderBy(col("doc_id"))),
-    "text_winnow"       -> ((s, d) => TextOps.winnow(docs(s, d))),
-    "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d))),
-    "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d))),
+    // the winnow fingerprint frame is memoized: three queries read it
+    "text_winnow"       -> ((s, d) => TextOps.winnowCached(docs(s, d), d)
+      .orderBy(col("doc_id"), col("fingerprint"))),
+    "text_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(docs(s, d),
+      Some(TextOps.winnowCached(docs(s, d), d)))),
+    "text_source_overlap" -> ((s, d) => TextOps.sourceOverlap(docs(s, d),
+      Some(TextOps.winnowCached(docs(s, d), d)))),
     "text_source_tvd"   -> ((s, d) => TextOps.sourceTvd(docs(s, d))),
     "text_lexical_profile" -> ((s, d) => TextOps.lexicalProfile(docs(s, d))),
     "mm_features"       -> ((s, d) => Multimodal.features(docs(s, d))),
@@ -7493,7 +7497,8 @@ object SparkEntry {
     "dedup_communities" -> ((s, d) =>
       Dedup.labelPropagation(arts(s, d).pairs, docs(s, d))),
     "dedup_calibration" -> ((s, d) =>
-      Dedup.bandCalibration(arts(s, d).pairs, docs(s, d))),
+      Dedup.bandCalibration(arts(s, d).pairs, docs(s, d),
+        Some(Dedup.shingleSetsCached(docs(s, d), d)))),
     "dedup_minhash_error" -> ((s, d) =>
       Dedup.minhashError(arts(s, d).pairs, docs(s, d))),
     "dedup_modularity"  -> ((s, d) => Dedup.modularityFrom(arts(s, d).pairs,
@@ -7606,6 +7611,8 @@ object SparkEntry {
       graft.operators.Graph.triangleStats(
         graft.operators.Graph.coPartEdgesCached(Tables.lineitem(s, d), d),
         Some(graft.operators.Graph.coPartDegreesCached(
+          Tables.lineitem(s, d), d)),
+        commonPre = Some(graft.operators.Graph.coPartCommonCached(
           Tables.lineitem(s, d), d)))),
     "graph_degrees"     -> ((s, d) =>
       graft.operators.Graph.degreeHistogram(
@@ -7660,7 +7667,7 @@ object SparkEntry {
     "dedup_semantic"    -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
     "corpus_chunk"      -> ((s, d) => TrainingData.chunk(docs(s, d))),
     "corpus_wsample"    -> ((s, d) => TrainingData.weightedSample(docs(s, d))),
-    "text_bpe_merges"   -> ((s, d) => TextOps.bpeMerges(docs(s, d))),
+    "text_bpe_merges"   -> ((s, d) => TextOps.bpeMerges(docs(s, d), cacheKey = d)),
     "q41_histogram"     -> ((s, d) =>
       Profile.histogram(Tables.lineitem(s, d), "l_extendedprice")),
     "profile_skew"      -> ((s, d) =>
@@ -7684,12 +7691,12 @@ object SparkEntry {
     "text_gopher"       -> ((s, d) => TextOps.gopher(docs(s, d))),
     "text_simpson"      -> ((s, d) => TextOps.simpson(docs(s, d))),
     "text_postings"     -> ((s, d) => TextOps.postings(docs(s, d))),
-    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d))),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d), d)),
     "sketch_countmin"   -> ((s, d) =>
       graft.operators.Sketch.countMin(Tables.events(s, d), "user_id")),
     "sketch_f2_ams"     -> ((s, d) =>
       graft.operators.Sketch.amsF2(Tables.events(s, d), "user_id")),
-    "text_bpe_encode"   -> ((s, d) => TextOps.bpeEncode(docs(s, d))),
+    "text_bpe_encode"   -> ((s, d) => TextOps.bpeEncode(docs(s, d), cacheKey = d)),
     "text_quality_rank" -> ((s, d) => TextOps.qualityRank(docs(s, d))),
     "dedup_weights"     -> ((s, d) =>
       Dedup.softWeightsFrom(docs(s, d), arts(s, d).components)),
@@ -7702,8 +7709,11 @@ object SparkEntry {
     "sim_nsw_recall"    -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTruthCached(Tables.embeddings(s, d), d),
       Similarity.nswWalkCached(Tables.embeddings(s, d), d))),
-    "sim_maxmin_init"   -> ((s, d) => Similarity.maxminInit(emb(s, d))),
-    "sim_maxmin_cells"  -> ((s, d) => Similarity.maxminCells(emb(s, d))),
+    // both maxmin queries read the ONE memoized Gonzalez centers frame
+    "sim_maxmin_init"   -> ((s, d) =>
+      Similarity.maxminInitCached(emb(s, d), d).orderBy(col("round"))),
+    "sim_maxmin_cells"  -> ((s, d) => Similarity.maxminCells(emb(s, d),
+      Some(Similarity.maxminInitCached(emb(s, d), d)))),
     "sim_lsh_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(emb(s, d))),
     "sim_multiprobe_recall" -> ((s, d) => Similarity.recallAtK(
       Similarity.bruteTruthCached(emb(s, d), d),
@@ -7881,9 +7891,11 @@ object SparkEntry {
         degPre = Some(graft.operators.Graph.coPartDegreesCached(
           Tables.lineitem(s, d), d)))),
     "dedup_threshold_sweep" -> ((s, d) =>
-      Dedup.thresholdSweep(arts(s, d).pairs, docs(s, d))),
+      Dedup.thresholdSweep(arts(s, d).pairs, docs(s, d),
+        Some(Dedup.shingleSetsCached(docs(s, d), d)))),
     "dedup_scurve"      -> ((s, d) =>
-      Dedup.scurve(arts(s, d).pairs, docs(s, d))),
+      Dedup.scurve(arts(s, d).pairs, docs(s, d),
+        Some(Dedup.shingleSetsCached(docs(s, d), d)))),
     "text_classifier_auc" -> ((s, d) => TextOps.classifierAuc(docs(s, d))),
     "sim_mrr"           -> ((s, d) => Similarity.mrr(emb(s, d))),
     "sim_triplet_audit" -> ((s, d) => Similarity.tripletAudit(emb(s, d))),

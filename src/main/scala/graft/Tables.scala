@@ -49,6 +49,7 @@ object Tables {
     graft.operators.Dedup.invalidateArtifacts(spark)
     graft.operators.CorpusClean.invalidate(spark)
     graft.operators.TrainingData.invalidateShingles(spark)
+    graft.operators.TextOps.invalidate(spark)
     graft.operators.Graph.invalidateEdges(spark)
     graft.operators.Similarity.invalidateResiduals(spark)
   }

@@ -438,15 +438,12 @@ object Dedup {
     * intersection is the codegen'd linear merge walk, and the histogram
     * is one ≤10-group aggregate. Nothing is all-pairs.
     */
-  def bandCalibration(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def bandCalibration(pairs: DataFrame, docs: DataFrame,
+      setsPre: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val sets = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleK)
-      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
-          .as("sh"))
+    // the sorted-distinct set chain is [[shingleSets]] — callers with a
+    // memoized frame pass it (shared with decon_minhash/containment)
+    val sets = setsPre.getOrElse(shingleSets(docs))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
         Seq("doc_a"))
@@ -506,15 +503,12 @@ object Dedup {
     */
   val SweepThresholds: Seq[Int] = Seq(50, 60, 70, 80, 90) // percent
 
-  def thresholdSweep(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def thresholdSweep(pairs: DataFrame, docs: DataFrame,
+      setsPre: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val sets = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleK)
-      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
-          .as("sh"))
+    // the sorted-distinct set chain is [[shingleSets]] — callers with a
+    // memoized frame pass it (shared with decon_minhash/containment)
+    val sets = setsPre.getOrElse(shingleSets(docs))
     val jr = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
         Seq("doc_a"))
@@ -599,16 +593,13 @@ object Dedup {
   private def sqlPowExplicit(x: String, n: Int): String =
     Seq.fill(n)(s"($x)").mkString(" * ")
 
-  def scurve(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def scurve(pairs: DataFrame, docs: DataFrame,
+      setsPre: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Exact
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val sets = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleK)
-      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
-          .as("sh"))
+    // the sorted-distinct set chain is [[shingleSets]] — callers with a
+    // memoized frame pass it (shared with decon_minhash/containment)
+    val sets = setsPre.getOrElse(shingleSets(docs))
     val jr = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
         Seq("doc_a"))
@@ -1266,7 +1257,29 @@ object Dedup {
   def invalidateArtifacts(spark: SparkSession): Unit = {
     artifactCache.keySet.removeIf(_._1 eq spark)
     bandCache.keySet.removeIf(_._1 eq spark)
+    setsCache.keySet.removeIf(_._1 eq spark)
   }
+
+  /** Per-(session, key) memo of the PINNED [[shingleSets]] frame — the
+    * sorted-distinct ShingleK-gram sets every exact near-dup verify
+    * reads. `decon_minhash` and the `corpus_e2e` capstone both resolve
+    * it (the capstone's decon stage IS minhashDecon), and the md5
+    * word-hash + k-gram chain is the verify's CPU, so an un-memoized
+    * pin re-ran the whole corpus-sized chain once per query invocation
+    * (measured ~0.55 s of every decon_minhash call at sf0.1). Same
+    * lifecycle discipline as [[clusterArtifactsCached]]; swept by
+    * [[invalidateArtifacts]].
+    */
+  private val setsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def shingleSetsCached(docs: DataFrame, cacheKey: String): DataFrame =
+    if (cacheKey.isEmpty) Iterate.pin(shingleSets(docs))
+    else {
+      setsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      setsCache.computeIfAbsent((docs.sparkSession, cacheKey),
+        _ => Iterate.pin(shingleSets(docs)))
+    }
 
   /** Duplicate-cluster size profile: for each cluster size, how many
     * near-duplicate clusters of that size the corpus carries — the
@@ -1770,9 +1783,9 @@ object Dedup {
           .otherwise(col("doc_b")).as("train_id"),
         when(col("doc_a") % evalMod === 0, col("doc_a"))
           .otherwise(col("doc_b")).as("eval_id"))
-    // pinned: the sorted shingle sets feed BOTH sides of the verify
-    // join.
-    val sets = Iterate.pin(shingleSets(docs))
+    // memoized pin: the sorted shingle sets feed BOTH sides of the
+    // verify join, and the frame is shared with the corpus_e2e capstone
+    val sets = shingleSetsCached(docs, cacheKey)
     cands
       .join(sets.select(col("doc_id").as("train_id"),
         col("sh").as("sh_t")), Seq("train_id"))
@@ -1864,21 +1877,20 @@ object Dedup {
   val ContainThreshold = 0.6
   val ContainMaxPosting = 100
 
-  def containmentPairs(docs: DataFrame): DataFrame = {
+  def containmentPairs(docs: DataFrame, cacheKey: String = ""): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val sets = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleK)
-      .select(col("doc_id"), wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
-          .as("sh"))
+    // sets feeds FIVE subtrees (idx→dfOk, idxc, probe, verify a, verify
+    // b) that ReuseExchange cannot dedup — materialize so the md5-heavy
+    // shingle pipeline runs once, not five times. The sorted-distinct
+    // set frame IS [[shingleSets]] plus a size column, so with a cache
+    // key the memoized [[shingleSetsCached]] frame (shared with
+    // decon_minhash / corpus_e2e) supplies it and the per-call pin
+    // disappears; the `sz` projection over the pinned rows is a cheap
+    // map-side size().
+    val sets = (if (cacheKey.isEmpty)
+        Iterate.pin(shingleSets(docs))
+      else shingleSetsCached(docs, cacheKey))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
-      // sets feeds FIVE subtrees (idx→dfOk, idxc, probe, verify a, verify
-      // b) that ReuseExchange cannot dedup — checkpoint so the md5-heavy
-      // shingle pipeline runs once, not five times (the same eager
-      // materialization as connectedComponents/bpeIterate)
-      .transform(Iterate.pin)
     // explode_outer, not explode: `sh` is a derived HOF chain and provably
     // non-empty (size(w) >= ShingleK above) — plain explode makes the
     // optimizer infer `size(sh) > 0` and push it below the staging

@@ -397,7 +397,8 @@ object Graph {
     * final IEEE division (bit-stable cross-engine).
     */
   def triangleStats(edges: DataFrame,
-      degPre: Option[DataFrame] = None): DataFrame = {
+      degPre: Option[DataFrame] = None,
+      commonPre: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(edges.sparkSession)
     val deg = degPre.getOrElse(degrees(edges))
     // SCALE.md trade-off, now a runtime switch: the sorted-adjacency table
@@ -432,18 +433,35 @@ object Graph {
     // |V| outgrows a broadcast, swap the two broadcast hints for
     // hash-partitioned joins on u then v — same plan shape, two |E|-row
     // exchanges; SCALE.md "Known trade-offs".)
-    val o = Iterate.pin(oriented)
-    val adj = o.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("ns"))
-    val tri = o.select(col("src"), col("dst"))
-      .join(adjSide(adj.select(col("src"), col("ns").as("nu"))), Seq("src"))
-      .join(adjSide(adj.select(col("src").as("dst"), col("ns").as("nv"))),
-        Seq("dst"))
-      .select(size(array_intersect(col("nu"), col("nv"))).as("k"))
-      // triangle-free graphs can drop EVERY edge row at the inner joins
-      // (a sink node has no adjacency entry) — sum over zero rows is NULL,
-      // the census says 0
-      .agg(coalesce(sum(col("k")), lit(0L)).as("n_triangles"))
+    // When the per-edge common-neighbor pass is already memoized
+    // ([[coPartCommonCached]] — common_neighbors / link_jaccard /
+    // local_cc / truss / richclub all read it), the triangle census is a
+    // 1-row aggregate over it: each undirected edge's n_common counts the
+    // triangles through that edge, so Σ n_common = 3T exactly (integer
+    // division is exact; empty sum coalesces to 0). This replaces the
+    // per-call pinned orientation + sorted-adjacency rebuild — zero new
+    // heavy subtrees on the shared-memo route; the oriented edge-iterator
+    // below stays for standalone edge frames.
+    val tri = commonPre match {
+      case Some(c) =>
+        // integer `div`, not IEEE `/`: 3T stays a BIGINT end-to-end
+        c.agg(coalesce(sum(col("n_common")), lit(0L)).as("s3"))
+          .select(expr("s3 div 3").cast("long").as("n_triangles"))
+      case None =>
+        val o = Iterate.pin(oriented)
+        val adj = o.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        o.select(col("src"), col("dst"))
+          .join(adjSide(adj.select(col("src"), col("ns").as("nu"))),
+            Seq("src"))
+          .join(adjSide(adj.select(col("src").as("dst"), col("ns").as("nv"))),
+            Seq("dst"))
+          .select(size(array_intersect(col("nu"), col("nv"))).as("k"))
+          // triangle-free graphs can drop EVERY edge row at the inner
+          // joins (a sink node has no adjacency entry) — sum over zero
+          // rows is NULL, the census says 0
+          .agg(coalesce(sum(col("k")), lit(0L)).as("n_triangles"))
+    }
     // deg·(deg−1) is even, so the halving is the exact integer shift —
     // never a double division whose sum could round past 2^53
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
@@ -753,9 +771,15 @@ object Graph {
     var out = stats(e, 0)
     for (r <- 1 to rounds) {
       val keep = degOf(e, r - 1).filter(col("deg") >= k).select(col("id"))
-      e = Iterate.pin(e
+      val next = e
         .join(keep.select(col("id").as("pa")), Seq("pa"), "left_semi")
-        .join(keep.select(col("id").as("pb")), Seq("pb"), "left_semi"))
+        .join(keep.select(col("id").as("pb")), Seq("pb"), "left_semi")
+      // the LAST round's edge frame feeds only its own two stat
+      // aggregates — its semi-joins re-run once more at the final action
+      // instead of paying an eager materialization job per call (the
+      // bfsLevels last-frontier rule); earlier rounds stay pinned (they
+      // seed the next round's degree pass AND their stats)
+      e = if (r < rounds) Iterate.pin(next) else next
       out = out.unionByName(stats(e, r))
     }
     out.orderBy(col("round"))
@@ -1686,8 +1710,13 @@ object Graph {
       val cand = s.unionByName(
         edges.join(s, edges("src") === s("node"))
           .select(col("dst").as("node"), col("h")))
-      val sk = Iterate.pin(cand.groupBy(col("node"))
-        .agg(VectorExprs.kmvMinHashes(col("h"), AnfK).as("hs")))
+      // the LAST round's sketch feeds only its own estimate aggregate
+      // (s is never rebuilt from it) — skipping that pin saves one eager
+      // materialization job per call and lets the final estimate fuse
+      // with the round's aggregation (the bfsLevels last-frontier rule)
+      val agg = cand.groupBy(col("node"))
+        .agg(VectorExprs.kmvMinHashes(col("h"), AnfK).as("hs"))
+      val sk = if (r < rounds) Iterate.pin(agg) else agg
       if (r < rounds) s = sk.select(col("node"), explode(col("hs")).as("h"))
       val est = sk.select(
         when(size(col("hs")) < AnfK, size(col("hs")).cast("double"))

