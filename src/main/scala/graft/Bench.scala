@@ -106,6 +106,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static (per-JVM) codegen-class cache: the default 100 entries
+      // thrash under a 385-query suite (each query compiles several
+      // WholeStageCodegen/expression classes, so one pass evicts
+      // everything and every LATER pass re-runs Janino on plans it
+      // already compiled — pure driver CPU that the min-over-steady-
+      // passes methodology intends to exclude). Sized for the suite,
+      // overridable for measurement (SPARK_GRAFT_CODEGEN_CACHE); a
+      // production driver serving a many-query session wants the same
+      // headroom — the entries are compiled classes, a few KB each.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
