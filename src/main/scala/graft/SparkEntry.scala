@@ -7384,7 +7384,8 @@ object SparkEntry {
       Dedup.clusterStatsFrom(arts(s, d).components)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
-    "dedup_jaccard"     -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "dedup_jaccard"     -> ((s, d) => Dedup.ngramJaccard(docs(s, d),
+      Some(Dedup.shingleSetsCached(docs(s, d), d)))),
     "dedup_embed"       -> ((s, d) => Similarity.embedNearDup(emb(s, d))),
     "sim_brute_topk"    -> ((s, d) => Similarity.bruteTopK(emb(s, d))),
     "sim_ann_lsh"       -> ((s, d) => Similarity.annTopK(emb(s, d))),
@@ -7663,7 +7664,8 @@ object SparkEntry {
     "q42_ohlc"          -> qOhlc _,
     "q43_retention"     -> qRetention _,
     "dedup_substring"   -> ((s, d) => Dedup.substringDup(docs(s, d))),
-    "dedup_edit"        -> ((s, d) => Dedup.editPairs(docs(s, d))),
+    "dedup_edit"        -> ((s, d) =>
+      Dedup.editPairs(docs(s, d), Some(arts(s, d).pairs))),
     "dedup_semantic"    -> ((s, d) => Similarity.semanticDedup(emb(s, d))),
     "corpus_chunk"      -> ((s, d) => TrainingData.chunk(docs(s, d))),
     "corpus_wsample"    -> ((s, d) => TrainingData.weightedSample(docs(s, d))),

@@ -1646,23 +1646,37 @@ object Dedup {
     */
   val JaccardMaxBlock = 100
 
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+  /** @param setsPre the (doc_id, sh) sorted-distinct shingle sets, if the
+    *                 caller already holds them ([[shingleSetsCached]] — its
+    *                 `sh` IS this operator's `sh` column, filter included);
+    *                 the blocking keys (lang, n_chars) re-attach via one
+    *                 doc_id-keyed inner join against the raw scan, which is
+    *                 exactly the memo's exclusion of sub-ShingleK docs.
+    */
+  def ngramJaccard(docs: DataFrame,
+      setsPre: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
     // `div` (integer division) — Spark's double `/`+cast truncates while
     // DuckDB's CAST(double AS BIGINT) rounds; `div` ↔ `//` agree exactly.
     // Shingle-hash sets are sorted ONCE per row so the per-pair intersection
     // is a codegen'd linear merge walk (IntersectCountSorted) — no hash set
     // or result-array allocation inside the pair loop.
-    val withSets = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        words(col("text")).as("w"))
-      .filter(size(col("w")) >= ShingleK) // see minhashBands: no NULL shingles
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        wordHashes(col("w")).as("wh"))
-      .select(col("doc_id"), col("lang"),
-        expr(s"n_chars div $JaccardBlockChars").as("bucket"),
-        array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
-          .as("sh"))
+    val withSets = setsPre match {
+      case Some(sets) => docs
+        .select(col("doc_id"), col("lang"),
+          expr(s"n_chars div $JaccardBlockChars").as("bucket"))
+        .join(sets, Seq("doc_id"))
+      case None => docs
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          words(col("text")).as("w"))
+        .filter(size(col("w")) >= ShingleK) // see minhashBands: no NULL shingles
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          wordHashes(col("w")).as("wh"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"n_chars div $JaccardBlockChars").as("bucket"),
+          array_sort(array_distinct(shingleHashes(col("wh"), ShingleK)))
+            .as("sh"))
+    }
     // Oversized-block sub-split (see JaccardMaxBlock): block sizes come
     // from ONE window count over the same (lang, bucket) key the groupBy
     // shuffles on; rows in oversized blocks swap in a minhash band as the
@@ -2069,10 +2083,17 @@ object Dedup {
   val EditPrefix = 64
   val EditMaxDist = 24
 
-  def editPairs(docs: DataFrame): DataFrame = {
+  /** @param pairsPre the LSH candidate pairs, if the caller already holds
+    *                  them (the [[ClusterArtifacts]] memo — `arts.pairs` is
+    *                  row-identical to [[minhashPairs]] minus its ordering,
+    *                  which the joins below discard anyway); `None` re-runs
+    *                  the band pipeline for standalone corpora.
+    */
+  def editPairs(docs: DataFrame,
+      pairsPre: Option[DataFrame] = None): DataFrame = {
     val prefixes = docs.select(col("doc_id"),
       substring(col("text"), 1, EditPrefix).as("prefix"))
-    minhashPairs(docs)
+    pairsPre.getOrElse(minhashPairs(docs))
       .join(prefixes.select(col("doc_id").as("doc_a"),
         col("prefix").as("pa")), Seq("doc_a"))
       .join(prefixes.select(col("doc_id").as("doc_b"),

@@ -905,4 +905,27 @@ class PlanShapeSpec extends SparkSuite {
     assert("Generate".r.findAllIn(p).size == 1,
       "MAU fanout must be ONE explode:\n" + p)
   }
+
+  test("dedup_edit: candidates come from the pair memo, not a fresh " +
+      "signature tower") {
+    // the registry feeds editPairs the ClusterArtifacts pair pin; a
+    // regression to the standalone route re-runs the whole md5 minhash
+    // chain per call (opt round 1: 1.25 s -> 0.31 s isolated)
+    val p = planTree("dedup_edit")
+    assert(!p.contains("md5("),
+      "signature chain recomputed outside the memo:\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "candidate side no longer reads the pinned pair memo:\n" + p)
+  }
+
+  test("dedup_jaccard: shingle sets come from the shared memo") {
+    // same discipline: the sorted-distinct shingle sets read from
+    // shingleSetsCached; only the (lang, bucket) attach join and the
+    // block expansion remain in the plan
+    val p = planTree("dedup_jaccard")
+    assert(!p.contains("md5("),
+      "shingle chain recomputed outside the memo:\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "set side no longer reads the pinned shingle memo:\n" + p)
+  }
 }
